@@ -1,0 +1,415 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core: filters/projections (SURVEY §2.2 P6-P7), joins (§2.3
+  * J1-J7), aggregations (§2.4 A1-A7). All declarative DataFrame ops so
+  * Catalyst handles pushdown/pruning/join selection; `broadcast()` hints mark
+  * the genuinely small dimensions (region 5 rows, nation 25 — safe at any
+  * scale factor since they're fixed-size).
+  *
+  * Scale notes per operator are inline; the common rules: one shuffle per
+  * groupBy/join on the natural key, partial aggregation is automatic, and
+  * nothing collects to the driver.
+  */
+object Relational extends QueryModule {
+
+  // ---------------------------------------------------------------- filters
+
+  /** P6: conjunctive predicates — comparison, BETWEEN, IN, LIKE, null test.
+    * All land in the parquet scan as PushedFilters.
+    */
+  def filterPred(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(
+        col("l_quantity").between(5, 24) &&
+        col("l_shipdate") <= to_timestamp(lit("1997-06-30")) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_linestatus") === "F" &&
+        col("l_extendedprice").isNotNull &&
+        col("l_returnflag").like("%A%"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** P7: narrow projection + row-level arithmetic; ReadSchema should carry
+    * only the four referenced columns.
+    */
+  def projectPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_discount") > 0.05)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------------ joins
+
+  /** J1: inner equi-join fact⋈dim on the natural key. At scale: sort-merge or
+    * shuffled-hash chosen by Catalyst/AQE; both sides shuffle on the key once.
+    */
+  def joinInner(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select("o_orderkey", "c_custkey", "c_name", "o_totalprice", "o_orderstatus")
+      .orderBy("o_orderkey")
+  }
+
+  /** J2: broadcast chain through two fixed-size dims — zero shuffle on the
+    * probe side; customer streams through two broadcast hash joins.
+    */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select("c_custkey", "c_name", "n_name", "r_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J3: left outer — customers keep a row even with no orders; null order
+    * columns sort explicitly NULLS FIRST to pin cross-engine row order.
+    */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  /** J4a: left semi = EXISTS. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** J4b: left anti = NOT EXISTS (customers with no big order — the plain
+    * no-orders anti-join is empty on this corpus, which would be a vacuous
+    * check).
+    */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+  }
+
+  /** J5: theta/range join against a tiny inline band table — only sane as a
+    * broadcast nested-loop; the band side is constant-size so this stays
+    * broadcastable at any data scale.
+    */
+  def joinRangeBand(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq(
+      ("low", 0.0, 1000.0),
+      ("mid", 1000.0, 1500.0),
+      ("high", 1500.0, 1000000.0),
+    ).toDF("band", "lo", "hi")
+    Tables.part(spark, sfDir)
+      .join(broadcast(bands),
+        col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+      .select("p_partkey", "p_name", "p_retailprice", "band")
+      .orderBy("p_partkey", "band")
+  }
+
+  /** J6: cross join of the two fixed-size dims (5×25 rows). */
+  def joinCross(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.region(spark, sfDir).select("r_name")
+      .crossJoin(Tables.nation(spark, sfDir).select("n_name"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** J7: as-of join — for each event, the latest order of the same customer
+    * with o_orderdate <= ts. Spark lacks a native as-of join; the scalable
+    * shape is union-the-two-streams + per-key window ("last non-null order
+    * seen so far"), which costs exactly one shuffle on the key and a per-key
+    * sort — the same cost profile as a sort-merge join, with no row
+    * explosion. (A naive inequality join would be O(events × orders) per
+    * key.) Orders are first deduped to one per (custkey, date) — max
+    * orderkey — because "the" as-of match is otherwise ambiguous.
+    */
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumnRenamed("user_id", "k")
+    val o = Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_custkey", "k")
+    graft.operators.AsOf.joinLeftAsOf(
+        left = e, right = o,
+        key = "k", leftTime = "ts", rightTime = "o_orderdate",
+        leftId = "event_id", tieBreak = "o_orderkey",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(
+        col("event_id"),
+        col("k").as("user_id"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  // ----------------------------------------------------------- aggregations
+
+  /** A1: grouped hash agg, TPC-H Q1 shape. Doubles are rounded onto the
+    * decimal grid their exact value lies on (prices 2dp, price×(1−disc) 4dp,
+    * ×(1+tax) 6dp) so both engines round identically regardless of
+    * float-summation order. Partial (map-side) aggregation is automatic.
+    */
+  def aggSumQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A2: distinct + count-distinct (exact). Two-phase shuffle under the hood;
+    * at scale prefer approx_count_distinct (see agg_approx) when exactness
+    * isn't required.
+    */
+  def aggDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A3: HLL approximate distinct — implementation-specific estimates, so no
+    * DuckDB oracle (rows-only check + unit test vs exact count).
+    */
+  def aggApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A4: rollup with grouping_id; subtotal rows pinned by sorting on the
+    * grouping id and NULLS FIRST keys.
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** A5: filtered/conditional aggregation. */
+  def aggFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_all"),
+        sum(when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0))).as("n_finished"),
+        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2).as("total_finished"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** A6: collect_set — rendered as a sorted joined string so the comparison
+    * is order-insensitive and list-type-free. Bounded input only (distinct
+    * linestatus values), which is the 100 TB-safe way to use collect_*.
+    */
+  def aggCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A7: exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`,
+    * both linear-interpolation). percentile_approx is the at-scale variant
+    * (unit-tested, not oracle-checked).
+    */
+  def aggPercentile(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Statistical aggregates (Welford-style merges in both engines; rounded
+    * to absorb merge-order float noise).
+    */
+  def aggStats(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_linestatus")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))
+      .orderBy("l_linestatus")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "filter_pred"    -> (filterPred _),
+    "project_prune"  -> (projectPrune _),
+    "join_inner"     -> (joinInner _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_left"      -> (joinLeft _),
+    "join_semi"      -> (joinSemi _),
+    "join_anti"      -> (joinAnti _),
+    "join_range_band" -> (joinRangeBand _),
+    "join_cross"     -> (joinCross _),
+    "join_asof"      -> (joinAsof _),
+    "agg_sum_q1"     -> (aggSumQ1 _),
+    "agg_distinct"   -> (aggDistinct _),
+    "agg_approx"     -> (aggApprox _),
+    "agg_rollup"     -> (aggRollup _),
+    "agg_filtered"   -> (aggFiltered _),
+    "agg_collect"    -> (aggCollect _),
+    "agg_percentile" -> (aggPercentile _),
+    "agg_stats"      -> (aggStats _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 5 AND 24
+        |  AND l_shipdate <= TIMESTAMP '1997-06-30'
+        |  AND l_returnflag IN ('A', 'R')
+        |  AND l_linestatus = 'F'
+        |  AND l_extendedprice IS NOT NULL
+        |  AND l_returnflag LIKE '%A%'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "project_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
+        |FROM lineitem WHERE l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice, o_orderstatus
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT c_custkey, c_name, n_name, r_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c_custkey = o.o_custkey
+        |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_range_band" ->
+      """SELECT p_partkey, p_name, p_retailprice, band
+        |FROM part
+        |JOIN (VALUES ('low', 0.0, 1000.0), ('mid', 1000.0, 1500.0),
+        |             ('high', 1500.0, 1000000.0)) bands(band, lo, hi)
+        |  ON p_retailprice >= lo AND p_retailprice < hi
+        |ORDER BY p_partkey, band""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_asof" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), o2 AS (
+        |  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+        |  FROM o1 JOIN orders o ON o1.o_orderkey = o.o_orderkey
+        |)
+        |SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "agg_sum_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_filtered" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_all,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS total_finished
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 4) AS p50_qty,
+        |  ROUND(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE), 4) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_linestatus,
+        |  ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  ROUND(var_samp(l_quantity), 4) AS var_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_price,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_price
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+  )
+}

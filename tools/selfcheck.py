@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/selfcheck.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name> parquet result (written by graft.Verify),
+runs the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB against
+views named after the tables in <sfDir>, then compares: schema (column name
+set), row count, and cell-by-cell values after sorting columns by name
+(mirroring the driver's documented compare). Exact equality for everything
+except floats, which must match to 1e-9 relative (queries are expected to
+round, so exact match is the norm; near-misses are reported separately).
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return v
+    return v
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True, False
+    if (a is None) != (b is None):
+        return False, False
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False, False
+        if fa == fb or (math.isnan(fa) and math.isnan(fb)):
+            return True, False
+        tol = 1e-9 * max(1.0, abs(fa), abs(fb))
+        return abs(fa - fb) <= tol, True  # equal-ish, but flag as near-miss
+    # timestamps: compare as-is (duckdb returns datetime, pyarrow too)
+    return a == b, False
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    results = {}
+    result_dirs = sorted(d for d in os.listdir(out_dir)
+                         if os.path.isdir(os.path.join(out_dir, d)))
+    for name in result_dirs:
+        got_rel = con.execute(
+            f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
+        got_cols = [d[0] for d in got_rel.description]
+        got = got_rel.fetchall()
+        if name not in oracles:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            exp_rel = con.execute(oracles[name])
+            exp_cols = [d[0] for d in exp_rel.description]
+            exp = exp_rel.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR {str(e).splitlines()[0][:120]}"
+            continue
+        if sorted(got_cols) != sorted(exp_cols):
+            results[name] = (f"SCHEMA-MISMATCH got={sorted(got_cols)} "
+                             f"exp={sorted(exp_cols)}")
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWCOUNT-MISMATCH got={len(got)} exp={len(exp)}"
+            continue
+        # sort columns by name (driver semantics); rows as produced
+        g_ord = [got_cols.index(c) for c in sorted(got_cols)]
+        e_ord = [exp_cols.index(c) for c in sorted(exp_cols)]
+        bad = None
+        near = 0
+        for i, (gr, er) in enumerate(zip(got, exp)):
+            for gj, ej in zip(g_ord, e_ord):
+                ok, is_near = cells_equal(gr[gj], er[ej])
+                near += is_near
+                if not ok:
+                    bad = (i, sorted(got_cols)[g_ord.index(gj)],
+                           gr[gj], er[ej])
+                    break
+            if bad:
+                break
+        if bad:
+            results[name] = (f"VALUE-MISMATCH row={bad[0]} col={bad[1]} "
+                             f"got={bad[2]!r} exp={bad[3]!r}")
+        elif near:
+            results[name] = f"OK-NEAR rows={len(got)} near_float_cells={near}"
+        else:
+            results[name] = f"OK rows={len(got)}"
+
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    for name in sorted(results):
+        print(f"{results[name].split()[0]:>18}  {name}  {results[name]}")
+    print(f"\n{n_ok}/{len(results)} OK "
+          f"({sum(1 for v in results.values() if v.startswith('OK-NEAR'))} near-miss)")
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
