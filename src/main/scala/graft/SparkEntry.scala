@@ -13,6 +13,10 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     etl.EtlQueries,
     _root_.graft.queries.Relational,
+    _root_.graft.queries.Windows,
+    _root_.graft.queries.SetOps,
+    _root_.graft.queries.Functions,
+    _root_.graft.queries.EventTime,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

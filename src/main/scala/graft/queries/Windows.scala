@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window functions (SURVEY §2.5) and sorts/limits/top-k (§2.6).
+  *
+  * Every window partitions by a real key (custkey / mktsegment) — never a
+  * global single-partition window, which would serialize at scale. Ordering
+  * inside each window always ends in a unique column so ranks and running
+  * values are deterministic for the hash-compare.
+  */
+object Windows extends QueryModule {
+
+  /** Ranking trio over orders per customer. */
+  def winRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).as("rn"),
+        rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)).as("rk"),
+        dense_rank().over(Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)).as("drk"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** lag/lead along each customer's order history. */
+  def winLagLead(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(byDate).as("prev_price"),
+        lead("o_totalprice", 1).over(byDate).as("next_price"),
+        first("o_totalprice").over(byDate).as("first_price"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Running aggregates over an unbounded-preceding row frame. */
+  def winRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val cum = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum("o_totalprice").over(cum), 2).as("run_total"),
+        count(lit(1)).over(cum).as("run_n"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Top-3 orders per customer — the partitioned top-k pattern
+    * (row_number ≤ k), which pushes the limit inside each partition instead
+    * of a global sort.
+    */
+  def winTopkPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(byPrice))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** ntile quartiles within each market segment (partitioned, not global). */
+  def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySeg = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(bySeg).as("quartile"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Time-range frame: orders in the trailing 30 days per customer.
+    * rangeBetween needs a numeric ordering, so order by epoch seconds.
+    */
+  def winRangeFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val trailing = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        count(lit(1)).over(trailing).as("n_30d"),
+        round(sum("o_totalprice").over(trailing), 2).as("total_30d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
+    * only k rows reach the driver-side merge, no full sort.
+    */
+  def topkGlobal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+  }
+
+  /** Multi-column full sort with an explicit null placement. */
+  def sortMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .orderBy(col("s_nationkey"), col("s_acctbal").desc_nulls_last, col("s_suppkey"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank"        -> (winRank _),
+    "win_lag_lead"    -> (winLagLead _),
+    "win_running"     -> (winRunning _),
+    "win_topk_per_key" -> (winTopkPerKey _),
+    "win_ntile"       -> (winNtile _),
+    "win_range_frame" -> (winRangeFrame _),
+    "topk_global"     -> (topkGlobal _),
+    "sort_multi"      -> (sortMulti _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "win_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drk
+        |FROM orders ORDER BY o_custkey, rn""".stripMargin,
+    "win_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER w AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  ROUND(SUM(o_totalprice) OVER w, 2) AS run_total,
+        |  COUNT(*) OVER w AS run_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "win_topk_per_key" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_ntile" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS INTEGER) AS quartile
+        |FROM customer ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  COUNT(*) OVER w AS n_30d,
+        |  ROUND(SUM(o_totalprice) OVER w, 2) AS total_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "sort_multi" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |ORDER BY s_nationkey, s_acctbal DESC NULLS LAST, s_suppkey""".stripMargin,
+  )
+}
