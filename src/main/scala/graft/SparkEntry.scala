@@ -17,6 +17,10 @@ object SparkEntry {
     _root_.graft.queries.SetOps,
     _root_.graft.queries.Functions,
     _root_.graft.queries.EventTime,
+    llm.TextAnalysis,
+    llm.Dedup,
+    llm.Similarity,
+    llm.Multimodal,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,259 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.10 U1-U2 + north-star EXT tier):
+  * exact (content-hash groupBy), n-gram Jaccard near-dup, MinHash+LSH.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-shuffle on the content hash — the canonical
+  *    100 TB dedup; never `dropDuplicates(text)` on raw text (shuffles the
+  *    full payload), hash first and shuffle the 16-byte digest.
+  *  - pairwise Jaccard is O(n²) per block and exists as the verification
+  *    stage; candidate generation at scale is the MinHash/LSH path below
+  *    (shingle-explode → per-permutation min → band-key equi-join), whose
+  *    shuffles are all on small keys.
+  */
+object Dedup extends QueryModule {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingle set (distinct). */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3))))"
+
+  private val duckShingles =
+    "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))"
+
+  // ------------------------------------------------------------ exact dedup
+
+  /** U1: exact dedup via content hash — keep min doc_id per digest. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "content_hash", "n_copies")
+      .orderBy("keep_id")
+  }
+
+  // --------------------------------------------------- n-gram Jaccard pairs
+
+  /** U2a: near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.8,
+    * blocked by language. The block keeps the quadratic term bounded; at
+    * scale the block key is the LSH band (below), not a metadata column.
+    */
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"), col("lang"), expr(shingleExpr).as("s"))
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("s").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jacc", round(jacc, 6))
+      .filter(col("jacc") >= 0.8)
+      .select("doc_a", "doc_b", "jacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------ MinHash/LSH
+
+  /** U2b: MinHash signatures + LSH banding + exact-Jaccard verification.
+    *
+    * Stages (each a narrow shuffle, no quadratic blow-up before banding):
+    *  1. explode distinct shingles → (doc, shingle_hash)
+    *  2. broadcast the 16 permutation params, min per (doc, perm)
+    *  3. band key = 4 consecutive minhashes joined (4 bands × 4 rows)
+    *  4. equi-self-join on (band, key) → candidate pairs
+    *  5. verify candidates with exact shingle Jaccard ≥ 0.5
+    *
+    * With s ≈ 0.96 planted near-dups, P(candidate) = 1−(1−s⁴)⁴ ≈ 0.9995.
+    */
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val perms = Hashing.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }
+      .toDF("i", "pa", "pb")
+
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"), expr(shingleExpr).as("s"))
+
+    val shingleHashes = docs
+      .select(col("doc_id"), explode(col("s")).as("sh"))
+      .select(col("doc_id"), (Hashing.hash60(col("sh")) % Hashing.MinhashP).as("h"))
+
+    val sig = shingleHashes
+      .crossJoin(broadcast(perms))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(min((col("pa") * col("h") + col("pb")) % Hashing.MinhashP).as("mh"))
+
+    val bands = sig
+      .withColumn("band", (col("i") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(concat_ws("-",
+        transform(sort_array(collect_list(struct(col("i"), col("mh")))),
+          x => x.getField("mh").cast("string"))).as("band_key"))
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jacc", round(jacc, 6))
+      .filter(col("jacc") >= 0.5)
+      .select("doc_a", "doc_b", "jacc")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** U2c: 60-bit SimHash over the distinct word set (unit weights).
+    * bit_j(simhash) = 1 iff Σ_words (bit_j(hash(word)) ? +1 : −1) > 0.
+    * One explode + one groupBy with 60 conditional sums — a single shuffle.
+    * (32 bits saturates on this shared-vocabulary corpus — 1k+ pairs at
+    * hamming 0; 60 bits restores discriminative power.)
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
+
+  /** U2d: SimHash near-dup pairs — Hamming distance ≤ 6 within language
+    * blocks. At scale, block on bit-chunks of the simhash (pigeonhole)
+    * instead of metadata; kept simple here since the verification join is
+    * the point.
+    */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sim = simhashOf(Tables.documents(spark, sfDir))
+    val lang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val s = sim.join(lang, "doc_id")
+    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("lang"))
+    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("lang"))
+    a.join(b, Seq("lang"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 6)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Core simhash pass over any (doc_id, text) frame — public so callers can
+    * simhash arbitrary corpora, not just the test tables.
+    */
+  def simhashOf(docs: DataFrame): DataFrame = {
+    val wordHashes = docs
+      .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("wd"))
+      .select(col("doc_id"), Hashing.hash60(col("wd")).as("h"))
+    val bitSums = (0 until 60).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1)).as(s"s$j")
+    }
+    val simhash = (0 until 60).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    wordHashes.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+  )
+
+  override def oracles: Map[String, String] = {
+    val h60 = Hashing.duckHash60("sh")
+    val permValues = Hashing.MinhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    val bitSumExprs = (0 until 60)
+      .map(j => s"SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << $j)) <> 0 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n        |    ")
+    val bitsToNum = (0 until 60)
+      .map(j => s"CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    Map(
+      "dedup_exact" ->
+        """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, COUNT(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+      "dedup_ngram_jaccard" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc
+           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $duckShingles AS s FROM documents
+           |), sh AS (
+           |  SELECT doc_id, ($h60) % ${Hashing.MinhashP} AS h
+           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+           |), perms(i, pa, pb) AS (VALUES $permValues),
+           |sig AS (
+           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+           |), bands AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+           |  FROM sig GROUP BY doc_id, i // 4
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |)
+           |SELECT doc_a, doc_b,
+           |  ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc
+           |FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+           |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_simhash" ->
+        s"""WITH wh AS (
+           |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h
+           |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
+           |        FROM documents)
+           |), sums AS (
+           |  SELECT doc_id,
+           |    $bitSumExprs
+           |  FROM wh GROUP BY doc_id
+           |)
+           |SELECT doc_id, $bitsToNum AS simhash
+           |FROM sums ORDER BY doc_id""".stripMargin,
+      "dedup_simhash_pairs" ->
+        s"""WITH wh AS (
+           |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h
+           |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS wd
+           |        FROM documents)
+           |), sums AS (
+           |  SELECT doc_id,
+           |    $bitSumExprs
+           |  FROM wh GROUP BY doc_id
+           |), sim AS (
+           |  SELECT s.doc_id, d.lang, $bitsToNum AS simhash
+           |  FROM sums s JOIN documents d ON s.doc_id = d.doc_id
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+           |FROM sim a JOIN sim b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+           |ORDER BY doc_a, doc_b""".stripMargin,
+    )
+  }
+}

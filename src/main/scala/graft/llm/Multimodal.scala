@@ -1,0 +1,119 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star EXT tier): treat image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, and run
+  * decode/feature-extraction as batched per-partition passes.
+  *
+  * The corpus has no real media, so the binary payload is the UTF-8 document
+  * text and the decoder is a STUB — `decodePartition` derives deterministic
+  * fake width/height/duration from the payload's md5 (clearly marked below).
+  * Everything around the stub is the real production shape:
+  *  - schema: (id, modality, payload binary, byte_len, content_md5)
+  *  - partition-level batching via `mapPartitions` on a typed Dataset —
+  *    the Scala analog of `mapInPandas`: the decoder amortizes model/codec
+  *    init once per partition, not per row;
+  *  - frame sampling emits (id, frame_no) pairs via `explode(sequence(...))`
+  *    — a generator, not a driver loop.
+  *
+  * At 100 TB: payloads dominate storage, so the scan must prune to metadata
+  * columns unless the payload is needed (parquet column pruning does this
+  * for free), and decode stages should repartition by size, not count.
+  */
+object Multimodal extends QueryModule {
+
+  case class MediaRow(id: Long, modality: String, payload: Array[Byte])
+  case class DecodedMedia(
+      id: Long, modality: String, byte_len: Int,
+      width: Int, height: Int, duration_ms: Long)
+
+  /** Media table derived from documents: payload = UTF-8 bytes of `text`,
+    * modality assigned round-robin — deterministic, so oracle-checkable.
+    */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        col("text").cast("binary").as("payload"))
+
+  /** STUB decoder — real deployments swap the body for an image/audio codec
+    * call; the deterministic fake keeps the plumbing testable without media
+    * libraries. One instance of "the codec" (`digest`) is initialized per
+    * partition, which is the entire point of the mapPartitions shape.
+    */
+  def decodePartition(rows: Iterator[MediaRow]): Iterator[DecodedMedia] = {
+    val digest = java.security.MessageDigest.getInstance("MD5") // per-partition init
+    rows.map { r =>
+      digest.reset()
+      val d = digest.digest(r.payload)
+      def u(i: Int): Int = d(i) & 0xff
+      DecodedMedia(
+        id = r.id,
+        modality = r.modality,
+        byte_len = r.payload.length,
+        width = 16 * (u(0) % 120 + 1),        // fake: 16..1920
+        height = 16 * (u(1) % 68 + 1),        // fake: 16..1088
+        duration_ms = (u(2).toLong * 256 + u(3)) * 40)
+    }
+  }
+
+  /** Typed decode pass over the media table. */
+  def decodeAll(spark: SparkSession, sfDir: String): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    mediaTable(spark, sfDir).as[MediaRow].mapPartitions(decodePartition _)
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame index,
+    * as a generator (`explode`), never a driver-side loop.
+    */
+  def frameSample(decoded: DataFrame, everyMs: Long): DataFrame =
+    decoded.filter(col("modality") === "video")
+      .withColumn("frame_no",
+        explode(sequence(lit(0L), greatest((col("duration_ms") / everyMs).cast("long") - 1, lit(0L)))))
+      .select(col("id"), col("frame_no"), (col("frame_no") * everyMs).as("frame_ts_ms"))
+
+  // ------------------------------------------------------- oracle queries
+
+  /** Metadata pass over binary payloads — the non-stub subset (byte length,
+    * content digest, modality routing), which DuckDB can verify exactly.
+    */
+  def mmMeta(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .select(
+        col("id"),
+        col("modality"),
+        expr("octet_length(payload)").as("byte_len"),
+        md5(col("payload")).as("content_md5"))
+      .orderBy("id")
+
+  /** Frame-sampling plan on deterministic (stub-decoded) durations. */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = decodeAll(spark, sfDir).toDF()
+    frameSample(decoded, everyMs = 5000L).orderBy("id", "frame_no")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta"   -> (mmMeta _),
+    "mm_frames" -> (mmFrames _),   // rows-only: duration comes from the stub decoder
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT doc_id AS id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY id""".stripMargin,
+    // mm_frames deliberately has no oracle: widths/durations come from the
+    // stub decoder (md5-derived), which SQL could mirror but a real decoder
+    // could not — it gets the weaker rows>0 check plus unit tests.
+  )
+}

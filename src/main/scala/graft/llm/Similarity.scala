@@ -1,0 +1,148 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (SURVEY §2.10 U3 +
+  * north-star EXT tier): brute-force cosine top-k as the exactness
+  * baseline, IVF-style clustered search as the scale path.
+  *
+  * Vector math is pure higher-order functions (`zip_with` products +
+  * `aggregate` fold) over `array<double>` — no UDF, stays in Tungsten.
+  * Embeddings are cast float→double before any arithmetic so the fold is
+  * double-precision throughout (matches the oracle's math).
+  *
+  * Scale: brute force is O(Q×N) with the query side broadcast — exact, and
+  * the right answer when Q is small. The IVF variant assigns every vector to
+  * its nearest centroid (one broadcast join, k centroids) and probes only the
+  * query's cluster — O(Q×N/k) with nprobe=1, trading recall for throughput
+  * exactly like a real IVF index; centroids here are seed vectors standing in
+  * for a k-means pass.
+  */
+object Similarity extends QueryModule {
+
+  /** dot(a, b) over two array<double> columns as a codegen-able fold. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  private def embDouble(df: DataFrame): DataFrame =
+    df.withColumn("e", transform(col("embedding"), x => x.cast("double")))
+
+  val NQueries = 10
+  val NCentroids = 8
+
+  /** U3a: exact brute-force cosine top-5 for the first 10 query vectors. */
+  def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val byCos = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("rn"), col("cand_id"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** U3b: IVF-style search — assign all vectors to the nearest of
+    * NCentroids seed centroids, then search only the query's own cluster.
+    */
+  def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val cents = emb.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+
+    // nearest centroid per vector: broadcast the k centroids, argmax cosine
+    // (ties broken by centroid id via the orderBy).
+    val byCent = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("e"), col("cente")))
+      .withColumn("crn", row_number().over(byCent))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id").as("cluster"))
+
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cluster"))
+    val c = assigned
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("cluster"))
+    val byCos = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cluster"), col("rn"), col("cand_id"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cosine_topk" -> (simCosineTopk _),
+    "sim_ann_ivf"     -> (simAnnIvf _),
+  )
+
+  // DuckDB mirrors: same double math as the Spark fold — elementwise
+  // multiply then sequential sum (list_sum), no FMA surprises.
+  private val duckDot =
+    "list_sum(list_transform(range(1, 65), i -> a[i] * b[i]))"
+
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+       | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+       |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))))""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "sim_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
+         |ORDER BY q_id, rn""".stripMargin,
+    "sim_ann_ivf" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), assigned AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, q.cluster, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM assigned q JOIN assigned c
+         |    ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, cluster, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, cluster, rn, cand_id, cos FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
+  )
+}

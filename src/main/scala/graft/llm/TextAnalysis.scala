@@ -1,0 +1,212 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2.10 U4 +
+  * north-star EXT tier): token statistics, language ID, quality scoring,
+  * token counting, document fingerprinting. Everything is per-row expression
+  * work — builtins and higher-order functions only, so the whole tier is a
+  * map stage over the corpus: embarrassingly parallel, no shuffle, safe at
+  * any scale.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Conservative tokenizer both engines implement identically. */
+  private def words(c: Column): Column = split(c, " ")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-language marker words for the n-gram/stopword language heuristic.
+    * Tie-break is the fixed order below (first wins).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "una", "y"),
+    "zh" -> Seq("的", "是"),
+  )
+
+  // ------------------------------------------------------------------ stats
+
+  def textStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(w).as("n_words"),
+        size(array_distinct(w)).as("n_uniq"),
+        round(size(array_distinct(w)).cast("double") / size(w), 6).as("uniq_ratio"),
+        round(aggregate(w, lit(0), (acc, x) => acc + length(x)).cast("double") / size(w), 6).as("mean_wlen"),
+        round(size(filter(w, x => x.isin(Stopwords.map(s => s: Any): _*))).cast("double") / size(w), 6).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- lang id
+
+  /** Stopword-marker language ID: count marker hits per language, argmax
+    * with a fixed priority order, 'und' (undetermined) when no marker hits.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      size(filter(w, x => x.isin(markers.map(s => s: Any): _*))).as(s"score_$lang")
+    }
+    val scored = Tables.documents(spark, sfDir)
+      .select((col("doc_id") +: col("lang").as("label_lang") +: scoreCols): _*)
+    // argmax with fixed tie-break order = chained "is this lang >= all later,
+    // > all earlier" comparisons; simplest deterministic form: fold a CASE.
+    val langs = LangMarkers.map(_._1)
+    val best = langs.foldRight(lit("und")) { (lang, elseExpr) =>
+      val c = col(s"score_$lang")
+      val beatsAll = langs.filter(_ != lang).map { other =>
+        val o = col(s"score_$other")
+        if (langs.indexOf(other) < langs.indexOf(lang)) c > o else c >= o
+      }.reduce(_ && _)
+      when(c > 0 && beatsAll, lit(lang)).otherwise(elseExpr)
+    }
+    scored
+      .withColumn("pred_lang", best)
+      .select("doc_id", "label_lang", "pred_lang")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- quality
+
+  /** Composite quality score: length saturation, lexical diversity,
+    * stopword presence. Weights fixed; `keep` is the filter decision a
+    * pipeline would act on.
+    */
+  def quality(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = words(col("text"))
+    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
+    val uniqRatio = size(array_distinct(w)).cast("double") / size(w)
+    val stopRatio = size(filter(w, x => x.isin(Stopwords.map(s => s: Any): _*)))
+      .cast("double") / size(w)
+    val score = round(lenScore * 0.5 + uniqRatio * 0.3 + stopRatio * 0.2, 6)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        round(lenScore, 6).as("len_score"),
+        round(uniqRatio, 6).as("uniq_ratio"),
+        round(stopRatio, 6).as("stop_ratio"),
+        score.as("score"),
+        (score >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ token count
+
+  /** Whitespace tokens vs BPE-ish regex tokens (word runs + single
+    * non-word-non-space chars — the classic pre-tokenizer split).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        size(words(col("text"))).as("n_ws"),
+        regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).as("n_tok"),
+        length(col("text")).as("n_chars_calc"),
+        col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Document fingerprint: min/max 60-bit hash over word 5-grams (the
+    * winnowing building block). Same md5-derived hash in the oracle.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .withColumn("grams",
+        // 5-grams exist only for docs with ≥5 words (corpus minimum is 10).
+        expr("transform(sequence(1, greatest(size(w) - 4, 1)), i -> concat_ws(' ', slice(w, i, 5)))"))
+      .withColumn("hashes", transform(col("grams"), g => Hashing.hash60(g)))
+      .select(
+        col("doc_id"),
+        array_min(col("hashes")).as("fp_min"),
+        array_max(col("hashes")).as("fp_max"),
+        size(col("hashes")).as("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> (textStats _),
+    "text_lang_id"     -> (langId _),
+    "text_quality"     -> (quality _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  private def duckStopList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  override def oracles: Map[String, String] = {
+    val stop = duckStopList(Stopwords)
+    val langScores = LangMarkers.map { case (lang, markers) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${duckStopList(markers)}, x))) AS INTEGER) AS score_$lang"
+    }.mkString(",\n        |  ")
+    val langs = LangMarkers.map(_._1)
+    val caseChain = langs.foldRight("'und'") { (lang, elseExpr) =>
+      val beats = langs.filter(_ != lang).map { other =>
+        if (langs.indexOf(other) < langs.indexOf(lang)) s"score_$lang > score_$other"
+        else s"score_$lang >= score_$other"
+      }.mkString(" AND ")
+      s"CASE WHEN score_$lang > 0 AND $beats THEN '$lang' ELSE $elseExpr END"
+    }
+    Map(
+      "text_stats" ->
+        s"""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+           |  ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')), 6) AS uniq_ratio,
+           |  ROUND(list_sum(list_transform(string_split(text, ' '), x -> strlen(x)))::DOUBLE / len(string_split(text, ' ')), 6) AS mean_wlen,
+           |  ROUND(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x)))::DOUBLE / len(string_split(text, ' ')), 6) AS stop_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_lang_id" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS label_lang,
+           |  $langScores
+           |  FROM documents
+           |)
+           |SELECT doc_id, label_lang, $caseChain AS pred_lang
+           |FROM scored ORDER BY doc_id""".stripMargin,
+      "text_quality" ->
+        s"""SELECT doc_id,
+           |  ROUND(LEAST(strlen(text)::DOUBLE / 400.0, 1.0), 6) AS len_score,
+           |  ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')), 6) AS uniq_ratio,
+           |  ROUND(len(list_filter(string_split(text, ' '), x -> list_contains($stop, x)))::DOUBLE / len(string_split(text, ' ')), 6) AS stop_ratio,
+           |  ROUND(LEAST(strlen(text)::DOUBLE / 400.0, 1.0) * 0.5
+           |      + len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) * 0.3
+           |      + len(list_filter(string_split(text, ' '), x -> list_contains($stop, x)))::DOUBLE / len(string_split(text, ' ')) * 0.2, 6) AS score,
+           |  (ROUND(LEAST(strlen(text)::DOUBLE / 400.0, 1.0) * 0.5
+           |      + len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) * 0.3
+           |      + len(list_filter(string_split(text, ' '), x -> list_contains($stop, x)))::DOUBLE / len(string_split(text, ' ')) * 0.2, 6) >= 0.5) AS keep
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_token_count" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS INTEGER) AS n_tok,
+          |  CAST(strlen(text) AS INTEGER) AS n_chars_calc,
+          |  n_chars
+          |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_fingerprint" ->
+        s"""WITH g AS (
+           |  SELECT doc_id,
+           |    list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+           |      i -> ${Hashing.duckHash60("array_to_string(string_split(text, ' ')[i:i+4], ' ')")}) AS hashes
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  list_aggregate(hashes, 'min') AS fp_min,
+           |  list_aggregate(hashes, 'max') AS fp_max,
+           |  CAST(len(hashes) AS INTEGER) AS n_grams
+           |FROM g ORDER BY doc_id""".stripMargin,
+    )
+  }
+}

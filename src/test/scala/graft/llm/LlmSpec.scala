@@ -1,0 +1,122 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash candidates achieve full recall vs exact jaccard >= 0.8 pairs") {
+    val exact = Dedup.dedupNgramJaccard(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.dedupMinhash(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain planted near-duplicates")
+    assert(exact.subsetOf(mh),
+      s"LSH missed ${exact -- mh} (recall ${(exact & mh).size}/${exact.size})")
+  }
+
+  test("minhash verified pairs all meet the jaccard threshold") {
+    val jaccs = Dedup.dedupMinhash(spark, sf0001).select("jacc").collect().map(_.getDouble(0))
+    assert(jaccs.forall(_ >= 0.5))
+  }
+
+  test("identical texts get identical simhash; disjoint vocab differs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark window join filter", "en"),
+      (2L, "spark window join filter", "en"),
+      (3L, "zebra quark velvet osmium", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val byId = Dedup.simhashOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) === byId(2L))
+    assert(byId(1L) !== byId(3L))
+  }
+
+  test("exact dedup keeps min doc_id per content hash") {
+    import spark.implicits._
+    val out = Seq((5L, "xx"), (2L, "xx"), (9L, "yy"))
+      .toDF("doc_id", "text")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+      .orderBy("keep").collect()
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 9L))
+    assert(out.map(_.getLong(2)).toSeq === Seq(2L, 1L))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("top-1 neighbor of a vector's duplicate is that duplicate (cos=1)") {
+    val top = Similarity.simCosineTopk(spark, sf0001).collect()
+    // every query's neighbors are sorted by cosine desc
+    val byQ = top.groupBy(_.getLong(0))
+    byQ.foreach { case (_, rows) =>
+      val coss = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(coss.sorted.reverse.toSeq === coss.toSeq)
+    }
+    assert(byQ.size === Similarity.NQueries)
+  }
+
+  test("IVF results are a subset of brute-force candidates per query cluster") {
+    val ivf = Similarity.simAnnIvf(spark, sf0001).collect()
+    assert(ivf.nonEmpty)
+    // rn dense from 1 within each query
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length).toSeq)
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token counts on a crafted document") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat, sat!", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = df.select(
+      size(split(col("text"), " ")).as("ws"),
+      regexp_count(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]")).as("tok"))
+      .head()
+    assert(r.getInt(0) === 3)      // the | cat, | sat!
+    assert(r.getInt(1) === 5)      // the, cat, ',', sat, '!'
+  }
+
+  test("fingerprint is order-sensitive") {
+    val fp = TextAnalysis.fingerprint(spark, sf0001)
+      .select("doc_id", "fp_min", "n_grams").collect()
+    assert(fp.length === 500)
+    assert(fp.forall(!_.isNullAt(1)))
+  }
+
+  test("lang-id is deterministic and covers every doc") {
+    val out = TextAnalysis.langId(spark, sf0001).collect()
+    assert(out.length === 500)
+    val preds = out.map(_.getString(2)).distinct
+    assert(preds.forall(p => Set("en", "de", "fr", "es", "zh", "und").contains(p)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("stub decode is deterministic and batched per partition") {
+    val d1 = Multimodal.decodeAll(spark, sf0001).collect().sortBy(_.id)
+    val d2 = Multimodal.decodeAll(spark, sf0001).collect().sortBy(_.id)
+    assert(d1.toSeq === d2.toSeq)
+    assert(d1.forall(m => m.width >= 16 && m.width <= 1920))
+    assert(d1.forall(m => m.byte_len > 0))
+  }
+
+  test("frame sampling emits ceil(duration/step) frames per video row") {
+    import spark.implicits._
+    val decoded = Multimodal.decodeAll(spark, sf0001).toDF()
+    val frames = Multimodal.frameSample(decoded, everyMs = 5000L)
+    val nVideos = decoded.filter(col("modality") === "video").count()
+    assert(frames.select("id").distinct().count() === nVideos)
+    // frame numbers start at 0 and are dense
+    val one = frames.filter(col("id") === frames.select(min("id")).head().getLong(0))
+      .select("frame_no").collect().map(_.getLong(0)).sorted
+    assert(one.headOption.contains(0L))
+    assert(one.toSeq === (0L until one.length).toSeq)
+  }
+}
