@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class PipelineSpec extends SparkSpec {
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-stream").toString
+
+  private val schema = StructType(Seq(
+    StructField("name", StringType), StructField("id", LongType)))
+
+  test("end-to-end drain: NDJSON objects land -> enriched per-object outputs") {
+    val landing = tmp(); val out = tmp(); val ckpt = tmp()
+    Files.writeString(java.nio.file.Paths.get(landing, "batch1.json"),
+      "{\"name\":\"Alice\",\"id\":1}\n{\"name\":\"Bob\",\"id\":2}\n")
+    Files.writeString(java.nio.file.Paths.get(landing, "batch2.json"),
+      "{\"name\":null,\"id\":3}\n")
+
+    val q = Pipeline.run(spark, landing, out, schema, ckpt)
+    val runId = q.id.toString
+    q.awaitTermination()
+
+    val st = JobRegistry.status(runId).get
+    assert(st.state === "SUCCEEDED")
+
+    val b1 = spark.read.json(s"$out/transformed/batch1.json")
+    assert(b1.count() === 2)
+    assert(b1.columns.toSet === Set("name", "id", "processed", "uppercase_name"))
+    assert(b1.filter(col("id") === 1).head().getAs[String]("uppercase_name") === "ALICE")
+    val b2 = spark.read.json(s"$out/transformed/batch2.json")
+    assert(b2.head().getAs[String]("uppercase_name") === "")
+  }
+
+  test("per-object routing hint: resolver directs files to different roots") {
+    val landing = tmp(); val rootA = tmp(); val rootB = tmp(); val ckpt = tmp()
+    Files.writeString(java.nio.file.Paths.get(landing, "a.json"), "{\"name\":\"x\",\"id\":1}\n")
+    Files.writeString(java.nio.file.Paths.get(landing, "b.json"), "{\"name\":\"y\",\"id\":2}\n")
+
+    val q = Pipeline.run(spark, landing, rootA, schema, ckpt,
+      resolveOutputRoot = Some(src => if (src.startsWith("b")) rootB else rootA))
+    q.awaitTermination()
+
+    assert(spark.read.json(s"$rootA/transformed/a.json").count() === 1)
+    assert(spark.read.json(s"$rootB/transformed/b.json").count() === 1)
+  }
+
+  test("checkpoint gives exactly-once across drains: re-run processes nothing new") {
+    val landing = tmp(); val out = tmp(); val ckpt = tmp()
+    Files.writeString(java.nio.file.Paths.get(landing, "x.json"), "{\"name\":\"x\",\"id\":1}\n")
+    Pipeline.run(spark, landing, out, schema, ckpt).awaitTermination()
+    val mtime = new java.io.File(s"$out/transformed/x.json").lastModified()
+    Thread.sleep(1100)
+    Pipeline.run(spark, landing, out, schema, ckpt).awaitTermination()
+    assert(new java.io.File(s"$out/transformed/x.json").lastModified() === mtime,
+      "second drain must not rewrite an already-processed object")
+  }
+}
+
+class StreamOpsSpec extends SparkSpec {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def writeEvents(dir: String, rows: String*): Unit =
+    Files.writeString(java.nio.file.Paths.get(dir, "e.json"), rows.mkString("\n"))
+
+  test("streaming tumbling counts match the batch operator on the same data") {
+    val dir = Files.createTempDirectory("graft-ev").toString
+    writeEvents(dir,
+      """{"event_id":1,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"c","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"c","value":2.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:07:00Z","user_id":2,"event_type":"v","value":3.0}""")
+
+    val stream = spark.readStream.schema(eventsSchema).json(dir)
+    val q = StreamOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("tumbling_out").orderBy("w_start", "event_type").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01T00:00:00Z", "c", 2L, 3.0),
+      ("2024-01-01T00:05:00Z", "v", 1L, 3.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
+    val dir = Files.createTempDirectory("graft-dd").toString
+    writeEvents(dir,
+      """{"event_id":1,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"c","value":1.0}""",
+      """{"event_id":1,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"c","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:03:00Z","user_id":2,"event_type":"v","value":2.0}""")
+    val stream = spark.readStream.schema(eventsSchema).json(dir)
+    val q = StreamOps.dedupWithinWatermark(stream, Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("dedup_out").select("event_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+  }
+}
