@@ -10,6 +10,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (classloading, codegen, shuffle machinery) so the first
+    // timed query doesn't absorb session startup.
+    spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").count().count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

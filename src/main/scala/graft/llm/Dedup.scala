@@ -21,12 +21,19 @@ object Dedup extends QueryModule {
 
   private def words(c: Column): Column = split(c, " ")
 
-  /** Word 3-gram shingle set (distinct). */
+  /** Word 3-gram shingle set, materialized as distinct 60-bit hashes (not
+    * strings): set ops on fixed-width longs are several times cheaper than
+    * on ~20-char strings, and since both engines apply the identical hash,
+    * set sizes/intersections — and therefore every downstream Jaccard —
+    * are identical too (even a collision would collide identically).
+    */
   private val shingleExpr =
-    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3))))"
+    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+      "i -> cast(conv(substring(md5(concat_ws(' ', slice(w, i, 3))), 1, 15), 16, 10) as bigint)))"
 
   private val duckShingles =
-    "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))"
+    "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
+      "i -> CAST('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 15) AS BIGINT)))"
 
   // ------------------------------------------------------------ exact dedup
 
@@ -41,22 +48,42 @@ object Dedup extends QueryModule {
 
   // --------------------------------------------------- n-gram Jaccard pairs
 
-  /** U2a: near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.8,
-    * blocked by language. The block keeps the quadratic term bounded; at
-    * scale the block key is the LSH band (below), not a metadata column.
+  /** U2a: near-duplicate pairs by exact 3-gram-shingle Jaccard ≥ 0.8, via a
+    * prefix-filtered set-similarity join (the PPJoin family of
+    * all-pairs-similarity algorithms from the ICDE/WWW literature, minus the
+    * positional refinement).
+    *
+    * Prefix-filter lemma: under any fixed total order of tokens (ascending
+    * hash here), J(A,B) ≥ t implies overlap ≥ ⌈t·max(|A|,|B|)⌉, so the
+    * (n − ⌈t·n⌉ + 1)-prefixes of both sets must share ≥1 token. Exploding
+    * only those short prefixes (≈(1−t)·n tokens per doc) and equi-joining on
+    * (lang, token) makes candidate generation an inverted-index probe:
+    * unrelated docs almost never share a specific rare shingle, so the
+    * quadratic all-pairs space never materializes. Candidates then pass the
+    * cheap size-ratio test (J ≥ t ⇒ min/max ≥ t) before exact verification.
+    * All stages are equi-joins/groupBys — shuffle-partitionable at 100 TB.
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = 0.8
     val d = Tables.documents(spark, sfDir)
       .withColumn("w", words(col("text")))
-      .select(col("doc_id"), col("lang"), expr(shingleExpr).as("s"))
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("s").as("sa"))
-    val b = d.select(col("doc_id").as("doc_b"), col("lang"), col("s").as("sb"))
+      .select(col("doc_id"), col("lang"), sort_array(expr(shingleExpr)).as("s"))
+      .withColumn("n", size(col("s")))
+    val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
+    val probes = d.select(col("doc_id"), col("lang"), col("n"), explode(prefix).as("tok"))
+    val cand = probes.as("x").join(probes.as("y"),
+        col("x.lang") === col("y.lang") && col("x.tok") === col("y.tok") &&
+        col("x.doc_id") < col("y.doc_id") &&
+        least(col("x.n"), col("y.n")).cast("double") / greatest(col("x.n"), col("y.n")) >= t)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
-    a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b"))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jacc", round(jacc, 6))
-      .filter(col("jacc") >= 0.8)
+      .filter(col("jacc") >= t)
       .select("doc_a", "doc_b", "jacc")
       .orderBy("doc_a", "doc_b")
   }
@@ -75,30 +102,29 @@ object Dedup extends QueryModule {
     * With s ≈ 0.96 planted near-dups, P(candidate) = 1−(1−s⁴)⁴ ≈ 0.9995.
     */
   def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val perms = Hashing.MinhashParams.zipWithIndex
-      .map { case ((a, b), i) => (i, a, b) }
-      .toDF("i", "pa", "pb")
-
     val docs = Tables.documents(spark, sfDir)
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), expr(shingleExpr).as("s"))
 
     val shingleHashes = docs
       .select(col("doc_id"), explode(col("s")).as("sh"))
-      .select(col("doc_id"), (Hashing.hash60(col("sh")) % Hashing.MinhashP).as("h"))
+      .select(col("doc_id"), (col("sh") % Hashing.MinhashP).as("h"))
 
-    val sig = shingleHashes
-      .crossJoin(broadcast(perms))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(min((col("pa") * col("h") + col("pb")) % Hashing.MinhashP).as("mh"))
+    // All 16 permutation minima in ONE aggregation (single shuffle of the
+    // exploded shingles) — no 16× row multiplication via a perms join.
+    val minExprs = Hashing.MinhashParams.zipWithIndex.map { case ((pa, pb), i) =>
+      min((lit(pa) * col("h") + lit(pb)) % Hashing.MinhashP).as(s"mh$i")
+    }
+    val sig = shingleHashes.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
 
+    // 4 bands × 4 rows: band key = the 4 minhashes joined; one row per band.
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("-", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("band_key"))
+    }
     val bands = sig
-      .withColumn("band", (col("i") / 4).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(concat_ws("-",
-        transform(sort_array(collect_list(struct(col("i"), col("mh")))),
-          x => x.getField("mh").cast("string"))).as("band_key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
@@ -174,7 +200,6 @@ object Dedup extends QueryModule {
   )
 
   override def oracles: Map[String, String] = {
-    val h60 = Hashing.duckHash60("sh")
     val permValues = Hashing.MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
     val bitSumExprs = (0 until 60)
@@ -202,7 +227,7 @@ object Dedup extends QueryModule {
         s"""WITH d AS (
            |  SELECT doc_id, $duckShingles AS s FROM documents
            |), sh AS (
-           |  SELECT doc_id, ($h60) % ${Hashing.MinhashP} AS h
+           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
            |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
            |), perms(i, pa, pb) AS (VALUES $permValues),
            |sig AS (

@@ -1,0 +1,62 @@
+package graft
+
+/** Physical-plan assertions — the 100 TB design contract, enforced:
+  * filters reach the parquet scan, projections prune the read schema,
+  * fixed-size dims broadcast, global top-k avoids a full sort, and the
+  * narrow pipelines don't shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("filter_pred pushes predicates into the parquet scan") {
+    val p = plan("filter_pred")
+    // (the toString elides the tail of the list; IsNotNull leading it is
+    // enough to prove the scan received pushed filters)
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+  }
+
+  test("project_prune reads only the referenced columns") {
+    val p = plan("project_prune")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_shipdate"), readSchema)
+    assert(!readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("global top-k plans TakeOrderedAndProject, not a full sort") {
+    val p = plan("topk_global")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("enrichment is a pure map stage — zero exchanges before the sink sort") {
+    val p = graft.etl.Enrich.enrich(Tables.customer(spark, sf0001), "c_name")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("no accidental cartesian products anywhere in the query surface") {
+    SparkEntry.queries.keys.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$p")
+    }
+  }
+
+  test("whole-stage codegen covers the hot aggregation path") {
+    // codegen'd operators render with a "*(stageId)" prefix — but only in
+    // the FINAL adaptive plan, so execute before inspecting.
+    val df = SparkEntry.queries("agg_sum_q1")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("*(")), p)
+  }
+}
