@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.SetOps,
     _root_.graft.queries.Functions,
     _root_.graft.queries.EventTime,
+    _root_.graft.queries.SqlSurface,
     llm.TextAnalysis,
     llm.Dedup,
     llm.Similarity,

@@ -106,7 +106,34 @@ object Functions extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Exact decimal aggregation: cast to DECIMAL(18,2) before summing so the
+    * sum is order-independent (integer cents), then surface as double —
+    * lossless here since the totals stay far below 2^53 cents. The
+    * no-rounding-tricks way to aggregate money deterministically.
+    */
+  def fnDecimal(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_exact"),
+        sum(col("l_tax").cast("decimal(18,2)")).cast("double").as("tax_exact"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Generator surface (SURVEY §2.10 U6): posexplode the token array — one
+    * output row per (doc, position, token).
+    */
+  def fnPosexplode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .orderBy("doc_id", "pos")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_decimal"     -> (fnDecimal _),
+    "fn_posexplode"  -> (fnPosexplode _),
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
     "fn_math"        -> (fnMath _),
@@ -116,6 +143,18 @@ object Functions extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "fn_decimal" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_exact,
+        |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_exact,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_posexplode" ->
+      """SELECT doc_id,
+        |  CAST(unnest(range(0, len(string_split(text, ' ')))) AS INTEGER) AS pos,
+        |  unnest(string_split(text, ' ')) AS word
+        |FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id, pos""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  UPPER(p_name) AS up, LOWER(p_brand) AS lo,

@@ -87,6 +87,19 @@ object Relational extends QueryModule {
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
   }
 
+  /** J3b: full outer — union of match, left-only, right-only; null keys on
+    * both sides sort explicitly to pin row order.
+    */
+  def joinFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigCust = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"))
+    val bigOrd = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    bigCust.join(bigOrd, bigCust("c_custkey") === bigOrd("o_custkey"), "full_outer")
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_custkey").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+  }
+
   /** J4a: left semi = EXISTS. */
   def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
@@ -221,6 +234,18 @@ object Relational extends QueryModule {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** A4b: cube — all four grouping combinations. */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   /** A5: filtered/conditional aggregation. */
   def aggFiltered(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.orders(spark, sfDir)
@@ -280,6 +305,7 @@ object Relational extends QueryModule {
     "join_inner"     -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
     "join_left"      -> (joinLeft _),
+    "join_full"      -> (joinFull _),
     "join_semi"      -> (joinSemi _),
     "join_anti"      -> (joinAnti _),
     "join_range_band" -> (joinRangeBand _),
@@ -289,6 +315,7 @@ object Relational extends QueryModule {
     "agg_distinct"   -> (aggDistinct _),
     "agg_approx"     -> (aggApprox _),
     "agg_rollup"     -> (aggRollup _),
+    "agg_cube"       -> (aggCube _),
     "agg_filtered"   -> (aggFiltered _),
     "agg_collect"    -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
@@ -325,6 +352,13 @@ object Relational extends QueryModule {
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         |  ON c_custkey = o.o_custkey
         |ORDER BY c_custkey, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "join_full" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |                 WHERE o_totalprice > 400000.0) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer
@@ -385,6 +419,13 @@ object Relational extends QueryModule {
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "agg_filtered" ->
       """SELECT o_orderpriority,

@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The `spark.sql(...)` surface: the same engine through SQL text instead of
+  * the DataFrame API — register the corpus as temp views, run TPC-H-shaped
+  * analytical SQL, get the identical Catalyst plan. Demonstrates that a user
+  * of the reference could drive this engine from plain SQL.
+  *
+  * The oracle strings are intentionally near-identical to the Spark SQL —
+  * both are ANSI; the only divergences are engine-typing casts.
+  */
+object SqlSurface extends QueryModule {
+
+  private def registerViews(spark: SparkSession, sfDir: String): Unit =
+    Seq("customer", "orders", "lineitem", "nation", "region", "supplier", "part")
+      .foreach { t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t) }
+
+  /** TPC-H Q3 shape: unshipped-revenue top-10 per order. */
+  def sqlQ3(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** TPC-H Q5 shape: revenue by nation within a region. */
+  def sqlQ5(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
+  /** Correlated-subquery shape (decorrelated by Catalyst into a join):
+    * customers whose account balance exceeds their nation's average.
+    */
+  def sqlCorrelated(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q3"         -> (sqlQ3 _),
+    "sql_q5"         -> (sqlQ5 _),
+    "sql_correlated" -> (sqlCorrelated _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "sql_q3" ->
+      """SELECT l_orderkey,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "sql_q5" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "sql_correlated" ->
+      """SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS bal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+  )
+}
