@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.VectorBridge
+
+/** Public API for the native vector expressions (implementation in
+  * org.apache.spark.sql.graft.VectorFolds — hosted in the sql package
+  * because the Expression→Column bridge and implicit-cast input typing are
+  * `private[sql]`).
+  *
+  * Preference order honored (builtin > higher-order fn > native Expression
+  * > UDF): these exist because the cosine needs three HOF folds and a
+  * per-row intermediate array, while the native expression is one fused
+  * codegen loop. Results are bit-identical to the HOF formulation (same
+  * sequential double accumulation).
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over array<double> (array<float> implicitly casts). */
+  def dot_product(a: Column, b: Column): Column = VectorBridge.dotProduct(a, b)
+
+  /** cosine similarity in one fused traversal. */
+  def cosine_sim(a: Column, b: Column): Column = VectorBridge.cosineSim(a, b)
+
+  /** Register `graft_dot` / `graft_cosine` for spark.sql. */
+  def register(spark: SparkSession): Unit = VectorBridge.register(spark)
+}

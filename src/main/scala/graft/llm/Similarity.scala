@@ -23,14 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity extends QueryModule {
 
-  /** dot(a, b) over two array<double> columns as a codegen-able fold. */
-  private def dot(a: Column, b: Column): Column =
+  /** dot(a, b) as a higher-order fold — the builtin-only formulation, kept
+    * public as the reference implementation the native expression is
+    * A/B-tested against (same sequential accumulation order → bit-identical
+    * results).
+    */
+  def hofDot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  def hofCosine(a: Column, b: Column): Column =
+    hofDot(a, b) / (sqrt(hofDot(a, a)) * sqrt(hofDot(b, b)))
 
+  /** Production path: the fused single-traversal native expression
+    * (graft.functions.VectorExpressions) — no per-row intermediate array,
+    * one loop for dot + both norms, inside whole-stage codegen.
+    */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    graft.functions.VectorExpressions.cosine_sim(a, b)
 
   private def embDouble(df: DataFrame): DataFrame =
     df.withColumn("e", transform(col("embedding"), x => x.cast("double")))

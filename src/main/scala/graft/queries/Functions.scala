@@ -131,9 +131,28 @@ object Functions extends QueryModule {
       .orderBy("doc_id", "pos")
   }
 
+  /** Map-typed column surface (the reference's `Record<string,string>`
+    * metadata shape, §1.4): build, probe, and enumerate a map — outputs kept
+    * scalar because map value-ordering is not comparable across engines.
+    */
+  def fnMap(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = map(
+      lit("k"), get_json_object(col("props"), "$.k").cast("int"),
+      lit("twice"), get_json_object(col("props"), "$.k").cast("int") * 2)
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        element_at(m, "k").as("k_val"),
+        element_at(m, "twice").as("twice_val"),
+        concat_ws(",", map_keys(m)).as("keys"),
+        size(m).as("n_entries"))
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fn_decimal"     -> (fnDecimal _),
     "fn_posexplode"  -> (fnPosexplode _),
+    "fn_map"         -> (fnMap _),
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
     "fn_math"        -> (fnMath _),
@@ -149,6 +168,18 @@ object Functions extends QueryModule {
         |  CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS tax_exact,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |  (m['k'])[1] AS k_val,
+        |  (m['twice'])[1] AS twice_val,
+        |  array_to_string(map_keys(m), ',') AS keys,
+        |  CAST(cardinality(m) AS INTEGER) AS n_entries
+        |FROM (
+        |  SELECT event_id,
+        |    MAP {'k': CAST(json_extract_string(props, '$.k') AS INTEGER),
+        |         'twice': CAST(json_extract_string(props, '$.k') AS INTEGER) * 2} AS m
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin,
     "fn_posexplode" ->
       """SELECT doc_id,
         |  CAST(unnest(range(0, len(string_split(text, ' ')))) AS INTEGER) AS pos,

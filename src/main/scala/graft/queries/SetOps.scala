@@ -45,7 +45,18 @@ object SetOps extends QueryModule {
     os.exceptAll(fs).orderBy("key")
   }
 
+  /** Multiset intersection: per-customer order counts common to both status
+    * bags (INTERSECT ALL keeps min-multiplicity duplicates).
+    */
+  def setIntersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val os = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("key"))
+    val fs = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("key"))
+    os.intersectAll(fs).orderBy("key")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_intersect_all" -> (setIntersectAll _),
     "set_union_all"  -> (setUnionAll _),
     "set_intersect"  -> (setIntersect _),
     "set_except"     -> (setExcept _),
@@ -53,6 +64,12 @@ object SetOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "set_intersect_all" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY key""".stripMargin,
     "set_union_all" ->
       """SELECT * FROM (
         |  SELECT c_custkey AS key, 'customer' AS src FROM customer

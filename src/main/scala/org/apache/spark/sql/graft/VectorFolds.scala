@@ -1,0 +1,159 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expressions for vector math over `array<double>` columns.
+  *
+  * Hosted under `org.apache.spark.sql` because the implicit-cast input-type
+  * API (`AbstractDataType`) and the Expression→Column bridge
+  * (`ExpressionUtils`) are `private[sql]` — the standard packaging for Spark
+  * extension libraries that implement native expressions. The public user
+  * API lives in `graft.functions.VectorFunctions`.
+  *
+  * Why a custom Expression (preferred over a UDF, per the extension
+  * hierarchy): the higher-order-function formulation
+  * (`aggregate(zip_with(a,b,*),0,+)`) allocates an intermediate array per
+  * row and runs three separate folds for a cosine; these expressions
+  * generate one fused loop inside whole-stage codegen — no allocation, no
+  * serialization boundary.
+  *
+  * Numerics: accumulation is sequential left-to-right in double — the same
+  * order as the HOF fold and the DuckDB oracle's
+  * `list_sum(list_transform(...))`, so all three produce bit-identical
+  * doubles. Null/length semantics also match the HOF fold: null input →
+  * null, null element → null, mismatched lengths → null.
+  */
+abstract class VectorFold extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def fold(x: ArrayData, y: ArrayData, n: Int): Any
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      i += 1
+    }
+    fold(x, y, n)
+  }
+
+}
+
+/** dot(a, b) = Σ aᵢ·bᵢ */
+case class DotProduct(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "graft_dot"
+
+  override protected def fold(x: ArrayData, y: ArrayData, n: Int): Any = {
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = ctx.freshName("dotAcc")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $acc;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²) — one fused traversal. */
+case class CosineSim(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "graft_cosine"
+
+  override protected def fold(x: ArrayData, y: ArrayData, n: Int): Any = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.freshName("cosDot")
+    val na = ctx.freshName("cosNa")
+    val nb = ctx.freshName("cosNb")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $d = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
+         |    $d += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $d / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Expression→Column bridge + SQL registration (inside the sql package
+  * because both touch `private[sql]` API).
+  */
+object VectorBridge {
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+  }
+}
