@@ -1,0 +1,90 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.operators.SkewJoin
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CuratedZoneSpec extends SparkSpec {
+
+  test("month-partitioned write prunes directories on read (PartitionFilters)") {
+    val path = Files.createTempDirectory("graft-curated").toString
+    CuratedZone.writePartitionedByMonth(
+      Tables.orders(spark, sf0001), "o_orderdate", path)
+
+    val pruned = CuratedZone.readMonthRange(spark, path, 199601, 199612)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert(plan.contains("part_ym"), plan)
+
+    // values correct: only 1996 orders
+    val years = pruned.select(year(col("o_orderdate"))).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(years === Set(1996))
+
+    // physical layout: hive-style month dirs exist
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("part_ym="))
+    assert(dirs.nonEmpty)
+  }
+
+  test("co-bucketed tables join with zero exchanges") {
+    // warehouse.dir is a static conf — tables land in ./spark-warehouse
+    // (gitignored); only the broadcast threshold is session-scoped here.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    // clean both catalog entries and any orphaned locations from prior runs
+    Seq("orders_b", "customer_b").foreach { t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val o = Tables.orders(s2, sf0001)
+    val c = Tables.customer(s2, sf0001)
+    CuratedZone.writeBucketed(o, "orders_b", "o_custkey", 8)
+    CuratedZone.writeBucketed(
+      c.withColumnRenamed("c_custkey", "o_custkey"), "customer_b", "o_custkey", 8)
+
+    val joined = s2.table("orders_b").join(s2.table("customer_b"), "o_custkey")
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() === o.count()) // every order has its customer
+  }
+}
+
+class SkewJoinSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val o = Tables.orders(spark, sf0001)
+    val c = Tables.customer(spark, sf0001).withColumnRenamed("c_custkey", "o_custkey")
+    val plain = o.join(c, Seq("o_custkey"), "inner")
+      .select("o_orderkey", "c_name").orderBy("o_orderkey")
+    val salted = SkewJoin.saltedInnerJoin(o, c, "o_custkey", saltFactor = 7)
+      .select("o_orderkey", "c_name").orderBy("o_orderkey")
+    assert(salted.collect().toSeq === plain.collect().toSeq)
+  }
+
+  test("salt spreads a hot key over multiple partitions deterministically") {
+    import spark.implicits._
+    // one celebrity key with 10k rows
+    val big = spark.range(10000).select(lit(42L).as("k"), col("id").as("payload"))
+    val small = Seq((42L, "dim")).toDF("k", "name")
+    val out = SkewJoin.saltedInnerJoin(big, small, "k", saltFactor = 8)
+    assert(out.count() === 10000)
+    // deterministic: same result twice
+    assert(SkewJoin.saltedInnerJoin(big, small, "k", 8).count() === 10000)
+    // distribution check: per-salt row counts are roughly uniform
+    val counts = big.withColumn("__salt",
+        pmod(xxhash64(col("k"), col("payload")), lit(8)).cast("int"))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(counts.length === 8)
+    assert(counts.min > 500, s"salt skewed: ${counts.mkString(",")}")
+  }
+}
