@@ -46,4 +46,18 @@ object Hashing {
     }
     Seq.fill(16)((next(), next()))
   }
+
+  /** Random-hyperplane LSH planes: 8 hyperplanes × 64 dims, integer-valued
+    * doubles in [−1000, 1000] from the same LCG family (seed 7331) — exact
+    * in both engines' literal parsing, so sign(dot) buckets are identical
+    * cross-engine. Frozen; do not regenerate.
+    */
+  val RpPlanes: Seq[Seq[Double]] = {
+    var x = 7331L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x
+    }
+    Seq.fill(8)(Seq.fill(64)(((next() % 2001 + 2001) % 2001 - 1000).toDouble))
+  }
 }

@@ -97,9 +97,41 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** U3c: random-hyperplane LSH search — 8 frozen hyperplanes give an 8-bit
+    * sign-pattern bucket per vector (similar vectors land in the same
+    * bucket with probability (1 − θ/π)⁸); queries probe only their own
+    * bucket. Versus IVF: no centroid pass, bucket count is 2⁸ regardless of
+    * data, and the bucket id is a pure per-row expression — the cheapest
+    * possible ANN index to maintain incrementally at 100 TB.
+    */
+  def simAnnRpLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Hashing, VectorExpressions}
+    val planes = Hashing.RpPlanes
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorExpressions.dot_product(col("e"), typedlit(p)) > 0.0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("e"), bucket.as("bucket"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("bucket"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
+    val byCos = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("bucket"), col("rn"), col("cand_id"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
+    "sim_ann_rplsh"   -> (simAnnRpLsh _),
   )
 
   // DuckDB mirrors: same double math as the Spark fold — elementwise
@@ -112,7 +144,33 @@ object Similarity extends QueryModule {
        | / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
        |  * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i])))))""".stripMargin
 
+  private def duckPlaneLit(p: Seq[Double]): String =
+    p.map(v => if (v == v.floor) f"${v.toLong}%d.0" else v.toString).mkString("[", ", ", "]")
+
+  private def duckBucket: String =
+    graft.functions.Hashing.RpPlanes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (${duckPlaneLit(p)}::DOUBLE[])[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
   override def oracles: Map[String, String] = Map(
+    "sim_ann_rplsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), bucketed AS (
+         |  SELECT vec_id, v, $duckBucket AS bucket FROM e
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM bucketed q JOIN bucketed c
+         |    ON q.bucket = c.bucket AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, bucket, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, bucket, rn, cand_id, cos FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
     "sim_cosine_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Reference-parity golden tests for the enrichment transform.
   *
@@ -45,5 +46,17 @@ class EnrichSpec extends SparkSpec {
   test("blank lines are skipped by the NDJSON source (glue/job.py:25)") {
     val df = Ndjson.parse(spark, Seq("""{"name":"a"}""", "", "   ", """{"name":"b"}""").toDS)
     assert(df.count() === 2)
+  }
+
+  test("malformed lines surface in _corrupt_record instead of failing the batch") {
+    // the reference would throw on json.loads (glue/job.py:25) and kill the
+    // whole job run; PERMISSIVE mode quarantines the line instead
+    val df = Ndjson.parse(spark,
+      Seq("""{"name":"ok"}""", """{"name": BROKEN""", """not json at all""").toDS)
+    val rows = df.collect()
+    assert(rows.length === 3)
+    val corrupt = df.filter(col(Ndjson.CorruptCol).isNotNull)
+    assert(corrupt.count() === 2)
+    assert(df.filter(col("name") === "ok").count() === 1)
   }
 }

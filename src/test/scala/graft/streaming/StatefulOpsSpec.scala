@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+class StatefulOpsSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType), StructField("ts", TimestampType),
+    StructField("value", DoubleType)))
+
+  test("running-mean anomaly detection fires only after warm-up, per user") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-state").toString
+    val lines =
+      // user 1: 6 calm events then a 100x spike; user 2: always calm
+      (0 until 6).map(i => s"""{"user_id":1,"ts":"2024-01-01T00:0$i:00Z","value":2.0}""") ++
+      Seq("""{"user_id":1,"ts":"2024-01-01T00:07:00Z","value":200.0}""") ++
+      (0 until 8).map(i => s"""{"user_id":2,"ts":"2024-01-01T00:0$i:30Z","value":5.0}""")
+    Files.writeString(java.nio.file.Paths.get(dir, "e.json"), lines.mkString("\n"))
+
+    val stream = spark.readStream.schema(schema).json(dir)
+      .as[StatefulOps.Event]
+    val q = StatefulOps.anomalyAlerts(stream, k = 3.0, minN = 5)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val alerts = spark.table("alerts_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    assert(alerts.toSeq === Seq((1L, 200.0, 2.0)))
+  }
+
+  test("state carries across batches (second drain resumes the mean)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-state2").toString
+    val ckpt = Files.createTempDirectory("graft-state2-ck").toString
+    val out = Files.createTempDirectory("graft-state2-out").toString
+    def drain(): Unit = {
+      // memory sink can't recover from checkpoints; a file sink can
+      val stream = spark.readStream.schema(schema).json(dir).as[StatefulOps.Event]
+      val q = StatefulOps.anomalyAlerts(stream, k = 3.0, minN = 5)
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def nAlerts: Long = spark.read.schema(
+        "user_id LONG, ts TIMESTAMP, value DOUBLE, mean_before DOUBLE")
+      .json(out).count()
+    // batch 1: warm-up only
+    Files.writeString(java.nio.file.Paths.get(dir, "b1.json"),
+      (0 until 6).map(i => s"""{"user_id":9,"ts":"2024-01-01T00:0$i:00Z","value":1.0}""").mkString("\n"))
+    drain()
+    assert(nAlerts === 0)
+    // batch 2: spike — only anomalous if warm-up state survived the restart
+    Files.writeString(java.nio.file.Paths.get(dir, "b2.json"),
+      """{"user_id":9,"ts":"2024-01-01T00:10:00Z","value":50.0}""")
+    drain()
+    assert(nAlerts === 1)
+  }
+}
