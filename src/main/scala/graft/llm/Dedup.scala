@@ -155,18 +155,39 @@ object Dedup extends QueryModule {
     simhashOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
   /** U2d: SimHash near-dup pairs — Hamming distance ≤ 6 within language
-    * blocks. At scale, block on bit-chunks of the simhash (pigeonhole)
-    * instead of metadata; kept simple here since the verification join is
-    * the point.
+    * blocks, with pigeonhole chunk blocking: split the 60 bits into 7
+    * chunks (9,9,9,9,8,8,8); two hashes within Hamming distance 6 differ in
+    * at most 6 chunks, so they must agree EXACTLY on at least one — making
+    * candidate generation an equi-join on (lang, chunk_id, chunk_value)
+    * instead of all-pairs, with zero recall loss. The exact bit_count
+    * verification then runs only on candidates. (The canonical
+    * Manku/Jain/Sarma web-dedup decomposition.)
     */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sim = simhashOf(Tables.documents(spark, sfDir))
     val lang = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
     val s = sim.join(lang, "doc_id")
-    val a = s.select(col("doc_id").as("doc_a"), col("simhash").as("ha"), col("lang"))
-    val b = s.select(col("doc_id").as("doc_b"), col("simhash").as("hb"), col("lang"))
-    a.join(b, Seq("lang"))
-      .filter(col("doc_a") < col("doc_b"))
+
+    // chunk offsets/widths over the 60-bit hash
+    val widths = Seq(9, 9, 9, 9, 8, 8, 8)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkStructs = widths.zip(offsets).zipWithIndex.map { case ((w, off), id) =>
+      struct(lit(id).as("cid"),
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("cval"))
+    }
+    val probes = s.select(col("doc_id"), col("lang"), col("simhash"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        col("c.cid").as("cid"), col("c.cval").as("cval"))
+
+    val cand = probes.as("x").join(probes.as("y"),
+        col("x.lang") === col("y.lang") && col("x.cid") === col("y.cid") &&
+        col("x.cval") === col("y.cval") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+
+    cand
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= 6)
       .select("doc_a", "doc_b", "hamming")

@@ -128,10 +128,30 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the dedup family's vector
+    * member): all pairs with cosine ≥ 0.45. This is the exact verification
+    * stage run brute-force — correct at test scale and the ground truth the
+    * approximate paths are judged against; at 100 TB the candidate set
+    * comes from the RP-LSH buckets above (or banded multi-table LSH) and
+    * only candidates reach this exact check, exactly like the
+    * minhash→jaccard pipeline.
+    */
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
+    "dedup_embedding" -> (dedupEmbedding _),
   )
 
   // DuckDB mirrors: same double math as the Spark fold — elementwise
@@ -153,6 +173,16 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ROUND(${duckCos("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "sim_ann_rplsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
