@@ -60,7 +60,9 @@ object Functions extends QueryModule {
         (col("l_orderkey") % 7).as("md"),
         greatest(col("l_tax"), col("l_discount")).as("gr"),
         least(col("l_tax"), col("l_discount")).as("le"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is not unique; (…, qty, price) is.
+      // sq and pw are injective in price and qty, so this sort is total.
+      .orderBy("l_orderkey", "l_linenumber", "sq", "pw")
   }
 
   def fnConditional(spark: SparkSession, sfDir: String): DataFrame = {
@@ -221,7 +223,7 @@ object Functions extends QueryModule {
         |  l_orderkey % 7 AS md,
         |  GREATEST(l_tax, l_discount) AS gr,
         |  LEAST(l_tax, l_discount) AS le
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, sq, pw""".stripMargin,
     "fn_conditional" ->
       """SELECT c_custkey,
         |  CASE WHEN c_acctbal >= 5000.0 THEN 'high'

@@ -33,7 +33,10 @@ object Relational extends QueryModule {
         col("l_returnflag").like("%A%"))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in this corpus; adding
+      // quantity+price makes the sort total (verified unique), so row order
+      // is engine-independent.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
   }
 
   /** P7: narrow projection + row-level arithmetic; ReadSchema should carry
@@ -46,7 +49,9 @@ object Relational extends QueryModule {
         col("l_orderkey"),
         col("l_linenumber"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // sort by every output column: remaining ties are identical rows,
+      // so any inter-engine order difference is hash-invisible
+      .orderBy("l_orderkey", "l_linenumber", "revenue")
   }
 
   // ------------------------------------------------------------------ joins
@@ -175,20 +180,27 @@ object Relational extends QueryModule {
 
   // ----------------------------------------------------------- aggregations
 
-  /** A1: grouped hash agg, TPC-H Q1 shape. Doubles are rounded onto the
-    * decimal grid their exact value lies on (prices 2dp, price×(1−disc) 4dp,
-    * ×(1+tax) 6dp) so both engines round identically regardless of
-    * float-summation order. Partial (map-side) aggregation is automatic.
+  /** A1: grouped hash agg, TPC-H Q1 shape. The big money sums go through
+    * DECIMAL(30,6): the per-row double product is deterministic (identical
+    * IEEE ops in both engines), the double→decimal cast of an identical
+    * double is identical, and decimal summation is exact — so the sums are
+    * order-independent at ANY scale. (Pure double sums rounded post-hoc
+    * drift across summation orders once groups reach ~10⁵ rows × 10⁹
+    * magnitudes — observed at sf0.1.) Smaller-magnitude aggregates (qty,
+    * avgs) stay double + grid rounding. Partial (map-side) aggregation is
+    * automatic either way.
     */
   def aggSumQ1(spark: SparkSession, sfDir: String): DataFrame = {
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(30,6)")).cast("double")
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 6).as("sum_charge"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -228,7 +240,9 @@ object Relational extends QueryModule {
       .rollup("o_orderstatus", "o_orderpriority")
       .agg(
         count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"),
+        // decimal-exact: the grand-total row sums every order; double sums
+        // drift past the rounding grid at large scale factors
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("total"),
         grouping_id().cast("int").as("gid"))
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
@@ -253,7 +267,8 @@ object Relational extends QueryModule {
       .agg(
         count(lit(1)).as("n_all"),
         sum(when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0))).as("n_finished"),
-        round(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))), 2).as("total_finished"))
+        sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(lit(0.0))
+          .cast("decimal(30,6)")).cast("double").as("total_finished"))
       .orderBy("o_orderpriority")
   }
 
@@ -332,11 +347,11 @@ object Relational extends QueryModule {
         |  AND l_linestatus = 'F'
         |  AND l_extendedprice IS NOT NULL
         |  AND l_returnflag LIKE '%A%'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "project_prune" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS revenue
         |FROM lineitem WHERE l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, revenue""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice, o_orderstatus
         |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -396,9 +411,9 @@ object Relational extends QueryModule {
     "agg_sum_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 6) AS sum_charge,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
         |  ROUND(AVG(l_quantity), 4) AS avg_qty,
         |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
         |  ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -415,7 +430,8 @@ object Relational extends QueryModule {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
         |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -431,7 +447,7 @@ object Relational extends QueryModule {
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_all,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
-        |  ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2) AS total_finished
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END AS DECIMAL(30,6))) AS DOUBLE) AS total_finished
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_collect" ->
       """SELECT l_returnflag,

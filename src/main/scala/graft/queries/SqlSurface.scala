@@ -40,7 +40,7 @@ object SqlSurface extends QueryModule {
     registerViews(spark, sfDir)
     spark.sql(
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -67,10 +67,24 @@ object SqlSurface extends QueryModule {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Explicit GROUPING SETS (A4's third form, beyond rollup/cube). */
+  def sqlGroupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        |  CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_q3"         -> (sqlQ3 _),
-    "sql_q5"         -> (sqlQ5 _),
-    "sql_correlated" -> (sqlCorrelated _),
+    "sql_q3"            -> (sqlQ3 _),
+    "sql_q5"            -> (sqlQ5 _),
+    "sql_correlated"    -> (sqlCorrelated _),
+    "sql_grouping_sets" -> (sqlGroupingSets _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -89,7 +103,7 @@ object SqlSurface extends QueryModule {
         |LIMIT 10""".stripMargin,
     "sql_q5" ->
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -107,5 +121,13 @@ object SqlSurface extends QueryModule {
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.5 FROM customer c2
         |                   WHERE c2.c_nationkey = c1.c_nationkey)
         |ORDER BY c_custkey""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
   )
 }
