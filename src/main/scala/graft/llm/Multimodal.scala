@@ -100,9 +100,31 @@ object Multimodal extends QueryModule {
     frameSample(decoded, everyMs = 5000L).orderBy("id", "frame_no")
   }
 
+  /** Frame-sampling with oracle-checkable durations: duration_ms derives
+    * from the public n_chars column (40 ms per char — a stand-in bitrate)
+    * instead of the decode stub, so DuckDB can verify the generator exactly:
+    * one row per started 5-second frame interval per video.
+    */
+  def mmFramesSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val everyMs = 5000L
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2) // the 'video' rows of mediaTable
+      .withColumn("duration_ms", col("n_chars") * 40)
+      .withColumn("frame_no",
+        explode(sequence(lit(0L),
+          greatest(ceil(col("duration_ms").cast("double") / everyMs).cast("long") - 1, lit(0L)))))
+      .select(
+        col("doc_id").as("id"),
+        col("frame_no"),
+        (col("frame_no") * everyMs).as("frame_ts_ms"),
+        col("duration_ms"))
+      .orderBy("id", "frame_no")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta"   -> (mmMeta _),
-    "mm_frames" -> (mmFrames _),   // rows-only: duration comes from the stub decoder
+    "mm_meta"       -> (mmMeta _),
+    "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
+    "mm_frames_sql" -> (mmFramesSql _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -115,5 +137,12 @@ object Multimodal extends QueryModule {
     // mm_frames deliberately has no oracle: widths/durations come from the
     // stub decoder (md5-derived), which SQL could mirror but a real decoder
     // could not — it gets the weaker rows>0 check plus unit tests.
+    "mm_frames_sql" ->
+      """SELECT doc_id AS id,
+        |  unnest(range(0, greatest(CAST(ceil((n_chars * 40)::DOUBLE / 5000) AS BIGINT), 1))) AS frame_no,
+        |  unnest(range(0, greatest(CAST(ceil((n_chars * 40)::DOUBLE / 5000) AS BIGINT), 1))) * 5000 AS frame_ts_ms,
+        |  n_chars * 40 AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY id, frame_no""".stripMargin,
   )
 }
