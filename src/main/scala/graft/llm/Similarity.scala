@@ -41,6 +41,18 @@ object Similarity extends QueryModule {
   private def cosine(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.cosine_sim(a, b)
 
+  /** Pairwise-op variant with precomputed norms: ‖v‖ is computed once per
+    * VECTOR (N values) instead of inside every PAIR loop (N² values) —
+    * cos = dot(a,b)/(na·nb). Bit-identical to the fused form: the separate
+    * sum-of-squares accumulates in the same element order, and
+    * sqrt(na²)·sqrt(nb²) is the same op sequence.
+    */
+  private def normOf(e: Column): Column =
+    sqrt(graft.functions.VectorExpressions.dot_product(e, e))
+
+  private def cosinePrenorm(a: Column, b: Column, na: Column, nb: Column): Column =
+    graft.functions.VectorExpressions.dot_product(a, b) / (na * nb)
+
   private def embDouble(df: DataFrame): DataFrame =
     df.withColumn("e", transform(col("embedding"), x => x.cast("double")))
 
@@ -50,14 +62,16 @@ object Similarity extends QueryModule {
   /** U3a: exact brute-force cosine top-5 for the first 10 query vectors. */
   def simCosineTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("nrm", normOf(col("e")))
     val q = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"), col("nrm").as("cn"))
     val byCos = Window.partitionBy("q_id")
       .orderBy(col("cos").desc, col("cand_id"))
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("cos",
+        round(cosinePrenorm(col("qe"), col("ce"), col("qn"), col("cn")), 6))
       .withColumn("rn", row_number().over(byCos))
       .filter(col("rn") <= 5)
       .select(col("q_id"), col("rn"), col("cand_id"), col("cos"))
@@ -138,10 +152,12 @@ object Similarity extends QueryModule {
     */
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
-    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+      .withColumn("nrm", normOf(col("e")))
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos",
+        round(cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 6))
       .filter(col("cos") >= 0.45)
       .select("vec_a", "vec_b", "cos")
       .orderBy("vec_a", "vec_b")
