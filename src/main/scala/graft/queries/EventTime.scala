@@ -46,13 +46,51 @@ object EventTime extends QueryModule {
       .orderBy("user_id", "s_start")
   }
 
+  /** Calendar gap-fill: one row per (day, event_type) over the stream's
+    * span, zero-filled where no events occurred — the resample/densify
+    * primitive of time-series pipelines. The calendar is generated
+    * (`sequence` + explode), never materialized driver-side, and the join
+    * against actual counts is a broadcast of the generated side.
+    */
+  def evtGapfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val counts = e
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val calendar = e
+      .select(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    calendar.join(counts, Seq("day", "event_type"), "left_outer")
+      .select(col("day"), col("event_type"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("day", "event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_tumbling" -> (evtTumbling _),
     "evt_sliding"  -> (evtSliding _),
     "evt_session"  -> (evtSession _),
+    "evt_gapfill"  -> (evtGapfill _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+        |), calendar AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM bounds
+        |), cal_type AS (
+        |  SELECT day, event_type FROM calendar
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        |), counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY day, event_type
+        |)
+        |SELECT ct.day, ct.event_type, COALESCE(c.n, 0) AS n
+        |FROM cal_type ct LEFT JOIN counts c
+        |  ON ct.day = c.day AND ct.event_type = c.event_type
+        |ORDER BY ct.day, ct.event_type""".stripMargin,
     "evt_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total

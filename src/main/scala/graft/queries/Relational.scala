@@ -314,7 +314,36 @@ object Relational extends QueryModule {
       .orderBy("l_linestatus")
   }
 
+  /** Pivot: one column per return flag (explicit value list keeps the
+    * output schema static — mandatory for a deterministic contract; an
+    * inferred pivot would scan once just to discover columns).
+    */
+  def aggPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+      .withColumnsRenamed(Map("A" -> "n_a", "N" -> "n_n", "R" -> "n_r"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Unpivot/melt: wide → long on the part price/size attributes. */
+  def fnUnpivot(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("retailprice"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("retailprice"), col("size")),
+        variableColumnName = "attr",
+        valueColumnName = "val")
+      .orderBy("p_partkey", "attr")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot"      -> (aggPivot _),
+    "fn_unpivot"     -> (fnUnpivot _),
     "filter_pred"    -> (filterPred _),
     "project_prune"  -> (projectPrune _),
     "join_inner"     -> (joinInner _),
@@ -338,6 +367,18 @@ object Relational extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_r
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "fn_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag, l_shipdate
         |FROM lineitem
