@@ -70,6 +70,27 @@ object Multimodal extends QueryModule {
     mediaTable(spark, sfDir).as[MediaRow].mapPartitions(decodePartition _)
   }
 
+  case class ResizedMedia(
+      id: Long, modality: String, width: Int, height: Int,
+      out_width: Int, out_height: Int, scale: Double)
+
+  /** Resize plan for image/video rows: fit within `maxW`×`maxH` preserving
+    * aspect ratio, never upscale. The arithmetic is the real part (the pixel
+    * work would live in the partition-batched decoder); it stays a pure
+    * column computation so Catalyst can pipeline it after decode.
+    */
+  def resizePlan(decoded: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"),
+      lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    decoded.filter(col("modality").isin("image", "video"))
+      .withColumn("scale", scale)
+      .withColumn("out_width", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_height", floor(col("height") * col("scale")).cast("int"))
+      .select("id", "modality", "width", "height", "out_width", "out_height", "scale")
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame index,
     * as a generator (`explode`), never a driver-side loop.
     */

@@ -163,7 +163,24 @@ object Similarity extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Embedding-corpus preprocessing stats per label: count and norm
+    * distribution — the sanity pass a pipeline runs before indexing
+    * (catches unnormalized or degenerate vectors).
+    */
+  def embStats(spark: SparkSession, sfDir: String): DataFrame = {
+    embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("nrm", normOf(col("e")))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy("label")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_stats"       -> (embStats _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -189,6 +206,17 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "emb_stats" ->
+      s"""WITH e AS (
+         |  SELECT label,
+         |    sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |  FROM embeddings
+         |)
+         |SELECT label, COUNT(*) AS n,
+         |  ROUND(AVG(nrm), 6) AS avg_norm,
+         |  ROUND(MIN(nrm), 6) AS min_norm,
+         |  ROUND(MAX(nrm), 6) AS max_norm
+         |FROM e GROUP BY label ORDER BY label""".stripMargin,
     "dedup_embedding" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

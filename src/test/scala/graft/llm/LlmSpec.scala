@@ -107,6 +107,22 @@ class MultimodalSpec extends SparkSpec {
     assert(d1.forall(m => m.byte_len > 0))
   }
 
+  test("resize fits within bounds, preserves aspect, never upscales") {
+    import spark.implicits._
+    val decoded = Multimodal.decodeAll(spark, sf0001).toDF()
+    val resized = Multimodal.resizePlan(decoded, maxW = 640, maxH = 480).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val (w, h, ow, oh, s) = (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6))
+      assert(ow <= 640 && oh <= 480, s"out of bounds: ${ow}x$oh")
+      assert(s <= 1.0, "must never upscale")
+      // aspect preserved within floor-rounding: each ratio is within 1/dim
+      // of the true scale, so their gap is bounded by 1/min(w,h)
+      assert(math.abs(ow.toDouble / w - oh.toDouble / h) <= 1.0 / math.min(w, h) + 1e-9)
+      if (w <= 640 && h <= 480) assert(ow === w && oh === h)
+    }
+  }
+
   test("frame sampling emits ceil(duration/step) frames per video row") {
     import spark.implicits._
     val decoded = Multimodal.decodeAll(spark, sf0001).toDF()
