@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest path — the reference's upload entry point (SURVEY §2.1 S4-S6,
@@ -35,20 +35,26 @@ object Ingest {
     }
   }
 
-  /** Land a payload under `landingDir/key` as NDJSON — the upload Lambda's
-    * PutObject, minus the bucket-ensure dance (`src/aws/s3.service.ts:27-43`)
-    * which Spark writers subsume via implicit mkdirs.
+  /** Land a payload under `landingDir/key` as ONE NDJSON file — the upload
+    * Lambda's PutObject (one S3 object per upload). The payload is a single
+    * bounded HTTP body, which the reference also buffers whole
+    * (`lambda/ingest-handler.ts:36-40`), so serializing it driver-side is
+    * faithful and keeps the landing zone a flat set of real files — what the
+    * streaming file source consumes, with the key as the routing basename.
+    * (Bulk data takes the distributed writers; this is the control-plane
+    * ingest path.)
     */
   def uploadSourceObject(
       spark: SparkSession,
       landingDir: String,
       key: String,
       content: String,
-      metadata: Map[String, String] = Map.empty): Unit =
-    fromContent(spark, content, metadata)
-      .coalesce(1) // one landing object per upload, mirroring the reference
-      .write.mode(SaveMode.Overwrite)
-      .json(s"$landingDir/$key")
+      metadata: Map[String, String] = Map.empty): Unit = {
+    val lines = fromContent(spark, content, metadata).toJSON.collect()
+    val path = java.nio.file.Paths.get(landingDir, key)
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path, lines.mkString("\n") + "\n")
+  }
 
   /** Read back the metadata of a landed object — the HeadObject twin. */
   def readMetadata(spark: SparkSession, landingDir: String, key: String): Map[String, String] = {
