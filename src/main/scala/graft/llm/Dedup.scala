@@ -106,16 +106,17 @@ object Dedup extends QueryModule {
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), expr(shingleExpr).as("s"))
 
-    val shingleHashes = docs
-      .select(col("doc_id"), explode(col("s")).as("sh"))
-      .select(col("doc_id"), (col("sh") % Hashing.MinhashP).as("h"))
-
-    // All 16 permutation minima in ONE aggregation (single shuffle of the
-    // exploded shingles) — no 16× row multiplication via a perms join.
-    val minExprs = Hashing.MinhashParams.zipWithIndex.map { case ((pa, pb), i) =>
-      min((lit(pa) * col("h") + lit(pb)) % Hashing.MinhashP).as(s"mh$i")
+    // Per-doc signatures as higher-order folds over the shingle array —
+    // zero shuffle: each mh_i is an `aggregate` over the row's own set, so
+    // signature computation is a pure map stage. (The earlier
+    // explode+groupBy shape shuffles every shingle; only the band self-join
+    // below actually needs a shuffle.)
+    val p = Hashing.MinhashP
+    val sigExprs = Hashing.MinhashParams.zipWithIndex.map { case ((pa, pb), i) =>
+      aggregate(col("s"), lit(p),
+        (acc, h) => least(acc, (lit(pa) * (h % p) + lit(pb)) % p)).as(s"mh$i")
     }
-    val sig = shingleHashes.groupBy("doc_id").agg(minExprs.head, minExprs.tail: _*)
+    val sig = docs.select((col("doc_id") +: sigExprs): _*)
 
     // 4 bands × 4 rows: band key = the 4 minhashes joined; one row per band.
     val bandStructs = (0 until 4).map { b =>
