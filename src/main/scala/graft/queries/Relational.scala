@@ -341,7 +341,36 @@ object Relational extends QueryModule {
       .orderBy("p_partkey", "attr")
   }
 
+  /** Column-profile operator — the data-quality pass a pipeline runs before
+    * trusting a new drop: per column, row/null/distinct counts and a
+    * min/max rendered as strings (type-erased so one schema fits every
+    * column). One aggregation computes every column's stats in a single
+    * scan; the wide→long reshape happens on the 1-row aggregate, not the
+    * data.
+    */
+  def profileOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables.orders(spark, sfDir)
+    val aggs = df.columns.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val arms = df.columns.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__n").as("n_rows"),
+        col(s"${c}__nulls").as("n_nulls"), col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_s"), col(s"${c}__max").as("max_s"))
+    }
+    one.select(explode(array(arms: _*)).as("p"))
+      .select("p.col_name", "p.n_rows", "p.n_nulls", "p.n_distinct", "p.min_s", "p.max_s")
+      .orderBy("col_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_orders" -> (profileOrders _),
     "agg_pivot"      -> (aggPivot _),
     "fn_unpivot"     -> (fnUnpivot _),
     "filter_pred"    -> (filterPred _),
@@ -366,7 +395,20 @@ object Relational extends QueryModule {
     "agg_stats"      -> (aggStats _),
   )
 
+  private val profileOracle: String = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s, CAST(MAX($c) AS VARCHAR) AS max_s
+         |FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+  }
+
   override def oracles: Map[String, String] = Map(
+    "profile_orders" -> profileOracle,
     "agg_pivot" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
