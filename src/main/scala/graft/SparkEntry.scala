@@ -22,6 +22,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Multimodal,
+    llm.Curation,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,80 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the composite pass a training-data pipeline
+  * actually ships, built from this library's own operators:
+  *
+  *   1. quality gate: composite score ≥ 0.5 (TextAnalysis.quality weights);
+  *   2. near-dup removal: among 3-gram-shingle Jaccard ≥ 0.8 pairs, drop
+  *      the higher doc_id (deterministic survivor rule; candidate
+  *      generation is Dedup's prefix-filtered join — at 100 TB, swap in the
+  *      MinHash/LSH candidates, same verification);
+  *   3. emit survivors with their stats.
+  *
+  * Everything is one declarative plan: the quality scores and shingle sets
+  * come from the same documents scan, and Catalyst shares it. The point of
+  * registering the composite (not just its pieces) is that operator
+  * composition is itself the product: curation = filter ∘ dedup ∘ score
+  * with no materialization barriers between stages.
+  */
+object Curation extends QueryModule {
+
+  def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = split(col("text"), " ")
+    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
+    val uniqRatio = size(array_distinct(w)).cast("double") / size(w)
+    val stopRatio = size(filter(w, x =>
+      x.isin(TextAnalysis.Stopwords.map(s => s: Any): _*))).cast("double") / size(w)
+    val score = round(lenScore * 0.5 + uniqRatio * 0.3 + stopRatio * 0.2, 6)
+
+    val scored = Tables.documents(spark, sfDir)
+      .withColumn("n_words", size(w))
+      .withColumn("score", score)
+      .filter(col("score") >= 0.5)
+
+    // drop the higher id of every qualifying near-dup pair
+    val losers = Dedup.dedupNgramJaccard(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+
+    scored.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_words", "score")
+      .orderBy("doc_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus" -> (curateCorpus _),
+  )
+
+  override def oracles: Map[String, String] = {
+    val stop = TextAnalysis.Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    // the same shingle/jaccard fragments Dedup's oracle uses
+    val shingles =
+      "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
+        "i -> CAST('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 15) AS BIGINT)))"
+    Map(
+      "curate_corpus" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           |    ROUND(LEAST(strlen(text)::DOUBLE / 400.0, 1.0) * 0.5
+           |        + len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' ')) * 0.3
+           |        + len(list_filter(string_split(text, ' '), x -> list_contains($stop, x)))::DOUBLE / len(string_split(text, ' ')) * 0.2, 6) AS score
+           |  FROM documents
+           |), shing AS (
+           |  SELECT doc_id, lang, $shingles AS s FROM documents
+           |), losers AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM shing a JOIN shing b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+           |)
+           |SELECT doc_id, lang, n_words, score
+           |FROM scored
+           |WHERE score >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+    )
+  }
+}
