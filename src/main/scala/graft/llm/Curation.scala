@@ -23,16 +23,9 @@ import org.apache.spark.sql.functions._
 object Curation extends QueryModule {
 
   def curateCorpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = split(col("text"), " ")
-    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
-    val uniqRatio = size(array_distinct(w)).cast("double") / size(w)
-    val stopRatio = size(filter(w, x =>
-      x.isin(TextAnalysis.Stopwords.map(s => s: Any): _*))).cast("double") / size(w)
-    val score = round(lenScore * 0.5 + uniqRatio * 0.3 + stopRatio * 0.2, 6)
-
     val scored = Tables.documents(spark, sfDir)
-      .withColumn("n_words", size(w))
-      .withColumn("score", score)
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("score", TextAnalysis.qualityScoreOf(col("text")))
       .filter(col("score") >= 0.5)
 
     // drop the higher id of every qualifying near-dup pair

@@ -76,17 +76,31 @@ object TextAnalysis extends QueryModule {
 
   // ---------------------------------------------------------------- quality
 
+  /** The composite-score pieces, shared with Curation (same expression tree
+    * there = same values, and Catalyst dedups the common subtrees).
+    */
+  def lenScoreOf(text: Column): Column =
+    least(length(text).cast("double") / 400.0, lit(1.0))
+  def uniqRatioOf(text: Column): Column = {
+    val w = split(text, " ")
+    size(array_distinct(w)).cast("double") / size(w)
+  }
+  def stopRatioOf(text: Column): Column = {
+    val w = split(text, " ")
+    size(filter(w, x => x.isin(Stopwords.map(s => s: Any): _*))).cast("double") / size(w)
+  }
+  def qualityScoreOf(text: Column): Column =
+    round(lenScoreOf(text) * 0.5 + uniqRatioOf(text) * 0.3 + stopRatioOf(text) * 0.2, 6)
+
   /** Composite quality score: length saturation, lexical diversity,
     * stopword presence. Weights fixed; `keep` is the filter decision a
     * pipeline would act on.
     */
   def quality(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = words(col("text"))
-    val lenScore = least(length(col("text")).cast("double") / 400.0, lit(1.0))
-    val uniqRatio = size(array_distinct(w)).cast("double") / size(w)
-    val stopRatio = size(filter(w, x => x.isin(Stopwords.map(s => s: Any): _*)))
-      .cast("double") / size(w)
-    val score = round(lenScore * 0.5 + uniqRatio * 0.3 + stopRatio * 0.2, 6)
+    val lenScore = lenScoreOf(col("text"))
+    val uniqRatio = uniqRatioOf(col("text"))
+    val stopRatio = stopRatioOf(col("text"))
+    val score = qualityScoreOf(col("text"))
     Tables.documents(spark, sfDir)
       .select(
         col("doc_id"),
