@@ -23,6 +23,7 @@ object SparkEntry {
     llm.Similarity,
     llm.Multimodal,
     llm.Curation,
+    llm.Sampling,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -37,8 +37,42 @@ object Curation extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: drop from the training corpus every doc
+    * sharing a word 5-gram with the held-out benchmark set (the standard
+    * eval-contamination rule, n-gram-overlap form). Here the "benchmark" is
+    * the deterministic slice doc_id % 97 == 0 standing in for an external
+    * eval suite.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus
+    * (evals are thousands of docs, corpora billions) — so it broadcasts,
+    * making contamination detection a map-side semi-join over the exploded
+    * corpus grams: no all-pairs, no big shuffle, one pass.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val isBench = col("doc_id") % 97 === 0
+    val grams = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(w) - 4, 1)), i -> concat_ws(' ', slice(w, i, 5)))"))
+          .as("gram"))
+      .select(col("doc_id"), graft.functions.Hashing.hash60(col("gram")).as("g"))
+    val benchGrams = grams.filter(isBench).select("g").distinct()
+    val contaminated = grams.filter(!isBench)
+      .join(broadcast(benchGrams), "g")
+      .select("doc_id").distinct()
+    docs.filter(!isBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  def decontaminateQuery(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminate(Tables.documents(spark, sfDir))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> (curateCorpus _),
+    "decontaminate" -> (decontaminateQuery _),
   )
 
   override def oracles: Map[String, String] = {
@@ -67,6 +101,23 @@ object Curation extends QueryModule {
            |SELECT doc_id, lang, n_words, score
            |FROM scored
            |WHERE score >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM losers)
+           |ORDER BY doc_id""".stripMargin,
+      "decontaminate" ->
+        s"""WITH g AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(
+           |      range(1, greatest(len(string_split(text, ' ')) - 3, 2)),
+           |      i -> ${graft.functions.Hashing.duckHash60(
+                  "array_to_string(string_split(text, ' ')[i:i+4], ' ')")})) AS g
+           |  FROM documents
+           |), bench AS (
+           |  SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0
+           |), contaminated AS (
+           |  SELECT DISTINCT doc_id FROM g
+           |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+           |)
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
            |ORDER BY doc_id""".stripMargin,
     )
   }

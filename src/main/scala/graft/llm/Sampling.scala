@@ -1,0 +1,168 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus sampling / splitting / packing — the dataset-assembly operators a
+  * training-data pipeline runs after curation (north-star EXT tier; the
+  * reference's data path has no sampling of any kind, glue/job.py processes
+  * every record).
+  *
+  * All selection here is HASH-deterministic, never `rand()`:
+  *  - reproducible: the same doc lands in the same sample/split on every
+  *    run, every cluster size, every executor placement — rerunning a 100 TB
+  *    job after a partial failure yields byte-identical output;
+  *  - shuffle-free: membership is a pure per-row expression (a map-stage
+  *    filter Catalyst can push toward the scan), unlike `TABLESAMPLE` or
+  *    `df.sample` whose seeds are per-partition and re-split under
+  *    repartitioning;
+  *  - oracle-checkable: DuckDB computes the identical md5-derived bucket.
+  */
+object Sampling extends QueryModule {
+
+  /** 0..99 bucket from the row's stable identity. */
+  private def bucket100(c: Column): Column = pmod(Hashing.hash60(c), lit(100))
+
+  private def duckBucket100(expr: String): String =
+    s"(${Hashing.duckHash60(expr)} % 100)"
+
+  // --------------------------------------------------------- hash sampling
+
+  /** Deterministic ~10% Bernoulli sample of the corpus, keyed on doc_id.
+    * The bucket is exposed so downstream stages can take nested subsamples
+    * (bucket < 1 is a 1% sample CONTAINED in the 10% one).
+    */
+  def sampleHash(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket", bucket100(col("doc_id").cast("string")).cast("int"))
+      .filter(col("bucket") < 10)
+      .select("doc_id", "lang", "source", "bucket")
+      .orderBy("doc_id")
+  }
+
+  // ----------------------------------------------- leakage-safe train split
+
+  /** Per-doc split assignment, grouped by `source` so every document from
+    * one origin lands in the same split — the leakage-safe variant (a
+    * near-duplicate of a train doc from the same crawl/domain must not land
+    * in test). 80/10/10 by source-hash bucket.
+    */
+  def assignSplits(docs: DataFrame): DataFrame = {
+    val b = bucket100(col("source"))
+    docs.withColumn("split",
+      when(b < 80, "train").when(b < 90, "val").otherwise("test"))
+  }
+
+  /** Split summary: doc and source counts per split. The assignment itself
+    * is what ships; the summary is the oracle-checked profile of it.
+    */
+  def splitLeakproof(spark: SparkSession, sfDir: String): DataFrame = {
+    assignSplits(Tables.documents(spark, sfDir))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+      .orderBy("split")
+  }
+
+  // ------------------------------------------------------- weighted mixture
+
+  /** Weighted mixture sampling: each source gets a deterministic rate
+    * (25/50/75%, derived from the source hash — standing in for the
+    * per-source mixture weights a real pipeline configures), then docs are
+    * hash-sampled at that rate. Both decisions are per-row expressions; the
+    * only shuffle is the profiling groupBy at the end.
+    */
+  def mixSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = (lit(25) + pmod(Hashing.hash60(col("source")), lit(3)) * 25).cast("int")
+    val kept = bucket100(col("doc_id").cast("string")) < rate
+    Tables.documents(spark, sfDir)
+      .withColumn("rate_pct", rate)
+      .groupBy("source", "rate_pct")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(kept, lit(1))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------- sequence packing
+
+  val PackBudget = 2048
+
+  /** Per-doc bin assignment: contiguous greedy packing of documents into
+    * ~`budget`-token context windows, partitioned by lang (monolingual
+    * windows). bin = cumulative-tokens-before ÷ budget over a per-lang
+    * doc_id order: a window cumsum, so the parallelism unit is the lang
+    * partition — at 100 TB, re-key to (lang, date-bucket) for narrower
+    * windows; the semantics compose because packing is order-local.
+    */
+  def packAssign(docs: DataFrame, budget: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("toks", size(split(col("text"), " ")))
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget"))
+  }
+
+  /** Packing profile: windows per language with doc and token counts. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    packAssign(Tables.documents(spark, sfDir), PackBudget)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash"     -> (sampleHash _),
+    "split_leakproof" -> (splitLeakproof _),
+    "mix_sources"     -> (mixSources _),
+    "pack_sequences"  -> (packSequences _),
+  )
+
+  override def oracles: Map[String, String] = {
+    val docBucket = duckBucket100("CAST(doc_id AS VARCHAR)")
+    val srcBucket = duckBucket100("source")
+    Map(
+      "sample_hash" ->
+        s"""SELECT doc_id, lang, source, CAST($docBucket AS INTEGER) AS bucket
+           |FROM documents
+           |WHERE $docBucket < 10
+           |ORDER BY doc_id""".stripMargin,
+      "split_leakproof" ->
+        s"""WITH assigned AS (
+           |  SELECT source,
+           |    CASE WHEN $srcBucket < 80 THEN 'train'
+           |         WHEN $srcBucket < 90 THEN 'val'
+           |         ELSE 'test' END AS split
+           |  FROM documents
+           |)
+           |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
+           |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
+      "mix_sources" ->
+        s"""WITH d AS (
+           |  SELECT source,
+           |    CAST(25 + (${Hashing.duckHash60("source")} % 3) * 25 AS INTEGER) AS rate_pct,
+           |    ($docBucket < 25 + (${Hashing.duckHash60("source")} % 3) * 25) AS kept
+           |  FROM documents
+           |)
+           |SELECT source, rate_pct, COUNT(*) AS n_total,
+           |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept
+           |FROM d GROUP BY source, rate_pct ORDER BY source""".stripMargin,
+      "pack_sequences" ->
+        s"""WITH t AS (
+           |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT lang, toks,
+           |    COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM t
+           |)
+           |SELECT lang, CAST(cum_before // $PackBudget AS BIGINT) AS bin,
+           |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+           |FROM c GROUP BY lang, cum_before // $PackBudget ORDER BY lang, bin""".stripMargin,
+    )
+  }
+}

@@ -179,8 +179,31 @@ object Similarity extends QueryModule {
       .orderBy("label")
   }
 
+  /** Int8 symmetric quantization profile: per vector, scale = 127/max|x|
+    * and q_i = ⌊x_i·scale⌋ — the compression pass an ANN index runs before
+    * storing vectors (4× memory cut; floor not round because floor is
+    * bit-deterministic across engines). Output is the per-vector checksum
+    * profile (sum/min/max of the int codes + the scale in exact micro
+    * units), not the array itself, so the oracle hash-checks every code
+    * without array-typed output columns.
+    */
+  def embQuantize(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .withColumn("scale", lit(127.0) / col("mx"))
+      .withColumn("q", transform(col("e"), x => floor(x * col("scale"))))
+    emb.select(
+      col("vec_id"),
+      floor(col("scale") * 1000000).as("scale_micro"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+      array_min(col("q")).as("q_min"),
+      array_max(col("q")).as("q_max"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_stats"       -> (embStats _),
+    "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -206,6 +229,25 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "emb_quantize" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), m AS (
+         |  SELECT vec_id, v,
+         |    CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale
+         |  FROM e
+         |), q AS (
+         |  SELECT vec_id, scale,
+         |    list_transform(v, x -> CAST(floor(x * scale) AS BIGINT)) AS qv
+         |  FROM m
+         |)
+         |SELECT vec_id,
+         |  CAST(floor(scale * 1000000) AS BIGINT) AS scale_micro,
+         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+         |  list_aggregate(qv, 'min') AS q_min,
+         |  list_aggregate(qv, 'max') AS q_max
+         |FROM q ORDER BY vec_id""".stripMargin,
     "emb_stats" ->
       s"""WITH e AS (
          |  SELECT label,

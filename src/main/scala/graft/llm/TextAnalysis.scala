@@ -148,12 +148,53 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------- repetition
+  /** Intra-document repetition score (the Gopher-style repetition filter):
+    * fraction of word 3-grams that are repeats of an earlier gram in the
+    * same doc. Pure per-row array math — map-stage only.
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .withColumn("grams",
+        expr("transform(sequence(1, greatest(size(w) - 2, 1)), i -> concat_ws(' ', slice(w, i, 3)))"))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_uniq_grams"),
+        round(lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams")), 6)
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------ vocab
+  /** Corpus vocabulary: top-10 words per language by frequency (tie-break
+    * lexicographic). explode → partial-agg groupBy → per-lang top-k window:
+    * the shuffle carries (lang, word, partial count), never raw text, and
+    * map-side combine collapses the heavy hitters before the exchange —
+    * the canonical scalable word-count shape.
+    */
+  def vocabTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byFreq))
+      .filter(col("rn") <= 10)
+      .select("lang", "rn", "word", "cnt")
+      .orderBy("lang", "rn")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
     "text_quality"     -> (quality _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
+    "text_repetition"  -> (repetition _),
+    "vocab_topk"       -> (vocabTopk _),
   )
 
   private def duckStopList(xs: Seq[String]): String =
@@ -208,6 +249,31 @@ object TextAnalysis extends QueryModule {
           |  CAST(strlen(text) AS INTEGER) AS n_chars_calc,
           |  n_chars
           |FROM documents ORDER BY doc_id""".stripMargin,
+      "text_repetition" ->
+        """WITH g AS (
+          |  SELECT doc_id,
+          |    list_transform(
+          |      range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+          |      i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS grams
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  CAST(len(grams) AS INTEGER) AS n_grams,
+          |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_uniq_grams,
+          |  ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio
+          |FROM g ORDER BY doc_id""".stripMargin,
+      "vocab_topk" ->
+        """WITH w AS (
+          |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+          |), counted AS (
+          |  SELECT lang, word, COUNT(*) AS cnt FROM w GROUP BY lang, word
+          |), ranked AS (
+          |  SELECT lang, word, cnt,
+          |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS INTEGER) AS rn
+          |  FROM counted
+          |)
+          |SELECT lang, rn, word, cnt FROM ranked WHERE rn <= 10
+          |ORDER BY lang, rn""".stripMargin,
       "text_fingerprint" ->
         s"""WITH g AS (
            |  SELECT doc_id,
