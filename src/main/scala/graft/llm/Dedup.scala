@@ -195,6 +195,26 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ------------------------------------------------------- cluster + canon
+
+  /** Near-dup CLUSTERS from the pairwise matches (U2 capstone): connected
+    * components over the Jaccard ≥ 0.8 pair graph, canonical doc = min
+    * doc_id per cluster. Pairs alone can't drive dedup — A~B and B~C must
+    * drop {B, C} together even when A~C wasn't matched directly; the
+    * component step is what makes the survivor rule transitive-consistent.
+    * See graft.operators.ConnectedComponents for the scale design.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, sfDir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    graft.operators.ConnectedComponents.components(pairs)
+      .select(
+        col("component").as("cluster"),
+        col("node").as("doc_id"),
+        (col("node") === col("component")).as("canonical"))
+      .orderBy("cluster", "doc_id")
+  }
+
   /** Core simhash pass over any (doc_id, text) frame — public so callers can
     * simhash arbitrary corpora, not just the test tables.
     */
@@ -219,6 +239,7 @@ object Dedup extends QueryModule {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "dedup_clusters"      -> (dedupClusters _),
   )
 
   override def oracles: Map[String, String] = {
@@ -283,6 +304,25 @@ object Dedup extends QueryModule {
            |)
            |SELECT doc_id, $bitsToNum AS simhash
            |FROM sums ORDER BY doc_id""".stripMargin,
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE d AS (
+           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+           |), pairs AS (
+           |  SELECT a.doc_id AS pa, b.doc_id AS pb
+           |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+           |), edges AS (
+           |  SELECT pa AS a, pb AS b FROM pairs
+           |  UNION SELECT pb, pa FROM pairs
+           |), reach(n, m) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n
+           |)
+           |SELECT LEAST(n, MIN(m)) AS cluster, n AS doc_id,
+           |  (LEAST(n, MIN(m)) = n) AS canonical
+           |FROM reach GROUP BY n ORDER BY cluster, doc_id""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""WITH wh AS (
            |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h

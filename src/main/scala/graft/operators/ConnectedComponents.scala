@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by min-label propagation — the missing
+  * step between "near-duplicate PAIRS" and an actionable dedup decision:
+  * pairs form clusters (A~B, B~C ⇒ {A,B,C}), and the pipeline keeps one
+  * canonical doc per cluster, not one per pair.
+  *
+  * Algorithm: every node starts labeled with its own id; each round, a node
+  * takes the min of its label and its neighbors' labels; converged when no
+  * label changes. Rounds needed = graph diameter — near-dup clusters are
+  * shallow (dups of dups), so convergence is fast; the iteration cap guards
+  * pathological chains.
+  *
+  * Scale notes (the reason this is join-based, not graph-library-based):
+  *  - each round is one equi-join + one groupBy on (node, label) longs —
+  *    plain shuffles that partition like any other key at 100 TB;
+  *  - `localCheckpoint` after every round truncates lineage, otherwise the
+  *    iterative plan nests one join-stage deeper per round and both the
+  *    optimizer and the scheduler choke; on a real cluster with a
+  *    checkpoint dir, `checkpoint()` adds failure-tolerance across rounds;
+  *  - the driver sees only the per-round change COUNT (a scalar), never
+  *    node data.
+  */
+object ConnectedComponents {
+
+  /** `edges`: two long columns (`a`, `b`), undirected, self-loops/dups ok.
+    * Returns (node, component) with component = min node id in the
+    * component; only nodes appearing in `edges` are labeled.
+    */
+  def components(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // min label among each node's neighbors
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("chg")).count()
+      labels = next.select("node", "label")
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "component")
+  }
+}
