@@ -43,6 +43,23 @@ object Sampling extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Exact-size stratified sample: the k docs with the SMALLEST id-hash per
+    * language — hash order is a fixed uniform-random permutation, so this is
+    * "k uniformly at random per stratum" with full reproducibility. One
+    * shuffle on the stratum key. At 100 TB with huge strata, pre-filter with
+    * a generous bucket cut (bucket < 2·k·100/N) before the window so the
+    * per-stratum sort only sees ~2k candidate rows instead of the stratum.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHash = Window.partitionBy("lang")
+      .orderBy(Hashing.hash60(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= 20)
+      .select("lang", "rn", "doc_id", "source")
+      .orderBy("lang", "rn")
+  }
+
   // ----------------------------------------------- leakage-safe train split
 
   /** Per-doc split assignment, grouped by `source` so every document from
@@ -115,7 +132,8 @@ object Sampling extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sample_hash"     -> (sampleHash _),
+    "sample_hash"       -> (sampleHash _),
+    "sample_stratified" -> (sampleStratified _),
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
     "pack_sequences"  -> (packSequences _),
@@ -130,6 +148,15 @@ object Sampling extends QueryModule {
            |FROM documents
            |WHERE $docBucket < 10
            |ORDER BY doc_id""".stripMargin,
+      "sample_stratified" ->
+        s"""WITH r AS (
+           |  SELECT lang, doc_id, source,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS INTEGER) AS rn
+           |  FROM documents
+           |)
+           |SELECT lang, rn, doc_id, source FROM r WHERE rn <= 20
+           |ORDER BY lang, rn""".stripMargin,
       "split_leakproof" ->
         s"""WITH assigned AS (
            |  SELECT source,

@@ -80,7 +80,26 @@ object SqlSurface extends QueryModule {
         |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
   }
 
+  /** TPC-H Q18 shape (large-volume customers): uncorrelated IN-subquery
+    * with HAVING, re-joined and re-aggregated. l_quantity is integral, so
+    * the double sums are exact and order-independent — no rounding needed.
+    */
+  def sqlQ18(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c_name, c_custkey, o_orderkey, SUM(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q18"           -> (sqlQ18 _),
     "sql_q3"            -> (sqlQ3 _),
     "sql_q5"            -> (sqlQ5 _),
     "sql_correlated"    -> (sqlCorrelated _),
@@ -88,6 +107,16 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sql_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, SUM(l_quantity) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
     "sql_q3" ->
       """SELECT l_orderkey,
         |  ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
