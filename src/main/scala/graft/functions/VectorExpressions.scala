@@ -22,6 +22,12 @@ object VectorExpressions {
   /** cosine similarity in one fused traversal. */
   def cosine_sim(a: Column, b: Column): Column = VectorBridge.cosineSim(a, b)
 
+  /** All MinHash permutation minima over an array<long> shingle set in one
+    * fused traversal (vs one interpreted `aggregate` fold per permutation).
+    */
+  def minhash_signature(shingles: Column, params: Seq[(Long, Long)], p: Long): Column =
+    VectorBridge.minhashSignature(shingles, params, p)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

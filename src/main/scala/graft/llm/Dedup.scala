@@ -106,22 +106,20 @@ object Dedup extends QueryModule {
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), expr(shingleExpr).as("s"))
 
-    // Per-doc signatures as higher-order folds over the shingle array —
-    // zero shuffle: each mh_i is an `aggregate` over the row's own set, so
-    // signature computation is a pure map stage. (The earlier
-    // explode+groupBy shape shuffles every shingle; only the band self-join
-    // below actually needs a shuffle.)
-    val p = Hashing.MinhashP
-    val sigExprs = Hashing.MinhashParams.zipWithIndex.map { case ((pa, pb), i) =>
-      aggregate(col("s"), lit(p),
-        (acc, h) => least(acc, (lit(pa) * (h % p) + lit(pb)) % p)).as(s"mh$i")
-    }
-    val sig = docs.select((col("doc_id") +: sigExprs): _*)
+    // Per-doc signatures in ONE fused native-expression traversal of the
+    // shingle array (graft_minhash; see MinhashSignature scaladoc) — zero
+    // shuffle: signature computation is a pure map stage, and only the band
+    // self-join below needs an exchange. Same values as the 16-fold HOF
+    // formulation, so the oracle is untouched.
+    val sig = docs.select(col("doc_id"),
+      graft.functions.VectorExpressions
+        .minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP).as("mh"))
 
     // 4 bands × 4 rows: band key = the 4 minhashes joined; one row per band.
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        concat_ws("-", (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*).as("band_key"))
+        concat_ws("-", (0 until 4).map(r =>
+          element_at(col("mh"), b * 4 + r + 1).cast("string")): _*).as("band_key"))
     }
     val bands = sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))

@@ -2,11 +2,11 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expressions for vector math over `array<double>` columns.
   *
@@ -137,6 +137,77 @@ case class CosineSim(left: Expression, right: Expression) extends VectorFold {
     copy(left = l, right = r)
 }
 
+/** All 16 MinHash permutation minima in ONE traversal of the shingle set:
+  * sig[j] = min over shingles h of (paⱼ·(h mod P) + pbⱼ) mod P, starting at P.
+  *
+  * Replaces 16 separate `aggregate(...)` higher-order folds — HOF lambdas
+  * are interpreted per element in Spark, so the fused form moves 16
+  * interpreted folds into one whole-stage-codegen loop and hoists the
+  * `h mod P` reduction out of the per-permutation work. Values are
+  * EXACTLY the HOF formulation's (same integer ops, same init), so the
+  * DuckDB oracle is unchanged.
+  */
+case class MinhashSignature(child: Expression, pa: Array[Long], pb: Array[Long], p: Long)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  require(pa.length == pb.length)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val k = pa.length
+    val mins = Array.fill(k)(p)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val hm = x.getLong(i) % p
+      var j = 0
+      while (j < k) {
+        val v = (pa(j) * hm + pb(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val paRef = ctx.addReferenceObj("minhashPa", pa, "long[]")
+    val pbRef = ctx.addReferenceObj("minhashPb", pb, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val hm = ctx.freshName("hm")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[${pa.length}];
+         |java.util.Arrays.fill($mins, ${p}L);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $hm = $a.getLong($i) % ${p}L;
+         |  for (int $j = 0; $j < ${pa.length}; $j++) {
+         |    long $v = ($paRef[$j] * $hm + $pbRef[$j]) % ${p}L;
+         |    if ($v < $mins[$j]) $mins[$j] = $v;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Expression→Column bridge + SQL registration (inside the sql package
   * because both touch `private[sql]` API).
   */
@@ -148,6 +219,11 @@ object VectorBridge {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSim(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def minhashSignature(shingles: Column, params: Seq[(Long, Long)], p: Long): Column =
+    ExpressionUtils.column(MinhashSignature(
+      ExpressionUtils.expression(shingles),
+      params.map(_._1).toArray, params.map(_._2).toArray, p))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -78,6 +78,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("fused minhash signature equals the 16 HOF folds on the corpus") {
+    val p = Hashing.MinhashP
+    val shingles = graft.Tables.documents(spark, sf0001)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', slice(w, i, 3))), 1, 15), 16, 10) as bigint)))").as("s"))
+    val hofExprs = Hashing.MinhashParams.zipWithIndex.map { case ((pa, pb), i) =>
+      aggregate(col("s"), lit(p),
+        (acc, h) => least(acc, (lit(pa) * (h % p) + lit(pb)) % p)).as(s"mh$i")
+    }
+    val both = shingles.select(
+      (col("doc_id") +:
+        VectorExpressions.minhash_signature(col("s"), Hashing.MinhashParams, p).as("fused") +:
+        hofExprs): _*)
+    val mismatches = both.filter(
+      (0 until 16).map(i => element_at(col("fused"), i + 1) =!= col(s"mh$i")).reduce(_ || _))
+    assert(mismatches.count() === 0)
+  }
+
+  test("minhash signature of empty set is all-P; null array is null") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("s", ArrayType(LongType), nullable = true)))
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(Seq.empty[Long]), Row(null)), schema)
+    val out = df.select(
+      VectorExpressions.minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP).as("m"))
+      .collect()
+    assert(out(0).getSeq[Long](0).forall(_ == Hashing.MinhashP))
+    assert(out(1).isNullAt(0))
+  }
+
   private object Tables2 {
     def embeddingsDouble = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
