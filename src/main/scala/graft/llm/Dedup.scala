@@ -101,29 +101,41 @@ object Dedup extends QueryModule {
     *
     * With s ≈ 0.96 planted near-dups, P(candidate) = 1−(1−s⁴)⁴ ≈ 0.9995.
     */
-  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .withColumn("w", words(col("text")))
+  /** Word 3-gram shingle hashes of a (doc_id, text, ...) frame — the shared
+    * front half of every shingle-based operator (batch LSH here, the
+    * streaming band registry in graft.streaming.StatefulOps).
+    */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.withColumn("w", words(col("text")))
       .select(col("doc_id"), expr(shingleExpr).as("s"))
 
-    // Per-doc signatures in ONE fused native-expression traversal of the
-    // shingle array (graft_minhash; see MinhashSignature scaladoc) — zero
-    // shuffle: signature computation is a pure map stage, and only the band
-    // self-join below needs an exchange. Same values as the 16-fold HOF
-    // formulation, so the oracle is untouched.
-    val sig = docs.select(col("doc_id"),
+  /** LSH band rows (doc_id, band, band_key) from a (doc_id, s) frame.
+    * Per-doc signatures in ONE fused native-expression traversal of the
+    * shingle array (graft_minhash; see MinhashSignature scaladoc) — zero
+    * shuffle: signature computation is a pure map stage; only whatever
+    * consumes the band rows (self-join in batch, keyed state in streaming)
+    * needs an exchange. Values are exactly the 16-fold HOF formulation's,
+    * so the DuckDB oracle is untouched.
+    */
+  def bandRowsOf(shingledDocs: DataFrame): DataFrame = {
+    val sig = shingledDocs.select(col("doc_id"),
       graft.functions.VectorExpressions
         .minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP).as("mh"))
-
     // 4 bands × 4 rows: band key = the 4 minhashes joined; one row per band.
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws("-", (0 until 4).map(r =>
           element_at(col("mh"), b * 4 + r + 1).cast("string")): _*).as("band_key"))
     }
-    val bands = sig
+    sig
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def dedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, sfDir))
+
+    val bands = bandRowsOf(docs)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&

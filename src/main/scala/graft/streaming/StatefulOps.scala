@@ -49,4 +49,60 @@ object StatefulOps {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update _)
   }
+
+  // ------------------------------------------------- streaming near-dedup
+
+  case class DocBand(doc_id: Long, band: Int, band_key: String)
+  case class BandDecision(doc_id: Long, band: Int, canonical_id: Long, is_dup: Boolean)
+
+  /** Incremental near-duplicate detection over a document STREAM: the
+    * streaming twin of batch MinHash/LSH dedup. Each arriving doc's 4 LSH
+    * band rows (from Dedup.bandRowsOf — identical signatures to the batch
+    * path) probe a keyed state registry; the first doc to claim a bucket
+    * becomes its canonical, later hits are flagged dups of it. A doc is a
+    * near-dup iff ANY of its band decisions is_dup — that rollup is a
+    * stateless per-micro-batch aggregation left to the consumer
+    * (`foreachBatch`), keeping this operator single-purpose.
+    *
+    * Scale: state is one long per OCCUPIED bucket, partitioned by band_key
+    * — the same key the batch self-join shuffles on. NoTimeout because
+    * corpus dedup is against all history; on a real cluster back this with
+    * the RocksDB state store (spark.sql.streaming.stateStore.providerClass)
+    * so the registry spills to disk instead of capping at executor heap.
+    */
+  def nearDupBandDecisions(bands: Dataset[DocBand]): Dataset[BandDecision] = {
+    implicit val decEnc = Encoders.product[BandDecision]
+
+    def update(
+        key: String,
+        rows: Iterator[DocBand],
+        state: GroupState[Long]): Iterator[BandDecision] = {
+      // within one batch the lowest doc_id claims the bucket — same
+      // survivor rule as the batch path's min-per-cluster
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      val out = Seq.newBuilder[BandDecision]
+      var canon = state.getOption.getOrElse(-1L)
+      sorted.foreach { r =>
+        if (canon < 0) canon = r.doc_id
+        out += BandDecision(r.doc_id, r.band, canon, r.doc_id != canon)
+      }
+      if (canon >= 0) state.update(canon)
+      out.result().iterator
+    }
+
+    bands
+      .groupByKey(b => s"${b.band}|${b.band_key}")(Encoders.STRING)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update _)(
+        Encoders.scalaLong, decEnc)
+  }
+
+  /** Full streaming pipeline: (doc_id, text) stream → band rows → keyed
+    * registry decisions.
+    */
+  def streamingNearDup(docs: org.apache.spark.sql.DataFrame): Dataset[BandDecision] = {
+    implicit val bandEnc = Encoders.product[DocBand]
+    nearDupBandDecisions(
+      graft.llm.Dedup.bandRowsOf(graft.llm.Dedup.shingled(docs)).as[DocBand])
+  }
 }

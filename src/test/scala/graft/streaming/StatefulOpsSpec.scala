@@ -61,4 +61,42 @@ class StatefulOpsSpec extends SparkSpec {
     drain()
     assert(nAlerts === 1)
   }
+
+  test("streaming near-dup flags a doc arriving AFTER its twin, across batches") {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val ckpt = Files.createTempDirectory("graft-neardup-ck").toString
+    val out = Files.createTempDirectory("graft-neardup-out").toString
+    val textA = "spark shuffles partition keys across every executor in the cluster always"
+    val textB = "completely unrelated words about zebras quarks velvet osmium gardens rainfall"
+
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(docSchema).json(dir)
+      val q = StatefulOps.streamingNearDup(stream)
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def decisions = spark.read
+      .schema("doc_id LONG, band INT, canonical_id LONG, is_dup BOOLEAN")
+      .json(out).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+
+    // batch 1: two distinct docs — no dups, each canonical of its buckets
+    Files.writeString(java.nio.file.Paths.get(dir, "b1.json"),
+      s"""{"doc_id":1,"text":"$textA"}\n{"doc_id":2,"text":"$textB"}""")
+    drain()
+    assert(decisions.forall(!_._3))
+
+    // batch 2: doc 3 = doc 1's text — every band must hit doc 1's buckets,
+    // which only happens if the registry survived the restart
+    Files.writeString(java.nio.file.Paths.get(dir, "b2.json"),
+      s"""{"doc_id":3,"text":"$textA"}""")
+    drain()
+    val d3 = decisions.filter(_._1 == 3L)
+    assert(d3.length === 4)
+    assert(d3.forall { case (_, canon, dup) => dup && canon == 1L })
+  }
 }
