@@ -66,14 +66,93 @@ object EventTime extends QueryModule {
       .orderBy("day", "event_type")
   }
 
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * timestamp is the earliest qualifying event STRICTLY AFTER the previous
+    * stage (min-per-user aggregations chained by join — each link is one
+    * shuffle on user_id, and AQE collapses the later ones to broadcasts as
+    * the surviving user set shrinks down-funnel).
+    */
+  def evtFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    val stage = (lit(1)
+      + when(col("t_click").isNotNull, 1).otherwise(0)
+      + when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("int")
+    v.join(c, Seq("user_id"), "left_outer")
+      .join(p, Seq("user_id"), "left_outer")
+      .select(col("user_id"), stage.as("stage"),
+        col("t_view"), col("t_click"), col("t_purchase"))
+      .orderBy("user_id")
+  }
+
+  /** Weekly retention cohorts: users grouped by first-seen week, distinct
+    * active users per (cohort, weeks-since-first). The heavy input collapses
+    * to distinct (user, day) before any join — at 100 TB that distinct is
+    * the only full-data shuffle, and it partitions on user_id.
+    */
+  def evtRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val firstDay = e.groupBy("user_id").agg(to_date(min("ts")).as("d0"))
+    val activity = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    activity.join(firstDay, "user_id")
+      .select(
+        to_date(date_trunc("week", col("d0"))).as("cohort_week"),
+        expr("datediff(day, d0) div 7").as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "evt_tumbling" -> (evtTumbling _),
-    "evt_sliding"  -> (evtSliding _),
-    "evt_session"  -> (evtSession _),
-    "evt_gapfill"  -> (evtGapfill _),
+    "evt_tumbling"  -> (evtTumbling _),
+    "evt_sliding"   -> (evtSliding _),
+    "evt_session"   -> (evtSession _),
+    "evt_gapfill"   -> (evtGapfill _),
+    "evt_funnel"    -> (evtFunnel _),
+    "evt_retention" -> (evtRetention _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+        |)
+        |SELECT v.user_id,
+        |  CAST(1 + CAST(t_click IS NOT NULL AS INT)
+        |         + CAST(t_purchase IS NOT NULL AS INT) AS INTEGER) AS stage,
+        |  t_view, t_click, t_purchase
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "evt_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS d0 FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT date_trunc('week', d0) AS cohort_week,
+        |  CAST(date_diff('day', d0, day) // 7 AS BIGINT) AS week_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "evt_gapfill" ->
       """WITH bounds AS (
         |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events

@@ -67,6 +67,25 @@ object Windows extends QueryModule {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Top-3 orders per customer AGAIN, via the typed TopKAggregator (U5) —
+    * identical output to win_topk_per_key, different physical shape: O(k)
+    * per-group state with map-side partial aggregation instead of a full
+    * per-partition sort. The heavy-hitter-group-safe form at 100 TB.
+    */
+  def aggTopkHeap(spark: SparkSession, sfDir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(3))
+    Tables.orders(spark, sfDir)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(
+        col("o_custkey"),
+        (col("pos") + 1).cast("int").as("rn"),
+        col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** ntile quartiles within each market segment (partitioned, not global). */
   def winNtile(spark: SparkSession, sfDir: String): DataFrame = {
     val bySeg = Window.partitionBy("c_mktsegment")
@@ -115,6 +134,7 @@ object Windows extends QueryModule {
     "win_lag_lead"    -> (winLagLead _),
     "win_running"     -> (winRunning _),
     "win_topk_per_key" -> (winTopkPerKey _),
+    "agg_topk_heap"   -> (aggTopkHeap _),
     "win_ntile"       -> (winNtile _),
     "win_range_frame" -> (winRangeFrame _),
     "topk_global"     -> (topkGlobal _),
@@ -145,6 +165,12 @@ object Windows extends QueryModule {
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "win_topk_per_key" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "agg_topk_heap" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
