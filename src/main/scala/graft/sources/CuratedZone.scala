@@ -45,6 +45,40 @@ object CuratedZone {
     spark.read.parquet(path)
       .filter(col("part_ym") >= fromYm && col("part_ym") <= toYm)
 
+  /** Compact a partitioned dataset's small files into ~target-sized ones —
+    * the standing maintenance job of any streamed-into curated zone: every
+    * micro-batch drains a few rows per partition, and a year of that is
+    * millions of kilobyte files whose LIST + open overhead dwarfs the data
+    * at 100 TB.
+    *
+    * `repartitionByRange(partCol +: sortCols)` does the heavy lifting:
+    * rows of one partition value land contiguously (one output file per
+    * range slice, not one per input task), and within each file rows are
+    * range-clustered by `sortCols`, which tightens parquet min/max zone
+    * maps for later predicate skipping. Writes to `destPath` (an object
+    * store has no atomic rename, and Spark cannot overwrite a path it is
+    * reading) — the orchestration layer swaps the prefix pointer.
+    * Returns the number of range slices written.
+    */
+  def compactTo(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      partCol: String,
+      sortCols: Seq[String],
+      targetRecordsPerFile: Long = 5000000L): Int = {
+    val df = spark.read.parquet(srcPath)
+    val total = df.count()
+    val slices = math.max(1, math.ceil(total.toDouble / targetRecordsPerFile).toInt)
+    df.repartitionByRange(slices, (partCol +: sortCols).map(col): _*)
+      .write
+      .partitionBy(partCol)
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(destPath)
+    slices
+  }
+
   /** Persist a bucketed table (bucketBy requires the table catalog). Two
     * tables bucketed the same way on the same key join with no exchange on
     * either side.

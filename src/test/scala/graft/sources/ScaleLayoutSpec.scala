@@ -27,6 +27,40 @@ class CuratedZoneSpec extends SparkSpec {
     assert(dirs.nonEmpty)
   }
 
+  test("compaction collapses a fragmented zone, preserving rows and layout") {
+    val src = Files.createTempDirectory("graft-frag").toString
+    val dst = Files.createTempDirectory("graft-compact").toString
+    // fragment: force many tiny files per month partition
+    Tables.orders(spark, sf0001)
+      .withColumn("part_ym", date_format(col("o_orderdate"), "yyyyMM").cast("int"))
+      .repartition(16)
+      .write.partitionBy("part_ym")
+      .option("maxRecordsPerFile", 20)
+      .mode("overwrite").parquet(src)
+
+    def parquetFiles(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(root))
+    }
+    val fragged = parquetFiles(src).length
+    assert(fragged > 100, s"fixture should be fragmented, got $fragged files")
+
+    CuratedZone.compactTo(spark, src, dst, "part_ym",
+      Seq("o_custkey", "o_orderkey"), targetRecordsPerFile = 100000L)
+
+    val compacted = parquetFiles(dst).length
+    val nParts = new java.io.File(dst).listFiles()
+      .count(_.getName.startsWith("part_ym="))
+    assert(compacted <= nParts + 1, s"$compacted files across $nParts partitions")
+    // same data, hive layout intact
+    val before = spark.read.parquet(src).orderBy("o_orderkey", "part_ym").collect()
+    val after = spark.read.parquet(dst).orderBy("o_orderkey", "part_ym").collect()
+    assert(after.length === before.length)
+    assert(after.toSeq === before.toSeq)
+  }
+
   test("co-bucketed tables join with zero exchanges") {
     // warehouse.dir is a static conf — tables land in ./spark-warehouse
     // (gitignored); only the broadcast threshold is session-scoped here.
