@@ -24,6 +24,7 @@ object SparkEntry {
     llm.Multimodal,
     llm.Curation,
     llm.Sampling,
+    _root_.graft.sources.Formats,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -167,6 +167,41 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------------------- pii scrub
+  /** PII redaction pass (the compliance step every training-data pipeline
+    * runs before anything else). The corpus is synthetic, so deterministic
+    * PII is planted per row (an email, a phone, an IP derived from
+    * doc_id/source), then scrubbed by regex class — email → phone → IP, in
+    * that fixed order. Counting happens pre-scrub. Patterns avoid lookaround
+    * and word boundaries so Java (Spark) and RE2 (DuckDB) agree exactly.
+    * Pure per-row regex work: map-stage only, no shuffle at any scale.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+  val IpRe    = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def piiScrub(spark: SparkSession, sfDir: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".org call 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".17"))
+    Tables.documents(spark, sfDir)
+      .withColumn("planted", planted)
+      .select(
+        col("doc_id"),
+        regexp_count(col("planted"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("planted"), lit(PhoneRe)).as("n_phones"),
+        regexp_count(col("planted"), lit(IpRe)).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("planted"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>").as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------ vocab
   /** Corpus vocabulary: top-10 words per language by frequency (tie-break
     * lexicographic). explode → partial-agg groupBy → per-lang top-k window:
@@ -194,6 +229,7 @@ object TextAnalysis extends QueryModule {
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
     "text_repetition"  -> (repetition _),
+    "text_pii_scrub"   -> (piiScrub _),
     "vocab_topk"       -> (vocabTopk _),
   )
 
@@ -262,6 +298,23 @@ object TextAnalysis extends QueryModule {
           |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_uniq_grams,
           |  ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio
           |FROM g ORDER BY doc_id""".stripMargin,
+      "text_pii_scrub" ->
+        s"""WITH p AS (
+           |  SELECT doc_id,
+           |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source
+           |         || '.org call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           |         || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' AS planted
+           |  FROM documents
+           |)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(planted, '$EmailRe')) AS INTEGER) AS n_emails,
+           |  CAST(len(regexp_extract_all(planted, '$PhoneRe')) AS INTEGER) AS n_phones,
+           |  CAST(len(regexp_extract_all(planted, '$IpRe')) AS INTEGER) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(planted,
+           |    '$EmailRe', '<EMAIL>', 'g'),
+           |    '$PhoneRe', '<PHONE>', 'g'),
+           |    '$IpRe', '<IP>', 'g') AS scrubbed
+           |FROM p ORDER BY doc_id""".stripMargin,
       "vocab_topk" ->
         """WITH w AS (
           |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents

@@ -369,6 +369,82 @@ object Relational extends QueryModule {
       .orderBy("col_name")
   }
 
+  /** Correlation/covariance/stddev from exact decimal power sums. The
+    * native `corr`/`stddev` (aggStats) need post-hoc rounding to absorb
+    * merge-order float noise — fine at sf0.1, but the noise grows with
+    * group size. This form is order-independent at ANY scale: the five
+    * power sums are exact DECIMAL (summation commutes), and the closed-form
+    * moments are computed once per group from identical exact inputs, so
+    * both engines run the identical IEEE double expression. This is the
+    * shape to use on a 1000-executor cluster where a group may span 10⁹
+    * rows.
+    */
+  def aggCorrExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,6)")
+    val y = col("l_extendedprice").cast("decimal(18,6)")
+    val n   = col("n").cast("double")
+    val sx  = col("sx").cast("double")
+    val sy  = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(
+        col("l_returnflag"),
+        col("n"),
+        round((n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_qp"),
+        round((n * sxy - sx * sy) / (n * n), 6).as("covar_pop"),
+        round(sqrt((n * sxx - sx * sx) / (n * n)), 6).as("stddev_pop_q"),
+        round(sx / n, 6).as("mean_q"))
+      .orderBy("l_returnflag")
+  }
+
+  // ----------------------------------------------------------------- merge
+
+  /** CDC-style MERGE (upsert + delete), the lakehouse table-maintenance
+    * primitive, expressed as one full-outer join on the key: updates
+    * override matched rows (COALESCE picks the change side first), inserts
+    * arrive as unmatched change rows, and delete-flagged keys drop out.
+    * Here the change set is derived deterministically from the base table
+    * (open orders get a 10% price bump; every 97th finished order is
+    * deleted; every 101st open order is re-inserted beyond the max key).
+    * At scale: a single shuffle on the join key — and zero extra
+    * exchange when the base is bucketed on it (sources.CuratedZone); the
+    * output is the new table version, never driver-materialized.
+    */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+    val updates = base.filter(col("o_orderstatus") === "O")
+      .select(
+        col("o_orderkey").as("u_orderkey"),
+        // 2dp price × 1.1 lies on the 3dp grid — round there (a 2dp round
+        // would sit exactly on the half-way boundary: cross-engine hazard).
+        round(col("o_totalprice") * 1.1, 3).as("u_totalprice"),
+        lit("U").as("u_orderstatus"))
+    val deletes = base.filter(col("o_orderstatus") === "F" && pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey").as("u_orderkey"), lit(null).cast("double").as("u_totalprice"),
+        lit("D").as("u_orderstatus"))
+    val inserts = base.filter(col("o_orderstatus") === "O" && pmod(col("o_orderkey"), lit(101)) === 0)
+      .select((col("o_orderkey") + 10000000L).as("u_orderkey"),
+        round(col("o_totalprice"), 2).as("u_totalprice"),
+        lit("I").as("u_orderstatus"))
+    val changes = updates.unionByName(deletes).unionByName(inserts)
+    base.join(changes, base("o_orderkey") === changes("u_orderkey"), "full_outer")
+      .filter(coalesce(col("u_orderstatus"), lit("")) =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("u_orderkey")).as("m_orderkey"),
+        coalesce(col("u_totalprice"), col("o_totalprice")).as("m_totalprice"),
+        coalesce(col("u_orderstatus"), col("o_orderstatus")).as("m_orderstatus"),
+        col("o_custkey").as("m_custkey"))
+      .orderBy("m_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
     "agg_pivot"      -> (aggPivot _),
@@ -393,6 +469,8 @@ object Relational extends QueryModule {
     "agg_collect"    -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
     "agg_stats"      -> (aggStats _),
+    "agg_corr_exact" -> (aggCorrExact _),
+    "merge_upsert"   -> (mergeUpsert _),
   )
 
   private val profileOracle: String = {
@@ -551,5 +629,50 @@ object Relational extends QueryModule {
         |  ROUND(MIN(l_extendedprice), 2) AS min_price,
         |  ROUND(MAX(l_extendedprice), 2) AS max_price
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "agg_corr_exact" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS corr_qp,
+        |  ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / (n::DOUBLE * n::DOUBLE), 6) AS covar_pop,
+        |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
+        |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey AS u_orderkey,
+        |    ROUND(o_totalprice * 1.1, 3) AS u_totalprice,
+        |    'U' AS u_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |), deletes AS (
+        |  SELECT o_orderkey AS u_orderkey, CAST(NULL AS DOUBLE) AS u_totalprice,
+        |    'D' AS u_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 97 = 0
+        |), inserts AS (
+        |  SELECT o_orderkey + 10000000 AS u_orderkey,
+        |    ROUND(o_totalprice, 2) AS u_totalprice, 'I' AS u_orderstatus
+        |  FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 101 = 0
+        |), changes AS (
+        |  SELECT * FROM updates UNION ALL SELECT * FROM deletes
+        |  UNION ALL SELECT * FROM inserts
+        |)
+        |SELECT
+        |  COALESCE(o.o_orderkey, c.u_orderkey) AS m_orderkey,
+        |  COALESCE(c.u_totalprice, o.o_totalprice) AS m_totalprice,
+        |  COALESCE(c.u_orderstatus, o.o_orderstatus) AS m_orderstatus,
+        |  o.o_custkey AS m_custkey
+        |FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.u_orderkey
+        |WHERE COALESCE(c.u_orderstatus, '') <> 'D'
+        |ORDER BY m_orderkey""".stripMargin,
   )
 }
