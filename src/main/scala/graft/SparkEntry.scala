@@ -25,6 +25,7 @@ object SparkEntry {
     llm.Curation,
     llm.Sampling,
     _root_.graft.sources.Formats,
+    _root_.graft.sources.Layout,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -445,8 +445,41 @@ object Relational extends QueryModule {
       .orderBy("m_orderkey")
   }
 
+  /** Incremental materialized-view maintenance: the monthly rollup is kept
+    * as MERGEABLE PARTIALS (count + exact decimal sum — both commutative
+    * monoids), so refreshing with a new data drop re-aggregates only the
+    * increment and merges, never rescanning history. Here the "stored" MV
+    * and the increment are split at a cutoff date and merged; the oracle
+    * recomputes the rollup from the full table directly — hash equality IS
+    * the proof that merge(partials) ≡ full recompute. Derived metrics
+    * (avg) are computed from merged partials at read time, never stored
+    * (avg is not mergeable). At 100 TB this is the difference between an
+    * O(day) nightly refresh and an O(history) one.
+    */
+  def mvIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val cutoff = to_timestamp(lit("1999-01-01"))
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+        .agg(
+          count(lit(1)).as("pn"),
+          sum(col("o_totalprice").cast("decimal(30,6)")).as("pt"))
+    val stored = partials(o.filter(col("o_orderdate") < cutoff))
+    val increment = partials(o.filter(col("o_orderdate") >= cutoff))
+    stored.unionByName(increment)
+      .groupBy("month")
+      .agg(sum(col("pn")).as("n_orders"), sum(col("pt")).as("total_d"))
+      .select(
+        col("month"),
+        col("n_orders"),
+        col("total_d").cast("double").as("total"),
+        round(col("total_d").cast("double") / col("n_orders"), 6).as("avg_price"))
+      .orderBy("month")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "profile_orders" -> (profileOrders _),
+    "mv_incremental" -> (mvIncremental _),
     "agg_pivot"      -> (aggPivot _),
     "fn_unpivot"     -> (fnUnpivot _),
     "filter_pred"    -> (filterPred _),
@@ -648,6 +681,13 @@ object Relational extends QueryModule {
         |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
         |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "mv_incremental" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "merge_upsert" ->
       """WITH updates AS (
         |  SELECT o_orderkey AS u_orderkey,

@@ -98,8 +98,39 @@ object SqlSurface extends QueryModule {
         |LIMIT 100""".stripMargin)
   }
 
+  /** TPC-H Q7 shape (volume shipping): bidirectional nation pair through a
+    * self-joined dimension (nation appears twice under different roles) —
+    * the classic alias-disambiguation case. The two nation sides both
+    * broadcast; lineitem⋈orders⋈customer shuffle on their natural keys.
+    * Nations 3 and 8 are the two with suppliers at every scale factor.
+    */
+  def sqlQ7(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  COUNT(*) AS n_ship,
+        |  CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q18"           -> (sqlQ18 _),
+    "sql_q7"            -> (sqlQ7 _),
     "sql_q3"            -> (sqlQ3 _),
     "sql_q5"            -> (sqlQ5 _),
     "sql_correlated"    -> (sqlCorrelated _),
@@ -107,6 +138,26 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sql_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  COUNT(*) AS n_ship,
+        |  CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice * (1.0 - l_discount) AS volume
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+        |      OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+        |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1997-12-31'
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "sql_q18" ->
       """SELECT c_name, c_custkey, o_orderkey, SUM(l_quantity) AS total_qty
         |FROM customer

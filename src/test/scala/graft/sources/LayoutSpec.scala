@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+
+  test("interleave/deinterleave round-trips every 16-bit coordinate pattern") {
+    import spark.implicits._
+    // cover all bit positions: products of small/large/alternating patterns
+    val patterns = Seq(0L, 1L, 2L, 0x5555L, 0xAAAAL, 0x7FFFL, 0xFFFFL, 12345L, 54321L)
+    val df = patterns.flatMap(x => patterns.map(y => (x, y))).toDF("x", "y")
+      .withColumn("z", Layout.interleave(col("x"), col("y")))
+      .withColumn("x2", Layout.evenBits(col("z")))
+      .withColumn("y2", Layout.oddBits(col("z")))
+    assert(df.filter(col("x2") =!= col("x") || col("y2") =!= col("y")).count() === 0)
+    // distinct inputs → distinct z (bijection on the 32-bit square)
+    assert(df.select("z").distinct().count() === patterns.size.toLong * patterns.size)
+  }
+
+  test("zorderWrite files have small bounding boxes in BOTH dimensions") {
+    val out = Files.createTempDirectory("graft-zorder").toString
+    val n = 4096
+    // a 64×64 grid visited row-major: date-sorted files would each span the
+    // FULL x range; z-ordered files must not.
+    val grid = spark.range(n)
+      .selectExpr("id % 64 AS x", "id div 64 AS y")
+    Layout.zorderWrite(grid, col("x"), col("y"), nFiles = 16, outDir = out)
+
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("xspan"), (max("y") - min("y")).as("yspan"))
+      .collect()
+    assert(perFile.length >= 8, s"expected ~16 files, got ${perFile.length}")
+    // every file's bounding box is a fraction of the 64-wide domain on both
+    // axes — the property that makes min/max skipping work for either
+    // predicate. (A row-major sort would give xspan = 63 for every file.)
+    perFile.foreach { r =>
+      assert(r.getLong(1) <= 32, s"x span too wide: $r")
+      assert(r.getLong(2) <= 32, s"y span too wide: $r")
+    }
+    // fidelity: same rows back
+    assert(spark.read.parquet(out).count() === n)
+  }
+}
