@@ -111,7 +111,44 @@ object EventTime extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Event-type transition matrix (first-order Markov counts): per user,
+    * order events by time and count (previous → current) type pairs — the
+    * session-flow fingerprint behind "what do users do after a view".
+    * One window (lag) + one groupBy; the shuffle keys are (user) then
+    * (prev, cur) — both natural partitionings at any scale. The window
+    * order is (ts, event_id): event_id breaks same-timestamp ties so `lag`
+    * is engine-independent.
+    */
+  def evtTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUserTime = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_type", lag("event_type", 1).over(byUserTime))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "cur_type")
+  }
+
+  /** Fixed-width histogram of the value column per event type — the
+    * profiling primitive behind distribution dashboards. The bucket id is
+    * pure row-local double math (identical IEEE ops in both engines);
+    * 16 buckets of width 25 cover the generator's [0, 400) range, with the
+    * top bucket clamping any outlier. One groupBy — the histogram of 100 TB
+    * is 16×|types| rows.
+    */
+  def evtHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .withColumn("bucket",
+        least(floor(col("value") / 25.0), lit(15.0)).cast("int"))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .orderBy("event_type", "bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_transitions" -> (evtTransitions _),
+    "evt_histogram" -> (evtHistogram _),
     "evt_tumbling"  -> (evtTumbling _),
     "evt_sliding"   -> (evtSliding _),
     "evt_session"   -> (evtSession _),
@@ -121,6 +158,24 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, cur_type
+        |ORDER BY prev_type, cur_type""".stripMargin,
+    "evt_histogram" ->
+      """SELECT event_type,
+        |  CAST(least(floor("value" / 25.0), 15.0) AS INTEGER) AS bucket,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM("value"), 2) AS total
+        |FROM events
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "evt_funnel" ->
       """WITH v AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events

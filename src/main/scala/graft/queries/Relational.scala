@@ -445,6 +445,59 @@ object Relational extends QueryModule {
       .orderBy("m_orderkey")
   }
 
+  /** Referential-integrity audit — the data-quality gate a pipeline runs
+    * on every new drop before publishing: for each FK relationship, how
+    * many child rows have no parent (orphans) and how many parents have no
+    * children (childless). Each check is a single pass: left join on the
+    * key, count all + count unmatched in one aggregation — at 100 TB
+    * that's a shuffle on the key and a scalar out; the dims stay
+    * broadcast. A healthy drop reports zero orphans, and the oracle proves
+    * the zeros are computed, not assumed.
+    */
+  def dqOrphans(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val o  = Tables.orders(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val s  = Tables.supplier(spark, sfDir)
+    def check(rel: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+      child.join(
+          parent.select(col(parentKey).as("__pk")).distinct(),
+          child(childKey) === col("__pk"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col("__pk").isNull, 1).otherwise(0)).cast("long").as("n_orphans"))
+        .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"))
+    check("lineitem_to_orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(check("lineitem_to_supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionByName(check("orders_to_customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(check("orders_childless", o, "o_orderkey", li.select(col("l_orderkey").as("k")), "k"))
+      .orderBy("rel")
+  }
+
+  /** Blocked fuzzy entity resolution: match DIRTY records (here: customer
+    * names with the last character corrupted — the planted-typo technique,
+    * deterministic like the PII planting in TextAnalysis) back to the
+    * canonical registry by edit distance, within nation blocks. Blocking
+    * is what makes fuzzy matching scale: Levenshtein runs only inside a
+    * block (equi-join on the blocking key = one shuffle), never all-pairs.
+    * Threshold 2 admits the planted typo plus one digit of drift.
+    */
+  def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val dirty = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(
+        col("c_custkey").as("d_key"),
+        concat(substring(col("c_name"), 1, 17), lit("X")).as("d_name"),
+        col("c_nationkey").as("d_nat"))
+    val canon = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    dirty.join(canon, col("d_nat") === col("c_nationkey"))
+      .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
+      .filter(col("dist") <= 2)
+      .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist"))
+      .orderBy("d_key", "matched_key")
+  }
+
   /** Incremental materialized-view maintenance: the monthly rollup is kept
     * as MERGEABLE PARTIALS (count + exact decimal sum — both commutative
     * monoids), so refreshing with a new data drop re-aggregates only the
@@ -504,6 +557,8 @@ object Relational extends QueryModule {
     "agg_stats"      -> (aggStats _),
     "agg_corr_exact" -> (aggCorrExact _),
     "merge_upsert"   -> (mergeUpsert _),
+    "dq_orphans"     -> (dqOrphans _),
+    "fuzzy_join"     -> (fuzzyJoin _),
   )
 
   private val profileOracle: String = {
@@ -681,6 +736,37 @@ object Relational extends QueryModule {
         |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
         |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "dq_orphans" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem_to_orders' AS rel, COUNT(*) AS n_child,
+        |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p ON c.l_orderkey = p.k
+        |  UNION ALL
+        |  SELECT 'lineitem_to_supplier', COUNT(*),
+        |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p ON c.l_suppkey = p.k
+        |  UNION ALL
+        |  SELECT 'orders_to_customer', COUNT(*),
+        |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p ON c.o_custkey = p.k
+        |  UNION ALL
+        |  SELECT 'orders_childless', COUNT(*),
+        |    CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders c LEFT JOIN (SELECT DISTINCT l_orderkey AS k FROM lineitem) p ON c.o_orderkey = p.k
+        |)
+        |SELECT rel, n_child, n_orphans FROM checks ORDER BY rel""".stripMargin,
+    "fuzzy_join" ->
+      """WITH dirty AS (
+        |  SELECT c_custkey AS d_key,
+        |    substr(c_name, 1, 17) || 'X' AS d_name,
+        |    c_nationkey AS d_nat
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |)
+        |SELECT d_key, c.c_custkey AS matched_key,
+        |  CAST(levenshtein(d_name, c.c_name) AS INTEGER) AS dist
+        |FROM dirty JOIN customer c ON d_nat = c.c_nationkey
+        |WHERE levenshtein(d_name, c.c_name) <= 2
+        |ORDER BY d_key, matched_key""".stripMargin,
     "mv_incremental" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
         |  COUNT(*) AS n_orders,
