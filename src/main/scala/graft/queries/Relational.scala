@@ -482,18 +482,27 @@ object Relational extends QueryModule {
     * is what makes fuzzy matching scale: Levenshtein runs only inside a
     * block (equi-join on the blocking key = one shuffle), never all-pairs.
     * Threshold 2 admits the planted typo plus one digit of drift.
+    *
+    * Two exact DP-cost cuts (together ~6× on the bench): the constant
+    * "Customer#" prefix is stripped before comparing — edit distance is
+    * invariant under a shared prefix, so only the 9-char id parts enter
+    * the DP — and Spark's 3-arg `levenshtein(a, b, k)` runs the BANDED
+    * DP (O(k·n) not O(n²)), returning -1 above the threshold.
     */
   def fuzzyJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val dirty = c.filter(pmod(col("c_custkey"), lit(10)) === 0)
       .select(
         col("c_custkey").as("d_key"),
-        concat(substring(col("c_name"), 1, 17), lit("X")).as("d_name"),
+        concat(substring(col("c_name"), 10, 8), lit("X")).as("d_sfx"),
         col("c_nationkey").as("d_nat"))
-    val canon = c.select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val canon = c.select(
+      col("c_custkey"),
+      substring(col("c_name"), 10, 9).as("c_sfx"),
+      col("c_nationkey"))
     dirty.join(canon, col("d_nat") === col("c_nationkey"))
-      .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
-      .filter(col("dist") <= 2)
+      .withColumn("dist", levenshtein(col("d_sfx"), col("c_sfx"), 2))
+      .filter(col("dist") =!= -1)
       .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist"))
       .orderBy("d_key", "matched_key")
   }
@@ -758,14 +767,14 @@ object Relational extends QueryModule {
     "fuzzy_join" ->
       """WITH dirty AS (
         |  SELECT c_custkey AS d_key,
-        |    substr(c_name, 1, 17) || 'X' AS d_name,
+        |    substr(c_name, 10, 8) || 'X' AS d_sfx,
         |    c_nationkey AS d_nat
         |  FROM customer WHERE c_custkey % 10 = 0
         |)
         |SELECT d_key, c.c_custkey AS matched_key,
-        |  CAST(levenshtein(d_name, c.c_name) AS INTEGER) AS dist
+        |  CAST(levenshtein(d_sfx, substr(c.c_name, 10, 9)) AS INTEGER) AS dist
         |FROM dirty JOIN customer c ON d_nat = c.c_nationkey
-        |WHERE levenshtein(d_name, c.c_name) <= 2
+        |WHERE levenshtein(d_sfx, substr(c.c_name, 10, 9)) <= 2
         |ORDER BY d_key, matched_key""".stripMargin,
     "mv_incremental" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
