@@ -142,6 +142,42 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** U3d: multi-probe RP-LSH — each query probes its own bucket PLUS the 8
+    * single-bit-flip neighbor buckets (the nearest buckets in Hamming
+    * space, hence the likeliest to hold near neighbors that fell across a
+    * hyperplane). This is how production LSH recovers recall without
+    * adding tables: probe cost grows 9×, index stays identical, and the
+    * neighbor-bucket list is a pure per-row expression (no second pass
+    * over the data). Candidates are deduped before the exact re-rank.
+    */
+  def simAnnMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Hashing, VectorExpressions}
+    val planes = Hashing.RpPlanes
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorExpressions.dot_product(col("e"), typedlit(p)) > 0.0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("e"), bucket.as("bucket"))
+    val probes = array(col("bucket") +:
+      planes.indices.map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        explode(probes).as("bucket"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
+    val byCos = Window.partitionBy("q_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .select("q_id", "qe", "cand_id", "ce").distinct()
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("rn"), col("cand_id"), col("cos"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup family's vector
     * member): all pairs with cosine ≥ 0.45. This is the exact verification
     * stage run brute-force — correct at test scale and the ground truth the
@@ -207,6 +243,7 @@ object Similarity extends QueryModule {
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
+    "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "dedup_embedding" -> (dedupEmbedding _),
   )
 
@@ -269,6 +306,29 @@ object Similarity extends QueryModule {
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ROUND(${duckCos("a.v", "b.v")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_ann_multiprobe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), bucketed AS (
+         |  SELECT vec_id, v, $duckBucket AS bucket FROM e
+         |), probes AS (
+         |  SELECT vec_id AS q_id, v AS qv,
+         |    unnest([bucket, ${(0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString(", ")}]) AS bucket
+         |  FROM bucketed WHERE vec_id < $NQueries
+         |), cand AS (
+         |  SELECT DISTINCT p.q_id, p.qv, c.vec_id AS cand_id, c.v AS cv
+         |  FROM probes p JOIN bucketed c ON p.bucket = c.bucket
+         |  WHERE p.q_id <> c.vec_id
+         |), scored AS (
+         |  SELECT q_id, cand_id, ROUND(${duckCos("qv", "cv")}, 6) AS cos FROM cand
+         |), ranked AS (
+         |  SELECT q_id, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, rn, cand_id, cos FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
     "sim_ann_rplsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -202,6 +202,69 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------------------------- tokenize
+  /** Vocab-encode: the text→token-ids step of a training pipeline. The
+    * dictionary is the top-`VocabSize` corpus words by frequency (ties
+    * lexicographic), id = rank; documents are exploded to positioned
+    * tokens, joined to the BROADCAST dictionary, and re-aggregated to a
+    * per-doc profile (token/OOV counts + a position-weighted id checksum,
+    * which pins every id at every position without an array output column).
+    * Scale notes: the dictionary build has one single-partition window
+    * (rank over the aggregated vocabulary — vocabulary size, not corpus
+    * size; ~1M rows at web scale, trivially one partition), and encoding
+    * is a map-side broadcast join — the corpus is never shuffled.
+    */
+  val VocabSize = 1000
+
+  def tokenizeIds(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word"))
+    val vocab = docs
+      .select(explode(words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("vid", row_number().over(byFreq))
+      .filter(col("vid") <= VocabSize)
+      .select("word", "vid")
+    docs
+      .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("vid").isNull, 1).otherwise(0)).cast("long").as("n_oov"),
+        sum((col("pos") + 1) * coalesce(col("vid"), lit(0))).cast("long").as("checksum"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- chunking
+  /** Context-window chunking: split each document into fixed-size word
+    * windows with overlap (size 64, stride 48 — the overlap preserves
+    * cross-boundary context exactly like training-corpus packing does).
+    * Chunk count, slicing, and the per-chunk fingerprint are all pure
+    * per-row array math — a generator stage with no shuffle; downstream
+    * ops treat chunks as documents.
+    */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  def chunk(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .withColumn("nchunks",
+        expr(s"(greatest(size(w) - $ChunkSize, 0) + $ChunkStride - 1) div $ChunkStride + 1"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, nchunks - 1), k -> slice(w, k * $ChunkStride + 1, $ChunkSize))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        size(col("chunk")).as("n_words"),
+        Hashing.hash60(concat_ws(" ", col("chunk"))).as("fp"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ------------------------------------------------------------------ vocab
   /** Corpus vocabulary: top-10 words per language by frequency (tie-break
     * lexicographic). explode → partial-agg groupBy → per-lang top-k window:
@@ -230,6 +293,8 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _),
     "text_repetition"  -> (repetition _),
     "text_pii_scrub"   -> (piiScrub _),
+    "text_tokenize_ids" -> (tokenizeIds _),
+    "text_chunk"       -> (chunk _),
     "vocab_topk"       -> (vocabTopk _),
   )
 
@@ -315,6 +380,46 @@ object TextAnalysis extends QueryModule {
            |    '$PhoneRe', '<PHONE>', 'g'),
            |    '$IpRe', '<IP>', 'g') AS scrubbed
            |FROM p ORDER BY doc_id""".stripMargin,
+      "text_tokenize_ids" ->
+        s"""WITH allw AS (
+           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+           |), counts AS (
+           |  SELECT word, COUNT(*) AS cnt FROM allw GROUP BY word
+           |), ranked AS (
+           |  SELECT word, CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS vid
+           |  FROM counts
+           |), vocab AS (
+           |  SELECT word, vid FROM ranked WHERE vid <= $VocabSize
+           |), tok AS (
+           |  SELECT doc_id,
+           |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+           |    string_split(text, ' ') AS ws
+           |  FROM documents
+           |), t2 AS (
+           |  SELECT doc_id, pos, ws[pos] AS word FROM tok
+           |)
+           |SELECT doc_id, COUNT(*) AS n_tokens,
+           |  CAST(SUM(CASE WHEN v.vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           |  CAST(SUM(pos * COALESCE(v.vid, 0)) AS BIGINT) AS checksum
+           |FROM t2 LEFT JOIN vocab v USING (word)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      "text_chunk" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |), n AS (
+           |  SELECT doc_id, w,
+           |    (greatest(len(w) - $ChunkSize, 0) + ${ChunkStride - 1}) // $ChunkStride + 1 AS nchunks
+           |  FROM d
+           |), c AS (
+           |  SELECT doc_id, w, unnest(range(0, nchunks)) AS k FROM n
+           |), s AS (
+           |  SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+           |    w[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkSize] AS chunk
+           |  FROM c
+           |)
+           |SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS n_words,
+           |  ${Hashing.duckHash60("array_to_string(chunk, ' ')")} AS fp
+           |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
       "vocab_topk" ->
         """WITH w AS (
           |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
