@@ -178,6 +178,25 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other instead of vanishing — the semantics dimension tables with
+    * an "unknown" bucket need. Keys here are derived with a deterministic
+    * NULL hole (bucket 7 → NULL) on both sides. Catalyst plans `<=>` as a
+    * normal hash join (null-safe equality is still an equi-key), so the
+    * scale profile is identical to J1.
+    */
+  def joinNullsafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .groupBy(nullif(pmod(col("o_orderkey"), lit(1000)), lit(7)).as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val l = Tables.lineitem(spark, sfDir)
+      .groupBy(nullif(pmod(col("l_orderkey"), lit(1000)), lit(7)).as("k"))
+      .agg(count(lit(1)).as("n_items"))
+    o.join(l, o("k") <=> l("k"), "inner")
+      .select(o("k").as("k"), col("n_orders"), col("n_items"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   // ----------------------------------------------------------- aggregations
 
   /** A1: grouped hash agg, TPC-H Q1 shape. The big money sums go through
@@ -568,6 +587,7 @@ object Relational extends QueryModule {
     "merge_upsert"   -> (mergeUpsert _),
     "dq_orphans"     -> (dqOrphans _),
     "fuzzy_join"     -> (fuzzyJoin _),
+    "join_nullsafe"  -> (joinNullsafe _),
   )
 
   private val profileOracle: String = {
@@ -745,6 +765,17 @@ object Relational extends QueryModule {
         |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
         |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "join_nullsafe" ->
+      """WITH o AS (
+        |  SELECT nullif(o_orderkey % 1000, 7) AS k, COUNT(*) AS n_orders
+        |  FROM orders GROUP BY 1
+        |), l AS (
+        |  SELECT nullif(l_orderkey % 1000, 7) AS k, COUNT(*) AS n_items
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT o.k, n_orders, n_items
+        |FROM o JOIN l ON o.k IS NOT DISTINCT FROM l.k
+        |ORDER BY o.k NULLS FIRST""".stripMargin,
     "dq_orphans" ->
       """WITH checks AS (
         |  SELECT 'lineitem_to_orders' AS rel, COUNT(*) AS n_child,

@@ -129,7 +129,24 @@ object Windows extends QueryModule {
       .orderBy(col("s_nationkey"), col("s_acctbal").desc_nulls_last, col("s_suppkey"))
   }
 
+  /** Distribution ranks: percent_rank and cume_dist per segment — pure
+    * rank arithmetic (no float accumulation), so the doubles are exact in
+    * both engines; rounding only guards the division. The tie-broken order
+    * (acctbal, custkey) makes every rank engine-independent.
+    */
+  def winCdf(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySeg = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(spark, sfDir)
+      .select(
+        col("c_mktsegment"), col("c_custkey"),
+        round(percent_rank().over(bySeg), 6).as("pct_rank"),
+        round(cume_dist().over(bySeg), 6).as("cume"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cdf"          -> (winCdf _),
     "win_rank"        -> (winRank _),
     "win_lag_lead"    -> (winLagLead _),
     "win_running"     -> (winRunning _),
@@ -142,6 +159,12 @@ object Windows extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_cdf" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  ROUND(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |  ROUND(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cume
+        |FROM customer
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "win_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.GraftOptimizations
+
+class GraftOptimizationsSpec extends SparkSpec {
+
+  // parquet-backed (a LocalRelation would be folded away before the rule
+  // could be observed in the optimized plan)
+  private def fixture = graft.Tables.customer(spark, sf0001)
+  private val probe = "Customer#000000042"
+
+  test("levenshtein <= k is rewritten to the banded kernel, results unchanged") {
+    val df = fixture
+    def keys(q: org.apache.spark.sql.DataFrame): Set[Long] =
+      q.select("c_custkey").collect().map(_.getLong(0)).toSet
+    val unbanded = keys(df.filter(levenshtein(col("c_name"), lit(probe)) <= 2))
+    assert(unbanded.nonEmpty)
+
+    GraftOptimizations.install(spark)
+    try {
+      val q = df.filter(levenshtein(col("c_name"), lit(probe)) <= 2)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("Some(2)) >= 0"),
+        s"expected banded 3-arg levenshtein in:\n$optimized")
+      assert(keys(q) === unbanded)
+
+      // strict < and reversed comparisons band too
+      val lt = df.filter(levenshtein(col("c_name"), lit(probe)) < 3)
+      assert(lt.queryExecution.optimizedPlan.toString.contains("Some(2)) >= 0"))
+      assert(keys(lt) === unbanded)
+
+      val rev = df.filter(lit(2) >= levenshtein(col("c_name"), lit(probe)))
+      assert(keys(rev) === unbanded)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(GraftOptimizations.rules.contains)
+    }
+  }
+
+  test("install is idempotent") {
+    GraftOptimizations.install(spark)
+    GraftOptimizations.install(spark)
+    try {
+      val n = spark.experimental.extraOptimizations
+        .count(GraftOptimizations.rules.contains)
+      assert(n === GraftOptimizations.rules.size)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(GraftOptimizations.rules.contains)
+    }
+  }
+}
