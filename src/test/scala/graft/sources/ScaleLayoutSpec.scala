@@ -122,3 +122,43 @@ class SkewJoinSpec extends SparkSpec {
     assert(counts.min > 500, s"salt skewed: ${counts.mkString(",")}")
   }
 }
+
+/** The OTHER half of the skew story: Spark's own AQE skew-join split.
+  * `SkewJoin` (manual salting) handles extreme single-key skew; for garden-
+  * variety skew, AQE splits oversized sort-merge partitions at runtime with
+  * no query rewrite. This spec pins the behavior (and the configs that
+  * enable it at test scale) so the engine's 100 TB claim is executable, not
+  * aspirational.
+  */
+class AqeSkewSpec extends SparkSpec {
+
+  test("AQE splits a skewed sort-merge partition at runtime (skew=true)") {
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 90% of 300k rows pile onto key 0; the dim side is tiny but
+      // broadcast is disabled, so this must survive as a sort-merge join.
+      val big = spark.range(300000)
+        .selectExpr("IF(id % 10 < 9, 0L, id % 97) AS k", "id AS v")
+      val small = spark.range(97).selectExpr("id AS k", "id * 10 AS w")
+      val joined = big.join(small, "k")
+      // materialize THIS DataFrame's queryExecution (count() would plan a
+      // separate query and leave this one unexecuted / non-final)
+      assert(joined.collect().length === 300000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE to mark the skewed SMJ:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+  }
+}
