@@ -146,7 +146,29 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "bucket")
   }
 
+  /** Dwell time: microseconds until each user's NEXT event, aggregated per
+    * event type — the engagement metric behind "how long does a view
+    * hold". Same single-window shape as evtTransitions (lead instead of
+    * lag); the sums are exact integer microseconds, so the derived average
+    * is deterministic at any scale.
+    */
+  def evtDwell(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUserTime = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("next_ts", lead("ts", 1).over(byUserTime))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dwell_us", unix_micros(col("next_ts")) - unix_micros(col("ts")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dwell_us")).as("total_us"),
+        round(sum(col("dwell_us")).cast("double") / count(lit(1)), 3).as("avg_us"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_dwell"     -> (evtDwell _),
     "evt_transitions" -> (evtTransitions _),
     "evt_histogram" -> (evtHistogram _),
     "evt_tumbling"  -> (evtTumbling _),
@@ -158,6 +180,17 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_dwell" ->
+      """WITH t AS (
+        |  SELECT event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS BIGINT) AS total_us,
+        |  ROUND(CAST(SUM(epoch_us(next_ts) - epoch_us(ts)) AS DOUBLE) / COUNT(*), 3) AS avg_us
+        |FROM t WHERE next_ts IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_transitions" ->
       """WITH t AS (
         |  SELECT event_type,

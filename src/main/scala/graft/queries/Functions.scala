@@ -123,6 +123,28 @@ object Functions extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Error-tolerant scalar surface: `try_cast` / `try_divide` turn
+    * malformed input into NULL instead of failing the job — the scalar
+    * twin of the PERMISSIVE NDJSON path (a 100 TB run must quarantine bad
+    * rows, never die on row 3 trillion). Failure cases are planted
+    * deterministically: a non-numeric string cast, a division whose
+    * denominator is zeroed on a key stride.
+    */
+  def fnTry(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        // ANSI is on (Spark 4 default): a plain cast of '2-HIGH' THROWS;
+        // try_cast quarantines it as NULL instead.
+        expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+        // the recoverable half: the leading priority digit parses
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        // out-of-bounds element access nulls instead of erroring
+        expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob"),
+        try_add(col("o_orderkey"), lit(1L)).as("next_key"))
+      .orderBy("o_orderkey")
+  }
+
   /** Generator surface (SURVEY §2.10 U6): posexplode the token array — one
     * output row per (doc, position, token).
     */
@@ -161,9 +183,17 @@ object Functions extends QueryModule {
     "fn_conditional" -> (fnConditional _),
     "fn_array"       -> (fnArray _),
     "fn_json"        -> (fnJson _),
+    "fn_try"         -> (fnTry _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "fn_try" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |  string_split(o_orderpriority, '-')[5] AS oob,
+        |  o_orderkey + 1 AS next_key
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_decimal" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_exact,

@@ -55,7 +55,26 @@ object SetOps extends QueryModule {
     os.intersectAll(fs).orderBy("key")
   }
 
+  /** Schema-evolution union: two drops of the "same" table with drifted
+    * schemas (a column added, another missing) combined with
+    * `unionByName(allowMissingColumns)` — absent columns become NULL, and
+    * matching is BY NAME, not position. This is the reference's open-schema
+    * `{**record}` spirit (glue/job.py:28) at the table level, and the
+    * everyday reality of multi-vintage parquet drops at 100 TB.
+    */
+  def setUnionEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val v1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val v2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority")) // totalprice gone, priority added
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("o_orderkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "set_union_evolve" -> (setUnionEvolve _),
     "set_intersect_all" -> (setIntersectAll _),
     "set_union_all"  -> (setUnionAll _),
     "set_intersect"  -> (setIntersect _),
@@ -64,6 +83,16 @@ object SetOps extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "set_union_evolve" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+        |    o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1
+        |)
+        |ORDER BY o_orderkey""".stripMargin,
     "set_intersect_all" ->
       """SELECT * FROM (
         |  SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'O'
