@@ -202,6 +202,37 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------- shared spans
+  /** Inter-document repeated spans: 8-gram fingerprints that occur in more
+    * than one document mark boilerplate/templated spans (the cross-doc
+    * complement of `text_repetition`'s intra-doc score, and the
+    * intra-corpus form of `decontaminate`). Per doc: how many of its grams
+    * are shared with any other doc, as a removal-decision ratio. Shape:
+    * explode grams → two groupBys (gram-level doc-frequency, then per-doc
+    * rollup) — both map-side-combined shuffles on compact longs; at
+    * 100 TB the gram→df table is the big intermediate and stays
+    * partitioned by gram hash throughout.
+    */
+  def sharedSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(w) - 7, 1)), i -> concat_ws(' ', slice(w, i, 8)))"))
+          .as("gram"))
+      .select(col("doc_id"), Hashing.hash60(col("gram")).as("g"))
+      .distinct() // one vote per (doc, gram)
+    val docFreq = grams.groupBy("g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(docFreq, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1).otherwise(0)).cast("long").as("n_shared"),
+        round(sum(when(col("df") >= 2, 1.0).otherwise(0.0)) / count(lit(1)), 6).as("shared_ratio"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- tokenize
   /** Vocab-encode: the text→token-ids step of a training pipeline. The
     * dictionary is the top-`VocabSize` corpus words by frequency (ties
@@ -294,6 +325,7 @@ object TextAnalysis extends QueryModule {
     "text_repetition"  -> (repetition _),
     "text_pii_scrub"   -> (piiScrub _),
     "text_tokenize_ids" -> (tokenizeIds _),
+    "text_shared_spans" -> (sharedSpans _),
     "text_chunk"       -> (chunk _),
     "vocab_topk"       -> (vocabTopk _),
   )
@@ -380,6 +412,26 @@ object TextAnalysis extends QueryModule {
            |    '$PhoneRe', '<PHONE>', 'g'),
            |    '$IpRe', '<IP>', 'g') AS scrubbed
            |FROM p ORDER BY doc_id""".stripMargin,
+      "text_shared_spans" ->
+        s"""WITH g AS (
+           |  SELECT DISTINCT doc_id,
+           |    ${Hashing.duckHash60("gram")} AS g
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(
+           |        range(1, greatest(len(string_split(text, ' ')) - 6, 2)),
+           |        i -> array_to_string(string_split(text, ' ')[i:i+7], ' '))) AS gram
+           |    FROM documents
+           |  )
+           |), df AS (
+           |  SELECT g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY g
+           |)
+           |SELECT g.doc_id,
+           |  COUNT(*) AS n_grams,
+           |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           |  ROUND(SUM(CASE WHEN df.df >= 2 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS shared_ratio
+           |FROM g JOIN df USING (g)
+           |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
       "text_tokenize_ids" ->
         s"""WITH allw AS (
            |  SELECT unnest(string_split(text, ' ')) AS word FROM documents

@@ -519,7 +519,9 @@ object Relational extends QueryModule {
       col("c_custkey"),
       substring(col("c_name"), 10, 9).as("c_sfx"),
       col("c_nationkey"))
-    dirty.join(canon, col("d_nat") === col("c_nationkey"))
+    // the dirty drop is the small side (a day's suspect records vs the
+    // full registry): broadcast it so the registry never shuffles
+    canon.join(broadcast(dirty), col("d_nat") === col("c_nationkey"))
       .withColumn("dist", levenshtein(col("d_sfx"), col("c_sfx"), 2))
       .filter(col("dist") =!= -1)
       .select(col("d_key"), col("c_custkey").as("matched_key"), col("dist"))
