@@ -251,6 +251,27 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Sketch re-aggregation (Apache DataSketches HLL via Spark builtins):
+    * build one sketch per month, union the sketches, estimate — the
+    * pattern that makes "distinct users, any date range" an O(ranges)
+    * query over pre-aggregated daily sketches instead of an O(history)
+    * rescan. The HLL state is order-independent, so merged-estimate ≡
+    * direct-estimate EXACTLY (spec-pinned, with the ε-bound vs the true
+    * count); rows-only at the oracle gate since DuckDB's HLL is a
+    * different implementation.
+    */
+  def aggSketchMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        countDistinct(col("o_custkey")).as("exact_month"))
+    monthly
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_total"),
+        sum(col("exact_month")).as("sum_monthly_exact"),
+        count(lit(1)).as("n_months"))
+  }
+
   /** A4: rollup with grouping_id; subtotal rows pinned by sorting on the
     * grouping id and NULLS FIRST keys.
     */
@@ -579,6 +600,7 @@ object Relational extends QueryModule {
     "agg_sum_q1"     -> (aggSumQ1 _),
     "agg_distinct"   -> (aggDistinct _),
     "agg_approx"     -> (aggApprox _),
+    "agg_sketch_merge" -> (aggSketchMerge _), // rows-only: sketch estimates are impl-specific
     "agg_rollup"     -> (aggRollup _),
     "agg_cube"       -> (aggCube _),
     "agg_filtered"   -> (aggFiltered _),
