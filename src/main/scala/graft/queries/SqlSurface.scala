@@ -128,9 +128,29 @@ object SqlSurface extends QueryModule {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
+  /** Window function through SQL text (top-3 per group via a ranked
+    * subquery — the portable spelling, since neither engine has QUALIFY).
+    * No arithmetic on the sort key: o_totalprice is compared raw, ties
+    * broken by key, so ranks are engine-independent.
+    */
+  def sqlTopkWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders
+        |) t WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q18"           -> (sqlQ18 _),
     "sql_q7"            -> (sqlQ7 _),
+    "sql_topk_window"   -> (sqlTopkWindow _),
     "sql_q3"            -> (sqlQ3 _),
     "sql_q5"            -> (sqlQ5 _),
     "sql_correlated"    -> (sqlCorrelated _),
@@ -138,6 +158,16 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sql_topk_window" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders
+        |) t WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
     "sql_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  COUNT(*) AS n_ship,
