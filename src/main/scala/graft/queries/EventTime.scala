@@ -167,7 +167,27 @@ object EventTime extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Equi-DEPTH histogram (deciles per event type) — evtHistogram's
+    * fixed-width complement: every bucket holds ~n/10 rows, so the bucket
+    * BOUNDS carry the distribution (what a query optimizer's histogram or
+    * a calibration pass wants). ntile per type keeps the sort partitioned
+    * — no global single-partition ordering at any scale.
+    */
+  def evtHistogramEqdepth(spark: SparkSession, sfDir: String): DataFrame = {
+    val byVal = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value", "event_id")
+    Tables.events(spark, sfDir)
+      .withColumn("decile", ntile(10).over(byVal))
+      .groupBy("event_type", "decile")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("value")).as("lo"),
+        max(col("value")).as("hi"))
+      .orderBy("event_type", "decile")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_histogram_eqdepth" -> (evtHistogramEqdepth _),
     "evt_dwell"     -> (evtDwell _),
     "evt_transitions" -> (evtTransitions _),
     "evt_histogram" -> (evtHistogram _),
@@ -180,6 +200,16 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_histogram_eqdepth" ->
+      """WITH t AS (
+        |  SELECT event_type, "value",
+        |    CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY "value", event_id) AS INTEGER) AS decile
+        |  FROM events
+        |)
+        |SELECT event_type, decile, COUNT(*) AS n,
+        |  MIN("value") AS lo, MAX("value") AS hi
+        |FROM t GROUP BY event_type, decile
+        |ORDER BY event_type, decile""".stripMargin,
     "evt_dwell" ->
       """WITH t AS (
         |  SELECT event_type, ts,

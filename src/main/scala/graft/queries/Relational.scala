@@ -549,6 +549,34 @@ object Relational extends QueryModule {
       .orderBy("d_key", "matched_key")
   }
 
+  /** IQR outlier audit (Tukey fences): per group, exact quartiles → count
+    * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the distributional DQ
+    * check next to dq_orphans' relational one. Two passes: a tiny
+    * per-group quartile aggregate (broadcast back), then one scan
+    * counting against the fences. Fences stay UNROUNDED in the
+    * comparison (both engines evaluate the identical double expression);
+    * rounding only formats the output.
+    */
+  def dqOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val quartiles = li.groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+    val lo = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+    val hi = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+    li.join(broadcast(quartiles), col("l_returnflag") === col("rf"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < lo, 1).otherwise(0)).cast("long").as("n_low"),
+        sum(when(col("l_extendedprice") > hi, 1).otherwise(0)).cast("long").as("n_high"),
+        // lo/hi are group-constant; min is just the deterministic picker
+        round(min(lo), 4).as("fence_lo"),
+        round(min(hi), 4).as("fence_hi"))
+      .orderBy("l_returnflag")
+  }
+
   /** Incremental materialized-view maintenance: the monthly rollup is kept
     * as MERGEABLE PARTIALS (count + exact decimal sum — both commutative
     * monoids), so refreshing with a new data drop re-aggregates only the
@@ -610,6 +638,7 @@ object Relational extends QueryModule {
     "agg_corr_exact" -> (aggCorrExact _),
     "merge_upsert"   -> (mergeUpsert _),
     "dq_orphans"     -> (dqOrphans _),
+    "dq_outliers"    -> (dqOutliers _),
     "fuzzy_join"     -> (fuzzyJoin _),
     "join_nullsafe"  -> (joinNullsafe _),
   )
@@ -789,6 +818,21 @@ object Relational extends QueryModule {
         |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
         |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "dq_outliers" ->
+      """WITH q AS (
+        |  SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.25) AS q1,
+        |    quantile_cont(l_extendedprice, 0.75) AS q3
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_extendedprice < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN l_extendedprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  ROUND(MIN(q1 - 1.5 * (q3 - q1)), 4) AS fence_lo,
+        |  ROUND(MIN(q3 + 1.5 * (q3 - q1)), 4) AS fence_hi
+        |FROM lineitem JOIN q ON l_returnflag = rf
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "join_nullsafe" ->
       """WITH o AS (
         |  SELECT nullif(o_orderkey % 1000, 7) AS k, COUNT(*) AS n_orders

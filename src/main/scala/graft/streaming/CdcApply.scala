@@ -58,6 +58,41 @@ object CdcApply {
       }: _*)
   }
 
+  /** Inverse of applyChanges: the change set turning `prev` into `next`
+    * (the "change data feed" read off two snapshots). Emits I for keys
+    * only in `next`, D for keys only in `prev`, U for keys whose payload
+    * differs (null-safe struct compare); unchanged rows emit nothing.
+    * Law (spec-pinned): applyChanges(prev, diff(prev, next)) ≡ next.
+    * One full-outer join on the key — same scale shape as the apply.
+    */
+  def diff(
+      prev: DataFrame,
+      next: DataFrame,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val payload = prev.columns.filterNot(_ == keyCol).toSeq
+    val p = prev.select(col(keyCol) +: payload.map(c => col(c).as(s"__p_$c")) :+
+      lit(true).as("__in_p"): _*)
+    val n = next.select(col(keyCol) +: payload.map(c => col(c).as(s"__n_$c")) :+
+      lit(true).as("__in_n"): _*)
+    val changed = payload
+      .map(c => !(col(s"__p_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    p.join(n, Seq(keyCol), "full_outer")
+      .withColumn(opCol,
+        when(col("__in_p").isNull, "I")
+          .when(col("__in_n").isNull, "D")
+          .when(changed, "U"))
+      .filter(col(opCol).isNotNull)
+      .select(col(opCol) +: lit(0L).as(seqCol) +: col(keyCol) +:
+        // I/U carry the NEXT value even when it is legitimately null
+        // (coalesce would resurrect the old value); D carries prev.
+        payload.map(c =>
+          when(col("__in_n").isNull, col(s"__p_$c"))
+            .otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   /** Version dirs present under `tableDir` (complete ones carry _SUCCESS). */
   def versions(tableDir: String): Seq[Long] = {
     val root = new java.io.File(tableDir)

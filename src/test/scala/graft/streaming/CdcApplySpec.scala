@@ -55,6 +55,29 @@ class CdcApplySpec extends SparkSpec {
     assert(CdcApply.versions(table) === Seq(0L, 1L))
   }
 
+  test("diff law: applyChanges(prev, diff(prev, next)) reproduces next") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Option("a")), (2L, Option("b")),
+      (3L, Option.empty[String]), (4L, Option("d"))).toDF("id", "val")
+    val next = Seq(
+      (1L, Option("a")),                       // unchanged → no change row
+      (2L, Option.empty[String]),              // update to null
+      (4L, Option("d2")),                      // update
+      (5L, Option("e"))).toDF("id", "val")     // insert; 3 deleted
+
+    val changes = CdcApply.diff(prev, next, "id")
+    val ops = changes.select("op", "id").collect()
+      .map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(ops === Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "I"))
+
+    val rebuilt = CdcApply.applyChanges(prev, changes, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    val expected = next.orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(rebuilt.toSeq === expected.toSeq)
+  }
+
   test("applyChanges lets an update null out a column (no coalesce fallback)") {
     import spark.implicits._
     val base = Seq((1L, Option("x"))).toDF("id", "val")
