@@ -251,6 +251,30 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Argmax aggregation (`max_by`/`min_by`): the row-attribute-at-the-
+    * extreme pattern (biggest order per priority, first touch per user)
+    * without a window or self-join — one map-side-combinable aggregate.
+    * `max_by` breaks ties arbitrarily, so the ordering key is made UNIQUE
+    * by packing (cents, orderkey) into one long — deterministic in both
+    * engines. (Cents ≈ 5×10⁷ max here; the packed key stays far below
+    * 2⁶³ even at 1000× the keyspace.)
+    */
+  def aggArgmax(spark: SparkSession, sfDir: String): DataFrame = {
+    // round, THEN cast: price×100 is within 1e-9 of integer cents, but a
+    // raw double→long cast truncates in Spark and rounds in DuckDB —
+    // 1.01×100 = 100.999… would pack differently per engine.
+    val packed = round(col("o_totalprice") * 100, 0).cast("long") * lit(1000000000L) +
+      col("o_orderkey")
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(
+        max_by(col("o_orderkey"), packed).as("biggest_order"),
+        round(max(col("o_totalprice")), 2).as("max_price"),
+        min_by(col("o_orderkey"), packed).as("smallest_order"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Sketch re-aggregation (Apache DataSketches HLL via Spark builtins):
     * build one sketch per month, union the sketches, estimate — the
     * pattern that makes "distinct users, any date range" an O(ranges)
@@ -629,6 +653,7 @@ object Relational extends QueryModule {
     "agg_distinct"   -> (aggDistinct _),
     "agg_approx"     -> (aggApprox _),
     "agg_sketch_merge" -> (aggSketchMerge _), // rows-only: sketch estimates are impl-specific
+    "agg_argmax"     -> (aggArgmax _),
     "agg_rollup"     -> (aggRollup _),
     "agg_cube"       -> (aggCube _),
     "agg_filtered"   -> (aggFiltered _),
@@ -818,6 +843,14 @@ object Relational extends QueryModule {
         |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
         |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_argmax" ->
+      """SELECT o_orderpriority,
+        |  arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 1000000000 + o_orderkey) AS biggest_order,
+        |  ROUND(MAX(o_totalprice), 2) AS max_price,
+        |  arg_min(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 1000000000 + o_orderkey) AS smallest_order,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "dq_outliers" ->
       """WITH q AS (
         |  SELECT l_returnflag AS rf,

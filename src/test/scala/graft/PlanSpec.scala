@@ -50,6 +50,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("ORC scans get pushdown and pruning like parquet") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft-orcplan").toString
+    Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(out)
+    val p = spark.read.orc(out)
+      .filter(col("l_returnflag") === "A")
+      .select("l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_returnflag)"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_quantity"), readSchema)
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // codegen'd operators render with a "*(stageId)" prefix — but only in
     // the FINAL adaptive plan, so execute before inspecting.
