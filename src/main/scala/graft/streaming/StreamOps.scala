@@ -37,6 +37,34 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("w.start").as("s_start"), col("n"))
 
+  /** Stream-stream interval join: attribute each click to the view the
+    * same user made within the preceding `horizon`. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * Spark can size the join state: a buffered view is dropped once the
+    * click-side watermark passes its interval end — state is
+    * O(views within horizon), not O(stream). Without the time bound the
+    * state would be unbounded and Spark rejects the query outright.
+    */
+  def attributeClicksToViews(
+      views: DataFrame,
+      clicks: DataFrame,
+      horizon: String = "10 minutes"): DataFrame = {
+    val v = views
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", horizon)
+    val c = clicks
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    v.join(c,
+      expr(s"""user_id = c_user_id
+              |AND click_ts > view_ts
+              |AND click_ts <= view_ts + INTERVAL $horizon""".stripMargin),
+      "inner")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Stateful stream dedup bounded by the watermark — the streaming form of
     * exact dedup: state for a key is dropped once the watermark passes, so
     * memory is bounded by the watermark horizon, not stream length.

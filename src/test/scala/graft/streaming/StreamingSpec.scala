@@ -91,6 +91,32 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01T00:05:00Z", "v", 1L, 3.0)))
   }
 
+  test("stream-stream interval join attributes clicks to in-horizon views only") {
+    val vdir = Files.createTempDirectory("graft-ssv").toString
+    val cdir = Files.createTempDirectory("graft-ssc").toString
+    writeEvents(vdir,
+      """{"event_id":10,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"view","value":0.0}""",
+      """{"event_id":11,"ts":"2024-01-01T00:30:00Z","user_id":2,"event_type":"view","value":0.0}""")
+    writeEvents(cdir,
+      // in horizon of view 10 (same user, +4 min)
+      """{"event_id":20,"ts":"2024-01-01T00:04:00Z","user_id":1,"event_type":"click","value":0.0}""",
+      // same user but 20 min after view 10 — outside the 10-min horizon
+      """{"event_id":21,"ts":"2024-01-01T00:20:00Z","user_id":1,"event_type":"click","value":0.0}""",
+      // other user, in horizon of view 11
+      """{"event_id":22,"ts":"2024-01-01T00:35:00Z","user_id":2,"event_type":"click","value":0.0}""")
+
+    val views = spark.readStream.schema(eventsSchema).json(vdir)
+    val clicks = spark.readStream.schema(eventsSchema).json(cdir)
+    val q = StreamOps.attributeClicksToViews(views, clicks)
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("ssjoin_out").select("view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((10L, 20L), (11L, 22L)))
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
     val dir = Files.createTempDirectory("graft-dd").toString
     writeEvents(dir,
