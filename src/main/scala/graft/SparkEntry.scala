@@ -24,6 +24,7 @@ object SparkEntry {
     llm.Multimodal,
     llm.Curation,
     llm.Sampling,
+    llm.Relevance,
     _root_.graft.sources.Formats,
     _root_.graft.sources.Layout,
   )

@@ -1,0 +1,261 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relevance scoring + corpus indexing for a training-data pipeline (EXT
+  * tier, same family as TextAnalysis/Curation): TF-IDF term extraction,
+  * BM25 query scoring, an inverted-index posting summary, and a
+  * distribution-drift (PSI) monitor for dataset snapshots.
+  *
+  * All four are the canonical scalable shapes: explode → map-side-combined
+  * groupBy for term stats, broadcast of the (tiny) corpus-level scalar
+  * aggregates, vocabulary-keyed shuffles that carry compact (word, count)
+  * rows — never raw text. Nothing here collects to the driver; corpus-level
+  * scalars (N, avgdl, period totals) are 1-row DataFrames crossJoin'd in
+  * (Catalyst broadcasts them), so every plan is a straight-line distributed
+  * dataflow at any scale.
+  */
+object Relevance extends QueryModule {
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Tokens (doc_id, word), one row per occurrence. */
+  private def tokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+
+  // ----------------------------------------------------------------- tf-idf
+
+  /** Top-3 TF-IDF terms per document (the classic keyword-extraction /
+    * relevance primitive). tf = in-doc count, idf = ln(N/df); ranking uses
+    * the ROUNDED score so both engines rank identical values (raw float
+    * ordering could flip on last-ulp differences), tie-break lexicographic.
+    * Scale shape: two groupBys on (doc_id, word)/(word) with map-side
+    * combine, then a per-doc WindowGroupLimit top-k — the vocabulary table
+    * is the only corpus-wide intermediate and it is vocabulary-sized, not
+    * corpus-sized.
+    */
+  def tfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = tokens(spark, sfDir)
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dlen, "doc_id").join(dfreq, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") / col("dlen")
+          * log(col("n_docs").cast("double") / col("df")), 6))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("word").asc)
+    scored
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "word", "tf", "df", "score")
+      .orderBy("doc_id", "rn")
+  }
+
+  // ------------------------------------------------------------------- bm25
+
+  /** BM25 terms + parameters, frozen so the oracle embeds identical
+    * literals. Per-term contributions are summed in FIXED term order
+    * (conditional aggregates, not a float `sum` over rows) so the addition
+    * order — and therefore the last-ulp of the double — is identical in
+    * both engines before rounding.
+    */
+  val Bm25Terms: Seq[String] = Seq("spark", "join", "vector")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 score of every document against the fixed query `Bm25Terms` (the
+    * search-relevance op a retrieval pipeline runs at serve time). One
+    * corpus scan builds tf for the query terms only (the isin filter prunes
+    * before the shuffle), doc lengths ride the same token scan, and the
+    * corpus scalars (N, avgdl) broadcast.
+    */
+  def bm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = tokens(spark, sfDir)
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dlen"))
+    val tfq = tok.filter(col("word").isin(Bm25Terms.map(s => s: Any): _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy("word").agg(count(lit(1)).as("df"))
+    val stats = dlen.agg(
+      avg(col("dlen")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val contrib = tfq.join(broadcast(dfq), "word")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * (col("tf") * lit(Bm25K1 + 1.0))
+          / (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dlen") / col("avgdl"))))
+    // One column per term, fixed addition order — cross-engine exact.
+    val termCols = Bm25Terms.map(t =>
+      sum(when(col("word") === t, col("c"))).as(s"c_$t"))
+    val perTerm = contrib.groupBy("doc_id")
+      .agg(termCols.head, termCols.tail: _*)
+    val total = Bm25Terms.map(t => coalesce(col(s"c_$t"), lit(0.0)))
+      .reduceLeft(_ + _)
+    dlen.join(perTerm, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("dlen"),
+        round(coalesce(total, lit(0.0)), 6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- postings
+
+  /** Inverted-index posting summary: per term, document frequency, total
+    * occurrences, and the posting-list doc_id span. This is the index-build
+    * aggregation (the posting lists themselves stay distributed — the
+    * summary is what a planner/BM25 scorer needs resident). Integer-only
+    * output: exact at any scale.
+    */
+  def postings(spark: SparkSession, sfDir: String): DataFrame = {
+    tokens(spark, sfDir)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .groupBy("word")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        min(col("doc_id")).as("doc_min"),
+        max(col("doc_id")).as("doc_max"))
+      .orderBy("word")
+  }
+
+  // -------------------------------------------------------------- PSI drift
+
+  /** Drift split/bin constants, frozen for the oracle: orders before vs
+    * from `DriftPivot`, `o_totalprice` in `DriftBins` fixed-width buckets.
+    */
+  val DriftPivot = "1998-01-01"
+  val DriftBinWidth = 50000.0
+
+  /** Population-stability-index monitor between two dataset snapshots (the
+    * standard train/serve drift check): bucket `o_totalprice` into fixed
+    * bins, compare the bin distribution of orders before vs after the
+    * pivot date. Per-bin PSI contribution = (pa − pb)·ln(pa/pb). One scan,
+    * one 10-row groupBy, broadcast totals — the monitoring query you run
+    * per ingest batch at any scale.
+    */
+  def driftPsi(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(
+        floor(col("o_totalprice") / DriftBinWidth).cast("int").as("bin"),
+        (col("o_orderdate") < lit(DriftPivot).cast("timestamp")).as("is_a"))
+    val byBin = o.groupBy("bin").agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("cnt_b"))
+    val totals = o.agg(
+      sum(when(col("is_a"), 1L).otherwise(0L)).as("tot_a"),
+      sum(when(!col("is_a"), 1L).otherwise(0L)).as("tot_b"))
+    byBin.crossJoin(broadcast(totals))
+      .filter(col("cnt_a") > 0 && col("cnt_b") > 0)
+      .withColumn("pa", col("cnt_a").cast("double") / col("tot_a"))
+      .withColumn("pb", col("cnt_b").cast("double") / col("tot_b"))
+      .select(
+        col("bin"),
+        col("cnt_a"),
+        col("cnt_b"),
+        round(col("pa"), 6).as("pa"),
+        round(col("pb"), 6).as("pb"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6).as("psi"))
+      .orderBy("bin")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf"    -> (tfidf _),
+    "text_bm25"     -> (bm25 _),
+    "text_postings" -> (postings _),
+    "dq_drift_psi"  -> (driftPsi _),
+  )
+
+  override def oracles: Map[String, String] = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val caseSum = Bm25Terms
+      .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
+      .mkString(" + ")
+    Map(
+      "text_tfidf" ->
+        """WITH tok AS (
+          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+          |), tf AS (
+          |  SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+          |), dlen AS (
+          |  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+          |), dfreq AS (
+          |  SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+          |), n AS (
+          |  SELECT COUNT(*) AS n_docs FROM documents
+          |), scored AS (
+          |  SELECT tf.doc_id, tf.word, tf.tf, dfreq.df,
+          |    ROUND(tf.tf::DOUBLE / dlen.dlen * ln(n.n_docs::DOUBLE / dfreq.df), 6) AS score
+          |  FROM tf JOIN dlen USING (doc_id) JOIN dfreq USING (word) CROSS JOIN n
+          |), ranked AS (
+          |  SELECT *, CAST(row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY score DESC, word) AS INTEGER) AS rn
+          |  FROM scored
+          |)
+          |SELECT doc_id, rn, word, tf, df, score
+          |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+      "text_bm25" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+           |), dlen AS (
+           |  SELECT doc_id, COUNT(*) AS dlen FROM tok GROUP BY doc_id
+           |), tfq AS (
+           |  SELECT doc_id, word, COUNT(*) AS tf FROM tok
+           |  WHERE list_contains($termList, word) GROUP BY doc_id, word
+           |), dfq AS (
+           |  SELECT word, COUNT(*) AS df FROM tfq GROUP BY word
+           |), stats AS (
+           |  SELECT AVG(dlen) AS avgdl, COUNT(*) AS n_docs FROM dlen
+           |), contrib AS (
+           |  SELECT tfq.doc_id, tfq.word,
+           |    ln(1.0 + (stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+           |      * (tfq.tf * ${Bm25K1 + 1.0})
+           |      / (tfq.tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dlen.dlen / stats.avgdl)) AS c
+           |  FROM tfq JOIN dfq USING (word) JOIN dlen USING (doc_id) CROSS JOIN stats
+           |), per_doc AS (
+           |  SELECT doc_id, $caseSum AS total FROM contrib GROUP BY doc_id
+           |)
+           |SELECT dlen.doc_id, dlen.dlen, ROUND(COALESCE(per_doc.total, 0.0), 6) AS bm25
+           |FROM dlen LEFT JOIN per_doc USING (doc_id) ORDER BY doc_id""".stripMargin,
+      "text_postings" ->
+        """WITH tf AS (
+          |  SELECT doc_id, word, COUNT(*) AS tf
+          |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+          |  GROUP BY doc_id, word
+          |)
+          |SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+          |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+          |FROM tf GROUP BY word ORDER BY word""".stripMargin,
+      "dq_drift_psi" ->
+        s"""WITH o AS (
+           |  SELECT CAST(FLOOR(o_totalprice / $DriftBinWidth) AS INTEGER) AS bin,
+           |    (o_orderdate < TIMESTAMP '$DriftPivot') AS is_a
+           |  FROM orders
+           |), by_bin AS (
+           |  SELECT bin,
+           |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+           |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+           |  FROM o GROUP BY bin
+           |), totals AS (
+           |  SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+           |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+           |  FROM o
+           |)
+           |SELECT bin, cnt_a, cnt_b,
+           |  ROUND(cnt_a::DOUBLE / tot_a, 6) AS pa,
+           |  ROUND(cnt_b::DOUBLE / tot_b, 6) AS pb,
+           |  ROUND((cnt_a::DOUBLE / tot_a - cnt_b::DOUBLE / tot_b)
+           |    * ln((cnt_a::DOUBLE / tot_a) / (cnt_b::DOUBLE / tot_b)), 6) AS psi
+           |FROM by_bin CROSS JOIN totals
+           |WHERE cnt_a > 0 AND cnt_b > 0
+           |ORDER BY bin""".stripMargin,
+    )
+  }
+}

@@ -60,6 +60,11 @@ def main():
     results = {}
     result_dirs = sorted(d for d in os.listdir(out_dir)
                          if os.path.isdir(os.path.join(out_dir, d)))
+    # A query whose Verify dump threw is silently absent from out_dir —
+    # surface it as MISSING instead of under-counting the denominator.
+    for name in oracles:
+        if name not in result_dirs:
+            results[name] = "MISSING no result dir (Verify failed?)"
     for name in result_dirs:
         got_rel = con.execute(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
