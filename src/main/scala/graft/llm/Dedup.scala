@@ -225,6 +225,22 @@ object Dedup extends QueryModule {
       .orderBy("cluster", "doc_id")
   }
 
+  /** Cluster-size profile of the near-dup graph (the dedup-impact report a
+    * curation run emits: how much of the corpus collapses, and how big the
+    * worst template cluster is). Rides the `dedupClusters` components
+    * output with one more tiny groupBy — cluster count is ≤ corpus size,
+    * so the added aggregation is never the bottleneck.
+    */
+  def dedupClusterSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    dedupClusters(spark, sfDir)
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("csize"),
+        min(col("doc_id")).as("doc_min"),
+        max(col("doc_id")).as("doc_max"))
+      .orderBy("cluster")
+  }
+
   /** Core simhash pass over any (doc_id, text) frame — public so callers can
     * simhash arbitrary corpora, not just the test tables.
     */
@@ -250,6 +266,7 @@ object Dedup extends QueryModule {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_cluster_sizes" -> (dedupClusterSizes _),
   )
 
   override def oracles: Map[String, String] = {
@@ -261,6 +278,27 @@ object Dedup extends QueryModule {
     val bitsToNum = (0 until 60)
       .map(j => s"CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
+    // Connected components over the Jaccard>=0.8 pair graph (recursive CTE)
+    // — shared by dedup_clusters (per-doc rows) and dedup_cluster_sizes.
+    val duckClusterBase =
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+         |), pairs AS (
+         |  SELECT a.doc_id AS pa, b.doc_id AS pb
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+         |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+         |), edges AS (
+         |  SELECT pa AS a, pb AS b FROM pairs
+         |  UNION SELECT pb, pa FROM pairs
+         |), reach(n, m) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n
+         |)
+         |SELECT LEAST(n, MIN(m)) AS cluster, n AS doc_id,
+         |  (LEAST(n, MIN(m)) = n) AS canonical
+         |FROM reach GROUP BY n""".stripMargin
     Map(
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, COUNT(*) AS n_copies
@@ -314,25 +352,11 @@ object Dedup extends QueryModule {
            |)
            |SELECT doc_id, $bitsToNum AS simhash
            |FROM sums ORDER BY doc_id""".stripMargin,
-      "dedup_clusters" ->
-        s"""WITH RECURSIVE d AS (
-           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
-           |), pairs AS (
-           |  SELECT a.doc_id AS pa, b.doc_id AS pb
-           |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
-           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
-           |), edges AS (
-           |  SELECT pa AS a, pb AS b FROM pairs
-           |  UNION SELECT pb, pa FROM pairs
-           |), reach(n, m) AS (
-           |  SELECT a, b FROM edges
-           |  UNION
-           |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n
-           |)
-           |SELECT LEAST(n, MIN(m)) AS cluster, n AS doc_id,
-           |  (LEAST(n, MIN(m)) = n) AS canonical
-           |FROM reach GROUP BY n ORDER BY cluster, doc_id""".stripMargin,
+      "dedup_clusters" -> s"$duckClusterBase ORDER BY cluster, doc_id",
+      "dedup_cluster_sizes" ->
+        s"""SELECT cluster, COUNT(*) AS csize,
+           |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
+           |FROM ($duckClusterBase) GROUP BY cluster ORDER BY cluster""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""WITH wh AS (
            |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h

@@ -166,11 +166,39 @@ object Relevance extends QueryModule {
       .orderBy("bin")
   }
 
+  // --------------------------------------------------------------- key skew
+
+  /** Shuffle-bucket count for the skew diagnostic, frozen for the oracle. */
+  val SkewBuckets = 32
+
+  /** Join-key skew diagnostic: how evenly `o_custkey` hashes across
+    * `SkewBuckets` shuffle buckets (the pre-flight check before a large
+    * repartition/join — a bucket far above mean share predicts a straggler
+    * task; the fix is salting or AQE skew-split). Uses the cross-engine
+    * md5-derived hash so the oracle buckets identically. One scan + a
+    * 32-row groupBy: runs in O(scan) at any scale.
+    */
+  def keySkew(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select((graft.functions.Hashing.hash60(col("o_custkey").cast("string"))
+        % SkewBuckets).cast("int").as("bucket"))
+    val byBucket = o.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val total = o.agg(count(lit(1)).as("total"))
+    byBucket.crossJoin(broadcast(total))
+      .select(
+        col("bucket"),
+        col("cnt"),
+        round(col("cnt").cast("double") / col("total"), 6).as("share"),
+        round(col("cnt").cast("double") * SkewBuckets / col("total"), 6).as("ratio_to_mean"))
+      .orderBy("bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tfidf"    -> (tfidf _),
     "text_bm25"     -> (bm25 _),
     "text_postings" -> (postings _),
     "dq_drift_psi"  -> (driftPsi _),
+    "dq_key_skew"   -> (keySkew _),
   )
 
   override def oracles: Map[String, String] = {
@@ -233,6 +261,20 @@ object Relevance extends QueryModule {
           |SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
           |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
           |FROM tf GROUP BY word ORDER BY word""".stripMargin,
+      "dq_key_skew" ->
+        s"""WITH o AS (
+           |  SELECT CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)
+           |    % $SkewBuckets AS INTEGER) AS bucket
+           |  FROM orders
+           |), by_bucket AS (
+           |  SELECT bucket, COUNT(*) AS cnt FROM o GROUP BY bucket
+           |), t AS (
+           |  SELECT COUNT(*) AS total FROM o
+           |)
+           |SELECT bucket, cnt,
+           |  ROUND(cnt::DOUBLE / total, 6) AS share,
+           |  ROUND(cnt::DOUBLE * $SkewBuckets / total, 6) AS ratio_to_mean
+           |FROM by_bucket CROSS JOIN t ORDER BY bucket""".stripMargin,
       "dq_drift_psi" ->
         s"""WITH o AS (
            |  SELECT CAST(FLOOR(o_totalprice / $DriftBinWidth) AS INTEGER) AS bin,

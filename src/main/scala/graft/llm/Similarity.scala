@@ -203,6 +203,21 @@ object Similarity extends QueryModule {
     * distribution — the sanity pass a pipeline runs before indexing
     * (catches unnormalized or degenerate vectors).
     */
+  /** Per-label embedding centroids, one row per (label, dimension) — the
+    * k-means/IVF training step (a real index recomputes these per
+    * iteration; serving needs them resident). posexplode → groupBy
+    * (label, pos): the shuffle carries compact scalar rows with map-side
+    * partial averages, never whole vectors — at 100 TB the reduce side is
+    * labels × dims rows regardless of corpus size.
+    */
+  def embCentroid(spark: SparkSession, sfDir: String): DataFrame = {
+    embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), round(avg(col("v")), 6).as("c"))
+      .orderBy("label", "pos")
+  }
+
   def embStats(spark: SparkSession, sfDir: String): DataFrame = {
     embDouble(Tables.embeddings(spark, sfDir))
       .withColumn("nrm", normOf(col("e")))
@@ -239,6 +254,7 @@ object Similarity extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_stats"       -> (embStats _),
+    "emb_centroid"    -> (embCentroid _),
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
@@ -285,6 +301,16 @@ object Similarity extends QueryModule {
          |  list_aggregate(qv, 'min') AS q_min,
          |  list_aggregate(qv, 'max') AS q_max
          |FROM q ORDER BY vec_id""".stripMargin,
+    "emb_centroid" ->
+      """SELECT label, CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
+        |  ROUND(AVG(v), 6) AS c
+        |FROM (
+        |  SELECT label,
+        |    unnest(range(0, len(embedding))) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings
+        |)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
     "emb_stats" ->
       s"""WITH e AS (
          |  SELECT label,

@@ -167,6 +167,31 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- entropy
+  /** Per-document word-distribution Shannon entropy (nats) — the classic
+    * gibberish/boilerplate quality signal (low entropy = repetitive
+    * template, high = diverse text). Pure per-row array math: the distinct
+    * words are SORTED before the fold so both engines accumulate the
+    * (irrational) per-word terms in the identical sequential order, then
+    * round once at the end. Map-stage only — no shuffle at any scale.
+    */
+  def entropy(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .withColumn("n", size(col("w")).cast("double"))
+      .withColumn("ent",
+        expr("""aggregate(
+          |  sort_array(array_distinct(w)), cast(0.0 as double),
+          |  (acc, u) -> acc - (size(filter(w, x -> x = u)) / n)
+          |                  * ln(size(filter(w, x -> x = u)) / n))""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("n").cast("int").as("n_words"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        round(col("ent"), 6).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------------------------- pii scrub
   /** PII redaction pass (the compliance step every training-data pipeline
     * runs before anything else). The corpus is synthetic, so deterministic
@@ -324,6 +349,7 @@ object TextAnalysis extends QueryModule {
     "text_fingerprint" -> (fingerprint _),
     "text_repetition"  -> (repetition _),
     "text_pii_scrub"   -> (piiScrub _),
+    "text_entropy"     -> (entropy _),
     "text_tokenize_ids" -> (tokenizeIds _),
     "text_shared_spans" -> (sharedSpans _),
     "text_chunk"       -> (chunk _),
@@ -395,6 +421,19 @@ object TextAnalysis extends QueryModule {
           |  CAST(len(list_distinct(grams)) AS INTEGER) AS n_uniq_grams,
           |  ROUND(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6) AS rep_ratio
           |FROM g ORDER BY doc_id""".stripMargin,
+      "text_entropy" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws,
+          |    len(string_split(text, ' '))::DOUBLE AS n
+          |  FROM documents
+          |)
+          |SELECT doc_id,
+          |  CAST(n AS INTEGER) AS n_words,
+          |  CAST(len(list_distinct(ws)) AS INTEGER) AS n_uniq,
+          |  ROUND(-list_sum(list_transform(list_sort(list_distinct(ws)), u ->
+          |    (len(list_filter(ws, x -> x = u)) / n)
+          |      * ln(len(list_filter(ws, x -> x = u)) / n))), 6) AS entropy
+          |FROM d ORDER BY doc_id""".stripMargin,
       "text_pii_scrub" ->
         s"""WITH p AS (
            |  SELECT doc_id,
