@@ -80,4 +80,62 @@ object AsOf {
       payload.map(c => col(s"__last.$c").as(c))
     carried.select(outCols: _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row with the same
+    * key and `rightTime >= leftTime` (nearest-later, inclusive) — the "next
+    * event after" lookup (e.g. first order placed after a click). Mirror of
+    * `joinLeftAsOf`: same single-shuffle union + window shape, with the
+    * frame flipped to [current row, unbounded following] and a
+    * first-non-null carry-backward. At equal timestamps the left row sorts
+    * BEFORE right rows (tag descending) so a same-instant right row
+    * matches, giving `<=` inclusive semantics — matching DuckDB's
+    * `ASOF JOIN ... ON l.t <= r.t`.
+    */
+  def joinLeftAsOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      leftId: String,
+      tieBreak: String,
+      payload: Seq[String]): DataFrame = {
+
+    val dedupW = Window.partitionBy(col(key), col(rightTime))
+      .orderBy(col(tieBreak).desc)
+    val rightCols: Seq[Column] =
+      col(key).cast("long").as("__k") +:
+      col(rightTime).cast("timestamp").as("__t") +:
+      lit(0).as("__tag") +:
+      lit(null).cast("long").as("__lid") +:
+      payload.map(col)
+    val r1 = right
+      .withColumn("__rn", row_number().over(dedupW))
+      .filter(col("__rn") === 1)
+      .select(rightCols: _*)
+
+    val leftCols: Seq[Column] =
+      col(key).cast("long").as("__k") +:
+      col(leftTime).cast("timestamp").as("__t") +:
+      lit(1).as("__tag") +:
+      col(leftId).cast("long").as("__lid") +:
+      payload.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val l1 = left.select(leftCols: _*)
+
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__tag").desc, col("__lid").asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val payloadStruct = struct(payload.map(col): _*)
+    val carried = r1.unionByName(l1)
+      .withColumn("__next",
+        first(when(col("__tag") === 0, payloadStruct), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val outCols: Seq[Column] =
+      col("__lid").as(leftId) +:
+      col("__k").as(key) +:
+      col("__t").as(leftTime) +:
+      payload.map(c => col(s"__next.$c").as(c))
+    carried.select(outCols: _*)
+  }
 }

@@ -178,6 +178,29 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** J7 forward variant: for each event, the EARLIEST order of the same
+    * customer with o_orderdate >= ts (the "next purchase after activity"
+    * attribution lookup). Same single-shuffle union+window shape as
+    * `joinAsof`, carry-backward instead of carry-forward.
+    */
+  def joinAsofFwd(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumnRenamed("user_id", "k")
+    val o = Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_custkey", "k")
+    graft.operators.AsOf.joinLeftAsOfForward(
+        left = e, right = o,
+        key = "k", leftTime = "ts", rightTime = "o_orderdate",
+        leftId = "event_id", tieBreak = "o_orderkey",
+        payload = Seq("o_orderkey", "o_totalprice"))
+      .select(
+        col("event_id"),
+        col("k").as("user_id"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
     * each other instead of vanishing — the semantics dimension tables with
     * an "unknown" bucket need. Keys here are derived with a deterministic
@@ -649,6 +672,7 @@ object Relational extends QueryModule {
     "join_range_band" -> (joinRangeBand _),
     "join_cross"     -> (joinCross _),
     "join_asof"      -> (joinAsof _),
+    "join_asof_fwd"  -> (joinAsofFwd _),
     "agg_sum_q1"     -> (aggSumQ1 _),
     "agg_distinct"   -> (aggDistinct _),
     "agg_approx"     -> (aggApprox _),
@@ -763,6 +787,18 @@ object Relational extends QueryModule {
         |SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "join_asof_fwd" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), o2 AS (
+        |  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+        |  FROM o1 JOIN orders o ON o1.o_orderkey = o.o_orderkey
+        |)
+        |SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts <= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
     "agg_sum_q1" ->
       """SELECT l_returnflag, l_linestatus,

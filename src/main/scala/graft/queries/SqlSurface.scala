@@ -147,8 +147,52 @@ object SqlSurface extends QueryModule {
         |ORDER BY o_orderpriority, rn""".stripMargin)
   }
 
+  /** TPC-H Q12 shape: shipping-priority counts per line status (the corpus
+    * has no l_shipmode; l_linestatus takes its grouping role).
+    */
+  def sqlQ12(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT l_linestatus,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_count,
+        |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_count
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q14 shape: promo revenue share in a window — conditional
+    * aggregation over a fact-dim join; sums ride exact decimals so the
+    * share is order-independent at any scale.
+    */
+  def sqlQ14(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))
+        |    ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+        |  ROUND(100.0
+        |    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))
+        |        ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS promo_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q18"           -> (sqlQ18 _),
+    "sql_q12"           -> (sqlQ12 _),
+    "sql_q14"           -> (sqlQ14 _),
     "sql_q7"            -> (sqlQ7 _),
     "sql_topk_window"   -> (sqlTopkWindow _),
     "sql_q3"            -> (sqlQ3 _),
@@ -158,6 +202,33 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sql_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+    "sql_q14" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(19,6))
+        |    ELSE CAST(0 AS DECIMAL(19,6)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(19,6))) AS DOUBLE) AS total_revenue,
+        |  ROUND(100.0
+        |    * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(19,6))
+        |        ELSE CAST(0 AS DECIMAL(19,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(19,6))) AS DOUBLE), 6) AS promo_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
     "sql_topk_window" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
         |FROM (

@@ -112,6 +112,29 @@ object Windows extends QueryModule {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Batch sessionization by inactivity gap (the window-function form of
+    * T5's session_window, assigning STABLE per-user session numbers): an
+    * event starts a new session when >10 min passed since the user's
+    * previous event; session_seq = running count of session starts. Two
+    * window passes over ONE shuffle+sort on user_id (both windows share
+    * the (user_id | ts, event_id) ordering, so Catalyst plans a single
+    * Exchange+Sort) — the standard scalable gap-sessionize shape.
+    */
+  def winSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val tus = unix_micros(col("ts"))
+    val prev = lag(unix_micros(col("ts")), 1).over(byUser)
+    Tables.events(spark, sfDir)
+      .withColumn("is_new",
+        when(prev.isNull || tus - prev > 600L * 1000000L, 1).otherwise(0))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("event_id", "user_id", "is_new", "session_seq")
+      .orderBy("user_id", "event_id")
+  }
+
   /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
     * only k rows reach the driver-side merge, no full sort.
     */
@@ -154,11 +177,28 @@ object Windows extends QueryModule {
     "agg_topk_heap"   -> (aggTopkHeap _),
     "win_ntile"       -> (winNtile _),
     "win_range_frame" -> (winRangeFrame _),
+    "win_sessionize"  -> (winSessionize _),
     "topk_global"     -> (topkGlobal _),
     "sort_multi"      -> (sortMulti _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
+        |), s AS (
+        |  SELECT event_id, user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL
+        |           OR tus - lag(tus) OVER w > 600 * 1000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        |)
+        |SELECT event_id, user_id, is_new,
+        |  CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
     "win_cdf" ->
       """SELECT c_mktsegment, c_custkey,
         |  ROUND(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
