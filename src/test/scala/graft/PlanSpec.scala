@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("win_sessionize plans both window frames over a single hash exchange") {
+    // lag and the running sum share (user_id | ts, event_id) ordering —
+    // one hashpartitioning exchange must serve both Window nodes; the
+    // only other exchange is the final presentation orderBy (range).
+    val p = plan("win_sessionize")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1, p)
+  }
+
   test("no accidental cartesian products anywhere in the query surface") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
