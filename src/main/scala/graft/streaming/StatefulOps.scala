@@ -50,6 +50,70 @@ object StatefulOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update _)
   }
 
+  // --------------------------------------------- streaming sessionization
+
+  case class Session(
+      user_id: Long, session_seq: Long,
+      start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp, n_events: Long)
+  case class SessState(seq: Long, startMs: Long, lastMs: Long, n: Long)
+
+  /** Streaming gap sessionization — the stream twin of the batch
+    * `win_sessionize` window query: group a user's events into sessions
+    * separated by >`gapMinutes` of inactivity, emitting one summary row
+    * per CLOSED session. A session closes either (a) in-batch, when a
+    * later event of the same user arrives past the gap, or (b) via
+    * EVENT-TIME timeout once the watermark passes last-event + gap — so
+    * results depend on event time only, never wall clock, and a re-drain
+    * from the checkpoint is deterministic.
+    *
+    * Scale: state is one fixed-size record per user with an OPEN session
+    * — bounded by active-user cardinality, and the event-time timeout is
+    * what keeps "active" from meaning "ever seen". Requires a watermark
+    * on the input (the timeout is defined against it).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 10): Dataset[Session] = {
+    implicit val outEnc = Encoders.product[Session]
+    implicit val stEnc = Encoders.product[SessState]
+    val gapMs = gapMinutes * 60L * 1000L
+    def tsOf(ms: Long) = new java.sql.Timestamp(ms)
+
+    def update(
+        userId: Long,
+        rows: Iterator[Event],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(
+          Session(userId, st.seq, tsOf(st.startMs), tsOf(st.lastMs), st.n))
+      } else {
+        val out = Seq.newBuilder[Session]
+        var st = state.getOption.orNull
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          val t = e.ts.getTime
+          if (st == null) {
+            st = SessState(1L, t, t, 1L)
+          } else if (t - st.lastMs > gapMs) {
+            out += Session(userId, st.seq, tsOf(st.startMs), tsOf(st.lastMs), st.n)
+            st = SessState(st.seq + 1L, t, t, 1L)
+          } else {
+            st = st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1L)
+          }
+        }
+        if (st != null) {
+          state.update(st)
+          state.setTimeoutTimestamp(st.lastMs + gapMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
+  }
+
   // ------------------------------------------------- streaming near-dedup
 
   case class DocBand(doc_id: Long, band: Int, band_key: String)

@@ -62,6 +62,47 @@ class StatefulOpsSpec extends SparkSpec {
     assert(nAlerts === 1)
   }
 
+  test("streaming sessionize closes sessions in-batch on gap and by event-time timeout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val ckpt = Files.createTempDirectory("graft-sess-ck").toString
+    val out = Files.createTempDirectory("graft-sess-out").toString
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(schema).json(dir)
+        .withWatermark("ts", "1 minute")
+        .as[StatefulOps.Event]
+      val q = StatefulOps.sessionize(stream, gapMinutes = 10)
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sessions: Seq[(Long, Long, Long)] = spark.read.schema(
+        "user_id LONG, session_seq LONG, start_ts TIMESTAMP, end_ts TIMESTAMP, n_events LONG")
+      .json(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq.sorted
+
+    // batch 1: user 9 has two bursts separated by >10 min — the first
+    // burst must close IN-BATCH when the second arrives; the second
+    // stays open (no watermark past its end yet).
+    Files.writeString(java.nio.file.Paths.get(dir, "s1.json"), Seq(
+      """{"user_id":9,"ts":"2024-01-01T00:00:00Z","value":1.0}""",
+      """{"user_id":9,"ts":"2024-01-01T00:01:00Z","value":1.0}""",
+      """{"user_id":9,"ts":"2024-01-01T01:00:00Z","value":1.0}""",
+      """{"user_id":9,"ts":"2024-01-01T01:02:00Z","value":1.0}""",
+    ).mkString("\n"))
+    drain()
+    assert(sessions === Seq((9L, 1L, 2L)))
+
+    // batch 2: an unrelated far-future event advances the watermark past
+    // user 9's open session + gap — the EVENT-TIME timeout must close it
+    // with the next session_seq.
+    Files.writeString(java.nio.file.Paths.get(dir, "s2.json"),
+      """{"user_id":8,"ts":"2024-01-01T05:00:00Z","value":1.0}""")
+    drain()
+    assert(sessions === Seq((9L, 1L, 2L), (9L, 2L, 2L)))
+  }
+
   test("streaming near-dup flags a doc arriving AFTER its twin, across batches") {
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
