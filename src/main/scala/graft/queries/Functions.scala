@@ -65,6 +65,23 @@ object Functions extends QueryModule {
       .orderBy("l_orderkey", "l_linenumber", "sq", "pw")
   }
 
+  /** Bitwise surface: and/or/xor, shifts, popcount — the bit-packing
+    * primitives the layout (Z-order) and signature (SimHash) operators
+    * build on, exposed as queryable scalar functions.
+    */
+  def fnBitwise(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+        col("o_orderkey").bitwiseXOR(lit(0x5555L)).as("k_xor"),
+        shiftleft(col("o_orderkey").bitwiseAND(lit(15L)), 3).as("k_shl"),
+        shiftright(col("o_orderkey"), 2).as("k_shr"),
+        bit_count(col("o_orderkey")).as("k_bits"))
+      .orderBy("o_orderkey")
+  }
+
   def fnConditional(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.customer(spark, sfDir)
       .select(
@@ -180,6 +197,7 @@ object Functions extends QueryModule {
     "fn_string"      -> (fnString _),
     "fn_datetime"    -> (fnDatetime _),
     "fn_math"        -> (fnMath _),
+    "fn_bitwise"     -> (fnBitwise _),
     "fn_conditional" -> (fnConditional _),
     "fn_array"       -> (fnArray _),
     "fn_json"        -> (fnJson _),
@@ -187,6 +205,15 @@ object Functions extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "fn_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 4096 AS k_or,
+        |  xor(o_orderkey, 21845) AS k_xor,
+        |  (o_orderkey & 15) << 3 AS k_shl,
+        |  o_orderkey >> 2 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS k_bits
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "fn_try" ->
       """SELECT o_orderkey,
         |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,

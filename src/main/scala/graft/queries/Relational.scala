@@ -298,6 +298,29 @@ object Relational extends QueryModule {
       .orderBy("o_orderpriority")
   }
 
+  /** Deterministic MODE (most frequent value) per group. Native `mode()`
+    * breaks ties arbitrarily in BOTH engines, so this is the explicit
+    * two-level form: count per (group, value), then rank by
+    * (count desc, value asc) — fully deterministic, and the same shape a
+    * 100 TB run wants anyway (two map-side-combined shuffles, no
+    * whole-group state).
+    */
+  def aggMode(spark: SparkSession, sfDir: String): DataFrame = {
+    val byCnt = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("cnt").desc, col("o_orderpriority").asc)
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(byCnt))
+      .filter(col("rn") === 1)
+      .select(
+        col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Sketch re-aggregation (Apache DataSketches HLL via Spark builtins):
     * build one sketch per month, union the sketches, estimate — the
     * pattern that makes "distinct users, any date range" an O(ranges)
@@ -678,6 +701,7 @@ object Relational extends QueryModule {
     "agg_approx"     -> (aggApprox _),
     "agg_sketch_merge" -> (aggSketchMerge _), // rows-only: sketch estimates are impl-specific
     "agg_argmax"     -> (aggArgmax _),
+    "agg_mode"       -> (aggMode _),
     "agg_rollup"     -> (aggRollup _),
     "agg_cube"       -> (aggCube _),
     "agg_filtered"   -> (aggFiltered _),
@@ -887,6 +911,17 @@ object Relational extends QueryModule {
         |  COUNT(*) AS n
         |FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY cnt DESC, o_orderpriority) AS rn
+        |  FROM c
+        |)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+        |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "dq_outliers" ->
       """WITH q AS (
         |  SELECT l_returnflag AS rf,
