@@ -142,10 +142,32 @@ object Multimodal extends QueryModule {
       .orderBy("id", "frame_no")
   }
 
+  /** Resize planning with oracle-checkable dimensions: width/height derive
+    * from public columns (doc_id arithmetic — the mmFramesSql trick again)
+    * so DuckDB verifies the REAL `resizePlan` fit/no-upscale arithmetic
+    * exactly. The fit ratio is IEEE-deterministic in both engines (single
+    * divide + multiply + floor on identical doubles); only the displayed
+    * scale is rounded.
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val dims = Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3).cast("int") + 1).as("modality"),
+        (lit(16) * (col("doc_id") % 120 + 1)).cast("int").as("width"),
+        (lit(16) * (expr("doc_id div 7") % 68 + 1)).cast("int").as("height"))
+    resizePlan(dims, maxW = 640, maxH = 360)
+      .withColumn("scale", round(col("scale"), 6))
+      .orderBy("id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"       -> (mmMeta _),
     "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
     "mm_frames_sql" -> (mmFramesSql _),
+    "mm_resize"     -> (mmResize _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -158,6 +180,22 @@ object Multimodal extends QueryModule {
     // mm_frames deliberately has no oracle: widths/durations come from the
     // stub decoder (md5-derived), which SQL could mirror but a real decoder
     // could not — it gets the weaker rows>0 check plus unit tests.
+    "mm_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id AS id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |    CAST(16 * (doc_id % 120 + 1) AS INTEGER) AS width,
+        |    CAST(16 * ((doc_id // 7) % 68 + 1) AS INTEGER) AS height
+        |  FROM documents
+        |), r AS (
+        |  SELECT *, least(640.0 / width, 360.0 / height, 1.0) AS raw_scale
+        |  FROM dims WHERE modality IN ('image', 'video')
+        |)
+        |SELECT id, modality, width, height,
+        |  CAST(floor(width * raw_scale) AS INTEGER) AS out_width,
+        |  CAST(floor(height * raw_scale) AS INTEGER) AS out_height,
+        |  ROUND(raw_scale, 6) AS scale
+        |FROM r ORDER BY id""".stripMargin,
     "mm_frames_sql" ->
       """SELECT doc_id AS id,
         |  unnest(range(0, greatest(CAST(ceil((n_chars * 40)::DOUBLE / 5000) AS BIGINT), 1))) AS frame_no,
