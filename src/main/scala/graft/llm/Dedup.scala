@@ -154,6 +154,42 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** U2e: asymmetric CONTAINMENT near-dup — doc_a's shingle set ⊆-ish
+    * doc_b's (|Sa∩Sb|/|Sa| ≥ 0.9), the doc-inside-doc case symmetric
+    * Jaccard misses (a paragraph quoted whole inside a long page scores
+    * low Jaccard but containment 1.0). Directional: exact twins emit both
+    * directions. Same PPJoin discipline as the Jaccard path, adapted to
+    * the asymmetric measure: only the CONTAINED side explodes a
+    * (n−⌈t·n⌉+1)-prefix of its hash-sorted set; the container side
+    * explodes fully (the shared_spans-scale intermediate), candidates come
+    * from one (lang, token) equi-join with a container-size pre-filter
+    * (|Sb| ≥ ⌈t·|Sa|⌉), and the exact intersection runs only on survivors.
+    */
+  def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = 0.9
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("w", words(col("text")))
+      .select(col("doc_id"), col("lang"), sort_array(expr(shingleExpr)).as("s"))
+      .withColumn("n", size(col("s")))
+    val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
+    val probesA = d.select(col("doc_id"), col("lang"), col("n"), explode(prefix).as("tok"))
+    val probesB = d.select(col("doc_id"), col("lang"), col("n"), explode(col("s")).as("tok"))
+    val cand = probesA.as("x").join(probesB.as("y"),
+        col("x.lang") === col("y.lang") && col("x.tok") === col("y.tok") &&
+        col("x.doc_id") =!= col("y.doc_id") &&
+        col("y.n") >= ceil(col("x.n") * t))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("cont", round(inter.cast("double") / size(col("sa")), 6))
+      .filter(col("cont") >= t)
+      .select("doc_a", "doc_b", "cont")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** U2c: 60-bit SimHash over the distinct word set (unit weights).
@@ -267,6 +303,7 @@ object Dedup extends QueryModule {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "dedup_containment"   -> (dedupContainment _),
   )
 
   override def oracles: Map[String, String] = {
@@ -353,6 +390,15 @@ object Dedup extends QueryModule {
            |SELECT doc_id, $bitsToNum AS simhash
            |FROM sums ORDER BY doc_id""".stripMargin,
       "dedup_clusters" -> s"$duckClusterBase ORDER BY cluster, doc_id",
+      "dedup_containment" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+           |)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS cont
+           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+           |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) >= 0.9
+           |ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_cluster_sizes" ->
         s"""SELECT cluster, COUNT(*) AS csize,
            |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
