@@ -111,6 +111,25 @@ object EventTime extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Week-over-week change per event type — the trend-monitoring query
+    * behind "is this behavior growing". The lag window runs on the
+    * AGGREGATED weekly series (types × weeks rows, tiny at any corpus
+    * size); the corpus itself sees one map-side-combined groupBy.
+    */
+  def evtWowChange(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("week")
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy("event_type", "week")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag("n", 1).over(byType))
+      .withColumn("wow_pct",
+        when(col("prev_n").isNotNull,
+          round((col("n") - col("prev_n")).cast("double") / col("prev_n") * 100, 4)))
+      .orderBy("event_type", "week")
+  }
+
   /** Event-type transition matrix (first-order Markov counts): per user,
     * order events by time and count (previous → current) type pairs — the
     * session-flow fingerprint behind "what do users do after a view".
@@ -190,6 +209,7 @@ object EventTime extends QueryModule {
     "evt_histogram_eqdepth" -> (evtHistogramEqdepth _),
     "evt_dwell"     -> (evtDwell _),
     "evt_transitions" -> (evtTransitions _),
+    "evt_wow_change" -> (evtWowChange _),
     "evt_histogram" -> (evtHistogram _),
     "evt_tumbling"  -> (evtTumbling _),
     "evt_sliding"   -> (evtSliding _),
@@ -231,6 +251,19 @@ object EventTime extends QueryModule {
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, cur_type
         |ORDER BY prev_type, cur_type""".stripMargin,
+    "evt_wow_change" ->
+      """WITH w AS (
+        |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY event_type, week
+        |), l AS (
+        |  SELECT *, lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM w
+        |)
+        |SELECT event_type, week, n, prev_n,
+        |  CASE WHEN prev_n IS NOT NULL
+        |       THEN ROUND((n - prev_n)::DOUBLE / prev_n * 100, 4) END AS wow_pct
+        |FROM l ORDER BY event_type, week""".stripMargin,
     "evt_histogram" ->
       """SELECT event_type,
         |  CAST(least(floor("value" / 25.0), 15.0) AS INTEGER) AS bucket,
