@@ -218,6 +218,56 @@ object Similarity extends QueryModule {
       .orderBy("label", "pos")
   }
 
+  /** One Lloyd (k-means) refinement iteration — the training loop behind a
+    * real IVF index, end to end: assign every vector to its nearest seed
+    * centroid (argmax cosine, ties by centroid id), recompute centroids as
+    * per-dimension means, reassign against the refined centroids. Output:
+    * per-cluster population before/after + refined-centroid norm.
+    *
+    * Cross-engine determinism: the refined centroids are ROUNDED (6dp)
+    * before reassignment, so both engines compare against identical
+    * doubles — float-mean merge order can wiggle the last ulp, rounding
+    * pins it. Scale: assignments are broadcast-k crossJoins (map-side);
+    * the mean recompute shuffles scalar (cluster, dim, value) rows — the
+    * emb_centroid shape; nothing materializes per-pair state. Rounds = a
+    * driver loop of the same plan — each iteration is this query.
+    */
+  def embKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val seeds = emb.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val byCent = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(col("e"), col("cente")))
+        .withColumn("crn", row_number().over(byCent))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("e"), col("cent_id").as("cluster"))
+    }
+
+    val a1 = assign(seeds)
+    val newCents = a1
+      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(round(avg("v"), 6).as("c"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cente"))
+      .select(col("cluster").as("cent_id"), col("cente"))
+    val a2 = assign(newCents)
+
+    val n1 = a1.groupBy("cluster").agg(count(lit(1)).as("n_r1"))
+    val n2 = a2.groupBy("cluster").agg(count(lit(1)).as("n_r2"))
+    val cnorm = newCents.select(
+      col("cent_id").as("cluster"),
+      round(sqrt(hofDot(col("cente"), col("cente"))), 6).as("cent_norm"))
+    n1.join(n2, Seq("cluster"), "left")
+      .join(cnorm, "cluster")
+      .select(col("cluster"), col("n_r1"),
+        coalesce(col("n_r2"), lit(0L)).as("n_r2"), col("cent_norm"))
+      .orderBy("cluster")
+  }
+
   def embStats(spark: SparkSession, sfDir: String): DataFrame = {
     embDouble(Tables.embeddings(spark, sfDir))
       .withColumn("nrm", normOf(col("e")))
@@ -255,6 +305,7 @@ object Similarity extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_stats"       -> (embStats _),
     "emb_centroid"    -> (embCentroid _),
+    "emb_kmeans"      -> (embKmeans _),
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
@@ -311,6 +362,44 @@ object Similarity extends QueryModule {
         |  FROM embeddings
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "emb_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), n1 AS (SELECT cluster, COUNT(*) AS n_r1 FROM a1 GROUP BY cluster
+         |), n2 AS (SELECT cluster, COUNT(*) AS n_r2 FROM a2 GROUP BY cluster
+         |), cn AS (
+         |  SELECT cent_id AS cluster,
+         |    ROUND(sqrt(list_sum(list_transform(cv, x -> x * x))), 6) AS cent_norm
+         |  FROM newc
+         |)
+         |SELECT n1.cluster, n1.n_r1,
+         |  CAST(COALESCE(n2.n_r2, 0) AS BIGINT) AS n_r2, cn.cent_norm
+         |FROM n1 LEFT JOIN n2 ON n1.cluster = n2.cluster
+         |JOIN cn ON n1.cluster = cn.cluster
+         |ORDER BY n1.cluster""".stripMargin,
     "emb_stats" ->
       s"""WITH e AS (
          |  SELECT label,
