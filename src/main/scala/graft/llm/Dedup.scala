@@ -65,10 +65,13 @@ object Dedup extends QueryModule {
     */
   def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.8
+    // One pinned exchange over the shingled table → ReuseExchange runs the
+    // md5 shingling once for the two probe sides + two verify joins.
     val d = Tables.documents(spark, sfDir)
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), col("lang"), sort_array(expr(shingleExpr)).as("s"))
       .withColumn("n", size(col("s")))
+      .repartition(col("doc_id"))
     val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
     val probes = d.select(col("doc_id"), col("lang"), col("n"), explode(prefix).as("tok"))
     val cand = probes.as("x").join(probes.as("y"),
@@ -167,10 +170,14 @@ object Dedup extends QueryModule {
     */
   def dedupContainment(spark: SparkSession, sfDir: String): DataFrame = {
     val t = 0.9
+    // repartition pins ONE exchange over the shingled table; all four
+    // consumers (both probe sides + both verify joins) branch after it, so
+    // ReuseExchange computes the md5 shingling once instead of four times.
     val d = Tables.documents(spark, sfDir)
       .withColumn("w", words(col("text")))
       .select(col("doc_id"), col("lang"), sort_array(expr(shingleExpr)).as("s"))
       .withColumn("n", size(col("s")))
+      .repartition(col("doc_id"))
     val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
     val probesA = d.select(col("doc_id"), col("lang"), col("n"), explode(prefix).as("tok"))
     val probesB = d.select(col("doc_id"), col("lang"), col("n"), explode(col("s")).as("tok"))

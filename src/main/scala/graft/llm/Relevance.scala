@@ -166,6 +166,46 @@ object Relevance extends QueryModule {
       .orderBy("bin")
   }
 
+  // ----------------------------------------------------------- collocations
+
+  /** Minimum bigram support for the PMI ranking, frozen for the oracle. */
+  val PmiMinCount = 5
+
+  /** Top-20 collocations by pointwise mutual information — the lexical
+    * statistic behind phrase detection (\"New York\" scores high, \"of the\"
+    * low). PMI = ln(p(ab) / (p(a)·p(b))), support-filtered; ranked on the
+    * ROUNDED score (ties lexicographic) so both engines order identically.
+    * Scale shape: unigram and bigram counts are map-side-combined word
+    * counts; corpus totals broadcast as 1-row frames; the final top-20 is
+    * a global TakeOrderedAndProject — per-partition heaps, k rows to the
+    * driver.
+    */
+  def collocations(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val tok = tokens(spark, sfDir)
+    val uni = tok.groupBy("word").agg(count(lit(1)).as("uc"))
+    val totU = uni.agg(sum(col("uc")).cast("long").as("tu"))
+    val bi = docs
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS wa, element_at(w, i + 1) AS wb))")).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val totB = bi.agg(count(lit(1)).as("tb"))
+    val bc = bi.groupBy("wa", "wb").agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= PmiMinCount)
+    bc
+      .join(uni.select(col("word").as("wa"), col("uc").as("ua")), "wa")
+      .join(uni.select(col("word").as("wb"), col("uc").as("ub")), "wb")
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .withColumn("pmi",
+        round(log((col("bc").cast("double") / col("tb"))
+          / ((col("ua").cast("double") / col("tu")) * (col("ub").cast("double") / col("tu")))), 6))
+      .select("wa", "wb", "bc", "ua", "ub", "pmi")
+      .orderBy(col("pmi").desc, col("wa"), col("wb"))
+      .limit(20)
+  }
+
   // --------------------------------------------------------------- key skew
 
   /** Shuffle-bucket count for the skew diagnostic, frozen for the oracle. */
@@ -199,6 +239,7 @@ object Relevance extends QueryModule {
     "text_postings" -> (postings _),
     "dq_drift_psi"  -> (driftPsi _),
     "dq_key_skew"   -> (keySkew _),
+    "text_collocations" -> (collocations _),
   )
 
   override def oracles: Map[String, String] = {
@@ -261,6 +302,34 @@ object Relevance extends QueryModule {
           |SELECT word, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
           |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
           |FROM tf GROUP BY word ORDER BY word""".stripMargin,
+      "text_collocations" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+           |), uni AS (
+           |  SELECT word, COUNT(*) AS uc FROM tok GROUP BY word
+           |), tu AS (
+           |  SELECT CAST(SUM(uc) AS BIGINT) AS tu FROM uni
+           |), bi AS (
+           |  SELECT ws[i] AS wa, ws[i + 1] AS wb FROM (
+           |    SELECT string_split(text, ' ') AS ws,
+           |      unnest(range(1, len(string_split(text, ' ')))) AS i
+           |    FROM documents WHERE len(string_split(text, ' ')) >= 2
+           |  )
+           |), tb AS (
+           |  SELECT COUNT(*) AS tb FROM bi
+           |), bc AS (
+           |  SELECT wa, wb, COUNT(*) AS bc FROM bi GROUP BY wa, wb
+           |  HAVING COUNT(*) >= $PmiMinCount
+           |)
+           |SELECT bc.wa, bc.wb, bc.bc, ua.uc AS ua, ub.uc AS ub,
+           |  ROUND(ln((bc.bc::DOUBLE / tb.tb)
+           |    / ((ua.uc::DOUBLE / tu.tu) * (ub.uc::DOUBLE / tu.tu))), 6) AS pmi
+           |FROM bc
+           |JOIN uni ua ON bc.wa = ua.word
+           |JOIN uni ub ON bc.wb = ub.word
+           |CROSS JOIN tu CROSS JOIN tb
+           |ORDER BY pmi DESC, bc.wa, bc.wb
+           |LIMIT 20""".stripMargin,
       "dq_key_skew" ->
         s"""WITH o AS (
            |  SELECT CAST(CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT)
