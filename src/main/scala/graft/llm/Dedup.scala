@@ -229,10 +229,13 @@ object Dedup extends QueryModule {
       struct(lit(id).as("cid"),
         shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1)).as("cval"))
     }
+    // pinned exchange → the simhash aggregation + chunk explode feed both
+    // self-join sides once (ReuseExchange), instead of running twice
     val probes = s.select(col("doc_id"), col("lang"), col("simhash"),
         explode(array(chunkStructs: _*)).as("c"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         col("c.cid").as("cid"), col("c.cval").as("cval"))
+      .repartition(col("doc_id"))
 
     val cand = probes.as("x").join(probes.as("y"),
         col("x.lang") === col("y.lang") && col("x.cid") === col("y.cid") &&
