@@ -201,6 +201,46 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Point-in-interval join via interval BUCKETING — the scalable form of
+    * "which 30-day order-validity windows cover this event". Overlapping
+    * intervals make this inexpressible as an as-of join, and the naive
+    * formulation (equi-key + range predicate) degenerates to a per-key
+    * nested loop. The bucketing trick: a window of width W covers at most
+    * 2 grid cells of size W, so exploding each interval to its covering
+    * cells turns the range join into an equi-join on (key, cell) + an
+    * exact residual filter. An event sits in exactly ONE cell, so no
+    * dedup is needed. Shuffle = 2× intervals + 1× events, all on
+    * (key, cell) — a plain hash join at any scale, no row explosion.
+    */
+  def joinIntervalBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 30 // window and grid width, days
+    val epoch = to_date(lit("1970-01-01"))
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), epoch).as("eday"))
+      .withColumn("cell", floor(col("eday") / W))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"), col("o_totalprice"),
+        datediff(to_date(col("o_orderdate")), epoch).as("sday"))
+      .withColumn("cell",
+        explode(array_distinct(array(
+          floor(col("sday") / W),
+          floor((col("sday") + W - 1) / W)))))
+    val hits = e.join(o, Seq("user_id", "cell"))
+      .filter(col("eday") >= col("sday") && col("eday") < col("sday") + W)
+      .groupBy("event_id")
+      .agg(
+        count(lit(1)).as("n_cover"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).as("tot"))
+    e.select("event_id", "user_id")
+      .join(hits, Seq("event_id"), "left")
+      .select(
+        col("event_id"), col("user_id"),
+        coalesce(col("n_cover"), lit(0L)).as("n_cover"),
+        coalesce(col("tot"), lit(0).cast("decimal(30,6)")).cast("double").as("total"))
+      .orderBy("event_id")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
     * each other instead of vanishing — the semantics dimension tables with
     * an "unknown" bucket need. Keys here are derived with a deterministic
@@ -696,6 +736,7 @@ object Relational extends QueryModule {
     "join_cross"     -> (joinCross _),
     "join_asof"      -> (joinAsof _),
     "join_asof_fwd"  -> (joinAsofFwd _),
+    "join_interval_bucket" -> (joinIntervalBucket _),
     "agg_sum_q1"     -> (aggSumQ1 _),
     "agg_distinct"   -> (aggDistinct _),
     "agg_approx"     -> (aggApprox _),
@@ -824,6 +865,15 @@ object Relational extends QueryModule {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts <= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "join_interval_bucket" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_cover,
+        |  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(19,6))), 0) AS DOUBLE) AS total
+        |FROM events e LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey
+        |  AND CAST(e.ts AS DATE) >= CAST(o.o_orderdate AS DATE)
+        |  AND CAST(e.ts AS DATE) < CAST(o.o_orderdate AS DATE) + 30
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
     "agg_sum_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

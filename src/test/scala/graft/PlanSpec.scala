@@ -52,6 +52,13 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 1, p)
   }
 
+  test("interval-bucket join plans as a hash/merge equi-join, not a nested loop") {
+    val p = plan("join_interval_bucket")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("no accidental cartesian products anywhere in the query surface") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
