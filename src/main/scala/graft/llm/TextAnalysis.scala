@@ -74,6 +74,17 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Classifier-evaluation rollup: confusion matrix of the lang-id
+    * heuristic against the corpus labels (the accuracy report a pipeline
+    * emits before trusting a filter). Rides `langId` with one extra tiny
+    * groupBy — the matrix is |langs|² rows at any corpus size.
+    */
+  def langConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy("label_lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label_lang", "pred_lang")
+
   // ---------------------------------------------------------------- quality
 
   /** The composite-score pieces, shared with Curation (same expression tree
@@ -344,6 +355,7 @@ object TextAnalysis extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
+    "text_lang_confusion" -> (langConfusion _),
     "text_quality"     -> (quality _),
     "text_token_count" -> (tokenCount _),
     "text_fingerprint" -> (fingerprint _),
@@ -389,6 +401,17 @@ object TextAnalysis extends QueryModule {
            |)
            |SELECT doc_id, label_lang, $caseChain AS pred_lang
            |FROM scored ORDER BY doc_id""".stripMargin,
+      "text_lang_confusion" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, lang AS label_lang,
+           |  $langScores
+           |  FROM documents
+           |), pred AS (
+           |  SELECT doc_id, label_lang, $caseChain AS pred_lang FROM scored
+           |)
+           |SELECT label_lang, pred_lang, COUNT(*) AS n
+           |FROM pred GROUP BY label_lang, pred_lang
+           |ORDER BY label_lang, pred_lang""".stripMargin,
       "text_quality" ->
         s"""SELECT doc_id,
            |  ROUND(LEAST(strlen(text)::DOUBLE / 400.0, 1.0), 6) AS len_score,

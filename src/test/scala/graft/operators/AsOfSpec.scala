@@ -68,6 +68,37 @@ class AsOfSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("forward as-of is the time-mirror of backward as-of (randomized)") {
+    // mirroring every timestamp t -> 2C - t reverses time order, so
+    // nearest-later must become nearest-earlier; dup-time tie-breaks are
+    // time-independent (max tieBreak) so they survive the mirror. Small
+    // key/time domains force collisions, dup timestamps, and no-match
+    // keys.
+    val rnd = new scala.util.Random(42)
+    val C = 1000L
+    def ts(v: Long) = ts0(v)
+    def ts0(v: Long) = new java.sql.Timestamp(v * 1000L)
+    val leftRows = (1 to 200).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(50).toLong))
+    val rightRows = (1 to 100).map(i =>
+      (1000L + i, (rnd.nextInt(6) + 1).toLong, rnd.nextInt(50).toLong, rnd.nextInt(100).toDouble))
+
+    val left = leftRows.map { case (id, k, t) => (id, k, ts(t)) }.toDF("event_id", "k", "ts")
+    val right = rightRows.map { case (id, k, t, v) => (id, k, ts(t), v) }.toDF("o_id", "k", "t", "v")
+    val leftM = leftRows.map { case (id, k, t) => (id, k, ts(2 * C - t)) }.toDF("event_id", "k", "ts")
+    val rightM = rightRows.map { case (id, k, t, v) => (id, k, ts(2 * C - t), v) }.toDF("o_id", "k", "t", "v")
+
+    def result(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Long]] =
+      df.select("event_id", "o_id").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+
+    val fwd = result(AsOf.joinLeftAsOfForward(left, right,
+      "k", "ts", "t", "event_id", "o_id", Seq("o_id", "v")))
+    val bwdMirror = result(AsOf.joinLeftAsOf(leftM, rightM,
+      "k", "ts", "t", "event_id", "o_id", Seq("o_id", "v")))
+    assert(fwd.size == 200 && fwd == bwdMirror)
+  }
+
   test("plan shuffles once on the key (no row explosion)") {
     val left = Seq((1L, 10L, ts("2024-01-01 00:00:04"))).toDF("event_id", "k", "ts")
     val right = Seq((100L, 10L, ts("2024-01-01 00:00:05"), 1.0)).toDF("o_id", "k", "t", "v")
