@@ -128,6 +128,59 @@ object SqlSurface extends QueryModule {
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
   }
 
+  /** TPC-H Q4 shape (order-priority checking): correlated EXISTS — orders in
+    * a quarter with at least one line shipped >30 days after the order date.
+    * Catalyst decorrelates the EXISTS into a left-semi hash join on
+    * l_orderkey; the correlated o_orderdate comparison rides along as a
+    * join-side predicate, so the plan is one shuffle, no per-row subquery.
+    */
+  def sqlQ4(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): EXISTS + NOT
+    * EXISTS against the same derived table — the only supplier late on a
+    * multi-supplier finished order. Lateness (shipped >60 days after the
+    * order date) is computed once in the CTE so both subqueries correlate
+    * purely on l_orderkey equality; Catalyst plans them as a left-semi and a
+    * left-anti hash join over one scan of the CTE (the corpus has no
+    * commit/receipt dates, so o_orderdate anchors the lateness clock).
+    */
+  def sqlQ21(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """WITH lateline AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lateline l1 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.is_late
+        |  AND EXISTS (SELECT 1 FROM lateline l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lateline l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.is_late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Window function through SQL text (top-3 per group via a ranked
     * subquery — the portable spelling, since neither engine has QUALIFY).
     * No arithmetic on the sort key: o_totalprice is compared raw, ties
@@ -191,6 +244,8 @@ object SqlSurface extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q18"           -> (sqlQ18 _),
+    "sql_q4"            -> (sqlQ4 _),
+    "sql_q21"           -> (sqlQ21 _),
     "sql_q12"           -> (sqlQ12 _),
     "sql_q14"           -> (sqlQ14 _),
     "sql_q7"            -> (sqlQ7 _),
@@ -202,6 +257,37 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "sql_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "sql_q21" ->
+      """WITH lateline AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lateline l1 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.is_late
+        |  AND EXISTS (SELECT 1 FROM lateline l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lateline l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.is_late)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
     "sql_q12" ->
       """SELECT l_linestatus,
         |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
