@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query at the given SF and prints
+  * ONE compact JSON line. The harness that records the result keeps only the
+  * last ~2000 chars of stdout (round-1 evidence: BENCH_r01.json captured a
+  * mid-line tail and parsed nothing), and sbt appends a "[success] Total
+  * time" epilogue after us — so the line is budgeted to always fit that
+  * window: full total over ALL queries, per-query breakdown trimmed to the
+  * slowest entries until the line is ≤ 1500 chars.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,10 +34,17 @@ object Bench {
       val t1 = once()
       name -> math.min(t1, once())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.2f"
+    def line(entries: Seq[(String, Double)]): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Slowest-first breakdown, dropped one-at-a-time until the line fits.
+    var shown = results.toSeq.sortBy(-_._2)
+    while (line(shown).length > 1500 && shown.nonEmpty) shown = shown.init
+    println(line(shown))
     spark.stop()
   }
 }
