@@ -18,6 +18,7 @@ object SparkEntry {
     _root_.graft.queries.Functions,
     _root_.graft.queries.EventTime,
     _root_.graft.queries.SqlSurface,
+    _root_.graft.queries.TpchSql,
     llm.TextAnalysis,
     llm.Dedup,
     llm.Similarity,
