@@ -28,6 +28,13 @@ object VectorExpressions {
   def minhash_signature(shingles: Column, params: Seq[(Long, Long)], p: Long): Column =
     VectorBridge.minhashSignature(shingles, params, p)
 
+  /** |A ∩ B| of two ascending-sorted distinct array<long> columns by
+    * allocation-free two-pointer merge; equals size(array_intersect(a,b))
+    * on that normal form (see SortedIntersectCount scaladoc).
+    */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    VectorBridge.sortedIntersectCount(a, b)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

@@ -80,7 +80,9 @@ object Dedup extends QueryModule {
         least(col("x.n"), col("y.n")).cast("double") / greatest(col("x.n"), col("y.n")) >= t)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    // both sides sorted-distinct → the native merge count ≡ array_intersect
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sa"), col("sb"))
     val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
@@ -146,11 +148,14 @@ object Dedup extends QueryModule {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    // sort once per doc (not per pair) so the native merge count applies
+    val sortedDocs = docs.select(col("doc_id"), sort_array(col("s")).as("s"))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sa"), col("sb"))
     val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(sortedDocs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sortedDocs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jacc", round(jacc, 6))
       .filter(col("jacc") >= 0.5)
       .select("doc_a", "doc_b", "jacc")
@@ -187,7 +192,8 @@ object Dedup extends QueryModule {
         col("y.n") >= ceil(col("x.n") * t))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val inter = size(array_intersect(col("sa"), col("sb")))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sa"), col("sb"))
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")

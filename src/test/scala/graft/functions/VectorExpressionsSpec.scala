@@ -78,6 +78,43 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(p.contains("graft_cosine"), p)
   }
 
+  test("sorted intersect count equals array_intersect on the shingle corpus") {
+    // real corpus shingle sets in normal form (sorted-distinct), all pairs
+    // within a language — non-foldable source so codegen actually runs
+    val d = graft.Tables.documents(spark, sf0001)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), sort_array(expr(
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
+          "i -> cast(conv(substring(md5(concat_ws(' ', slice(w, i, 3))), 1, 15), 16, 10) as bigint)))")).as("s"))
+      .limit(60)
+    val pairs = d.as("x").join(d.as("y"), col("x.lang") === col("y.lang"))
+      .select(
+        VectorExpressions.sorted_intersect_count(col("x.s"), col("y.s")).as("merge"),
+        size(array_intersect(col("x.s"), col("y.s"))).as("builtin"))
+    assert(pairs.count() > 0)
+    assert(pairs.filter(col("merge") =!= col("builtin")).count() === 0)
+  }
+
+  test("sorted intersect count: disjoint, subset, null, empty edges") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(LongType), nullable = true),
+      StructField("b", ArrayType(LongType), nullable = true)))
+    val df = spark.createDataFrame(java.util.List.of(
+      Row(Seq(1L, 5L, 9L), Seq(2L, 6L, 10L)),         // disjoint → 0
+      Row(Seq(2L, 6L), Seq(1L, 2L, 6L, 8L)),          // subset → 2
+      Row(Seq.empty[Long], Seq(1L, 2L)),              // empty → 0
+      Row(null, Seq(1L)),                             // null input → null
+    ), schema)
+    val out = df.select(
+      VectorExpressions.sorted_intersect_count(col("a"), col("b")).as("c")).collect()
+    assert(out(0).getInt(0) === 0)
+    assert(out(1).getInt(0) === 2)
+    assert(out(2).getInt(0) === 0)
+    assert(out(3).isNullAt(0))
+  }
+
   test("fused minhash signature equals the 16 HOF folds on the corpus") {
     val p = Hashing.MinhashP
     val shingles = graft.Tables.documents(spark, sf0001)
