@@ -28,6 +28,7 @@ object SparkEntry {
     llm.Relevance,
     _root_.graft.sources.Formats,
     _root_.graft.sources.Layout,
+    _root_.graft.sources.Maintenance,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

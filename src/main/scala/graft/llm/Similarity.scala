@@ -302,7 +302,29 @@ object Similarity extends QueryModule {
       .orderBy("vec_id")
   }
 
+  /** ANN quality evaluation — recall@3 of the IVF index against the exact
+    * brute-force ground truth, per query. The report every production ANN
+    * deployment runs before trusting an index (and re-runs as the corpus
+    * drifts): approximate search is only as good as its measured recall.
+    * Pure set-overlap counting on two already-oracle-checked result sets,
+    * so the metric itself is integer-exact at any scale. Zero-hit queries
+    * survive the left join (recall 0.0 rows are the interesting ones).
+    */
+  def simAnnRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact3 = simCosineTopk(spark, sfDir)
+      .filter(col("rn") <= 3).select(col("q_id"), col("cand_id"))
+    val ivf3 = simAnnIvf(spark, sfDir)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    exact3.join(ivf3, Seq("q_id", "cand_id"), "left")
+      .groupBy("q_id")
+      .agg(
+        count(col("hit")).as("n_hits"),
+        round(count(col("hit")) / lit(3.0), 4).as("recall"))
+      .orderBy("q_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_recall"  -> (simAnnRecall _),
     "emb_stats"       -> (embStats _),
     "emb_centroid"    -> (embCentroid _),
     "emb_kmeans"      -> (embKmeans _),
@@ -477,6 +499,41 @@ object Similarity extends QueryModule {
          |)
          |SELECT q_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin,
+    "sim_ann_recall" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= 3
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), assigned AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), ivf3 AS (
+         |  SELECT q_id, cand_id, 1 AS hit FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM assigned q JOIN assigned c
+         |      ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= 3
+         |)
+         |SELECT exact3.q_id, COUNT(ivf3.hit) AS n_hits,
+         |  ROUND(COUNT(ivf3.hit) / 3.0, 4) AS recall
+         |FROM exact3 LEFT JOIN ivf3
+         |  ON exact3.q_id = ivf3.q_id AND exact3.cand_id = ivf3.cand_id
+         |GROUP BY exact3.q_id
+         |ORDER BY exact3.q_id""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

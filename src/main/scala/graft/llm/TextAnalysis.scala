@@ -352,7 +352,63 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "rn")
   }
 
+  // ------------------------------------------------------------- unigram LM
+  /** Corpus-unigram-LM document scoring — the CCNet/Gopher-style perplexity
+    * proxy: score each document by the mean negative log-probability of its
+    * tokens under the corpus's own unigram distribution (templated/spammy
+    * docs full of ultra-common tokens score low, rare-token gibberish
+    * scores high; both tails get filtered). Shape at scale: one vocab
+    * groupBy (map-side combinable), a 1-row total broadcast, one
+    * token→logprob equi-join (broadcast while the vocab fits, plain
+    * shuffle join past that), one doc-level groupBy. Cross-engine
+    * exactness: each per-token ln is rounded onto the 6dp decimal grid
+    * BEFORE the per-doc sum, so the sum is order-independent — the one
+    * float op both engines must agree on is ln itself on identical
+    * doubles (the same contract text_entropy already pins).
+    */
+  private def lmScores(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(words(col("text"))).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("tot"))
+    val logp = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        round(log(col("cnt") / col("tot")), 6).cast("decimal(12,6)").as("logp"))
+    toks.join(logp, "w")
+      .groupBy("doc_id", "lang")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(-col("slp").cast("double") / col("n_tokens"), 6).as("nll"))
+  }
+
+  def unigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    lmScores(spark, sfDir).select("doc_id", "n_tokens", "nll").orderBy("doc_id")
+
+  /** CCNet-style head/middle/tail quality bucketing: tercile of the
+    * unigram-LM score within each language (per-language because token
+    * distributions aren't comparable across languages), reported as bucket
+    * profiles. The ntile runs on the ROUNDED score with doc_id tiebreak, so
+    * bucket assignment is engine-independent.
+    */
+  def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    lmScores(spark, sfDir)
+      .withColumn("bucket", ntile(3).over(byLang))
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("nll")).as("nll_lo"),
+        max(col("nll")).as("nll_hi"))
+      .orderBy("lang", "bucket")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_lm"  -> (unigramLm _),
+    "text_quality_buckets" -> (qualityBuckets _),
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
     "text_lang_confusion" -> (langConfusion _),
@@ -384,7 +440,36 @@ object TextAnalysis extends QueryModule {
       }.mkString(" AND ")
       s"CASE WHEN score_$lang > 0 AND $beats THEN '$lang' ELSE $elseExpr END"
     }
+    val duckLmPerDoc =
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+        |), vocab AS (
+        |  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+        |), total AS (
+        |  SELECT COUNT(*)::DOUBLE AS tot FROM toks
+        |), logp AS (
+        |  SELECT w, CAST(ROUND(ln(cnt / tot), 6) AS DECIMAL(12,6)) AS logp
+        |  FROM vocab CROSS JOIN total
+        |), per_doc AS (
+        |  SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+        |    ROUND(-CAST(SUM(l.logp) AS DOUBLE) / COUNT(*), 6) AS nll
+        |  FROM toks t JOIN logp l ON t.w = l.w
+        |  GROUP BY t.doc_id, t.lang
+        |)""".stripMargin
     Map(
+      "text_unigram_lm" ->
+        s"""$duckLmPerDoc
+           |SELECT doc_id, n_tokens, nll FROM per_doc ORDER BY doc_id""".stripMargin,
+      "text_quality_buckets" ->
+        s"""$duckLmPerDoc, b AS (
+           |  SELECT lang, nll,
+           |    CAST(ntile(3) OVER (PARTITION BY lang ORDER BY nll, doc_id) AS INTEGER) AS bucket
+           |  FROM per_doc
+           |)
+           |SELECT lang, bucket, COUNT(*) AS n_docs,
+           |  MIN(nll) AS nll_lo, MAX(nll) AS nll_hi
+           |FROM b GROUP BY lang, bucket
+           |ORDER BY lang, bucket""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,

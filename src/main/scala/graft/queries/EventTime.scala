@@ -205,7 +205,55 @@ object EventTime extends QueryModule {
       .orderBy("event_type", "decile")
   }
 
+  /** Daily-count anomaly days per event type — the monitoring query behind
+    * every ingest-volume alert. A day is anomalous when |count − μ| > 2σ
+    * over that type's daily history, evaluated in EXACT integer arithmetic:
+    * (n·x − S)² > 4·(n·Q − S²) with S = Σcounts, Q = Σcounts² — the
+    * cross-multiplied z-score needs no float mean/stddev, so the flag set
+    * is bit-stable across engines, partitionings, and merge orders (a
+    * float σ computed in different reduction orders can flip a borderline
+    * day). Counts are BIGINT-safe far past this corpus; at true 100 TB
+    * cast the power sums to DECIMAL(38,0). Two narrow shuffles: one
+    * groupBy (type, day), one per-type window over the tiny daily series.
+    */
+  def evtZscoreAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("s", sum(col("cnt")).over(byType))
+      .withColumn("q", sum(col("cnt") * col("cnt")).over(byType))
+      .withColumn("dev", col("n") * col("cnt") - col("s"))
+      .filter(col("dev") * col("dev") > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+      .select(
+        col("event_type"), col("day"), col("cnt"),
+        when(col("dev") > 0, lit("high")).otherwise(lit("low")).as("side"))
+      .orderBy("event_type", "day")
+  }
+
+  /** SCD type-2 dimension build from a change stream: each event opens a
+    * validity interval [ts, next-event ts) per user, the open row flagged
+    * current — the standard warehouse pattern for "attribute history with
+    * time travel". One lead() window per user (single shuffle + sort);
+    * interval end is exclusive so snapshots join with
+    * `valid_from <= t < valid_to`.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("value"), col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_zscore_anomaly" -> (evtZscoreAnomaly _),
+    "scd2_intervals" -> (scd2Intervals _),
     "evt_histogram_eqdepth" -> (evtHistogramEqdepth _),
     "evt_dwell"     -> (evtDwell _),
     "evt_transitions" -> (evtTransitions _),
@@ -220,6 +268,29 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_zscore_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), stats AS (
+        |  SELECT event_type, day, cnt,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+        |    CAST(SUM(cnt * cnt) OVER (PARTITION BY event_type) AS BIGINT) AS q
+        |  FROM daily
+        |)
+        |SELECT event_type, day, cnt,
+        |  CASE WHEN n * cnt - s > 0 THEN 'high' ELSE 'low' END AS side
+        |FROM stats
+        |WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
+        |ORDER BY event_type, day""".stripMargin,
+    "scd2_intervals" ->
+      """SELECT user_id, event_id, "value", ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  (lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "evt_histogram_eqdepth" ->
       """WITH t AS (
         |  SELECT event_type, "value",

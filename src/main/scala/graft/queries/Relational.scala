@@ -178,6 +178,47 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** J7 nearest variant: for each event, the temporally CLOSEST order of
+    * the same customer in either direction (sensor-fusion / record-linkage
+    * semantics — "which order does this event belong to"). Composed from
+    * the backward and forward as-of passes (each one shuffle), then a 1:1
+    * join on the event id picks the smaller gap; ties and one-sided misses
+    * resolve backward. Gaps compare in exact integer microseconds.
+    */
+  def joinAsofNearest(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumnRenamed("user_id", "k")
+    val o = Tables.orders(spark, sfDir)
+      .withColumnRenamed("o_custkey", "k")
+    val payload = Seq("o_orderkey", "o_orderdate")
+    val bwd = graft.operators.AsOf.joinLeftAsOf(
+        e, o, "k", "ts", "o_orderdate", "event_id", "o_orderkey", payload)
+      .select(col("event_id"), col("k"), col("ts"),
+        col("o_orderkey").as("b_key"), col("o_orderdate").as("b_t"))
+    val fwd = graft.operators.AsOf.joinLeftAsOfForward(
+        e, o, "k", "ts", "o_orderdate", "event_id", "o_orderkey", payload)
+      .select(col("event_id"),
+        col("o_orderkey").as("f_key"), col("o_orderdate").as("f_t"))
+    // payload timestamps arrive as TIMESTAMP_NTZ from the parquet schema;
+    // unix_micros needs TIMESTAMP (identical wall-clock under the UTC
+    // session the engine pins)
+    val bGap = unix_micros(col("ts")) - unix_micros(col("b_t").cast("timestamp"))
+    val fGap = unix_micros(col("f_t").cast("timestamp")) - unix_micros(col("ts"))
+    bwd.join(fwd, "event_id")
+      .select(
+        col("event_id"),
+        col("k").as("user_id"),
+        when(col("b_key").isNull, col("f_key"))
+          .when(col("f_key").isNull, col("b_key"))
+          .when(fGap < bGap, col("f_key"))
+          .otherwise(col("b_key")).as("o_orderkey"),
+        when(col("b_key").isNull, fGap)
+          .when(col("f_key").isNull, bGap)
+          .when(fGap < bGap, fGap)
+          .otherwise(bGap).as("gap_us"))
+      .orderBy("event_id")
+  }
+
   /** J7 forward variant: for each event, the EARLIEST order of the same
     * customer with o_orderdate >= ts (the "next purchase after activity"
     * attribution lookup). Same single-shuffle union+window shape as
@@ -735,6 +776,7 @@ object Relational extends QueryModule {
     "join_range_band" -> (joinRangeBand _),
     "join_cross"     -> (joinCross _),
     "join_asof"      -> (joinAsof _),
+    "join_asof_nearest" -> (joinAsofNearest _),
     "join_asof_fwd"  -> (joinAsofFwd _),
     "join_interval_bucket" -> (joinIntervalBucket _),
     "agg_sum_q1"     -> (aggSumQ1 _),
@@ -853,6 +895,32 @@ object Relational extends QueryModule {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), b AS (
+        |  SELECT e.event_id, e.user_id, e.ts,
+        |    o1.o_orderkey AS b_key, o1.o_orderdate AS b_t
+        |  FROM events e
+        |  ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts >= o1.o_orderdate
+        |), f AS (
+        |  SELECT e.event_id, o1.o_orderkey AS f_key, o1.o_orderdate AS f_t
+        |  FROM events e
+        |  ASOF LEFT JOIN o1 ON e.user_id = o1.o_custkey AND e.ts <= o1.o_orderdate
+        |)
+        |SELECT b.event_id, b.user_id,
+        |  CASE WHEN b_key IS NULL THEN f_key
+        |       WHEN f_key IS NULL THEN b_key
+        |       WHEN (epoch_us(f_t) - epoch_us(ts)) < (epoch_us(ts) - epoch_us(b_t)) THEN f_key
+        |       ELSE b_key END AS o_orderkey,
+        |  CASE WHEN b_key IS NULL THEN epoch_us(f_t) - epoch_us(ts)
+        |       WHEN f_key IS NULL THEN epoch_us(ts) - epoch_us(b_t)
+        |       WHEN (epoch_us(f_t) - epoch_us(ts)) < (epoch_us(ts) - epoch_us(b_t))
+        |         THEN epoch_us(f_t) - epoch_us(ts)
+        |       ELSE epoch_us(ts) - epoch_us(b_t) END AS gap_us
+        |FROM b JOIN f ON b.event_id = f.event_id
+        |ORDER BY b.event_id""".stripMargin,
     "join_asof_fwd" ->
       """WITH o1 AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

@@ -168,7 +168,35 @@ object Windows extends QueryModule {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** Exponentially-decayed engagement score: 8-term truncated EWMA of each
+    * user's event values, newest term weight 1, each older event halving —
+    * the streaming-profile feature ("recent activity, recency-weighted")
+    * computed in batch. A true infinite EWMA is a sequential recurrence
+    * Spark can't window; the 8-term truncation (residual weight < 0.4%) is
+    * eight lag() reads over ONE shuffle+sort per user. Exactness: values
+    * snap onto their 2dp decimal grid, the 2⁻ʲ weights are exact 7dp
+    * decimals, so every term — and the sum — is an exact 9dp decimal in
+    * both engines, with no float rounding anywhere. (A double formulation
+    * fails subtly: the exact sums routinely end in …5 at the 7th decimal,
+    * where Spark's shortest-repr ROUND and DuckDB's scale-multiply ROUND
+    * disagree by one ulp.)
+    */
+  def winEwma(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val terms = (0 until 8).map { j =>
+      coalesce(lag(col("value"), j).over(byUser), lit(0.0)).cast("decimal(12,2)") *
+        expr(s"CAST(${math.pow(0.5, j)} AS DECIMAL(8,7))")
+    }
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("ewma", terms.reduceLeft(_ + _).cast("double"))
+      .select("event_id", "user_id", "ewma")
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma"        -> (winEwma _),
     "win_cdf"          -> (winCdf _),
     "win_rank"        -> (winRank _),
     "win_lag_lead"    -> (winLagLead _),
@@ -182,7 +210,17 @@ object Windows extends QueryModule {
     "sort_multi"      -> (sortMulti _),
   )
 
+  private val duckEwmaTerms = (0 until 8).map { j =>
+    val w = math.pow(0.5, j) // exact binary fraction, exact 7dp decimal literal
+    s"""CAST(COALESCE(lag("value", $j) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0) AS DECIMAL(12,2)) * CAST($w AS DECIMAL(8,7))"""
+  }.mkString(" + ")
+
   override def oracles: Map[String, String] = Map(
+    "win_ewma" ->
+      s"""SELECT event_id, user_id,
+         |  CAST($duckEwmaTerms AS DOUBLE) AS ewma
+         |FROM events
+         |ORDER BY event_id""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
