@@ -63,8 +63,17 @@ object Dedup extends QueryModule {
     * cheap size-ratio test (J ≥ t ⇒ min/max ≥ t) before exact verification.
     * All stages are equi-joins/groupBys — shuffle-partitionable at 100 TB.
     */
-  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = 0.8
+  def dedupNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(spark, sfDir, t = 0.8)
+      .select("doc_a", "doc_b", "jacc")
+      .orderBy("doc_a", "doc_b")
+
+  /** The PPJoin pipeline above, parameterized by threshold — (doc_a, doc_b,
+    * jacc, lang) rows for every within-language pair with J ≥ t. Lower t
+    * widens the explored prefix ((1−t)·n tokens per doc), so cost rises as
+    * t falls; exact at every t.
+    */
+  private[llm] def jaccardPairs(spark: SparkSession, sfDir: String, t: Double): DataFrame = {
     // One pinned exchange over the shingled table → ReuseExchange runs the
     // md5 shingling once for the two probe sides + two verify joins.
     val d = Tables.documents(spark, sfDir)
@@ -78,7 +87,8 @@ object Dedup extends QueryModule {
         col("x.lang") === col("y.lang") && col("x.tok") === col("y.tok") &&
         col("x.doc_id") < col("y.doc_id") &&
         least(col("x.n"), col("y.n")).cast("double") / greatest(col("x.n"), col("y.n")) >= t)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.lang").as("lang"))
       .distinct()
     // both sides sorted-distinct → the native merge count ≡ array_intersect
     val inter = graft.functions.VectorExpressions
@@ -89,8 +99,7 @@ object Dedup extends QueryModule {
       .join(d.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
       .withColumn("jacc", round(jacc, 6))
       .filter(col("jacc") >= t)
-      .select("doc_a", "doc_b", "jacc")
-      .orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jacc", "lang")
   }
 
   // ------------------------------------------------------------ MinHash/LSH
@@ -160,6 +169,28 @@ object Dedup extends QueryModule {
       .filter(col("jacc") >= 0.5)
       .select("doc_a", "doc_b", "jacc")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** LSH recall report — the measurement that justifies trusting MinHash
+    * banding at scale: exact all-pairs Jaccard ≥ 0.5 ground truth (PPJoin
+    * at t = 0.5, still prefix-filtered) LEFT JOIN the LSH pipeline's
+    * verified output, recall per language. With 4 bands × 4 rows,
+    * P(candidate | J=s) = 1−(1−s⁴)⁴ — borderline pairs (J ≈ 0.5) are
+    * where recall visibly drops below 1, which is exactly what this
+    * report exists to show. Integer-exact counting; the division happens
+    * on identical longs.
+    */
+  def dedupLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = jaccardPairs(spark, sfDir, t = 0.5)
+    val found = dedupMinhash(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_true"),
+        count(col("hit")).as("n_found"),
+        round(count(col("hit")) / count(lit(1)), 4).as("recall"))
+      .orderBy("lang")
   }
 
   /** U2e: asymmetric CONTAINMENT near-dup — doc_a's shingle set ⊆-ish
@@ -315,6 +346,7 @@ object Dedup extends QueryModule {
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_lsh_recall"    -> (dedupLshRecall _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -393,6 +425,41 @@ object Dedup extends QueryModule {
            |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
            |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_lsh_recall" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+           |), truth AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang
+           |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |), sh AS (
+           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+           |), perms(i, pa, pb) AS (VALUES $permValues),
+           |sig AS (
+           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+           |), bands AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+           |  FROM sig GROUP BY doc_id, i // 4
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |), found AS (
+           |  SELECT doc_a, doc_b, 1 AS hit
+           |  FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |)
+           |SELECT truth.lang, COUNT(*) AS n_true, COUNT(found.hit) AS n_found,
+           |  ROUND(COUNT(found.hit)::DOUBLE / COUNT(*), 4) AS recall
+           |FROM truth LEFT JOIN found
+           |  ON truth.doc_a = found.doc_a AND truth.doc_b = found.doc_b
+           |GROUP BY truth.lang
+           |ORDER BY truth.lang""".stripMargin,
       "dedup_simhash" ->
         s"""WITH wh AS (
            |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h

@@ -103,6 +103,33 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Temperature-scaled mixture (α = 0.5): per-source keep rate
+    * ∝ n_s^α / n_s = 1/√n_s, normalized so the SMALLEST source keeps 100% —
+    * the standard flattening that keeps big web crawls from drowning small
+    * high-quality sources while still respecting their ordering. The rate
+    * is data-derived (one tiny groupBy + a broadcast 1-row min — no
+    * driver collect), rounded onto its 6dp grid so both engines gate on
+    * the identical double; docs pass a millionth-granularity hash gate
+    * (same determinism contract as every sampler here: membership is a
+    * per-row expression, reproducible across reruns and cluster sizes).
+    */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_s"))
+    val minN = counts.agg(min(col("n_s")).as("min_n"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("rate", round(sqrt(col("min_n") / col("n_s")), 6))
+    val gate = pmod(Hashing.hash60(col("doc_id").cast("string")), lit(1000000L))
+      .cast("double") / lit(1000000.0)
+    Tables.documents(spark, sfDir)
+      .join(broadcast(rates.select("source", "rate")), "source")
+      .groupBy("source", "rate")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(gate < col("rate"), lit(1))).as("n_kept"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   val PackBudget = 2048
@@ -136,6 +163,7 @@ object Sampling extends QueryModule {
     "sample_stratified" -> (sampleStratified _),
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
+    "mix_temperature" -> (mixTemperature _),
     "pack_sequences"  -> (packSequences _),
   )
 
@@ -177,6 +205,21 @@ object Sampling extends QueryModule {
            |SELECT source, rate_pct, COUNT(*) AS n_total,
            |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept
            |FROM d GROUP BY source, rate_pct ORDER BY source""".stripMargin,
+      "mix_temperature" ->
+        s"""WITH counts AS (
+           |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+           |), rates AS (
+           |  SELECT source, n_s,
+           |    ROUND(sqrt((SELECT MIN(n_s) FROM counts) / n_s), 6) AS rate
+           |  FROM counts
+           |)
+           |SELECT d.source, r.rate, COUNT(*) AS n_total,
+           |  COUNT(CASE WHEN
+           |    CAST(${Hashing.duckHash60("CAST(d.doc_id AS VARCHAR)")} % 1000000 AS DOUBLE)
+           |      / 1000000.0 < r.rate THEN 1 END) AS n_kept
+           |FROM documents d JOIN rates r ON d.source = r.source
+           |GROUP BY d.source, r.rate
+           |ORDER BY d.source""".stripMargin,
       "pack_sequences" ->
         s"""WITH t AS (
            |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks

@@ -282,6 +282,46 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Interval-INTERVAL overlap join (the two-sided generalization of the
+    * point-in-interval bucketing above): order-validity windows [start,
+    * start+30d) × per-(user, week) activity spans [first event, last
+    * event]. Both sides explode to their ≤2 covering 30-day grid cells —
+    * any overlap point's cell is covered by BOTH intervals, so the
+    * (key, cell) equi-join loses no pairs — then the exact overlap
+    * predicate filters and a distinct collapses pairs that met in two
+    * cells. Same scale profile as a hash join: shuffles carry ≤2× each
+    * side, never a per-key nested loop.
+    */
+  def joinIntervalOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val W = 30 // order-window and grid width, days
+    val epoch = to_date(lit("1970-01-01"))
+    val act = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .agg(
+        datediff(min(to_date(col("ts"))), epoch).as("bs"),
+        datediff(max(to_date(col("ts"))), epoch).as("be"))
+      .withColumn("cell",
+        explode(array_distinct(array(floor(col("bs") / W), floor(col("be") / W)))))
+    val oBase = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("user_id"),
+        datediff(to_date(col("o_orderdate")), epoch).as("sday"))
+    val o = oBase.withColumn("cell",
+      explode(array_distinct(array(
+        floor(col("sday") / W),
+        floor((col("sday") + W - 1) / W)))))
+    val pairs = o.join(act, Seq("user_id", "cell"))
+      .filter(col("sday") <= col("be") && col("bs") < col("sday") + W)
+      .select("o_orderkey", "week")
+      .distinct()
+    val cnt = pairs.groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_overlap_weeks"))
+    oBase.select("o_orderkey", "user_id")
+      .join(cnt, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"), col("user_id"),
+        coalesce(col("n_overlap_weeks"), lit(0L)).as("n_overlap_weeks"))
+      .orderBy("o_orderkey")
+  }
+
   /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
     * each other instead of vanishing — the semantics dimension tables with
     * an "unknown" bucket need. Keys here are derived with a deterministic
@@ -777,6 +817,7 @@ object Relational extends QueryModule {
     "join_cross"     -> (joinCross _),
     "join_asof"      -> (joinAsof _),
     "join_asof_nearest" -> (joinAsofNearest _),
+    "join_interval_overlap" -> (joinIntervalOverlap _),
     "join_asof_fwd"  -> (joinAsofFwd _),
     "join_interval_bucket" -> (joinIntervalBucket _),
     "agg_sum_q1"     -> (aggSumQ1 _),
@@ -933,6 +974,22 @@ object Relational extends QueryModule {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts <= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "join_interval_overlap" ->
+      """WITH act AS (
+        |  SELECT user_id, date_trunc('week', ts) AS week,
+        |    date_diff('day', DATE '1970-01-01', CAST(min(ts) AS DATE)) AS bs,
+        |    date_diff('day', DATE '1970-01-01', CAST(max(ts) AS DATE)) AS be
+        |  FROM events GROUP BY user_id, date_trunc('week', ts)
+        |), o AS (
+        |  SELECT o_orderkey, o_custkey AS user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS sday
+        |  FROM orders
+        |)
+        |SELECT o.o_orderkey, o.user_id, COUNT(act.week) AS n_overlap_weeks
+        |FROM o LEFT JOIN act
+        |  ON o.user_id = act.user_id AND o.sday <= act.be AND act.bs < o.sday + 30
+        |GROUP BY o.o_orderkey, o.user_id
+        |ORDER BY o.o_orderkey""".stripMargin,
     "join_interval_bucket" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_cover,
