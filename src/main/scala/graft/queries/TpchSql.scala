@@ -30,11 +30,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `bal·count > sum` decimal comparison — a float average differs in its
   * last bits between engines' summation orders, a decimal product can't.
   * Scale notes: Q1/Q6 are single-scan partial aggs (map-side combine, no
-  * join); Q2/Q17's correlated scalar subqueries decorrelate into one
+  * join); Q17's correlated scalar subquery decorrelates into one
   * re-aggregated join per Catalyst's RewriteCorrelatedScalarSubquery — no
-  * per-row subquery at any scale; Q11/Q15/Q22's uncorrelated scalars are
-  * one-row broadcasts; dimension joins (part/supplier/nation/region)
-  * broadcast under the 10 MB default at every SF.
+  * per-row subquery at any scale; Q2 and Q11 are written in the
+  * single-scan window form (per-part MIN / grand-total SUM OVER) instead
+  * of the textbook correlated/scalar-subquery form, which plans the same
+  * expensive join TWICE — the window form halved their measured cost;
+  * Q15/Q22's uncorrelated scalars are one-row broadcasts; dimension joins
+  * (part/supplier/nation/region) broadcast under the 10 MB default at
+  * every SF.
   */
 object TpchSql extends QueryModule {
 
@@ -65,27 +69,28 @@ object TpchSql extends QueryModule {
 
   /** Q2 min-cost supplier: the corpus has no partsupp, so the offer book is
     * derived — per (part, supplier) minimum unit price seen in lineitem.
-    * The correlated MIN compares raw doubles: both engines compute the same
-    * IEEE division on the same rows, so the minima are bit-identical.
+    * The per-part MIN is a window over one scan (not the textbook
+    * correlated subquery, which would build the Europe offer book twice)
+    * and compares raw doubles: both engines compute the same IEEE division
+    * on the same rows, so the minima are bit-identical.
     */
   private val q2 =
     """WITH offers AS (
       |  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
       |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |), eu AS (
+      |  SELECT l_partkey, unit_cost, s_acctbal, s_name, n_name,
+      |    MIN(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      |  FROM offers
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
       |)
       |SELECT ROUND(s_acctbal, 2) AS s_bal, s_name, n_name, p_partkey, ROUND(unit_cost, 2) AS cost
-      |FROM part
-      |JOIN offers ON p_partkey = l_partkey
-      |JOIN supplier ON s_suppkey = l_suppkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |JOIN region ON n_regionkey = r_regionkey
-      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
-      |  AND unit_cost = (SELECT MIN(o2.unit_cost)
-      |                   FROM offers o2
-      |                   JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
-      |                   JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
-      |                   JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
-      |                   WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+      |FROM part JOIN eu ON p_partkey = l_partkey
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      |  AND unit_cost = min_cost
       |ORDER BY s_bal DESC, n_name, s_name, p_partkey
       |LIMIT 100""".stripMargin
 
@@ -161,28 +166,37 @@ object TpchSql extends QueryModule {
       |LIMIT 20""".stripMargin
 
   /** Q11 important stock: parts whose shipped value from ASIA's suppliers
-    * exceeds 0.1% of the region total (region, not single nation — a lone
-    * nation can have zero suppliers on the smoke corpus). The threshold
-    * comparison is cross-multiplied (value·1000 > total) so both sides stay
-    * exact decimals — multiplying by literal 0.001 would push Spark past
-    * DECIMAL(38) and silently round the threshold.
+    * exceeds 2× the mean per-part value. Scale-invariant where the official
+    * fixed fraction is not (TPC-H divides its 0.01% by SF for the same
+    * reason — a fixed share empties as the part count grows; this corpus
+    * proved it: 0.1% matched 52 parts at sf0.01 and zero at sf0.1). The
+    * total is SUM OVER () on the already-grouped per-part values — one
+    * scan of the join instead of the textbook scalar subquery's two — and
+    * the threshold compares in exact integer MICROS (the 6dp sums are
+    * exact decimal-grid multiples, so ×10⁶ is an exact BIGINT):
+    * s·n > 2·total avoids both float drift and decimal-width overflow.
+    * Headroom: |products| < 2e18 here; a 100 TB corpus upgrades the
+    * comparison to DECIMAL(38,0).
     */
   private val q11 =
-    """SELECT l_partkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS value
-      |FROM lineitem
-      |JOIN supplier ON l_suppkey = s_suppkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |JOIN region ON n_regionkey = r_regionkey
-      |WHERE r_name = 'ASIA'
-      |GROUP BY l_partkey
-      |HAVING SUM(CAST(l_extendedprice AS DECIMAL(30,6))) * 1000 >
-      |  (SELECT SUM(CAST(l_extendedprice AS DECIMAL(30,6)))
-      |   FROM lineitem
-      |   JOIN supplier ON l_suppkey = s_suppkey
-      |   JOIN nation ON s_nationkey = n_nationkey
-      |   JOIN region ON n_regionkey = r_regionkey
-      |   WHERE r_name = 'ASIA')
+    """WITH v AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS s
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY l_partkey
+      |), m AS (
+      |  SELECT l_partkey, s,
+      |    CAST(s * 1000000 AS BIGINT) AS sm,
+      |    CAST(SUM(CAST(s * 1000000 AS BIGINT)) OVER () AS BIGINT) AS tot,
+      |    COUNT(*) OVER () AS cnt
+      |  FROM v
+      |)
+      |SELECT l_partkey, CAST(s AS DOUBLE) AS value
+      |FROM m
+      |WHERE sm * cnt > 2 * tot
       |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** Q13 customer order-count distribution: left join preserving

@@ -59,6 +59,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p)
   }
 
+  test("interval-interval overlap join stays an equi-join, not a nested loop") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("win_ewma's eight lag terms share one window pass and one exchange") {
+    // all 8 lag() reads use the identical (user_id | ts, event_id) spec —
+    // they must collapse into a single Window node over a single hash
+    // exchange (the only other exchange is the presentation orderBy)
+    val p = plan("win_ewma")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) <= 2, p)
+  }
+
+  test("compaction planner: cumsum window and bin groupBy share one exchange") {
+    // window partitions by source; the (source, bin) groupBy is coarser-
+    // compatible (source ⊆ keys), so no second hash exchange may appear
+    val p = plan("maint_compaction_bins")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("no accidental cartesian products anywhere in the query surface") {
     SparkEntry.queries.keys.foreach { name =>
       val p = plan(name)
