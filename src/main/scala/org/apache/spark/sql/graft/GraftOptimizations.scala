@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType, LongType}
 
 /** Catalyst optimizer rule: band bounded edit-distance comparisons.
   *
@@ -51,8 +51,42 @@ object BandLevenshteinRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: `size(array_intersect(a, b))` → native
+  * two-pointer merge count when both inputs are SYNTACTICALLY in the
+  * sorted-distinct normal form `sort_array(array_distinct(…))` over
+  * non-null long elements. `array_intersect` builds a per-row hash set and
+  * materializes the matched elements as an array nobody reads when only
+  * the SIZE survives; the merge count (SortedIntersectCount) is
+  * allocation-free and fuses into whole-stage codegen — the verify kernel
+  * of every set-similarity join, made available to plain SQL/DataFrame
+  * users mechanically.
+  *
+  * Soundness gates: the rewrite fires only when (a) both children are the
+  * literal sort_array(array_distinct(…), asc) shape — sortedness proven by
+  * construction, not assumed; (b) elements are LongType with
+  * containsNull = false — a null element makes the builtin count it as a
+  * value while the merge kernel degrades to null.
+  */
+object MergeIntersectCountRule extends Rule[LogicalPlan] {
+
+  private def sortedDistinctNonNullLongs(e: Expression): Boolean = e match {
+    case SortArray(inner @ ArrayDistinct(_), Literal(true, BooleanType)) =>
+      inner.dataType match {
+        case ArrayType(LongType, false) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case Size(ArrayIntersect(a, b), _)
+        if sortedDistinctNonNullLongs(a) && sortedDistinctNonNullLongs(b) =>
+      SortedIntersectCount(a, b)
+  }
+}
+
 object GraftOptimizations {
-  val rules: Seq[Rule[LogicalPlan]] = Seq(BandLevenshteinRule)
+  val rules: Seq[Rule[LogicalPlan]] = Seq(BandLevenshteinRule, MergeIntersectCountRule)
 
   /** Register on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {

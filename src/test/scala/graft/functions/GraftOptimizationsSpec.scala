@@ -39,6 +39,36 @@ class GraftOptimizationsSpec extends SparkSpec {
     }
   }
 
+  test("size(array_intersect) on sorted-distinct longs rewrites to the merge count") {
+    // parquet-backed long arrays in the provable normal form; sequence()
+    // yields containsNull=false elements so the soundness gate passes
+    val df = fixture.selectExpr(
+      "c_custkey",
+      "sort_array(array_distinct(sequence(c_custkey % 7, c_custkey % 7 + 9))) AS a",
+      "sort_array(array_distinct(sequence(c_custkey % 11, c_custkey % 11 + 6))) AS b")
+    def counts(q: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      q.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val builtin = counts(df.selectExpr("c_custkey", "size(array_intersect(a, b)) AS c"))
+    assert(builtin.values.exists(_ > 0))
+
+    GraftOptimizations.install(spark)
+    try {
+      val q = df.selectExpr("c_custkey", "size(array_intersect(a, b)) AS c")
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_intersect_count"),
+        s"expected merge-count rewrite in:\n$optimized")
+      assert(counts(q) === builtin)
+
+      // unproven sortedness (plain array construction) must NOT rewrite
+      val bare = df.selectExpr(
+        "size(array_intersect(array(c_custkey % 7, c_custkey % 7 + 1), a)) AS c")
+      assert(!bare.queryExecution.optimizedPlan.toString.contains("graft_intersect_count"))
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(GraftOptimizations.rules.contains)
+    }
+  }
+
   test("install is idempotent") {
     GraftOptimizations.install(spark)
     GraftOptimizations.install(spark)
