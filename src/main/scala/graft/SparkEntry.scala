@@ -19,6 +19,7 @@ object SparkEntry {
     _root_.graft.queries.EventTime,
     _root_.graft.queries.SqlSurface,
     _root_.graft.queries.TpchSql,
+    _root_.graft.queries.Sketches,
     llm.TextAnalysis,
     llm.Dedup,
     llm.Similarity,

@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic streaming sketches with EXACT oracles — normally sketch
+  * output is "approximate, rows-only", but with frozen md5-derived hash
+  * functions (graft.functions.Hashing — bit-identical in Spark and DuckDB)
+  * the sketch state itself is a pure function of the data, so the oracle
+  * can rebuild the identical counters/bits and the gate hash-checks both
+  * the estimates AND their error behavior.
+  *
+  * Scale design (the reason sketches exist at 100 TB): both sketches build
+  * with one explode(d)/explode(k) + groupBy over FIXED-size state (256
+  * counters / 16 words) — map-side combinable, mergeable across
+  * partitions, days, or clusters by cell-wise sum / word-wise OR, with
+  * estimate error bounds independent of corpus size (CMS overestimate
+  * ≤ εN with ε = e/width; Bloom false-positive rate (1−e^(−kn/m))^k).
+  */
+object Sketches extends QueryModule {
+
+  val CmsDepth = 4
+  val CmsWidth = 64
+  val BloomBits = 1024
+  val BloomHashes = 3
+  val BloomWords: Int = BloomBits / 32
+
+  /** Count-Min sketch over the lineitem part-key stream, probed for parts
+    * 1..10: estimate = min over the d rows of the hashed-cell counter,
+    * reported against the true count (est ≥ true always — CMS never
+    * underestimates; the gap rows are the hash-collision evidence).
+    */
+  def sketchCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val cells = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("i"),
+        pmod(Hashing.hash60(concat_ws(":", lit(i), col("l_partkey"))), lit(CmsWidth)).as("cell"))
+    }
+    val cms = Tables.lineitem(spark, sfDir)
+      .select(explode(array(cells: _*)).as("h"))
+      .groupBy(col("h.i").as("i"), col("h.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val probes = spark.range(1, 11).select(col("id").as("probe_key"))
+      .select(col("probe_key"), explode(array((0 until CmsDepth).map { i =>
+        struct(lit(i).as("i"),
+          pmod(Hashing.hash60(concat_ws(":", lit(i), col("probe_key"))), lit(CmsWidth)).as("cell"))
+      }: _*)).as("h"))
+      .select(col("probe_key"), col("h.i").as("i"), col("h.cell").as("cell"))
+    val truth = Tables.lineitem(spark, sfDir)
+      .filter(col("l_partkey").between(1, 10))
+      .groupBy(col("l_partkey").as("probe_key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    probes.join(cms, Seq("i", "cell"), "left")
+      .groupBy("probe_key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+      .join(truth, Seq("probe_key"), "left")
+      .select(
+        col("probe_key"),
+        coalesce(col("true_cnt"), lit(0L)).as("true_cnt"),
+        col("est_cnt"),
+        (col("est_cnt") >= coalesce(col("true_cnt"), lit(0L))).as("never_under"))
+      .orderBy("probe_key")
+  }
+
+  /** Bloom filter over the customer key set (32×32-bit words via bit_or —
+    * 32-bit words because a 1<<63 mask overflows DuckDB's signed shift
+    * check; same filter, different packing),
+    * probed with 10 present keys and 10 absent ones: claimed membership =
+    * all k bits set. No false negatives by construction; any
+    * claimed ∧ ¬actual row is a measured false positive.
+    */
+  def sketchBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    def bitCells(key: org.apache.spark.sql.Column) =
+      (0 until BloomHashes).map { i =>
+        pmod(Hashing.hash60(concat_ws(":", lit(i), key)), lit(BloomBits))
+      }
+    val custBits = Tables.customer(spark, sfDir)
+      .select(explode(array(bitCells(col("c_custkey")): _*)).as("bit"))
+      .select((col("bit") / 32).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("mask"))
+      .groupBy("word")
+      .agg(bit_or(col("mask")).as("bits"))
+    // 10 keys present at every SF (custkeys start at 1) + 10 far outside
+    val probes = spark.range(1, 11).select(col("id").as("probe_key"))
+      .union(spark.range(9000001, 9000011).select(col("id").as("probe_key")))
+    val probeBits = probes
+      .select(col("probe_key"), explode(array(bitCells(col("probe_key")): _*)).as("bit"))
+      .select(col("probe_key"),
+        (col("bit") / 32).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("mask"))
+    val claimed = probeBits.join(custBits, Seq("word"), "left")
+      .withColumn("hit", (coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))) =!= 0)
+      .groupBy("probe_key")
+      .agg(min(col("hit")).as("claimed")) // AND of the k bit tests
+    val actual = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("probe_key")).distinct()
+      .withColumn("actual", lit(true))
+    claimed.join(actual, Seq("probe_key"), "left")
+      .select(
+        col("probe_key"), col("claimed"),
+        coalesce(col("actual"), lit(false)).as("actual"),
+        (col("claimed") && !coalesce(col("actual"), lit(false))).as("false_positive"))
+      .orderBy("probe_key")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms"   -> (sketchCms _),
+    "sketch_bloom" -> (sketchBloom _),
+  )
+
+  override def oracles: Map[String, String] = {
+    def duckCell(i: Int, keyExpr: String, m: Int): String =
+      s"${Hashing.duckHash60(s"CAST($i AS VARCHAR) || ':' || CAST($keyExpr AS VARCHAR)")} % $m"
+    val cmsRows = (0 until CmsDepth)
+      .map(i => s"SELECT $i AS i, ${duckCell(i, "l_partkey", CmsWidth)} AS cell FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    val cmsProbeRows = (0 until CmsDepth)
+      .map(i => s"SELECT probe_key, $i AS i, ${duckCell(i, "probe_key", CmsWidth)} AS cell FROM pk")
+      .mkString("\n  UNION ALL ")
+    val bloomRows = (0 until BloomHashes)
+      .map(i => s"SELECT ${duckCell(i, "c_custkey", BloomBits)} AS bit FROM customer")
+      .mkString("\n  UNION ALL ")
+    val bloomProbeRows = (0 until BloomHashes)
+      .map(i => s"SELECT probe_key, ${duckCell(i, "probe_key", BloomBits)} AS bit FROM pk")
+      .mkString("\n  UNION ALL ")
+    Map(
+      "sketch_cms" ->
+        s"""WITH h AS (
+           |  $cmsRows
+           |), cms AS (
+           |  SELECT i, cell, COUNT(*) AS cnt FROM h GROUP BY i, cell
+           |), pk AS (
+           |  SELECT unnest(range(1, 11)) AS probe_key
+           |), ph AS (
+           |  $cmsProbeRows
+           |), est AS (
+           |  SELECT ph.probe_key,
+           |    CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS est_cnt
+           |  FROM ph LEFT JOIN cms ON ph.i = cms.i AND ph.cell = cms.cell
+           |  GROUP BY ph.probe_key
+           |), truth AS (
+           |  SELECT l_partkey AS probe_key, COUNT(*) AS true_cnt
+           |  FROM lineitem WHERE l_partkey BETWEEN 1 AND 10 GROUP BY l_partkey
+           |)
+           |SELECT est.probe_key,
+           |  CAST(COALESCE(truth.true_cnt, 0) AS BIGINT) AS true_cnt,
+           |  est.est_cnt,
+           |  (est.est_cnt >= COALESCE(truth.true_cnt, 0)) AS never_under
+           |FROM est LEFT JOIN truth ON est.probe_key = truth.probe_key
+           |ORDER BY est.probe_key""".stripMargin,
+      "sketch_bloom" ->
+        s"""WITH cb AS (
+           |  $bloomRows
+           |), bloom AS (
+           |  SELECT CAST(bit // 32 AS INTEGER) AS word,
+           |    CAST(bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INTEGER)) AS BIGINT) AS bits
+           |  FROM cb GROUP BY bit // 32
+           |), pk AS (
+           |  SELECT unnest(range(1, 11)) AS probe_key
+           |  UNION ALL SELECT unnest(range(9000001, 9000011))
+           |), pb AS (
+           |  $bloomProbeRows
+           |), claimed AS (
+           |  SELECT pb.probe_key,
+           |    MIN((COALESCE(bloom.bits, 0) & (CAST(1 AS BIGINT) << CAST(pb.bit % 32 AS INTEGER))) <> 0) AS claimed
+           |  FROM pb LEFT JOIN bloom ON CAST(pb.bit // 32 AS INTEGER) = bloom.word
+           |  GROUP BY pb.probe_key
+           |), actual AS (
+           |  SELECT DISTINCT c_custkey AS probe_key, TRUE AS actual FROM customer
+           |)
+           |SELECT claimed.probe_key, claimed.claimed,
+           |  COALESCE(actual.actual, FALSE) AS actual,
+           |  (claimed.claimed AND NOT COALESCE(actual.actual, FALSE)) AS false_positive
+           |FROM claimed LEFT JOIN actual ON claimed.probe_key = actual.probe_key
+           |ORDER BY claimed.probe_key""".stripMargin,
+    )
+  }
+}

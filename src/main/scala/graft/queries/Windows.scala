@@ -195,8 +195,32 @@ object Windows extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** Exact rolling median over each user's trailing 7 event values — the
+    * robust denoiser a metrics pipeline wants where a rolling MEAN chases
+    * outliers. Spark has no median window function; the frame's values are
+    * collected, sorted, and indexed per row — O(f log f) per row for frame
+    * size f, fine for the small trailing frames this exists for (wide
+    * frames want the two-heap mapGroups formulation instead). The median
+    * is a SELECTED element, not interpolated arithmetic, so the result is
+    * an exact input value in both engines.
+    */
+  def winRollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, 0)
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("vals", collect_list(col("value")).over(w))
+      .select(
+        col("event_id"), col("user_id"),
+        size(col("vals")).as("n_frame"),
+        expr("element_at(array_sort(vals), CAST((size(vals) + 1) div 2 AS INT))").as("med"))
+      .orderBy("event_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_ewma"        -> (winEwma _),
+    "win_rolling_median" -> (winRollingMedian _),
     "win_cdf"          -> (winCdf _),
     "win_rank"        -> (winRank _),
     "win_lag_lead"    -> (winLagLead _),
@@ -216,6 +240,17 @@ object Windows extends QueryModule {
   }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "win_rolling_median" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id,
+        |    list("value") OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events
+        |)
+        |SELECT event_id, user_id,
+        |  CAST(len(vals) AS INTEGER) AS n_frame,
+        |  list_sort(vals)[(len(vals) + 1) // 2] AS med
+        |FROM t ORDER BY event_id""".stripMargin,
     "win_ewma" ->
       s"""SELECT event_id, user_id,
          |  CAST($duckEwmaTerms AS DOUBLE) AS ewma
