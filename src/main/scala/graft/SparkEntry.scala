@@ -20,6 +20,7 @@ object SparkEntry {
     _root_.graft.queries.SqlSurface,
     _root_.graft.queries.TpchSql,
     _root_.graft.queries.Sketches,
+    _root_.graft.queries.Graph,
     llm.TextAnalysis,
     llm.Dedup,
     llm.Similarity,

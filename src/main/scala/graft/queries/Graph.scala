@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-based iterative graph analytics beyond connected components
+  * (graft.operators.ConnectedComponents): PageRank over the nation trade
+  * graph — nodes are nations, an edge cust-nation → supp-nation exists
+  * when any lineitem moved between them. Two damped iterations from the
+  * uniform vector, the shape of every production PR job (each iteration =
+  * one contributions join + one groupBy on the node key — plain shuffles
+  * that partition like any other key at 100 TB; the iteration count is a
+  * fixed plan depth here, and a convergence-driven variant would
+  * localCheckpoint per round exactly like ConnectedComponents).
+  *
+  * Cross-engine exactness: ranks live on the 6dp decimal grid. Each
+  * contribution pr/deg is computed on identical doubles, rounded onto a
+  * 9dp grid, and summed as DECIMAL (order-free); the damped update
+  * 0.006 + 0.85·s stays in exact decimal arithmetic and is rounded
+  * HALF_UP back onto 6dp — ties land identically in both engines because
+  * decimal rounding has no representation fuzz.
+  */
+object Graph extends QueryModule {
+
+  private val Damp = "CAST(0.85 AS DECIMAL(3,2))"
+  private val Base = "CAST(0.006 AS DECIMAL(4,3))" // (1-0.85)/25 nations
+
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "src")
+    val sNat = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey").as("dst"))
+    val edges = li
+      .join(cNat, col("l_orderkey") === col("o_orderkey"))
+      .join(sNat, col("l_suppkey") === col("s_suppkey"))
+      .select("src", "dst").distinct()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+
+    def iterate(pr: DataFrame): DataFrame = {
+      // contribution per edge: rank/out_deg on identical doubles, onto 9dp
+      val contrib = edges
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          expr("CAST(ROUND(CAST(pr AS DOUBLE) / out_deg, 9) AS DECIMAL(13,9))").as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("s"))
+      pr.select("node")
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"CAST(ROUND($Base + $Damp * COALESCE(s, CAST(0 AS DECIMAL(13,9))), 6) AS DECIMAL(12,6))").as("pr"))
+    }
+
+    val pr0 = nodes.select(col("node"),
+      expr("CAST(0.04 AS DECIMAL(12,6))").as("pr")) // uniform 1/25
+    val pr2 = iterate(iterate(pr0))
+    pr2.join(nodes, "node")
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left")
+      .select(col("n_name"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        col("pr").cast("double").as("pagerank"))
+      .orderBy("n_name")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH edges AS (
+         |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |), deg AS (
+         |  SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+         |), pr0 AS (
+         |  SELECT n_nationkey AS node, CAST(0.04 AS DECIMAL(12,6)) AS pr FROM nation
+         |), c1 AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) / d.out_deg, 9) AS DECIMAL(13,9))) AS s
+         |  FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |), pr1 AS (
+         |  SELECT p.node,
+         |    CAST(ROUND($Base + $Damp * COALESCE(c1.s, CAST(0 AS DECIMAL(13,9))), 6) AS DECIMAL(12,6)) AS pr
+         |  FROM pr0 p LEFT JOIN c1 ON p.node = c1.node
+         |), c2 AS (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(ROUND(CAST(p.pr AS DOUBLE) / d.out_deg, 9) AS DECIMAL(13,9))) AS s
+         |  FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst
+         |), pr2 AS (
+         |  SELECT p.node,
+         |    CAST(ROUND($Base + $Damp * COALESCE(c2.s, CAST(0 AS DECIMAL(13,9))), 6) AS DECIMAL(12,6)) AS pr
+         |  FROM pr1 p LEFT JOIN c2 ON p.node = c2.node
+         |)
+         |SELECT n.n_name, CAST(COALESCE(d.out_deg, 0) AS BIGINT) AS out_deg,
+         |  CAST(pr2.pr AS DOUBLE) AS pagerank
+         |FROM pr2
+         |JOIN nation n ON pr2.node = n.n_nationkey
+         |LEFT JOIN deg d ON pr2.node = d.src
+         |ORDER BY n.n_name""".stripMargin,
+  )
+}
