@@ -32,20 +32,26 @@ object Sketches extends QueryModule {
     * reported against the true count (est ≥ true always — CMS never
     * underestimates; the gap rows are the hash-collision evidence).
     */
-  def sketchCms(spark: SparkSession, sfDir: String): DataFrame = {
-    val cells = (0 until CmsDepth).map { i =>
+  /** The d hashed cells of one key — shared by batch build, probes, and
+    * the streaming incremental build (cell-wise sums merge: CMS state is
+    * additive, `StreamingSketchSpec` proves merged ≡ batch executably).
+    */
+  def cmsCells(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsDepth).map { i =>
       struct(lit(i).as("i"),
-        pmod(Hashing.hash60(concat_ws(":", lit(i), col("l_partkey"))), lit(CmsWidth)).as("cell"))
-    }
-    val cms = Tables.lineitem(spark, sfDir)
-      .select(explode(array(cells: _*)).as("h"))
+        pmod(Hashing.hash60(concat_ws(":", lit(i), key)), lit(CmsWidth)).as("cell"))
+    }: _*)
+
+  /** CMS counters (i, cell, cnt) of a keyed frame. */
+  def cmsOf(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    df.select(explode(cmsCells(key)).as("h"))
       .groupBy(col("h.i").as("i"), col("h.cell").as("cell"))
       .agg(count(lit(1)).as("cnt"))
+
+  def sketchCms(spark: SparkSession, sfDir: String): DataFrame = {
+    val cms = cmsOf(Tables.lineitem(spark, sfDir), col("l_partkey"))
     val probes = spark.range(1, 11).select(col("id").as("probe_key"))
-      .select(col("probe_key"), explode(array((0 until CmsDepth).map { i =>
-        struct(lit(i).as("i"),
-          pmod(Hashing.hash60(concat_ws(":", lit(i), col("probe_key"))), lit(CmsWidth)).as("cell"))
-      }: _*)).as("h"))
+      .select(col("probe_key"), explode(cmsCells(col("probe_key"))).as("h"))
       .select(col("probe_key"), col("h.i").as("i"), col("h.cell").as("cell"))
     val truth = Tables.lineitem(spark, sfDir)
       .filter(col("l_partkey").between(1, 10))
