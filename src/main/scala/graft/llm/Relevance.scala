@@ -233,7 +233,42 @@ object Relevance extends QueryModule {
       .orderBy("bucket")
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift test between the train-era and
+    * serve-era order-price distributions — the distribution-free
+    * complement to the binned PSI monitor (PSI needs bin choices; KS reads
+    * the whole ECDF). Computed in EXACT integers: at every distinct value,
+    * D's numerator is |i·n₂ − j·n₁| over the cumulative counts, maxed —
+    * no float ECDF, so the statistic is bit-stable. The global-order
+    * cumsum is the inherent cost of an order statistic: at 100 TB run it
+    * on the binned ECDF (PSI's bins) or range-partition the sort like any
+    * global orderBy; products stay in BIGINT to ~3·10⁹ rows per side.
+    */
+  def dqKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    val cut = "1998-01-01"
+    val byVal = org.apache.spark.sql.expressions.Window
+      .orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val counts = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice").as("v"),
+        (col("o_orderdate") < lit(cut).cast("timestamp")).as("is_train"))
+      .groupBy("v")
+      .agg(
+        count(when(col("is_train"), lit(1))).as("c1"),
+        count(when(!col("is_train"), lit(1))).as("c2"))
+    val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    counts
+      .withColumn("i", sum(col("c1")).over(byVal))
+      .withColumn("j", sum(col("c2")).over(byVal))
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("n1")).as("n1"),
+        first(col("n2")).as("n2"),
+        max(abs(col("i") * col("n2") - col("j") * col("n1"))).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        round(col("d_num").cast("double") / (col("n1") * col("n2")), 6).as("d"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_ks_test"    -> (dqKsTest _),
     "text_tfidf"    -> (tfidf _),
     "text_bm25"     -> (bm25 _),
     "text_postings" -> (postings _),
@@ -344,6 +379,25 @@ object Relevance extends QueryModule {
            |  ROUND(cnt::DOUBLE / total, 6) AS share,
            |  ROUND(cnt::DOUBLE * $SkewBuckets / total, 6) AS ratio_to_mean
            |FROM by_bucket CROSS JOIN t ORDER BY bucket""".stripMargin,
+      "dq_ks_test" ->
+        """WITH counts AS (
+          |  SELECT o_totalprice AS v,
+          |    COUNT(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 1 END) AS c1,
+          |    COUNT(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 END) AS c2
+          |  FROM orders GROUP BY o_totalprice
+          |), cum AS (
+          |  SELECT v, c1, c2,
+          |    CAST(SUM(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS i,
+          |    CAST(SUM(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS j
+          |  FROM counts
+          |), t AS (
+          |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM counts
+          |)
+          |SELECT t.n1, t.n2,
+          |  MAX(abs(cum.i * t.n2 - cum.j * t.n1)) AS d_num,
+          |  ROUND(MAX(abs(cum.i * t.n2 - cum.j * t.n1))::DOUBLE / (t.n1 * t.n2), 6) AS d
+          |FROM cum CROSS JOIN t
+          |GROUP BY t.n1, t.n2""".stripMargin,
       "dq_drift_psi" ->
         s"""WITH o AS (
            |  SELECT CAST(FLOOR(o_totalprice / $DriftBinWidth) AS INTEGER) AS bin,

@@ -110,9 +110,43 @@ object Sketches extends QueryModule {
       .orderBy("probe_key")
   }
 
+  val KmvK = 32
+
+  /** KMV (k-minimum-values) distinct-count sketch per return flag: keep the
+    * k smallest 60-bit hashes of the distinct keys; estimate
+    * (k−1)·2⁶⁰ ∕ h₍ₖ₎. Deterministic given the frozen hash family, so the
+    * oracle rebuilds the identical estimate — reported beside the true
+    * distinct count and their ratio (the measured relative error of a
+    * 32-slot sketch). At scale the k-smallest state is a per-partition
+    * top-k (map-side combinable, merged by re-taking the k smallest), the
+    * same O(k) mergeable-state discipline as TopKAggregator.
+    */
+  def sketchKmv(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("h")
+    val hashes = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+      .select(col("l_returnflag"), Hashing.hash60(col("l_partkey").cast("string")).as("h"))
+    val kth = hashes
+      .withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") === KmvK)
+      .select(col("l_returnflag"), col("h").as("hk"))
+    val truth = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("true_distinct"))
+    truth.join(kth, Seq("l_returnflag"))
+      .select(
+        col("l_returnflag"),
+        col("true_distinct"),
+        round(lit((KmvK - 1).toDouble) * lit(math.pow(2, 60)) / col("hk"), 4).as("est_distinct"),
+        round(lit((KmvK - 1).toDouble) * lit(math.pow(2, 60)) / col("hk") / col("true_distinct"), 4).as("ratio"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms"   -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
+    "sketch_kmv"   -> (sketchKmv _),
   )
 
   override def oracles: Map[String, String] = {
@@ -131,6 +165,25 @@ object Sketches extends QueryModule {
       .map(i => s"SELECT probe_key, ${duckCell(i, "probe_key", BloomBits)} AS bit FROM pk")
       .mkString("\n  UNION ALL ")
     Map(
+      "sketch_kmv" ->
+        s"""WITH dh AS (
+           |  SELECT l_returnflag, ${Hashing.duckHash60("CAST(l_partkey AS VARCHAR)")} AS h
+           |  FROM (SELECT DISTINCT l_returnflag, l_partkey FROM lineitem)
+           |), kth AS (
+           |  SELECT l_returnflag, h AS hk FROM (
+           |    SELECT l_returnflag, h,
+           |      row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+           |    FROM dh)
+           |  WHERE rn = $KmvK
+           |), truth AS (
+           |  SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS true_distinct
+           |  FROM lineitem GROUP BY l_returnflag
+           |)
+           |SELECT t.l_returnflag, t.true_distinct,
+           |  ROUND(${(KmvK - 1).toDouble} * 1.152921504606846976E18 / kth.hk, 4) AS est_distinct,
+           |  ROUND(${(KmvK - 1).toDouble} * 1.152921504606846976E18 / kth.hk / t.true_distinct, 4) AS ratio
+           |FROM truth t JOIN kth ON t.l_returnflag = kth.l_returnflag
+           |ORDER BY t.l_returnflag""".stripMargin,
       "sketch_cms" ->
         s"""WITH h AS (
            |  $cmsRows

@@ -115,7 +115,11 @@ def main():
         print(f"{results[name].split()[0]:>18}  {name}  {results[name]}")
     print(f"\n{n_ok}/{len(results)} OK "
           f"({sum(1 for v in results.values() if v.startswith('OK-NEAR'))} near-miss)")
-    sys.exit(0 if n_ok == len(results) else 1)
+    # NO-ORACLE rows are by-design (estimates / non-SQL-expressible ops) —
+    # the gate fails only on real mismatches or missing results.
+    n_acceptable = sum(1 for v in results.values()
+                       if v.startswith("OK") or v.startswith("NO-ORACLE"))
+    sys.exit(0 if n_acceptable == len(results) else 1)
 
 
 if __name__ == "__main__":
