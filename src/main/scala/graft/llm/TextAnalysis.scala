@@ -387,6 +387,39 @@ object TextAnalysis extends QueryModule {
   def unigramLm(spark: SparkSession, sfDir: String): DataFrame =
     lmScores(spark, sfDir).select("doc_id", "n_tokens", "nll").orderBy("doc_id")
 
+  /** Bigram LM with add-one smoothing — one order deeper than the unigram
+    * scorer: P(w|v) = (c(v,w)+1)/(c(v)+|V|), doc score = mean −log P over
+    * its bigrams. Catches word-salad that unigram scoring can't (every
+    * token common, no two ever adjacent in real text). Same scale shape
+    * plus one more count table: bigram groupBy (map-side combinable;
+    * vocabulary² is the worst case but Zipf keeps observed bigrams near
+    * corpus size), context groupBy, then a (v,w)-keyed join back. Same
+    * decimal-grid rounding before the per-doc sum → order-independent.
+    * (Corpus min doc length is 10 words, so every doc has bigrams.)
+    */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bigrams = docs.withColumn("w", words(col("text")))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS v, element_at(w, i + 1) AS wn))")).as("b"))
+      .select(col("doc_id"), col("b.v").as("v"), col("b.wn").as("wn"))
+    val bgCounts = bigrams.groupBy("v", "wn").agg(count(lit(1)).as("cbg"))
+    val ctxCounts = bigrams.groupBy("v").agg(count(lit(1)).as("cv"))
+    val vsz = docs.select(explode(words(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("vsz"))
+    val scored = bgCounts.join(ctxCounts, "v").crossJoin(broadcast(vsz))
+      .select(col("v"), col("wn"),
+        round(log((col("cbg") + 1) / (col("cv") + col("vsz"))), 6)
+          .cast("decimal(12,6)").as("logp"))
+    bigrams.join(scored, Seq("v", "wn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("slp").cast("double") / col("n_bigrams"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
   /** CCNet-style head/middle/tail quality bucketing: tercile of the
     * unigram-LM score within each language (per-language because token
     * distributions aren't comparable across languages), reported as bucket
@@ -408,6 +441,7 @@ object TextAnalysis extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_lm"  -> (unigramLm _),
+    "text_bigram_lm"   -> (bigramLm _),
     "text_quality_buckets" -> (qualityBuckets _),
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
@@ -457,6 +491,30 @@ object TextAnalysis extends QueryModule {
         |  GROUP BY t.doc_id, t.lang
         |)""".stripMargin
     Map(
+      "text_bigram_lm" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |), g AS (
+          |  SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d
+          |), bigrams AS (
+          |  SELECT doc_id, ws[i] AS v, ws[i + 1] AS wn FROM g
+          |), bg AS (
+          |  SELECT v, wn, COUNT(*) AS cbg FROM bigrams GROUP BY v, wn
+          |), ctx AS (
+          |  SELECT v, COUNT(*) AS cv FROM bigrams GROUP BY v
+          |), vsz AS (
+          |  SELECT COUNT(DISTINCT w) AS vsz
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+          |), scored AS (
+          |  SELECT bg.v, bg.wn,
+          |    CAST(ROUND(ln((bg.cbg + 1) / (ctx.cv + vsz.vsz)), 6) AS DECIMAL(12,6)) AS logp
+          |  FROM bg JOIN ctx ON bg.v = ctx.v CROSS JOIN vsz
+          |)
+          |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          |  ROUND(-CAST(SUM(s.logp) AS DOUBLE) / COUNT(*), 6) AS nll
+          |FROM bigrams b JOIN scored s ON b.v = s.v AND b.wn = s.wn
+          |GROUP BY b.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
       "text_unigram_lm" ->
         s"""$duckLmPerDoc
            |SELECT doc_id, n_tokens, nll FROM per_doc ORDER BY doc_id""".stripMargin,
