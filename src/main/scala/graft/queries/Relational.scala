@@ -768,6 +768,33 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Robust (MAD) outlier audit — the quartile fences above break when a
+    * quarter of the data is already bad; median absolute deviation has a
+    * 50% breakdown point. Two broadcast-back passes: per-type median, then
+    * the median of absolute deviations, then one counting scan against
+    * |x − med| > 3·MAD. Exact `percentile` ≡ DuckDB `quantile_cont`
+    * (interpolation is the identical (a+b)/2 on identical doubles), and
+    * the comparison runs on the unrounded doubles — rounding only formats
+    * output.
+    */
+  def dqMadOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val med = ev.groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = ev.join(broadcast(med), col("event_type") === col("et"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type").as("et2"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), col("event_type") === col("et2"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1).otherwise(0)).cast("long").as("n_outliers"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"))
+      .orderBy("event_type")
+  }
+
   /** Incremental materialized-view maintenance: the monthly rollup is kept
     * as MERGEABLE PARTIALS (count + exact decimal sum — both commutative
     * monoids), so refreshing with a new data drop re-aggregates only the
@@ -836,6 +863,7 @@ object Relational extends QueryModule {
     "merge_upsert"   -> (mergeUpsert _),
     "dq_orphans"     -> (dqOrphans _),
     "dq_outliers"    -> (dqOutliers _),
+    "dq_mad_outliers" -> (dqMadOutliers _),
     "fuzzy_join"     -> (fuzzyJoin _),
     "join_nullsafe"  -> (joinNullsafe _),
   )
@@ -1097,6 +1125,24 @@ object Relational extends QueryModule {
         |)
         |SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
         |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
+    "dq_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont("value", 0.5) AS med
+        |  FROM events GROUP BY event_type
+        |), dev AS (
+        |  SELECT e.event_type, abs(e."value" - med.med) AS dev, med.med
+        |  FROM events e JOIN med ON e.event_type = med.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT dev.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN dev.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  ROUND(MIN(dev.med), 6) AS med,
+        |  ROUND(MIN(mad.mad), 6) AS mad
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type
+        |ORDER BY dev.event_type""".stripMargin,
     "dq_outliers" ->
       """WITH q AS (
         |  SELECT l_returnflag AS rf,
