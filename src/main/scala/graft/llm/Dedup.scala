@@ -216,6 +216,11 @@ object Dedup extends QueryModule {
       .repartition(col("doc_id"))
     val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
     val probesA = d.select(col("doc_id"), col("lang"), col("n"), explode(prefix).as("tok"))
+    // (measured dead end: semi-joining this full explode against the
+    // distinct prefix vocabulary prunes 85% of its rows but doesn't move
+    // wall-clock locally — stage overhead dominates — and the vocabulary
+    // broadcast grows with the corpus, so it inverts at scale. The plain
+    // explode keeps shuffle volume linear with no unbounded broadcast.)
     val probesB = d.select(col("doc_id"), col("lang"), col("n"), explode(col("s")).as("tok"))
     val cand = probesA.as("x").join(probesB.as("y"),
         col("x.lang") === col("y.lang") && col("x.tok") === col("y.tok") &&
