@@ -130,6 +130,32 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Class-balanced downsampling: every language keeps exactly the
+    * smallest class's count, chosen by hash rank — the deterministic
+    * "balance the training mix" op (no rand(), so membership is
+    * reproducible across reruns and cluster sizes, and the kept set is
+    * stable as new data arrives only at the rank boundary). One per-class
+    * window rank + a 1-row broadcast of the min class size. The exact
+    * kept-id sum is the audit checksum: engines agreeing on it proves the
+    * SELECTION matches, not just the counts.
+    */
+  def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHash = Window.partitionBy("lang")
+      .orderBy(Hashing.hash60(col("doc_id").cast("string")), col("doc_id"))
+    val minSize = Tables.documents(spark, sfDir)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    Tables.documents(spark, sfDir)
+      .withColumn("rn", row_number().over(byHash))
+      .crossJoin(broadcast(minSize))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("rn") <= col("min_n"), lit(1))).as("n_kept"),
+        sum(when(col("rn") <= col("min_n"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------- sequence packing
 
   val PackBudget = 2048
@@ -164,6 +190,7 @@ object Sampling extends QueryModule {
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
+    "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
   )
 
@@ -205,6 +232,21 @@ object Sampling extends QueryModule {
            |SELECT source, rate_pct, COUNT(*) AS n_total,
            |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept
            |FROM d GROUP BY source, rate_pct ORDER BY source""".stripMargin,
+      "sample_balanced" ->
+        s"""WITH r AS (
+           |  SELECT lang, doc_id,
+           |    row_number() OVER (PARTITION BY lang
+           |      ORDER BY ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+           |  FROM documents
+           |), m AS (
+           |  SELECT MIN(n) AS min_n FROM (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+           |)
+           |SELECT lang, COUNT(*) AS n_total,
+           |  COUNT(CASE WHEN rn <= m.min_n THEN 1 END) AS n_kept,
+           |  CAST(SUM(CASE WHEN rn <= m.min_n THEN doc_id END) AS BIGINT) AS kept_id_sum
+           |FROM r CROSS JOIN m
+           |GROUP BY lang
+           |ORDER BY lang""".stripMargin,
       "mix_temperature" ->
         s"""WITH counts AS (
            |  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source

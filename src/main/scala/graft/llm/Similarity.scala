@@ -323,7 +323,33 @@ object Similarity extends QueryModule {
       .orderBy("q_id")
   }
 
+  /** Threshold-tuning sweep for embedding dedup: pair counts at five
+    * cosine cutoffs from ONE all-pairs pass (conditional counts, not five
+    * queries) — the report that picks dedup_embedding's threshold before a
+    * production run. Bounded probe set (first 2000 vectors) because the
+    * sweep is a sampled calibration, not the dedup itself: cost is fixed
+    * regardless of corpus size, like every evaluation op here.
+    */
+  def embThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .filter(col("vec_id") < 2000)
+      .withColumn("nrm", normOf(col("e")))
+    val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
+    val cos = round(cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 6)
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos", cos)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cos") >= 0.3, 1).otherwise(0)).cast("long").as("n_030"),
+        sum(when(col("cos") >= 0.45, 1).otherwise(0)).cast("long").as("n_045"),
+        sum(when(col("cos") >= 0.6, 1).otherwise(0)).cast("long").as("n_060"),
+        sum(when(col("cos") >= 0.75, 1).otherwise(0)).cast("long").as("n_075"),
+        sum(when(col("cos") >= 0.9, 1).otherwise(0)).cast("long").as("n_090"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_threshold_sweep" -> (embThresholdSweep _),
     "sim_ann_recall"  -> (simAnnRecall _),
     "emb_stats"       -> (embStats _),
     "emb_centroid"    -> (embCentroid _),
@@ -499,6 +525,21 @@ object Similarity extends QueryModule {
          |)
          |SELECT q_id, rn, cand_id, cos FROM ranked WHERE rn <= 5
          |ORDER BY q_id, rn""".stripMargin,
+    "emb_threshold_sweep" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings WHERE vec_id < 2000
+         |), p AS (
+         |  SELECT ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |)
+         |SELECT COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN cos >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_030,
+         |  CAST(SUM(CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_045,
+         |  CAST(SUM(CASE WHEN cos >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_060,
+         |  CAST(SUM(CASE WHEN cos >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_075,
+         |  CAST(SUM(CASE WHEN cos >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_090
+         |FROM p""".stripMargin,
     "sim_ann_recall" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

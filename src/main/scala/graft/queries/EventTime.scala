@@ -251,7 +251,40 @@ object EventTime extends QueryModule {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Cohort LTV triangle — the revenue companion to the count-based
+    * retention matrix: per signup-week cohort, weekly value and CUMULATIVE
+    * lifetime value by week offset. Value sums ride DECIMAL(19,6) (the
+    * generator's values sit on a 6dp grid), so both the cells and the
+    * running cumulative are order-independent exact; two keyed groupBys +
+    * one per-cohort window cumsum, all narrow shuffles.
+    */
+  def evtCohortLtv(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val firstWeek = e.groupBy("user_id")
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val weekly = e.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"),
+        col("value").cast("decimal(19,6)").as("v"))
+      .groupBy("user_id", "week")
+      .agg(sum(col("v")).as("wv"))
+    val cells = weekly.join(firstWeek, "user_id")
+      .withColumn("week_offset",
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"), sum(col("wv")).as("wval"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_ltv", sum(col("wval")).over(cum))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("wval").cast("double").as("week_value"),
+        col("cum_ltv").cast("double").as("cum_ltv"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_cohort_ltv" -> (evtCohortLtv _),
     "evt_zscore_anomaly" -> (evtZscoreAnomaly _),
     "scd2_intervals" -> (scd2Intervals _),
     "evt_histogram_eqdepth" -> (evtHistogramEqdepth _),
@@ -268,6 +301,28 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_cohort_ltv" ->
+      """WITH fw AS (
+        |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY user_id
+        |), weekly AS (
+        |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week,
+        |    SUM(CAST("value" AS DECIMAL(19,6))) AS wv
+        |  FROM events GROUP BY user_id, CAST(date_trunc('week', ts) AS DATE)
+        |), cells AS (
+        |  SELECT fw.cohort_week,
+        |    CAST(date_diff('day', fw.cohort_week, weekly.week) // 7 AS INTEGER) AS week_offset,
+        |    COUNT(DISTINCT weekly.user_id) AS n_active,
+        |    SUM(weekly.wv) AS wval
+        |  FROM weekly JOIN fw ON weekly.user_id = fw.user_id
+        |  GROUP BY fw.cohort_week, date_diff('day', fw.cohort_week, weekly.week) // 7
+        |)
+        |SELECT cohort_week, week_offset, n_active,
+        |  CAST(wval AS DOUBLE) AS week_value,
+        |  CAST(SUM(wval) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_ltv
+        |FROM cells
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "evt_zscore_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
