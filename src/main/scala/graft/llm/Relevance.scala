@@ -267,7 +267,38 @@ object Relevance extends QueryModule {
         round(col("d_num").cast("double") / (col("n1") * col("n2")), 6).as("d"))
   }
 
+  /** Benford first-digit audit on order totals — the classic fabricated-data
+    * / ingest-corruption screen: observed leading-digit shares (in exact
+    * integer parts-per-million) against Benford's log10(1+1/d) expectation.
+    * The leading digit comes from the DECIMAL STRING of exact integer cents
+    * (never float log10, whose libm rounding could flip a boundary value);
+    * shares are integer-division ppm, so every cell is bit-stable at any
+    * scale. One map-side-combined groupBy on 9 keys; the expectation is a
+    * 9-row CASE, constant-folded.
+    */
+  def dqBenford(spark: SparkSession, sfDir: String): DataFrame = {
+    val benford = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+    val digit = substring(
+      round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val exp = benford.foldLeft(lit(null).cast("long")) {
+      case (acc, (d, v)) => when(col("digit") === d, v).otherwise(acc)
+    }
+    Tables.orders(spark, sfDir)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .transform(c => c.crossJoin(broadcast(c.agg(sum(col("n")).as("total")))))
+      .withColumn("share_ppm", expr("n * 1000000 div total"))
+      .withColumn("expected_ppm", exp)
+      .withColumn("excess_ppm", col("share_ppm") - col("expected_ppm"))
+      .select(col("digit"), col("n"), col("share_ppm"),
+        col("expected_ppm"), col("excess_ppm"))
+      .orderBy("digit")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_benford"    -> (dqBenford _),
     "dq_ks_test"    -> (dqKsTest _),
     "text_tfidf"    -> (tfidf _),
     "text_bm25"     -> (bm25 _),
@@ -283,6 +314,27 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "dq_benford" ->
+        """WITH d AS (
+          |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+          |              AS INTEGER) AS digit
+          |  FROM orders
+          |), c AS (
+          |  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+          |)
+          |SELECT digit, n,
+          |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS share_ppm,
+          |  CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+          |       WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+          |       WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT)
+          |    AS expected_ppm,
+          |  CAST(n * 1000000 // SUM(n) OVER () AS BIGINT)
+          |    - CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+          |           WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+          |           WHEN 7 THEN 57992 WHEN 8 THEN 51153 WHEN 9 THEN 45757 END AS BIGINT)
+          |    AS excess_ppm
+          |FROM c
+          |ORDER BY digit""".stripMargin,
       "text_tfidf" ->
         """WITH tok AS (
           |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -283,7 +283,66 @@ object EventTime extends QueryModule {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Last-touch attribution: each purchase is credited to the user's most
+    * recent click at-or-before it, flagged `attributed` when the gap is
+    * within a 1-hour window — the marketing-credit query behind every spend
+    * dashboard. Rides `AsOf.joinLeftAsOf` (single-shuffle union+window), so
+    * the cost profile is one keyed shuffle regardless of click volume — the
+    * naive time-range join explodes per-user click×purchase pairs.
+    */
+  def evtAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    graft.operators.AsOf.joinLeftAsOf(
+        purchases, clicks,
+        key = "user_id", leftTime = "ts", rightTime = "click_ts",
+        leftId = "event_id", tieBreak = "click_id",
+        payload = Seq("click_id", "click_ts"))
+      .withColumn("gap_us",
+        when(col("click_ts").isNotNull,
+          unix_micros(col("ts")) - unix_micros(col("click_ts"))))
+      .withColumn("attributed",
+        coalesce(col("gap_us") <= lit(3600000000L), lit(false)))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"), col("gap_us"), col("attributed"))
+      .orderBy("event_id")
+  }
+
+  /** Duration-capped sessionization: 30-minute inactivity gap AND a 2-hour
+    * hard cap per session — long-lived sessions split at cap boundaries
+    * measured from the session's first event (the bot-resistant variant;
+    * pure gap sessions never close under continuous pings). Two window
+    * passes over ONE shuffle+sort on user_id (gap marker → running session
+    * id → offset-from-start bucket), then a keyed groupBy.
+    */
+  def winSessionCap(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val bySession = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "sid")
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >= lit(1800000000L), 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("s0", min(col("ts")).over(bySession))
+      .withColumn("sub",
+        expr("(unix_micros(ts) - unix_micros(s0)) div 7200000000"))
+      .groupBy(col("user_id"), col("sid"), col("sub"))
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("s_start"), col("s_end"), col("n"))
+      .orderBy("user_id", "s_start")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_attribution" -> (evtAttribution _),
+    "win_session_cap" -> (winSessionCap _),
     "evt_cohort_ltv" -> (evtCohortLtv _),
     "evt_zscore_anomaly" -> (evtZscoreAnomaly _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -301,6 +360,40 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_attribution" ->
+      """WITH c1 AS (
+        |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |)
+        |SELECT p.event_id, p.user_id, p.ts, c1.click_id, c1.click_ts,
+        |  epoch_us(p.ts) - epoch_us(c1.click_ts) AS gap_us,
+        |  COALESCE(epoch_us(p.ts) - epoch_us(c1.click_ts) <= 3600000000, FALSE)
+        |    AS attributed
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN c1 ON p.user_id = c1.user_id AND p.ts >= c1.click_ts
+        |ORDER BY p.event_id""".stripMargin,
+    "win_session_cap" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |              >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked
+        |), capped AS (
+        |  SELECT user_id, ts, sid,
+        |    (epoch_us(ts) - epoch_us(MIN(ts) OVER (PARTITION BY user_id, sid)))
+        |      // 7200000000 AS sub
+        |  FROM sessions
+        |)
+        |SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end, COUNT(*) AS n
+        |FROM capped GROUP BY user_id, sid, sub
+        |ORDER BY user_id, s_start""".stripMargin,
     "evt_cohort_ltv" ->
       """WITH fw AS (
         |  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week

@@ -827,7 +827,32 @@ object Relational extends QueryModule {
       .orderBy("month")
   }
 
+  /** Supplier revenue rollup routed through the SALTED join path
+    * (`operators.SkewJoin`): lineitem's l_suppkey is the canonical hot-key
+    * distribution (10 suppliers absorb the whole fact table at sf0.001), so
+    * the plain hash join sends each supplier's entire slice to one reducer.
+    * Salting spreads every supplier over 8 (key, salt) sub-keys for the
+    * join, then the rollup re-aggregates. The oracle is the UNsalted join —
+    * hash equality proves salting is result-invariant, the property that
+    * lets a planner apply it blindly to any skewed equi-join. Revenue rides
+    * DECIMAL(30,6) (order-independent), quantities are exact small integers
+    * in double.
+    */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(30,6)").as("price"))
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, supp, "l_suppkey", saltFactor = 8)
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy("s_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "profile_orders" -> (profileOrders _),
     "mv_incremental" -> (mvIncremental _),
     "agg_pivot"      -> (aggPivot _),
@@ -881,6 +906,12 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """SELECT s_name, COUNT(*) AS n, SUM(l_quantity) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name
+        |ORDER BY s_name""".stripMargin,
     "profile_orders" -> profileOracle,
     "agg_pivot" ->
       """SELECT l_linestatus,
