@@ -184,7 +184,44 @@ object Sampling extends QueryModule {
       .orderBy("lang", "bin")
   }
 
+  /** Cumulative Poisson(1) CDF in exact ppm, frozen so both engines apply
+    * the identical inverse-CDF table (weights ≥ 8 collapse into 7 — the
+    * probability mass there is 1e-6).
+    */
+  val PoissonCumPpm: Seq[(Long, Int)] = Seq(
+    367879L -> 0, 735759L -> 1, 919699L -> 2, 981012L -> 3,
+    996340L -> 4, 999406L -> 5, 999917L -> 6)
+
+  /** Deterministic Poisson bootstrap: B=3 bagging replicates where each doc
+    * gets weight ~ Poisson(1) drawn by inverse-CDF over a hash uniform on
+    * (doc_id, replicate) — the online-bootstrap trick (Oza & Russell): no
+    * resampling pass, no rand(), identical replicas on any cluster or rerun,
+    * and the weight is a per-row expression a scan can apply. Output is the
+    * per-(source, replicate) weight audit: total weight tracks n_docs,
+    * dropped ≈ e⁻¹ of docs.
+    */
+  def samplePoissonBootstrap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = pmod(Hashing.hash60(
+      concat(col("doc_id").cast("string"), lit(":"), col("rep").cast("string"))),
+      lit(1000000L))
+    val w = PoissonCumPpm.foldRight(lit(7): Column) {
+      case ((ppm, k), acc) => when(col("u") < ppm, k).otherwise(acc)
+    }
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0), lit(2))).as("rep"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy("source", "rep")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("total_weight"),
+        count(when(col("w") === 0, lit(1))).as("n_dropped"),
+        max(col("w")).as("max_weight"))
+      .orderBy("source", "rep")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_poisson_bootstrap" -> (samplePoissonBootstrap _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
     "split_leakproof" -> (splitLeakproof _),
@@ -197,7 +234,26 @@ object Sampling extends QueryModule {
   override def oracles: Map[String, String] = {
     val docBucket = duckBucket100("CAST(doc_id AS VARCHAR)")
     val srcBucket = duckBucket100("source")
+    val bootU = Hashing.duckHash60(
+      "CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)")
+    val bootCase = PoissonCumPpm.foldRight("7") {
+      case ((ppm, k), acc) => s"CASE WHEN u < $ppm THEN $k ELSE $acc END"
+    }
     Map(
+      "sample_poisson_bootstrap" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, source, unnest([0, 1, 2]) AS rep FROM documents
+           |), h AS (
+           |  SELECT doc_id, source, rep, $bootU % 1000000 AS u FROM d
+           |), w AS (
+           |  SELECT source, rep, CAST($bootCase AS INTEGER) AS w FROM h
+           |)
+           |SELECT source, rep, COUNT(*) AS n_docs,
+           |  CAST(SUM(w) AS BIGINT) AS total_weight,
+           |  COUNT(CASE WHEN w = 0 THEN 1 END) AS n_dropped,
+           |  MAX(w) AS max_weight
+           |FROM w GROUP BY source, rep
+           |ORDER BY source, rep""".stripMargin,
       "sample_hash" ->
         s"""SELECT doc_id, lang, source, CAST($docBucket AS INTEGER) AS bucket
            |FROM documents

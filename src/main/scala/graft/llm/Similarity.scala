@@ -348,7 +348,31 @@ object Similarity extends QueryModule {
         sum(when(col("cos") >= 0.9, 1).otherwise(0)).cast("long").as("n_090"))
   }
 
+  /** Top-variance embedding dimensions — the feature-selection pass before
+    * a cheap filtered index (or a PCA sanity check: near-zero-variance dims
+    * carry no signal and can be pruned from distance math). Per-dim mean and
+    * E[x²] are each ROUNDED (6dp) before the variance subtraction, so the
+    * ranking key is identical double arithmetic in both engines regardless
+    * of aggregation merge order. Shuffle carries (pos, scalar) rows —
+    * dimension-keyed, corpus-size-independent output.
+    */
+  def embVarDims(spark: SparkSession, sfDir: String): DataFrame = {
+    val byVar = Window.orderBy(col("variance").desc, col("pos"))
+    embDouble(Tables.embeddings(spark, sfDir))
+      .select(posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("mean"),
+        round(avg(col("v") * col("v")), 6).as("m2"))
+      .withColumn("variance", round(col("m2") - col("mean") * col("mean"), 6))
+      .withColumn("rank", row_number().over(byVar))
+      .filter(col("rank") <= 8)
+      .select(col("rank"), col("pos"), col("n"), col("mean"), col("variance"))
+      .orderBy("rank")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_var_dims"    -> (embVarDims _),
     "emb_threshold_sweep" -> (embThresholdSweep _),
     "sim_ann_recall"  -> (simAnnRecall _),
     "emb_stats"       -> (embStats _),
@@ -400,6 +424,24 @@ object Similarity extends QueryModule {
          |  list_aggregate(qv, 'min') AS q_min,
          |  list_aggregate(qv, 'max') AS q_max
          |FROM q ORDER BY vec_id""".stripMargin,
+    "emb_var_dims" ->
+      """WITH x AS (
+        |  SELECT unnest(range(0, len(embedding))) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
+        |    ROUND(AVG(v), 6) AS mean, ROUND(AVG(v * v), 6) AS m2
+        |  FROM x GROUP BY pos
+        |), r AS (
+        |  SELECT pos, n, mean, ROUND(m2 - mean * mean, 6) AS variance
+        |  FROM s
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY variance DESC, pos) AS INTEGER) AS rank,
+        |  pos, n, mean, variance
+        |FROM r
+        |ORDER BY variance DESC, pos
+        |LIMIT 8""".stripMargin,
     "emb_centroid" ->
       """SELECT label, CAST(pos AS INTEGER) AS pos, COUNT(*) AS n,
         |  ROUND(AVG(v), 6) AS c

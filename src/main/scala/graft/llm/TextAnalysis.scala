@@ -439,7 +439,57 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "bucket")
   }
 
+  /** Tech-domain terms for the domain-router heuristic (the topic-mixing
+    * knob of corpus assembly: route technical docs to a code/tech bucket).
+    * Frozen list so the oracle embeds the identical set.
+    */
+  val DomainTerms: Seq[String] = Seq(
+    "spark", "agg", "join", "query", "scan", "hash", "shuffle", "table",
+    "column", "sort", "merge", "batch")
+
+  /** Per-source type-token ratio — the vocabulary-richness signal behind
+    * source-level quality triage (template/boilerplate farms have low TTR,
+    * organic text high). distinct-per-source needs one (source, word)
+    * shuffle; the ratio is integer ppm (distinct·10⁶ div total), bit-stable
+    * at any scale.
+    */
+  def ttr(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("source"), explode(words(col("text"))).as("word"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("word")).as("distinct_tokens"))
+      .withColumn("ttr_ppm", expr("distinct_tokens * 1000000 div total_tokens"))
+      .orderBy("source")
+  }
+
+  /** Domain-router report: per-source share of tech-domain tokens plus how
+    * many docs cross the 50% routing threshold — the corpus-mixing
+    * diagnostic behind "how much of src N is technical content". Doc-level
+    * ppm uses integer division, so the threshold decision is exact; one
+    * explode → per-doc groupBy (map-side combinable) → per-source rollup.
+    */
+  def domainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val isDomain = col("word").isin(DomainTerms.map(s => s: Any): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), explode(words(col("text"))).as("word"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("toks"),
+        count(when(isDomain, lit(1))).as("dtoks"))
+      .withColumn("doc_ppm", expr("dtoks * 1000000 div toks"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("doc_ppm") >= 500000, lit(1))).as("n_tech"),
+        sum(col("toks")).as("total_tokens"),
+        sum(col("dtoks")).as("domain_tokens"))
+      .withColumn("jargon_ppm", expr("domain_tokens * 1000000 div total_tokens"))
+      .orderBy("source")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ttr"         -> (ttr _),
+    "text_domain_mix"  -> (domainMix _),
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
     "text_quality_buckets" -> (qualityBuckets _),
@@ -463,6 +513,7 @@ object TextAnalysis extends QueryModule {
 
   override def oracles: Map[String, String] = {
     val stop = duckStopList(Stopwords)
+    val domain = duckStopList(DomainTerms)
     val langScores = LangMarkers.map { case (lang, markers) =>
       s"CAST(len(list_filter(string_split(text, ' '), x -> list_contains(${duckStopList(markers)}, x))) AS INTEGER) AS score_$lang"
     }.mkString(",\n        |  ")
@@ -491,6 +542,32 @@ object TextAnalysis extends QueryModule {
         |  GROUP BY t.doc_id, t.lang
         |)""".stripMargin
     Map(
+      "text_ttr" ->
+        """WITH tok AS (
+          |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+          |)
+          |SELECT source, COUNT(*) AS total_tokens,
+          |  COUNT(DISTINCT word) AS distinct_tokens,
+          |  CAST(COUNT(DISTINCT word) * 1000000 // COUNT(*) AS BIGINT) AS ttr_ppm
+          |FROM tok GROUP BY source
+          |ORDER BY source""".stripMargin,
+      "text_domain_mix" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+           |  FROM documents
+           |), perdoc AS (
+           |  SELECT doc_id, source, COUNT(*) AS toks,
+           |    COUNT(CASE WHEN list_contains($domain, word) THEN 1 END) AS dtoks
+           |  FROM tok GROUP BY doc_id, source
+           |)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  COUNT(CASE WHEN dtoks * 1000000 // toks >= 500000 THEN 1 END) AS n_tech,
+           |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(dtoks) AS BIGINT) AS domain_tokens,
+           |  CAST(CAST(SUM(dtoks) AS BIGINT) * 1000000 // CAST(SUM(toks) AS BIGINT) AS BIGINT)
+           |    AS jargon_ppm
+           |FROM perdoc GROUP BY source
+           |ORDER BY source""".stripMargin,
       "text_bigram_lm" ->
         """WITH d AS (
           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
