@@ -340,7 +340,64 @@ object EventTime extends QueryModule {
       .orderBy("user_id", "s_start")
   }
 
+  /** Peak-to-trough drawdown of the daily volume series per event type —
+    * "how far below its best day has this stream fallen, and when": running
+    * max over the ordered daily counts, drawdown = peak − current, worst
+    * day picked by (deepest, earliest). All integer counts — exact — and
+    * both windows run over the tiny per-type DAILY series, not the corpus.
+    */
+  def evtDrawdown(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTypeDay = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val worst = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("dd").desc, col("day"))
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("run_max", max(col("cnt")).over(byTypeDay))
+      .withColumn("dd", col("run_max") - col("cnt"))
+      .withColumn("rn", row_number().over(worst))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("run_max").as("peak_daily"),
+        col("dd").as("max_drawdown"), col("day").as("worst_day"))
+      .orderBy("event_type")
+  }
+
+  /** RFM segmentation — the classic customer-value cube: per user, recency
+    * (days since last purchase vs corpus max day), frequency (purchase
+    * count), monetary (exact-decimal purchase value); each scored into
+    * quintiles by ntile over a TOTAL order (metric, user_id — ties can't
+    * straddle engines), then rolled up to segment populations. The corpus
+    * sees one purchase-filtered groupBy; the three ntile windows run on the
+    * per-user summary (users ≪ events).
+    */
+  def evtRfm(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(19,6)")).as("monetary"))
+      .transform(d => d.crossJoin(broadcast(d.agg(max(col("last_day")).as("max_day")))))
+      .withColumn("recency_days", datediff(col("max_day"), col("last_day")))
+    val scored = perUser
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary")).cast("double").as("segment_value"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_drawdown"    -> (evtDrawdown _),
+    "evt_rfm"         -> (evtRfm _),
     "evt_attribution" -> (evtAttribution _),
     "win_session_cap" -> (winSessionCap _),
     "evt_cohort_ltv" -> (evtCohortLtv _),
@@ -360,6 +417,47 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), r AS (
+        |  SELECT event_type, day, cnt,
+        |    MAX(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |  FROM daily
+        |), d AS (
+        |  SELECT *, run_max - cnt AS dd FROM r
+        |), w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY dd DESC, day) AS rn FROM d
+        |)
+        |SELECT event_type, run_max AS peak_daily, dd AS max_drawdown,
+        |  day AS worst_day
+        |FROM w WHERE rn = 1
+        |ORDER BY event_type""".stripMargin,
+    "evt_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(MAX(ts) AS DATE) AS last_day, COUNT(*) AS freq,
+        |    SUM(CAST("value" AS DECIMAL(19,6))) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), mx AS (
+        |  SELECT MAX(last_day) AS max_day FROM pu
+        |), sc AS (
+        |  SELECT user_id, freq, monetary,
+        |    date_diff('day', last_day, max_day) AS recency_days
+        |  FROM pu CROSS JOIN mx
+        |), q AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INTEGER) AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, user_id) AS INTEGER) AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS INTEGER) AS m_score
+        |  FROM sc
+        |)
+        |SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+        |  CAST(SUM(monetary) AS DOUBLE) AS segment_value
+        |FROM q GROUP BY r_score, f_score, m_score
+        |ORDER BY r_score, f_score, m_score""".stripMargin,
     "evt_attribution" ->
       """WITH c1 AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id

@@ -68,8 +68,47 @@ object Graph extends QueryModule {
       .orderBy("n_name")
   }
 
+  /** Per-node triangle counts over the UNDIRECTED nation trade graph — the
+    * clustering/community primitive (triangle density separates hub-and-
+    * spoke trade from cliques). Canonical orientation u<v dedups edges;
+    * triangles enumerate as a<b<c via two hash joins (the standard
+    * distributed algorithm — at web scale you'd pre-bucket by degree so the
+    * wedge join stays balanced, the same salting lever as any skewed join),
+    * then each triangle credits its three corners through one explode.
+    * Pure integer counts — exact in any engine.
+    */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey").as("a")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "a")
+    val directed = li
+      .join(cNat, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey").as("b")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("a", "b")
+    val und = directed.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.v") === col("e2.u"))
+      .join(und.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(col("e1.u").as("a"), col("e1.v").as("b"), col("e2.v").as("c"))
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .join(nodes, Seq("node"), "right")
+      .select(col("n_name"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("n_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
+    "graph_triangles" -> (graphTriangles _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -109,5 +148,28 @@ object Graph extends QueryModule {
          |JOIN nation n ON pr2.node = n.n_nationkey
          |LEFT JOIN deg d ON pr2.node = d.src
          |ORDER BY n.n_name""".stripMargin,
+    "graph_triangles" ->
+      """WITH directed AS (
+        |  SELECT c.c_nationkey AS a, s.s_nationkey AS b
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |), und AS (
+        |  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM directed
+        |), tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e1.v = e2.u
+        |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+        |), corners AS (
+        |  SELECT unnest([a, b, c]) AS node FROM tri
+        |), cnt AS (
+        |  SELECT node, COUNT(*) AS n_triangles FROM corners GROUP BY node
+        |)
+        |SELECT n.n_name, COALESCE(cnt.n_triangles, 0) AS n_triangles
+        |FROM nation n LEFT JOIN cnt ON n.n_nationkey = cnt.node
+        |ORDER BY n.n_name""".stripMargin,
   )
 }

@@ -851,7 +851,60 @@ object Relational extends QueryModule {
       .orderBy("s_name")
   }
 
+  /** Semi-join through a hand-built Bloom runtime filter — the DIY version
+    * of Spark's injected bloom join pruning (RuntimeFilterSpec pins the
+    * built-in one): the high-balance customers' order keys compress into a
+    * 1024-bit / 3-hash filter (32×32-bit words, one 1-row array built by 32
+    * bit_or aggs), broadcast to the fact scan as a PURE ROW-LOCAL predicate
+    * that drops ~all non-matching lineitems before the shuffle; the exact
+    * semi-join then removes Bloom false positives. The oracle is the plain
+    * semi-join — hash equality proves the prefilter is result-invariant,
+    * which is what lets a planner inject it blindly. At 100 TB this is THE
+    * shuffle-volume lever when the build side is selective but too big to
+    * broadcast as an exact set.
+    */
+  def joinBloomPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Hashing
+    val BloomBits = 1024
+    val Hashes = 3
+    def cells(key: org.apache.spark.sql.Column) = (0 until Hashes).map { i =>
+      pmod(Hashing.hash60(concat_ws(":", lit(i), key)), lit(BloomBits))
+    }
+    val keys = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir).filter(col("c_acctbal") > 9000.0),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"))
+    val bloom = keys
+      .select(explode(array(cells(col("o_orderkey")): _*)).as("bit"))
+      .select((col("bit") / 32).cast("int").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))").as("mask"))
+      .groupBy()
+      .agg(bit_or(when(col("word") === 0, col("mask")).otherwise(lit(0L))).as("w0"),
+        (1 until 32).map(w =>
+          bit_or(when(col("word") === w, col("mask")).otherwise(lit(0L))).as(s"w$w")): _*)
+      .select(array((0 until 32).map(w => col(s"w$w")): _*).as("bloom"))
+    val prefiltered = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(30,6)").as("price"))
+      .crossJoin(broadcast(bloom))
+    val withHits = (0 until Hashes).foldLeft(prefiltered) { (df, i) =>
+      df.withColumn(s"c$i",
+          pmod(Hashing.hash60(concat_ws(":", lit(i), col("l_orderkey"))), lit(BloomBits)))
+        .withColumn(s"hit$i",
+          element_at(col("bloom"), (col(s"c$i") / 32).cast("int") + 1)
+            .bitwiseAND(expr(s"shiftleft(CAST(1 AS BIGINT), CAST(c$i % 32 AS INT))")) =!= 0)
+    }
+    withHits
+      .filter((0 until Hashes).map(i => col(s"hit$i")).reduce(_ && _))
+      .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("total_qty"),
+        sum(col("price")).cast("double").as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_bloom_prune" -> (joinBloomPrune _),
     "join_skew_salted" -> (joinSkewSalted _),
     "profile_orders" -> (profileOrders _),
     "mv_incremental" -> (mvIncremental _),
@@ -906,6 +959,15 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "join_bloom_prune" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS total_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_acctbal > 9000.0)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "join_skew_salted" ->
       """SELECT s_name, COUNT(*) AS n, SUM(l_quantity) AS total_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
