@@ -163,7 +163,38 @@ object Multimodal extends QueryModule {
       .orderBy("id")
   }
 
+  /** Silence trimming for the 'audio' rows — the lead-in/lead-out cut every
+    * speech pipeline runs before feature extraction. Frames are 25 ms-ish
+    * (`n_chars div 25` of them) and per-frame energy derives from public
+    * columns (`(doc_id·31 + frame) mod 7`, 0 = silent — the mmFramesSql
+    * determinism trick), so DuckDB verifies the REAL trim arithmetic: first/
+    * last voiced frame via min/max over a generated frame axis (explode —
+    * never a driver loop), kept span and trim counts from them. A real
+    * deployment swaps the energy synth for the decoder's RMS pass;
+    * everything else (generator → filter → per-id min/max agg) is the
+    * production plan shape.
+    */
+  def mmSilenceTrim(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1) // the 'audio' rows of mediaTable
+      .select(col("doc_id").as("id"),
+        expr("n_chars div 25").as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .withColumn("frame", explode(sequence(lit(0L), col("n_frames") - 1)))
+      .withColumn("energy", (col("id") * 31 + col("frame")) % 7)
+      .groupBy("id", "n_frames")
+      .agg(
+        min(when(col("energy") > 0, col("frame"))).as("first_voiced"),
+        max(when(col("energy") > 0, col("frame"))).as("last_voiced"))
+      .select(col("id"), col("n_frames"), col("first_voiced"), col("last_voiced"),
+        coalesce(col("last_voiced") - col("first_voiced") + 1, lit(0L)).as("kept_frames"),
+        coalesce(col("first_voiced"), col("n_frames")).as("lead_trim"),
+        coalesce(col("n_frames") - 1 - col("last_voiced"), lit(0L)).as("tail_trim"))
+      .orderBy("id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_silence_trim" -> (mmSilenceTrim _),
     "mm_meta"       -> (mmMeta _),
     "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
     "mm_frames_sql" -> (mmFramesSql _),
@@ -196,6 +227,26 @@ object Multimodal extends QueryModule {
         |  CAST(floor(height * raw_scale) AS INTEGER) AS out_height,
         |  ROUND(raw_scale, 6) AS scale
         |FROM r ORDER BY id""".stripMargin,
+    "mm_silence_trim" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, n_chars // 25 AS n_frames,
+        |    unnest(range(0, n_chars // 25)) AS frame
+        |  FROM documents
+        |  WHERE doc_id % 3 = 1 AND n_chars // 25 > 0
+        |), e AS (
+        |  SELECT id, n_frames, frame, (id * 31 + frame) % 7 AS energy FROM f
+        |), agg AS (
+        |  SELECT id, n_frames,
+        |    MIN(CASE WHEN energy > 0 THEN frame END) AS first_voiced,
+        |    MAX(CASE WHEN energy > 0 THEN frame END) AS last_voiced
+        |  FROM e GROUP BY id, n_frames
+        |)
+        |SELECT id, n_frames, first_voiced, last_voiced,
+        |  COALESCE(last_voiced - first_voiced + 1, 0) AS kept_frames,
+        |  COALESCE(first_voiced, n_frames) AS lead_trim,
+        |  COALESCE(n_frames - 1 - last_voiced, 0) AS tail_trim
+        |FROM agg
+        |ORDER BY id""".stripMargin,
     "mm_frames_sql" ->
       """SELECT doc_id AS id,
         |  unnest(range(0, greatest(CAST(ceil((n_chars * 40)::DOUBLE / 5000) AS BIGINT), 1))) AS frame_no,

@@ -297,7 +297,25 @@ object Relevance extends QueryModule {
       .orderBy("digit")
   }
 
+  /** Freshness SLA audit: per event type, the last-seen timestamp, its lag
+    * behind the corpus watermark in exact integer microseconds, and the
+    * stale flag at a 24-hour SLA — the ingest-monitoring query every
+    * pipeline pages on. Per-type maxes are one map-side-combined groupBy;
+    * the corpus watermark is a 1-row broadcast, never a global sort.
+    */
+  def dqFreshness(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n"))
+      .transform(d => d.crossJoin(broadcast(d.agg(max(col("last_ts")).as("watermark")))))
+      .withColumn("lag_us", unix_micros(col("watermark")) - unix_micros(col("last_ts")))
+      .withColumn("stale", col("lag_us") > lit(86400000000L))
+      .select(col("event_type"), col("last_ts"), col("n"), col("lag_us"), col("stale"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_freshness"  -> (dqFreshness _),
     "dq_benford"    -> (dqBenford _),
     "dq_ks_test"    -> (dqKsTest _),
     "text_tfidf"    -> (tfidf _),
@@ -314,6 +332,18 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "dq_freshness" ->
+        """WITH t AS (
+          |  SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n
+          |  FROM events GROUP BY event_type
+          |), w AS (
+          |  SELECT MAX(last_ts) AS watermark FROM t
+          |)
+          |SELECT event_type, last_ts, n,
+          |  epoch_us(watermark) - epoch_us(last_ts) AS lag_us,
+          |  (epoch_us(watermark) - epoch_us(last_ts)) > 86400000000 AS stale
+          |FROM t CROSS JOIN w
+          |ORDER BY event_type""".stripMargin,
       "dq_benford" ->
         """WITH d AS (
           |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)

@@ -371,7 +371,37 @@ object Similarity extends QueryModule {
       .orderBy("rank")
   }
 
+  /** One PCA power-iteration step, matrix-free: v₁ ∝ E[x·xᵀ]·v₀ computed as
+    * E[x_j · s] with s = ⟨x, v₀⟩ — the Krylov trick that never materializes
+    * the d×d second-moment matrix (at 100 TB the data never reshuffles:
+    * one scalar s per vector map-side, then a (pos, scalar) groupBy).
+    * v₀ = 1/√d uniform. Cross-engine exactness: s is a sequential HOF fold
+    * (≡ DuckDB list_sum order), per-dim means round to 6dp, the norm is
+    * computed from EXACT DECIMAL squares of those rounded means (sum order
+    * free), and v₁ = m/‖m‖ divides identical doubles. Iterating = repeating
+    * this plan with v₁ as literals.
+    */
+  def embPcaPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = 64
+    val v0 = 1.0 / math.sqrt(d.toDouble)
+    val m = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("s",
+        aggregate(col("e"), lit(0.0), (acc, x) => acc + x) * lit(v0))
+      .select(posexplode(col("e")).as(Seq("pos", "v")), col("s"))
+      .groupBy("pos")
+      .agg(round(avg(col("v") * col("s")), 6).as("m"))
+    val norm = m
+      .agg(sum(col("m").cast("decimal(18,6)") * col("m").cast("decimal(18,6)"))
+        .as("ss"))
+      .select(round(sqrt(col("ss").cast("double")), 6).as("norm"))
+    m.crossJoin(broadcast(norm))
+      .select(col("pos"), col("m"), col("norm"),
+        round(col("m") / col("norm"), 6).as("component"))
+      .orderBy("pos")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_power"   -> (embPcaPower _),
     "emb_var_dims"    -> (embVarDims _),
     "emb_threshold_sweep" -> (embThresholdSweep _),
     "sim_ann_recall"  -> (simAnnRecall _),
@@ -424,6 +454,25 @@ object Similarity extends QueryModule {
          |  list_aggregate(qv, 'min') AS q_min,
          |  list_aggregate(qv, 'max') AS q_max
          |FROM q ORDER BY vec_id""".stripMargin,
+    "emb_pca_power" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), x AS (
+        |  SELECT unnest(range(0, len(v))) AS pos, unnest(v) AS val,
+        |    list_sum(v) * 0.125 AS s
+        |  FROM e
+        |), m AS (
+        |  SELECT CAST(pos AS INTEGER) AS pos, ROUND(AVG(val * s), 6) AS m
+        |  FROM x GROUP BY pos
+        |), n AS (
+        |  SELECT ROUND(sqrt(CAST(SUM(CAST(m AS DECIMAL(19,6)) * CAST(m AS DECIMAL(19,6)))
+        |    AS DOUBLE)), 6) AS norm
+        |  FROM m
+        |)
+        |SELECT pos, m, norm, ROUND(m / norm, 6) AS component
+        |FROM m CROSS JOIN n
+        |ORDER BY pos""".stripMargin,
     "emb_var_dims" ->
       """WITH x AS (
         |  SELECT unnest(range(0, len(embedding))) AS pos,

@@ -395,7 +395,38 @@ object EventTime extends QueryModule {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Pareto concentration per event type — "how few users produce 80% of
+    * the value": users ranked by exact-decimal value (desc, user_id
+    * tiebreak), the 80% crossing found by CROSS-MULTIPLIED decimal compare
+    * (5·cum ≥ 4·total — no float share), reported beside the user count and
+    * the crossing user's share of the population in integer ppm. The corpus
+    * sees one (type, user) groupBy; ranking windows run on the per-user
+    * summary.
+    */
+  def evtPareto(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byVal = Window.partitionBy("event_type")
+      .orderBy(col("v").desc, col("user_id"))
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("value").cast("decimal(19,6)")).as("v"))
+    perUser
+      .withColumn("rnk", row_number().over(byVal))
+      .withColumn("cum", sum(col("v")).over(
+        byVal.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("v")).over(Window.partitionBy("event_type")))
+      .withColumn("n_users", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("cum") * 5 >= col("total") * 4)
+      .groupBy(col("event_type"), col("n_users"), col("total"))
+      .agg(min(col("rnk")).as("users_to_80"))
+      .select(col("event_type"), col("n_users"), col("users_to_80"),
+        expr("CAST(users_to_80 AS BIGINT) * 1000000 div n_users").as("pct_users_ppm"),
+        col("total").cast("double").as("total_value"))
+      .orderBy("event_type")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_pareto"      -> (evtPareto _),
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
     "evt_attribution" -> (evtAttribution _),
@@ -417,6 +448,27 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_pareto" ->
+      """WITH pu AS (
+        |  SELECT event_type, user_id, SUM(CAST("value" AS DECIMAL(19,6))) AS v
+        |  FROM events GROUP BY event_type, user_id
+        |), r AS (
+        |  SELECT event_type, user_id, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v DESC, user_id) AS rnk,
+        |    SUM(v) OVER (PARTITION BY event_type ORDER BY v DESC, user_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(v) OVER (PARTITION BY event_type) AS total,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n_users
+        |  FROM pu
+        |), f AS (
+        |  SELECT event_type, n_users, total, MIN(rnk) AS users_to_80
+        |  FROM r WHERE cum * 5 >= total * 4
+        |  GROUP BY event_type, n_users, total
+        |)
+        |SELECT event_type, n_users, CAST(users_to_80 AS INTEGER) AS users_to_80,
+        |  CAST(users_to_80 * 1000000 // n_users AS BIGINT) AS pct_users_ppm,
+        |  CAST(total AS DOUBLE) AS total_value
+        |FROM f ORDER BY event_type""".stripMargin,
     "evt_drawdown" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
