@@ -425,7 +425,60 @@ object EventTime extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** OHLC resample bars per (event_type, day) — the time-series downsample
+    * behind every candlestick/metric-rollup view: open/close are the first/
+    * last value in (ts, event_id) order (total order — engine-independent),
+    * high/low/total plain aggregates. ONE window (rank + partition count
+    * share a sort) feeding one groupBy; raw values pass through row-local,
+    * only the volume sum is rounded onto its 2dp grid.
+    */
+  def evtOhlc(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byBar = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts"), col("event_id"))
+    val all = Window.partitionBy("event_type", "day")
+    Tables.events(spark, sfDir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("rn", row_number().over(byBar))
+      .withColumn("cnt", count(lit(1)).over(all))
+      .groupBy("event_type", "day")
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("volume"))
+      .orderBy("event_type", "day")
+  }
+
+  /** Weekly stickiness (DAU/WAU): Σ daily-active ∕ (days-present × weekly-
+    * active) in integer ppm — the engagement-intensity ratio product teams
+    * track. Both actives collapse to distinct (user, period) BEFORE any
+    * join (the only corpus-wide shuffles, user-keyed); the ppm division is
+    * exact integer math.
+    */
+  def evtStickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+    val dau = e.select("user_id", "day", "week").distinct()
+      .groupBy("week", "day").agg(count(lit(1)).as("dau"))
+      .groupBy("week").agg(sum(col("dau")).as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    val wau = e.select("user_id", "week").distinct()
+      .groupBy("week").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "week")
+      .withColumn("stickiness_ppm",
+        expr("sum_dau * 1000000 div (n_days * wau)"))
+      .select(col("week"), col("n_days"), col("sum_dau"), col("wau"),
+        col("stickiness_ppm"))
+      .orderBy("week")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ohlc"        -> (evtOhlc _),
+    "evt_stickiness"  -> (evtStickiness _),
     "evt_pareto"      -> (evtPareto _),
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
@@ -448,6 +501,44 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_ohlc" ->
+      """WITH t AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, "value",
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS cnt
+        |  FROM events
+        |)
+        |SELECT event_type, day,
+        |  MAX(CASE WHEN rn = 1 THEN "value" END) AS open,
+        |  MAX("value") AS high,
+        |  MIN("value") AS low,
+        |  MAX(CASE WHEN rn = cnt THEN "value" END) AS close,
+        |  COUNT(*) AS n,
+        |  ROUND(SUM("value"), 2) AS volume
+        |FROM t GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+    "evt_stickiness" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(date_trunc('week', ts) AS DATE) AS week
+        |  FROM events
+        |), dau AS (
+        |  SELECT week, day, COUNT(*) AS dau
+        |  FROM (SELECT DISTINCT user_id, day, week FROM e)
+        |  GROUP BY week, day
+        |), dd AS (
+        |  SELECT week, CAST(SUM(dau) AS BIGINT) AS sum_dau, COUNT(*) AS n_days
+        |  FROM dau GROUP BY week
+        |), wau AS (
+        |  SELECT week, COUNT(*) AS wau
+        |  FROM (SELECT DISTINCT user_id, week FROM e)
+        |  GROUP BY week
+        |)
+        |SELECT dd.week, n_days, sum_dau, wau,
+        |  CAST(sum_dau * 1000000 // (n_days * wau) AS BIGINT) AS stickiness_ppm
+        |FROM dd JOIN wau ON dd.week = wau.week
+        |ORDER BY dd.week""".stripMargin,
     "evt_pareto" ->
       """WITH pu AS (
         |  SELECT event_type, user_id, SUM(CAST("value" AS DECIMAL(19,6))) AS v

@@ -903,7 +903,52 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Quantity-weighted average price (VWAP shape) per return flag: both
+    * sides of the ratio are EXACT decimal/integer sums (order-independent
+    * at any scale), and the displayed ratio divides those identical exact
+    * values as doubles — never an engine's decimal-division scale rules
+    * (Spark and DuckDB disagree on quotient scale, so the division happens
+    * after the exact sums are fixed). One map-side-combined groupBy.
+    */
+  def aggVwap(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_extendedprice").cast("decimal(18,6)").as("p"))
+      .groupBy("l_returnflag")
+      .agg(sum(col("p") * col("q")).as("pq"), sum(col("q")).as("qty"))
+      .select(col("l_returnflag"),
+        col("pq").cast("double").as("price_qty"),
+        col("qty"),
+        round(col("pq").cast("double") / col("qty").cast("double"), 6).as("vwap"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Star-schema rollup — revenue by (region, brand): the canonical OLAP
+    * star join. Every dimension chain (part; supplier→nation→region) is
+    * broadcast-sized by construction at ANY fact-table scale, so the plan
+    * is a straight line of BroadcastHashJoins over one fact scan, then one
+    * map-side-combined groupBy on the tiny (region × brand) key space.
+    */
+  def joinStarRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast("decimal(30,6)").as("price"))
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand")
+    val geo = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "r_name")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(geo), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("r_name", "p_brand")
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("revenue"))
+      .orderBy("r_name", "p_brand")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_vwap"         -> (aggVwap _),
+    "join_star_rollup" -> (joinStarRollup _),
     "join_bloom_prune" -> (joinBloomPrune _),
     "join_skew_salted" -> (joinSkewSalted _),
     "profile_orders" -> (profileOrders _),
@@ -959,6 +1004,26 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "agg_vwap" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_quantity AS BIGINT)) AS pq,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, CAST(pq AS DOUBLE) AS price_qty, qty,
+        |  ROUND(CAST(pq AS DOUBLE) / CAST(qty AS DOUBLE), 6) AS vwap
+        |FROM t ORDER BY l_returnflag""".stripMargin,
+    "join_star_rollup" ->
+      """SELECT r_name, p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, p_brand
+        |ORDER BY r_name, p_brand""".stripMargin,
     "join_bloom_prune" ->
       """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS total_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
