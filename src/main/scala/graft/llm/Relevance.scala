@@ -314,7 +314,35 @@ object Relevance extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Key-uniqueness audit across candidate keys — the constraint check
+    * every warehouse runs before declaring a primary key or choosing a
+    * merge key: per candidate, total rows, distinct keys, violated keys
+    * (multiplicity > 1) and the worst multiplicity. Each candidate is one
+    * map-side-combined groupBy on its own key; the four tiny summaries
+    * union. (lineitem's (l_orderkey, l_linenumber) is a KNOWN non-key in
+    * this corpus — the audit exists to surface exactly that.)
+    */
+  def dqUniqueness(spark: SparkSession, sfDir: String): DataFrame = {
+    def audit(name: String, df: DataFrame, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("m"))
+        .agg(
+          sum(col("m")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          count(when(col("m") > 1, lit(1))).as("dup_keys"),
+          max(col("m")).as("max_multiplicity"))
+        .select(lit(name).as("candidate"), col("n_rows"), col("n_keys"),
+          (col("dup_keys") === 0).as("is_unique"), col("dup_keys"),
+          col("max_multiplicity"))
+    audit("customer.c_custkey", Tables.customer(spark, sfDir), Seq("c_custkey"))
+      .unionByName(audit("events.event_id", Tables.events(spark, sfDir), Seq("event_id")))
+      .unionByName(audit("lineitem.l_orderkey+l_linenumber",
+        Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_linenumber")))
+      .unionByName(audit("orders.o_orderkey", Tables.orders(spark, sfDir), Seq("o_orderkey")))
+      .orderBy("candidate")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_uniqueness" -> (dqUniqueness _),
     "dq_freshness"  -> (dqFreshness _),
     "dq_benford"    -> (dqBenford _),
     "dq_ks_test"    -> (dqKsTest _),
@@ -332,6 +360,21 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "dq_uniqueness" -> {
+        def one(name: String, table: String, key: String) =
+          s"""SELECT '$name' AS candidate,
+             |  CAST(SUM(m) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             |  COUNT(CASE WHEN m > 1 THEN 1 END) = 0 AS is_unique,
+             |  COUNT(CASE WHEN m > 1 THEN 1 END) AS dup_keys,
+             |  MAX(m) AS max_multiplicity
+             |FROM (SELECT $key, COUNT(*) AS m FROM $table GROUP BY $key)""".stripMargin
+        Seq(
+          one("customer.c_custkey", "customer", "c_custkey"),
+          one("events.event_id", "events", "event_id"),
+          one("lineitem.l_orderkey+l_linenumber", "lineitem", "l_orderkey, l_linenumber"),
+          one("orders.o_orderkey", "orders", "o_orderkey"),
+        ).mkString("", "\nUNION ALL\n", "\nORDER BY candidate")
+      },
       "dq_freshness" ->
         """WITH t AS (
           |  SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n

@@ -476,7 +476,53 @@ object EventTime extends QueryModule {
       .orderBy("week")
   }
 
+  /** Longest consecutive-day activity streak per user — calendar
+    * gaps-and-islands (distinct active days; island key = day − rank, which
+    * is constant exactly while days are consecutive). The corpus collapses
+    * to distinct (user, day) first; the window sorts only those. Streak
+    * arithmetic is all dates/integers — exact anywhere.
+    */
+  def evtStreaks(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("island", date_sub(col("day"), row_number().over(byUser)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("streak"))
+      .groupBy("user_id")
+      .agg(sum(col("streak")).as("n_active_days"),
+        max(col("streak")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** Conversion-lag distribution: for users whose first purchase follows
+    * their first view, the view→purchase gap in exact µs, summarized as
+    * count/min/median/p90/max (exact percentiles ≡ DuckDB quantile_cont).
+    * Two min-aggregations on user_id then one tiny global summary — the
+    * funnel-latency SLA query.
+    */
+  def evtTimeToConvert(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    v.join(p, "user_id")
+      .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view"))).as("gap_us"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        min(col("gap_us")).as("min_us"),
+        expr("percentile(gap_us, 0.5)").as("median_us"),
+        expr("percentile(gap_us, 0.9)").as("p90_us"),
+        max(col("gap_us")).as("max_us"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_streaks"     -> (evtStreaks _),
+    "evt_time_to_convert" -> (evtTimeToConvert _),
     "evt_ohlc"        -> (evtOhlc _),
     "evt_stickiness"  -> (evtStickiness _),
     "evt_pareto"      -> (evtPareto _),
@@ -501,6 +547,38 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_streaks" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), i AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER)
+        |      AS island
+        |  FROM d
+        |), s AS (
+        |  SELECT user_id, island, COUNT(*) AS streak FROM i GROUP BY user_id, island
+        |)
+        |SELECT user_id, CAST(SUM(streak) AS BIGINT) AS n_active_days,
+        |  MAX(streak) AS longest_streak, COUNT(*) AS n_streaks
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "evt_time_to_convert" ->
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(ts) AS t_purchase
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'purchase' AND ts > t_view GROUP BY e.user_id
+        |), g AS (
+        |  SELECT epoch_us(t_purchase) - epoch_us(t_view) AS gap_us
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |)
+        |SELECT COUNT(*) AS n_converted, MIN(gap_us) AS min_us,
+        |  quantile_cont(gap_us, 0.5) AS median_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_us,
+        |  MAX(gap_us) AS max_us
+        |FROM g""".stripMargin,
     "evt_ohlc" ->
       """WITH t AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, "value",

@@ -946,7 +946,25 @@ object Relational extends QueryModule {
       .orderBy("r_name", "p_brand")
   }
 
+  /** 2-D histogram (quantity band × discount cell) with per-cell revenue —
+    * the heatmap/profile grid behind pricing dashboards. Both bucket ids
+    * are exact integer arithmetic (quantity is a small integer in double;
+    * discount lives on a 2dp grid, so ×100 + round is exact); one groupBy
+    * over a ≤10×11 key space — the histogram of 100 TB is a few dozen rows.
+    */
+  def aggHistogram2d(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .select(
+        expr("CAST((CAST(l_quantity AS INT) - 1) div 5 AS INT)").as("qty_band"),
+        round(col("l_discount") * 100).cast("int").as("disc_pct"),
+        col("l_extendedprice").cast("decimal(30,6)").as("price"))
+      .groupBy("qty_band", "disc_pct")
+      .agg(count(lit(1)).as("n"), sum(col("price")).cast("double").as("revenue"))
+      .orderBy("qty_band", "disc_pct")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_histogram2d"  -> (aggHistogram2d _),
     "agg_vwap"         -> (aggVwap _),
     "join_star_rollup" -> (joinStarRollup _),
     "join_bloom_prune" -> (joinBloomPrune _),
@@ -1004,6 +1022,14 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "agg_histogram2d" ->
+      """SELECT CAST((CAST(l_quantity AS INTEGER) - 1) // 5 AS INTEGER) AS qty_band,
+        |  CAST(round(l_discount * 100) AS INTEGER) AS disc_pct,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |GROUP BY qty_band, disc_pct
+        |ORDER BY qty_band, disc_pct""".stripMargin,
     "agg_vwap" ->
       """WITH t AS (
         |  SELECT l_returnflag,
