@@ -520,7 +520,33 @@ object EventTime extends QueryModule {
         max(col("gap_us")).as("max_us"))
   }
 
+  /** Per-user ML feature assembly — the feature-store export: behavioral
+    * counts by type (conditional aggs, not a pivot shuffle), recency, span,
+    * distinct active days, and exact-decimal monetary value, one row per
+    * user in ONE groupBy pass over the corpus (count-distinct adds the only
+    * expansion). This is the table a training job joins against labels.
+    */
+  def evtFeatureVector(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        count(when(col("event_type") === "view", lit(1))).as("n_view"),
+        count(when(col("event_type") === "click", lit(1))).as("n_click"),
+        count(when(col("event_type") === "purchase", lit(1))).as("n_purchase"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        to_date(min(col("ts"))).as("first_day"),
+        to_date(max(col("ts"))).as("last_day"),
+        sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(19,6)"))).as("mv"))
+      .select(col("user_id"), col("n_view"), col("n_click"), col("n_purchase"),
+        col("active_days"), col("first_day"), col("last_day"),
+        datediff(col("last_day"), col("first_day")).as("span_days"),
+        coalesce(col("mv").cast("double"), lit(0.0)).as("monetary"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_feature_vector" -> (evtFeatureVector _),
     "evt_streaks"     -> (evtStreaks _),
     "evt_time_to_convert" -> (evtTimeToConvert _),
     "evt_ohlc"        -> (evtOhlc _),
@@ -547,6 +573,20 @@ object EventTime extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "evt_feature_vector" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |  COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |  CAST(MIN(ts) AS DATE) AS first_day,
+        |  CAST(MAX(ts) AS DATE) AS last_day,
+        |  CAST(date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE)) AS INTEGER)
+        |    AS span_days,
+        |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+        |    THEN CAST("value" AS DECIMAL(19,6)) END) AS DOUBLE), 0.0) AS monetary
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "evt_streaks" ->
       """WITH d AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

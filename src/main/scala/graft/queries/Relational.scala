@@ -963,7 +963,42 @@ object Relational extends QueryModule {
       .orderBy("qty_band", "disc_pct")
   }
 
+  /** Market-basket brand affinity — association mining's support/lift over
+    * orders: distinct (order, brand) first (bounds the self-join at any
+    * scale: pairs-per-order is quadratic in the BRAND-cardinality cap, not
+    * order size), canonical a<b pair join on the order key, lift in exact
+    * integer ppm via cross-multiplication (support·N·10⁶ div (nₐ·n_b) —
+    * no float probabilities). Support floor keeps the report to real
+    * signals.
+    */
+  def mbaBrandPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val ob = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val nOrders = ob.agg(countDistinct(col("okey")).as("n_orders"))
+    val brandN = ob.groupBy("brand").agg(count(lit(1)).as("bn"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 5)
+    pairs
+      .join(broadcast(brandN.withColumnRenamed("brand", "brand_a")
+        .withColumnRenamed("bn", "na")), "brand_a")
+      .join(broadcast(brandN.withColumnRenamed("brand", "brand_b")
+        .withColumnRenamed("bn", "nb")), "brand_b")
+      .crossJoin(broadcast(nOrders))
+      .withColumn("lift_ppm",
+        expr("support * n_orders * 1000000 div (na * nb)"))
+      .select(col("brand_a"), col("brand_b"), col("support"),
+        col("na"), col("nb"), col("lift_ppm"))
+      .orderBy("brand_a", "brand_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mba_brand_pairs"  -> (mbaBrandPairs _),
     "agg_histogram2d"  -> (aggHistogram2d _),
     "agg_vwap"         -> (aggVwap _),
     "join_star_rollup" -> (joinStarRollup _),
@@ -1022,6 +1057,28 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "mba_brand_pairs" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |), tot AS (
+        |  SELECT COUNT(DISTINCT okey) AS n_orders FROM ob
+        |), bn AS (
+        |  SELECT brand, COUNT(*) AS bn FROM ob GROUP BY brand
+        |), pairs AS (
+        |  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS support
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |  GROUP BY a.brand, b.brand
+        |  HAVING COUNT(*) >= 5
+        |)
+        |SELECT brand_a, brand_b, support,
+        |  na.bn AS na, nb.bn AS nb,
+        |  CAST(support * n_orders * 1000000 // (na.bn * nb.bn) AS BIGINT) AS lift_ppm
+        |FROM pairs
+        |JOIN bn na ON pairs.brand_a = na.brand
+        |JOIN bn nb ON pairs.brand_b = nb.brand
+        |CROSS JOIN tot
+        |ORDER BY brand_a, brand_b""".stripMargin,
     "agg_histogram2d" ->
       """SELECT CAST((CAST(l_quantity AS INTEGER) - 1) // 5 AS INTEGER) AS qty_band,
         |  CAST(round(l_discount * 100) AS INTEGER) AS disc_pct,

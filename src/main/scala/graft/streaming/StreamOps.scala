@@ -65,6 +65,30 @@ object StreamOps {
         col("view_ts"), col("click_ts"))
   }
 
+  /** Streaming OHLC bars — the windowed twin of EventTime.evtOhlc: open and
+    * close via min_by/max_by on the packed (ts, event_id) event-time order
+    * (declarative aggregates, so they fold into streaming window state —
+    * a row_number() formulation would be illegal on a stream), high/low/
+    * volume plain aggregates. Watermark bounds bar state exactly like any
+    * windowed agg.
+    */
+  def ohlcBars(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(
+        expr("min_by(value, struct(ts, event_id))").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr("max_by(value, struct(ts, event_id))").as("close"),
+        count(lit(1)).as("n"),
+        round(sum("value"), 2).as("volume"))
+      .select(col("w.start").as("w_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"), col("volume"))
+
   /** Stateful stream dedup bounded by the watermark — the streaming form of
     * exact dedup: state for a key is dropped once the watermark passes, so
     * memory is bounded by the watermark horizon, not stream length.

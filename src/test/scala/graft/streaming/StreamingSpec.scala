@@ -91,6 +91,25 @@ class StreamOpsSpec extends SparkSpec {
       ("2024-01-01T00:05:00Z", "v", 1L, 3.0)))
   }
 
+  test("streaming OHLC bars: open/close follow event-time order, not arrival order") {
+    val dir = Files.createTempDirectory("graft-ohlc").toString
+    // Arrival order deliberately scrambled vs event time within the window.
+    writeEvents(dir,
+      """{"event_id":3,"ts":"2024-01-01T00:03:00Z","user_id":1,"event_type":"c","value":9.0}""",
+      """{"event_id":1,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"c","value":4.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"c","value":1.0}""")
+    val stream = spark.readStream.schema(eventsSchema).json(dir)
+    val q = StreamOps.ohlcBars(stream)
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ohlc_out")
+      .select("open", "high", "low", "close", "n", "volume").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq((4.0, 9.0, 1.0, 9.0, 3L, 14.0)))
+  }
+
   test("stream-stream interval join attributes clicks to in-horizon views only") {
     val vdir = Files.createTempDirectory("graft-ssv").toString
     val cdir = Files.createTempDirectory("graft-ssc").toString
