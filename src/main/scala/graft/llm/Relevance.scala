@@ -341,7 +341,45 @@ object Relevance extends QueryModule {
       .orderBy("candidate")
   }
 
+  /** Chi-square independence audit over a full contingency grid (priority ×
+    * status) — "did the status mix shift by priority?", the categorical
+    * drift check PSI can't express. The grid is built dense (row-totals ×
+    * col-totals, zero-filled observed) because zero cells still carry
+    * expected mass. Exactness discipline: counts stay BIGINT, each cell's
+    * statistic is ONE double division of exact integers
+    * ((O·N − rt·ct)² / (N·rt·ct)) rounded to 6dp, and the corpus-wide χ²
+    * sums those ROUNDED values as decimals — order-independent, so the
+    * window total matches across engines. Scale shape: two tiny dimension
+    * aggregates broadcast onto a one-shuffle cell count; the grid is
+    * |priorities|×|statuses|, never row-scale.
+    */
+  def dqChiSquare(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+    val cells = o.groupBy("pri", "st").agg(count(lit(1)).as("obs"))
+    val rowT = o.groupBy("pri").agg(count(lit(1)).as("rt"))
+    val colT = o.groupBy("st").agg(count(lit(1)).as("ct"))
+    val n = o.agg(count(lit(1)).as("n_tot"))
+    val num = col("obs") * col("n_tot") - col("rt") * col("ct")
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("pri", "st"), "left_outer")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("expected",
+        round((col("rt") * col("ct")).cast("double") / col("n_tot"), 6))
+      .withColumn("contrib",
+        round((num * num).cast("double")
+          / (col("n_tot") * col("rt") * col("ct")).cast("double"), 6))
+    grid
+      .withColumn("chi2_total",
+        sum(col("contrib").cast("decimal(20,6)"))
+          .over(Window.partitionBy(lit(1))).cast("double"))
+      .select("pri", "st", "obs", "expected", "contrib", "chi2_total")
+      .orderBy("pri", "st")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_chi_square" -> (dqChiSquare _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_freshness"  -> (dqFreshness _),
     "dq_benford"    -> (dqBenford _),
@@ -360,6 +398,27 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "dq_chi_square" ->
+        """WITH o AS (
+          |  SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders
+          |), cells AS (
+          |  SELECT pri, st, COUNT(*) AS obs FROM o GROUP BY pri, st
+          |), rt AS (SELECT pri, COUNT(*) AS rt FROM o GROUP BY pri),
+          |ct AS (SELECT st, COUNT(*) AS ct FROM o GROUP BY st),
+          |tot AS (SELECT COUNT(*) AS n_tot FROM o),
+          |grid AS (
+          |  SELECT rt.pri, ct.st, COALESCE(cells.obs, 0) AS obs, rt.rt, ct.ct, n_tot,
+          |    ROUND(CAST(rt.rt * ct.ct AS DOUBLE) / n_tot, 6) AS expected,
+          |    ROUND(CAST((COALESCE(cells.obs, 0) * n_tot - rt.rt * ct.ct)
+          |               * (COALESCE(cells.obs, 0) * n_tot - rt.rt * ct.ct) AS DOUBLE)
+          |          / CAST(n_tot * rt.rt * ct.ct AS DOUBLE), 6) AS contrib
+          |  FROM rt CROSS JOIN ct
+          |  LEFT JOIN cells ON rt.pri = cells.pri AND ct.st = cells.st
+          |  CROSS JOIN tot
+          |)
+          |SELECT pri, st, obs, expected, contrib,
+          |  CAST(SUM(CAST(contrib AS DECIMAL(20,6))) OVER () AS DOUBLE) AS chi2_total
+          |FROM grid ORDER BY pri, st""".stripMargin,
       "dq_uniqueness" -> {
         def one(name: String, table: String, key: String) =
           s"""SELECT '$name' AS candidate,

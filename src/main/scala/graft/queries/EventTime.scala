@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time analytics on `events` (SURVEY §2.9 T5), batch form — Spark's
@@ -568,11 +569,62 @@ object EventTime extends QueryModule {
     "evt_sliding"   -> (evtSliding _),
     "evt_session"   -> (evtSession _),
     "evt_gapfill"   -> (evtGapfill _),
+    "evt_locf"      -> (evtLocf _),
     "evt_funnel"    -> (evtFunnel _),
     "evt_retention" -> (evtRetention _),
   )
 
+  /** Calendar densify + last-observation-carried-forward — the standard
+    * time-series repair for sparse daily metrics (a day with no purchases
+    * still reports the last known mean ticket, flagged unobserved). The
+    * observed series is one groupBy; the fill is a per-type window carry
+    * (`last(..., ignoreNulls)` over rows-unbounded-preceding), so the whole
+    * operator is one small shuffle on (event_type) after a map-side daily
+    * rollup — calendar × types is days-scale, never event-scale. Daily
+    * value = exact DECIMAL sum / BIGINT count in one double division,
+    * rounded: identical in both engines regardless of partial-agg order.
+    * Oracle formulation avoids engine-specific IGNORE NULLS syntax by
+    * expressing the carry as a left ASOF join of the calendar onto the
+    * observed days — semantically the same "latest earlier observation".
+    */
+  def evtLocf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val daily = e
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(round(sum(col("value").cast("decimal(30,6)")).cast("double")
+        / count(lit(1)), 6).as("obs_val"))
+    val calendar = e
+      .select(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(e.select(col("event_type")).distinct())
+    val carry = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    calendar.join(daily, Seq("day", "event_type"), "left_outer")
+      .withColumn("filled_val", last(col("obs_val"), ignoreNulls = true).over(carry))
+      .withColumn("observed", col("obs_val").isNotNull)
+      .select("day", "event_type", "filled_val", "observed")
+      .orderBy("event_type", "day")
+  }
+
   override def oracles: Map[String, String] = Map(
+    "evt_locf" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS obs_val
+        |  FROM events GROUP BY day, event_type
+        |), bounds AS (
+        |  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+        |), cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day,
+        |    event_type
+        |  FROM bounds CROSS JOIN (SELECT DISTINCT event_type FROM events)
+        |)
+        |SELECT cal.day, cal.event_type, d.obs_val AS filled_val,
+        |  EXISTS (SELECT 1 FROM daily x
+        |          WHERE x.day = cal.day AND x.event_type = cal.event_type) AS observed
+        |FROM cal ASOF LEFT JOIN daily d
+        |  ON cal.event_type = d.event_type AND cal.day >= d.day
+        |ORDER BY cal.event_type, cal.day""".stripMargin,
     "evt_feature_vector" ->
       """SELECT user_id,
         |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,

@@ -997,7 +997,65 @@ object Relational extends QueryModule {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Two-phase SALTED aggregation — the skew-safe groupBy. A low-cardinality
+    * group key (3 return flags over the whole fact table) concentrates each
+    * group's rows onto one reducer; salting splits every group across 16
+    * sub-keys first, so phase 1 produces 16 bounded partials per group and
+    * phase 2 merges 48 tiny rows. Correct only because the aggregate state
+    * is MERGEABLE — counts add, and DECIMAL(30,6) sums add exactly in any
+    * order (a float sum would drift between the salted and unsalted plans).
+    * The oracle is the plain one-phase GROUP BY: hash equality proves
+    * salting is result-invariant, the same guarantee `join_skew_salted`
+    * pins for joins.
+    */
+  def aggSaltedTwophase(spark: SparkSession, sfDir: String): DataFrame = {
+    val partial = Tables.lineitem(spark, sfDir)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_quantity").cast("decimal(30,6)")).as("pq"))
+    partial
+      .groupBy("l_returnflag")
+      .agg(
+        sum(col("pn")).as("n"),
+        sum(col("pq")).cast("double").as("sum_qty"),
+        round(sum(col("pq")).cast("double") / sum(col("pn")), 6).as("avg_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Weighted median (lower) of price weighted by quantity, per group —
+    * "the price at which half the shipped VOLUME clears", robust where the
+    * row-median isn't. One keyed shuffle + per-key sort: cumulative weight
+    * along ascending price, first row whose cumweight doubles past the
+    * total is the answer. The qualifying set is a suffix of the sort, so
+    * `min(price)` over it IS that first row — no second window needed.
+    * Weights stay exact BIGINTs (quantities are integers), so `2·cum ≥ tot`
+    * is an integer compare in both engines; no float accumulation anywhere.
+    */
+  def aggWeightedMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag"),
+      col("l_extendedprice").as("price"),
+      col("l_quantity").cast("bigint").as("w"),
+      col("l_orderkey"), col("l_linenumber"))
+    val ord = Window.partitionBy("l_returnflag")
+      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    li
+      .withColumn("cum", sum(col("w")).over(ord))
+      .withColumn("tot", sum(col("w")).over(all))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min(col("price")).as("wmedian"), max(col("tot")).as("total_w"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_salted_twophase" -> (aggSaltedTwophase _),
+    "agg_weighted_median" -> (aggWeightedMedian _),
     "mba_brand_pairs"  -> (mbaBrandPairs _),
     "agg_histogram2d"  -> (aggHistogram2d _),
     "agg_vwap"         -> (aggVwap _),
@@ -1057,6 +1115,24 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "agg_salted_twophase" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |      PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, MIN(price) AS wmedian, MAX(tot) AS total_w
+        |FROM t WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mba_brand_pairs" ->
       """WITH ob AS (
         |  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
