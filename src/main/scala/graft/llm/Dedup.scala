@@ -239,6 +239,42 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Block-level corpus dedup (the C4/RefinedWeb "remove duplicated spans,
+    * keep the doc" repair, block-aligned): each doc splits into 16-word
+    * aligned blocks, a block whose hash appears in ≥2 DISTINCT docs is
+    * corpus-duplicated boilerplate, and the report gives per-doc block
+    * counts, the duplicated share (integer ppm), and the word count that
+    * survives dropping duplicated blocks. Whole-doc dedup (U1/U2) misses
+    * this case — two mostly-unique docs sharing one injected template
+    * paragraph — while block dedup repairs it without discarding either
+    * doc. Scale shape: one explode to block rows carrying 16-word hashes
+    * (corpus-linear), a countDistinct per hash (vocabulary-sized result),
+    * one hash-keyed join back — no pairwise anything, safe at any corpus
+    * size. Within-doc repeats (df=1) are deliberately kept: this pass
+    * targets cross-doc boilerplate; in-doc repetition is `text_repetition`'s
+    * signal.
+    */
+  def dedupBlocks(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("nb", ceil(size(col("w")) / lit(16.0)).cast("int"))
+    val blocks = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, nb - 1), b -> struct(" +
+          "md5(concat_ws(' ', slice(w, b*16+1, 16))) AS bh, " +
+          "size(slice(w, b*16+1, 16)) AS bsize))")).as("blk"))
+      .select(col("doc_id"), col("blk.bh").as("bh"), col("blk.bsize").as("bsize"))
+    val dfreq = blocks.groupBy("bh").agg(countDistinct(col("doc_id")).as("df"))
+    blocks.join(dfreq, "bh")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("df") >= 2, lit(1))).as("dup_blocks"),
+        sum(when(col("df") < 2, col("bsize")).otherwise(lit(0))).as("words_kept"))
+      .withColumn("dup_ratio_ppm", expr("dup_blocks * 1000000 div n_blocks"))
+      .select("doc_id", "n_blocks", "dup_blocks", "dup_ratio_ppm", "words_kept")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** U2c: 60-bit SimHash over the distinct word set (unit weights).
@@ -357,6 +393,7 @@ object Dedup extends QueryModule {
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_containment"   -> (dedupContainment _),
+    "dedup_blocks"        -> (dedupBlocks _),
   )
 
   override def oracles: Map[String, String] = {
@@ -390,6 +427,25 @@ object Dedup extends QueryModule {
          |  (LEAST(n, MIN(m)) = n) AS canonical
          |FROM reach GROUP BY n""".stripMargin
     Map(
+      "dedup_blocks" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |), b AS (
+          |  SELECT doc_id,
+          |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh,
+          |    len(w[(i*16+1):(i*16+16)]) AS bsize
+          |  FROM (SELECT doc_id, w,
+          |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
+          |        FROM d)
+          |), df AS (
+          |  SELECT bh, COUNT(DISTINCT doc_id) AS df FROM b GROUP BY bh
+          |)
+          |SELECT b.doc_id, COUNT(*) AS n_blocks,
+          |  COUNT(CASE WHEN df.df >= 2 THEN 1 END) AS dup_blocks,
+          |  CAST(COUNT(CASE WHEN df.df >= 2 THEN 1 END) * 1000000 // COUNT(*) AS BIGINT) AS dup_ratio_ppm,
+          |  CAST(SUM(CASE WHEN df.df < 2 THEN b.bsize ELSE 0 END) AS BIGINT) AS words_kept
+          |FROM b JOIN df ON b.bh = df.bh
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, COUNT(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -400,7 +400,44 @@ object Similarity extends QueryModule {
       .orderBy("pos")
   }
 
+  /** Int8-quantized brute-force retrieval + its fidelity report in one
+    * query — the memory-bound ANN configuration (int8 SDC scan: 4× less
+    * bandwidth than fp32, SIMD-friendly integer dots). Both sides use
+    * `emb_quantize`'s symmetric per-vector codes, so the score is an exact
+    * BIGINT dot product (|q|≤127, d=64 ⇒ |dot| ≤ 127²·64 ≈ 10⁶ — integer
+    * arithmetic, zero float drift, zero rounding in the ORDER BY). The
+    * `in_exact3` flag joins each int8 hit against the fp32 exact top-3, so
+    * the output is simultaneously the retrieval AND the quantization-loss
+    * measurement a production index ships with. Scale shape: identical to
+    * `sim_cosine_topk` (broadcast fixed query set × candidate scan, per-key
+    * WindowGroupLimit) with a 4×-smaller scan payload.
+    */
+  def simAnnInt8(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("scale", lit(127.0) / array_max(transform(col("e"), x => abs(x))))
+      .withColumn("q8", transform(col("e"), x => floor(x * col("scale")).cast("long")))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("q8").as("qv"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("q8").as("cv"))
+    val idot = aggregate(
+      zip_with(col("qv"), col("cv"), (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val byDot = Window.partitionBy("q_id").orderBy(col("idot").desc, col("cand_id"))
+    val int8Top3 = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("idot", idot)
+      .withColumn("rn", row_number().over(byDot))
+      .filter(col("rn") <= 3)
+    val exact3 = simCosineTopk(spark, sfDir)
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    int8Top3.join(exact3, Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"), col("idot"),
+        col("hit").isNotNull.as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_int8"    -> (simAnnInt8 _),
     "emb_pca_power"   -> (embPcaPower _),
     "emb_var_dims"    -> (embVarDims _),
     "emb_threshold_sweep" -> (embThresholdSweep _),
@@ -435,6 +472,37 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "sim_ann_int8" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), q8 AS (
+         |  SELECT vec_id,
+         |    list_transform(v, x -> CAST(floor(x * (127.0 / list_max(list_transform(v, y -> abs(y))))) AS BIGINT)) AS qv
+         |  FROM e
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> q.qv[i] * c.qv[i])) AS BIGINT) AS idot
+         |  FROM q8 q JOIN q8 c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, cand_id, idot,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY idot DESC, cand_id) AS INTEGER) AS rn
+         |  FROM scored
+         |), exact AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS ern
+         |    FROM exact) WHERE ern <= 3
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, r.idot,
+         |  EXISTS (SELECT 1 FROM exact3 x
+         |          WHERE x.q_id = r.q_id AND x.cand_id = r.cand_id) AS in_exact3
+         |FROM ranked r WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin,
     "emb_quantize" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
