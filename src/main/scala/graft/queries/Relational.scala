@@ -997,6 +997,35 @@ object Relational extends QueryModule {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** The as-of join again, through the NATIVE sorted-merge physical
+    * operator (org.apache.spark.sql.graft.AsOfJoinExec — custom
+    * LogicalPlan + SparkStrategy + SparkPlan): one forward pass per
+    * co-partition, primitive long comparisons, O(1) state — versus the
+    * union+window form's per-key sort buffer carrying every payload
+    * column. Same oracle as `join_asof` (DuckDB ASOF LEFT JOIN):
+    * hash-equality across three independent implementations (window form,
+    * native exec, DuckDB) pins the semantics; `NativeAsOfSpec` A/Bs the
+    * two Spark forms row-for-row on edge cases.
+    */
+  def joinAsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id").as("k"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("rk"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    org.apache.spark.sql.graft.NativeAsOf.joinLeftAsOf(
+        left = e, right = o,
+        leftKey = "k", leftTime = "ts",
+        rightKey = "rk", rightTime = "o_orderdate",
+        tieBreak = "o_orderkey")
+      .select(
+        col("event_id"),
+        col("k").as("user_id"),
+        col("o_orderkey"),
+        col("o_totalprice"))
+      .orderBy("event_id")
+  }
+
   /** Two-phase SALTED aggregation — the skew-safe groupBy. A low-cardinality
     * group key (3 return flags over the whole fact table) concentrates each
     * group's rows onto one reducer; salting splits every group across 16
@@ -1054,6 +1083,7 @@ object Relational extends QueryModule {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof_native" -> (joinAsofNative _),
     "agg_salted_twophase" -> (aggSaltedTwophase _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "mba_brand_pairs"  -> (mbaBrandPairs _),
@@ -1115,6 +1145,18 @@ object Relational extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "join_asof_native" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), o2 AS (
+        |  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+        |  FROM o1 JOIN orders o ON o1.o_orderkey = o.o_orderkey
+        |)
+        |SELECT e.event_id, e.user_id, o2.o_orderkey, o2.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "agg_salted_twophase" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,

@@ -97,8 +97,12 @@ object GraftOptimizations {
   }
 }
 
-/** Builder-time form: `.config("spark.sql.extensions", classOf[GraftExtensions].getName)`. */
+/** Builder-time form: `.config("spark.sql.extensions", classOf[GraftExtensions].getName)`.
+  * Registers the optimizer rules plus the native as-of join planner strategy.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftOptimizations.rules.foreach(r => ext.injectOptimizerRule(_ => r))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
