@@ -341,6 +341,46 @@ object Relevance extends QueryModule {
       .orderBy("candidate")
   }
 
+  /** Zipf rank-frequency fit per language — the corpus-health diagnostic
+    * (natural text follows freq ∝ rank^s with s ≈ −1; machine-generated or
+    * template-heavy corpora bend the curve). Least-squares slope/intercept
+    * of ln(freq) on ln(rank) over the top-100 terms. Float discipline:
+    * ln() runs on identical integer counts/ranks in both engines, each
+    * coordinate is pinned to an integer MICRO grid (round(ln·10⁶) as
+    * BIGINT), every regression power sum is then exact BIGINT arithmetic
+    * (|Σxy| ≤ 100·(1.5·10⁷)² ≪ 2⁶³), and only the closed-form
+    * slope/intercept divisions touch doubles (the micro scale cancels in
+    * the slope ratio; the intercept rescales by 10⁶ once). Scale: one
+    * vocabulary groupBy + a per-language top-k — the regression runs on
+    * 100 rows per language.
+    */
+  def textZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(words(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val byFreq = Window.partitionBy("lang").orderBy(col("c").desc, col("word"))
+    val top = freq
+      .withColumn("rank", row_number().over(byFreq))
+      .filter(col("rank") <= 100)
+      .select(col("lang"),
+        round(log(col("rank")) * 1000000).cast("bigint").as("xi"),
+        round(log(col("c")) * 1000000).cast("bigint").as("yi"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val sxy = col("sxy").cast("double")
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    top.groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+        sum(col("xi") * col("xi")).as("sxx"), sum(col("xi") * col("yi")).as("sxy"))
+      .select(
+        col("lang"), col("n").as("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round((sy - round(slope, 6) * sx) / (n * 1000000d), 6).as("zipf_intercept"))
+      .orderBy("lang")
+  }
+
   /** Chi-square independence audit over a full contingency grid (priority ×
     * status) — "did the status mix shift by priority?", the categorical
     * drift check PSI can't express. The grid is built dense (row-totals ×
@@ -380,6 +420,7 @@ object Relevance extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_chi_square" -> (dqChiSquare _),
+    "text_zipf"     -> (textZipf _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_freshness"  -> (dqFreshness _),
     "dq_benford"    -> (dqBenford _),
@@ -398,6 +439,33 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "text_zipf" ->
+        """WITH freq AS (
+          |  SELECT lang, word, COUNT(*) AS c
+          |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+          |  GROUP BY lang, word
+          |), top AS (
+          |  SELECT lang,
+          |    CAST(round(ln(rank) * 1000000) AS BIGINT) AS xi,
+          |    CAST(round(ln(c) * 1000000) AS BIGINT) AS yi
+          |  FROM (SELECT lang, c,
+          |          row_number() OVER (PARTITION BY lang ORDER BY c DESC, word) AS rank
+          |        FROM freq)
+          |  WHERE rank <= 100
+          |), sums AS (
+          |  SELECT lang, COUNT(*) AS n, SUM(xi) AS sx, SUM(yi) AS sy,
+          |    SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy
+          |  FROM top GROUP BY lang
+          |), fit AS (
+          |  SELECT lang, n, sx, sy,
+          |    ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          |        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6) AS zipf_slope
+          |  FROM sums
+          |)
+          |SELECT lang, n AS n_terms, zipf_slope,
+          |  ROUND((CAST(sy AS DOUBLE) - zipf_slope * sx) / (CAST(n AS DOUBLE) * 1000000), 6)
+          |    AS zipf_intercept
+          |FROM fit ORDER BY lang""".stripMargin,
       "dq_chi_square" ->
         """WITH o AS (
           |  SELECT o_orderpriority AS pri, o_orderstatus AS st FROM orders

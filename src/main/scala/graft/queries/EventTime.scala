@@ -570,9 +570,101 @@ object EventTime extends QueryModule {
     "evt_session"   -> (evtSession _),
     "evt_gapfill"   -> (evtGapfill _),
     "evt_locf"      -> (evtLocf _),
+    "evt_autocorr7" -> (evtAutocorr7 _),
+    "evt_attribution_linear" -> (evtAttributionLinear _),
+    "evt_paths3"    -> (evtPaths3 _),
     "evt_funnel"    -> (evtFunnel _),
     "evt_retention" -> (evtRetention _),
   )
+
+  /** Weekly-seasonality check: lag-7 autocorrelation of the daily count
+    * series per event type (Pearson r between day t and day t−7 over all
+    * days where both exist). A strong r confirms day-of-week structure
+    * before anyone fits a forecast. Exactness: daily counts are integers,
+    * the lag pairing is an equi-join on (type, day−7), power sums stay in
+    * BIGINT (counts are small relative to 2⁶³), and only the closed-form
+    * correlation at the end touches doubles — identical operands → one
+    * rounded double in both engines (`agg_corr_exact`'s discipline on a
+    * self-joined series). Scale: daily-rollup first (map-side combine),
+    * so the join and sums run on days×types rows, not events.
+    */
+  def evtAutocorr7(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily.select(col("event_type"), col("day"), col("x"))
+      .join(daily.select(col("event_type"), date_add(col("day"), 7).as("day"),
+          col("x").as("y")),
+        Seq("event_type", "day"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    pairs.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("event_type"), col("n").as("n_pairs"),
+        round((n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("autocorr7"))
+      .orderBy("event_type")
+  }
+
+  /** Multi-touch LINEAR attribution — every click within the hour before a
+    * purchase shares the purchase value equally (vs `evt_attribution`'s
+    * last-touch winner-takes-all). Shape: one user-keyed equi-join with a
+    * time-band residual filter (bounded per-user fan-out, same discipline
+    * as the as-of family), a per-purchase window count, then a per-user
+    * rollup. Float discipline: each touch's credit is ONE double division
+    * (value/n_touches, identical operands both engines) rounded onto the
+    * 6dp grid, and per-user totals sum those rounded values as DECIMAL —
+    * order-independent at any parallelism.
+    */
+  def evtAttributionLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value").as("p_val"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val touches = p.join(c, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("interval 1 hour"))
+    val perPurchase = Window.partitionBy("p_id")
+    touches
+      .withColumn("n_touches", count(lit(1)).over(perPurchase))
+      .withColumn("credit",
+        round(col("p_val") / col("n_touches"), 6).cast("decimal(20,6)"))
+      .groupBy("user_id")
+      .agg(
+        countDistinct(col("p_id")).as("n_purchases"),
+        count(lit(1)).as("n_touches"),
+        sum(col("credit")).cast("double").as("attributed_value"))
+      .orderBy("user_id")
+  }
+
+  /** Top 3-step behavioral paths — the `evt_transitions` Markov pairs
+    * extended to path mining: consecutive event-type triples per user
+    * (total order pinned by (ts, event_id)), counted corpus-wide, top-10.
+    * One user-keyed shuffle+sort serves both lead() calls; the count is a
+    * map-side-combined groupBy on a tiny path vocabulary (≤ |types|³).
+    * count-desc + path-asc makes the limit deterministic.
+    */
+  def evtPaths3(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
 
   /** Calendar densify + last-observation-carried-forward — the standard
     * time-series repair for sparse daily metrics (a day with no purchases
@@ -607,6 +699,54 @@ object EventTime extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "evt_autocorr7" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY event_type, day
+        |), pairs AS (
+        |  SELECT a.event_type, a.x AS x, b.x AS y
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 7 DAY
+        |), sums AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM pairs GROUP BY event_type
+        |)
+        |SELECT event_type, n AS n_pairs,
+        |  ROUND((n * sxy - sx * sy) /
+        |        sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS autocorr7
+        |FROM sums ORDER BY event_type""".stripMargin,
+    "evt_attribution_linear" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS p_val
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, event_id AS c_id, ts AS c_ts
+        |  FROM events WHERE event_type = 'click'
+        |), touches AS (
+        |  SELECT p.user_id, p.p_id, p.p_val
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |  WHERE c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+        |), credited AS (
+        |  SELECT user_id, p_id,
+        |    CAST(ROUND(p_val / COUNT(*) OVER (PARTITION BY p_id), 6) AS DECIMAL(20,6)) AS credit
+        |  FROM touches
+        |)
+        |SELECT user_id, COUNT(DISTINCT p_id) AS n_purchases, COUNT(*) AS n_touches,
+        |  CAST(SUM(credit) AS DOUBLE) AS attributed_value
+        |FROM credited GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "evt_paths3" ->
+      """WITH seq AS (
+        |  SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |  FROM events
+        |)
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |FROM seq WHERE e3 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 10""".stripMargin,
     "evt_locf" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,

@@ -106,12 +106,91 @@ object Graph extends QueryModule {
       .orderBy("n_name")
   }
 
+  /** BFS shortest-path levels from a source node over the STRONG trade
+    * graph — nation pairs whose lineitem volume is strictly above the mean
+    * pair volume (the raw graph is near-complete; thresholding on relative
+    * volume keeps the graph data-derived at any scale factor while making
+    * distances non-trivial). Three fixed min-propagation rounds — each one
+    * edges⋈frontier + a groupBy-min on the node key, the textbook
+    * distributed BFS step (Pregel's primitive); a convergence-driven run
+    * would localCheckpoint per round like ConnectedComponents. The
+    * above-mean test cross-multiplies exact integers (w·n_pairs > total) —
+    * no float mean. Unreached nodes report null depth.
+    */
+  def graphBfs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "src")
+    val vol = li
+      .join(cNat, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val tot = vol.agg(sum(col("w")).as("total"), count(lit(1)).as("n_pairs"))
+    val strong = vol.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n_pairs") > col("total"))
+      .select("src", "dst")
+    val und = strong.union(strong.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+
+    def step(dist: DataFrame): DataFrame = {
+      val cand = und
+        .join(dist.filter(col("d").isNotNull).withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("d") + 1).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+      dist.join(cand, Seq("node"), "left")
+        .select(col("node"),
+          when(col("d").isNull, col("nd"))
+            .when(col("nd").isNull, col("d"))
+            .otherwise(least(col("d"), col("nd"))).as("d"))
+    }
+
+    val d0 = nodes.select(col("node"),
+      when(col("node") === 0, lit(0)).otherwise(lit(null).cast("int")).as("d"))
+    val d3 = step(step(step(d0)))
+    d3.join(nodes, "node")
+      .select(col("n_name"), col("d").cast("int").as("bfs_depth"))
+      .orderBy("n_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_bfs" -> (graphBfs _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "graph_bfs" ->
+      """WITH RECURSIVE vol AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY src, dst
+        |), tot AS (
+        |  SELECT SUM(w) AS total, COUNT(*) AS n_pairs FROM vol
+        |), strong AS (
+        |  SELECT src, dst FROM vol CROSS JOIN tot WHERE w * n_pairs > total
+        |), und AS (
+        |  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+        |), walk(node, d) AS (
+        |  SELECT 0, 0
+        |  UNION ALL
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN und e ON w.node = e.src WHERE w.d < 3
+        |), best AS (
+        |  SELECT node, MIN(d) AS bfs_depth FROM walk GROUP BY node
+        |)
+        |SELECT n.n_name, CAST(best.bfs_depth AS INTEGER) AS bfs_depth
+        |FROM nation n LEFT JOIN best ON n.n_nationkey = best.node
+        |ORDER BY n.n_name""".stripMargin,
     "graph_pagerank" ->
       s"""WITH edges AS (
          |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
