@@ -571,11 +571,31 @@ object EventTime extends QueryModule {
     "evt_gapfill"   -> (evtGapfill _),
     "evt_locf"      -> (evtLocf _),
     "evt_autocorr7" -> (evtAutocorr7 _),
+    "evt_hod_dow"   -> (evtHodDow _),
     "evt_attribution_linear" -> (evtAttributionLinear _),
     "evt_paths3"    -> (evtPaths3 _),
     "evt_funnel"    -> (evtFunnel _),
     "evt_retention" -> (evtRetention _),
   )
+
+  /** Hour-of-day × day-of-week seasonality grid per event type — the ops
+    * heatmap behind alert thresholds and capacity planning (a Tuesday-3am
+    * spike means something different than a Friday-noon one). One
+    * map-side-combined groupBy to a bounded grid (types × 7 × 24); the
+    * per-type share is integer ppm over a window total — no float
+    * division. Spark's dayofweek is 1=Sunday; DuckDB's is 0=Sunday, so
+    * the oracle adds 1.
+    */
+  def evtHodDow(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), dayofweek(col("ts")).as("dow"),
+        hour(col("ts")).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    grid
+      .withColumn("share_ppm", expr("n * 1000000 div sum(n) over (partition by event_type)"))
+      .select("event_type", "dow", "hod", "n", "share_ppm")
+      .orderBy("event_type", "dow", "hod")
+  }
 
   /** Weekly-seasonality check: lag-7 autocorrelation of the daily count
     * series per event type (Pearson r between day t and day t−7 over all
@@ -699,6 +719,14 @@ object EventTime extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "evt_hod_dow" ->
+      """WITH grid AS (
+        |  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, COUNT(*) AS n
+        |  FROM events GROUP BY event_type, dow, hod
+        |)
+        |SELECT event_type, dow, hod, n,
+        |  CAST(n * 1000000 // SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS share_ppm
+        |FROM grid ORDER BY event_type, dow, hod""".stripMargin,
     "evt_autocorr7" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x

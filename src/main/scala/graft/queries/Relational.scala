@@ -1026,6 +1026,69 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** 2-D SKYLINE (Pareto frontier) — the classic OLAP "best tradeoffs"
+    * operator (Börzsönyi et al., ICDE'01): lineitems not dominated on
+    * (price higher-better, shipdate later-better). Naive skyline is an
+    * O(n²) NOT EXISTS self-join; this is the distributed two-phase form
+    * collapsed into relational algebra: (1) per-DATE local prune — only
+    * the max price at each date can survive (a same-date higher price
+    * dominates strictly), one map-side-combined groupBy; (2) the global
+    * pass runs over DISTINCT DATES ONLY — a date's champion survives iff
+    * its price beats every later date's champion, i.e. a running-max ROWS
+    * window over the date-descending sequence. Dominance is transitive,
+    * so pruned rows can never re-enter: the result is exactly the
+    * skyline. The window input is calendar-bounded (dates, not rows) at
+    * any corpus size; everything row-scale is a plain aggregation. Pure
+    * comparisons/selections — no float arithmetic anywhere.
+    */
+  def aggSkyline(spark: SparkSession, sfDir: String): DataFrame = {
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_shipdate").as("d"), col("l_extendedprice").as("p"))
+    val perDate = pts.groupBy("d", "p").agg(count(lit(1)).as("n"))
+    val byPrice = Window.partitionBy("d").orderBy(col("p").desc)
+    val champs = perDate
+      .withColumn("rn", row_number().over(byPrice))
+      .filter(col("rn") === 1)
+      .select(col("d"), col("p"), col("n"))
+    val laterMax = Window.orderBy(col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    champs
+      .withColumn("later_max", max(col("p")).over(laterMax))
+      .filter(col("later_max").isNull || col("p") > col("later_max"))
+      .select(col("d").as("sky_date"), col("p").as("sky_price"), col("n").as("n_dup"))
+      .orderBy("sky_date")
+  }
+
+  /** Winsorized mean — outlier-robust central tendency: clip at the exact
+    * per-group [p05, p95] percentiles, then average. Clipping is pure
+    * selection (least/greatest on identical doubles), percentile
+    * interpolation runs on identically-sorted identical doubles
+    * (`agg_percentile` pins cross-engine equality), and the mean follows
+    * the house decimal discipline: clipped values land on the 6dp grid
+    * via DECIMAL(30,6), summed exactly, one final division. Two passes
+    * over the group (percentiles, then clip+sum) sharing one shuffle key
+    * — the standard shape when an aggregate depends on a group statistic.
+    */
+  def aggWinsorized(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("p"))
+    val fences = li.groupBy("l_returnflag").agg(
+      expr("percentile(p, 0.05)").as("p05"),
+      expr("percentile(p, 0.95)").as("p95"))
+    li.join(broadcast(fences), "l_returnflag")
+      .withColumn("clipped",
+        least(greatest(col("p"), col("p05")), col("p95")).cast("decimal(30,6)"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("p05")), 6).as("p05"),
+        round(first(col("p95")), 6).as("p95"),
+        round(sum(col("clipped")).cast("double") / count(lit(1)), 6).as("win_mean"),
+        round(sum(col("p").cast("decimal(30,6)")).cast("double") / count(lit(1)), 6)
+          .as("raw_mean"))
+      .orderBy("l_returnflag")
+  }
+
   /** Two-phase SALTED aggregation — the skew-safe groupBy. A low-cardinality
     * group key (3 return flags over the whole fact table) concentrates each
     * group's rows onto one reducer; salting splits every group across 16
@@ -1084,6 +1147,8 @@ object Relational extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_native" -> (joinAsofNative _),
+    "agg_skyline"      -> (aggSkyline _),
+    "agg_winsorized"   -> (aggWinsorized _),
     "agg_salted_twophase" -> (aggSaltedTwophase _),
     "agg_weighted_median" -> (aggWeightedMedian _),
     "mba_brand_pairs"  -> (mbaBrandPairs _),
@@ -1157,6 +1222,39 @@ object Relational extends QueryModule {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "agg_skyline" ->
+      """WITH perdate AS (
+        |  SELECT l_shipdate AS d, l_extendedprice AS p, COUNT(*) AS n
+        |  FROM lineitem GROUP BY d, p
+        |), champs AS (
+        |  SELECT d, p, n FROM (
+        |    SELECT d, p, n, row_number() OVER (PARTITION BY d ORDER BY p DESC) AS rn
+        |    FROM perdate) WHERE rn = 1
+        |), marked AS (
+        |  SELECT d, p, n,
+        |    MAX(p) OVER (ORDER BY d DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS later_max
+        |  FROM champs
+        |)
+        |SELECT d AS sky_date, p AS sky_price, n AS n_dup
+        |FROM marked WHERE later_max IS NULL OR p > later_max
+        |ORDER BY sky_date""".stripMargin,
+    "agg_winsorized" ->
+      """WITH fences AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS p05,
+        |    quantile_cont(l_extendedprice, 0.95) AS p95
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  ROUND(ANY_VALUE(f.p05), 6) AS p05,
+        |  ROUND(ANY_VALUE(f.p95), 6) AS p95,
+        |  ROUND(CAST(SUM(CAST(least(greatest(l.l_extendedprice, f.p05), f.p95)
+        |                      AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6) AS win_mean,
+        |  ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS raw_mean
+        |FROM lineitem l JOIN fences f ON l.l_returnflag = f.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
     "agg_salted_twophase" ->
       """SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty,
