@@ -35,6 +35,15 @@ object VectorExpressions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     VectorBridge.sortedIntersectCount(a, b)
 
+  /** Word-n-gram 60-bit hashes of a text column in one fused pass —
+    * bit-identical to the builtin
+    * transform(sequence)/slice/concat_ws/md5/conv pipeline (see
+    * org.apache.spark.sql.graft.NgramHash), with `distinct` reproducing
+    * array_distinct (first occurrence, insertion order).
+    */
+  def word_ngram_hashes(text: Column, n: Int, distinct: Boolean): Column =
+    VectorBridge.wordNgramHashes(text, n, distinct)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

@@ -51,12 +51,10 @@ object Curation extends QueryModule {
   def decontaminate(docs: DataFrame): DataFrame = {
     val isBench = col("doc_id") % 97 === 0
     val grams = docs
-      .withColumn("w", split(col("text"), " "))
+      // fused native 5-gram hasher (== md5/conv builtin; NgramHashSpec)
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(size(w) - 4, 1)), i -> concat_ws(' ', slice(w, i, 5)))"))
-          .as("gram"))
-      .select(col("doc_id"), graft.functions.Hashing.hash60(col("gram")).as("g"))
+        explode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 5, distinct = false)).as("g"))
     val benchGrams = grams.filter(isBench).select("g").distinct()
     val contaminated = grams.filter(!isBench)
       .join(broadcast(benchGrams), "g")

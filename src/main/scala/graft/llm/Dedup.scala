@@ -26,10 +26,12 @@ object Dedup extends QueryModule {
     * on ~20-char strings, and since both engines apply the identical hash,
     * set sizes/intersections — and therefore every downstream Jaccard —
     * are identical too (even a collision would collide identically).
+    * Computed by the fused native expression (one MD5 per gram over a byte
+    * range of the text — no per-gram strings/arrays; see
+    * org.apache.spark.sql.graft.NgramHash, value-pinned by NgramHashSpec).
     */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(1, greatest(size(w) - 2, 1)), " +
-      "i -> cast(conv(substring(md5(concat_ws(' ', slice(w, i, 3))), 1, 15), 16, 10) as bigint)))"
+  private def shingles(text: Column): Column =
+    graft.functions.VectorExpressions.word_ngram_hashes(text, 3, distinct = true)
 
   private val duckShingles =
     "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
@@ -77,8 +79,7 @@ object Dedup extends QueryModule {
     // One pinned exchange over the shingled table → ReuseExchange runs the
     // md5 shingling once for the two probe sides + two verify joins.
     val d = Tables.documents(spark, sfDir)
-      .withColumn("w", words(col("text")))
-      .select(col("doc_id"), col("lang"), sort_array(expr(shingleExpr)).as("s"))
+      .select(col("doc_id"), col("lang"), sort_array(shingles(col("text"))).as("s"))
       .withColumn("n", size(col("s")))
       .repartition(col("doc_id"))
     val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
@@ -120,8 +121,7 @@ object Dedup extends QueryModule {
     * streaming band registry in graft.streaming.StatefulOps).
     */
   def shingled(docs: DataFrame): DataFrame =
-    docs.withColumn("w", words(col("text")))
-      .select(col("doc_id"), expr(shingleExpr).as("s"))
+    docs.select(col("doc_id"), shingles(col("text")).as("s"))
 
   /** LSH band rows (doc_id, band, band_key) from a (doc_id, s) frame.
     * Per-doc signatures in ONE fused native-expression traversal of the
@@ -210,8 +210,7 @@ object Dedup extends QueryModule {
     // consumers (both probe sides + both verify joins) branch after it, so
     // ReuseExchange computes the md5 shingling once instead of four times.
     val d = Tables.documents(spark, sfDir)
-      .withColumn("w", words(col("text")))
-      .select(col("doc_id"), col("lang"), sort_array(expr(shingleExpr)).as("s"))
+      .select(col("doc_id"), col("lang"), sort_array(shingles(col("text"))).as("s"))
       .withColumn("n", size(col("s")))
       .repartition(col("doc_id"))
     val prefix = slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))

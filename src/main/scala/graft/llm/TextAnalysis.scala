@@ -146,11 +146,10 @@ object TextAnalysis extends QueryModule {
     */
   def fingerprint(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.documents(spark, sfDir)
-      .withColumn("w", words(col("text")))
-      .withColumn("grams",
-        // 5-grams exist only for docs with ≥5 words (corpus minimum is 10).
-        expr("transform(sequence(1, greatest(size(w) - 4, 1)), i -> concat_ws(' ', slice(w, i, 5)))"))
-      .withColumn("hashes", transform(col("grams"), g => Hashing.hash60(g)))
+      // 5-grams exist only for docs with ≥5 words (corpus minimum is 10);
+      // fused native hasher == the md5/conv builtin pipeline (NgramHashSpec)
+      .withColumn("hashes",
+        graft.functions.VectorExpressions.word_ngram_hashes(col("text"), 5, distinct = false))
       .select(
         col("doc_id"),
         array_min(col("hashes")).as("fp_min"),
@@ -251,13 +250,10 @@ object TextAnalysis extends QueryModule {
     */
   def sharedSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val grams = Tables.documents(spark, sfDir)
-      .withColumn("w", words(col("text")))
       .select(col("doc_id"),
-        explode(expr(
-          "transform(sequence(1, greatest(size(w) - 7, 1)), i -> concat_ws(' ', slice(w, i, 8)))"))
-          .as("gram"))
-      .select(col("doc_id"), Hashing.hash60(col("gram")).as("g"))
-      .distinct() // one vote per (doc, gram)
+        explode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 8, distinct = true)).as("g"))
+      // distinct=true already dedups within a doc (one vote per (doc, gram))
     val docFreq = grams.groupBy("g")
       .agg(countDistinct(col("doc_id")).as("df"))
     grams.join(docFreq, "g")

@@ -295,6 +295,10 @@ object VectorBridge {
     ExpressionUtils.column(SortedIntersectCount(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  def wordNgramHashes(text: Column, n: Int, distinct: Boolean): Column =
+    ExpressionUtils.column(WordNgramHashes(
+      ExpressionUtils.expression(text), n, distinct))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
