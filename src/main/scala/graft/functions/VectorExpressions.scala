@@ -44,6 +44,11 @@ object VectorExpressions {
   def word_ngram_hashes(text: Column, n: Int, distinct: Boolean): Column =
     VectorBridge.wordNgramHashes(text, n, distinct)
 
+  /** 60-bit SimHash over an array<long> of token hashes in one fused pass
+    * (order-independent integer votes == the explode+sum aggregation form).
+    */
+  def simhash60(tokenHashes: Column): Column = VectorBridge.simhash60(tokenHashes)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

@@ -366,8 +366,25 @@ object Dedup extends QueryModule {
 
   /** Core simhash pass over any (doc_id, text) frame — public so callers can
     * simhash arbitrary corpora, not just the test tables.
+    *
+    * One fused map-stage expression per doc (distinct-word hashes →
+    * graft_simhash60 bit votes) — value-identical to the original
+    * explode → 60-conditional-sums aggregation (integer votes are
+    * order-independent; `SimhashSpec` A/Bs the two forms), with the
+    * corpus-×-vocabulary exploded intermediate and its shuffle gone.
+    * word_ngram_hashes(n=1, distinct) IS hash60 over array_distinct(words):
+    * a 1-gram's bytes are the word's bytes.
     */
   def simhashOf(docs: DataFrame): DataFrame = {
+    val ve = graft.functions.VectorExpressions
+    docs.select(col("doc_id"),
+      ve.simhash60(ve.word_ngram_hashes(col("text"), 1, distinct = true)).as("simhash"))
+  }
+
+  /** The builtin-only simhash formulation the fused expression replaced —
+    * kept as the A/B reference (SimhashSpec asserts row equality).
+    */
+  private[llm] def simhashOfBuiltin(docs: DataFrame): DataFrame = {
     val wordHashes = docs
       .select(col("doc_id"), explode(array_distinct(words(col("text")))).as("wd"))
       .select(col("doc_id"), Hashing.hash60(col("wd")).as("h"))

@@ -79,6 +79,77 @@ object NgramHash {
   }
 }
 
+/** 60-bit SimHash of an `array<long>` of (distinct) token hashes — one
+  * fused pass replacing the explode → 60-conditional-sums → reassemble
+  * aggregation (`graft.llm.Dedup.simhashOf`'s original shape): per bit j,
+  * count +1/−1 votes across tokens, set bit j iff the sum is positive.
+  * Integer vote sums are order-independent, so the value is exactly the
+  * aggregation form's at any parallelism — the DuckDB oracle (which still
+  * uses explode+SUM) is untouched. Eliminates the corpus-×-vocabulary
+  * exploded intermediate entirely: the shuffle disappears, SimHash becomes
+  * a pure map stage.
+  */
+case class Simhash60(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash60"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = x.numElements()
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val h = x.getLong(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) v |= (1L << j)
+      j += 1
+    }
+    v
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val counts = ctx.freshName("counts")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $c.numElements();
+         |int[] $counts = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($c.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $v = 0L;
+         |  for (int $j = 0; $j < 60; $j++) if ($counts[$j] > 0) $v |= (1L << $j);
+         |  ${ev.value} = $v;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordNgramHashes(child: Expression, n: Int, distinct: Boolean)
   extends UnaryExpression with ImplicitCastInputTypes {
   require(n >= 1)

@@ -299,6 +299,9 @@ object VectorBridge {
     ExpressionUtils.column(WordNgramHashes(
       ExpressionUtils.expression(text), n, distinct))
 
+  def simhash60(tokenHashes: Column): Column =
+    ExpressionUtils.column(Simhash60(ExpressionUtils.expression(tokenHashes)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
