@@ -463,11 +463,15 @@ object EventTime extends QueryModule {
     val e = Tables.events(spark, sfDir)
       .select(col("user_id"), to_date(col("ts")).as("day"),
         to_date(date_trunc("week", col("ts"))).as("week"))
-    val dau = e.select("user_id", "day", "week").distinct()
+    // ONE event-scale distinct; both aggregates branch off it (identical
+    // subtree → ReuseExchange runs the big shuffle once). WAU from the
+    // user-day frame is exact: distinct (user, week) is implied.
+    val uds = e.select("user_id", "day", "week").distinct()
+    val dau = uds
       .groupBy("week", "day").agg(count(lit(1)).as("dau"))
       .groupBy("week").agg(sum(col("dau")).as("sum_dau"),
         count(lit(1)).as("n_days"))
-    val wau = e.select("user_id", "week").distinct()
+    val wau = uds.select("user_id", "week").distinct()
       .groupBy("week").agg(count(lit(1)).as("wau"))
     dau.join(wau, "week")
       .withColumn("stickiness_ppm",

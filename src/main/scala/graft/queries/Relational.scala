@@ -979,6 +979,10 @@ object Relational extends QueryModule {
       .distinct()
     val nOrders = ob.agg(countDistinct(col("okey")).as("n_orders"))
     val brandN = ob.groupBy("brand").agg(count(lit(1)).as("bn"))
+    // (measured dead end: generating pairs in-row from per-order
+    // collect_set + nested transform/flatten removes one shuffle but runs
+    // ~20% SLOWER locally — the struct-array explode and aggregation
+    // buffers cost more than the hash self-join they replace.)
     val pairs = ob.as("a")
       .join(ob.as("b"), col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand"))
       .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
