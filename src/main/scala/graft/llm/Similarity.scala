@@ -436,7 +436,44 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Label-separation report — the pairwise cosine matrix of label
+    * centroids, the diagnostic run before trusting labels for
+    * stratification or a classifier head (well-separated centroids ⇒ the
+    * embedding space respects the labeling; near-1 off-diagonal cosines ⇒
+    * labels are entangled). Exactness chain: per-dim centroid sums are
+    * DECIMAL (order-free), the mean is one double division rounded to
+    * 6dp, each cross/self product of those PINNED doubles is rounded onto
+    * a 12dp grid and decimal-summed across dims, and the final cosine is
+    * one double expression on exact operands. Scale: everything after the
+    * per-(label, dim) rollup is labels²×dims — index-card sized at any
+    * corpus size.
+    */
+  def embSeparation(spark: SparkSession, sfDir: String): DataFrame = {
+    val cent = embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round(sum(col("v").cast("decimal(24,10)")).cast("double")
+        / count(lit(1)), 6).as("c"))
+    val norms = cent
+      .groupBy("label")
+      .agg(sum(round(col("c") * col("c"), 12).cast("decimal(24,12)")).as("nn"))
+    val cross = cent.as("a")
+      .join(cent.as("b"),
+        col("a.pos") === col("b.pos") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(round(col("a.c") * col("b.c"), 12).cast("decimal(24,12)")).as("dot"))
+    cross
+      .join(norms.select(col("label").as("label_a"), col("nn").as("na")), "label_a")
+      .join(norms.select(col("label").as("label_b"), col("nn").as("nb")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cos_centroid"))
+      .orderBy("label_a", "label_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_separation"  -> (embSeparation _),
     "sim_ann_int8"    -> (simAnnInt8 _),
     "emb_pca_power"   -> (embPcaPower _),
     "emb_var_dims"    -> (embVarDims _),
@@ -472,6 +509,33 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "emb_separation" ->
+      """WITH cent AS (
+        |  SELECT label, pos,
+        |    ROUND(CAST(SUM(CAST(v AS DECIMAL(24,10))) AS DOUBLE) / COUNT(*), 6) AS c
+        |  FROM (
+        |    SELECT label,
+        |      unnest(range(0, len(embedding))) AS pos,
+        |      unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |    FROM embeddings
+        |  ) GROUP BY label, pos
+        |), norms AS (
+        |  SELECT label, SUM(CAST(ROUND(c * c, 12) AS DECIMAL(24,12))) AS nn
+        |  FROM cent GROUP BY label
+        |), cross_dot AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    SUM(CAST(ROUND(a.c * b.c, 12) AS DECIMAL(24,12))) AS dot
+        |  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+        |  GROUP BY label_a, label_b
+        |)
+        |SELECT x.label_a, x.label_b,
+        |  ROUND(CAST(x.dot AS DOUBLE)
+        |        / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6)
+        |    AS cos_centroid
+        |FROM cross_dot x
+        |JOIN norms na ON x.label_a = na.label
+        |JOIN norms nb ON x.label_b = nb.label
+        |ORDER BY x.label_a, x.label_b""".stripMargin,
     "sim_ann_int8" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

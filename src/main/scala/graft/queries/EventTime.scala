@@ -576,11 +576,41 @@ object EventTime extends QueryModule {
     "evt_locf"      -> (evtLocf _),
     "evt_autocorr7" -> (evtAutocorr7 _),
     "evt_hod_dow"   -> (evtHodDow _),
+    "evt_rolling_dau" -> (evtRollingDau _),
     "evt_attribution_linear" -> (evtAttributionLinear _),
     "evt_paths3"    -> (evtPaths3 _),
     "evt_funnel"    -> (evtFunnel _),
     "evt_retention" -> (evtRetention _),
   )
+
+  /** Trailing-7-day rolling distinct users (rolling DAU) — exact sliding
+    * distinct, the metric window functions CANNOT express (COUNT(DISTINCT)
+    * over a moving frame isn't decomposable). The scalable identity: a
+    * user active on day d belongs to exactly the 7 windows ending
+    * d..d+6, so explode each distinct (user, day) into its 7 window-end
+    * days and countDistinct per window — corpus-linear ×7, all equi-keyed,
+    * no per-window rescan. Window ends past the observed series are
+    * dropped; early windows are legitimately partial history. dau1 rides
+    * along for the day-over-window engagement ratio (integer ppm).
+    */
+  def evtRollingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val ud = e.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val bounds = e.agg(max(to_date(col("ts"))).as("max_day"))
+    val rolling = ud
+      .select(col("user_id"), explode(expr("sequence(0, 6)")).as("k"), col("day"))
+      .select(col("user_id"), expr("date_add(day, k)").as("w_end"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("w_end") <= col("max_day"))
+      .groupBy("w_end")
+      .agg(countDistinct(col("user_id")).as("dau7"))
+    val daily = ud.groupBy(col("day").as("w_end"))
+      .agg(count(lit(1)).as("dau1"))
+    rolling.join(daily, Seq("w_end"), "left")
+      .select(col("w_end"), coalesce(col("dau1"), lit(0L)).as("dau1"), col("dau7"),
+        expr("coalesce(dau1, 0) * 1000000 div dau7").as("ratio_ppm"))
+      .orderBy("w_end")
+  }
 
   /** Hour-of-day × day-of-week seasonality grid per event type — the ops
     * heatmap behind alert thresholds and capacity planning (a Tuesday-3am
@@ -723,6 +753,25 @@ object EventTime extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "evt_rolling_dau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), bounds AS (
+        |  SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+        |), rolling AS (
+        |  SELECT CAST(day + k * INTERVAL 1 DAY AS DATE) AS w_end,
+        |    COUNT(DISTINCT user_id) AS dau7
+        |  FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS k)
+        |  CROSS JOIN bounds
+        |  WHERE day + k * INTERVAL 1 DAY <= max_day
+        |  GROUP BY w_end
+        |), daily AS (
+        |  SELECT day AS w_end, COUNT(*) AS dau1 FROM ud GROUP BY day
+        |)
+        |SELECT r.w_end, COALESCE(d.dau1, 0) AS dau1, r.dau7,
+        |  CAST(COALESCE(d.dau1, 0) * 1000000 // r.dau7 AS BIGINT) AS ratio_ppm
+        |FROM rolling r LEFT JOIN daily d ON r.w_end = d.w_end
+        |ORDER BY r.w_end""".stripMargin,
     "evt_hod_dow" ->
       """WITH grid AS (
         |  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, COUNT(*) AS n
