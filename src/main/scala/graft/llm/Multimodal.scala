@@ -193,7 +193,36 @@ object Multimodal extends QueryModule {
       .orderBy("id")
   }
 
+  /** Average-hash (aHash) near-dup fingerprint for the 'image' rows — the
+    * standard cheap perceptual hash: sample a fixed 60-cell grid from the
+    * decoded plane, threshold each cell against the grid mean, pack 60
+    * bits (the house 60-bit convention — simhash's — so the sign bit
+    * never overflows either engine's BIGINT). Here the "plane" is the payload's byte sequence (the stub
+    * decode; a real deployment hashes the resized grayscale raster, same
+    * arithmetic), sampled at the 60 stride positions k·len div 60. The
+    * threshold is exact — cell·60 > Σcells cross-multiplied in integers,
+    * never a float mean — so the hash is oracle-exact; matching hashes
+    * (`n_same`) are the near-dup groups an image pipeline collapses.
+    * Shape: one map stage + one hash-keyed window count.
+    */
+  def mmAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val samples = expr(
+      "transform(sequence(0, 59), k -> ascii(substring(text, cast((k * length(text)) div 60 as int) + 1, 1)))")
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
+      .withColumn("s", samples)
+      .withColumn("tot", expr("aggregate(s, 0L, (acc, x) -> acc + x)"))
+      .withColumn("ahash", expr(
+        "aggregate(sequence(0, 59), 0L, (acc, k) -> " +
+          "acc + if(element_at(s, k + 1) * 60 > tot, shiftleft(cast(1 as bigint), k), 0L))"))
+      .withColumn("n_same", count(lit(1)).over(byHash))
+      .select(col("doc_id").as("id"), col("ahash"), col("n_same"))
+      .orderBy("id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_ahash"      -> (mmAhash _),
     "mm_silence_trim" -> (mmSilenceTrim _),
     "mm_meta"       -> (mmMeta _),
     "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
@@ -202,6 +231,23 @@ object Multimodal extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "mm_ahash" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(range(0, 60),
+        |      k -> ascii(substr(text, CAST((k * len(text)) // 60 AS INTEGER) + 1, 1))) AS s
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), hashed AS (
+        |  SELECT id, s, list_sum(s) AS tot FROM img
+        |), packed AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(0, 60),
+        |      k -> CASE WHEN s[k + 1] * 60 > tot THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+        |      AS BIGINT) AS ahash
+        |  FROM hashed
+        |)
+        |SELECT id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS n_same
+        |FROM packed ORDER BY id""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
