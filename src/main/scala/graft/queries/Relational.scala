@@ -1030,6 +1030,72 @@ object Relational extends QueryModule {
       .orderBy("event_id")
   }
 
+  /** As-of join with a STALENESS TOLERANCE — the feature-store variant: a
+    * reference older than 30 days is no feature at all (concept drift), so
+    * the match is kept only within the window, else null. Same single
+    * merge pass as `join_asof_native`; the tolerance is a post-join
+    * null-out (exact integer microsecond compare), NOT a different join —
+    * which is why the oracle is the plain ASOF LEFT JOIN wrapped in the
+    * same CASE.
+    */
+  def joinAsofTolerance(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id").as("k"), col("ts"))
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("rk"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    val tolMicros = 30L * 86400L * 1000000L
+    val fresh = unix_micros(col("ts")) -
+      unix_micros(col("o_orderdate").cast("timestamp")) <= tolMicros
+    org.apache.spark.sql.graft.NativeAsOf.joinLeftAsOf(
+        left = e, right = o,
+        leftKey = "k", leftTime = "ts",
+        rightKey = "rk", rightTime = "o_orderdate",
+        tieBreak = "o_orderkey")
+      .select(
+        col("event_id"),
+        col("k").as("user_id"),
+        when(fresh, col("o_orderkey")).as("o_orderkey"),
+        when(fresh, col("o_totalprice")).as("o_totalprice"))
+      .orderBy("event_id")
+  }
+
+  /** Point-in-time-correct TWO-SOURCE feature join — the feature-store
+    * backfill shape: for every purchase, the state of two independent
+    * reference streams AS OF that instant (latest prior click; latest
+    * prior order), with zero future leakage. Two native as-of merges
+    * compose left-to-right — each is one key-clustered exchange + merge
+    * pass, and the second reuses the first's output partitioning (both
+    * cluster on the same user key), so the plan stays
+    * exchange-exchange-merge-merge with no row explosion anywhere.
+    */
+  def joinAsofMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("k"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("ck"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("ok"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    val withClick = org.apache.spark.sql.graft.NativeAsOf.joinLeftAsOf(
+      left = purchases, right = clicks,
+      leftKey = "k", leftTime = "ts",
+      rightKey = "ck", rightTime = "c_ts", tieBreak = "click_id")
+    org.apache.spark.sql.graft.NativeAsOf.joinLeftAsOf(
+        left = withClick, right = orders,
+        leftKey = "k", leftTime = "ts",
+        rightKey = "ok", rightTime = "o_orderdate", tieBreak = "o_orderkey")
+      .select(
+        col("p_id"),
+        col("k").as("user_id"),
+        col("click_id").as("last_click_id"),
+        col("o_orderkey").as("last_order_key"),
+        col("o_totalprice").as("last_order_price"))
+      .orderBy("p_id")
+  }
+
   /** 2-D SKYLINE (Pareto frontier) — the classic OLAP "best tradeoffs"
     * operator (Börzsönyi et al., ICDE'01): lineitems not dominated on
     * (price higher-better, shipdate later-better). Naive skyline is an
@@ -1151,6 +1217,8 @@ object Relational extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_native" -> (joinAsofNative _),
+    "join_asof_tolerance" -> (joinAsofTolerance _),
+    "join_asof_multi"  -> (joinAsofMulti _),
     "agg_skyline"      -> (aggSkyline _),
     "agg_winsorized"   -> (aggWinsorized _),
     "agg_salted_twophase" -> (aggSaltedTwophase _),
@@ -1226,6 +1294,44 @@ object Relational extends QueryModule {
         |FROM events e
         |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), o2 AS (
+        |  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+        |  FROM o1 JOIN orders o ON o1.o_orderkey = o.o_orderkey
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o2.o_orderdate) <= 2592000000000
+        |       THEN o2.o_orderkey END AS o_orderkey,
+        |  CASE WHEN epoch_us(e.ts) - epoch_us(o2.o_orderdate) <= 2592000000000
+        |       THEN o2.o_totalprice END AS o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN o2 ON e.user_id = o2.o_custkey AND e.ts >= o2.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "join_asof_multi" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        |), c1 AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        |), o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |), o2 AS (
+        |  SELECT o1.o_custkey, o1.o_orderdate, o1.o_orderkey, o.o_totalprice
+        |  FROM o1 JOIN orders o ON o1.o_orderkey = o.o_orderkey
+        |), pc AS (
+        |  SELECT p.p_id, p.user_id, p.ts, c1.click_id
+        |  FROM p ASOF LEFT JOIN c1
+        |    ON p.user_id = c1.user_id AND p.ts >= c1.ts
+        |)
+        |SELECT pc.p_id, pc.user_id, pc.click_id AS last_click_id,
+        |  o2.o_orderkey AS last_order_key, o2.o_totalprice AS last_order_price
+        |FROM pc ASOF LEFT JOIN o2
+        |  ON pc.user_id = o2.o_custkey AND pc.ts >= o2.o_orderdate
+        |ORDER BY pc.p_id""".stripMargin,
     "agg_skyline" ->
       """WITH perdate AS (
         |  SELECT l_shipdate AS d, l_extendedprice AS p, COUNT(*) AS n
