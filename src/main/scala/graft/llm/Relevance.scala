@@ -341,6 +341,43 @@ object Relevance extends QueryModule {
       .orderBy("candidate")
   }
 
+  /** Cross-table reconciliation audit — does the order header's total
+    * equal the recomputed lineitem total (Σ price·(1−disc)·(1+tax))?
+    * The classic financial-close check; in THIS corpus the invariant
+    * deliberately fails everywhere, which is exactly what the report
+    * surfaces (n_mismatch = n_orders, headers without lines counted
+    * separately). Float discipline: the per-row product is one double
+    * expression on identical operands, rounded onto the 6dp grid, summed
+    * as DECIMAL per order (order-free); the header-vs-recomputed gap is
+    * then a double subtraction of pinned values, rounded before the
+    * per-status decimal rollup. One fact-side groupBy + one header join —
+    * both on the order key, bucketable at scale.
+    */
+  def dqReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    val recomputed = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 6).cast("decimal(30,6)").as("line_total"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("line_total")).as("recomputed"))
+    // the gap stays DECIMAL end-to-end: subtracting two big doubles and
+    // re-rounding would amplify representation noise past the 4dp grid
+    val gap = col("o_totalprice").cast("decimal(30,6)") - col("recomputed")
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .join(recomputed, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderstatus"),
+        col("recomputed").isNull.as("no_lines"),
+        when(col("recomputed").isNotNull, abs(gap)).as("abs_gap"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("no_lines"), lit(1))).as("n_no_lineitems"),
+        count(when(col("abs_gap") > 0.01, lit(1))).as("n_mismatch"),
+        sum(col("abs_gap")).cast("double").as("total_abs_gap"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Zipf rank-frequency fit per language — the corpus-health diagnostic
     * (natural text follows freq ∝ rank^s with s ≈ −1; machine-generated or
     * template-heavy corpora bend the curve). Least-squares slope/intercept
@@ -420,6 +457,7 @@ object Relevance extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_chi_square" -> (dqChiSquare _),
+    "dq_reconcile"  -> (dqReconcile _),
     "text_zipf"     -> (textZipf _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_freshness"  -> (dqFreshness _),
@@ -439,6 +477,25 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "dq_reconcile" ->
+        """WITH rec AS (
+          |  SELECT l_orderkey,
+          |    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6)
+          |             AS DECIMAL(30,6))) AS recomputed
+          |  FROM lineitem GROUP BY l_orderkey
+          |), j AS (
+          |  SELECT o.o_orderstatus,
+          |    rec.recomputed IS NULL AS no_lines,
+          |    CASE WHEN rec.recomputed IS NOT NULL
+          |         THEN abs(CAST(o.o_totalprice AS DECIMAL(30,6)) - rec.recomputed) END
+          |      AS abs_gap
+          |  FROM orders o LEFT JOIN rec ON o.o_orderkey = rec.l_orderkey
+          |)
+          |SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  COUNT(CASE WHEN no_lines THEN 1 END) AS n_no_lineitems,
+          |  COUNT(CASE WHEN abs_gap > 0.01 THEN 1 END) AS n_mismatch,
+          |  CAST(SUM(abs_gap) AS DOUBLE) AS total_abs_gap
+          |FROM j GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
       "text_zipf" ->
         """WITH freq AS (
           |  SELECT lang, word, COUNT(*) AS c
