@@ -577,11 +577,40 @@ object EventTime extends QueryModule {
     "evt_autocorr7" -> (evtAutocorr7 _),
     "evt_hod_dow"   -> (evtHodDow _),
     "evt_rolling_dau" -> (evtRollingDau _),
+    "evt_forecast_baseline" -> (evtForecastBaseline _),
     "evt_attribution_linear" -> (evtAttributionLinear _),
     "evt_paths3"    -> (evtPaths3 _),
     "evt_funnel"    -> (evtFunnel _),
     "evt_retention" -> (evtRetention _),
   )
+
+  /** Seasonal-naive forecast backtest — predict each day's event count
+    * with the same weekday last week (the baseline every real forecast
+    * must beat) and score MAE + MAPE over the evaluable days. The eval
+    * pairing is the `evt_autocorr7` equi-join; errors are exact integer
+    * differences, MAE is one double division of exact sums, MAPE is
+    * integer ppm via cross-multiplication — the whole backtest is
+    * reduction-order-free. Shape: daily rollup (map-side combined) then
+    * days-scale arithmetic; nothing event-scale past the first groupBy.
+    */
+  def evtForecastBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily
+      .join(daily.select(col("event_type"), date_add(col("day"), 7).as("day"),
+          col("x").as("forecast")),
+        Seq("event_type", "day"))
+    pairs
+      .withColumn("abs_err", abs(col("x") - col("forecast")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("abs_err")).as("sum_abs_err"),
+        round(sum(col("abs_err")).cast("double") / count(lit(1)), 6).as("mae"),
+        expr("sum(abs_err) * 1000000 div sum(x)").as("mape_ppm"))
+      .orderBy("event_type")
+  }
 
   /** Trailing-7-day rolling distinct users (rolling DAU) — exact sliding
     * distinct, the metric window functions CANNOT express (COUNT(DISTINCT)
@@ -753,6 +782,20 @@ object EventTime extends QueryModule {
   }
 
   override def oracles: Map[String, String] = Map(
+    "evt_forecast_baseline" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+        |  FROM events GROUP BY event_type, day
+        |), pairs AS (
+        |  SELECT a.event_type, a.x, b.x AS forecast
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 7 DAY
+        |)
+        |SELECT event_type, COUNT(*) AS n_days,
+        |  CAST(SUM(abs(x - forecast)) AS BIGINT) AS sum_abs_err,
+        |  ROUND(CAST(SUM(abs(x - forecast)) AS DOUBLE) / COUNT(*), 6) AS mae,
+        |  CAST(SUM(abs(x - forecast)) * 1000000 // SUM(x) AS BIGINT) AS mape_ppm
+        |FROM pairs GROUP BY event_type ORDER BY event_type""".stripMargin,
     "evt_rolling_dau" ->
       """WITH ud AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events

@@ -143,11 +143,93 @@ object Sketches extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  val HistBins = 32
+  val HistWidth = 3500.0 // covers l_extendedprice's [~900, ~110k] envelope
+
+  /** Mergeable QUANTILE sketch — the equi-width histogram, the fourth
+    * sketch family (CMS=frequency, Bloom=membership, KMV=distinct,
+    * histogram=quantiles). State is 32 integer bin counts: map-side
+    * combinable, mergeable across months/partitions/clusters by cell-wise
+    * ADD — the build here goes data → per-MONTH partials → cell-merged
+    * global, and the oracle builds the histogram directly, so hash
+    * equality IS the merge≡direct proof (`mv_incremental`'s trick on
+    * sketch state). Estimates p50/p90/p99 by linear interpolation inside
+    * the covering bin — rank targets are exact integers (ceil(q·N)),
+    * cumulative counts exact, one double division per quantile — and
+    * reports the EXACT percentile beside the estimate: the output is the
+    * sketch AND its measured error, hash-checked.
+    */
+  def sketchHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice").as("p"),
+        month(col("l_shipdate")).as("mo"))
+      .withColumn("bin", least(floor(col("p") / HistWidth), lit(HistBins - 1)).cast("int"))
+    val partials = li.groupBy("mo", "bin").agg(count(lit(1)).as("pc"))
+    val merged = partials.groupBy("bin").agg(sum(col("pc")).as("c"))
+    val byBin = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = merged
+      .withColumn("cum", sum(col("c")).over(byBin))
+      .withColumn("cum_prev", col("cum") - col("c"))
+    val qs = Seq(0.5, 0.9, 0.99)
+    val quantsCol = explode(array(qs.map(lit): _*)).as("q")
+    val n = li.agg(count(lit(1)).as("n_rows"))
+    val exact = li.agg(
+      expr("percentile(p, 0.5)").as("x50"),
+      expr("percentile(p, 0.9)").as("x90"),
+      expr("percentile(p, 0.99)").as("x99"))
+    cum.crossJoin(broadcast(n)).select(col("*"), quantsCol)
+      .withColumn("target", ceil(col("q") * col("n_rows")).cast("long"))
+      .filter(col("cum") >= col("target") && col("cum_prev") < col("target"))
+      .crossJoin(broadcast(exact))
+      .select(
+        col("q"), col("n_rows"), col("bin"),
+        round(col("bin") * HistWidth
+          + lit(HistWidth) * (col("target") - col("cum_prev")) / col("c"), 6).as("est"),
+        round(
+          when(col("q") === 0.5, col("x50"))
+            .when(col("q") === 0.9, col("x90"))
+            .otherwise(col("x99")), 6).as("exact"))
+      .orderBy("q")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_cms"   -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
     "sketch_kmv"   -> (sketchKmv _),
+    "sketch_histogram" -> (sketchHistogram _),
   )
+
+  private val histogramOracle: String =
+    s"""WITH li AS (
+       |  SELECT l_extendedprice AS p,
+       |    CAST(least(floor(l_extendedprice / $HistWidth), ${HistBins - 1}) AS INTEGER) AS bin
+       |  FROM lineitem
+       |), merged AS (
+       |  SELECT bin, COUNT(*) AS c FROM li GROUP BY bin
+       |), cum AS (
+       |  SELECT bin, c,
+       |    SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_prev
+       |  FROM merged
+       |), n AS (SELECT COUNT(*) AS n_rows FROM li),
+       |ex AS (
+       |  SELECT quantile_cont(p, 0.5) AS x50, quantile_cont(p, 0.9) AS x90,
+       |         quantile_cont(p, 0.99) AS x99
+       |  FROM li
+       |), qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+       |t AS (
+       |  SELECT q, n_rows, bin, c, cum, cum_prev,
+       |    CAST(ceil(q * n_rows) AS BIGINT) AS target
+       |  FROM cum CROSS JOIN n CROSS JOIN qq
+       |)
+       |SELECT q, n_rows, bin,
+       |  ROUND(bin * $HistWidth + $HistWidth * (target - cum_prev) / c, 6) AS est,
+       |  ROUND(CASE WHEN q = 0.5 THEN x50 WHEN q = 0.9 THEN x90 ELSE x99 END, 6) AS exact
+       |FROM t CROSS JOIN ex
+       |WHERE cum >= target AND cum_prev < target
+       |ORDER BY q""".stripMargin
 
   override def oracles: Map[String, String] = {
     def duckCell(i: Int, keyExpr: String, m: Int): String =
@@ -184,6 +266,7 @@ object Sketches extends QueryModule {
            |  ROUND(${(KmvK - 1).toDouble} * 1.152921504606846976E18 / kth.hk / t.true_distinct, 4) AS ratio
            |FROM truth t JOIN kth ON t.l_returnflag = kth.l_returnflag
            |ORDER BY t.l_returnflag""".stripMargin,
+      "sketch_histogram" -> histogramOracle,
       "sketch_cms" ->
         s"""WITH h AS (
            |  $cmsRows
