@@ -341,6 +341,36 @@ object Relevance extends QueryModule {
       .orderBy("candidate")
   }
 
+  /** Order-independent TABLE CHECKSUM — the anti-entropy / replication
+    * integrity primitive: same canonical per-row string → same 60-bit row
+    * hash → same exact DECIMAL sum, on any engine, any partitioning, any
+    * row order. Two replicas (or a pre/post-migration pair) agree iff
+    * (n_rows, checksum) agree, compared with two scalars instead of a
+    * row-by-row diff. Canonicalization avoids every cross-engine
+    * formatting trap: timestamps as epoch micros, money as integer cents
+    * (`dq_benford`'s trick), never float→string. One map pass + a scalar
+    * agg per table; at 100 TB this is the cheapest possible full-content
+    * comparison (and it map-side combines).
+    */
+  def dqTableChecksum(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Hashing
+    def cents(c: Column): Column = round(c * 100).cast("bigint")
+    def sumHash(name: String, df: DataFrame, canon: Column): DataFrame =
+      df.select(Hashing.hash60(canon).cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+    val orders = sumHash("orders", Tables.orders(spark, sfDir),
+      concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")),
+        unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")))
+    val customer = sumHash("customer", Tables.customer(spark, sfDir),
+      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")), col("c_mktsegment")))
+    val nation = sumHash("nation", Tables.nation(spark, sfDir),
+      concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    orders.unionByName(customer).unionByName(nation).orderBy("table_name")
+  }
+
   /** Cross-table reconciliation audit — does the order header's total
     * equal the recomputed lineitem total (Σ price·(1−disc)·(1+tax))?
     * The classic financial-close check; in THIS corpus the invariant
@@ -458,6 +488,7 @@ object Relevance extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_chi_square" -> (dqChiSquare _),
     "dq_reconcile"  -> (dqReconcile _),
+    "dq_table_checksum" -> (dqTableChecksum _),
     "text_zipf"     -> (textZipf _),
     "dq_uniqueness" -> (dqUniqueness _),
     "dq_freshness"  -> (dqFreshness _),
@@ -477,6 +508,23 @@ object Relevance extends QueryModule {
       .map(t => s"COALESCE(SUM(CASE WHEN word = '$t' THEN c END), 0.0)")
       .mkString(" + ")
     Map(
+      "dq_table_checksum" -> {
+        def one(name: String, table: String, canon: String) =
+          s"""SELECT '$name' AS table_name, COUNT(*) AS n_rows,
+             |  CAST(SUM(${graft.functions.Hashing.duckHash60(canon)}) AS DECIMAL(38,0)) AS checksum
+             |FROM $table""".stripMargin
+        Seq(
+          one("customer", "customer",
+            "c_custkey || '|' || c_name || '|' || c_nationkey || '|' || " +
+              "CAST(round(c_acctbal * 100) AS BIGINT) || '|' || c_mktsegment"),
+          one("nation", "nation",
+            "n_nationkey || '|' || n_name || '|' || n_regionkey"),
+          one("orders", "orders",
+            "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || " +
+              "CAST(round(o_totalprice * 100) AS BIGINT) || '|' || " +
+              "epoch_us(o_orderdate) || '|' || o_orderpriority"),
+        ).mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+      },
       "dq_reconcile" ->
         """WITH rec AS (
           |  SELECT l_orderkey,

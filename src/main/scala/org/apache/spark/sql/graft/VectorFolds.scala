@@ -2,11 +2,11 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, BooleanType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for vector math over `array<double>` columns.
   *
@@ -308,5 +308,22 @@ object VectorBridge {
       exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine",
       exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash60",
+      exprs => Simhash60(exprs(0)), "built-in")
+    // graft_word_ngrams60(text, n[, distinct]) — n/distinct must be literals
+    reg.createOrReplaceTempFunction("graft_word_ngrams60",
+      exprs => {
+        val n = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_word_ngrams60: n must be an int literal, got $other")
+        }
+        val distinct = exprs.lift(2).forall {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new IllegalArgumentException(
+            s"graft_word_ngrams60: distinct must be a boolean literal, got $other")
+        }
+        WordNgramHashes(exprs(0), n, distinct)
+      }, "built-in")
   }
 }

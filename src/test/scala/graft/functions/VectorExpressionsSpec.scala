@@ -68,6 +68,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("SQL registration: graft_word_ngrams60 + graft_simhash60 compose in spark.sql") {
+    VectorExpressions.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet").limit(5)
+      .createOrReplaceTempView("docs_t")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash60(graft_word_ngrams60(text, 1, true)) AS sh FROM docs_t")
+    val viaApi = spark.read.parquet(s"$sf0001/documents.parquet").limit(5)
+      .select(col("doc_id"),
+        VectorExpressions.simhash60(
+          VectorExpressions.word_ngram_hashes(col("text"), 1, distinct = true)).as("expected"))
+    val diff = viaSql.join(viaApi, "doc_id")
+      .filter(col("sh") =!= col("expected")).count()
+    assert(diff === 0)
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     // needs a non-local source: local Seqs get constant-folded at plan time
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
