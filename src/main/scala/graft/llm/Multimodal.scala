@@ -206,9 +206,19 @@ object Multimodal extends QueryModule {
     * Shape: one map stage + one hash-keyed window count.
     */
   def mmAhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    ahashOf(spark, sfDir)
+      .withColumn("n_same", count(lit(1)).over(byHash))
+      .select(col("id"), col("ahash"), col("n_same"))
+      .orderBy("id")
+  }
+
+  /** (id, ahash) over the 'image' rows — the shared front half of mmAhash
+    * (exact-match groups) and mmAhashPairs (near-match radius search).
+    */
+  private def ahashOf(spark: SparkSession, sfDir: String): DataFrame = {
     val samples = expr(
       "transform(sequence(0, 59), k -> ascii(substring(text, cast((k * length(text)) div 60 as int) + 1, 1)))")
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
       .withColumn("s", samples)
@@ -216,13 +226,52 @@ object Multimodal extends QueryModule {
       .withColumn("ahash", expr(
         "aggregate(sequence(0, 59), 0L, (acc, k) -> " +
           "acc + if(element_at(s, k + 1) * 60 > tot, shiftleft(cast(1 as bigint), k), 0L))"))
-      .withColumn("n_same", count(lit(1)).over(byHash))
-      .select(col("doc_id").as("id"), col("ahash"), col("n_same"))
-      .orderBy("id")
+      .select(col("doc_id").as("id"), col("ahash"))
+  }
+
+  /** Perceptual NEAR-dup image pairs — Hamming distance ≤ 10 between
+    * 60-bit average-hashes, the radius search an image-dedup pipeline runs
+    * after exact-hash grouping (mmAhash) to catch re-encodes/crops. Same
+    * pigeonhole blocking as dedup_simhash_pairs: split 60 bits into 11
+    * chunks (5×6 + 6×5 bits); two hashes within distance 10 differ in at
+    * most 10 chunks, so they agree exactly on ≥1 — candidate generation is
+    * an equi-join on (chunk_id, chunk_value) with zero recall loss, and
+    * exact bit_count verification runs only on candidates. Radius is the
+    * scale knob: at radius 10 the chunks are 5-6 bits wide, so random
+    * hashes collide on a given chunk at ~2⁻⁵ — fine at 10⁵-image corpora,
+    * but at 10⁹ images a production pass tightens to radius 3-4 (16-bit
+    * chunks, ~2⁻¹⁶ collisions) and reaches wider radii by re-running on
+    * the survivors' rotations instead of widening chunks.
+    */
+  def mmAhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val widths = Seq(6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 5)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkStructs = widths.zip(offsets).zipWithIndex.map { case ((w, off), id) =>
+      struct(lit(id).as("cid"),
+        shiftright(col("ahash"), off).bitwiseAND(lit((1L << w) - 1)).as("cval"))
+    }
+    // pinned exchange → the ahash map stage + chunk explode feed both
+    // self-join sides once (ReuseExchange), as in dedup_simhash_pairs
+    val probes = ahashOf(spark, sfDir)
+      .select(col("id"), col("ahash"), explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("ahash"), col("c.cid").as("cid"), col("c.cval").as("cval"))
+      .repartition(col("id"))
+    val cand = probes.as("x").join(probes.as("y"),
+        col("x.cid") === col("y.cid") && col("x.cval") === col("y.cval") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 10)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash"      -> (mmAhash _),
+    "mm_ahash_pairs" -> (mmAhashPairs _),
     "mm_silence_trim" -> (mmSilenceTrim _),
     "mm_meta"       -> (mmMeta _),
     "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
@@ -248,6 +297,26 @@ object Multimodal extends QueryModule {
         |)
         |SELECT id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS n_same
         |FROM packed ORDER BY id""".stripMargin,
+    "mm_ahash_pairs" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(range(0, 60),
+        |      k -> ascii(substr(text, CAST((k * len(text)) // 60 AS INTEGER) + 1, 1))) AS s
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), hashed AS (
+        |  SELECT id, s, list_sum(s) AS tot FROM img
+        |), packed AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(0, 60),
+        |      k -> CASE WHEN s[k + 1] * 60 > tot THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+        |      AS BIGINT) AS ahash
+        |  FROM hashed
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS INTEGER) AS hamming
+        |FROM packed a JOIN packed b ON a.id < b.id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -550,7 +550,35 @@ object EventTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Point-in-time join against the SCD2 dimension (the warehouse "fact ⋈
+    * dimension-as-of-event-time" shape): each click attaches the purchase-
+    * state version in effect at its timestamp — the row of scd2Intervals
+    * whose [valid_from, valid_to) contains ts. Because SCD2 intervals TILE
+    * the time axis per key (valid_to = next valid_from), interval
+    * containment is equivalent to "latest valid_from ≤ ts", so the plan is
+    * the single-shuffle union+window as-of join (operators.AsOf) — never
+    * the BETWEEN-join nested loop Spark would otherwise plan; clicks
+    * before the first version report null. The oracle states the semantics
+    * the long way (LEFT JOIN ... BETWEEN) to pin the equivalence.
+    */
+  def joinScd2Pit(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val scd = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("valid_from"),
+        col("event_id").as("ver_id"), col("value").as("state_value"))
+    graft.operators.AsOf.joinLeftAsOf(
+      left = clicks, right = scd, key = "user_id",
+      leftTime = "ts", rightTime = "valid_from", leftId = "event_id",
+      tieBreak = "ver_id", payload = Seq("ver_id", "state_value"))
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"),
+        col("ver_id"), col("state_value"))
+      .orderBy("click_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_scd2_pit" -> (joinScd2Pit _),
     "evt_feature_vector" -> (evtFeatureVector _),
     "evt_streaks"     -> (evtStreaks _),
     "evt_time_to_convert" -> (evtTimeToConvert _),
@@ -1107,6 +1135,19 @@ object EventTime extends QueryModule {
         |FROM stats
         |WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
         |ORDER BY event_type, day""".stripMargin,
+    "join_scd2_pit" ->
+      """WITH scd AS (
+        |  SELECT user_id, event_id AS ver_id, "value" AS state_value,
+        |    ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.event_id AS click_id, c.user_id, c.ts, s.ver_id, s.state_value
+        |FROM events c
+        |LEFT JOIN scd s ON c.user_id = s.user_id AND c.ts >= s.valid_from
+        |  AND (s.valid_to IS NULL OR c.ts < s.valid_to)
+        |WHERE c.event_type = 'click'
+        |ORDER BY click_id""".stripMargin,
     "scd2_intervals" ->
       """SELECT user_id, event_id, "value", ts AS valid_from,
         |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,

@@ -159,13 +159,98 @@ object Graph extends QueryModule {
       .orderBy("n_name")
   }
 
+  /** Common-neighbor link prediction over the strong trade graph — the
+    * candidate generator behind "who should trade next" (Liben-Nowell/
+    * Kleinberg): for every NON-adjacent pair, count shared neighbors and
+    * score with the neighborhood-Jaccard. Distributed shape is one wedge
+    * join (hub in the middle, both spokes from the same symmetric edge
+    * list) + a pair groupBy + an anti-join that removes existing edges —
+    * never an all-pairs node join; cost is Σ_hub deg(hub)², the wedge
+    * count, so a degree cap / hub-salting is the 100 TB lever exactly as
+    * in graphTriangles. Scores are integer-exact: the Jaccard is emitted
+    * in ppm via integer cross-multiplication, never a float divide.
+    */
+  def graphLinkpred(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "src")
+    val vol = li
+      .join(cNat, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val tot = vol.agg(sum(col("w")).as("total"), count(lit(1)).as("n_pairs"))
+    val strong = vol.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n_pairs") > col("total"))
+      .select("src", "dst")
+    val und = strong.union(strong.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val cn = und.as("e1").join(und.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("common_n"))
+    val nonEdge = cn.join(und,
+        cn("a") === und("src") && cn("b") === und("dst"), "left_anti")
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"))
+    nonEdge
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+      .withColumn("jaccard_ppm",
+        expr("common_n * 1000000 div (deg_a + deg_b - common_n)"))
+      .join(nodes.select(col("n_nationkey").as("a"), col("n_name").as("nation_a")), "a")
+      .join(nodes.select(col("n_nationkey").as("b"), col("n_name").as("nation_b")), "b")
+      .select("nation_a", "nation_b", "common_n", "jaccard_ppm")
+      .orderBy("nation_a", "nation_b")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs" -> (graphBfs _),
+    "graph_linkpred" -> (graphLinkpred _),
   )
 
   override def oracles: Map[String, String] = Map(
+    "graph_linkpred" ->
+      """WITH vol AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY src, dst
+        |), tot AS (
+        |  SELECT SUM(w) AS total, COUNT(*) AS n_pairs FROM vol
+        |), strong AS (
+        |  SELECT src, dst FROM vol CROSS JOIN tot WHERE w * n_pairs > total
+        |), und AS (
+        |  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+        |), deg AS (
+        |  SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src
+        |), cn AS (
+        |  SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS common_n
+        |  FROM und e1 JOIN und e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |  GROUP BY a, b
+        |), nonedge AS (
+        |  SELECT cn.a, cn.b, cn.common_n FROM cn
+        |  LEFT JOIN und ON cn.a = und.src AND cn.b = und.dst
+        |  WHERE und.src IS NULL
+        |)
+        |SELECT na.n_name AS nation_a, nb.n_name AS nation_b, ne.common_n,
+        |  ne.common_n * 1000000 // (da.deg + db.deg - ne.common_n) AS jaccard_ppm
+        |FROM nonedge ne
+        |JOIN deg da ON ne.a = da.node
+        |JOIN deg db ON ne.b = db.node
+        |JOIN nation na ON ne.a = na.n_nationkey
+        |JOIN nation nb ON ne.b = nb.n_nationkey
+        |ORDER BY nation_a, nation_b""".stripMargin,
     "graph_bfs" ->
       """WITH RECURSIVE vol AS (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
