@@ -274,6 +274,34 @@ object Dedup extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-source novelty report — for each source, the share of its 16-word
+    * blocks whose FIRST corpus occurrence (min doc_id) is its own: the
+    * marginal-value signal a data-acquisition loop reads to decide which
+    * sources still contribute new content vs re-serving what the corpus
+    * already has. Rides the same block-hash normal form as dedupBlocks
+    * (one explode, linear), one min-aggregation per block hash
+    * (vocabulary-sized), one hash-keyed join back, a sources-sized
+    * groupBy — no pairwise stage at any corpus size. Attribution is
+    * by min doc_id (= ingestion order here); a production run would use
+    * ingestion timestamp the same way.
+    */
+  def sourceNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), words(col("text")).as("w"))
+      .withColumn("nb", ceil(size(col("w")) / lit(16.0)).cast("int"))
+    val blocks = d.select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, nb - 1), b -> md5(concat_ws(' ', slice(w, b*16+1, 16))))")).as("bh"))
+    val first = blocks.groupBy("bh").agg(min(col("doc_id")).as("first_doc"))
+    blocks.join(first, "bh")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("novel_blocks"))
+      .withColumn("novelty_ppm", expr("novel_blocks * 1000000 div n_blocks"))
+      .select("source", "n_blocks", "novel_blocks", "novelty_ppm")
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** U2c: 60-bit SimHash over the distinct word set (unit weights).
@@ -410,6 +438,7 @@ object Dedup extends QueryModule {
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
     "dedup_containment"   -> (dedupContainment _),
     "dedup_blocks"        -> (dedupBlocks _),
+    "text_source_novelty" -> (sourceNovelty _),
   )
 
   override def oracles: Map[String, String] = {
@@ -462,6 +491,24 @@ object Dedup extends QueryModule {
           |  CAST(SUM(CASE WHEN df.df < 2 THEN b.bsize ELSE 0 END) AS BIGINT) AS words_kept
           |FROM b JOIN df ON b.bh = df.bh
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+      "text_source_novelty" ->
+        """WITH d AS (
+          |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+          |), b AS (
+          |  SELECT doc_id, source,
+          |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh
+          |  FROM (SELECT doc_id, source, w,
+          |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
+          |        FROM d)
+          |), f AS (
+          |  SELECT bh, MIN(doc_id) AS first_doc FROM b GROUP BY bh
+          |)
+          |SELECT b.source, COUNT(*) AS n_blocks,
+          |  COUNT(CASE WHEN f.first_doc = b.doc_id THEN 1 END) AS novel_blocks,
+          |  COUNT(CASE WHEN f.first_doc = b.doc_id THEN 1 END) * 1000000
+          |    // COUNT(*) AS novelty_ppm
+          |FROM b JOIN f ON b.bh = f.bh
+          |GROUP BY b.source ORDER BY b.source""".stripMargin,
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, COUNT(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -472,7 +472,49 @@ object Similarity extends QueryModule {
       .orderBy("label_a", "label_b")
   }
 
+  /** Mutual-kNN graph over the embedding corpus — top-3 cosine neighbors
+    * per vector within its label block, with the mutuality flag (a ranks b
+    * AND b ranks a): the structure input for density clustering, diversity
+    * sampling, and graph-based label propagation; mutual edges are the
+    * high-precision subset. Blocking by label is the IVF discipline again —
+    * neighbor search runs inside a cell, never corpus×corpus (at 100 TB the
+    * label is the trained coarse-quantizer assignment, and per-cell
+    * populations are the skew knob exactly as in simAnnIvf). Ranking is on
+    * the 6dp-rounded cosine with the neighbor id as tiebreak, so both
+    * engines order identically; the mutual flag is a self-join of the kNN
+    * edge list on the reversed pair — edge-list-sized, not corpus-sized.
+    */
+  def embKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("nrm", normOf(col("e")))
+      .select(col("vec_id"), col("label"), col("e"), col("nrm"))
+      .repartition(col("label")) // one exchange feeds both join sides (ReuseExchange)
+    val a = emb.select(col("vec_id").as("src"), col("label"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = emb.select(col("vec_id").as("dst"), col("label"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val byCos = Window.partitionBy("src").orderBy(col("cos").desc, col("dst"))
+    val knn = a.join(b, Seq("label"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cos",
+        round(cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 6))
+      .withColumn("rk", row_number().over(byCos))
+      .filter(col("rk") <= 3)
+      .select(col("src"), col("rk"), col("dst"), col("cos"))
+      // pinned exchange over the scored edge list: the expensive cosine+rank
+      // subtree runs ONCE (ReuseExchange) and only the 3N-row edge list is
+      // re-shuffled onto each self-join key
+      .repartition(col("src"), col("dst"))
+    knn.join(
+        knn.select(col("src").as("m_src"), col("dst").as("m_dst")),
+        col("src") === col("m_dst") && col("dst") === col("m_src"), "left")
+      .select(col("src"), col("rk"), col("dst"), col("cos"),
+        col("m_src").isNotNull.as("mutual"))
+      .orderBy("src", "rk")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_knn_graph" -> (embKnnGraph _),
     "emb_separation"  -> (embSeparation _),
     "sim_ann_int8"    -> (simAnnInt8 _),
     "emb_pca_power"   -> (embPcaPower _),
@@ -509,6 +551,24 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "emb_knn_graph" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst,
+         |    ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |), ranked AS (
+         |  SELECT src, dst, cos,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS INTEGER) AS rk
+         |  FROM pairs
+         |), knn AS (
+         |  SELECT src, rk, dst, cos FROM ranked WHERE rk <= 3
+         |)
+         |SELECT k.src, k.rk, k.dst, k.cos, (m.src IS NOT NULL) AS mutual
+         |FROM knn k LEFT JOIN knn m ON k.src = m.dst AND k.dst = m.src
+         |ORDER BY k.src, k.rk""".stripMargin,
     "emb_separation" ->
       """WITH cent AS (
         |  SELECT label, pos,

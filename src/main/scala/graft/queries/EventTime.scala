@@ -577,8 +577,42 @@ object EventTime extends QueryModule {
       .orderBy("click_id")
   }
 
+  /** Abandonment funnel — per day, how many views converted to a purchase
+    * by the same user within 1 hour vs were abandoned: evtAttribution's
+    * forward mirror (there: purchase → which click caused it; here: view →
+    * did a purchase follow). The "next purchase after each view" is the
+    * single-shuffle forward as-of (operators.AsOf.joinLeftAsOfForward) —
+    * never a per-view subquery or a time-range join explosion; the horizon
+    * test is then a plain column predicate on the attached timestamp, and
+    * the daily rollup is a days-sized groupBy. Abandon rate is integer-ppm
+    * via cross-multiplication. The oracle states the semantics the long
+    * way (MIN(p.ts ≥ v.ts) per view) to pin the as-of equivalence.
+    */
+  def evtAbandoned(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    graft.operators.AsOf.joinLeftAsOfForward(
+      left = views, right = purchases, key = "user_id",
+      leftTime = "ts", rightTime = "p_ts", leftId = "event_id",
+      tieBreak = "p_id", payload = Seq("p_ts"))
+      .withColumn("converted",
+        col("p_ts").isNotNull && col("p_ts") < col("ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        count(when(col("converted"), lit(1))).as("n_converted"))
+      .withColumn("abandon_ppm",
+        expr("(n_views - n_converted) * 1000000 div n_views"))
+      .select("day", "n_views", "n_converted", "abandon_ppm")
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_scd2_pit" -> (joinScd2Pit _),
+    "evt_abandoned" -> (evtAbandoned _),
     "evt_feature_vector" -> (evtFeatureVector _),
     "evt_streaks"     -> (evtStreaks _),
     "evt_time_to_convert" -> (evtTimeToConvert _),
@@ -1135,6 +1169,23 @@ object EventTime extends QueryModule {
         |FROM stats
         |WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
         |ORDER BY event_type, day""".stripMargin,
+    "evt_abandoned" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        |), p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |), nxt AS (
+        |  SELECT v.event_id, v.user_id, v.ts, MIN(p.ts) AS p_ts
+        |  FROM v LEFT JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+        |  GROUP BY v.event_id, v.user_id, v.ts
+        |)
+        |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_views,
+        |  COUNT(CASE WHEN p_ts IS NOT NULL
+        |             AND p_ts < ts + INTERVAL 1 HOUR THEN 1 END) AS n_converted,
+        |  (COUNT(*) - COUNT(CASE WHEN p_ts IS NOT NULL
+        |             AND p_ts < ts + INTERVAL 1 HOUR THEN 1 END)) * 1000000
+        |    // COUNT(*) AS abandon_ppm
+        |FROM nxt GROUP BY day ORDER BY day""".stripMargin,
     "join_scd2_pit" ->
       """WITH scd AS (
         |  SELECT user_id, event_id AS ver_id, "value" AS state_value,

@@ -740,6 +740,45 @@ object Relational extends QueryModule {
       .orderBy("d_key", "matched_key")
   }
 
+  /** Surrogate-key sequence-gap audit — given a supposedly-contiguous key
+    * extract (here: the `o_orderstatus = 'O'` export of a dense orderkey
+    * sequence), report the missing ranges: the reconciliation check run
+    * after any partial export/backfill. The naive form is lag() over ALL
+    * keys in one global window — a single-partition sort that dies at
+    * scale. This is the two-level decomposition instead: bucket keys into
+    * fixed-width blocks (key div 8192), find within-block gaps from each
+    * block's sorted key array (collect_list is bounded by the block width
+    * — never a whole-partition collect), and stitch block boundaries with
+    * a window over BLOCK SUMMARIES only (n/8192 rows — at 10⁹ keys that
+    * window sees ~10⁵ rows, and can be re-blocked recursively if ever
+    * needed). Top-100 widest gaps, integer-exact.
+    */
+  def dqSequenceGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val block = 8192
+    val keys = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey").as("k")).distinct()
+    val blocks = keys
+      .groupBy(expr(s"k div $block").as("blk"))
+      .agg(sort_array(collect_list(col("k"))).as("ks"),
+        min(col("k")).as("kmin"), max(col("k")).as("kmax"))
+    val within = blocks.select(explode(expr(
+        "filter(transform(sequence(0, size(ks) - 2), " +
+          "i -> struct(element_at(ks, i + 1) + 1 AS gap_start, " +
+          "element_at(ks, i + 2) - 1 AS gap_end)), " +
+          "s -> s.gap_end >= s.gap_start)")).as("g"))
+      .select(col("g.gap_start"), col("g.gap_end"))
+    val byBlk = Window.orderBy("blk") // block summaries only — see scaladoc
+    val across = blocks
+      .withColumn("next_min", lead(col("kmin"), 1).over(byBlk))
+      .filter(col("next_min") > col("kmax") + 1)
+      .select((col("kmax") + 1).as("gap_start"), (col("next_min") - 1).as("gap_end"))
+    within.union(across)
+      .withColumn("missing", col("gap_end") - col("gap_start") + 1)
+      .orderBy(col("missing").desc, col("gap_start"))
+      .limit(100)
+  }
+
   /** IQR outlier audit (Tukey fences): per group, exact quartiles → count
     * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the distributional DQ
     * check next to dq_orphans' relational one. Two passes: a tiny
@@ -1263,6 +1302,7 @@ object Relational extends QueryModule {
     "agg_corr_exact" -> (aggCorrExact _),
     "merge_upsert"   -> (mergeUpsert _),
     "dq_orphans"     -> (dqOrphans _),
+    "dq_sequence_gaps" -> (dqSequenceGaps _),
     "dq_outliers"    -> (dqOutliers _),
     "dq_mad_outliers" -> (dqMadOutliers _),
     "fuzzy_join"     -> (fuzzyJoin _),
@@ -1736,6 +1776,16 @@ object Relational extends QueryModule {
         |SELECT o.k, n_orders, n_items
         |FROM o JOIN l ON o.k IS NOT DISTINCT FROM l.k
         |ORDER BY o.k NULLS FIRST""".stripMargin,
+    "dq_sequence_gaps" ->
+      """WITH k AS (
+        |  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
+        |), g AS (
+        |  SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k
+        |)
+        |SELECT k + 1 AS gap_start, nk - 1 AS gap_end, nk - k - 1 AS missing
+        |FROM g WHERE nk > k + 1
+        |ORDER BY missing DESC, gap_start
+        |LIMIT 100""".stripMargin,
     "dq_orphans" ->
       """WITH checks AS (
         |  SELECT 'lineitem_to_orders' AS rel, COUNT(*) AS n_child,
