@@ -220,7 +220,29 @@ object Sampling extends QueryModule {
       .orderBy("source", "rep")
   }
 
+  /** Deterministic 5-fold cross-validation assignment + balance report:
+    * fold = id-hash mod 5, then per (fold, language) counts with the
+    * within-fold share in integer ppm — the check a CV run does before
+    * trusting its folds. The assignment is a per-row hash expression (the
+    * house discipline: no rand(), reproducible at any cluster size, and a
+    * fold filter prunes at the scan); the report is one fold×class-sized
+    * groupBy plus a folds-sized window.
+    */
+  def sampleKfold(spark: SparkSession, sfDir: String): DataFrame = {
+    val byFold = Window.partitionBy("fold")
+    Tables.documents(spark, sfDir)
+      .withColumn("fold",
+        pmod(Hashing.hash60(col("doc_id").cast("string")), lit(5)).cast("int"))
+      .groupBy("fold", "lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("fold_total", sum(col("n_docs")).over(byFold))
+      .withColumn("share_ppm", expr("n_docs * 1000000 div fold_total"))
+      .select("fold", "lang", "n_docs", "fold_total", "share_ppm")
+      .orderBy("fold", "lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kfold" -> (sampleKfold _),
     "sample_poisson_bootstrap" -> (samplePoissonBootstrap _),
     "sample_hash"       -> (sampleHash _),
     "sample_stratified" -> (sampleStratified _),
@@ -240,6 +262,18 @@ object Sampling extends QueryModule {
       case ((ppm, k), acc) => s"CASE WHEN u < $ppm THEN $k ELSE $acc END"
     }
     Map(
+      "sample_kfold" ->
+        s"""WITH t AS (
+           |  SELECT CAST(${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 5 AS INTEGER) AS fold,
+           |    lang
+           |  FROM documents
+           |), g AS (
+           |  SELECT fold, lang, COUNT(*) AS n_docs FROM t GROUP BY fold, lang
+           |)
+           |SELECT fold, lang, n_docs,
+           |  CAST(SUM(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS fold_total,
+           |  n_docs * 1000000 // CAST(SUM(n_docs) OVER (PARTITION BY fold) AS BIGINT) AS share_ppm
+           |FROM g ORDER BY fold, lang""".stripMargin,
       "sample_poisson_bootstrap" ->
         s"""WITH d AS (
            |  SELECT doc_id, source, unnest([0, 1, 2]) AS rep FROM documents

@@ -513,7 +513,45 @@ object Similarity extends QueryModule {
       .orderBy("src", "rk")
   }
 
+  /** Product quantization (PQ) encode + fidelity report — the other half of
+    * the vector-compression toolbox next to emb_quantize's int8: 64 dims
+    * split into 8 subvectors of 8, each assigned to its nearest of 16
+    * codebook centroids by L2, so a vector compresses to 8 half-byte-scale
+    * codes (64× smaller than fp64) and distance evaluation becomes 8 table
+    * lookups (the IVF-PQ memory layout every billion-vector index uses).
+    * Codebooks here are the first-16 seed subvectors — the same stand-in
+    * for a trained k-means as simAnnIvf's centroids; emb_kmeans is the
+    * training loop that would refine them. Shape: one posexplode to
+    * (vector, subspace) rows, a broadcast of the 128-row codebook, argmin
+    * via struct-min (d2, then centroid id — both engines break ties the
+    * same way), and one groupBy back to a row per vector. Per-subspace
+    * residuals round onto the 6dp decimal grid BEFORE the per-vector sum,
+    * so the reported reconstruction error is reduction-order-independent.
+    */
+  def embPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val (m, d, k) = (8, 8, 16)
+    val emb = embDouble(Tables.embeddings(spark, sfDir)).select(col("vec_id"), col("e"))
+    val subs = emb.select(col("vec_id"), posexplode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> slice(e, s*$d+1, $d))")))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("sub"))
+    val cents = subs.filter(col("vec_id") < k)
+      .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+    val d2 = expr(
+      "aggregate(zip_with(sub, csub, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val best = subs.join(broadcast(cents), Seq("s"))
+      .withColumn("d2", d2)
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("s"), col("b.cent_id").as("cid"),
+        round(col("b.d2"), 6).cast("decimal(18,6)").as("d2r"))
+    val codeCols = (0 until m).map(s => max(when(col("s") === s, col("cid"))).as(s"c$s"))
+    best.groupBy("vec_id")
+      .agg(codeCols.head, (codeCols.tail :+ sum(col("d2r")).cast("double").as("recon_err")): _*)
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pq" -> (embPq _),
     "emb_knn_graph" -> (embKnnGraph _),
     "emb_separation"  -> (embSeparation _),
     "sim_ann_int8"    -> (simAnnInt8 _),
@@ -551,6 +589,34 @@ object Similarity extends QueryModule {
     }.mkString(" + ")
 
   override def oracles: Map[String, String] = Map(
+    "emb_pq" -> {
+      val codeSel = (0 until 8)
+        .map(s => s"MAX(CASE WHEN s = $s THEN cid END) AS c$s").mkString(",\n  ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), subs AS (
+         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+         |), cents AS (
+         |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
+         |), cand AS (
+         |  SELECT subs.vec_id, subs.s, cents.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - cents.csub[i]) * (subs.sub[i] - cents.csub[i]))) AS d2
+         |  FROM subs JOIN cents ON subs.s = cents.s
+         |), best AS (
+         |  SELECT vec_id, s, cent_id AS cid,
+         |    CAST(ROUND(d2, 6) AS DECIMAL(18,6)) AS d2r,
+         |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |  FROM cand
+         |)
+         |SELECT vec_id,
+         |  $codeSel,
+         |  CAST(SUM(d2r) AS DOUBLE) AS recon_err
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "emb_knn_graph" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryModule, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -779,6 +779,41 @@ object Relational extends QueryModule {
       .limit(100)
   }
 
+  /** Declarative rule-engine audit — N cross-field consistency rules
+    * evaluated in ONE pass over the fact⋈orders join, emitted long-form
+    * (rule, checked, violations, ppm, first offending key). Rules with
+    * zero hits are negative controls proving the check ran; the
+    * ship-before-order rule fires on this corpus (the generator ships
+    * some lines before the order date). Adding a rule adds two
+    * conditional aggregates to the same scan — cost stays one join + one
+    * single-row aggregate regardless of rule count, then a constant-size
+    * stack() to long form; this is how a DQ rulebook stays O(scan) at
+    * 100 TB instead of one pass per rule.
+    */
+  def dqRuleViolations(spark: SparkSession, sfDir: String): DataFrame = {
+    val j = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+    val rules: Seq[(String, Column)] = Seq(
+      "discount_in_0_01"   -> (col("l_discount") < 0 || col("l_discount") > 0.1),
+      "price_positive"     -> (col("l_extendedprice") <= 0),
+      "quantity_positive"  -> (col("l_quantity") <= 0),
+      "ship_before_order"  -> (col("l_shipdate") < col("o_orderdate")),
+      "tax_in_0_008"       -> (col("l_tax") < 0 || col("l_tax") > 0.08))
+    val aggs = count(lit(1)).as("n_checked") +: rules.flatMap { case (name, cond) =>
+      Seq(count(when(cond, lit(1))).as(s"v_$name"),
+        min(when(cond, col("l_orderkey"))).as(s"k_$name"))
+    }
+    val stacked = rules.map { case (name, _) =>
+      s"'$name', v_$name, k_$name"
+    }.mkString(s"stack(${rules.size}, ", ", ", ")")
+    j.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_checked"), expr(s"$stacked AS (rule, n_violations, first_bad_key)"))
+      .withColumn("violation_ppm", expr("n_violations * 1000000 div n_checked"))
+      .select("rule", "n_checked", "n_violations", "violation_ppm", "first_bad_key")
+      .orderBy("rule")
+  }
+
   /** IQR outlier audit (Tukey fences): per group, exact quartiles → count
     * rows outside [q1 − 1.5·IQR, q3 + 1.5·IQR] — the distributional DQ
     * check next to dq_orphans' relational one. Two passes: a tiny
@@ -1303,6 +1338,7 @@ object Relational extends QueryModule {
     "merge_upsert"   -> (mergeUpsert _),
     "dq_orphans"     -> (dqOrphans _),
     "dq_sequence_gaps" -> (dqSequenceGaps _),
+    "dq_rule_violations" -> (dqRuleViolations _),
     "dq_outliers"    -> (dqOutliers _),
     "dq_mad_outliers" -> (dqMadOutliers _),
     "fuzzy_join"     -> (fuzzyJoin _),
@@ -1776,6 +1812,21 @@ object Relational extends QueryModule {
         |SELECT o.k, n_orders, n_items
         |FROM o JOIN l ON o.k IS NOT DISTINCT FROM l.k
         |ORDER BY o.k NULLS FIRST""".stripMargin,
+    "dq_rule_violations" -> {
+      val rules = Seq(
+        "discount_in_0_01"  -> "(l_discount < 0 OR l_discount > 0.1)",
+        "price_positive"    -> "(l_extendedprice <= 0)",
+        "quantity_positive" -> "(l_quantity <= 0)",
+        "ship_before_order" -> "(l_shipdate < o_orderdate)",
+        "tax_in_0_008"      -> "(l_tax < 0 OR l_tax > 0.08)")
+      rules.map { case (name, cond) =>
+        s"""SELECT '$name' AS rule, COUNT(*) AS n_checked,
+           |  COUNT(CASE WHEN $cond THEN 1 END) AS n_violations,
+           |  COUNT(CASE WHEN $cond THEN 1 END) * 1000000 // COUNT(*) AS violation_ppm,
+           |  MIN(CASE WHEN $cond THEN l_orderkey END) AS first_bad_key
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+    },
     "dq_sequence_gaps" ->
       """WITH k AS (
         |  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'
