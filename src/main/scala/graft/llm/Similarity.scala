@@ -528,30 +528,101 @@ object Similarity extends QueryModule {
     * residuals round onto the 6dp decimal grid BEFORE the per-vector sum,
     * so the reported reconstruction error is reduction-order-independent.
     */
-  def embPq(spark: SparkSession, sfDir: String): DataFrame = {
-    val (m, d, k) = (8, 8, 16)
-    val emb = embDouble(Tables.embeddings(spark, sfDir)).select(col("vec_id"), col("e"))
-    val subs = emb.select(col("vec_id"), posexplode(expr(
-      s"transform(sequence(0, ${m - 1}), s -> slice(e, s*$d+1, $d))")))
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace
+  private val PqK = 16 // centroids per codebook
+
+  /** (vec_id, s, sub): every vector split into its PqM subvectors. */
+  private def pqSubs(spark: SparkSession, sfDir: String): DataFrame =
+    embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(e, s*$PqD+1, $PqD))")))
       .select(col("vec_id"), col("pos").as("s"), col("col").as("sub"))
-    val cents = subs.filter(col("vec_id") < k)
+
+  /** Per-subspace codebooks: the first-PqK seed subvectors (stand-in for a
+    * trained k-means — emb_kmeans is the loop that would refine them). */
+  private def pqCents(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("csub"))
-    val d2 = expr(
-      "aggregate(zip_with(sub, csub, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
-    val best = subs.join(broadcast(cents), Seq("s"))
-      .withColumn("d2", d2)
+
+  /** Subvector L2² as a sequential fold — same accumulation order as the
+    * oracle's list_sum, so the doubles are bit-identical. */
+  private val pqSubD2 = expr(
+    "aggregate(zip_with(sub, csub, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+
+  /** PQ assignment in long form: (vec_id, s, cid, d2r) — nearest centroid
+    * per (vector, subspace) via struct-min (d2 first, centroid id as the
+    * cross-engine tiebreak), residual rounded onto the 6dp decimal grid. */
+  private def pqCodes(subs: DataFrame): DataFrame =
+    subs.join(broadcast(pqCents(subs)), Seq("s"))
+      .withColumn("d2", pqSubD2)
       .groupBy("vec_id", "s")
       .agg(min(struct(col("d2"), col("cent_id"))).as("b"))
       .select(col("vec_id"), col("s"), col("b.cent_id").as("cid"),
         round(col("b.d2"), 6).cast("decimal(18,6)").as("d2r"))
-    val codeCols = (0 until m).map(s => max(when(col("s") === s, col("cid"))).as(s"c$s"))
+
+  def embPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val best = pqCodes(pqSubs(spark, sfDir))
+    val codeCols = (0 until PqM).map(s => max(when(col("s") === s, col("cid"))).as(s"c$s"))
     best.groupBy("vec_id")
       .agg(codeCols.head, (codeCols.tail :+ sum(col("d2r")).cast("double").as("recon_err")): _*)
       .orderBy("vec_id")
   }
 
+  /** PQ asymmetric-distance search (ADC) — the query path of an IVF-PQ
+    * index: the query stays full-precision, each of its PqM×PqK subspace-
+    * to-centroid distances is precomputed ONCE into a lookup table, and a
+    * candidate's distance is 8 table lookups summed — never a 64-dim loop
+    * per pair. Here the LUT is a broadcast 128-row-per-query frame joined
+    * on (subspace, code); per-cell distances round onto the 6dp decimal
+    * grid before the per-candidate sum, so ADC scores are exact decimals —
+    * rank order is engine- and reduction-order-independent. `in_exact3`
+    * compares against the true fp64 L2 top-3 (the fidelity report that
+    * says what the compression costs in recall, like sim_ann_int8's flag).
+    * At 100 TB: codes are 8 bytes/vector (vs 512 for fp64), the LUT build
+    * is O(queries), and the scan is memory-bandwidth-bound over codes —
+    * which is the entire point of PQ.
+    */
+  def simAnnPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val subs = pqSubs(spark, sfDir)
+    val codes = pqCodes(subs)
+      .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+    val luts = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub"))
+      .join(broadcast(pqCents(subs)), Seq("s"))
+      .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
+      .select(col("q_id"), col("s"), col("cent_id"), col("pd2"))
+    val adc = codes
+      .join(broadcast(luts), codes("s") === luts("s") && codes("cid") === luts("cent_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("pd2")).as("adc"))
+      .filter(col("q_id") =!= col("cand_id"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
+    // fp64 ground truth: exact L2 top-3 per query
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val exact3 = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("d2", l2)
+      .withColumn("xrn", row_number().over(byL2))
+      .filter(col("xrn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(true).as("hit"))
+    ranked.join(exact3, Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"),
+        col("adc").cast("double").as("adc"),
+        coalesce(col("hit"), lit(false)).as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_pq" -> (embPq _),
+    "sim_ann_pq" -> (simAnnPq _),
     "emb_knn_graph" -> (embKnnGraph _),
     "emb_separation"  -> (embSeparation _),
     "sim_ann_int8"    -> (simAnnInt8 _),
@@ -617,6 +688,56 @@ object Similarity extends QueryModule {
          |FROM best WHERE rn = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    "sim_ann_pq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), subs AS (
+         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+         |), cents AS (
+         |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
+         |), cand AS (
+         |  SELECT subs.vec_id, subs.s, cents.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - cents.csub[i]) * (subs.sub[i] - cents.csub[i]))) AS d2
+         |  FROM subs JOIN cents ON subs.s = cents.s
+         |), codes AS (
+         |  SELECT vec_id AS cand_id, s, cent_id AS cid FROM (
+         |    SELECT vec_id, s, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM cand) WHERE rn = 1
+         |), luts AS (
+         |  SELECT subs.vec_id AS q_id, subs.s, cents.cent_id,
+         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - cents.csub[i]) * (subs.sub[i] - cents.csub[i]))), 6)
+         |      AS DECIMAL(18,6)) AS pd2
+         |  FROM subs JOIN cents ON subs.s = cents.s
+         |  WHERE subs.vec_id < $NQueries
+         |), adc AS (
+         |  SELECT l.q_id, c.cand_id, SUM(l.pd2) AS adc
+         |  FROM codes c JOIN luts l ON c.s = l.s AND c.cid = l.cent_id
+         |  GROUP BY l.q_id, c.cand_id
+         |  HAVING l.q_id <> c.cand_id
+         |), ranked AS (
+         |  SELECT q_id, cand_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS INTEGER) AS rn
+         |  FROM adc
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, CAST(r.adc AS DOUBLE) AS adc,
+         |  (x.q_id IS NOT NULL) AS in_exact3
+         |FROM ranked r LEFT JOIN exact3 x
+         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin,
     "emb_knn_graph" ->
       s"""WITH e AS (
          |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

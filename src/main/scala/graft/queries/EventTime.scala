@@ -610,9 +610,38 @@ object EventTime extends QueryModule {
       .orderBy("day")
   }
 
+  /** Per-user rate-outlier flag — the bot/abuse screen a training-data
+    * curation run applies to behavioral logs: each user's PEAK daily event
+    * count against the corpus-wide exact p99 of daily counts; users whose
+    * peak exceeds it are flagged with the offending day. Shapes: one
+    * (user, day) groupBy; a 1-row exact percentile broadcast; a per-user
+    * window for the peak day (count desc, day asc — deterministic on
+    * ties). Spark's exact percentile() interpolates identically to
+    * quantile_cont, and the > comparison runs on those identical doubles.
+    * Complements evt_zscore_anomaly: that flags corpus-level volume
+    * anomalies, this flags individual actors.
+    */
+  def evtRateOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val thr = daily.agg(expr("percentile(c, 0.99)").as("thr"))
+    val byPeak = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("c").desc, col("day"))
+    daily
+      .withColumn("rn", row_number().over(byPeak))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(thr))
+      .filter(col("c") > col("thr"))
+      .select(col("user_id"), col("day").as("peak_day"),
+        col("c").as("peak_events"), round(col("thr"), 4).as("threshold"))
+      .orderBy("user_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_scd2_pit" -> (joinScd2Pit _),
     "evt_abandoned" -> (evtAbandoned _),
+    "evt_rate_outliers" -> (evtRateOutliers _),
     "evt_feature_vector" -> (evtFeatureVector _),
     "evt_streaks"     -> (evtStreaks _),
     "evt_time_to_convert" -> (evtTimeToConvert _),
@@ -1169,6 +1198,21 @@ object EventTime extends QueryModule {
         |FROM stats
         |WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
         |ORDER BY event_type, day""".stripMargin,
+    "evt_rate_outliers" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY user_id, day
+        |), thr AS (
+        |  SELECT quantile_cont(c, 0.99) AS thr FROM daily
+        |), peak AS (
+        |  SELECT user_id, day AS peak_day, c AS peak_events,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY c DESC, day) AS rn
+        |  FROM daily
+        |)
+        |SELECT user_id, peak_day, peak_events, ROUND(thr.thr, 4) AS threshold
+        |FROM peak, thr
+        |WHERE rn = 1 AND peak_events > thr.thr
+        |ORDER BY user_id""".stripMargin,
     "evt_abandoned" ->
       """WITH v AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
