@@ -1,0 +1,82 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract of the graft-landing DSv2 connector (SURVEY §2.1 S1/S4/S6):
+  * whole-object rows with metadata sidecars, planning-time key pruning,
+  * and zero payload I/O for metadata-only scans.
+  */
+class LandingSourceSpec extends SparkSpec {
+
+  private def mkZone(): String = {
+    val dir = Files.createTempDirectory("landing").toString
+    def put(key: String, body: String, meta: Map[String, String] = Map.empty): Unit = {
+      val p = Paths.get(dir, key)
+      Files.createDirectories(p.getParent)
+      Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+      if (meta.nonEmpty)
+        Files.write(Paths.get(dir, key + ".meta"),
+          meta.map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    put("a/one.ndjson", "{\"name\":\"Alice\"}\n{\"name\":\"Bob\"}",
+      Map("pipeline-output-bucket" -> "curated", "owner" -> "etl"))
+    put("a/two.ndjson", "{\"name\":\"Carol\"}")
+    put("b/three.ndjson", "{}", Map("owner" -> "ops"))
+    dir
+  }
+
+  private def zone = spark.read.format("graft-landing")
+
+  test("round-trip: keys, payloads, byte lengths, metadata (absent → empty map)") {
+    val dir = mkZone()
+    val rows = zone.load(dir).orderBy("key").collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("a/one.ndjson", "a/two.ndjson", "b/three.ndjson"))
+    val one = rows(0)
+    assert(one.getInt(1) == "{\"name\":\"Alice\"}\n{\"name\":\"Bob\"}".length)
+    assert(one.getString(2).contains("Alice"))
+    assert(one.getMap[String, String](3).toMap ==
+      Map("pipeline-output-bucket" -> "curated", "owner" -> "etl"))
+    assert(rows(1).getMap[String, String](3).isEmpty)
+  }
+
+  test("one partition per object — the whole-object parallelism unit") {
+    val dir = mkZone()
+    assert(zone.load(dir).rdd.getNumPartitions == 3)
+  }
+
+  test("key-prefix pushdown prunes objects at planning time") {
+    val dir = mkZone()
+    val pruned = zone.load(dir).where(col("key").startsWith("a/"))
+    // partitions, not post-filter rows, prove LIST-level pruning
+    assert(pruned.rdd.getNumPartitions == 2)
+    assert(pruned.count() == 2)
+    val eq = zone.load(dir).where(col("key") === "b/three.ndjson")
+    assert(eq.rdd.getNumPartitions == 1)
+    assert(eq.select("metadata").collect()(0)
+      .getMap[String, String](0).toMap == Map("owner" -> "ops"))
+  }
+
+  test("metadata-only scan does ZERO payload reads (the HeadObject pass)") {
+    val dir = mkZone()
+    LandingSource.payloadReads.set(0)
+    val metaOnly = zone.load(dir).select("key", "metadata").collect()
+    assert(metaOnly.length == 3)
+    assert(LandingSource.payloadReads.get() == 0)
+    // and a payload column flips it back on
+    zone.load(dir).select("byte_len").collect()
+    assert(LandingSource.payloadReads.get() == 3)
+  }
+
+  test("non-key filters stay residual and still evaluate correctly") {
+    val dir = mkZone()
+    val r = zone.load(dir)
+      .where(col("key").startsWith("a/") && length(col("content")) > 20)
+      .select("key").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("a/one.ndjson"))
+  }
+}
