@@ -620,7 +620,38 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Out-of-distribution / mislabel screen — vectors anomalously far from
+    * their OWN label's centroid (squared L2 above the corpus-wide exact
+    * p99): the embedding-quality audit run before trusting labels for
+    * IVF training or classifier supervision. Shapes: the emb_centroid
+    * scalar-explode pass (shuffle carries (label, dim, value) scalars,
+    * never vectors), a broadcast of the labels×dims centroid table back
+    * onto the exploded rows, per-dim squared residuals rounded onto the
+    * 6dp decimal grid BEFORE the per-vector sum (reduction-order-free),
+    * and a 1-row percentile broadcast for the threshold. Like
+    * evt_rate_outliers, the cut is data-derived, so the flag set stays
+    * meaningful at any corpus size.
+    */
+  def embOod(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("label"), posexplode(col("e")).as(Seq("pos", "v")))
+    val cent = ev.groupBy("label", "pos").agg(round(avg(col("v")), 6).as("c"))
+    val d2 = ev.join(broadcast(cent), Seq("label", "pos"))
+      .withColumn("t",
+        round((col("v") - col("c")) * (col("v") - col("c")), 6).cast("decimal(18,6)"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("t")).as("d2"))
+    val thr = d2.agg(expr("percentile(CAST(d2 AS DOUBLE), 0.99)").as("thr"))
+    d2.crossJoin(broadcast(thr))
+      .filter(col("d2").cast("double") > col("thr"))
+      .select(col("vec_id"), col("label"),
+        col("d2").cast("double").as("dist2"),
+        round(col("thr"), 4).as("threshold"))
+      .orderBy("vec_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_ood" -> (embOod _),
     "emb_pq" -> (embPq _),
     "sim_ann_pq" -> (simAnnPq _),
     "emb_knn_graph" -> (embKnnGraph _),
@@ -688,6 +719,26 @@ object Similarity extends QueryModule {
          |FROM best WHERE rn = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+    "emb_ood" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(1, 65)) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, pos, ROUND(AVG(v), 6) AS c FROM ev GROUP BY label, pos
+        |), d2 AS (
+        |  SELECT vec_id, ev.label,
+        |    SUM(CAST(ROUND((v - c) * (v - c), 6) AS DECIMAL(18,6))) AS d2
+        |  FROM ev JOIN cent ON ev.label = cent.label AND ev.pos = cent.pos
+        |  GROUP BY vec_id, ev.label
+        |), thr AS (
+        |  SELECT quantile_cont(CAST(d2 AS DOUBLE), 0.99) AS thr FROM d2
+        |)
+        |SELECT vec_id, label, CAST(d2 AS DOUBLE) AS dist2,
+        |  ROUND(thr.thr, 4) AS threshold
+        |FROM d2, thr WHERE CAST(d2 AS DOUBLE) > thr.thr
+        |ORDER BY vec_id""".stripMargin,
     "sim_ann_pq" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -9,9 +9,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,16 +77,119 @@ object LandingSource {
     * production connector would surface this as a custom metric.)
     */
   val payloadReads = new AtomicLong(0)
+
+  /** Column indices of (key, content, metadata) in the write input schema;
+    * content/metadata are optional (-1 = absent), key is required. */
+  def writerIndices(schema: StructType): (Int, Int, Int) = {
+    val names = schema.fieldNames
+    val ki = names.indexOf("key")
+    require(ki >= 0, s"graft-landing write needs a 'key' column, got: ${names.mkString(",")}")
+    (ki, names.indexOf("content"), names.indexOf("metadata"))
+  }
 }
 
-class LandingTable(path: String) extends Table with SupportsRead {
+class LandingTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-landing($path)"
   override def schema(): StructType = LandingSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LandingScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LandingWriteBuilder(path, info)
+}
+
+/** Write path — the reference's put-with-metadata (S4: ingest Lambda
+  * `PutObject` + user metadata, lambda/ingest-handler.ts:36-56) as a
+  * DISTRIBUTED write with the DSv2 commit protocol:
+  *
+  *   df.select(key, content, metadata).write
+  *     .format("graft-landing").mode("append").save(dir)
+  *
+  * Exactly-once discipline an object-store ingest needs: every task
+  * writes to a private staging dir (`._staging_<queryId>/<taskId>/`);
+  * only the driver's commit() publishes staged objects (rename into
+  * place) and writes the `.meta` sidecars; abort() — any task failure —
+  * deletes staging so a failed job leaves the zone untouched. Task
+  * retries are naturally idempotent: each attempt stages under its own
+  * id, only the committed attempt publishes.
+  */
+class LandingWriteBuilder(path: String, info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new LandingBatchWrite(path, info)
+  }
+}
+
+class LandingBatchWrite(path: String, info: LogicalWriteInfo) extends BatchWrite {
+  private val staging = Paths.get(path, s"._staging_${info.queryId}")
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+    val idx = LandingSource.writerIndices(info.schema())
+    new LandingWriterFactory(staging.toString, idx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach { case LandingCommit(files) =>
+      files.foreach { rel =>
+        val src = staging.resolve(rel)
+        // strip the taskId segment: staged as <taskId>/<key>[.meta]
+        val dst = Paths.get(path, rel.substring(rel.indexOf('/') + 1))
+        Files.createDirectories(dst.getParent)
+        Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    deleteRecursively(staging)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteRecursively(staging)
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+}
+
+case class LandingCommit(files: Seq[String]) extends WriterCommitMessage
+
+class LandingWriterFactory(staging: String, idx: (Int, Int, Int))
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LandingWriter(staging, s"p${partitionId}t$taskId", idx)
+}
+
+class LandingWriter(staging: String, taskDir: String, idx: (Int, Int, Int))
+    extends DataWriter[InternalRow] {
+  private val (ki, ci, mi) = idx
+  private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def write(row: InternalRow): Unit = {
+    val key = row.getUTF8String(ki).toString
+    val body =
+      if (ci >= 0 && !row.isNullAt(ci)) row.getUTF8String(ci).getBytes
+      else Array.empty[Byte]
+    val p = Paths.get(staging, taskDir, key)
+    Files.createDirectories(p.getParent)
+    Files.write(p, body)
+    written += s"$taskDir/$key"
+    if (mi >= 0 && !row.isNullAt(mi)) {
+      val m = row.getMap(mi)
+      if (m.numElements() > 0) {
+        val lines = (0 until m.numElements()).map { i =>
+          s"${m.keyArray().getUTF8String(i)}=${m.valueArray().getUTF8String(i)}"
+        }.mkString("\n")
+        Files.write(Paths.get(staging, taskDir, key + ".meta"),
+          lines.getBytes(StandardCharsets.UTF_8))
+        written += s"$taskDir/$key.meta"
+      }
+    }
+  }
+
+  override def commit(): WriterCommitMessage = LandingCommit(written.toSeq)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
 }
 
 class LandingScanBuilder(path: String) extends ScanBuilder

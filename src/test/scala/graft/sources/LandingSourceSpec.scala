@@ -3,6 +3,8 @@ package graft.sources
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
@@ -78,5 +80,47 @@ class LandingSourceSpec extends SparkSpec {
       .where(col("key").startsWith("a/") && length(col("content")) > 20)
       .select("key").collect().map(_.getString(0))
     assert(r.toSeq == Seq("a/one.ndjson"))
+  }
+
+  test("write path: distributed put-with-metadata round-trips through the reader") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("landing-w").toString
+    Seq(
+      ("in/x.ndjson", "{\"name\":\"Alice\"}", Map("pipeline-output-bucket" -> "curated")),
+      ("in/y.ndjson", "{\"name\":\"Bob\"}", Map.empty[String, String]))
+      .toDF("key", "content", "metadata")
+      // byte_len is derived on read; the table schema requires it on write,
+      // the writer ignores it (reader recomputes from the real bytes)
+      .withColumn("byte_len", length(col("content")))
+      .select("key", "byte_len", "content", "metadata")
+      .repartition(2)
+      .write.format("graft-landing").mode("append").save(dir)
+    val back = zone.load(dir).orderBy("key").collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("in/x.ndjson", "in/y.ndjson"))
+    assert(back(0).getString(2) == "{\"name\":\"Alice\"}")
+    assert(back(0).getMap[String, String](3).toMap ==
+      Map("pipeline-output-bucket" -> "curated"))
+    assert(back(1).getMap[String, String](3).isEmpty)
+    // staging fully cleaned after commit
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("._staging_")))
+  }
+
+  test("write path: a failed job aborts — zone untouched, staging removed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("landing-a").toString
+    val bad = Seq(("ok.ndjson", "fine"), ("boom.ndjson", "x"))
+      .toDF("key", "content")
+      .withColumn("content",
+        when(col("key") === "boom.ndjson",
+          expr("raise_error('injected task failure')")).otherwise(col("content")))
+      .withColumn("byte_len", length(col("content")))
+      .withColumn("metadata", map().cast("map<string,string>"))
+      .select("key", "byte_len", "content", "metadata")
+    intercept[Exception] {
+      bad.write.format("graft-landing").mode("append").save(dir)
+    }
+    val leftover = Files.list(Paths.get(dir)).iterator().asScala.toSeq
+    assert(leftover.isEmpty, s"zone should be untouched, found: $leftover")
   }
 }
