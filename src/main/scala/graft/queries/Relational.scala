@@ -751,30 +751,15 @@ object Relational extends QueryModule {
     * — never a whole-partition collect), and stitch block boundaries with
     * a window over BLOCK SUMMARIES only (n/8192 rows — at 10⁹ keys that
     * window sees ~10⁵ rows, and can be re-blocked recursively if ever
-    * needed). Top-100 widest gaps, integer-exact.
+    * needed). Top-100 widest gaps, integer-exact. The decomposition lives
+    * in graft.operators.SequenceGaps; SequenceGapsPropSpec pins its
+    * equivalence to the global-lag form on random key sets.
     */
   def dqSequenceGaps(spark: SparkSession, sfDir: String): DataFrame = {
-    val block = 8192
     val keys = Tables.orders(spark, sfDir)
       .filter(col("o_orderstatus") === "O")
       .select(col("o_orderkey").as("k")).distinct()
-    val blocks = keys
-      .groupBy(expr(s"k div $block").as("blk"))
-      .agg(sort_array(collect_list(col("k"))).as("ks"),
-        min(col("k")).as("kmin"), max(col("k")).as("kmax"))
-    val within = blocks.select(explode(expr(
-        "filter(transform(sequence(0, size(ks) - 2), " +
-          "i -> struct(element_at(ks, i + 1) + 1 AS gap_start, " +
-          "element_at(ks, i + 2) - 1 AS gap_end)), " +
-          "s -> s.gap_end >= s.gap_start)")).as("g"))
-      .select(col("g.gap_start"), col("g.gap_end"))
-    val byBlk = Window.orderBy("blk") // block summaries only — see scaladoc
-    val across = blocks
-      .withColumn("next_min", lead(col("kmin"), 1).over(byBlk))
-      .filter(col("next_min") > col("kmax") + 1)
-      .select((col("kmax") + 1).as("gap_start"), (col("next_min") - 1).as("gap_end"))
-    within.union(across)
-      .withColumn("missing", col("gap_end") - col("gap_start") + 1)
+    graft.operators.SequenceGaps.gaps(keys, "k", block = 8192)
       .orderBy(col("missing").desc, col("gap_start"))
       .limit(100)
   }
