@@ -483,7 +483,34 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
+  /** Vocabulary coverage curve — share of all token OCCURRENCES covered by
+    * the top-k most frequent words, at k ∈ {10, 25, 50, 100}: the report
+    * that sizes a tokenizer vocabulary (how big must k be before OOV rate
+    * is acceptable). Word counts are the map-side-combined explode shape;
+    * the rank window runs single-partition over the VOCABULARY (≈10⁶ rows
+    * at web scale — the text_tokenize_ids dictionary discipline, never the
+    * corpus); ties rank deterministically (count desc, word asc) so the
+    * top-k SET is identical in both engines even when a tie straddles k.
+    */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val byFreq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("word"))
+    val tot = cnt.agg(sum(col("c")).as("total_tokens"))
+    cnt.withColumn("rk", row_number().over(byFreq))
+      .withColumn("k", explode(array(Seq(10, 25, 50, 100).map(lit): _*)))
+      .groupBy("k")
+      .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(lit(0L))).as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_ppm", expr("covered_tokens * 1000000 div total_tokens"))
+      .select("k", "covered_tokens", "total_tokens", "coverage_ppm")
+      .orderBy("k")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_coverage" -> (vocabCoverage _),
     "text_ttr"         -> (ttr _),
     "text_domain_mix"  -> (domainMix _),
     "text_unigram_lm"  -> (unigramLm _),
@@ -538,6 +565,23 @@ object TextAnalysis extends QueryModule {
         |  GROUP BY t.doc_id, t.lang
         |)""".stripMargin
     Map(
+      "vocab_coverage" ->
+        """WITH w AS (
+          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+          |), cnt AS (
+          |  SELECT word, COUNT(*) AS c FROM w GROUP BY word
+          |), r AS (
+          |  SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rk FROM cnt
+          |), tot AS (
+          |  SELECT SUM(c) AS total_tokens FROM cnt
+          |)
+          |SELECT k,
+          |  CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS covered_tokens,
+          |  CAST(tot.total_tokens AS BIGINT) AS total_tokens,
+          |  CAST(SUM(CASE WHEN rk <= k THEN c ELSE 0 END) * 1000000
+          |    // tot.total_tokens AS BIGINT) AS coverage_ppm
+          |FROM r, (SELECT unnest([10, 25, 50, 100]) AS k), tot
+          |GROUP BY k, tot.total_tokens ORDER BY k""".stripMargin,
       "text_ttr" ->
         """WITH tok AS (
           |  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents

@@ -638,10 +638,52 @@ object EventTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Time-bounded multi-step funnel — view → click within 1 h → purchase
+    * within 2 h OF THE CLICK (the product-metrics funnel where each step's
+    * clock starts at the previous step, unlike evtFunnel's simple ordered
+    * containment). Two CHAINED single-shuffle forward as-ofs: step 2's
+    * probe time is step 1's attached click timestamp — the composition
+    * pattern join_asof_multi uses for joins, applied to funnel analytics.
+    * Views that missed step 1 are excluded from the second as-of (a null
+    * probe time has no "next purchase") and rejoin as non-converted.
+    */
+  def evtFunnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val s1 = graft.operators.AsOf.joinLeftAsOfForward(
+      left = views, right = clicks, key = "user_id",
+      leftTime = "ts", rightTime = "c_ts", leftId = "event_id",
+      tieBreak = "c_id", payload = Seq("c_ts"))
+    val s2 = graft.operators.AsOf.joinLeftAsOfForward(
+      left = s1.filter(col("c_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("c_ts")),
+      right = purchases, key = "user_id",
+      leftTime = "c_ts", rightTime = "p_ts", leftId = "event_id",
+      tieBreak = "p_id", payload = Seq("p_ts"))
+    s1.join(s2.select(col("event_id"), col("p_ts")), Seq("event_id"), "left")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_views"),
+        count(when(col("c_ts") < col("ts") + expr("INTERVAL 1 HOUR"), lit(1)))
+          .as("n_clicked"),
+        count(when(col("c_ts") < col("ts") + expr("INTERVAL 1 HOUR") &&
+          col("p_ts") < col("c_ts") + expr("INTERVAL 2 HOUR"), lit(1)))
+          .as("n_purchased"))
+      .withColumn("funnel_ppm", expr("n_purchased * 1000000 div n_views"))
+      .select("day", "n_views", "n_clicked", "n_purchased", "funnel_ppm")
+      .orderBy("day")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_scd2_pit" -> (joinScd2Pit _),
     "evt_abandoned" -> (evtAbandoned _),
     "evt_rate_outliers" -> (evtRateOutliers _),
+    "evt_funnel_steps" -> (evtFunnelSteps _),
     "evt_feature_vector" -> (evtFeatureVector _),
     "evt_streaks"     -> (evtStreaks _),
     "evt_time_to_convert" -> (evtTimeToConvert _),
@@ -1198,6 +1240,30 @@ object EventTime extends QueryModule {
         |FROM stats
         |WHERE (n * cnt - s) * (n * cnt - s) > 4 * (n * q - s * s)
         |ORDER BY event_type, day""".stripMargin,
+    "evt_funnel_steps" ->
+      """WITH v AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        |), s1 AS (
+        |  SELECT v.event_id, v.user_id, v.ts, MIN(c.ts) AS c_ts
+        |  FROM v LEFT JOIN c ON v.user_id = c.user_id AND c.ts >= v.ts
+        |  GROUP BY v.event_id, v.user_id, v.ts
+        |), s2 AS (
+        |  SELECT s1.event_id, s1.user_id, s1.ts, s1.c_ts, MIN(p.ts) AS p_ts
+        |  FROM s1 LEFT JOIN p ON s1.user_id = p.user_id AND p.ts >= s1.c_ts
+        |  GROUP BY s1.event_id, s1.user_id, s1.ts, s1.c_ts
+        |)
+        |SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_views,
+        |  COUNT(CASE WHEN c_ts < ts + INTERVAL 1 HOUR THEN 1 END) AS n_clicked,
+        |  COUNT(CASE WHEN c_ts < ts + INTERVAL 1 HOUR
+        |             AND p_ts < c_ts + INTERVAL 2 HOUR THEN 1 END) AS n_purchased,
+        |  COUNT(CASE WHEN c_ts < ts + INTERVAL 1 HOUR
+        |             AND p_ts < c_ts + INTERVAL 2 HOUR THEN 1 END) * 1000000
+        |    // COUNT(*) AS funnel_ppm
+        |FROM s2 GROUP BY day ORDER BY day""".stripMargin,
     "evt_rate_outliers" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
