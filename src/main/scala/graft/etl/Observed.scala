@@ -1,0 +1,40 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** In-flight data-quality counters via `Dataset.observe` (Catalyst's
+  * CollectMetrics node) — the mechanism that gives an ingest job its
+  * row/null/violation counts for FREE, evaluated inside the same pass that
+  * writes the data, instead of a second scan per metric.
+  *
+  * The reference has no metrics at all (its Glue job reports nothing back;
+  * status polling returns only the run state, src/aws/glue.service.ts:53-62).
+  * A production ingest needs at least: rows in, rows with defaulted fields,
+  * payload volume. `observe` attaches exactly that to the enrichment plan:
+  * the aggregates ride the task iterators, costs are O(1) per row, and the
+  * driver reads the result AFTER the job's terminal action — no extra job,
+  * no cache, works identically under whole-stage codegen.
+  *
+  * At 100 TB the difference is one pass vs two per metric set; in streaming
+  * the same call surfaces per-batch metrics via
+  * `StreamingQueryProgress.observedMetrics` (same node, no code change).
+  */
+object Observed {
+
+  /** Reference-parity enrichment with ingest metrics attached: returns the
+    * enriched frame plus an [[Observation]] whose `get` (AFTER an action on
+    * the frame) yields: n_rows, n_defaulted_names (rows whose `name` was
+    * null/absent — the reference's `.get("name","")` miss path counted),
+    * total_name_chars (payload-volume proxy).
+    */
+  def enrichObserved(df: DataFrame, nameCol: String = "name"): (DataFrame, Observation) = {
+    val obs = Observation()
+    val enriched = Enrich.enrich(df, nameCol)
+    val out = enriched.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count(when(col("uppercase_name") === "", lit(1))).as("n_defaulted_names"),
+      sum(length(col("uppercase_name"))).as("total_name_chars"))
+    (out, obs)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.etl
+
+import graft.SparkSpec
+
+/** `observe`-based ingest metrics: values correct, computed in the SAME
+  * pass as the action (no second scan), and present only after an action.
+  */
+class ObservedSpec extends SparkSpec {
+
+  test("metrics ride the enrichment pass and report the miss path") {
+    import spark.implicits._
+    val in = Seq(Some("Alice"), None, Some("Bo"), None, Some("")).toDF("name")
+    val (out, obs) = Observed.enrichObserved(in)
+    val rows = out.collect()
+    assert(rows.length == 5)
+    val m = obs.get
+    assert(m("n_rows") == 5L)
+    // None, None, and "" all take the .get("name","") default path
+    assert(m("n_defaulted_names") == 3L)
+    assert(m("total_name_chars") == 7L) // ALICE + BO
+  }
+
+  test("one extra metric set costs zero extra Spark jobs") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    def jobs(f: => Unit): Int = {
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      f
+      sc.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    val in = Seq("a", "b", "c").toDF("name")
+    val plain = jobs { Enrich.enrich(in).count() }
+    val (out, obs) = Observed.enrichObserved(in)
+    val observed = jobs { out.count() }
+    assert(observed == plain,
+      s"observe must not spawn additional jobs (plain=$plain observed=$observed)")
+    assert(obs.get("n_rows") == 3L)
+  }
+}
