@@ -37,4 +37,15 @@ object Observed {
       sum(length(col("uppercase_name"))).as("total_name_chars"))
     (out, obs)
   }
+
+  /** Streaming form: `Observation` is batch-only, but the underlying
+    * CollectMetrics node is not — a NAMED observe surfaces the same
+    * aggregates per micro-batch in `StreamingQueryProgress.observedMetrics`
+    * under `name`. Identical metric set to [[enrichObserved]].
+    */
+  def enrichObservedNamed(df: DataFrame, name: String, nameCol: String = "name"): DataFrame =
+    Enrich.enrich(df, nameCol).observe(name,
+      count(lit(1)).as("n_rows"),
+      count(when(col("uppercase_name") === "", lit(1))).as("n_defaulted_names"),
+      sum(length(col("uppercase_name"))).as("total_name_chars"))
 }

@@ -20,6 +20,25 @@ class ObservedSpec extends SparkSpec {
     assert(m("total_name_chars") == 7L) // ALICE + BO
   }
 
+  test("same observe node surfaces per-batch metrics in streaming") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[String]
+    src.addData("Alice", "Bob")
+    val out = Observed.enrichObservedNamed(
+      src.toDF().withColumnRenamed("value", "name"), "ingest_metrics")
+    val q = out.writeStream.format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("ingest_metrics")))
+    assert(observed.nonEmpty, "no observedMetrics in streaming progress")
+    assert(observed.map(_.getAs[Long]("n_rows")).sum == 2L)
+    assert(observed.map(_.getAs[Long]("total_name_chars")).sum == 8L) // ALICE + BOB
+  }
+
   test("one extra metric set costs zero extra Spark jobs") {
     import spark.implicits._
     val sc = spark.sparkContext
