@@ -20,6 +20,8 @@ object Scratch {
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
     val name = args.headOption.getOrElse("dedup_containment")
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, sfDir).count()

@@ -217,16 +217,37 @@ object Multimodal extends QueryModule {
     * (exact-match groups) and mmAhashPairs (near-match radius search).
     */
   private def ahashOf(spark: SparkSession, sfDir: String): DataFrame = {
+    // coalesce keeps every sub-expression NON-NULLABLE: otherwise the
+    // self-join in mmAhashPairs infers IsNotNull(chunk_value) constraints,
+    // and the optimizer pushes that null test below the barrier exchange as
+    // the fully-INLINED hash expression, re-running the O(60²) interpreted
+    // fold against raw text at both scans (measured: the entire 26 s of
+    // mm_ahash_pairs at sf0.1 was this inferred filter)
     val samples = expr(
-      "transform(sequence(0, 59), k -> ascii(substring(text, cast((k * length(text)) div 60 as int) + 1, 1)))")
+      "transform(sequence(0, 59), k -> ascii(substring(coalesce(text, ''), cast((k * length(coalesce(text, ''))) div 60 as int) + 1, 1)))")
     Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
       .withColumn("s", samples)
       .withColumn("tot", expr("aggregate(s, 0L, (acc, x) -> acc + x)"))
+      // barrier: CollapseProject would otherwise INLINE s and tot into every
+      // step of the 60-step bit fold below — each step re-running the
+      // 60-substring transform and the 60-step total (O(60²) interpreted
+      // lambda frames per evaluation; higher-order functions don't codegen),
+      // and downstream fanout (11 chunks × 2 self-join sides in
+      // mmAhashPairs) re-evaluates the whole monster per row: measured 26 s
+      // at sf0.1. The 2-column exchange pins s/tot to one evaluation per
+      // image; after it the fold reads materialized arrays.
+      .repartition(col("doc_id"))
       .withColumn("ahash", expr(
         "aggregate(sequence(0, 59), 0L, (acc, k) -> " +
           "acc + if(element_at(s, k + 1) * 60 > tot, shiftleft(cast(1 as bigint), k), 0L))"))
-      .select(col("doc_id").as("id"), col("ahash"))
+      // the outer coalesce makes the OUTPUT attribute non-nullable (the
+      // fold can't actually be null, but ArrayAggregate reports nullable):
+      // otherwise mmAhashPairs' self-join infers IsNotNull on every join
+      // key derived from ahash, and the optimizer pushes that test below
+      // the exchange as the fully-inlined fold, re-running it per raw scan
+      // row on both sides
+      .select(col("doc_id").as("id"), coalesce(col("ahash"), lit(0L)).as("ahash"))
   }
 
   /** Perceptual NEAR-dup image pairs — Hamming distance ≤ 10 between
@@ -256,16 +277,19 @@ object Multimodal extends QueryModule {
       .select(col("id"), col("ahash"), explode(array(chunkStructs: _*)).as("c"))
       .select(col("id"), col("ahash"), col("c.cid").as("cid"), col("c.cval").as("cval"))
       .repartition(col("id"))
-    val cand = probes.as("x").join(probes.as("y"),
+    // the Hamming test runs INSIDE the join condition: candidates are
+    // integer-op-verified in the join loop and non-matches die before any
+    // shuffle — with byte-sample hashes the bits are correlated, so narrow
+    // chunks collide often and the candidate multiset is ~10⁷ at sf0.1;
+    // filtering it before the distinct is a 10× wall-clock difference
+    // (measured: 26 s → the distinct was shuffling the full multiset)
+    val ham = bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+    probes.as("x").join(probes.as("y"),
         col("x.cid") === col("y.cid") && col("x.cval") === col("y.cval") &&
-        col("x.id") < col("y.id"))
+        col("x.id") < col("y.id") && ham <= 10)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
-        col("x.ahash").as("ha"), col("y.ahash").as("hb"))
+        ham.cast("int").as("hamming"))
       .distinct()
-    cand
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
-      .filter(col("hamming") <= 10)
-      .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
   }
 
