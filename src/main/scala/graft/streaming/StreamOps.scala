@@ -100,4 +100,56 @@ object StreamOps {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ------------------------------------------------- streaming leaderboard
+
+  /** Per-(window, key) value totals in APPEND mode — each window's rows are
+    * emitted exactly once, when the watermark closes it. Front half of
+    * [[windowedTopK]]; state is the aggregation's (windows × keys within
+    * the watermark horizon).
+    */
+  def windowedTotals(
+      events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(round(sum("value"), 2).as("total"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("total"))
+
+  /** Rank one micro-batch of CLOSED window rows to top-k per window —
+    * plain batch window function, deterministic tie-break.
+    */
+  def rankTopK(closedRows: DataFrame, k: Int): DataFrame = {
+    val byWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start").orderBy(col("total").desc, col("event_type"))
+    closedRows
+      .withColumn("rk", row_number().over(byWin))
+      .filter(col("rk") <= k)
+      .select("w_start", "rk", "event_type", "total")
+  }
+
+  /** Streaming top-k per window (the leaderboard): ranking is not a legal
+    * streaming window function, and a stateful top-k AFTER an aggregation
+    * is a chained-stateful shape Spark restricts — the production pattern
+    * is append-mode windowed aggregation (a window's rows materialize
+    * exactly once, on watermark close) + a BATCH rank inside foreachBatch
+    * over those finalized rows. Exactly-once per window rides the
+    * checkpoint like every append sink; re-drains are no-ops.
+    */
+  def windowedTopK(
+      events: DataFrame,
+      checkpointDir: String,
+      k: Int = 3,
+      watermark: String = "10 minutes",
+      window_ : String = "5 minutes")(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedTotals(events, watermark, window_)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) => sink(rankTopK(df, k)) }
+      .start()
 }

@@ -136,6 +136,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Set((10L, 20L), (11L, 22L)))
   }
 
+  test("streaming top-k emits a window's leaderboard exactly once, on close") {
+    val dir = Files.createTempDirectory("graft-topk").toString
+    val ckpt = Files.createTempDirectory("graft-topk-ck").toString
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Int, String, Double)]
+    def drain(): Unit = {
+      val stream = spark.readStream.schema(eventsSchema).json(dir)
+      val q = StreamOps.windowedTopK(stream, ckpt, k = 2) { ranked =>
+        got ++= ranked.collect().map(r => (r.getTimestamp(0).toInstant.toString,
+          r.getInt(1), r.getString(2), r.getDouble(3)))
+      }
+      q.awaitTermination()
+    }
+    writeEvents(dir,
+      """{"event_id":1,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"a","value":5.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:02:00Z","user_id":1,"event_type":"b","value":9.0}""",
+      """{"event_id":3,"ts":"2024-01-01T00:03:00Z","user_id":2,"event_type":"c","value":7.0}""",
+      """{"event_id":4,"ts":"2024-01-01T00:04:00Z","user_id":2,"event_type":"a","value":2.0}""")
+    drain()
+    // window [00:00, 00:05) is still open: the watermark hasn't passed it
+    assert(got.isEmpty, s"open window must not emit, got: $got")
+    // a much later event pushes the watermark past the window's end
+    Files.writeString(java.nio.file.Paths.get(dir, "late.json"),
+      """{"event_id":9,"ts":"2024-01-01T09:00:00Z","user_id":9,"event_type":"z","value":1.0}""")
+    drain()
+    assert(got.toSeq === Seq(
+      ("2024-01-01T00:00:00Z", 1, "b", 9.0),
+      ("2024-01-01T00:00:00Z", 2, "a", 7.0)))
+    // re-drain with no new data: exactly-once per window — nothing re-emits
+    val before = got.size
+    drain()
+    assert(got.size == before, "re-drain must not re-emit closed windows")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicate keys") {
     val dir = Files.createTempDirectory("graft-dd").toString
     writeEvents(dir,
