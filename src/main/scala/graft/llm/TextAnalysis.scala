@@ -509,8 +509,52 @@ object TextAnalysis extends QueryModule {
       .orderBy("k")
   }
 
+  /** Pairwise Jensen-Shannon divergence between source word distributions —
+    * the corpus-similarity matrix behind mixture design: which sources are
+    * near-duplicates of each other distributionally (candidates to
+    * down-weight in `mix_sources`) and which add genuinely new text. The
+    * JS grid is (source-pairs × vocabulary) — bounded BY CONSTRUCTION: at
+    * web scale the vocabulary is capped to the top-k words (the
+    * vocab_coverage report says what k captures; here the whole ~100-word
+    * synthetic vocabulary). Per-cell terms are identical double
+    * arithmetic in both engines, rounded onto the 9dp decimal grid BEFORE
+    * the per-pair sum — the reduction-order-free discipline every scoring
+    * op here follows. Zero-probability sides contribute only the other
+    * side's half-term (the 0·ln0 := 0 convention), so JS stays ≤ ln 2.
+    */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    val wc = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val n = wc.groupBy("source").agg(sum(col("c")).as("n"))
+    val p = wc.join(n, "source")
+      .select(col("source"), col("word"), (col("c") / col("n")).as("p"))
+    val vocab = wc.select("word").distinct()
+    val sources = n.select("source")
+    val pairs = sources.as("a").join(sources.as("b"),
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"))
+    val grid = pairs.crossJoin(broadcast(vocab))
+    val term = expr(
+      "CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END + " +
+      "CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END")
+    grid
+      .join(p.select(col("source").as("sa"), col("word"), col("p").as("pa0")),
+        Seq("sa", "word"), "left")
+      .join(p.select(col("source").as("sb"), col("word"), col("p").as("pb0")),
+        Seq("sb", "word"), "left")
+      .select(col("sa"), col("sb"),
+        coalesce(col("pa0"), lit(0.0)).as("pa"),
+        coalesce(col("pb0"), lit(0.0)).as("pb"))
+      .withColumn("t", round(term, 9).cast("decimal(14,9)"))
+      .groupBy("sa", "sb")
+      .agg(sum(col("t")).cast("double").as("js"))
+      .orderBy("sa", "sb")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_coverage" -> (vocabCoverage _),
+    "text_source_divergence" -> (sourceDivergence _),
     "text_ttr"         -> (ttr _),
     "text_domain_mix"  -> (domainMix _),
     "text_unigram_lm"  -> (unigramLm _),
@@ -565,6 +609,34 @@ object TextAnalysis extends QueryModule {
         |  GROUP BY t.doc_id, t.lang
         |)""".stripMargin
     Map(
+      "text_source_divergence" ->
+        """WITH wc AS (
+          |  SELECT source, word, COUNT(*) AS c FROM (
+          |    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+          |  GROUP BY source, word
+          |), n AS (
+          |  SELECT source, SUM(c) AS n FROM wc GROUP BY source
+          |), p AS (
+          |  SELECT wc.source, wc.word, wc.c / n.n::DOUBLE AS p
+          |  FROM wc JOIN n ON wc.source = n.source
+          |), vocab AS (
+          |  SELECT DISTINCT word FROM wc
+          |), pairs AS (
+          |  SELECT a.source AS sa, b.source AS sb
+          |  FROM n a JOIN n b ON a.source < b.source
+          |), grid AS (
+          |  SELECT sa, sb, vocab.word AS word,
+          |    COALESCE(pa.p, 0) AS pa, COALESCE(pb.p, 0) AS pb
+          |  FROM pairs CROSS JOIN vocab
+          |  LEFT JOIN p pa ON pa.source = sa AND pa.word = vocab.word
+          |  LEFT JOIN p pb ON pb.source = sb AND pb.word = vocab.word
+          |)
+          |SELECT sa, sb,
+          |  CAST(SUM(CAST(ROUND(
+          |    CASE WHEN pa > 0 THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END +
+          |    CASE WHEN pb > 0 THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END, 9)
+          |    AS DECIMAL(14,9))) AS DOUBLE) AS js
+          |FROM grid GROUP BY sa, sb ORDER BY sa, sb""".stripMargin,
       "vocab_coverage" ->
         """WITH w AS (
           |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
