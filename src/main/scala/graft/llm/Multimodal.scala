@@ -293,9 +293,30 @@ object Multimodal extends QueryModule {
       .orderBy("id_a", "id_b")
   }
 
+  /** Image near-dup CLUSTERS — connected components over the perceptual
+    * pair graph (mmAhashPairs), canonical image = min id per cluster: the
+    * transitive-consistent survivor rule, exactly as text dedup goes
+    * pairs → clusters (`dedup_clusters`). A~B and B~C must collapse
+    * {B, C} together even when A~C's Hamming distance exceeds the radius;
+    * the component step is what makes dedup decisions consistent. Scale
+    * profile is ConnectedComponents' (rounds = cluster diameter,
+    * localCheckpoint per round); near-dup graphs are shallow.
+    */
+  def mmAhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = mmAhashPairs(spark, sfDir)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    graft.operators.ConnectedComponents.components(pairs)
+      .select(
+        col("component").as("cluster"),
+        col("node").as("id"),
+        (col("node") === col("component")).as("canonical"))
+      .orderBy("cluster", "id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash"      -> (mmAhash _),
     "mm_ahash_pairs" -> (mmAhashPairs _),
+    "mm_ahash_clusters" -> (mmAhashClusters _),
     "mm_silence_trim" -> (mmSilenceTrim _),
     "mm_meta"       -> (mmMeta _),
     "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
@@ -321,6 +342,36 @@ object Multimodal extends QueryModule {
         |)
         |SELECT id, ahash, COUNT(*) OVER (PARTITION BY ahash) AS n_same
         |FROM packed ORDER BY id""".stripMargin,
+    "mm_ahash_clusters" ->
+      """WITH RECURSIVE img AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(range(0, 60),
+        |      k -> ascii(substr(text, CAST((k * len(text)) // 60 AS INTEGER) + 1, 1))) AS s
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), hashed AS (
+        |  SELECT id, s, list_sum(s) AS tot FROM img
+        |), packed AS (
+        |  SELECT id,
+        |    CAST(list_sum(list_transform(range(0, 60),
+        |      k -> CASE WHEN s[k + 1] * 60 > tot THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+        |      AS BIGINT) AS ahash
+        |  FROM hashed
+        |), pairs AS (
+        |  SELECT a.id AS pa, b.id AS pb
+        |  FROM packed a JOIN packed b ON a.id < b.id
+        |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 10
+        |), edges AS (
+        |  SELECT pa AS a, pb AS b FROM pairs
+        |  UNION SELECT pb, pa FROM pairs
+        |), reach(n, m) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a WHERE e.b <> r.n
+        |)
+        |SELECT LEAST(n, MIN(m)) AS cluster, n AS id,
+        |  (LEAST(n, MIN(m)) = n) AS canonical
+        |FROM reach GROUP BY n
+        |ORDER BY cluster, id""".stripMargin,
     "mm_ahash_pairs" ->
       """WITH img AS (
         |  SELECT doc_id AS id,
