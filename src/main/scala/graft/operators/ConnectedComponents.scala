@@ -68,9 +68,16 @@ object ConnectedComponents {
         .select(col("node"),
           coalesce(col("jlabel"), col("label")).as("label"))
         .localCheckpoint(true)
+      // superseded rounds' checkpoint blocks are dead once `jumped` has
+      // materialized (eager) — unpersist NOW instead of waiting for the
+      // ContextCleaner, so a long-lived session running many cluster
+      // queries doesn't accumulate pinned block-manager entries
+      next.unpersist()
+      labels.unpersist()
       labels = jumped
       iter += 1
     }
+    sym.unpersist() // final labels' blocks are materialized; edges are dead
     labels.withColumnRenamed("label", "component")
   }
 }
