@@ -200,6 +200,26 @@ object SqlSurface extends QueryModule {
         |ORDER BY o_orderpriority, rn""".stripMargin)
   }
 
+  /** LATERAL correlated subquery — "top-2 orders per BUILDING customer"
+    * as the SQL-standard lateral join both engines support natively.
+    * Catalyst decorrelates the per-row ORDER BY + LIMIT into a window
+    * rank under the hood (DecorrelateInnerQuery), so the executed plan is
+    * the same one-shuffle ranked join `sql_topk_window` writes by hand —
+    * the point of the query is that the LATERAL surface itself works and
+    * plans without a per-row re-execution at any scale.
+    */
+  def sqlLateral(spark: SparkSession, sfDir: String): DataFrame = {
+    registerViews(spark, sfDir)
+    spark.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
   /** TPC-H Q12 shape: shipping-priority counts per line status (the corpus
     * has no l_shipmode; l_linestatus takes its grouping role).
     */
@@ -250,6 +270,7 @@ object SqlSurface extends QueryModule {
     "sql_q14"           -> (sqlQ14 _),
     "sql_q7"            -> (sqlQ7 _),
     "sql_topk_window"   -> (sqlTopkWindow _),
+    "sql_lateral"       -> (sqlLateral _),
     "sql_q3"            -> (sqlQ3 _),
     "sql_q5"            -> (sqlQ5 _),
     "sql_correlated"    -> (sqlCorrelated _),
@@ -315,6 +336,14 @@ object SqlSurface extends QueryModule {
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+    "sql_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
     "sql_topk_window" ->
       """SELECT o_orderpriority, rn, o_orderkey, o_totalprice
         |FROM (
