@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -92,7 +93,8 @@ class LandingTable(path: String) extends Table with SupportsRead with SupportsWr
   override def name(): String = s"graft-landing($path)"
   override def schema(): StructType = LandingSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LandingScanBuilder(path)
@@ -256,6 +258,61 @@ class LandingScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LandingReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LandingMicroBatchStream(path, required, keyPrefix, keyEquals)
+}
+
+/** Streaming read — the reference's S3 `ObjectCreated` trigger
+  * (infra/index.ts:275-286 → lambda/handler.ts) as a DSv2
+  * MicroBatchStream: each micro-batch processes the objects that arrived
+  * since the last committed offset. The offset is a position in the
+  * (mtime, key)-ordered object ledger — new arrivals sort after processed
+  * ones, so an offset is just "the first N objects" and the checkpoint
+  * makes redelivery impossible (exactly-once per object, the property the
+  * reference's at-least-once Lambda + no-retry Glue combination lacks).
+  * Unlike the reference — which processes only `Records[0]` of a
+  * multi-object event (lambda/handler.ts:35, a known bug documented in
+  * SURVEY §2.9) — every listed object is processed.
+  */
+case class LandingOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class LandingMicroBatchStream(
+    path: String,
+    required: StructType,
+    keyPrefix: Option[String],
+    keyEquals: Option[String]) extends MicroBatchStream {
+
+  private def ledger(): Array[String] = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) return Array.empty
+    Files.walk(root).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot(_.getFileName.toString.endsWith(".meta"))
+      .map(p => (Files.getLastModifiedTime(p).toMillis, root.relativize(p).toString))
+      .filter { case (_, k) => keyPrefix.forall(k.startsWith) && keyEquals.forall(k == _) }
+      .toArray
+      .sorted
+      .map(_._2)
+  }
+
+  override def initialOffset(): Offset = LandingOffset(0L)
+  override def latestOffset(): Offset = LandingOffset(ledger().length.toLong)
+  override def deserializeOffset(json: String): Offset = LandingOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[LandingOffset].n.toInt,
+      end.asInstanceOf[LandingOffset].n.toInt)
+    ledger().slice(s, e).map(k => LandingPartition(path, k): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LandingReaderFactory(required)
+
+  override def commit(end: Offset): Unit = () // the checkpoint IS the ledger position
+  override def stop(): Unit = ()
 }
 
 case class LandingPartition(root: String, key: String) extends InputPartition

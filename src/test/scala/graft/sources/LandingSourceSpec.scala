@@ -106,6 +106,34 @@ class LandingSourceSpec extends SparkSpec {
       .exists(_.getFileName.toString.startsWith("._staging_")))
   }
 
+  test("streaming read: new objects only, exactly-once across drains") {
+    val dir = mkZone() // 3 objects
+    val ckpt = Files.createTempDirectory("landing-s-ck").toString
+    val out = Files.createTempDirectory("landing-s-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-landing").load(dir)
+        .select("key", "byte_len", "metadata")
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def keysOut: Seq[String] = spark.read
+      .schema("key STRING, byte_len INT, metadata MAP<STRING,STRING>")
+      .json(out).collect().map(_.getString(0)).sorted.toSeq
+    drain()
+    assert(keysOut == Seq("a/one.ndjson", "a/two.ndjson", "b/three.ndjson"))
+    // nothing new → re-drain emits nothing (exactly-once per object)
+    drain()
+    assert(keysOut.length == 3)
+    // one new arrival → only it is processed
+    Files.write(Paths.get(dir, "b", "four.ndjson"),
+      "{\"name\":\"Dave\"}".getBytes(StandardCharsets.UTF_8))
+    drain()
+    assert(keysOut == Seq("a/one.ndjson", "a/two.ndjson", "b/three.ndjson", "b/four.ndjson").sorted)
+  }
+
   test("write path: a failed job aborts — zone untouched, staging removed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("landing-a").toString
