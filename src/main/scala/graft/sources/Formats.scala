@@ -20,11 +20,11 @@ object Formats extends QueryModule {
   /** Deterministic scratch dir per scale factor (bench and verify may both
     * run; overwrite mode keeps reruns idempotent).
     */
-  private def scratch(sfDir: String): String =
-    s"${sys.props("java.io.tmpdir")}/graft_formats/${math.abs(sfDir.hashCode)}/lineitem_orc"
+  private def scratch(sfDir: String, leaf: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_formats/${math.abs(sfDir.hashCode)}/$leaf"
 
   def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = scratch(sfDir)
+    val out = scratch(sfDir, "lineitem_orc")
     Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
         "l_returnflag", "l_shipdate")
@@ -41,23 +41,84 @@ object Formats extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** CSV round-trip — the row-format fidelity check (S8): CSV has no type
+    * system, so everything survives only through the explicit read schema;
+    * timestamps go through the default ISO formatter both ways. Same
+    * aggregate-vs-original-parquet oracle trick as ORC: any value the
+    * text round-trip corrupted (double formatting, timestamp precision)
+    * breaks the hash.
+    */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch(sfDir, "lineitem_csv")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+      .option("header", "true").csv(out)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  /** NDJSON round-trip — the REFERENCE's interchange format (glue/job.py
+    * reads and writes newline-delimited JSON): write lineitem as JSON
+    * lines, read back through an explicit schema, aggregate, hash-match
+    * DuckDB on the original parquet.
+    */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch(sfDir, "lineitem_json")
+    Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate")
+      .write.mode("overwrite").json(out)
+    spark.read
+      .schema("l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE, " +
+        "l_extendedprice DOUBLE, l_returnflag STRING, l_shipdate TIMESTAMP")
+      .json(out)
+      .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(30,6)")).cast("double").as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orc_roundtrip" -> (orcRoundtrip _),
+    "csv_roundtrip" -> (csvRoundtrip _),
+    "json_roundtrip" -> (jsonRoundtrip _),
   )
 
-  // The oracle reads the ORIGINAL parquet: any value the ORC loop corrupted
-  // (timestamp precision, double bits, nulls) breaks the hash match.
+  // The oracle reads the ORIGINAL parquet: any value a round-trip corrupted
+  // (timestamp precision, double bits, nulls) breaks the hash match. All
+  // three formats share it — the CONTRACT is format-independent fidelity.
+  private val roundtripOracle =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+      |  MIN(l_shipdate) AS min_ship,
+      |  MAX(l_shipdate) AS max_ship
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   override def oracles: Map[String, String] = Map(
-    "orc_roundtrip" ->
-      """SELECT l_returnflag,
-        |  COUNT(*) AS n,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
-        |  MIN(l_shipdate) AS min_ship,
-        |  MAX(l_shipdate) AS max_ship
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+    "orc_roundtrip" -> roundtripOracle,
+    "csv_roundtrip" -> roundtripOracle,
+    "json_roundtrip" -> roundtripOracle,
   )
 }
