@@ -95,10 +95,35 @@ object Formats extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Hive-partitioned parquet sink → partition-pruned scan (S7's partitioned
+    * form as an ORACLE query, not just the CuratedZone spec): write orders
+    * partitioned by derived year, read back with a partition predicate —
+    * pruning plans only the matching directories — and aggregate per year.
+    * The partition column round-trips through the DIRECTORY NAME (written
+    * as path segments, re-inferred as INT on read), which is exactly the
+    * fidelity this query pins against DuckDB computing from the original
+    * table.
+    */
+  def parquetPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = scratch(sfDir, "orders_part")
+    Tables.orders(spark, sfDir)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_year") >= 1996) // partition pruning: only those dirs scan
+      .groupBy("o_year")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("o_year")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "orc_roundtrip" -> (orcRoundtrip _),
     "csv_roundtrip" -> (csvRoundtrip _),
     "json_roundtrip" -> (jsonRoundtrip _),
+    "parquet_partitioned" -> (parquetPartitioned _),
   )
 
   // The oracle reads the ORIGINAL parquet: any value a round-trip corrupted
@@ -120,5 +145,14 @@ object Formats extends QueryModule {
     "orc_roundtrip" -> roundtripOracle,
     "csv_roundtrip" -> roundtripOracle,
     "json_roundtrip" -> roundtripOracle,
+    "parquet_partitioned" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+        |  COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders
+        |WHERE year(o_orderdate) >= 1996
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
   )
 }
