@@ -134,6 +134,23 @@ class LandingSourceSpec extends SparkSpec {
     assert(keysOut == Seq("a/one.ndjson", "a/two.ndjson", "b/three.ndjson", "b/four.ndjson").sorted)
   }
 
+  test("streaming read honors key-prefix pushdown: non-matching arrivals never process") {
+    val dir = mkZone()
+    val ckpt = Files.createTempDirectory("landing-sp-ck").toString
+    val out = Files.createTempDirectory("landing-sp-out").toString
+    val q = spark.readStream.format("graft-landing").load(dir)
+      .where(col("key").startsWith("a/"))
+      .select("key")
+      .writeStream.format("json").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val keys = spark.read.schema("key STRING").json(out)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == Seq("a/one.ndjson", "a/two.ndjson"))
+  }
+
   test("write path: a failed job aborts — zone untouched, staging removed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("landing-a").toString
