@@ -209,7 +209,56 @@ object Graph extends QueryModule {
       .orderBy("nation_a", "nation_b")
   }
 
+  /** Closeness centrality (3-hop horizon) over the strong trade graph —
+    * which nations sit nearest the center of the trade network. Multi-
+    * source BFS as iterated joins: the distance frame keys on (source,
+    * node), each round expands one hop (edges join + min-distance groupBy)
+    * — the same Pregel primitive as graphBfs, run from ALL sources at
+    * once; at 10⁹ nodes you'd bound sources to a sample exactly like the
+    * ANN recall queries bound queries. Truncated closeness (a fixed
+    * horizon) is the production form — full APSP is quadratic state.
+    * Integer-exact: reach count + depth sum, closeness as ppm via integer
+    * division.
+    */
+  def graphCloseness(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+    val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+      .join(Tables.customer(spark, sfDir).select(col("c_custkey"), col("c_nationkey").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "src")
+    val vol = li
+      .join(cNat, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    val tot = vol.agg(sum(col("w")).as("total"), count(lit(1)).as("n_pairs"))
+    val strong = vol.crossJoin(broadcast(tot))
+      .filter(col("w") * col("n_pairs") > col("total"))
+      .select("src", "dst")
+    val und = strong.union(strong.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var dist = und.select(col("src").as("s")).distinct()
+      .select(col("s"), col("s").as("n"), lit(0).as("d"))
+    for (_ <- 1 to 3) {
+      val expand = dist.join(und.withColumnRenamed("src", "n"), "n")
+        .select(col("s"), col("dst").as("n"), (col("d") + 1).as("d"))
+      dist = dist.union(expand).groupBy("s", "n").agg(min(col("d")).as("d"))
+    }
+    val nodes = Tables.nation(spark, sfDir)
+      .select(col("n_nationkey").as("node"), col("n_name"))
+    dist.groupBy(col("s").as("node"))
+      .agg((count(lit(1)) - 1).as("n_reached"), sum(col("d")).as("sum_depth"))
+      .join(nodes, "node")
+      .withColumn("closeness_ppm",
+        expr("CASE WHEN sum_depth > 0 THEN n_reached * 1000000 div sum_depth ELSE 0 END"))
+      .select("n_name", "n_reached", "sum_depth", "closeness_ppm")
+      .orderBy("n_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_closeness" -> (graphCloseness _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs" -> (graphBfs _),
@@ -217,6 +266,37 @@ object Graph extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "graph_closeness" ->
+      """WITH RECURSIVE vol AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY src, dst
+        |), tot AS (
+        |  SELECT SUM(w) AS total, COUNT(*) AS n_pairs FROM vol
+        |), strong AS (
+        |  SELECT src, dst FROM vol CROSS JOIN tot WHERE w * n_pairs > total
+        |), und AS (
+        |  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+        |), walk(s, n, d) AS (
+        |  SELECT src, src, 0 FROM und
+        |  UNION
+        |  SELECT w.s, e.dst, w.d + 1 FROM walk w JOIN und e ON w.n = e.src WHERE w.d < 3
+        |), best AS (
+        |  SELECT s, n, MIN(d) AS d FROM walk GROUP BY s, n
+        |), agg AS (
+        |  SELECT s AS node, COUNT(*) - 1 AS n_reached,
+        |    CAST(SUM(d) AS BIGINT) AS sum_depth
+        |  FROM best GROUP BY s
+        |)
+        |SELECT nt.n_name, a.n_reached, a.sum_depth,
+        |  CASE WHEN a.sum_depth > 0
+        |       THEN a.n_reached * 1000000 // a.sum_depth ELSE 0 END AS closeness_ppm
+        |FROM agg a JOIN nation nt ON a.node = nt.n_nationkey
+        |ORDER BY nt.n_name""".stripMargin,
     "graph_linkpred" ->
       """WITH vol AS (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
