@@ -355,19 +355,26 @@ object Relevance extends QueryModule {
   def dqTableChecksum(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.Hashing
     def cents(c: Column): Column = round(c * 100).cast("bigint")
-    def sumHash(name: String, df: DataFrame, canon: Column): DataFrame =
-      df.select(Hashing.hash60(canon).cast("decimal(38,0)").as("h"))
-        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+    // `concat` (not `concat_ws`) so a NULL field nulls the whole row hash,
+    // matching DuckDB `||` — both engines' SUM then skip it identically.
+    def canon(cols: Column*): Column =
+      concat(cols.flatMap(c => Seq(c.cast("string"), lit("|"))).dropRight(1): _*)
+    // checksum is emitted as VARCHAR: DuckDB computes the sum through a
+    // HUGEINT intermediate and its DECIMAL(38,0) physical layout hashes
+    // differently driver-side even when values match; strings can't diverge.
+    def sumHash(name: String, df: DataFrame, c: Column): DataFrame =
+      df.select(Hashing.hash60(c).cast("decimal(38,0)").as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).cast("string").as("checksum"))
         .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
     val orders = sumHash("orders", Tables.orders(spark, sfDir),
-      concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      canon(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         cents(col("o_totalprice")),
         unix_micros(col("o_orderdate").cast("timestamp")), col("o_orderpriority")))
     val customer = sumHash("customer", Tables.customer(spark, sfDir),
-      concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+      canon(col("c_custkey"), col("c_name"), col("c_nationkey"),
         cents(col("c_acctbal")), col("c_mktsegment")))
     val nation = sumHash("nation", Tables.nation(spark, sfDir),
-      concat_ws("|", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+      canon(col("n_nationkey"), col("n_name"), col("n_regionkey")))
     orders.unionByName(customer).unionByName(nation).orderBy("table_name")
   }
 
@@ -511,7 +518,7 @@ object Relevance extends QueryModule {
       "dq_table_checksum" -> {
         def one(name: String, table: String, canon: String) =
           s"""SELECT '$name' AS table_name, COUNT(*) AS n_rows,
-             |  CAST(SUM(${graft.functions.Hashing.duckHash60(canon)}) AS DECIMAL(38,0)) AS checksum
+             |  CAST(CAST(SUM(${graft.functions.Hashing.duckHash60(canon)}) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
              |FROM $table""".stripMargin
         Seq(
           one("customer", "customer",

@@ -368,13 +368,21 @@ object EventTime extends QueryModule {
   /** RFM segmentation — the classic customer-value cube: per user, recency
     * (days since last purchase vs corpus max day), frequency (purchase
     * count), monetary (exact-decimal purchase value); each scored into
-    * quintiles by ntile over a TOTAL order (metric, user_id — ties can't
-    * straddle engines), then rolled up to segment populations. The corpus
-    * sees one purchase-filtered groupBy; the three ntile windows run on the
-    * per-user summary (users ≪ events).
+    * quintiles over a TOTAL order (metric, user_id — ties can't straddle
+    * engines), then rolled up to segment populations.
+    *
+    * Scale shape: NO unpartitioned ntile windows (at 100 TB the per-user
+    * summary is 10^8-10^9 rows — a global sort through one task, three
+    * times). Instead each metric's exact global rank comes from
+    * [[graft.operators.BlockedRank.blockedPrefix]] (block partials + one
+    * bounded summary window), and the quintile is pure integer arithmetic
+    * on (rank, N) via `ntileFromRank` — bit-identical to ntile(5), zero
+    * global sorts.
     */
   def evtRfm(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import graft.operators.BlockedRank._
+    val B = 65536L // tiebreak sub-block width: ranks stay exact for any B
+    val uidBlk = idiv(col("user_id"), lit(B))
     val perUser = Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
@@ -383,14 +391,21 @@ object EventTime extends QueryModule {
         sum(col("value").cast("decimal(19,6)")).as("monetary"))
       .transform(d => d.crossJoin(broadcast(d.agg(max(col("last_day")).as("max_day")))))
       .withColumn("recency_days", datediff(col("max_day"), col("last_day")))
-    val scored = perUser
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id"))))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id"))))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary").desc, col("user_id"))))
-    scored.groupBy("r_score", "f_score", "m_score")
+    val ranked = perUser
+      .transform(blockedPrefix(_, Nil,
+        Seq("__b_rec" -> col("recency_days"), "__b_uid" -> uidBlk),
+        Seq(false, false), Seq(col("user_id")), "__r_rank", "__n1"))
+      .transform(blockedPrefix(_, Nil,
+        Seq("__b_freq" -> col("freq"), "__b_uid" -> uidBlk),
+        Seq(true, false), Seq(col("user_id")), "__f_rank", "__n2"))
+      .transform(blockedPrefix(_, Nil,
+        Seq("__b_mon" -> floor(col("monetary"))),
+        Seq(true), Seq(col("monetary").desc, col("user_id")), "__m_rank", "__n3"))
+    ranked
+      .withColumn("r_score", ntileFromRank(col("__r_rank"), col("__n1"), 5))
+      .withColumn("f_score", ntileFromRank(col("__f_rank"), col("__n2"), 5))
+      .withColumn("m_score", ntileFromRank(col("__m_rank"), col("__n3"), 5))
+      .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary")).cast("double").as("segment_value"))
       .orderBy("r_score", "f_score", "m_score")
@@ -405,21 +420,23 @@ object EventTime extends QueryModule {
     * summary.
     */
   def evtPareto(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byVal = Window.partitionBy("event_type")
-      .orderBy(col("v").desc, col("user_id"))
+    import graft.operators.BlockedRank.blockedPrefix
     val perUser = Tables.events(spark, sfDir)
       .groupBy("event_type", "user_id")
       .agg(sum(col("value").cast("decimal(19,6)")).as("v"))
-    perUser
-      .withColumn("rnk", row_number().over(byVal))
-      .withColumn("cum", sum(col("v")).over(
-        byVal.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total", sum(col("v")).over(Window.partitionBy("event_type")))
-      .withColumn("n_users", count(lit(1)).over(Window.partitionBy("event_type")))
+    // Rank + running value sum per event_type WITHOUT a per-type global
+    // sort (a handful of types each holding ALL users would funnel the
+    // whole summary through a few tasks at 100 TB): block by the integer
+    // value floor, rank exactly inside blocks, offsets from the bounded
+    // per-type block summary.
+    blockedPrefix(perUser, Seq("event_type"),
+      Seq("__b_v" -> floor(col("v"))), Seq(true),
+      Seq(col("v").desc, col("user_id")),
+      "rnk", "n_users",
+      value = Some(col("v")), outCum = "cum", outTotalV = "total")
       .filter(col("cum") * 5 >= col("total") * 4)
       .groupBy(col("event_type"), col("n_users"), col("total"))
-      .agg(min(col("rnk")).as("users_to_80"))
+      .agg(min(col("rnk")).cast("int").as("users_to_80")) // int like row_number emitted
       .select(col("event_type"), col("n_users"), col("users_to_80"),
         expr("CAST(users_to_80 AS BIGINT) * 1000000 div n_users").as("pct_users_ppm"),
         col("total").cast("double").as("total_value"))

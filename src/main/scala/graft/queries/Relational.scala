@@ -1441,7 +1441,8 @@ object Relational extends QueryModule {
         |    SUM(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tot
         |  FROM lineitem
         |)
-        |SELECT l_returnflag, MIN(price) AS wmedian, MAX(tot) AS total_w
+        |SELECT l_returnflag, MIN(price) AS wmedian,
+        |  CAST(MAX(tot) AS BIGINT) AS total_w
         |FROM t WHERE cum * 2 >= tot
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "mba_brand_pairs" ->

@@ -302,6 +302,15 @@ object VectorBridge {
   def simhash60(tokenHashes: Column): Column =
     ExpressionUtils.column(Simhash60(ExpressionUtils.expression(tokenHashes)))
 
+  /** Integral division (SQL `div`) — exact on longs, unlike `/` which
+    * routes through double. The Column API exposes no wrapper for
+    * catalyst's `IntegralDivide`, so it is bridged here.
+    */
+  def idiv(a: Column, b: Column): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
