@@ -133,11 +133,16 @@ class LandingBatchWrite(path: String, info: LogicalWriteInfo) extends BatchWrite
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(path).toAbsolutePath.normalize()
     messages.foreach { case LandingCommit(files) =>
       files.foreach { rel =>
         val src = staging.resolve(rel)
         // strip the taskId segment: staged as <taskId>/<key>[.meta]
-        val dst = Paths.get(path, rel.substring(rel.indexOf('/') + 1))
+        val dst = root.resolve(rel.substring(rel.indexOf('/') + 1)).normalize()
+        // defense-in-depth re-check of the writer-side validation: never
+        // publish outside the zone root, whatever a commit message claims
+        require(dst.startsWith(root) && dst != root,
+          s"refusing to publish outside the landing zone: '$rel'")
         Files.createDirectories(dst.getParent)
         Files.move(src, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
@@ -150,8 +155,10 @@ class LandingBatchWrite(path: String, info: LogicalWriteInfo) extends BatchWrite
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      scala.util.Using.resource(Files.walk(p)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+      }
 }
 
 case class LandingCommit(files: Seq[String]) extends WriterCommitMessage
@@ -169,10 +176,16 @@ class LandingWriter(staging: String, taskDir: String, idx: (Int, Int, Int))
 
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(ki).toString
+    // An object key is data, not a path: reject absolute keys and keys
+    // whose normalized form escapes the zone ('../x' would otherwise
+    // stage — and later publish — outside the landing directory).
+    val taskRoot = Paths.get(staging, taskDir).toAbsolutePath.normalize()
+    val p = taskRoot.resolve(key).normalize()
+    require(!Paths.get(key).isAbsolute && p.startsWith(taskRoot) && p != taskRoot,
+      s"object key escapes the landing zone: '$key'")
     val body =
       if (ci >= 0 && !row.isNullAt(ci)) row.getUTF8String(ci).getBytes
       else Array.empty[Byte]
-    val p = Paths.get(staging, taskDir, key)
     Files.createDirectories(p.getParent)
     Files.write(p, body)
     written += s"$taskDir/$key"
@@ -180,7 +193,16 @@ class LandingWriter(staging: String, taskDir: String, idx: (Int, Int, Int))
       val m = row.getMap(mi)
       if (m.numElements() > 0) {
         val lines = (0 until m.numElements()).map { i =>
-          s"${m.keyArray().getUTF8String(i)}=${m.valueArray().getUTF8String(i)}"
+          val mk = m.keyArray().getUTF8String(i).toString
+          val mv = m.valueArray().getUTF8String(i).toString
+          // the sidecar is line-oriented k=v: a '=' or newline in a key,
+          // or a newline in a value, cannot round-trip — fail loudly
+          // instead of silently corrupting the map on re-read
+          require(!mk.exists(c => c == '=' || c == '\n' || c == '\r'),
+            s"metadata key not representable in k=v sidecar: '$mk' (object '$key')")
+          require(!mv.exists(c => c == '\n' || c == '\r'),
+            s"metadata value for '$mk' contains a newline (object '$key')")
+          s"$mk=$mv"
         }.mkString("\n")
         Files.write(Paths.get(staging, taskDir, key + ".meta"),
           lines.getBytes(StandardCharsets.UTF_8))
@@ -198,24 +220,24 @@ class LandingScanBuilder(path: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = LandingSource.Schema
-  private var keyPrefix: Option[String] = None
-  private var keyEquals: Option[String] = None
+  private var pruning = KeyPruning(Nil, Nil)
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // ALL accepted filters are kept and applied conjunctively (two
+    // prefixes, a prefix + an equality, …) — accepting a filter while
+    // applying only the last of its kind would silently widen the scan.
     val (accepted, rejected) = filters.partition {
       case StringStartsWith("key", _) => true
       case EqualTo("key", _: String)  => true
       case _                          => false
     }
-    accepted.foreach {
-      case StringStartsWith("key", p) => keyPrefix = Some(p)
-      case EqualTo("key", v: String)  => keyEquals = Some(v)
-      case _                          =>
-    }
+    pruning = KeyPruning(
+      accepted.collect { case StringStartsWith("key", p) => p }.toSeq,
+      accepted.collect { case EqualTo("key", v: String) => v }.toSeq)
     pushed = accepted
     // accepted filters are EXACT on the key (no false positives), so Spark
     // need not re-evaluate them — return only the rejected residual
@@ -225,19 +247,28 @@ class LandingScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LandingScan(path, required, keyPrefix, keyEquals)
+    new LandingScan(path, required, pruning)
+}
+
+/** Conjunction of every pushed key predicate: all prefixes AND all
+  * equalities must hold for an object to be listed.
+  */
+case class KeyPruning(prefixes: Seq[String], equals: Seq[String]) {
+  def matches(k: String): Boolean =
+    prefixes.forall(k.startsWith) && equals.forall(k == _)
+  override def toString: String =
+    s"prefixes=[${prefixes.mkString(",")}] eq=[${equals.mkString(",")}]"
 }
 
 class LandingScan(
     path: String,
     required: StructType,
-    keyPrefix: Option[String],
-    keyEquals: Option[String]) extends Scan with Batch {
+    pruning: KeyPruning) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-landing $path pushed=[prefix=$keyPrefix eq=$keyEquals] cols=${required.fieldNames.mkString(",")}"
+    s"graft-landing $path pushed=[$pruning] cols=${required.fieldNames.mkString(",")}"
 
   /** Planning-time LIST + prune: non-matching keys never become
     * partitions. Driver-side listing is O(objects) names — the same cost
@@ -246,12 +277,9 @@ class LandingScan(
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val root = Paths.get(path)
-    val files = Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.endsWith(".meta"))
+    val files = LandingLedger.walkFiles(root)
       .map(p => root.relativize(p).toString)
-      .filter(k => keyPrefix.forall(k.startsWith) && keyEquals.forall(k == _))
-      .toArray
+      .filter(pruning.matches)
       .sorted
     files.map(k => LandingPartition(path, k): InputPartition)
   }
@@ -260,58 +288,107 @@ class LandingScan(
     new LandingReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LandingMicroBatchStream(path, required, keyPrefix, keyEquals)
+    new LandingMicroBatchStream(path, required, pruning)
+}
+
+object LandingLedger {
+  /** List every object file under `root`, closing the directory stream
+    * (Files.walk leaks a handle per call if never closed).
+    */
+  def walkFiles(root: Path): Array[Path] =
+    if (!Files.exists(root)) Array.empty
+    else scala.util.Using.resource(Files.walk(root)) { s =>
+      s.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filterNot(_.getFileName.toString.endsWith(".meta"))
+        .toArray
+    }
 }
 
 /** Streaming read — the reference's S3 `ObjectCreated` trigger
   * (infra/index.ts:275-286 → lambda/handler.ts) as a DSv2
   * MicroBatchStream: each micro-batch processes the objects that arrived
-  * since the last committed offset. The offset is a position in the
-  * (mtime, key)-ordered object ledger — new arrivals sort after processed
-  * ones, so an offset is just "the first N objects" and the checkpoint
-  * makes redelivery impossible (exactly-once per object, the property the
-  * reference's at-least-once Lambda + no-retry Glue combination lacks).
+  * since the last committed offset, and the checkpoint makes redelivery
+  * impossible (exactly-once per object, the property the reference's
+  * at-least-once Lambda + no-retry Glue combination lacks).
+  *
+  * The offset is NOT a row count into the re-listed ledger — indices
+  * shift when objects are deleted or when a same-millisecond arrival
+  * sorts before committed entries, silently skipping or re-emitting. It
+  * is the arrival-order WATERMARK itself: the newest processed mtime plus
+  * the exact key set carrying that mtime. An object is new iff its mtime
+  * is later, or equal with an unseen key — deletions shift nothing, and
+  * same-millisecond arrivals are caught by the key set. The one
+  * assumption left (shared with Spark's file source) is that arrivals
+  * never carry an mtime EARLIER than the committed watermark (a copy
+  * preserving an old mtime, extreme clock skew).
+  *
   * Unlike the reference — which processes only `Records[0]` of a
   * multi-object event (lambda/handler.ts:35, a known bug documented in
   * SURVEY §2.9) — every listed object is processed.
   */
-case class LandingOffset(n: Long) extends Offset {
-  override def json(): String = n.toString
+case class LandingOffset(mtime: Long, keysAtMtime: Seq[String]) extends Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("mtime" -> mtime) ~ ("keys" -> keysAtMtime)))
+  }
+  /** Is the ledger entry (m, k) strictly after this watermark? */
+  def admits(m: Long, k: String): Boolean =
+    m > mtime || (m == mtime && !keysAtMtime.contains(k))
+}
+
+object LandingOffset {
+  val Start: LandingOffset = LandingOffset(Long.MinValue, Nil)
+
+  def parse(json: String): LandingOffset = {
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val v = org.json4s.jackson.JsonMethods.parse(json)
+    LandingOffset(
+      (v \ "mtime").extract[Long],
+      (v \ "keys").extract[Seq[String]])
+  }
 }
 
 class LandingMicroBatchStream(
     path: String,
     required: StructType,
-    keyPrefix: Option[String],
-    keyEquals: Option[String]) extends MicroBatchStream {
+    pruning: KeyPruning) extends MicroBatchStream {
 
-  private def ledger(): Array[String] = {
+  private def ledger(): Array[(Long, String)] = {
     val root = Paths.get(path)
-    if (!Files.exists(root)) return Array.empty
-    Files.walk(root).iterator().asScala
-      .filter(Files.isRegularFile(_))
-      .filterNot(_.getFileName.toString.endsWith(".meta"))
+    LandingLedger.walkFiles(root)
       .map(p => (Files.getLastModifiedTime(p).toMillis, root.relativize(p).toString))
-      .filter { case (_, k) => keyPrefix.forall(k.startsWith) && keyEquals.forall(k == _) }
-      .toArray
+      .filter { case (_, k) => pruning.matches(k) }
       .sorted
-      .map(_._2)
   }
 
-  override def initialOffset(): Offset = LandingOffset(0L)
-  override def latestOffset(): Offset = LandingOffset(ledger().length.toLong)
-  override def deserializeOffset(json: String): Offset = LandingOffset(json.toLong)
+  override def initialOffset(): Offset = LandingOffset.Start
+
+  override def latestOffset(): Offset = {
+    val l = ledger()
+    if (l.isEmpty) LandingOffset.Start
+    else {
+      val maxM = l.iterator.map(_._1).max
+      LandingOffset(maxM, l.collect { case (m, k) if m == maxM => k }.toSeq)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = LandingOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (s, e) = (start.asInstanceOf[LandingOffset].n.toInt,
-      end.asInstanceOf[LandingOffset].n.toInt)
-    ledger().slice(s, e).map(k => LandingPartition(path, k): InputPartition)
+    val s = start.asInstanceOf[LandingOffset]
+    val e = end.asInstanceOf[LandingOffset]
+    ledger()
+      .filter { case (m, k) => s.admits(m, k) && !e.admits(m, k) }
+      .map { case (_, k) => LandingPartition(path, k): InputPartition }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LandingReaderFactory(required)
 
-  override def commit(end: Offset): Unit = () // the checkpoint IS the ledger position
+  override def commit(end: Offset): Unit = () // the checkpoint IS the watermark
   override def stop(): Unit = ()
 }
 
@@ -350,9 +427,11 @@ class LandingReader(p: LandingPartition, required: StructType)
         new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
           .split("\n").iterator
           .map(_.trim).filter(_.nonEmpty)
-          .map { line =>
+          // tolerate hand-written sidecars: a line with no '=' is skipped,
+          // not a StringIndexOutOfBounds crash of the whole partition
+          .flatMap { line =>
             val i = line.indexOf('=')
-            line.substring(0, i) -> line.substring(i + 1)
+            if (i < 0) None else Some(line.substring(0, i) -> line.substring(i + 1))
           }.toMap
       else Map.empty
     val values = required.fieldNames.map {

@@ -151,6 +151,96 @@ class LandingSourceSpec extends SparkSpec {
     assert(keys == Seq("a/one.ndjson", "a/two.ndjson"))
   }
 
+  test("conjunctive key filters ALL apply — two pushed prefixes narrow, not widen") {
+    val dir = mkZone()
+    // both StringStartsWith conjuncts are accepted; dropping either would
+    // return a/two.ndjson (resp. b/…) that the other predicate excludes
+    val both = zone.load(dir)
+      .where(col("key").startsWith("a/") && col("key").startsWith("a/one"))
+    assert(both.rdd.getNumPartitions == 1)
+    assert(both.select("key").collect().map(_.getString(0)).toSeq ==
+      Seq("a/one.ndjson"))
+    // prefix + equality conjunction, equality outside the prefix → empty
+    val none = zone.load(dir)
+      .where(col("key").startsWith("a/") && col("key") === "b/three.ndjson")
+    assert(none.count() == 0)
+  }
+
+  test("streaming offsets survive deletions and same-millisecond arrivals") {
+    val dir = mkZone() // 3 objects
+    val ckpt = Files.createTempDirectory("landing-del-ck").toString
+    val out = Files.createTempDirectory("landing-del-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-landing").load(dir)
+        .select("key")
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def keysOut: Seq[String] = spark.read.schema("key STRING").json(out)
+      .collect().map(_.getString(0)).sorted.toSeq
+    drain()
+    assert(keysOut.length == 3)
+    // a deletion used to shift every row-count offset; the watermark
+    // offset is position-independent, so the next arrival — even one
+    // whose mtime EQUALS the committed watermark (same-millisecond
+    // arrival, the race a count offset silently loses) — still processes
+    // exactly once, and nothing re-emits
+    Files.delete(Paths.get(dir, "a", "one.ndjson"))
+    val maxM = Seq("a/two.ndjson", "b/three.ndjson")
+      .map(k => Files.getLastModifiedTime(Paths.get(dir, k)).toMillis).max
+    val late = Paths.get(dir, "b", "late.ndjson")
+    Files.write(late, "{\"name\":\"Eve\"}".getBytes(StandardCharsets.UTF_8))
+    Files.setLastModifiedTime(late,
+      java.nio.file.attribute.FileTime.fromMillis(maxM))
+    drain()
+    assert(keysOut ==
+      Seq("a/one.ndjson", "a/two.ndjson", "b/late.ndjson", "b/three.ndjson"))
+    drain() // and a further drain with no arrivals emits nothing
+    assert(keysOut.length == 4)
+  }
+
+  test("sidecar round-trip is strict on write, tolerant on read") {
+    import spark.implicits._
+    // write: metadata that cannot round-trip through k=v lines fails
+    // loudly instead of corrupting the map
+    val dir = Files.createTempDirectory("landing-m").toString
+    val bad = Seq(("k.txt", "x", Map("owner" -> "a\nb")))
+      .toDF("key", "content", "metadata")
+      .withColumn("byte_len", length(col("content")))
+      .select("key", "byte_len", "content", "metadata")
+    intercept[Exception] {
+      bad.write.format("graft-landing").mode("append").save(dir)
+    }
+    // read: a malformed sidecar line (no '=') is skipped, not a crash
+    val dir2 = Files.createTempDirectory("landing-m2").toString
+    Files.write(Paths.get(dir2, "obj.txt"), "body".getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(dir2, "obj.txt.meta"),
+      "owner=ops\ngarbage line without equals\nstage=raw"
+        .getBytes(StandardCharsets.UTF_8))
+    val m = zone.load(dir2).select("metadata").collect()(0)
+      .getMap[String, String](0).toMap
+    assert(m == Map("owner" -> "ops", "stage" -> "raw"))
+  }
+
+  test("write rejects keys that escape the landing zone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("landing-t").toString
+    val escapee = Paths.get(dir).resolveSibling("escaped.txt")
+    val bad = Seq(("../" + escapee.getFileName.toString, "x"))
+      .toDF("key", "content")
+      .withColumn("byte_len", length(col("content")))
+      .withColumn("metadata", map().cast("map<string,string>"))
+      .select("key", "byte_len", "content", "metadata")
+    intercept[Exception] {
+      bad.write.format("graft-landing").mode("append").save(dir)
+    }
+    assert(!Files.exists(escapee), "path-traversal key must not write outside the zone")
+    assert(Files.list(Paths.get(dir)).iterator().asScala.toSeq.isEmpty)
+  }
+
   test("write path: a failed job aborts — zone untouched, staging removed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("landing-a").toString
