@@ -29,9 +29,31 @@ object EtlQueries extends QueryModule {
         col("o_orderstatus").cast("string").as("o_orderstatus"))
       .orderBy("o_orderkey")
 
+  /** P4: object-key URL-decode — the reference's
+    * `decodeURIComponent(record.s3.object.key)` (lambda/handler.ts:37);
+    * S3 event notifications deliver keys percent-encoded, with '+' for
+    * spaces in the query-string convention. A planted corpus (keys built
+    * from public customer columns with a fixed escape set) goes through the
+    * codegen'd `url_decode` builtin and the `transformed/{key}` output rule
+    * (glue/job.py:19), so the whole key arithmetic is oracle-checked.
+    * DuckDB has no url_decode; the oracle decodes the planted escapes with
+    * an equivalent replace() chain ('+' first — no %2B is planted, so the
+    * chain is confluent).
+    */
+  def keyDecode(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"),
+        concat(lit("landing%2F"), col("c_mktsegment"), lit("%2Fcust+"),
+          col("c_custkey"), lit("%20v%3D1.ndjson")).as("raw_key"))
+      .withColumn("key", expr("url_decode(raw_key)"))
+      .withColumn("output_key",
+        concat(lit(Ndjson.transformedKey("")), col("key")))
+      .orderBy("c_custkey")
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "enrich_customer"    -> (enrichCustomer _),
     "whitelist_project"  -> (whitelistProject _),
+    "etl_key_decode"     -> (keyDecode _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -42,5 +64,18 @@ object EtlQueries extends QueryModule {
       """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
         |       CAST(o_orderstatus AS VARCHAR) AS o_orderstatus
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "etl_key_decode" ->
+      """WITH k AS (
+        |  SELECT c_custkey,
+        |    'landing%2F' || c_mktsegment || '%2Fcust+' || c_custkey || '%20v%3D1.ndjson' AS raw_key
+        |  FROM customer
+        |), d AS (
+        |  SELECT c_custkey, raw_key,
+        |    replace(replace(replace(replace(raw_key,
+        |      '+', ' '), '%2F', '/'), '%20', ' '), '%3D', '=') AS key
+        |  FROM k
+        |)
+        |SELECT c_custkey, raw_key, key, 'transformed/' || key AS output_key
+        |FROM d ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -319,7 +319,7 @@ object Multimodal extends QueryModule {
     "mm_ahash_clusters" -> (mmAhashClusters _),
     "mm_silence_trim" -> (mmSilenceTrim _),
     "mm_meta"       -> (mmMeta _),
-    "mm_frames"     -> (mmFrames _), // rows-only: duration comes from the stub decoder
+    "mm_frames"     -> (mmFrames _), // oracled: the md5 stub is SQL-mirrorable
     "mm_frames_sql" -> (mmFramesSql _),
     "mm_resize"     -> (mmResize _),
   )
@@ -398,9 +398,22 @@ object Multimodal extends QueryModule {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY id""".stripMargin,
-    // mm_frames deliberately has no oracle: widths/durations come from the
-    // stub decoder (md5-derived), which SQL could mirror but a real decoder
-    // could not — it gets the weaker rows>0 check plus unit tests.
+    // mm_frames' durations come from the stub decoder, but the stub is
+    // md5-derived and md5 is identical cross-engine — so the oracle mirrors
+    // it exactly: duration_ms = (bytes 2-3 of md5(payload) as a 16-bit
+    // big-endian int) * 40, i.e. hex chars 5-8. A real codec would drop
+    // this oracle (decode output isn't SQL), keeping the rows-only check.
+    "mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id,
+        |    CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) * 40 AS duration_ms
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT id,
+        |  unnest(range(0, greatest(CAST(floor(duration_ms / 5000.0) AS BIGINT), 1))) AS frame_no,
+        |  unnest(range(0, greatest(CAST(floor(duration_ms / 5000.0) AS BIGINT), 1))) * 5000 AS frame_ts_ms
+        |FROM v
+        |ORDER BY id, frame_no""".stripMargin,
     "mm_resize" ->
       """WITH dims AS (
         |  SELECT doc_id AS id,

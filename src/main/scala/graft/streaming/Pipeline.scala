@@ -60,7 +60,14 @@ object Pipeline {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", Ndjson.CorruptCol)
       .json(landingDir)
-      .withColumn("__src", element_at(split(input_file_name(), "/"), -1))
+      // P4 (lambda/handler.ts:37 `decodeURIComponent(record.s3.object.key)`):
+      // input_file_name() returns the PERCENT-ENCODED URI, so the source key
+      // must be decoded before the transformed/{key} routing rule sees it —
+      // otherwise an object named "a b.ndjson" routes to "a%20b.ndjson".
+      // '+' is protected first: a URI path '+' is a literal plus (unlike the
+      // form encoding url_decode implements), same as decodeURIComponent.
+      .withColumn("__src", expr(
+        "url_decode(replace(element_at(split(input_file_name(), '/'), -1), '+', '%2B'))"))
 
     val query = in.writeStream
       .trigger(Trigger.AvailableNow())

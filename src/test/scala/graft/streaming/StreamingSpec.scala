@@ -36,6 +36,20 @@ class PipelineSpec extends SparkSpec {
     assert(b2.head().getAs[String]("uppercase_name") === "")
   }
 
+  test("P4 key decode: object names with spaces/pluses route by the DECODED key") {
+    val landing = tmp(); val out = tmp(); val ckpt = tmp()
+    // input_file_name() reports "my batch.json" as "my%20batch.json"; the
+    // reference decodes before routing (lambda/handler.ts:37) — so must we.
+    // A literal '+' is a plain character in a URI path and must SURVIVE.
+    Files.writeString(java.nio.file.Paths.get(landing, "my batch.json"),
+      "{\"name\":\"Alice\",\"id\":1}\n")
+    Files.writeString(java.nio.file.Paths.get(landing, "a+b.json"),
+      "{\"name\":\"Bob\",\"id\":2}\n")
+    Pipeline.run(spark, landing, out, schema, ckpt).awaitTermination()
+    assert(spark.read.json(s"$out/transformed/my batch.json").count() === 1)
+    assert(spark.read.json(s"$out/transformed/a+b.json").count() === 1)
+  }
+
   test("per-object routing hint: resolver directs files to different roots") {
     val landing = tmp(); val rootA = tmp(); val rootB = tmp(); val ckpt = tmp()
     Files.writeString(java.nio.file.Paths.get(landing, "a.json"), "{\"name\":\"x\",\"id\":1}\n")
