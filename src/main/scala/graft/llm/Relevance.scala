@@ -239,14 +239,15 @@ object Relevance extends QueryModule {
     * the whole ECDF). Computed in EXACT integers: at every distinct value,
     * D's numerator is |i·n₂ − j·n₁| over the cumulative counts, maxed —
     * no float ECDF, so the statistic is bit-stable. The global-order
-    * cumsum is the inherent cost of an order statistic: at 100 TB run it
-    * on the binned ECDF (PSI's bins) or range-partition the sort like any
-    * global orderBy; products stay in BIGINT to ~3·10⁹ rows per side.
+    * cumsum runs through [[graft.operators.BlockedRank.blockedPrefix]]
+    * (blocks = the integer price floor): per-block partials shuffle on the
+    * block key, only the bounded block SUMMARY crosses one task — no
+    * unpartitioned window over the distinct-value table, which is
+    * corpus-sized at 100 TB; products stay in BIGINT to ~3·10⁹ rows/side.
     */
   def dqKsTest(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank.{blockedPrefix, PrefixValue}
     val cut = "1998-01-01"
-    val byVal = org.apache.spark.sql.expressions.Window
-      .orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     val counts = Tables.orders(spark, sfDir)
       .select(col("o_totalprice").as("v"),
         (col("o_orderdate") < lit(cut).cast("timestamp")).as("is_train"))
@@ -254,11 +255,12 @@ object Relevance extends QueryModule {
       .agg(
         count(when(col("is_train"), lit(1))).as("c1"),
         count(when(!col("is_train"), lit(1))).as("c2"))
-    val totals = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
-    counts
-      .withColumn("i", sum(col("c1")).over(byVal))
-      .withColumn("j", sum(col("c2")).over(byVal))
-      .crossJoin(broadcast(totals))
+    blockedPrefix(counts, Nil,
+      Seq("__b_v" -> floor(col("v"))), Seq(false),
+      Seq(col("v")), "__rk", "__n",
+      values = Seq(
+        PrefixValue(col("c1"), "i", "n1"),
+        PrefixValue(col("c2"), "j", "n2")))
       .agg(
         first(col("n1")).as("n1"),
         first(col("n2")).as("n2"),
@@ -485,9 +487,12 @@ object Relevance extends QueryModule {
         round((num * num).cast("double")
           / (col("n_tot") * col("rt") * col("ct")).cast("double"), 6))
     grid
+      // the grid is |priorities|×|statuses| — bounded by construction, so
+      // the scalar-total window uses the single-partition idiom explicitly
       .withColumn("chi2_total",
         sum(col("contrib").cast("decimal(20,6)"))
-          .over(Window.partitionBy(lit(1))).cast("double"))
+          .over(Window.partitionBy(
+            graft.operators.BlockedRank.boundedPartition(col("pri")))).cast("double"))
       .select("pri", "st", "obs", "expected", "contrib", "chi2_total")
       .orderBy("pri", "st")
   }

@@ -357,7 +357,11 @@ object Similarity extends QueryModule {
     * dimension-keyed, corpus-size-independent output.
     */
   def embVarDims(spark: SparkSession, sfDir: String): DataFrame = {
-    val byVar = Window.orderBy(col("variance").desc, col("pos"))
+    // one row per embedding DIMENSION (64) — bounded by construction,
+    // marked with the boundedPartition idiom for the PlanSpec window guard
+    val byVar = Window
+      .partitionBy(graft.operators.BlockedRank.boundedPartition(col("pos")))
+      .orderBy(col("variance").desc, col("pos"))
     embDouble(Tables.embeddings(spark, sfDir))
       .select(posexplode(col("e")).as(Seq("pos", "v")))
       .groupBy("pos")

@@ -272,22 +272,26 @@ object TextAnalysis extends QueryModule {
     * tokens, joined to the BROADCAST dictionary, and re-aggregated to a
     * per-doc profile (token/OOV counts + a position-weighted id checksum,
     * which pins every id at every position without an array output column).
-    * Scale notes: the dictionary build has one single-partition window
-    * (rank over the aggregated vocabulary — vocabulary size, not corpus
-    * size; ~1M rows at web scale, trivially one partition), and encoding
-    * is a map-side broadcast join — the corpus is never shuffled.
+    * Scale notes: the dictionary build takes the top-`VocabSize` rows with
+    * a global orderBy+limit (TakeOrdered — per-partition top-k then a
+    * driver merge of k·partitions, never a single-task sort of the whole
+    * vocabulary, which is corpus-shaped at web scale); only the LIMITED
+    * k-row dictionary goes through the rank window (the boundedPartition
+    * idiom marks that bound). Encoding is a map-side broadcast join — the
+    * corpus is never shuffled.
     */
   val VocabSize = 1000
 
   def tokenizeIds(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.operators.BlockedRank.boundedPartition(col("word")))
       .orderBy(col("cnt").desc, col("word"))
     val vocab = docs
       .select(explode(words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(VocabSize)
       .withColumn("vid", row_number().over(byFreq))
-      .filter(col("vid") <= VocabSize)
       .select("word", "vid")
     docs
       .select(col("doc_id"), posexplode(words(col("text"))).as(Seq("pos", "word")))
@@ -487,20 +491,24 @@ object TextAnalysis extends QueryModule {
     * the top-k most frequent words, at k ∈ {10, 25, 50, 100}: the report
     * that sizes a tokenizer vocabulary (how big must k be before OOV rate
     * is acceptable). Word counts are the map-side-combined explode shape;
-    * the rank window runs single-partition over the VOCABULARY (≈10⁶ rows
-    * at web scale — the text_tokenize_ids dictionary discipline, never the
-    * corpus); ties rank deterministically (count desc, word asc) so the
-    * top-k SET is identical in both engines even when a tie straddles k.
+    * only the max-k rows reach the rank window (global orderBy+limit →
+    * TakeOrdered, so no single-task sort of the corpus-shaped vocabulary;
+    * ranks past max-k can't contribute to any coverage bucket); ties rank
+    * deterministically (count desc, word asc) so the top-k SET is
+    * identical in both engines even when a tie straddles k.
     */
   def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val ks = Seq(10, 25, 50, 100)
     val cnt = Tables.documents(spark, sfDir)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
     val byFreq = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.operators.BlockedRank.boundedPartition(col("word")))
       .orderBy(col("c").desc, col("word"))
     val tot = cnt.agg(sum(col("c")).as("total_tokens"))
-    cnt.withColumn("rk", row_number().over(byFreq))
-      .withColumn("k", explode(array(Seq(10, 25, 50, 100).map(lit): _*)))
+    cnt.orderBy(col("c").desc, col("word")).limit(ks.max)
+      .withColumn("rk", row_number().over(byFreq))
+      .withColumn("k", explode(array(ks.map(lit): _*)))
       .groupBy("k")
       .agg(sum(when(col("rk") <= col("k"), col("c")).otherwise(lit(0L))).as("covered_tokens"))
       .crossJoin(broadcast(tot))

@@ -35,20 +35,35 @@ import org.apache.spark.sql.functions._
   */
 object BlockedRank {
 
+  /** A value column to accumulate exactly alongside the rank: `outCum`
+    * receives the running sum up to and including each row, `outTotal` the
+    * (partition-wide) grand total attached to every row.
+    */
+  case class PrefixValue(value: Column, outCum: String, outTotal: String)
+
+  /** The single-partition idiom for windows over PROVABLY BOUNDED
+    * summaries: constant-valued (always 0, never null) but non-foldable, so
+    * `EliminateWindowPartitions` cannot strip it back to an unpartitioned
+    * spec. Execution is identical to no partitioning — every row hashes to
+    * one task, which is what a bounded cumulative pass intends — but the
+    * "WindowExec: No Partition Defined" warning and the PlanSpec guard that
+    * promotes it to a failure stay reserved for genuinely UNBOUNDED inputs.
+    * Only use where the input's bound is documented at the call site.
+    */
+  def boundedPartition(c: Column): Column = pmod(hash(c), lit(1))
+
   /** Per-row outputs appended to `df`:
     *   - `outRank`: exact 1-based global rank under the total order
     *     (per `partition` group if non-empty);
-    *   - `outCum` (when `value` is set): exact running sum of `value` up to
-    *     and including this row;
-    *   - `outTotalN` / `outTotalV`: the (partition-wide) row count and value
-    *     sum, attached to every row (handy for "share of total" math).
+    *   - per [[PrefixValue]]: the exact running sum and grand total;
+    *   - `outTotalN`: the (partition-wide) row count on every row.
     *
     * @param partition  outer grouping columns (empty = whole-table order)
     * @param blocks     (name, expr) monotone block-key columns
     * @param blockDesc  per block column: true = descending in the total order
     * @param localOrder tie-break sort within a block (must complete the
     *                   total order)
-    * @param value      optional column to accumulate exactly alongside rank
+    * @param values     columns to accumulate exactly alongside rank
     */
   def blockedPrefix(
       df: DataFrame,
@@ -58,40 +73,27 @@ object BlockedRank {
       localOrder: Seq[Column],
       outRank: String,
       outTotalN: String,
-      value: Option[Column] = None,
-      outCum: String = "__cum",
-      outTotalV: String = "__total_v"): DataFrame = {
+      values: Seq[PrefixValue] = Nil): DataFrame = {
     require(blocks.nonEmpty && blocks.size == blockDesc.size)
     val blkNames = blocks.map(_._1)
     val keyCols = (partition ++ blkNames).map(col)
     val withBlk = blocks.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
-    val base = value match {
-      case Some(v) => withBlk.withColumn("__brk_v", v)
-      case None    => withBlk
+    val vNames = values.indices.map(i => s"__brk_v$i")
+    val base = values.zip(vNames).foldLeft(withBlk) {
+      case (d, (pv, n)) => d.withColumn(n, pv.value)
     }
 
-    val partials = value match {
-      case Some(_) =>
-        base.groupBy(keyCols: _*)
-          .agg(count(lit(1)).as("__brk_n"), sum(col("__brk_v")).as("__brk_sv"))
-      case None =>
-        base.groupBy(keyCols: _*).agg(count(lit(1)).as("__brk_n"))
-    }
+    val aggs = count(lit(1)).as("__brk_n") +:
+      vNames.map(n => sum(col(n)).as(s"${n}_s"))
+    val partials = base.groupBy(keyCols: _*).agg(aggs.head, aggs.tail: _*)
     val blkSort = blkNames.zip(blockDesc).map { case (n, d) =>
       if (d) col(n).desc else col(n).asc
     }
-    // Window over BLOCK SUMMARIES only (bounded; see scaladoc). The
-    // whole-table case partitions by a constant: same single-task execution
-    // the bounded summary calls for, but explicitly annotated — it keeps
-    // "WindowExec: No Partition Defined" warnings (and the PlanSpec guard
-    // that promotes them to failures) reserved for UNBOUNDED inputs. A bare
-    // lit(0) is stripped by EliminateWindowPartitions (foldable), so the
-    // constant is expressed as pmod(hash(blk), 1): always 0, never null,
-    // non-foldable — survives optimization, hashes every summary row to the
-    // one partition the bounded cumulative pass intends.
+    // Window over BLOCK SUMMARIES only (bounded; see scaladoc) — the
+    // whole-table case uses the boundedPartition idiom for exactly that
+    // reason.
     val wBase =
-      if (partition.isEmpty)
-        Window.partitionBy(pmod(hash(col(blkNames.head)), lit(1)))
+      if (partition.isEmpty) Window.partitionBy(boundedPartition(col(blkNames.head)))
       else Window.partitionBy(partition.map(col): _*)
     val wOff = wBase.orderBy(blkSort: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -100,29 +102,24 @@ object BlockedRank {
     val offsets0 = partials
       .withColumn("__brk_off", coalesce(sum(col("__brk_n")).over(wOff), lit(0L)))
       .withColumn(outTotalN, sum(col("__brk_n")).over(wTot))
-    val offsets = value match {
-      case Some(_) =>
-        offsets0
-          .withColumn("__brk_voff",
-            sum(col("__brk_sv")).over(wOff))
-          .withColumn(outTotalV, sum(col("__brk_sv")).over(wTot))
-          .drop("__brk_n", "__brk_sv")
-      case None => offsets0.drop("__brk_n")
-    }
+    val offsets = values.zip(vNames).foldLeft(offsets0) {
+      case (d, (pv, n)) =>
+        d.withColumn(s"${n}_off", sum(col(s"${n}_s")).over(wOff))
+          .withColumn(pv.outTotal, sum(col(s"${n}_s")).over(wTot))
+    }.drop("__brk_n").drop(vNames.map(_ + "_s"): _*)
 
     val wLocal = Window.partitionBy(keyCols: _*).orderBy(localOrder: _*)
     val ranked = base
       .join(offsets, partition ++ blkNames)
       .withColumn(outRank, col("__brk_off") + row_number().over(wLocal))
-    val out = value match {
-      case Some(_) =>
-        val localSum = sum(col("__brk_v")).over(
+    val out = values.zip(vNames).foldLeft(ranked) {
+      case (d, (pv, n)) =>
+        val localSum = sum(col(n)).over(
           wLocal.rowsBetween(Window.unboundedPreceding, 0))
-        ranked.withColumn(outCum,
-          when(col("__brk_voff").isNull, localSum) // first block: no offset
-            .otherwise(col("__brk_voff") + localSum))
-          .drop("__brk_voff", "__brk_v")
-      case None => ranked
+        d.withColumn(pv.outCum,
+          when(col(s"${n}_off").isNull, localSum) // first block: no offset
+            .otherwise(col(s"${n}_off") + localSum))
+          .drop(s"${n}_off", n)
     }
     out.drop("__brk_off").drop(blkNames: _*)
   }

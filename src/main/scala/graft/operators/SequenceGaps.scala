@@ -48,7 +48,11 @@ object SequenceGaps {
           "(a, b) -> struct(a + 1 AS gap_start, b - 1 AS gap_end)), " +
           "s -> s.gap_end >= s.gap_start)")).as("g"))
       .select(col("g.gap_start"), col("g.gap_end"))
-    val byBlk = Window.orderBy("blk") // block summaries only — see scaladoc
+    // block summaries only (see scaladoc) — the boundedPartition idiom
+    // marks the bound for the PlanSpec unpartitioned-window guard
+    val byBlk = Window
+      .partitionBy(BlockedRank.boundedPartition(col("blk")))
+      .orderBy("blk")
     val across = blocks
       .withColumn("next_min", lead(col("kmin"), 1).over(byBlk))
       .filter(col("next_min") > col("kmax") + 1)

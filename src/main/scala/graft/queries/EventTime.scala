@@ -420,7 +420,7 @@ object EventTime extends QueryModule {
     * summary.
     */
   def evtPareto(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.BlockedRank.blockedPrefix
+    import graft.operators.BlockedRank.{blockedPrefix, PrefixValue}
     val perUser = Tables.events(spark, sfDir)
       .groupBy("event_type", "user_id")
       .agg(sum(col("value").cast("decimal(19,6)")).as("v"))
@@ -433,7 +433,7 @@ object EventTime extends QueryModule {
       Seq("__b_v" -> floor(col("v"))), Seq(true),
       Seq(col("v").desc, col("user_id")),
       "rnk", "n_users",
-      value = Some(col("v")), outCum = "cum", outTotalV = "total")
+      values = Seq(PrefixValue(col("v"), "cum", "total")))
       .filter(col("cum") * 5 >= col("total") * 4)
       .groupBy(col("event_type"), col("n_users"), col("total"))
       .agg(min(col("rnk")).cast("int").as("users_to_80")) // int like row_number emitted

@@ -1179,7 +1179,11 @@ object Relational extends QueryModule {
       .withColumn("rn", row_number().over(byPrice))
       .filter(col("rn") === 1)
       .select(col("d"), col("p"), col("n"))
-    val laterMax = Window.orderBy(col("d").desc)
+    // distinct ship DATES only — calendar-bounded (~2.5k rows for 7 years),
+    // marked with the boundedPartition idiom for the PlanSpec window guard
+    val laterMax = Window
+      .partitionBy(graft.operators.BlockedRank.boundedPartition(col("d")))
+      .orderBy(col("d").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     champs
       .withColumn("later_max", max(col("p")).over(laterMax))

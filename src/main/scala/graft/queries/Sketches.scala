@@ -166,7 +166,11 @@ object Sketches extends QueryModule {
       .withColumn("bin", least(floor(col("p") / HistWidth), lit(HistBins - 1)).cast("int"))
     val partials = li.groupBy("mo", "bin").agg(count(lit(1)).as("pc"))
     val merged = partials.groupBy("bin").agg(sum(col("pc")).as("c"))
-    val byBin = org.apache.spark.sql.expressions.Window.orderBy("bin")
+    // HistBins fixed-width bins only — bounded by construction, marked
+    // with the boundedPartition idiom for the PlanSpec window guard
+    val byBin = org.apache.spark.sql.expressions.Window
+      .partitionBy(graft.operators.BlockedRank.boundedPartition(col("bin")))
+      .orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = merged

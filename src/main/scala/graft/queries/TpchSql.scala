@@ -170,13 +170,15 @@ object TpchSql extends QueryModule {
     * fixed fraction is not (TPC-H divides its 0.01% by SF for the same
     * reason — a fixed share empties as the part count grows; this corpus
     * proved it: 0.1% matched 52 parts at sf0.01 and zero at sf0.1). The
-    * total is SUM OVER () on the already-grouped per-part values — one
-    * scan of the join instead of the textbook scalar subquery's two — and
-    * the threshold compares in exact integer MICROS (the 6dp sums are
-    * exact decimal-grid multiples, so ×10⁶ is an exact BIGINT):
-    * s·n > 2·total avoids both float drift and decimal-width overflow.
-    * Headroom: |products| < 2e18 here; a 100 TB corpus upgrades the
-    * comparison to DECIMAL(38,0).
+    * total comes from a scalar-subquery cross join over the same grouped
+    * CTE — NOT `SUM(...) OVER ()`, which would sort the whole per-part
+    * table (O(parts), corpus-shaped) through ONE task; Spark's
+    * ReuseExchange serves both references of `v` from a single scan of the
+    * join, and the 1-row total broadcasts. The threshold compares in exact
+    * integer MICROS (the 6dp sums are exact decimal-grid multiples, so
+    * ×10⁶ is an exact BIGINT): s·n > 2·total avoids both float drift and
+    * decimal-width overflow. Headroom: |products| < 2e18 here; a 100 TB
+    * corpus upgrades the comparison to DECIMAL(38,0).
     */
   private val q11 =
     """WITH v AS (
@@ -187,16 +189,14 @@ object TpchSql extends QueryModule {
       |  JOIN region ON n_regionkey = r_regionkey
       |  WHERE r_name = 'ASIA'
       |  GROUP BY l_partkey
-      |), m AS (
-      |  SELECT l_partkey, s,
-      |    CAST(s * 1000000 AS BIGINT) AS sm,
-      |    CAST(SUM(CAST(s * 1000000 AS BIGINT)) OVER () AS BIGINT) AS tot,
-      |    COUNT(*) OVER () AS cnt
+      |), t AS (
+      |  SELECT CAST(SUM(CAST(s * 1000000 AS BIGINT)) AS BIGINT) AS tot,
+      |    COUNT(*) AS cnt
       |  FROM v
       |)
       |SELECT l_partkey, CAST(s AS DOUBLE) AS value
-      |FROM m
-      |WHERE sm * cnt > 2 * tot
+      |FROM v CROSS JOIN t
+      |WHERE CAST(s * 1000000 AS BIGINT) * cnt > 2 * tot
       |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** Q13 customer order-count distribution: left join preserving

@@ -104,6 +104,42 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_quantity"), readSchema)
   }
 
+  test("no unpartitioned Window over unbounded input anywhere in the query surface") {
+    // An unpartitioned window funnels its whole input through ONE task —
+    // the evt_rfm/evt_pareto class of 100 TB scale hazard. The guard scans
+    // every registered query's optimized plan (post-EliminateWindowPartitions,
+    // so a foldable partition key does not fool it). Queries whose
+    // unpartitioned window provably runs over a BOUNDED summary are
+    // whitelisted here WITH the bound; everything else must partition
+    // (BlockedRank's pmod(hash,1) idiom marks intentional single-partition
+    // summary passes and keeps the spec green).
+    val whitelist: Map[String, String] = Map.empty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(whitelist.contains)
+      .flatMap { name =>
+        val lp = SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
+        val bad = lp.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        if (bad.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.mkString(", ")} — partition it, " +
+        "restructure via BlockedRank, or whitelist with a documented bound")
+  }
+
+  test("the window guard detects an unpartitioned window (positive control)") {
+    import org.apache.spark.sql.functions._
+    val probe = Tables.customer(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("c_custkey")))
+    val bad = probe.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.nonEmpty, "the guard's detector must flag a real unpartitioned window")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // codegen'd operators render with a "*(stageId)" prefix — but only in
     // the FINAL adaptive plan, so execute before inspecting.
