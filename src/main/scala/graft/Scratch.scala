@@ -6,6 +6,11 @@ import org.apache.spark.sql.SparkSession
   * contract): `runMain graft.Scratch <query_name>` times one registered
   * query 3× at SPARK_GRAFT_SF_DIR — the fast loop for optimizing one
   * operator without paying for a full Bench sweep.
+  *
+  * Multi-query form: a comma-separated list runs each query 3× and ends
+  * with ONE JSON line (`{"scratch":{...}}`, min-of-3 seconds per query) —
+  * the steady-state per-query baseline a full Bench sweep can't give
+  * (run-order/GC noise there is ±20%; see SCRATCH_r*.json round records).
   */
 object Scratch {
   def main(args: Array[String]): Unit = {
@@ -19,13 +24,22 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
-    val name = args.headOption.getOrElse("dedup_containment")
+    val names = args.headOption.getOrElse("dedup_containment").split(',').toSeq
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"[scratch] $name run$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      names.foreach(n => SparkEntry.queries(n)(spark, sfDir).explain("formatted"))
+    val mins = names.map { name =>
+      val times = (1 to 3).map { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"[scratch] $name run$i rows=$n $s%.2f s")
+        s
+      }
+      name -> times.min
+    }
+    if (names.size > 1) {
+      val body = mins.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString(",")
+      println(s"""{"scratch":{$body},"sf":"$sfDir","cpus":$cpus}""")
     }
     spark.stop()
   }

@@ -66,6 +66,13 @@ object Graph extends QueryModule {
       .select("src", "dst")
     strong.union(strong.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      // lineage cut: the iterative BFS queries reference this frame once
+      // per round, and each reference would otherwise INLINE the whole
+      // threshold derivation (the scalar crossJoin included) into an
+      // exponentially-growing plan — measured 7× on graph_closeness. The
+      // frame is ≤|nations|² rows by construction, so the eager
+      // checkpoint is O(nothing) at any corpus scale.
+      .localCheckpoint(true)
   }
 
   private def nationNodes(spark: SparkSession, sfDir: String): DataFrame =
@@ -158,6 +165,8 @@ object Graph extends QueryModule {
           when(col("d").isNull, col("nd"))
             .when(col("nd").isNull, col("d"))
             .otherwise(least(col("d"), col("nd"))).as("d"))
+        // per-round lineage cut: node-count-bounded frame, doubling plan
+        .localCheckpoint(true)
     }
 
     val d0 = nodes.select(col("node"),
@@ -220,6 +229,9 @@ object Graph extends QueryModule {
       val expand = dist.join(und.withColumnRenamed("src", "n"), "n")
         .select(col("s"), col("dst").as("n"), (col("d") + 1).as("d"))
       dist = dist.union(expand).groupBy("s", "n").agg(min(col("d")).as("d"))
+        // per-round lineage cut (ConnectedComponents discipline): dist is
+        // (sources × nodes)-bounded, but its PLAN doubles per round
+        .localCheckpoint(true)
     }
     val nodes = Tables.nation(spark, sfDir)
       .select(col("n_nationkey").as("node"), col("n_name"))
