@@ -1,0 +1,101 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property: `BlockedRank.blockedPrefix` produces EXACTLY the ranks,
+  * running sums, and totals of the unpartitioned-window form it replaces —
+  * for random data, random block widths (so blocks are unbalanced, some
+  * singleton, some holding everything), descending and ascending block
+  * orders, with and without an outer partition; and `ntileFromRank`
+  * reproduces `ntile(n)` bit-for-bit including the uneven-bucket remainder
+  * distribution. Raw scalacheck generators from a fixed seed (the
+  * EnrichPropSpec bridge-free pattern).
+  */
+class BlockedRankPropSpec extends SparkSpec {
+
+  import BlockedRank._
+
+  private val caseGen: Gen[(List[(Int, Long, Long)], Int, Boolean)] = for {
+    n <- Gen.chooseNum(1, 80)
+    rows <- Gen.listOfN(n, for {
+      grp <- Gen.chooseNum(0, 2)     // outer partition key
+      metric <- Gen.chooseNum(0L, 40L) // heavy ties across block boundaries
+      id <- Gen.chooseNum(0L, 1000L) // tiebreak (may itself collide; see below)
+    } yield (grp, metric, id))
+    block <- Gen.oneOf(1, 3, 10, 100)
+    desc <- Gen.oneOf(true, false)
+  } yield (rows, block, desc)
+
+  test("blockedPrefix ≡ unpartitioned window: rank, running sum, totals") {
+    import spark.implicits._
+    (0 until 25).foreach { i =>
+      val (rows0, block, desc) = caseGen(Gen.Parameters.default, Seed(1337L + i))
+        .getOrElse(fail(s"generator returned nothing for case $i"))
+      // keep one row per (metric, id) so BOTH total orders (whole-table
+      // and per-group) are unambiguous — the operator contract requires
+      // localOrder to COMPLETE the order
+      val rows = rows0.distinct.groupBy(r => (r._2, r._3))
+        .map(_._2.head).toList.sorted
+      val df = rows.toDF("grp", "m", "id")
+      val mSort = if (desc) col("m").desc else col("m").asc
+
+      // whole-table order (no outer partition)
+      val w = Window.orderBy(mSort, col("id"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val expected = df
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("id")).over(wCum))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tv", sum(col("id")).over(wAll))
+        .select("grp", "m", "id", "rk", "cum", "n", "tv")
+        .collect().map(_.toSeq).toSet
+      val got = blockedPrefix(df, Nil,
+        Seq("__b" -> idiv(col("m"), lit(block))), Seq(desc),
+        Seq(mSort, col("id")), "rk", "n",
+        values = Seq(PrefixValue(col("id"), "cum", "tv")))
+        .select("grp", "m", "id", "rk", "cum", "n", "tv")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"case $i: block=$block desc=$desc rows=$rows")
+
+      // per-group order (outer partition present)
+      val wg = Window.partitionBy("grp").orderBy(mSort, col("id"))
+      val wgCum = wg.rowsBetween(Window.unboundedPreceding, 0)
+      val wgAll = Window.partitionBy("grp").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val expectedG = df
+        .withColumn("rk", row_number().over(wg).cast("long"))
+        .withColumn("cum", sum(col("id")).over(wgCum))
+        .withColumn("n", count(lit(1)).over(wgAll))
+        .select("grp", "m", "id", "rk", "cum", "n")
+        .collect().map(_.toSeq).toSet
+      val gotG = blockedPrefix(df, Seq("grp"),
+        Seq("__b" -> idiv(col("m"), lit(block))), Seq(desc),
+        Seq(mSort, col("id")), "rk", "n",
+        values = Seq(PrefixValue(col("id"), "cum", "__tv")))
+        .select("grp", "m", "id", "rk", "cum", "n")
+        .collect().map(_.toSeq).toSet
+      assert(gotG == expectedG, s"case $i (grouped): block=$block desc=$desc")
+    }
+  }
+
+  test("ntileFromRank ≡ ntile(n) including the uneven-remainder buckets") {
+    import spark.implicits._
+    for (total <- Seq(1, 4, 5, 7, 23, 100); n <- Seq(2, 3, 5, 7)) {
+      val df = (1 to total).toDF("id")
+      val w = Window.orderBy("id")
+      val expected = df.withColumn("t", ntile(n).over(w))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val got = df
+        .withColumn("rk", col("id").cast("long"))
+        .withColumn("t", ntileFromRank(col("rk"), lit(total.toLong), n))
+        .collect().map(r => r.getInt(0) -> r.getInt(2)).toMap
+      assert(got == expected, s"total=$total n=$n")
+    }
+  }
+}
