@@ -79,11 +79,15 @@ object BlockedRank {
     val keyCols = (partition ++ blkNames).map(col)
     val withBlk = blocks.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
     val vNames = values.indices.map(i => s"__brk_v$i")
-    // The input feeds TWO branches (block partials, and the join back) —
-    // but both shuffle on the SAME (partition ++ block) keys, so
-    // ReuseExchange serves them from one computation of the upstream; a
+    // The input feeds TWO branches (block partials, and the join back).
+    // The branches' own exchanges differ (partial-agg vs plain hash), but
+    // every branch recomputation bottoms out in the input's OWN deepest
+    // exchange (e.g. evt_rfm's events groupBy), which IS identical across
+    // branches — AQE's stage reuse materializes that shuffle once and the
+    // branches re-read it, so the expensive scan never duplicates. Only
+    // the post-shuffle summary-sized map work runs per branch; an explicit
     // localCheckpoint here was measured STRICTLY worse (materialization
-    // cost with no recompute saved).
+    // cost with no scan recompute to save).
     val base = values.zip(vNames).foldLeft(withBlk) {
       case (d, (pv, n)) => d.withColumn(n, pv.value)
     }
