@@ -133,6 +133,54 @@ object BlockedRank {
     out.drop("__brk_off").drop(blkNames: _*)
   }
 
+  /** Exact distributed order statistics — the rows of `df` sitting at the
+    * requested 1-based ranks of the total order, found WITHOUT a global
+    * sort (the k-th-element primitive behind boundary-based quantile
+    * scoring): block partials → bounded summary window for offsets → a
+    * broadcast range-join pins each requested rank to its ONE owning block
+    * → only the owning blocks' rows survive the broadcast equi-join and
+    * get a local sort. Cost: one groupBy shuffle of `df` + a local sort of
+    * |ranks| blocks — rank extraction never touches the rest of the data.
+    *
+    * `ranks` must be a 1-column BIGINT frame named `__r` with DISTINCT
+    * values (duplicate requested ranks would duplicate the owning block's
+    * rows under one window partition); it stays a PLAN, so data-dependent
+    * ranks (N·k/5 from a count aggregate) never hit the driver.
+    */
+  def selectByRank(
+      df: DataFrame,
+      blocks: Seq[(String, Column)],
+      blockDesc: Seq[Boolean],
+      localOrder: Seq[Column],
+      ranks: DataFrame,
+      outRank: String): DataFrame = {
+    require(blocks.nonEmpty && blocks.size == blockDesc.size)
+    val blkNames = blocks.map(_._1)
+    val withBlk = blocks.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    val partials = withBlk.groupBy(blkNames.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val blkSort = blkNames.zip(blockDesc).map { case (n, d) =>
+      if (d) col(n).desc else col(n).asc
+    }
+    val wOff = Window.partitionBy(boundedPartition(col(blkNames.head)))
+      .orderBy(blkSort: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partials
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+    // bounded summary × tiny rank list: which block owns each rank
+    val targets = offsets.join(broadcast(ranks),
+        col("__r") > col("__off") && col("__r") <= col("__off") + col("__n"))
+      .select(blkNames.map(col) :+ col("__off") :+ col("__r"): _*)
+    // partition by (block, __r): two ranks in one block must each see the
+    // whole block once, not interleave each other's duplicated rows
+    val wLocal = Window.partitionBy((blkNames :+ "__r").map(col): _*)
+      .orderBy(localOrder: _*)
+    withBlk.join(broadcast(targets), blkNames)
+      .withColumn("__rn", row_number().over(wLocal))
+      .filter(col("__rn") === col("__r") - col("__off"))
+      .withColumn(outRank, col("__r"))
+      .drop("__rn", "__off", "__r").drop(blkNames: _*)
+  }
+
   /** `ntile(n)` bucket from an exact rank — Spark's distribution: with N
     * rows, the first `N mod n` buckets get `N div n + 1` rows, the rest
     * `N div n` (matches `NTile` in catalyst and DuckDB/ANSI NTILE). Pure

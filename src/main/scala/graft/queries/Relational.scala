@@ -1278,10 +1278,36 @@ object Relational extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Exact order statistics by rank — the rows at the exact quartile ranks
+    * (N·k div 4, k = 1..3) of the (o_totalprice, o_orderkey) total order,
+    * WITHOUT a global sort: [[graft.operators.BlockedRank.selectByRank]]
+    * pins each requested rank to its owning price-block from a bounded
+    * block summary and sorts ONLY those blocks (3 of them), so the
+    * distributed k-th-element cost is one groupBy shuffle + three
+    * block-local sorts at any corpus size. The rank list itself derives
+    * from the count aggregate inside the plan — no collect. (This is the
+    * exact-selection complement to `agg_percentile`'s interpolating form.)
+    */
+  def aggRankSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank._
+    val o = Tables.orders(spark, sfDir)
+      .select(col("o_totalprice"), col("o_orderkey"))
+    val ranks = o.agg(count(lit(1)).as("__N"))
+      .select(explode(sequence(lit(1L), lit(3L))).as("__k"), col("__N"))
+      .select(greatest(lit(1L), idiv(col("__N") * col("__k"), lit(4L))).as("__r"))
+      .distinct()
+    selectByRank(o,
+      Seq("__b" -> floor(col("o_totalprice"))), Seq(false),
+      Seq(col("o_totalprice"), col("o_orderkey")), ranks, "rank_at")
+      .select(col("rank_at"), col("o_totalprice"), col("o_orderkey"))
+      .orderBy("rank_at")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_native" -> (joinAsofNative _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_multi"  -> (joinAsofMulti _),
+    "agg_rank_select"  -> (aggRankSelect _),
     "agg_skyline"      -> (aggSkyline _),
     "agg_winsorized"   -> (aggWinsorized _),
     "agg_salted_twophase" -> (aggSaltedTwophase _),
@@ -1414,6 +1440,18 @@ object Relational extends QueryModule {
         |SELECT d AS sky_date, p AS sky_price, n AS n_dup
         |FROM marked WHERE later_max IS NULL OR p > later_max
         |ORDER BY sky_date""".stripMargin,
+    "agg_rank_select" ->
+      """WITH ranked AS (
+        |  SELECT o_totalprice, o_orderkey,
+        |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders
+        |)
+        |SELECT rn AS rank_at, o_totalprice, o_orderkey
+        |FROM ranked
+        |WHERE rn IN (GREATEST(1, n * 1 // 4), GREATEST(1, n * 2 // 4),
+        |             GREATEST(1, n * 3 // 4))
+        |ORDER BY rank_at""".stripMargin,
     "agg_winsorized" ->
       """WITH fences AS (
         |  SELECT l_returnflag,

@@ -84,6 +84,34 @@ class BlockedRankPropSpec extends SparkSpec {
     }
   }
 
+  test("selectByRank returns exactly the rows at the requested ranks") {
+    import spark.implicits._
+    (0 until 15).foreach { i =>
+      val (rows0, block, desc) = caseGen(Gen.Parameters.default, Seed(9001L + i))
+        .getOrElse(fail(s"generator returned nothing for case $i"))
+      val rows = rows0.distinct.groupBy(r => (r._2, r._3))
+        .map(_._2.head).toList.sorted
+      val df = rows.toDF("grp", "m", "id")
+      val n = rows.size
+      // a spread of ranks incl. first/last and a mid duplicate-free set
+      val rankVals = Seq(1L, (n / 3 + 1).toLong, (2 * n / 3 + 1).toLong, n.toLong)
+        .filter(r => r >= 1 && r <= n).distinct
+      val ranks = rankVals.toDF("__r")
+      val mSort = if (desc) col("m").desc else col("m").asc
+      val w = Window.orderBy(mSort, col("id"))
+      val expected = df.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk").isin(rankVals: _*))
+        .select("grp", "m", "id", "rk")
+        .collect().map(_.toSeq).toSet
+      val got = selectByRank(df,
+        Seq("__b" -> idiv(col("m"), lit(block))), Seq(desc),
+        Seq(mSort, col("id")), ranks, "rk")
+        .select("grp", "m", "id", "rk")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"case $i: block=$block desc=$desc ranks=$rankVals")
+    }
+  }
+
   test("ntileFromRank ≡ ntile(n) including the uneven-remainder buckets") {
     import spark.implicits._
     for (total <- Seq(1, 4, 5, 7, 23, 100); n <- Seq(2, 3, 5, 7)) {
