@@ -38,7 +38,12 @@ object Scratch {
       name -> times.min
     }
     if (names.size > 1) {
-      val body = mins.map { case (n, s) => s""""$n":${f"$s%.3f"}""" }.mkString(",")
+      // Locale.ROOT: the default-locale f-interpolator would emit a comma
+      // decimal separator on e.g. de_DE JVMs — invalid JSON
+      val body = mins.map { case (n, s) =>
+        "\"" + n + "\":" + String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(s))
+      }.mkString(",")
       println(s"""{"scratch":{$body},"sf":"$sfDir","cpus":$cpus}""")
     }
     spark.stop()

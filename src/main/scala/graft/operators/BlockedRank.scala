@@ -125,9 +125,13 @@ object BlockedRank {
       case (d, (pv, n)) =>
         val localSum = sum(col(n)).over(
           wLocal.rowsBetween(Window.unboundedPreceding, 0))
-        d.withColumn(pv.outCum,
-          when(col(s"${n}_off").isNull, localSum) // first block: no offset
-            .otherwise(col(s"${n}_off") + localSum))
+        val off = col(s"${n}_off")
+        // window-sum semantics exactly: NULL only when NOTHING non-null
+        // has been seen yet — the offset is NULL before the first block
+        // (or when all prior blocks' values were NULL), and the local sum
+        // is NULL while the current block has seen only NULLs; either
+        // alone must still surface, so coalesce over (sum, off, local)
+        d.withColumn(pv.outCum, coalesce(off + localSum, off, localSum))
           .drop(s"${n}_off", n)
     }
     out.drop("__brk_off").drop(blkNames: _*)

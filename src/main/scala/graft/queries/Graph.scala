@@ -38,7 +38,13 @@ object Graph extends QueryModule {
   private val volCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def tradeVolume(spark: SparkSession, sfDir: String): DataFrame =
+  private def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    // bound the cache: a long session sweeping many corpora must not pin
+    // storage blocks forever — evict (and unpersist) beyond 4 entries
+    if (!volCache.contains((spark, sfDir)) && volCache.size >= 4)
+      volCache.keys.headOption.foreach { k =>
+        volCache.remove(k).foreach(_.unpersist())
+      }
     volCache.getOrElseUpdate((spark, sfDir), {
       val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
       val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
@@ -53,6 +59,7 @@ object Graph extends QueryModule {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
+  }
 
   /** The symmetric above-mean-volume edge list three queries share:
     * self-loops dropped, pairs kept when w·n_pairs > Σw (integer

@@ -173,22 +173,27 @@ class LandingWriter(staging: String, taskDir: String, idx: (Int, Int, Int))
     extends DataWriter[InternalRow] {
   private val (ki, ci, mi) = idx
   private val written = scala.collection.mutable.ArrayBuffer.empty[String]
+  private val taskRoot = Paths.get(staging, taskDir).toAbsolutePath.normalize()
 
   override def write(row: InternalRow): Unit = {
     val key = row.getUTF8String(ki).toString
     // An object key is data, not a path: reject absolute keys and keys
     // whose normalized form escapes the zone ('../x' would otherwise
     // stage — and later publish — outside the landing directory).
-    val taskRoot = Paths.get(staging, taskDir).toAbsolutePath.normalize()
     val p = taskRoot.resolve(key).normalize()
     require(!Paths.get(key).isAbsolute && p.startsWith(taskRoot) && p != taskRoot,
       s"object key escapes the landing zone: '$key'")
+    // Stage, record, and sidecar under the NORMALIZED relative key: a key
+    // with an interior '..' ("a/../b") is in-zone but its raw form names a
+    // directory that is never created — staging one form and recording the
+    // other would crash the sidecar write or the commit move mid-publish.
+    val rel = taskRoot.relativize(p).toString
     val body =
       if (ci >= 0 && !row.isNullAt(ci)) row.getUTF8String(ci).getBytes
       else Array.empty[Byte]
     Files.createDirectories(p.getParent)
     Files.write(p, body)
-    written += s"$taskDir/$key"
+    written += s"$taskDir/$rel"
     if (mi >= 0 && !row.isNullAt(mi)) {
       val m = row.getMap(mi)
       if (m.numElements() > 0) {
@@ -204,9 +209,9 @@ class LandingWriter(staging: String, taskDir: String, idx: (Int, Int, Int))
             s"metadata value for '$mk' contains a newline (object '$key')")
           s"$mk=$mv"
         }.mkString("\n")
-        Files.write(Paths.get(staging, taskDir, key + ".meta"),
+        Files.write(taskRoot.resolve(rel + ".meta"),
           lines.getBytes(StandardCharsets.UTF_8))
-        written += s"$taskDir/$key.meta"
+        written += s"$taskDir/$rel.meta"
       }
     }
   }
@@ -375,7 +380,20 @@ class LandingMicroBatchStream(
     }
   }
 
-  override def deserializeOffset(json: String): Offset = LandingOffset.parse(json)
+  override def deserializeOffset(json: String): Offset =
+    if (json.forall(_.isDigit)) {
+      // legacy row-count offset (pre-watermark checkpoints stored "N" =
+      // first N ledger entries processed): migrate by re-listing and
+      // taking the N-th entry's (mtime, key) as the watermark — valid
+      // under the old format's own monotone-arrival assumption
+      val n = json.toInt
+      val l = ledger()
+      if (n <= 0 || l.isEmpty) LandingOffset.Start
+      else {
+        val (m, k) = l(math.min(n, l.length) - 1)
+        LandingOffset(m, l.collect { case (`m`, key) if key <= k => key })
+      }
+    } else LandingOffset.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[LandingOffset]

@@ -108,13 +108,11 @@ class PlanSpec extends SparkSpec {
     // An unpartitioned window funnels its whole input through ONE task —
     // the evt_rfm/evt_pareto class of 100 TB scale hazard. The guard scans
     // every registered query's optimized plan (post-EliminateWindowPartitions,
-    // so a foldable partition key does not fool it). Queries whose
-    // unpartitioned window provably runs over a BOUNDED summary are
-    // whitelisted here WITH the bound; everything else must partition
-    // (BlockedRank's pmod(hash,1) idiom marks intentional single-partition
-    // summary passes and keeps the spec green).
-    val whitelist: Map[String, String] = Map.empty
-    val offenders = SparkEntry.queries.keys.toSeq.sorted.filterNot(whitelist.contains)
+    // so a foldable partition key does not fool it). There is NO whitelist:
+    // a window over a provably bounded summary must carry
+    // BlockedRank.boundedPartition (with the bound documented at the call
+    // site), which is what keeps intentional single-partition passes green.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
       .flatMap { name =>
         val lp = SparkEntry.queries(name)(spark, sf0001).queryExecution.optimizedPlan
         val bad = lp.collect {
@@ -125,7 +123,8 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"unpartitioned Window in: ${offenders.mkString(", ")} — partition it, " +
-        "restructure via BlockedRank, or whitelist with a documented bound")
+        "restructure via BlockedRank, or (for a provably bounded summary) " +
+        "mark it with BlockedRank.boundedPartition + a documented bound")
   }
 
   test("the window guard detects an unpartitioned window (positive control)") {

@@ -112,6 +112,27 @@ class BlockedRankPropSpec extends SparkSpec {
     }
   }
 
+  test("running value sum matches window null-skipping semantics on nullable values") {
+    import spark.implicits._
+    // block 1 = {1,2} with values, block 2 starts with a NULL value: the
+    // cum at that row must be the prior blocks' 3 (window sums skip
+    // nulls), not NULL; and rows before any non-null value stay NULL
+    val df = Seq(
+      (0L, Option.empty[Long]), // block 0: value null → cum null
+      (10L, Some(1L)), (11L, Some(2L)), // block 1
+      (20L, Option.empty[Long]), (21L, Some(5L))) // block 2 starts null
+      .toDF("m", "v")
+    val got = blockedPrefix(df, Nil,
+      Seq("__b" -> idiv(col("m"), lit(10))), Seq(false),
+      Seq(col("m")), "rk", "n",
+      values = Seq(PrefixValue(col("v"), "cum", "tv")))
+      .orderBy("m").select("m", "cum").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(got.toSeq == Seq(
+      0L -> None, 10L -> Some(1L), 11L -> Some(3L),
+      20L -> Some(3L), 21L -> Some(8L)))
+  }
+
   test("ntileFromRank ≡ ntile(n) including the uneven-remainder buckets") {
     import spark.implicits._
     for (total <- Seq(1, 4, 5, 7, 23, 100); n <- Seq(2, 3, 5, 7)) {

@@ -241,6 +241,22 @@ class LandingSourceSpec extends SparkSpec {
     assert(Files.list(Paths.get(dir)).iterator().asScala.toSeq.isEmpty)
   }
 
+  test("write accepts an interior '..' that stays in-zone, normalized consistently") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("landing-n").toString
+    // "a/../b.txt" normalizes to "b.txt" INSIDE the zone: it must publish
+    // (with its sidecar) under the normalized key, not crash on the raw
+    // form's nonexistent 'a' directory
+    Seq(("a/../b.txt", "body", Map("owner" -> "ops")))
+      .toDF("key", "content", "metadata")
+      .withColumn("byte_len", length(col("content")))
+      .select("key", "byte_len", "content", "metadata")
+      .write.format("graft-landing").mode("append").save(dir)
+    val back = zone.load(dir).collect()
+    assert(back.map(_.getString(0)).toSeq == Seq("b.txt"))
+    assert(back(0).getMap[String, String](3).toMap == Map("owner" -> "ops"))
+  }
+
   test("write path: a failed job aborts — zone untouched, staging removed") {
     import spark.implicits._
     val dir = Files.createTempDirectory("landing-a").toString
