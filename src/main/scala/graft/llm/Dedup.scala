@@ -171,6 +171,45 @@ object Dedup extends QueryModule {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Incremental near-dedup — the daily-ingest shape: score each NEW
+    * batch document (doc_id mod 10 = 9 stands in for today's arrivals)
+    * against the EXISTING corpus (the other 90%) only, never corpus
+    * self-pairs. Candidates come from the same banded-LSH equi-join as
+    * `dedupMinhash`, but DIRECTED new→old — at scale the old side's band
+    * rows are the PRE-BUILT signature index (materialized once in the
+    * curated zone, appended per batch), so a daily batch costs O(batch)
+    * signature computation plus an equi-join against the index instead of
+    * an O(corpus) self-join. Verification matches `dedupMinhash` (exact
+    * Jaccard ≥ 0.5 via the sorted-merge native count); output is each new
+    * doc's BEST existing match (highest jaccard, lowest old id on ties) —
+    * the keep/drop decision an ingest gate acts on.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = shingled(Tables.documents(spark, sfDir))
+    val isNew = col("doc_id") % 4 === 3
+    val newBands = bandRowsOf(all.filter(isNew))
+    val oldBands = bandRowsOf(all.filter(!isNew))
+    val cand = newBands.as("n").join(oldBands.as("o"),
+        col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val sortedDocs = all.select(col("doc_id"), sort_array(col("s")).as("s"))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sa"), col("sb"))
+    val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("new_id").orderBy(col("jacc").desc, col("old_id"))
+    cand
+      .join(sortedDocs.select(col("doc_id").as("new_id"), col("s").as("sa")), "new_id")
+      .join(sortedDocs.select(col("doc_id").as("old_id"), col("s").as("sb")), "old_id")
+      .withColumn("jacc", round(jacc, 6))
+      .filter(col("jacc") >= 0.5)
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("old_id").as("dup_of"), col("jacc"))
+      .orderBy("new_id")
+  }
+
   /** LSH recall report — the measurement that justifies trusting MinHash
     * banding at scale: exact all-pairs Jaccard ≥ 0.5 ground truth (PPJoin
     * at t = 0.5, still prefix-filtered) LEFT JOIN the LSH pipeline's
@@ -431,6 +470,7 @@ object Dedup extends QueryModule {
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_incremental"   -> (dedupIncremental _),
     "dedup_lsh_recall"    -> (dedupLshRecall _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -523,6 +563,40 @@ object Dedup extends QueryModule {
            |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
            |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_incremental" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $duckShingles AS s FROM documents
+           |), sh AS (
+           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+           |), perms(i, pa, pb) AS (VALUES $permValues),
+           |sig AS (
+           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+           |), bands AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+           |  FROM sig GROUP BY doc_id, i // 4
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS new_id, y.doc_id AS old_id
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key
+           |  WHERE x.doc_id % 4 = 3 AND y.doc_id % 4 <> 3
+           |), scored AS (
+           |  SELECT new_id, old_id,
+           |    ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc
+           |  FROM cand JOIN d a ON cand.new_id = a.doc_id
+           |            JOIN d b ON cand.old_id = b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |), best AS (
+           |  SELECT new_id, old_id AS dup_of, jacc,
+           |    row_number() OVER (PARTITION BY new_id ORDER BY jacc DESC, old_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT new_id, dup_of, jacc FROM best WHERE rn = 1
+           |ORDER BY new_id""".stripMargin,
       "dedup_minhash" ->
         s"""WITH d AS (
            |  SELECT doc_id, $duckShingles AS s FROM documents
