@@ -411,6 +411,56 @@ object EventTime extends QueryModule {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Kaplan-Meier survival curve over user lifetimes — the retention
+    * analyst's "what fraction of users survive past day t", with proper
+    * right-censoring: a user whose last event lands on the corpus
+    * watermark day is CENSORED (still alive at observation end), not a
+    * churn event — the estimator's whole point vs naive retention. At
+    * each distinct lifetime t: d_t churns, the at-risk set n_t = users
+    * with lifetime ≥ t, factor 1 − d_t/n_t. The curve is emitted as
+    * LOG-survival — each step's ln(factor) computed on identical doubles
+    * (the ln-on-identical-inputs contract text_entropy pins), rounded to
+    * the 9dp decimal grid BEFORE the cumulative sum, so the accumulation
+    * is order-free; NULL marks exact extinction (d_t = n_t, where
+    * ln diverges). Scale shape: one per-user groupBy, then everything
+    * runs on the DISTINCT-LIFETIME axis — calendar-bounded, so the
+    * cumulative windows use the boundedPartition idiom.
+    */
+  def evtSurvival(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank.boundedPartition
+    val days = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase") // churn = purchasing stops
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"))
+    val lifetimes = days
+      .transform(d => d.crossJoin(broadcast(d.agg(max(col("last_day")).as("cmax")))))
+      .select(datediff(col("last_day"), col("first_day")).as("t"),
+        (col("last_day") === col("cmax")).cast("int").as("censored"))
+    val byT = lifetimes.groupBy("t").agg(
+      count(lit(1)).as("leaving"),
+      sum(lit(1) - col("censored")).as("n_deaths"),
+      sum(col("censored")).as("n_censored"))
+    val total = byT.agg(sum(col("leaving")).as("n_total"))
+    val wPrev = Window.partitionBy(boundedPartition(col("t"))).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(boundedPartition(col("t"))).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_at_risk",
+        col("n_total") - coalesce(sum(col("leaving")).over(wPrev), lit(0L)))
+      .withColumn("lnf", when(col("n_deaths") < col("n_at_risk"),
+        round(log(lit(1.0) - col("n_deaths").cast("double") / col("n_at_risk")), 9)
+          .cast("decimal(16,9)")))
+      .withColumn("log_survival",
+        when(max(when(col("n_deaths") === col("n_at_risk"), 1).otherwise(0))
+          .over(wCum) === 1, lit(null).cast("double"))
+          .otherwise(sum(col("lnf")).over(wCum).cast("double")))
+      .select(col("t").as("t_days"), col("n_at_risk"), col("n_deaths"),
+        col("n_censored"), col("log_survival"))
+      .orderBy("t_days")
+  }
+
   /** Pareto concentration per event type — "how few users produce 80% of
     * the value": users ranked by exact-decimal value (desc, user_id
     * tiebreak), the 80% crossing found by CROSS-MULTIPLIED decimal compare
@@ -709,6 +759,7 @@ object EventTime extends QueryModule {
     "evt_pareto"      -> (evtPareto _),
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
+    "evt_survival"    -> (evtSurvival _),
     "evt_attribution" -> (evtAttribution _),
     "win_session_cap" -> (winSessionCap _),
     "evt_cohort_ltv" -> (evtCohortLtv _),
@@ -1185,6 +1236,43 @@ object EventTime extends QueryModule {
         |  CAST(SUM(monetary) AS DOUBLE) AS segment_value
         |FROM q GROUP BY r_score, f_score, m_score
         |ORDER BY r_score, f_score, m_score""".stripMargin,
+    "evt_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day,
+        |    CAST(MAX(ts) AS DATE) AS last_day
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), lt AS (
+        |  SELECT date_diff('day', first_day, last_day) AS t,
+        |    CASE WHEN last_day = (SELECT MAX(last_day) FROM pu)
+        |         THEN 1 ELSE 0 END AS censored
+        |  FROM pu
+        |), byt AS (
+        |  SELECT t, COUNT(*) AS leaving,
+        |    SUM(1 - censored) AS n_deaths, SUM(censored) AS n_censored
+        |  FROM lt GROUP BY t
+        |), w AS (
+        |  SELECT *, (SELECT SUM(leaving) FROM byt)
+        |    - COALESCE(SUM(leaving) OVER (ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM byt
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN n_deaths < n_at_risk
+        |      THEN CAST(ROUND(ln(1 - n_deaths::DOUBLE / n_at_risk), 9)
+        |                AS DECIMAL(16,9)) END AS lnf,
+        |    MAX(CASE WHEN n_deaths = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |            AND CURRENT ROW) AS dead
+        |  FROM w
+        |)
+        |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |  CAST(n_deaths AS BIGINT) AS n_deaths,
+        |  CAST(n_censored AS BIGINT) AS n_censored,
+        |  CASE WHEN dead = 1 THEN NULL
+        |       ELSE CAST(SUM(lnf) OVER (ORDER BY t ROWS BETWEEN
+        |              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  END AS log_survival
+        |FROM f ORDER BY t_days""".stripMargin,
     "evt_attribution" ->
       """WITH c1 AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id

@@ -1303,11 +1303,43 @@ object Relational extends QueryModule {
       .orderBy("rank_at")
   }
 
+  /** Gini concentration of order value per priority class — the standard
+    * inequality index ("how concentrated is revenue across orders"), in
+    * EXACT integer arithmetic: G = Σ(2·rankᵢ − n − 1)·xᵢ / (n·Σxᵢ) over
+    * the (cents, orderkey) total order, reported in integer ppm. Ranks
+    * come from [[graft.operators.BlockedRank.blockedPrefix]] partitioned
+    * by priority (block = the million-cent value band) — no per-class
+    * global sort; numerator/denominator accumulate as DECIMAL(38,0)
+    * (rank·cents products reach ~10²⁶ at 10⁹ rows), and the single
+    * division at the end is integral — bit-stable at any scale.
+    */
+  def aggGini(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank._
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderpriority").as("pri"),
+      round(col("o_totalprice") * 100).cast("bigint").as("cents"),
+      col("o_orderkey"))
+    blockedPrefix(o, Seq("pri"),
+      Seq("__b" -> idiv(col("cents"), lit(1000000L))), Seq(false),
+      Seq(col("cents"), col("o_orderkey")), "rk", "n")
+      .groupBy("pri")
+      .agg(
+        max(col("n")).as("n_orders"),
+        sum((col("rk") * 2 - col("n") - 1).cast("decimal(38,0)")
+          * col("cents")).as("num"),
+        sum(col("cents").cast("decimal(38,0)")).as("den"))
+      .select(col("pri"), col("n_orders"),
+        expr("CAST((num * 1000000) div (n_orders * den) AS BIGINT)")
+          .as("gini_ppm"))
+      .orderBy("pri")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof_native" -> (joinAsofNative _),
     "join_asof_tolerance" -> (joinAsofTolerance _),
     "join_asof_multi"  -> (joinAsofMulti _),
     "agg_rank_select"  -> (aggRankSelect _),
+    "agg_gini"         -> (aggGini _),
     "agg_skyline"      -> (aggSkyline _),
     "agg_winsorized"   -> (aggWinsorized _),
     "agg_salted_twophase" -> (aggSaltedTwophase _),
@@ -1440,6 +1472,19 @@ object Relational extends QueryModule {
         |SELECT d AS sky_date, p AS sky_price, n AS n_dup
         |FROM marked WHERE later_max IS NULL OR p > later_max
         |ORDER BY sky_date""".stripMargin,
+    "agg_gini" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS pri,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey) AS rk,
+        |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders
+        |)
+        |SELECT pri, MAX(n) AS n_orders,
+        |  CAST(SUM((2 * rk - n - 1) * cents) * 1000000
+        |       // (MAX(n) * SUM(cents)) AS BIGINT) AS gini_ppm
+        |FROM r GROUP BY pri ORDER BY pri""".stripMargin,
     "agg_rank_select" ->
       """WITH ranked AS (
         |  SELECT o_totalprice, o_orderkey,
