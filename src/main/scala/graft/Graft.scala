@@ -33,7 +33,11 @@ object Graft {
     s
   }
 
-  /** Retrofit the engine's optimizer rules onto a live session (idempotent). */
-  def install(spark: SparkSession): Unit =
+  /** Retrofit the engine's optimizer rules and `graft_*` SQL functions onto
+    * a live session (idempotent — re-registration replaces like-for-like).
+    */
+  def install(spark: SparkSession): Unit = {
     org.apache.spark.sql.graft.GraftOptimizations.install(spark)
+    org.apache.spark.sql.graft.VectorBridge.register(spark)
+  }
 }

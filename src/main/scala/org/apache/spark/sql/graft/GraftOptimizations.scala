@@ -98,11 +98,21 @@ object GraftOptimizations {
 }
 
 /** Builder-time form: `.config("spark.sql.extensions", classOf[GraftExtensions].getName)`.
-  * Registers the optimizer rules plus the native as-of join planner strategy.
+  * Registers the optimizer rules, the native as-of join planner strategy,
+  * and the `graft_*` SQL functions (so a pure-SQL user of a session
+  * configured with the extension can call the codegen'd vector/ngram
+  * kernels without any Scala import).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftOptimizations.rules.foreach(r => ext.injectOptimizerRule(_ => r))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    VectorBridge.sqlFunctions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "org.apache.spark.sql.graft.VectorBridge", name),
+        builder))
+    }
   }
 }

@@ -311,28 +311,33 @@ object VectorBridge {
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** The SQL-callable surface, shared by both registration paths
+    * (live-session [[register]] and builder-time `GraftExtensions`).
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot"    -> (exprs => DotProduct(exprs(0), exprs(1))),
+    "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
+    "graft_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "graft_simhash60" -> (exprs => Simhash60(exprs(0))),
+    // graft_word_ngrams60(text, n[, distinct]) — n/distinct must be literals
+    "graft_word_ngrams60" -> (exprs => {
+      val n = exprs(1) match {
+        case Literal(v: Int, IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_word_ngrams60: n must be an int literal, got $other")
+      }
+      val distinct = exprs.lift(2).forall {
+        case Literal(b: Boolean, BooleanType) => b
+        case other => throw new IllegalArgumentException(
+          s"graft_word_ngrams60: distinct must be a boolean literal, got $other")
+      }
+      WordNgramHashes(exprs(0), n, distinct)
+    }))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_cosine",
-      exprs => CosineSim(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash60",
-      exprs => Simhash60(exprs(0)), "built-in")
-    // graft_word_ngrams60(text, n[, distinct]) — n/distinct must be literals
-    reg.createOrReplaceTempFunction("graft_word_ngrams60",
-      exprs => {
-        val n = exprs(1) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_word_ngrams60: n must be an int literal, got $other")
-        }
-        val distinct = exprs.lift(2).forall {
-          case Literal(b: Boolean, BooleanType) => b
-          case other => throw new IllegalArgumentException(
-            s"graft_word_ngrams60: distinct must be a boolean literal, got $other")
-        }
-        WordNgramHashes(exprs(0), n, distinct)
-      }, "built-in")
+    sqlFunctions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }

@@ -59,6 +59,14 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("Graft.install registers the whole graft_* SQL surface") {
+    graft.Graft.install(spark)
+    val r = spark.sql(
+      "SELECT graft_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS c")
+      .collect()
+    assert(r.head.getInt(0) === 2)
+  }
+
   test("SQL registration: graft_cosine callable from spark.sql") {
     VectorExpressions.register(spark)
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
