@@ -265,6 +265,40 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-source boilerplate detection — the web-corpus curation step that
+    * strips navigation chrome, license footers, and template text: a
+    * 5-gram is boilerplate when it recurs in ≥ 3 DISTINCT documents of the
+    * SAME source (cross-source repeats are legitimate shared language and
+    * are deliberately not flagged — that is [[sharedSpans]]' corpus-wide
+    * view). Output is per document: total 5-gram occurrences, boilerplate
+    * occurrences, and the integer-ppm boilerplate ratio a downstream
+    * filter thresholds on.
+    *
+    * Scale shape: one fused-codegen n-gram pass
+    * ([[graft.functions.VectorExpressions.word_ngram_hashes]]), a
+    * (source, gram) groupBy whose partial aggregation collapses per-doc
+    * repeats map-side, and one shuffle join back on (source, gram) —
+    * identical topology to the TF-IDF pipeline, no all-pairs anything.
+    * The df threshold is an absolute document count (CCNet-style), so at
+    * 100 TB the flagged set grows only with genuinely repeated template
+    * mass, not with corpus size.
+    */
+  def boilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 5, distinct = false)).as("g"))
+    val docFreq = grams.groupBy("source", "g")
+      .agg(countDistinct(col("doc_id")).as("df"))
+    grams.join(docFreq, Seq("source", "g"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 3, 1).otherwise(0)).cast("long").as("n_boiler"))
+      .withColumn("boiler_ppm", expr("n_boiler * 1000000 div n_grams"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------------------- tokenize
   /** Vocab-encode: the text→token-ids step of a training pipeline. The
     * dictionary is the top-`VocabSize` corpus words by frequency (ties
@@ -579,6 +613,7 @@ object TextAnalysis extends QueryModule {
     "text_entropy"     -> (entropy _),
     "text_tokenize_ids" -> (tokenizeIds _),
     "text_shared_spans" -> (sharedSpans _),
+    "text_boilerplate" -> (boilerplate _),
     "text_chunk"       -> (chunk _),
     "vocab_topk"       -> (vocabTopk _),
   )
@@ -833,6 +868,27 @@ object TextAnalysis extends QueryModule {
            |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
            |  ROUND(SUM(CASE WHEN df.df >= 2 THEN 1.0 ELSE 0.0 END) / COUNT(*), 6) AS shared_ratio
            |FROM g JOIN df USING (g)
+           |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+      "text_boilerplate" ->
+        s"""WITH g AS (
+           |  SELECT doc_id, source,
+           |    ${Hashing.duckHash60("gram")} AS g
+           |  FROM (
+           |    SELECT doc_id, source,
+           |      unnest(list_transform(
+           |        range(1, greatest(len(string_split(text, ' ')) - 3, 2)),
+           |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
+           |    FROM documents
+           |  )
+           |), df AS (
+           |  SELECT source, g, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY source, g
+           |)
+           |SELECT g.doc_id,
+           |  COUNT(*) AS n_grams,
+           |  CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           |  CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) * 1000000
+           |       // COUNT(*) AS BIGINT) AS boiler_ppm
+           |FROM g JOIN df USING (source, g)
            |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
       "text_tokenize_ids" ->
         s"""WITH allw AS (
