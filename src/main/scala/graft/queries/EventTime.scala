@@ -461,6 +461,52 @@ object EventTime extends QueryModule {
       .orderBy("t_days")
   }
 
+  /** CUSUM change-point detection over the per-type daily event series —
+    * the monitoring primitive that catches a sustained rate shift long
+    * before any single day trips a z-score: S⁺_t = max(0, S⁺_{t−1} +
+    * (x_t − μ)), alarm when S⁺ exceeds 3σ. The recursion with its
+    * reflecting floor is NOT a plain window aggregate, but it has a
+    * closed form the engines can both window: S⁺_t = C_t − min(0,
+    * min_{j≤t} C_j) for prefix sums C of the deviations — one cumulative
+    * sum plus one cumulative min, no recursion. Numerics: μ and σ come
+    * from exact integer/decimal power sums (count, Σx, Σx² as
+    * DECIMAL(38,0) — Σx² at 10⁹-events-per-day scale overflows BIGINT)
+    * with ONE double division/sqrt rounded to the 6dp grid, and the
+    * deviation prefix sums accumulate as exact decimals — bit-stable
+    * under any partitioning. Scale shape: events collapse to per-(type,
+    * day) counts map-side; every window partitions by event_type over
+    * the calendar-bounded daily series.
+    */
+  def evtCusum(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("nd"),
+        sum(col("n")).as("sx"),
+        sum((col("n") * col("n")).cast("decimal(38,0)")).as("sxx"))
+      .select(col("event_type"),
+        round(col("sx").cast("double") / col("nd"), 6)
+          .cast("decimal(18,6)").as("mu"),
+        round(
+          sqrt((col("nd") * col("sxx") - (col("sx") * col("sx"))
+            .cast("decimal(38,0)")).cast("double")) / col("nd"), 6)
+          .cast("decimal(18,6)").as("sigma"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily.join(stats, "event_type")
+      .withColumn("c", sum(col("n") - col("mu")).over(wCum))
+      .withColumn("floor", min(least(col("c"), lit(0))).over(wCum))
+      // micro-units, not double: the decimal→double cast differs by 1 ULP
+      // between engines (exact decimal scale-down vs ·1e-6 float multiply)
+      .withColumn("cusum_micro", ((col("c") - col("floor")) * 1000000).cast("bigint"))
+      .withColumn("alarm", col("c") - col("floor") > col("sigma") * 3)
+      .select(col("event_type"), col("day"), col("n").as("n_events"),
+        col("cusum_micro"), col("alarm"))
+      .orderBy("event_type", "day")
+  }
+
   /** Pareto concentration per event type — "how few users produce 80% of
     * the value": users ranked by exact-decimal value (desc, user_id
     * tiebreak), the 80% crossing found by CROSS-MULTIPLIED decimal compare
@@ -760,6 +806,7 @@ object EventTime extends QueryModule {
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
     "evt_survival"    -> (evtSurvival _),
+    "evt_cusum"       -> (evtCusum _),
     "evt_attribution" -> (evtAttribution _),
     "win_session_cap" -> (winSessionCap _),
     "evt_cohort_ltv" -> (evtCohortLtv _),
@@ -1273,6 +1320,33 @@ object EventTime extends QueryModule {
         |              UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  END AS log_survival
         |FROM f ORDER BY t_days""".stripMargin,
+    "evt_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type,
+        |    CAST(ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 6)
+        |         AS DECIMAL(18,6)) AS mu,
+        |    CAST(ROUND(sqrt(CAST(COUNT(*) * SUM(CAST(n AS DECIMAL(38,0)) * n)
+        |               - SUM(n) * SUM(n) AS DOUBLE)) / COUNT(*), 6)
+        |         AS DECIMAL(18,6)) AS sigma
+        |  FROM daily GROUP BY 1
+        |), c AS (
+        |  SELECT d.event_type, day, n, sigma,
+        |    SUM(n - mu) OVER (PARTITION BY d.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+        |  FROM daily d JOIN st USING (event_type)
+        |), f AS (
+        |  SELECT *, MIN(LEAST(cs, 0)) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS fl
+        |  FROM c
+        |)
+        |SELECT event_type, day, n AS n_events,
+        |  CAST((cs - fl) * 1000000 AS BIGINT) AS cusum_micro,
+        |  (cs - fl) > sigma * 3 AS alarm
+        |FROM f ORDER BY event_type, day""".stripMargin,
     "evt_attribution" ->
       """WITH c1 AS (
         |  SELECT user_id, ts AS click_ts, max(event_id) AS click_id
