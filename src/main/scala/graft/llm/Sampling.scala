@@ -103,6 +103,38 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Weighted reservoir sample (Efraimidis–Spirakis A-ES), derandomized:
+    * pick k documents with inclusion probability proportional to weight
+    * (here `n_chars` — the "sample long docs more" curation knob) by
+    * ranking on key = ln(u)/w with u a deterministic hash-uniform in
+    * (0, 1] — the exact A-ES statistic, reproducible across runs,
+    * engines, and partitionings. ln(u) lands on the 9dp decimal grid
+    * before the division (the ULP-absorbing contract the LM scorers
+    * pin), and ties break on doc_id. Scale shape: the key is a per-row
+    * expression; selection is global top-k (TakeOrderedAndProject —
+    * per-partition heaps, driver merges k·partitions rows); the rank
+    * window runs AFTER `limit(k)` on a k-row input, marked
+    * [[graft.operators.BlockedRank.boundedPartition]].
+    */
+  def sampleWeighted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank.boundedPartition
+    val k = 100
+    val u = (Hashing.hash60(concat(lit("ws:"), col("doc_id").cast("string"))) + 1)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val key = round(log(u), 9).cast("decimal(13,9)").as("lnu")
+    val picked = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("n_chars"), key)
+      .withColumn("aes_key", col("lnu").cast("double") / col("n_chars"))
+      .orderBy(col("aes_key").desc, col("doc_id"))
+      .limit(k)
+    val w = Window.partitionBy(boundedPartition(col("doc_id")))
+      .orderBy(col("aes_key").desc, col("doc_id"))
+    picked
+      .withColumn("pick_rank", row_number().over(w))
+      .select("doc_id", "source", "n_chars", "pick_rank")
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled mixture (α = 0.5): per-source keep rate
     * ∝ n_s^α / n_s = 1/√n_s, normalized so the SMALLEST source keeps 100% —
     * the standard flattening that keeps big web crawls from drowning small
@@ -245,6 +277,7 @@ object Sampling extends QueryModule {
     "sample_kfold" -> (sampleKfold _),
     "sample_poisson_bootstrap" -> (samplePoissonBootstrap _),
     "sample_hash"       -> (sampleHash _),
+    "sample_weighted"   -> (sampleWeighted _),
     "sample_stratified" -> (sampleStratified _),
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
@@ -288,6 +321,21 @@ object Sampling extends QueryModule {
            |  MAX(w) AS max_weight
            |FROM w GROUP BY source, rep
            |ORDER BY source, rep""".stripMargin,
+      "sample_weighted" ->
+        s"""WITH kd AS (
+           |  SELECT doc_id, source, n_chars,
+           |    CAST(ROUND(ln((${Hashing.duckHash60("'ws:' || CAST(doc_id AS VARCHAR)")} + 1)
+           |      / 1152921504606846976.0), 9) AS DECIMAL(13,9)) AS lnu
+           |  FROM documents
+           |), r AS (
+           |  SELECT doc_id, source, n_chars,
+           |    CAST(row_number() OVER (
+           |      ORDER BY CAST(lnu AS DOUBLE) / n_chars DESC, doc_id)
+           |      AS INTEGER) AS pick_rank
+           |  FROM kd
+           |)
+           |SELECT doc_id, source, n_chars, pick_rank
+           |FROM r WHERE pick_rank <= 100 ORDER BY doc_id""".stripMargin,
       "sample_hash" ->
         s"""SELECT doc_id, lang, source, CAST($docBucket AS INTEGER) AS bucket
            |FROM documents
