@@ -42,10 +42,15 @@ class ObservedSpec extends SparkSpec {
   test("one extra metric set costs zero extra Spark jobs") {
     import spark.implicits._
     val sc = spark.sparkContext
+    // count within a dedicated job group: suites run concurrently in this
+    // JVM, so a global job-count delta picks up other suites' jobs
+    var probe = 0
     def jobs(f: => Unit): Int = {
-      val before = sc.statusTracker.getJobIdsForGroup(null).length
-      f
-      sc.statusTracker.getJobIdsForGroup(null).length - before
+      probe += 1
+      val group = s"observed-spec-$probe"
+      sc.setJobGroup(group, "job-count probe")
+      try f finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(group).length
     }
     val in = Seq("a", "b", "c").toDF("name")
     val plain = jobs { Enrich.enrich(in).count() }
