@@ -854,6 +854,122 @@ object Relational extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Per-group OLS (y = extendedprice on x = quantity) with residual
+    * score-back — the "fit then score" shape every model-assisted curation
+    * pass follows. Coefficients come from one pass of exact decimal power
+    * sums (the agg_corr_exact idiom: sums are order-free, divisions happen
+    * once on the aggregated scalars); the per-row residual classification
+    * broadcast-joins the 3-row coefficient table back and compares in
+    * IEEE double — both engines evaluate the identical rounded-coefficient
+    * expression, so the comparison resolves identically. At scale: one
+    * shuffle for the sums, zero for the scoring pass (broadcast).
+    */
+  def aggLinregr(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,6)")
+    val y = col("l_extendedprice").cast("decimal(18,6)")
+    val n   = col("n").cast("double")
+    val sx  = col("sx").cast("double")
+    val sy  = col("sy").cast("double")
+    val sxx = col("sxx").cast("double")
+    val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val li = Tables.lineitem(spark, sfDir)
+    val coef = li
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .select(
+        col("rf"), col("n").as("n_fit"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"),
+        round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6).as("intercept"),
+        round(pow(n * sxy - sx * sy, 2)
+          / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
+    li.join(broadcast(coef), col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        // coefficients are group-constant; min is the deterministic picker
+        min(col("n_fit")).as("n_fit"),
+        min(col("slope")).as("slope"),
+        min(col("intercept")).as("intercept"),
+        min(col("r2")).as("r2"),
+        sum(when(col("l_extendedprice")
+          > col("slope") * col("l_quantity") + col("intercept"), 1)
+          .otherwise(0)).cast("long").as("n_above_fit"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Welch two-sample test (A/B experiment readout): each event type's
+    * `value` distribution against the 'view' control. To keep every number
+    * on the deterministic grid we report t² (not t — no sqrt) and the
+    * Welch–Satterthwaite df, both rational functions of the exact decimal
+    * power sums; the single double division + ROUND(…,6) per output is the
+    * one float step, evaluated on identical aggregated scalars in both
+    * engines. At scale: one shuffle for the 5-row sums table, the control
+    * row re-attached via the broadcast scalar-attach idiom.
+    */
+  def dqAbTtest(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("value").cast("decimal(24,8)")
+    val sums = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
+    def mean(p: String) = col(p + "s").cast("double") / col(p + "n").cast("double")
+    def varOf(p: String) = {
+      val n = col(p + "n").cast("double")
+      (col(p + "ss").cast("double") - col(p + "s").cast("double") * col(p + "s").cast("double") / n) / (n - 1)
+    }
+    val control = sums.filter(col("event_type") === "view")
+      .select(col("n").as("c_n"), col("s").as("c_s"), col("ss").as("c_ss"))
+    val se2 = varOf("") / col("n").cast("double") + varOf("c_") / col("c_n").cast("double")
+    sums.filter(col("event_type") =!= "view")
+      .crossJoin(broadcast(control))
+      .select(
+        col("event_type"),
+        col("n").as("n_treat"),
+        col("c_n").as("n_control"),
+        round(mean("") - mean("c_"), 6).as("mean_diff"),
+        round(pow(mean("") - mean("c_"), 2) / se2, 6).as("t2_welch"),
+        round(pow(se2, 2)
+          / (pow(varOf("") / col("n").cast("double"), 2) / (col("n").cast("double") - 1)
+            + pow(varOf("c_") / col("c_n").cast("double"), 2) / (col("c_n").cast("double") - 1)),
+          6).as("df_welch"))
+      .orderBy("event_type")
+  }
+
+  /** K-anonymity audit over the (nationkey, mktsegment) quasi-identifier:
+    * for each disclosure threshold k, how many equivalence classes — and
+    * how many ROWS — are re-identifiable (class size < k). The PII
+    * counterpart to text_pii_scrub: scrubbing direct identifiers is not
+    * enough when the joint distribution of the remaining columns is
+    * peaked. One shuffle builds the class histogram (bounded by QI
+    * cardinality, here ≤ 25×5); the threshold sweep is conditional
+    * aggregation over that summary, stacked to long form.
+    */
+  def dqKAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val classes = Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+    val ks = Seq(2, 5, 10, 20)
+    val aggs = Seq(
+      count(lit(1)).as("n_classes"),
+      sum(col("cnt")).as("n_rows"),
+      min(col("cnt")).cast("long").as("min_class")) ++ ks.flatMap { k =>
+      Seq(
+        count(when(col("cnt") < k, lit(1))).as(s"c_$k"),
+        coalesce(sum(when(col("cnt") < k, col("cnt"))), lit(0L)).as(s"r_$k"))
+    }
+    val stacked = ks.map(k => s"$k, c_$k, r_$k").mkString(
+      s"stack(${ks.size}, ", ", ", ")")
+    classes.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_classes"), col("n_rows"), col("min_class"),
+        expr(s"$stacked AS (k, classes_at_risk, rows_at_risk)"))
+      .withColumn("risk_ppm", expr("rows_at_risk * 1000000 div n_rows"))
+      .select("k", "n_classes", "n_rows", "min_class",
+        "classes_at_risk", "rows_at_risk", "risk_ppm")
+      .orderBy("k")
+  }
+
   /** Incremental materialized-view maintenance: the monthly rollup is kept
     * as MERGEABLE PARTIALS (count + exact decimal sum — both commutative
     * monoids), so refreshing with a new data drop re-aggregates only the
@@ -1388,6 +1504,9 @@ object Relational extends QueryModule {
     "dq_rule_violations" -> (dqRuleViolations _),
     "dq_outliers"    -> (dqOutliers _),
     "dq_mad_outliers" -> (dqMadOutliers _),
+    "agg_linregr"    -> (aggLinregr _),
+    "dq_ab_ttest"    -> (dqAbTtest _),
+    "dq_k_anonymity" -> (dqKAnonymity _),
     "fuzzy_join"     -> (fuzzyJoin _),
     "join_nullsafe"  -> (joinNullsafe _),
   )
@@ -1822,6 +1941,80 @@ object Relational extends QueryModule {
         |  ROUND(sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 6) AS stddev_pop_q,
         |  ROUND(sx::DOUBLE / n::DOUBLE, 6) AS mean_q
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "agg_linregr" ->
+      """WITH s AS (
+        |  SELECT l_returnflag AS rf,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |), c AS (
+        |  SELECT rf, n AS n_fit,
+        |    ROUND((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS slope,
+        |    ROUND((sy::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sxy::DOUBLE)
+        |        / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE), 6) AS intercept,
+        |    ROUND(pow(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE, 2)
+        |        / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |         * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS r2
+        |  FROM s
+        |)
+        |SELECT l.l_returnflag, MIN(c.n_fit) AS n_fit,
+        |  MIN(c.slope) AS slope, MIN(c.intercept) AS intercept, MIN(c.r2) AS r2,
+        |  CAST(SUM(CASE WHEN l.l_extendedprice > c.slope * l.l_quantity + c.intercept
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_above_fit
+        |FROM lineitem l JOIN c ON l.l_returnflag = c.rf
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+    "dq_ab_ttest" ->
+      """WITH s AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST("value" AS DECIMAL(24,8))) AS sv,
+        |    SUM(CAST("value" AS DECIMAL(24,8)) * CAST("value" AS DECIMAL(24,8))) AS ss
+        |  FROM events GROUP BY event_type
+        |), m AS (
+        |  SELECT event_type, n,
+        |    sv::DOUBLE / n::DOUBLE AS mean,
+        |    (ss::DOUBLE - sv::DOUBLE * sv::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1) AS var
+        |  FROM s
+        |), ctl AS (SELECT n AS c_n, mean AS c_mean, var AS c_var FROM m WHERE event_type = 'view')
+        |SELECT m.event_type, m.n AS n_treat, ctl.c_n AS n_control,
+        |  ROUND(m.mean - ctl.c_mean, 6) AS mean_diff,
+        |  ROUND(pow(m.mean - ctl.c_mean, 2)
+        |      / (m.var / m.n::DOUBLE + ctl.c_var / ctl.c_n::DOUBLE), 6) AS t2_welch,
+        |  ROUND(pow(m.var / m.n::DOUBLE + ctl.c_var / ctl.c_n::DOUBLE, 2)
+        |      / (pow(m.var / m.n::DOUBLE, 2) / (m.n::DOUBLE - 1)
+        |       + pow(ctl.c_var / ctl.c_n::DOUBLE, 2) / (ctl.c_n::DOUBLE - 1)), 6) AS df_welch
+        |FROM m CROSS JOIN ctl
+        |WHERE m.event_type <> 'view'
+        |ORDER BY m.event_type""".stripMargin,
+    "dq_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM customer GROUP BY c_nationkey, c_mktsegment
+        |), agg AS (
+        |  SELECT COUNT(*) AS n_classes, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(MIN(cnt) AS BIGINT) AS min_class,
+        |    COUNT(CASE WHEN cnt < 2 THEN 1 END) AS c_2,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt < 2 THEN cnt END), 0) AS BIGINT) AS r_2,
+        |    COUNT(CASE WHEN cnt < 5 THEN 1 END) AS c_5,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt < 5 THEN cnt END), 0) AS BIGINT) AS r_5,
+        |    COUNT(CASE WHEN cnt < 10 THEN 1 END) AS c_10,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt < 10 THEN cnt END), 0) AS BIGINT) AS r_10,
+        |    COUNT(CASE WHEN cnt < 20 THEN 1 END) AS c_20,
+        |    CAST(COALESCE(SUM(CASE WHEN cnt < 20 THEN cnt END), 0) AS BIGINT) AS r_20
+        |  FROM cls
+        |), long AS (
+        |  SELECT n_classes, n_rows, min_class, 2 AS k, c_2 AS classes_at_risk, r_2 AS rows_at_risk FROM agg
+        |  UNION ALL SELECT n_classes, n_rows, min_class, 5, c_5, r_5 FROM agg
+        |  UNION ALL SELECT n_classes, n_rows, min_class, 10, c_10, r_10 FROM agg
+        |  UNION ALL SELECT n_classes, n_rows, min_class, 20, c_20, r_20 FROM agg
+        |)
+        |SELECT k, n_classes, n_rows, min_class, classes_at_risk, rows_at_risk,
+        |  rows_at_risk * 1000000 // n_rows AS risk_ppm
+        |FROM long ORDER BY k""".stripMargin,
     "agg_argmax" ->
       """SELECT o_orderpriority,
         |  arg_max(o_orderkey, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) * 1000000000 + o_orderkey) AS biggest_order,
