@@ -539,6 +539,38 @@ object EventTime extends QueryModule {
       .orderBy("event_type")
   }
 
+  /** Peak concurrency per (event_type, day) — the interval-stacking sweep
+    * behind occupancy/load reporting: each event opens a 30-minute session,
+    * sessions become +1/−1 boundary deltas, and the running delta sum AT
+    * each boundary is the live-session count. Half-open [start, end)
+    * semantics: at an equal instant the −1 sorts first (delta ascends), so
+    * back-to-back sessions never double-count. The running sum is
+    * block-decomposed by calendar day ([[BlockedRank.blockedPrefix]]) —
+    * never a per-type global sort, which at 100 TB would funnel every
+    * boundary of a type through one task. Per-day peaks are order-stable:
+    * within a run of equal (t, delta) rows the prefix-sum multiset is
+    * permutation-invariant, so MAX is engine-independent.
+    */
+  def evtConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank.{blockedPrefix, PrefixValue}
+    val ev = Tables.events(spark, sfDir)
+    val deltas = ev.select(
+        col("event_type"), col("ts").as("t"), lit(1).as("delta"), col("event_id"))
+      .unionByName(ev.select(
+        col("event_type"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+        lit(-1).as("delta"), col("event_id")))
+    blockedPrefix(deltas, Seq("event_type"),
+      Seq("__b_day" -> to_date(col("t"))), Seq(false),
+      Seq(col("t"), col("delta"), col("event_id")),
+      "rnk", "n_deltas",
+      values = Seq(PrefixValue(col("delta").cast("long"), "cum", "tot")))
+      .groupBy(col("event_type"), to_date(col("t")).as("day"))
+      .agg(
+        max(col("cum")).cast("long").as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1).otherwise(0)).cast("long").as("n_starts"))
+      .orderBy("event_type", "day")
+  }
+
   /** OHLC resample bars per (event_type, day) — the time-series downsample
     * behind every candlestick/metric-rollup view: open/close are the first/
     * last value in (ts, event_id) order (total order — engine-independent),
@@ -803,6 +835,7 @@ object EventTime extends QueryModule {
     "evt_ohlc"        -> (evtOhlc _),
     "evt_stickiness"  -> (evtStickiness _),
     "evt_pareto"      -> (evtPareto _),
+    "evt_concurrency" -> (evtConcurrency _),
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
     "evt_survival"    -> (evtSurvival _),
@@ -1242,6 +1275,22 @@ object EventTime extends QueryModule {
         |  CAST(users_to_80 * 1000000 // n_users AS BIGINT) AS pct_users_ppm,
         |  CAST(total AS DOUBLE) AS total_value
         |FROM f ORDER BY event_type""".stripMargin,
+    "evt_concurrency" ->
+      """WITH d AS (
+        |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 30 MINUTE, -1, event_id FROM events
+        |), c AS (
+        |  SELECT event_type, CAST(t AS DATE) AS day, delta,
+        |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT event_type, day,
+        |  CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
+        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |FROM c GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     "evt_drawdown" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt

@@ -135,6 +135,35 @@ object Windows extends QueryModule {
       .orderBy("user_id", "event_id")
   }
 
+  /** Rolling 7-day OLS slope of daily revenue per event type — the trend
+    * detector behind "is this metric accelerating": every frame aggregate
+    * is a rolling POWER SUM (n, Σx, Σy, Σxy, Σx² — each an exact
+    * integer/decimal over the frame), and the slope is one double division
+    * + ROUND on identical scalars in both engines. The window runs on the
+    * per-(type, day) summary — calendar-bounded per type — over ONE
+    * shuffle+sort; x is the epoch-day index so frames never parse dates.
+    * Frames shorter than 2 points emit NULL (no 0/0 in either engine).
+    */
+  def winRollingSlope(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    val n   = count(lit(1)).over(w).cast("double")
+    val sx  = sum(col("x")).over(w).cast("double")
+    val sy  = sum(col("rev")).over(w).cast("double")
+    val sxx = sum(col("x") * col("x")).over(w).cast("double")
+    val sxy = sum(col("rev") * col("x")).over(w).cast("double")
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(19,6)")).as("rev"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .select(
+        col("event_type"), col("day"),
+        round(col("rev").cast("double"), 2).as("daily_rev"),
+        count(lit(1)).over(w).as("n_win"),
+        when(count(lit(1)).over(w) >= 2,
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)).as("slope_7d"))
+      .orderBy("event_type", "day")
+  }
+
   /** Global top-k: Spark plans TakeOrderedAndProject — per-partition heaps,
     * only k rows reach the driver-side merge, no full sort.
     */
@@ -230,6 +259,7 @@ object Windows extends QueryModule {
     "win_ntile"       -> (winNtile _),
     "win_range_frame" -> (winRangeFrame _),
     "win_sessionize"  -> (winSessionize _),
+    "win_rolling_slope" -> (winRollingSlope _),
     "topk_global"     -> (topkGlobal _),
     "sort_multi"      -> (sortMulti _),
   )
@@ -256,6 +286,29 @@ object Windows extends QueryModule {
          |  CAST($duckEwmaTerms AS DOUBLE) AS ewma
          |FROM events
          |ORDER BY event_id""".stripMargin,
+    "win_rolling_slope" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST("value" AS DECIMAL(19,6))) AS rev,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, CAST(ts AS DATE)
+        |), s AS (
+        |  SELECT event_type, day, rev,
+        |    COUNT(*) OVER w AS n_win,
+        |    CAST(SUM(x) OVER w AS DOUBLE) AS sx,
+        |    CAST(SUM(rev) OVER w AS DOUBLE) AS sy,
+        |    CAST(SUM(x * x) OVER w AS DOUBLE) AS sxx,
+        |    CAST(SUM(rev * x) OVER w AS DOUBLE) AS sxy
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_type, day,
+        |  ROUND(CAST(rev AS DOUBLE), 2) AS daily_rev, n_win,
+        |  CASE WHEN n_win >= 2 THEN
+        |    ROUND((n_win::DOUBLE * sxy - sx * sy) / (n_win::DOUBLE * sxx - sx * sx), 6)
+        |  END AS slope_7d
+        |FROM s ORDER BY event_type, day""".stripMargin,
     "win_sessionize" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS tus FROM events
