@@ -594,7 +594,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("sa", "sb")
   }
 
+  /** Linear classifier INFERENCE via the hashing trick — the fasttext-style
+    * quality-model scoring pass every curated corpus runs, with the weight
+    * table replaced by a hash-derived stand-in (no vocabulary join, no
+    * broadcast: the "model" is a per-token expression, which is exactly how
+    * a hashed linear model deploys at 100 TB). Per-token weight ∈ [−1000,
+    * 1000] from the frozen md5 family; the document score is an EXACT
+    * integer sum, so keep/drop labels are grid-free; only the mean-weight
+    * diagnostic takes the one rounded double division. One explode + one
+    * (doc) groupBy — embarrassingly partition-parallel, no shuffle besides
+    * the doc-key agg.
+    */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        explode(words(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("w", pmod(Hashing.hash60(col("tok")), lit(2001L)) - 1000L)
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("w")).as("raw_score"))
+      .select(
+        col("doc_id"), col("source"), col("n_tokens"), col("raw_score"),
+        round(col("raw_score").cast("double") / col("n_tokens"), 6).as("mean_w"),
+        when(col("raw_score") >= 0, lit("keep")).otherwise(lit("drop")).as("label"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_score" -> (classifierScore _),
     "vocab_coverage" -> (vocabCoverage _),
     "text_source_divergence" -> (sourceDivergence _),
     "text_ttr"         -> (ttr _),
@@ -652,6 +681,21 @@ object TextAnalysis extends QueryModule {
         |  GROUP BY t.doc_id, t.lang
         |)""".stripMargin
     Map(
+      "text_classifier_score" ->
+        s"""WITH tok AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents
+           |), w AS (
+           |  SELECT doc_id, source,
+           |    ${Hashing.duckHash60("tok")} % 2001 - 1000 AS w
+           |  FROM tok WHERE length(tok) > 0
+           |)
+           |SELECT doc_id, source, COUNT(*) AS n_tokens,
+           |  CAST(SUM(w) AS BIGINT) AS raw_score,
+           |  ROUND(CAST(SUM(w) AS DOUBLE) / COUNT(*), 6) AS mean_w,
+           |  CASE WHEN CAST(SUM(w) AS BIGINT) >= 0 THEN 'keep' ELSE 'drop' END AS label
+           |FROM w GROUP BY doc_id, source
+           |ORDER BY doc_id""".stripMargin,
       "text_source_divergence" ->
         """WITH wc AS (
           |  SELECT source, word, COUNT(*) AS c FROM (

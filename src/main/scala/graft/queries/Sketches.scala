@@ -143,6 +143,63 @@ object Sketches extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** KMV SET-OPERATION estimates — the reason KMV beats HyperLogLog when
+    * audiences must be intersected: two signatures merge into the union's
+    * signature (k smallest of the combined hash pool), and the fraction of
+    * union-signature slots present in BOTH input signatures estimates
+    * Jaccard; intersection ≈ Jaccard × union-estimate. Built on the
+    * urgent-order vs low-priority-order customer audiences (Jaccard ≈
+    * 0.75 — a real test of the estimator), reported beside the exact
+    * truths —
+    * hash-checked end to end because the frozen md5-derived hash family
+    * makes the sketch deterministic. Scale shape: the signature build is a
+    * typed bottom-k `Aggregator` (O(k) mergeable state, map-side
+    * combined — the per-type global-hash-sort a window would plan never
+    * happens); everything after operates on ≤2k rows. The constant-score
+    * trick (`score = 0`) degenerates TopKAggregator's (score desc, id asc)
+    * order to plain id asc, i.e. the k SMALLEST hashes.
+    */
+  def sketchKmvIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank
+    val bottomK = udaf(new graft.functions.TopKAggregator(KmvK))
+    val base = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderpriority").as("pri"), col("o_custkey").as("user_id"))
+      .distinct()
+    val u = base.select(col("pri"),
+      Hashing.hash60(col("user_id").cast("string")).as("h"))
+    val sig = u.groupBy("pri")
+      .agg(bottomK(lit(0.0), col("h")).as("sig"))
+      .select(col("pri"), explode(col("sig")).as("s"))
+      .select(col("pri"), col("s.id").as("h"))
+    val sigA = sig.filter(col("pri") === "1-URGENT").select(col("h").as("ha"))
+    val sigB = sig.filter(col("pri") === "5-LOW").select(col("h").as("hb"))
+    // ≤ 2k distinct hashes by construction — bounded single-task pass
+    val byH = org.apache.spark.sql.expressions.Window
+      .partitionBy(BlockedRank.boundedPartition(col("h"))).orderBy("h")
+    val usig = sig.select("h").distinct()
+      .withColumn("rn", row_number().over(byH))
+      .filter(col("rn") <= KmvK)
+    val kth = usig.filter(col("rn") === KmvK).select(col("h").as("hk"))
+    val overlap = usig
+      .join(sigA, col("h") === col("ha"), "left_semi")
+      .join(sigB, col("h") === col("hb"), "left_semi")
+      .agg(count(lit(1)).as("overlap"))
+    val truth = base.groupBy(col("user_id"))
+      .agg(countDistinct(col("pri")).as("nt"))
+      .agg(
+        count(lit(1)).as("true_union"),
+        sum(when(col("nt") === 2, 1).otherwise(0)).cast("long").as("true_intersect"))
+    val estU = lit((KmvK - 1).toDouble) * lit(math.pow(2, 60)) / col("hk")
+    truth.crossJoin(broadcast(kth)).crossJoin(broadcast(overlap))
+      .select(
+        lit(KmvK).as("k"),
+        col("true_union"), col("true_intersect"), col("overlap"),
+        round(estU, 4).as("est_union"),
+        round(col("overlap").cast("double") / KmvK, 6).as("est_jaccard"),
+        round(col("overlap").cast("double") / KmvK * estU, 4).as("est_intersect"))
+  }
+
   val HistBins = 32
   val HistWidth = 3500.0 // covers l_extendedprice's [~900, ~110k] envelope
 
@@ -202,6 +259,7 @@ object Sketches extends QueryModule {
     "sketch_cms"   -> (sketchCms _),
     "sketch_bloom" -> (sketchBloom _),
     "sketch_kmv"   -> (sketchKmv _),
+    "sketch_kmv_intersect" -> (sketchKmvIntersect _),
     "sketch_histogram" -> (sketchHistogram _),
   )
 
@@ -270,6 +328,37 @@ object Sketches extends QueryModule {
            |  ROUND(${(KmvK - 1).toDouble} * 1.152921504606846976E18 / kth.hk / t.true_distinct, 4) AS ratio
            |FROM truth t JOIN kth ON t.l_returnflag = kth.l_returnflag
            |ORDER BY t.l_returnflag""".stripMargin,
+      "sketch_kmv_intersect" ->
+        s"""WITH u AS (
+           |  SELECT DISTINCT o_orderpriority AS pri, o_custkey AS user_id FROM orders
+           |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+           |), hh AS (
+           |  SELECT pri, ${Hashing.duckHash60("CAST(user_id AS VARCHAR)")} AS h FROM u
+           |), r AS (
+           |  SELECT pri, h,
+           |    row_number() OVER (PARTITION BY pri ORDER BY h) AS rn
+           |  FROM hh
+           |), sig AS (SELECT pri, h FROM r WHERE rn <= $KmvK
+           |), ur AS (
+           |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+           |  FROM (SELECT DISTINCT h FROM sig)
+           |), usig AS (SELECT h, rn FROM ur WHERE rn <= $KmvK
+           |), kth AS (SELECT h AS hk FROM usig WHERE rn = $KmvK
+           |), ov AS (
+           |  SELECT COUNT(*) AS "overlap" FROM usig
+           |  WHERE h IN (SELECT h FROM sig WHERE pri = '1-URGENT')
+           |    AND h IN (SELECT h FROM sig WHERE pri = '5-LOW')
+           |), truth AS (
+           |  SELECT COUNT(*) AS true_union,
+           |    CAST(SUM(CASE WHEN nt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS true_intersect
+           |  FROM (SELECT user_id, COUNT(DISTINCT pri) AS nt FROM u GROUP BY user_id)
+           |)
+           |SELECT CAST($KmvK AS INTEGER) AS k, true_union, true_intersect, "overlap",
+           |  ROUND(${(KmvK - 1).toDouble} * 1.152921504606846976E18 / hk, 4) AS est_union,
+           |  ROUND("overlap"::DOUBLE / $KmvK, 6) AS est_jaccard,
+           |  ROUND("overlap"::DOUBLE / $KmvK
+           |      * (${(KmvK - 1).toDouble} * 1.152921504606846976E18 / hk), 4) AS est_intersect
+           |FROM truth CROSS JOIN kth CROSS JOIN ov""".stripMargin,
       "sketch_histogram" -> histogramOracle,
       "sketch_cms" ->
         s"""WITH h AS (
