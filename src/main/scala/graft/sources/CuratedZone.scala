@@ -82,16 +82,32 @@ object CuratedZone {
   /** Persist a bucketed table (bucketBy requires the table catalog). Two
     * tables bucketed the same way on the same key join with no exchange on
     * either side.
+    *
+    * The warehouse directory outlives the JVM while the (in-memory)
+    * catalog does not, so a re-run in a fresh session would trip
+    * LOCATION_ALREADY_EXISTS on the orphaned location — drop the entry
+    * AND delete the leftover directory before writing.
     */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val loc = new java.io.File(warehouse, table.toLowerCase)
+    if (loc.exists()) rm(loc)
     df.write
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

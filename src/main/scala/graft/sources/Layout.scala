@@ -69,8 +69,39 @@ object Layout extends QueryModule {
       .orderBy("o_orderkey")
   }
 
+  /** Co-bucketed join, oracle-checked end to end: both tables are written
+    * `bucketBy(8, custkey)` + sorted, then joined THROUGH the bucketed
+    * catalog read — the zero-exchange fact-⋈-fact layout (the plan proof,
+    * with broadcast disabled so bucketing must carry it, is pinned in
+    * `ScaleLayoutSpec`; this query pins the VALUES the bucketed path
+    * produces against a plain-join oracle each round). At 100 TB bucketing
+    * on the join key is the difference between an idempotent layout cost
+    * paid once at write time and a full shuffle of both sides on every
+    * join; bucket count scales to ≈ cluster cores (SCALING.md §9).
+    */
+  def layoutBucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = math.abs(sfDir.hashCode).toString
+    val ot = s"graft_bj_orders_$tag"
+    val ct = s"graft_bj_cust_$tag"
+    CuratedZone.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      ot, "o_custkey", 8)
+    CuratedZone.writeBucketed(
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment")),
+      ct, "o_custkey", 8)
+    spark.table(ot).join(spark.table(ct), "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(30,6)")).cast("double").as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+      .orderBy("c_mktsegment")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
+    "layout_bucket_join" -> (layoutBucketJoin _),
   )
 
   override def oracles: Map[String, String] = {
@@ -78,6 +109,12 @@ object Layout extends QueryModule {
       s"((cell_cust >> $j) & 1) * ${1L << (2 * j)} + ((cell_day >> $j) & 1) * ${1L << (2 * j + 1)}"
     }.mkString(" + ")
     Map(
+      "layout_bucket_join" ->
+        """SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price,
+          |  COUNT(DISTINCT o.o_custkey) AS n_cust
+          |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
       "layout_zorder" ->
         s"""WITH c AS (
            |  SELECT o_orderkey,
