@@ -25,6 +25,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Drop any stale dump from a previous run: a survivor here would
+        // make a downstream compare silently grade OLD results as current.
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        val dir = new java.io.File(s"$outDir/$name")
+        if (dir.exists()) rm(dir)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -391,20 +391,34 @@ object EventTime extends QueryModule {
         sum(col("value").cast("decimal(19,6)")).as("monetary"))
       .transform(d => d.crossJoin(broadcast(d.agg(max(col("last_day")).as("max_day")))))
       .withColumn("recency_days", datediff(col("max_day"), col("last_day")))
-    val ranked = perUser
-      .transform(blockedPrefix(_, Nil,
-        Seq("__b_rec" -> col("recency_days"), "__b_uid" -> uidBlk),
-        Seq(false, false), Seq(col("user_id")), "__r_rank", "__n1"))
-      .transform(blockedPrefix(_, Nil,
-        Seq("__b_freq" -> col("freq"), "__b_uid" -> uidBlk),
-        Seq(true, false), Seq(col("user_id")), "__f_rank", "__n2"))
-      .transform(blockedPrefix(_, Nil,
-        Seq("__b_mon" -> floor(col("monetary"))),
-        Seq(true), Seq(col("monetary").desc, col("user_id")), "__m_rank", "__n3"))
+    // ONE unpivoted rank pass instead of three: each metric becomes an
+    // ASCENDING decimal sort value (recency as-is; freq and monetary
+    // negated), so a single blockedPrefix partitioned by metric ranks all
+    // three with one shuffle pipeline. Block keys: floor(sortval) always;
+    // the user-id sub-block ONLY where sortval is integral (r/f — there
+    // the block pins the full value, so uid sub-blocking stays a monotone
+    // refinement; for monetary it would split rows of equal floor out of
+    // value order). Orders are identical to the former three passes, so
+    // ranks — and the emitted segment grid — are bit-identical.
+    val unpivoted = perUser.select(
+      col("user_id"), col("monetary"),
+      expr("""stack(3,
+        'r', CAST(recency_days AS DECIMAL(29,6)),
+        'f', CAST(-freq AS DECIMAL(29,6)),
+        'm', CAST(-monetary AS DECIMAL(29,6))) AS (metric, sortval)"""))
+    val ranked = blockedPrefix(unpivoted, Seq("metric"),
+      Seq(
+        "__b_v" -> floor(col("sortval")),
+        "__b_uid" -> when(col("metric") === "m", lit(0L)).otherwise(uidBlk)),
+      Seq(false, false), Seq(col("sortval"), col("user_id")), "__rank", "__n")
     ranked
-      .withColumn("r_score", ntileFromRank(col("__r_rank"), col("__n1"), 5))
-      .withColumn("f_score", ntileFromRank(col("__f_rank"), col("__n2"), 5))
-      .withColumn("m_score", ntileFromRank(col("__m_rank"), col("__n3"), 5))
+      .withColumn("score", ntileFromRank(col("__rank"), col("__n"), 5))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("metric") === "r", col("score"))).as("r_score"),
+        max(when(col("metric") === "f", col("score"))).as("f_score"),
+        max(when(col("metric") === "m", col("score"))).as("m_score"),
+        min(col("monetary")).as("monetary")) // constant per user; min = picker
       .groupBy("r_score", "f_score", "m_score")
       .agg(count(lit(1)).as("n_users"),
         sum(col("monetary")).cast("double").as("segment_value"))
