@@ -43,6 +43,50 @@ object Sampling extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Neyman-allocation stratified sampling DESIGN + its realized draw: a
+    * fixed budget splits across strata ∝ N_h·σ_h — high-variance strata get
+    * proportionally MORE than their population share, the optimal allocation
+    * for estimating a mean under a sample-size budget (vs the proportional
+    * column reported beside it). Determinism discipline: σ_h is the one
+    * float step — computed from exact decimal power sums, scaled to an
+    * integer micro grid immediately — and EVERYTHING after (weights,
+    * allocations, rates, membership) is BIGINT arithmetic, so the design
+    * and the hash-gated draw are bit-reproducible across engines, reruns,
+    * and cluster sizes. Scale: one power-sum pass, a bounded per-stratum
+    * design table broadcast back, membership a pushdown-friendly per-row
+    * predicate (the `sample_hash` gate).
+    */
+  def sampleNeyman(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 150L
+    val bal = col("c_acctbal").cast("decimal(19,6)")
+    val c = Tables.customer(spark, sfDir)
+    val nhD = col("n_h").cast("double")
+    val sigma = sqrt(
+      (col("ss").cast("double") - col("s").cast("double") * col("s").cast("double") / nhD) / nhD)
+    val design = c.groupBy(col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n_h"), sum(bal).as("s"), sum(bal * bal).as("ss"))
+      .withColumn("sigma_micro", round(sigma * 1e6, 0).cast("long"))
+      .withColumn("w", col("n_h") * col("sigma_micro"))
+      .transform(d => d.crossJoin(broadcast(
+        d.agg(sum(col("w")).as("w_tot"), sum(col("n_h")).as("n_tot")))))
+      .select(
+        col("seg"), col("n_h"), col("sigma_micro"),
+        expr(s"$budget * w div w_tot").as("alloc_neyman"),
+        expr(s"$budget * n_h div n_tot").as("alloc_prop"))
+      .withColumn("rate_ppm", expr("alloc_neyman * 1000000 div n_h"))
+    c.join(broadcast(design), col("c_mktsegment") === col("seg"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        min(col("n_h")).as("n_h"),
+        min(col("sigma_micro")).as("sigma_micro"),
+        min(col("alloc_neyman")).as("alloc_neyman"),
+        min(col("alloc_prop")).as("alloc_prop"),
+        min(col("rate_ppm")).as("rate_ppm"),
+        sum(when(pmod(Hashing.hash60(col("c_custkey").cast("string")), lit(1000000L))
+          < col("rate_ppm"), 1).otherwise(0)).cast("long").as("realized_n"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Exact-size stratified sample: the k docs with the SMALLEST id-hash per
     * language — hash order is a fixed uniform-random permutation, so this is
     * "k uniformly at random per stratum" with full reproducibility. One
@@ -279,6 +323,7 @@ object Sampling extends QueryModule {
     "sample_hash"       -> (sampleHash _),
     "sample_weighted"   -> (sampleWeighted _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_neyman"     -> (sampleNeyman _),
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
@@ -336,6 +381,35 @@ object Sampling extends QueryModule {
            |)
            |SELECT doc_id, source, n_chars, pick_rank
            |FROM r WHERE pick_rank <= 100 ORDER BY doc_id""".stripMargin,
+      "sample_neyman" ->
+        s"""WITH sums AS (
+           |  SELECT c_mktsegment AS seg, COUNT(*) AS n_h,
+           |    SUM(CAST(c_acctbal AS DECIMAL(19,6))) AS s,
+           |    SUM(CAST(c_acctbal AS DECIMAL(19,6)) * CAST(c_acctbal AS DECIMAL(19,6))) AS ss
+           |  FROM customer GROUP BY c_mktsegment
+           |), d1 AS (
+           |  SELECT seg, n_h,
+           |    CAST(ROUND(sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n_h::DOUBLE) / n_h::DOUBLE)
+           |      * 1000000, 0) AS BIGINT) AS sigma_micro
+           |  FROM sums
+           |), d2 AS (
+           |  SELECT *, n_h * sigma_micro AS w FROM d1
+           |), tot AS (
+           |  SELECT CAST(SUM(w) AS BIGINT) AS w_tot, CAST(SUM(n_h) AS BIGINT) AS n_tot FROM d2
+           |), design AS (
+           |  SELECT seg, n_h, sigma_micro,
+           |    150 * w // w_tot AS alloc_neyman,
+           |    150 * n_h // n_tot AS alloc_prop,
+           |    (150 * w // w_tot) * 1000000 // n_h AS rate_ppm
+           |  FROM d2 CROSS JOIN tot
+           |)
+           |SELECT c.c_mktsegment, MIN(d.n_h) AS n_h, MIN(d.sigma_micro) AS sigma_micro,
+           |  MIN(d.alloc_neyman) AS alloc_neyman, MIN(d.alloc_prop) AS alloc_prop,
+           |  MIN(d.rate_ppm) AS rate_ppm,
+           |  CAST(SUM(CASE WHEN ${Hashing.duckHash60("CAST(c_custkey AS VARCHAR)")} % 1000000
+           |       < d.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS realized_n
+           |FROM customer c JOIN design d ON c.c_mktsegment = d.seg
+           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
       "sample_hash" ->
         s"""SELECT doc_id, lang, source, CAST($docBucket AS INTEGER) AS bucket
            |FROM documents

@@ -425,6 +425,36 @@ object EventTime extends QueryModule {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Day-of-week-DESEASONALIZED anomaly screen: a Sunday that is merely
+    * "low like every Sunday" is not an anomaly — `evt_zscore_anomaly`'s
+    * raw daily z-score can't tell. Expected volume for a day = that
+    * weekday's average for the type (dow_total ∕ n_days); the deviation
+    * ratio obs·n_days·10⁶ div dow_total is EXACT integer arithmetic (no
+    * float expectation), flagged beyond ±30%. The weekday profile is a
+    * bounded types×7 summary broadcast back onto the daily rollup; the
+    * weekday convention never leaves either engine (dow only joins rows,
+    * it is not emitted). Scale: events collapse to (type, day) first —
+    * map-side combinable — and everything after runs on the calendar axis.
+    */
+  def evtSeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("obs"))
+      .withColumn("dow", dayofweek(col("day")))
+    val byDow = daily.groupBy(col("event_type").as("et"), col("dow").as("d"))
+      .agg(sum(col("obs")).as("dow_total"), count(lit(1)).as("n_days"))
+    daily
+      .join(broadcast(byDow),
+        col("event_type") === col("et") && col("dow") === col("d"))
+      .select(
+        col("event_type"), col("day"), col("obs"), col("n_days"),
+        expr("dow_total * 1000000 div n_days").as("expected_micro"),
+        expr("obs * n_days * 1000000 div dow_total").as("ratio_ppm"),
+        when(abs(expr("obs * n_days * 1000000 div dow_total") - 1000000) > 300000, 1)
+          .otherwise(0).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
   /** Kaplan-Meier survival curve over user lifetimes — the retention
     * analyst's "what fraction of users survive past day t", with proper
     * right-censoring: a user whose last event lands on the corpus
@@ -850,6 +880,7 @@ object EventTime extends QueryModule {
     "evt_stickiness"  -> (evtStickiness _),
     "evt_pareto"      -> (evtPareto _),
     "evt_concurrency" -> (evtConcurrency _),
+    "evt_seasonal_anomaly" -> (evtSeasonalAnomaly _),
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
     "evt_survival"    -> (evtSurvival _),
@@ -1289,6 +1320,24 @@ object EventTime extends QueryModule {
         |  CAST(users_to_80 * 1000000 // n_users AS BIGINT) AS pct_users_ppm,
         |  CAST(total AS DOUBLE) AS total_value
         |FROM f ORDER BY event_type""".stripMargin,
+    "evt_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS obs
+        |  FROM events GROUP BY event_type, day
+        |), d2 AS (
+        |  SELECT *, dayofweek(day) AS dow FROM daily
+        |), bydow AS (
+        |  SELECT event_type AS et, dow AS d,
+        |    CAST(SUM(obs) AS BIGINT) AS dow_total, COUNT(*) AS n_days
+        |  FROM d2 GROUP BY et, d
+        |)
+        |SELECT d2.event_type, d2.day, d2.obs, bydow.n_days,
+        |  dow_total * 1000000 // n_days AS expected_micro,
+        |  d2.obs * n_days * 1000000 // dow_total AS ratio_ppm,
+        |  CASE WHEN abs(d2.obs * n_days * 1000000 // dow_total - 1000000) > 300000
+        |       THEN 1 ELSE 0 END AS anomaly
+        |FROM d2 JOIN bydow ON d2.event_type = bydow.et AND d2.dow = bydow.d
+        |ORDER BY event_type, day""".stripMargin,
     "evt_concurrency" ->
       """WITH d AS (
         |  SELECT event_type, ts AS t, 1 AS delta, event_id FROM events
