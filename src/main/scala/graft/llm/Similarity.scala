@@ -199,6 +199,52 @@ object Similarity extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** The SCALE path for `dedup_embedding`: identical threshold-pair
+    * semantics, but candidates come from RP-LSH buckets with Hamming≤2
+    * multiprobe (own bucket + 8 one-flip + 28 two-flip neighbors) instead
+    * of the corpus×corpus comparison — candidate generation is an
+    * equi-join on the bucket id, and only candidates pay the exact
+    * cosine. Found pairs are a SUBSET of the exact form's (same verify
+    * threshold), so |lsh| ∕ |exact| IS the recall — measured against
+    * `dedupEmbedding` in `EmbeddingDedupLshSpec` and pinned. Honest
+    * geometry note: at this corpus's only populated band (cos ≈ 0.45,
+    * θ ≈ 63°) per-plane agreement is 1 − θ/π ≈ 0.65, so 8-plane
+    * Hamming≤2 recall is only ≈ p⁸+8p⁷q+28p⁶q² ≈ 0.43 — LSH is the
+    * wrong tool for LOW-similarity thresholds. At a production near-dup
+    * threshold (cos ≥ 0.9, p ≈ 0.86) the same index recalls ≈ 0.9; the
+    * synthetic corpus simply has no such pairs, so the query keeps the
+    * low threshold to stay non-empty and the spec pins the measured
+    * recall at it. Shape discipline: candidate dedup runs on bare id
+    * pairs (vectors re-attached after), so the distinct never shuffles
+    * 64-dim payloads.
+    */
+  def dedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Hashing, VectorExpressions}
+    val planes = Hashing.RpPlanes
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorExpressions.dot_product(col("e"), typedlit(p)) > 0.0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("e"), bucket.as("bucket"))
+    val flips = planes.indices.map(j => col("bucket").bitwiseXOR(lit(1 << j))) ++
+      (for { i <- planes.indices; j <- planes.indices if i < j }
+        yield col("bucket").bitwiseXOR(lit((1 << i) | (1 << j))))
+    val probes = array(col("bucket") +: flips: _*)
+    val aIds = emb.select(col("vec_id").as("vec_a"), explode(probes).as("pb"))
+    val bIds = emb.select(col("vec_id").as("vec_b"), col("bucket").as("pb"))
+    val cand = aIds.join(bIds, Seq("pb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"))
+    val vb = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .withColumn("cos", round(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Embedding-corpus preprocessing stats per label: count and norm
     * distribution — the sanity pass a pipeline runs before indexing
     * (catches unnormalized or degenerate vectors).
@@ -674,6 +720,7 @@ object Similarity extends QueryModule {
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
   )
 
   // DuckDB mirrors: same double math as the Spark fold — elementwise
@@ -993,6 +1040,30 @@ object Similarity extends QueryModule {
          |  ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
          |FROM e a JOIN e b ON a.vec_id < b.vec_id
          |WHERE ROUND(${duckCos("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding_lsh" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), b AS (
+         |  SELECT vec_id, v, $duckBucket AS bucket FROM e
+         |), probes AS (
+         |  SELECT vec_id AS vec_a,
+         |    unnest([bucket, ${((0 until 8).map(j => s"xor(bucket, ${1 << j})") ++
+            (for { i <- 0 until 8; j <- 0 until 8 if i < j }
+              yield s"xor(bucket, ${(1 << i) | (1 << j)})")).mkString(", ")}]) AS pb
+         |  FROM b
+         |), cand AS (
+         |  SELECT DISTINCT p.vec_a, c.vec_id AS vec_b
+         |  FROM probes p JOIN b c ON p.pb = c.bucket
+         |  WHERE p.vec_a < c.vec_id
+         |)
+         |SELECT cand.vec_a, cand.vec_b,
+         |  ROUND(${duckCos("va.v", "vb.v")}, 6) AS cos
+         |FROM cand
+         |JOIN b va ON cand.vec_a = va.vec_id
+         |JOIN b vb ON cand.vec_b = vb.vec_id
+         |WHERE ROUND(${duckCos("va.v", "vb.v")}, 6) >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin,
     "sim_ann_multiprobe" ->
       s"""WITH e AS (

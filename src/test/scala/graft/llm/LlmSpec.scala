@@ -68,6 +68,26 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+/** The LSH dedup variant against its own brute-force truth: subset +
+  * measured recall. The recall floor encodes the 63°-threshold geometry
+  * documented on `dedupEmbeddingLsh` (≈0.43 expected; the corpus draws
+  * 0.5-0.6 at sf0.001) — NOT a production near-dup number, where the same
+  * index recalls ≈0.9 at cos ≥ 0.9.
+  */
+class EmbeddingDedupLshSpec extends SparkSpec {
+
+  test("LSH pairs are a subset of exact pairs with the documented recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.dedupEmbedding(spark, sf0001))
+    val lsh = pairs(Similarity.dedupEmbeddingLsh(spark, sf0001))
+    assert(lsh.subsetOf(exact), s"LSH found non-pairs: ${lsh.diff(exact)}")
+    assert(exact.nonEmpty && lsh.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall below the Hamming<=2 floor at cos 0.45")
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
 
   test("token counts on a crafted document") {
