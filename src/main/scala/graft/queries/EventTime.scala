@@ -425,6 +425,34 @@ object EventTime extends QueryModule {
       .orderBy("r_score", "f_score", "m_score")
   }
 
+  /** Exact pairwise audience-overlap matrix across event types — the
+    * ground-truth counterpart of `sketch_kmv_intersect`'s estimates, and
+    * the audience-planning primitive itself (which behaviors share
+    * users?). Shape: ONE distinct-collapse to (type, user), ONE
+    * self-equi-join on user_id (types meet only through shared users —
+    * never a type×type×user blowup), per-type cardinalities broadcast
+    * back; Jaccard lands in integer ppm via cross-multiplied counts. At
+    * 100 TB the user-keyed join shuffles each distinct (type, user) row
+    * once; the output is the bounded types² matrix.
+    */
+  def evtAudienceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val u = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val perType = u.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val inter = u.select(col("event_type").as("type_a"), col("user_id"))
+      .join(u.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n").as("n_b"))), "type_b")
+      .withColumn("jaccard_ppm",
+        expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+      .orderBy("type_a", "type_b")
+  }
+
   /** Day-of-week-DESEASONALIZED anomaly screen: a Sunday that is merely
     * "low like every Sunday" is not an anomaly — `evt_zscore_anomaly`'s
     * raw daily z-score can't tell. Expected volume for a day = that
@@ -881,6 +909,7 @@ object EventTime extends QueryModule {
     "evt_pareto"      -> (evtPareto _),
     "evt_concurrency" -> (evtConcurrency _),
     "evt_seasonal_anomaly" -> (evtSeasonalAnomaly _),
+    "evt_audience_overlap" -> (evtAudienceOverlap _),
     "evt_drawdown"    -> (evtDrawdown _),
     "evt_rfm"         -> (evtRfm _),
     "evt_survival"    -> (evtSurvival _),
@@ -1320,6 +1349,22 @@ object EventTime extends QueryModule {
         |  CAST(users_to_80 * 1000000 // n_users AS BIGINT) AS pct_users_ppm,
         |  CAST(total AS DOUBLE) AS total_value
         |FROM f ORDER BY event_type""".stripMargin,
+    "evt_audience_overlap" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id FROM events
+        |), pt AS (
+        |  SELECT event_type, COUNT(*) AS n FROM u GROUP BY event_type
+        |), inter AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+        |  FROM u a JOIN u b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY type_a, type_b
+        |)
+        |SELECT i.type_a, i.type_b, pa.n AS n_a, pb.n AS n_b, i.n_both,
+        |  i.n_both * 1000000 // (pa.n + pb.n - i.n_both) AS jaccard_ppm
+        |FROM inter i
+        |JOIN pt pa ON i.type_a = pa.event_type
+        |JOIN pt pb ON i.type_b = pb.event_type
+        |ORDER BY type_a, type_b""".stripMargin,
     "evt_seasonal_anomaly" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS obs
