@@ -92,7 +92,9 @@ object CuratedZone {
       df: DataFrame,
       table: String,
       bucketCol: String,
-      nBuckets: Int): Unit = {
+      nBuckets: Int): Unit = synchronized {
+    // JVM-wide lock: concurrent test suites (or a Verify + spec overlap)
+    // re-creating the SAME table would interleave drop/delete/write.
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")

@@ -79,8 +79,15 @@ object Layout extends QueryModule {
     * paid once at write time and a full shuffle of both sides on every
     * join; bucket count scales to ≈ cluster cores (SCALING.md §9).
     */
+  private val bucketJoinRun = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def layoutBucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = math.abs(sfDir.hashCode).toString
+    // Per-invocation table names: concurrent builders (parallel test
+    // suites, overlapping Verify runs) must never drop a table another
+    // invocation is still reading. Old generations are tiny (test-SF
+    // data under the gitignored warehouse) and get cleaned by the next
+    // same-name write via writeBucketed's orphan sweep.
+    val tag = s"${math.abs(sfDir.hashCode)}_${bucketJoinRun.incrementAndGet()}"
     val ot = s"graft_bj_orders_$tag"
     val ct = s"graft_bj_cust_$tag"
     CuratedZone.writeBucketed(
