@@ -27,12 +27,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // Drop any stale dump from a previous run: a survivor here would
         // make a downstream compare silently grade OLD results as current.
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
+        // The sweep itself must not abort the dump loop — report and move on.
         val dir = new java.io.File(s"$outDir/$name")
-        if (dir.exists()) rm(dir)
+        if (dir.exists() && !Fs.deleteRecursively(dir))
+          System.err.println(s"[verify] $name stale dump NOT removed: $dir")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -52,7 +52,10 @@ object Sampling extends QueryModule {
     * integer micro grid immediately — and EVERYTHING after (weights,
     * allocations, rates, membership) is BIGINT arithmetic, so the design
     * and the hash-gated draw are bit-reproducible across engines, reruns,
-    * and cluster sizes. Scale: one power-sum pass, a bounded per-stratum
+    * and cluster sizes. Overflow headroom: the allocation weight uses
+    * MILLI-scaled sigma (n_h * sigma_milli * budget must fit BIGINT — at
+    * n_h = 10^9 and sigma = 10^3 that is ~1.5·10^17, 60x under the
+    * ceiling; micro-scaled sigma would overflow right at that scale). Scale: one power-sum pass, a bounded per-stratum
     * design table broadcast back, membership a pushdown-friendly per-row
     * predicate (the `sample_hash` gate).
     */
@@ -66,7 +69,7 @@ object Sampling extends QueryModule {
     val design = c.groupBy(col("c_mktsegment").as("seg"))
       .agg(count(lit(1)).as("n_h"), sum(bal).as("s"), sum(bal * bal).as("ss"))
       .withColumn("sigma_micro", round(sigma * 1e6, 0).cast("long"))
-      .withColumn("w", col("n_h") * col("sigma_micro"))
+      .withColumn("w", col("n_h") * expr("sigma_micro div 1000"))
       .transform(d => d.crossJoin(broadcast(
         d.agg(sum(col("w")).as("w_tot"), sum(col("n_h")).as("n_tot")))))
       .select(
@@ -393,7 +396,7 @@ object Sampling extends QueryModule {
            |      * 1000000, 0) AS BIGINT) AS sigma_micro
            |  FROM sums
            |), d2 AS (
-           |  SELECT *, n_h * sigma_micro AS w FROM d1
+           |  SELECT *, n_h * (sigma_micro // 1000) AS w FROM d1
            |), tot AS (
            |  SELECT CAST(SUM(w) AS BIGINT) AS w_tot, CAST(SUM(n_h) AS BIGINT) AS n_tot FROM d2
            |), design AS (

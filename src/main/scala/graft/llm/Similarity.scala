@@ -1049,9 +1049,12 @@ object Similarity extends QueryModule {
          |  SELECT vec_id, v, $duckBucket AS bucket FROM e
          |), probes AS (
          |  SELECT vec_id AS vec_a,
-         |    unnest([bucket, ${((0 until 8).map(j => s"xor(bucket, ${1 << j})") ++
-            (for { i <- 0 until 8; j <- 0 until 8 if i < j }
-              yield s"xor(bucket, ${(1 << i) | (1 << j)})")).mkString(", ")}]) AS pb
+         |    unnest([bucket, ${{
+              val idx = graft.functions.Hashing.RpPlanes.indices
+              (idx.map(j => s"xor(bucket, ${1 << j})") ++
+                (for { i <- idx; j <- idx if i < j }
+                  yield s"xor(bucket, ${(1 << i) | (1 << j)})")).mkString(", ")
+            }}]) AS pb
          |  FROM b
          |), cand AS (
          |  SELECT DISTINCT p.vec_a, c.vec_id AS vec_b

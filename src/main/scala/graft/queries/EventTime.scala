@@ -621,7 +621,13 @@ object EventTime extends QueryModule {
     * never a per-type global sort, which at 100 TB would funnel every
     * boundary of a type through one task. Per-day peaks are order-stable:
     * within a run of equal (t, delta) rows the prefix-sum multiset is
-    * permutation-invariant, so MAX is engine-independent.
+    * permutation-invariant, so MAX is engine-independent. Midnight
+    * carryover: a day whose first boundary is an END would otherwise
+    * never see the level it INHERITED at 00:00 (sessions open across the
+    * boundary) — the carry is the cumulative day-delta of all preceding
+    * days (order-free sum over the calendar-bounded day summary; days
+    * with no boundaries contribute 0 by construction), and the day's
+    * peak is greatest(carry, max within-day cum).
     */
   def evtConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.BlockedRank.{blockedPrefix, PrefixValue}
@@ -638,8 +644,16 @@ object EventTime extends QueryModule {
       values = Seq(PrefixValue(col("delta").cast("long"), "cum", "tot")))
       .groupBy(col("event_type"), to_date(col("t")).as("day"))
       .agg(
-        max(col("cum")).cast("long").as("peak_concurrency"),
+        max(col("cum")).cast("long").as("max_cum"),
+        sum(col("delta")).cast("long").as("day_delta"),
         sum(when(col("delta") === 1, 1).otherwise(0)).cast("long").as("n_starts"))
+      .withColumn("carry", coalesce(
+        sum(col("day_delta")).over(Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(
+        col("event_type"), col("day"),
+        greatest(col("max_cum"), col("carry")).as("peak_concurrency"),
+        col("n_starts"))
       .orderBy("event_type", "day")
   }
 
@@ -1393,11 +1407,20 @@ object EventTime extends QueryModule {
         |    SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM d
+        |), byday AS (
+        |  SELECT event_type, day,
+        |    CAST(MAX(cum) AS BIGINT) AS max_cum,
+        |    CAST(SUM(delta) AS BIGINT) AS day_delta,
+        |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+        |  FROM c GROUP BY event_type, day
         |)
         |SELECT event_type, day,
-        |  CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
-        |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
-        |FROM c GROUP BY event_type, day
+        |  GREATEST(max_cum, CAST(COALESCE(SUM(day_delta) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT))
+        |    AS peak_concurrency,
+        |  n_starts
+        |FROM byday
         |ORDER BY event_type, day""".stripMargin,
     "evt_drawdown" ->
       """WITH daily AS (

@@ -99,12 +99,8 @@ object CuratedZone {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) rm(loc)
+    if (loc.exists()) graft.Fs.deleteRecursively(loc)
     df.write
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -81,13 +81,32 @@ object Layout extends QueryModule {
     */
   private val bucketJoinRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Best-effort sweep of bucketed-join generations older than an hour:
+    * per-invocation names below cannot collide with a LIVE reader (pid +
+    * counter), so anything old is a leftover from a finished process. A
+    * failed delete is ignored — the next sweep retries.
+    */
+  private def sweepStaleGenerations(spark: SparkSession): Unit = {
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    val cutoff = System.currentTimeMillis() - 3600L * 1000
+    val stale = warehouse.listFiles()
+    if (stale != null) stale
+      .filter(f => f.getName.startsWith("graft_bj_") && f.lastModified() < cutoff)
+      .foreach(graft.Fs.deleteRecursively)
+  }
+
   def layoutBucketJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    // Per-invocation table names: concurrent builders (parallel test
-    // suites, overlapping Verify runs) must never drop a table another
-    // invocation is still reading. Old generations are tiny (test-SF
-    // data under the gitignored warehouse) and get cleaned by the next
-    // same-name write via writeBucketed's orphan sweep.
-    val tag = s"${math.abs(sfDir.hashCode)}_${bucketJoinRun.incrementAndGet()}"
+    // Per-invocation, per-PROCESS table names: concurrent builders
+    // (parallel test suites in one JVM, an overlapping Verify in another
+    // sharing the same warehouse directory) must never drop a table a
+    // live invocation is still reading — a JVM-local counter alone leaves
+    // two processes agreeing on the same name. Generations are tiny
+    // (test-SF data under the gitignored warehouse); stale ones are swept
+    // once they're provably dead (an hour old).
+    sweepStaleGenerations(spark)
+    val tag = s"${math.abs(sfDir.hashCode)}_p${ProcessHandle.current().pid()}" +
+      s"_${bucketJoinRun.incrementAndGet()}"
     val ot = s"graft_bj_orders_$tag"
     val ct = s"graft_bj_cust_$tag"
     CuratedZone.writeBucketed(

@@ -66,18 +66,8 @@ class CuratedZoneSpec extends SparkSpec {
     // (gitignored); only the broadcast threshold is session-scoped here.
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-    // clean both catalog entries and any orphaned locations from prior runs
-    Seq("orders_b", "customer_b").foreach { t =>
-      s2.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(s"spark-warehouse/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
+    // (no manual cleanup needed: writeBucketed drops the catalog entry and
+    // sweeps any orphaned location itself)
     val o = Tables.orders(s2, sf0001)
     val c = Tables.customer(s2, sf0001)
     CuratedZone.writeBucketed(o, "orders_b", "o_custkey", 8)
