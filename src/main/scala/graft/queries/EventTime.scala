@@ -629,13 +629,21 @@ object EventTime extends QueryModule {
     * with no boundaries contribute 0 by construction), and the day's
     * peak is greatest(carry, max within-day cum).
     */
-  def evtConcurrency(spark: SparkSession, sfDir: String): DataFrame = {
+  def evtConcurrency(spark: SparkSession, sfDir: String): DataFrame =
+    peakConcurrency(Tables.events(spark, sfDir), sessionMinutes = 30)
+
+  /** The sweep itself over any (event_type, ts, event_id) frame — public so
+    * the midnight-carry semantics can be pinned on crafted corpora (the
+    * DuckDB oracle mirrors the implementation, so only a constructed case
+    * can prove the carry against an INDEPENDENT expectation).
+    */
+  def peakConcurrency(ev: DataFrame, sessionMinutes: Int): DataFrame = {
     import graft.operators.BlockedRank.{blockedPrefix, PrefixValue}
-    val ev = Tables.events(spark, sfDir)
     val deltas = ev.select(
         col("event_type"), col("ts").as("t"), lit(1).as("delta"), col("event_id"))
       .unionByName(ev.select(
-        col("event_type"), (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+        col("event_type"),
+        (col("ts") + expr(s"INTERVAL $sessionMinutes MINUTES")).as("t"),
         lit(-1).as("delta"), col("event_id")))
     blockedPrefix(deltas, Seq("event_type"),
       Seq("__b_day" -> to_date(col("t"))), Seq(false),
