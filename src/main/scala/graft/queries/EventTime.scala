@@ -464,8 +464,15 @@ object EventTime extends QueryModule {
     * it is not emitted). Scale: events collapse to (type, day) first —
     * map-side combinable — and everything after runs on the calendar axis.
     */
-  def evtSeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
-    val daily = Tables.events(spark, sfDir)
+  def evtSeasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalAnomalyOf(Tables.events(spark, sfDir))
+
+  /** The deseasonalized screen over any (event_type, ts) frame — public so
+    * planted-spike corpora can pin the flag against hand-computed
+    * expectations (`TrendSpec`).
+    */
+  def seasonalAnomalyOf(events: DataFrame): DataFrame = {
+    val daily = events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("obs"))
       .withColumn("dow", dayofweek(col("day")))

@@ -144,14 +144,21 @@ object Windows extends QueryModule {
     * shuffle+sort; x is the epoch-day index so frames never parse dates.
     * Frames shorter than 2 points emit NULL (no 0/0 in either engine).
     */
-  def winRollingSlope(spark: SparkSession, sfDir: String): DataFrame = {
+  def winRollingSlope(spark: SparkSession, sfDir: String): DataFrame =
+    rollingSlopeOf(Tables.events(spark, sfDir))
+
+  /** The rolling-OLS pass over any (event_type, ts, value) frame — public
+    * so crafted corpora can pin the slope against closed-form expectations
+    * (`TrendSpec`), the mirror-oracle countermeasure.
+    */
+  def rollingSlopeOf(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
     val n   = count(lit(1)).over(w).cast("double")
     val sx  = sum(col("x")).over(w).cast("double")
     val sy  = sum(col("rev")).over(w).cast("double")
     val sxx = sum(col("x") * col("x")).over(w).cast("double")
     val sxy = sum(col("rev") * col("x")).over(w).cast("double")
-    Tables.events(spark, sfDir)
+    events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(sum(col("value").cast("decimal(19,6)")).as("rev"))
       .withColumn("x", datediff(col("day"), lit("1970-01-01")).cast("long"))
