@@ -864,18 +864,26 @@ object Relational extends QueryModule {
     * expression, so the comparison resolves identically. At scale: one
     * shuffle for the sums, zero for the scoring pass (broadcast).
     */
-  def aggLinregr(spark: SparkSession, sfDir: String): DataFrame = {
-    val x = col("l_quantity").cast("decimal(18,6)")
-    val y = col("l_extendedprice").cast("decimal(18,6)")
+  def aggLinregr(spark: SparkSession, sfDir: String): DataFrame =
+    linregrOf(Tables.lineitem(spark, sfDir), "l_returnflag",
+      col("l_quantity"), col("l_extendedprice"))
+
+  /** The fit-then-score pass over any frame — public so crafted exact-line
+    * corpora can pin slope/intercept/r² against closed forms (`StatSpec`),
+    * the mirror-oracle countermeasure.
+    */
+  def linregrOf(df: DataFrame, groupCol: String, xc: Column, yc: Column): DataFrame = {
     val n   = col("n").cast("double")
     val sx  = col("sx").cast("double")
     val sy  = col("sy").cast("double")
     val sxx = col("sxx").cast("double")
     val syy = col("syy").cast("double")
     val sxy = col("sxy").cast("double")
-    val li = Tables.lineitem(spark, sfDir)
+    val li = df.withColumn("__x", xc).withColumn("__y", yc)
+    val x = col("__x").cast("decimal(18,6)")
+    val y = col("__y").cast("decimal(18,6)")
     val coef = li
-      .groupBy(col("l_returnflag").as("rf"))
+      .groupBy(col(groupCol).as("rf"))
       .agg(
         count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
@@ -886,18 +894,17 @@ object Relational extends QueryModule {
         round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6).as("intercept"),
         round(pow(n * sxy - sx * sy, 2)
           / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("r2"))
-    li.join(broadcast(coef), col("l_returnflag") === col("rf"))
-      .groupBy(col("l_returnflag"))
+    li.join(broadcast(coef), col(groupCol) === col("rf"))
+      .groupBy(col(groupCol))
       .agg(
         // coefficients are group-constant; min is the deterministic picker
         min(col("n_fit")).as("n_fit"),
         min(col("slope")).as("slope"),
         min(col("intercept")).as("intercept"),
         min(col("r2")).as("r2"),
-        sum(when(col("l_extendedprice")
-          > col("slope") * col("l_quantity") + col("intercept"), 1)
+        sum(when(col("__y") > col("slope") * col("__x") + col("intercept"), 1)
           .otherwise(0)).cast("long").as("n_above_fit"))
-      .orderBy("l_returnflag")
+      .orderBy(groupCol)
   }
 
   /** Welch two-sample test (A/B experiment readout): each event type's
@@ -909,9 +916,16 @@ object Relational extends QueryModule {
     * engines. At scale: one shuffle for the 5-row sums table, the control
     * row re-attached via the broadcast scalar-attach idiom.
     */
-  def dqAbTtest(spark: SparkSession, sfDir: String): DataFrame = {
+  def dqAbTtest(spark: SparkSession, sfDir: String): DataFrame =
+    welchOf(Tables.events(spark, sfDir), "view")
+
+  /** The Welch readout over any (event_type, value) frame — public so
+    * crafted equal-variance corpora can pin t² and df against the
+    * closed-form df = 2n−2 case (`StatSpec`).
+    */
+  def welchOf(events: DataFrame, controlType: String): DataFrame = {
     val v = col("value").cast("decimal(24,8)")
-    val sums = Tables.events(spark, sfDir)
+    val sums = events
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("ss"))
     def mean(p: String) = col(p + "s").cast("double") / col(p + "n").cast("double")
@@ -919,10 +933,10 @@ object Relational extends QueryModule {
       val n = col(p + "n").cast("double")
       (col(p + "ss").cast("double") - col(p + "s").cast("double") * col(p + "s").cast("double") / n) / (n - 1)
     }
-    val control = sums.filter(col("event_type") === "view")
+    val control = sums.filter(col("event_type") === controlType)
       .select(col("n").as("c_n"), col("s").as("c_s"), col("ss").as("c_ss"))
     val se2 = varOf("") / col("n").cast("double") + varOf("c_") / col("c_n").cast("double")
-    sums.filter(col("event_type") =!= "view")
+    sums.filter(col("event_type") =!= controlType)
       .crossJoin(broadcast(control))
       .select(
         col("event_type"),
