@@ -172,8 +172,8 @@ object Dedup extends QueryModule {
   }
 
   /** Incremental near-dedup — the daily-ingest shape: score each NEW
-    * batch document (doc_id mod 10 = 9 stands in for today's arrivals)
-    * against the EXISTING corpus (the other 90%) only, never corpus
+    * batch document (doc_id mod 4 = 3 stands in for today's arrivals)
+    * against the EXISTING corpus (the other 75%) only, never corpus
     * self-pairs. Candidates come from the same banded-LSH equi-join as
     * `dedupMinhash`, but DIRECTED new→old — at scale the old side's band
     * rows are the PRE-BUILT signature index (materialized once in the

@@ -118,8 +118,20 @@ object BlockedRank {
     }.drop("__brk_n").drop(vNames.map(_ + "_s"): _*)
 
     val wLocal = Window.partitionBy(keyCols: _*).orderBy(localOrder: _*)
+    // NULL-SAFE join back: a NULL block key is a legitimate block (groupBy
+    // and window partitioning both treat NULLs as one group, and the
+    // window form this replaces emits those rows with nulls-first-asc /
+    // nulls-last-desc placement — the same placement wOff's sort gives the
+    // NULL summary row). A plain equi-join would silently DROP every
+    // null-keyed row while still counting them in offsets and totals.
+    val joinCols = partition ++ blkNames
+    val offsetsR = joinCols.foldLeft(offsets) {
+      (d, n) => d.withColumnRenamed(n, s"__brj_$n")
+    }
+    val cond = joinCols.map(n => col(n) <=> col(s"__brj_$n")).reduce(_ && _)
     val ranked = base
-      .join(offsets, partition ++ blkNames)
+      .join(offsetsR, cond)
+      .drop(joinCols.map("__brj_" + _): _*)
       .withColumn(outRank, col("__brk_off") + row_number().over(wLocal))
     val out = values.zip(vNames).foldLeft(ranked) {
       case (d, (pv, n)) =>
@@ -150,6 +162,11 @@ object BlockedRank {
     * values (duplicate requested ranks would duplicate the owning block's
     * rows under one window partition); it stays a PLAN, so data-dependent
     * ranks (N·k/5 from a count aggregate) never hit the driver.
+    *
+    * Unlike [[blockedPrefix]] (null-safe join back), the final equi-join
+    * here REQUIRES non-null block keys — a NULL block could never match
+    * its target row. Callers pass non-null value derivations today; make
+    * the key `coalesce(...)`-total before calling with nullable input.
     */
   def selectByRank(
       df: DataFrame,

@@ -564,13 +564,18 @@ object EventTime extends QueryModule {
       .agg(
         count(lit(1)).as("nd"),
         sum(col("n")).as("sx"),
-        sum((col("n") * col("n")).cast("decimal(38,0)")).as("sxx"))
+        // cast BEFORE squaring: a day count near 10^9 (and Σx near 10^13)
+        // squared as long*long overflows BIGINT; decimal first keeps the
+        // whole power-sum pipeline exact, matching DuckDB's HUGEINT path.
+        sum(col("n").cast("decimal(19,0)") * col("n").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxx"))
       .select(col("event_type"),
         round(col("sx").cast("double") / col("nd"), 6)
           .cast("decimal(18,6)").as("mu"),
         round(
-          sqrt((col("nd") * col("sxx") - (col("sx") * col("sx"))
-            .cast("decimal(38,0)")).cast("double")) / col("nd"), 6)
+          sqrt((col("nd") * col("sxx")
+            - col("sx").cast("decimal(19,0)") * col("sx").cast("decimal(19,0)"))
+            .cast("double")) / col("nd"), 6)
           .cast("decimal(18,6)").as("sigma"))
     val wCum = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)

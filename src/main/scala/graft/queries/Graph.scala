@@ -38,9 +38,14 @@ object Graph extends QueryModule {
   private val volCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = {
-    // bound the cache: a long session sweeping many corpora must not pin
-    // storage blocks forever — evict (and unpersist) beyond 4 entries
+  private def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = volCache.synchronized {
+    // One lock around lookup + eviction + build: TrieMap.getOrElseUpdate
+    // may race two builders (the loser's persisted frame would leak its
+    // storage blocks for the session), and an unlocked check-then-evict
+    // could unpersist an entry a concurrent query is mid-scan on.
+    // Contention is nil — the lock guards plan CONSTRUCTION (ms), not
+    // execution. Bound the cache: a long session sweeping many corpora
+    // must not pin storage blocks forever — evict beyond 4 entries.
     if (!volCache.contains((spark, sfDir)) && volCache.size >= 4)
       volCache.keys.headOption.foreach { k =>
         volCache.remove(k).foreach(_.unpersist())

@@ -339,9 +339,15 @@ case class LandingOffset(mtime: Long, keysAtMtime: Seq[String]) extends Offset {
       org.json4s.jackson.JsonMethods.render(
         ("mtime" -> mtime) ~ ("keys" -> keysAtMtime)))
   }
+  /** O(1) membership for admits: a bulk load landing thousands of objects
+    * in one mtime granule (same-millisecond writes, coarse filesystems)
+    * would otherwise cost O(ledger × keys) per micro-batch plan.
+    */
+  @transient private lazy val keySet: Set[String] = keysAtMtime.toSet
+
   /** Is the ledger entry (m, k) strictly after this watermark? */
   def admits(m: Long, k: String): Boolean =
-    m > mtime || (m == mtime && !keysAtMtime.contains(k))
+    m > mtime || (m == mtime && !keySet.contains(k))
 }
 
 object LandingOffset {

@@ -133,6 +133,23 @@ class BlockedRankPropSpec extends SparkSpec {
       20L -> Some(3L), 21L -> Some(8L)))
   }
 
+  test("NULL block keys keep their rows and rank like the window's nulls-first") {
+    import spark.implicits._
+    // block key NULL for m=0 rows: the window form ranks them FIRST
+    // (asc_nulls_first); a plain equi-join back would have dropped them.
+    val df = Seq(0L, 0L, 5L, 12L, 17L).toDF("m")
+      .withColumn("blk", when(col("m") > 0, idiv(col("m"), lit(10))))
+    val got = blockedPrefix(df, Nil,
+      Seq("__b" -> col("blk")), Seq(false),
+      Seq(col("m")), "rk", "n")
+      .orderBy("rk").select("m", "rk", "n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 5, "null-block rows must survive the join back")
+    assert(got.map(_._3).forall(_ == 5L), "total counts every row")
+    assert(got.map(_._1).toSeq === Seq(0L, 0L, 5L, 12L, 17L))
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("ntileFromRank ≡ ntile(n) including the uneven-remainder buckets") {
     import spark.implicits._
     for (total <- Seq(1, 4, 5, 7, 23, 100); n <- Seq(2, 3, 5, 7)) {
