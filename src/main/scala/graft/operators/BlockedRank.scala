@@ -77,7 +77,20 @@ object BlockedRank {
     require(blocks.nonEmpty && blocks.size == blockDesc.size)
     val blkNames = blocks.map(_._1)
     val keyCols = (partition ++ blkNames).map(col)
-    val withBlk = blocks.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    // Block keys are STRUCT-wrapped: a NULL key expression becomes a
+    // non-null struct with a null field, so the groupBy, the summary
+    // window (struct ordering puts the null field first ascending — the
+    // window form's nulls-first placement), and the plain equi-join back
+    // all treat it as one legitimate block. Without this, null-keyed rows
+    // would survive the partials but silently DROP at the join while
+    // still counting in offsets and totals. The wrapper keeps the join a
+    // vanilla usingColumns equi-join — same exprIds both branches, so
+    // Catalyst still reuses the partials' exchange (a null-safe-condition
+    // join through renamed columns was measured 2-3x slower here: new
+    // exprIds defeat ReuseExchange).
+    val withBlk = blocks.foldLeft(df) {
+      case (d, (n, c)) => d.withColumn(n, struct(c.as("k")))
+    }
     val vNames = values.indices.map(i => s"__brk_v$i")
     // The input feeds TWO branches (block partials, and the join back).
     // The branches' own exchanges differ (partial-agg vs plain hash), but
@@ -118,20 +131,8 @@ object BlockedRank {
     }.drop("__brk_n").drop(vNames.map(_ + "_s"): _*)
 
     val wLocal = Window.partitionBy(keyCols: _*).orderBy(localOrder: _*)
-    // NULL-SAFE join back: a NULL block key is a legitimate block (groupBy
-    // and window partitioning both treat NULLs as one group, and the
-    // window form this replaces emits those rows with nulls-first-asc /
-    // nulls-last-desc placement — the same placement wOff's sort gives the
-    // NULL summary row). A plain equi-join would silently DROP every
-    // null-keyed row while still counting them in offsets and totals.
-    val joinCols = partition ++ blkNames
-    val offsetsR = joinCols.foldLeft(offsets) {
-      (d, n) => d.withColumnRenamed(n, s"__brj_$n")
-    }
-    val cond = joinCols.map(n => col(n) <=> col(s"__brj_$n")).reduce(_ && _)
     val ranked = base
-      .join(offsetsR, cond)
-      .drop(joinCols.map("__brj_" + _): _*)
+      .join(offsets, partition ++ blkNames)
       .withColumn(outRank, col("__brk_off") + row_number().over(wLocal))
     val out = values.zip(vNames).foldLeft(ranked) {
       case (d, (pv, n)) =>
