@@ -637,13 +637,19 @@ object Similarity extends QueryModule {
     val subs = pqSubs(spark, sfDir)
     val codes = pqCodes(subs)
       .select(col("vec_id").as("cand_id"), col("s"), col("cid"))
+    // The LUT's join columns are renamed (lut_s/lut_cid) BEFORE the join:
+    // both frames descend from the same `subs` lineage, and a dataset-id-
+    // disambiguated `codes("s") === luts("s")` is the exact pattern Spark's
+    // self-join analyzer warns can silently degenerate to "trivially true
+    // 's == s'" after a refactor. Distinct attribute names make the
+    // condition unambiguous by construction — no analyzer heuristics.
     val luts = subs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("s"), col("sub"))
       .join(broadcast(pqCents(subs)), Seq("s"))
       .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
-      .select(col("q_id"), col("s"), col("cent_id"), col("pd2"))
+      .select(col("q_id"), col("s").as("lut_s"), col("cent_id").as("lut_cid"), col("pd2"))
     val adc = codes
-      .join(broadcast(luts), codes("s") === luts("s") && codes("cid") === luts("cent_id"))
+      .join(broadcast(luts), col("s") === col("lut_s") && col("cid") === col("lut_cid"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(sum(col("pd2")).as("adc"))
       .filter(col("q_id") =!= col("cand_id"))

@@ -139,6 +139,71 @@ class PlanSpec extends SparkSpec {
     assert(bad.nonEmpty, "the guard's detector must flag a real unpartitioned window")
   }
 
+  // -- ambiguous self-join guard ---------------------------------------
+  // When two frames share a lineage, `a("c") === b("c")` resolves only via
+  // Spark's dataset-id disambiguation, and the analyzer warns it is
+  // "Constructing trivially true equals predicate" when both sides land on
+  // the SAME attribute — the predicate silently degenerates and the join
+  // becomes a partial cross-match after an innocuous refactor. The repo
+  // rule is: rename one side's join columns BEFORE the join (see
+  // Similarity.simAnnPq's lut_s/lut_cid). This probe constructs every
+  // registered query (join analysis happens eagerly at Dataset.join) with
+  // a log appender attached and fails on any such warning.
+
+  private def captureSparkWarnings(body: => Unit): Seq[String] = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{Configurator, Property}
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val probe = new AbstractAppender(
+      "graft-selfjoin-probe", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit = {
+        val m = e.getMessage.getFormattedMessage
+        if (m.contains("trivially true")) hits.add(m)
+      }
+    }
+    probe.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    // the warning is logged by the Dataset class; make sure WARN passes its
+    // level filter regardless of the environment's log config
+    val prior = ctx.getConfiguration.getLoggerConfig("org.apache.spark.sql").getLevel
+    Configurator.setLevel("org.apache.spark.sql", Level.WARN)
+    val rootCfg = ctx.getConfiguration.getRootLogger
+    rootCfg.addAppender(probe, Level.WARN, null)
+    ctx.updateLoggers()
+    try body
+    finally {
+      rootCfg.removeAppender("graft-selfjoin-probe")
+      Configurator.setLevel("org.apache.spark.sql", prior)
+      ctx.updateLoggers()
+      probe.stop()
+    }
+    hits.toArray(Array.empty[String]).toSeq
+  }
+
+  test("the self-join guard detects a degenerate predicate (positive control)") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.nation(spark, sf0001).select("n_nationkey", "n_name")
+    val derived = base.filter(col("n_nationkey") >= 0)
+    val hits = captureSparkWarnings {
+      base.join(derived, base("n_nationkey") === derived("n_nationkey")).queryExecution.analyzed
+    }
+    assert(hits.nonEmpty, "the probe must capture Spark's trivially-true-predicate warning")
+  }
+
+  test("no ambiguous self-join predicates anywhere in the query surface") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val hits = captureSparkWarnings {
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.analyzed
+      }
+      if (hits.nonEmpty) Some(s"$name: ${hits.mkString("; ")}") else None
+    }
+    assert(offenders.isEmpty,
+      s"ambiguous self-join predicates (rename one side's columns before joining):\n" +
+        offenders.mkString("\n"))
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // codegen'd operators render with a "*(stageId)" prefix — but only in
     // the FINAL adaptive plan, so execute before inspecting.
