@@ -76,20 +76,28 @@ object BlockedRank {
       values: Seq[PrefixValue] = Nil): DataFrame = {
     require(blocks.nonEmpty && blocks.size == blockDesc.size)
     val blkNames = blocks.map(_._1)
-    val keyCols = (partition ++ blkNames).map(col)
-    // Block keys are STRUCT-wrapped: a NULL key expression becomes a
-    // non-null struct with a null field, so the groupBy, the summary
-    // window (struct ordering puts the null field first ascending — the
-    // window form's nulls-first placement), and the plain equi-join back
-    // all treat it as one legitimate block. Without this, null-keyed rows
-    // would survive the partials but silently DROP at the join while
-    // still counting in offsets and totals. The wrapper keeps the join a
-    // vanilla usingColumns equi-join — same exprIds both branches, so
-    // Catalyst still reuses the partials' exchange (a null-safe-condition
-    // join through renamed columns was measured 2-3x slower here: new
-    // exprIds defeat ReuseExchange).
-    val withBlk = blocks.foldLeft(df) {
+    // Block keys AND outer partition columns are STRUCT-wrapped: a NULL
+    // key expression becomes a non-null struct with a null field, so the
+    // groupBy, the summary window (struct ordering puts the null field
+    // first ascending — the window form's nulls-first placement), and the
+    // plain equi-join back all treat it as one legitimate group. Without
+    // this, null-keyed rows would survive the partials but silently DROP
+    // at the join while still counting in offsets and totals (for
+    // partition columns: the whole null-partition group would vanish from
+    // the output while its partials still existed). The wrapper keeps the
+    // join a vanilla usingColumns equi-join — same exprIds both branches,
+    // so Catalyst still reuses the partials' exchange (a
+    // null-safe-condition join through renamed columns was measured 2-3x
+    // slower here: new exprIds defeat ReuseExchange). Partition wrappers
+    // use internal names and drop at the end, leaving the caller's
+    // original partition columns untouched in the output.
+    val pNames = partition.indices.map(i => s"__brk_p$i")
+    val keyCols = (pNames ++ blkNames).map(col)
+    val withBlk0 = blocks.foldLeft(df) {
       case (d, (n, c)) => d.withColumn(n, struct(c.as("k")))
+    }
+    val withBlk = partition.zip(pNames).foldLeft(withBlk0) {
+      case (d, (p, n)) => d.withColumn(n, struct(col(p).as("k")))
     }
     val vNames = values.indices.map(i => s"__brk_v$i")
     // The input feeds TWO branches (block partials, and the join back).

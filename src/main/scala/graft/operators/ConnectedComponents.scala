@@ -33,6 +33,13 @@ object ConnectedComponents {
   /** `edges`: two long columns (`a`, `b`), undirected, self-loops/dups ok.
     * Returns (node, component) with component = min node id in the
     * component; only nodes appearing in `edges` are labeled.
+    *
+    * Per-round cost: ONE edge join + groupBy produces the new labels (the
+    * node's own label rides along as a self-edge, so no second join-back),
+    * one exact decimal-sum detects convergence (labels only ever decrease,
+    * so the label sum strictly decreases until the fixpoint — no
+    * compare-join), and the pointer jump runs only on rounds that actually
+    * changed something (a converged round's jump is the identity).
     */
   def components(edges: DataFrame, maxIter: Int = 15): DataFrame = {
     val sym = edges.select(col("a"), col("b"))
@@ -45,36 +52,49 @@ object ConnectedComponents {
       .withColumn("label", col("node"))
       .localCheckpoint(true)
 
+    // exact sum as decimal(38,0): node ids may be full-range hashes, so a
+    // long sum could overflow and alias two distinct label states
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      // min label among each node's neighbors
-      val nbrMin = sym
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // new label = min over own label (self-edge) and neighbors' labels
+      val withSelf = sym
+        .union(labels.select(col("node").as("a"), col("node").as("b")))
+      val next = withSelf
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (col("nbr_min") < col("label")).as("chg"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
-      // pointer jump: label := label(label) — a label is itself a node of
-      // the same component, so composing the mapping halves chain depth
-      val jumped = next.select("node", "label").as("x")
-        .join(next.select(col("node").as("label"), col("label").as("jlabel")).as("y"),
-          Seq("label"), "left")
-        .select(col("node"),
-          coalesce(col("jlabel"), col("label")).as("label"))
-        .localCheckpoint(true)
-      // superseded rounds' checkpoint blocks are dead once `jumped` has
-      // materialized (eager) — unpersist NOW instead of waiting for the
-      // ContextCleaner, so a long-lived session running many cluster
-      // queries doesn't accumulate pinned block-manager entries
-      next.unpersist()
-      labels.unpersist()
-      labels = jumped
+      val nextSum = labelSum(next)
+      if (nextSum.compareTo(prevSum) == 0) {
+        // fixpoint: next == labels; keep the already-materialized labels
+        next.unpersist()
+        converged = true
+      } else {
+        prevSum = nextSum
+        // pointer jump: label := label(label) — a label is itself a node of
+        // the same component, so composing the mapping halves chain depth
+        val jumped = next.select("node", "label").as("x")
+          .join(next.select(col("node").as("label"), col("label").as("jlabel")).as("y"),
+            Seq("label"), "left")
+          .select(col("node"),
+            coalesce(col("jlabel"), col("label")).as("label"))
+          .localCheckpoint(true)
+        // superseded rounds' checkpoint blocks are dead once `jumped` has
+        // materialized (eager) — unpersist NOW instead of waiting for the
+        // ContextCleaner, so a long-lived session running many cluster
+        // queries doesn't accumulate pinned block-manager entries
+        next.unpersist()
+        labels.unpersist()
+        labels = jumped
+        // the jump can itself reach the fixpoint; the next round's sum
+        // check sees it (sum is invariant under the jump only at fixpoint)
+        prevSum = labelSum(labels)
+      }
       iter += 1
     }
     sym.unpersist() // final labels' blocks are materialized; edges are dead

@@ -202,6 +202,60 @@ class LandingSourceSpec extends SparkSpec {
     assert(keysOut.length == 4)
   }
 
+  test("incremental micro-batch listing visits O(changed), not O(zone)") {
+    // a zone big enough that a full re-list is unmistakable in the counter
+    val dir = Files.createTempDirectory("landing-inc").toString
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3600_000L)
+    for (d <- 0 until 40; f <- 0 until 5) {
+      val p = Paths.get(dir, f"d$d%02d", s"obj$f.ndjson")
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"""{"d":$d,"f":$f}""".getBytes(StandardCharsets.UTF_8))
+      Files.setLastModifiedTime(p, old)
+    }
+    // age the directory mtimes so the zone is quiescent (past the FS
+    // timestamp granule) — the steady state of a real landing zone
+    for (d <- 0 until 40) Files.setLastModifiedTime(Paths.get(dir, f"d$d%02d"), old)
+    Files.setLastModifiedTime(Paths.get(dir), old)
+    val ckpt = Files.createTempDirectory("landing-inc-ck").toString
+    val out = Files.createTempDirectory("landing-inc-out").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-landing").load(dir)
+        .select("key")
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def keysOut: Seq[String] = spark.read.schema("key STRING").json(out)
+      .collect().map(_.getString(0)).sorted.toSeq
+    drain() // first drain pays the full list once (cold cache)
+    assert(keysOut.length == 200)
+    // one new arrival in one directory → the next drain re-enumerates that
+    // directory alone; the other 40 cost a stat each, zero entries
+    Files.write(Paths.get(dir, "d07", "new.ndjson"),
+      "{\"d\":7}".getBytes(StandardCharsets.UTF_8))
+    LandingSource.entriesListed.set(0)
+    drain()
+    assert(keysOut.length == 201)
+    assert(keysOut.contains("d07/new.ndjson"))
+    val visited = LandingSource.entriesListed.get()
+    // d07 holds 6 objects + sidecar-free so ≤ ~7 entries per enumeration;
+    // ledger() runs a handful of times per drain (offset + planning) — the
+    // bound below fails loudly if anything re-walks the whole zone (200+)
+    assert(visited > 0, "arrival must re-enumerate its directory")
+    assert(visited < 100, s"incremental drain visited $visited entries — full re-list?")
+    // quiescent re-drain: nothing new emitted, still no full re-list
+    LandingSource.entriesListed.set(0)
+    drain()
+    assert(keysOut.length == 201)
+    val quiescent = LandingSource.entriesListed.get()
+    // d07's mtime is within the granule (just modified) so it may re-list;
+    // everything else must stay cached
+    assert(quiescent < 100, s"quiescent drain visited $quiescent entries")
+  }
+
   test("sidecar round-trip is strict on write, tolerant on read") {
     import spark.implicits._
     // write: metadata that cannot round-trip through k=v lines fails
