@@ -10,9 +10,29 @@ import org.apache.spark.sql.SparkSession
   * slowest entries until the line is ≤ 1500 chars.
   */
 object Bench {
+
+  /** 1-minute load average, or -1 where unavailable. */
+  def loadAvg(): Double =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      os.getSystemLoadAverage
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Contention guard: a bench recorded while sbt (or anything else) has
+    // the box busy overstates per-query cost 1.5-6× (round-3 evidence:
+    // the recorded artifact showed 494 s wall for a 185 s bench, and every
+    // large delta collapsed on an idle re-run). The artifact must be
+    // self-identifying, so the starting load average is measured here,
+    // shouted to stderr when high, and stamped into the JSON line.
+    val startLoad = loadAvg()
+    if (startLoad > 4.0)
+      System.err.println(
+        f"[bench] WARNING: load average $startLoad%.1f at start — numbers " +
+          "will be contention-inflated; re-run on an idle box " +
+          "(NEVER bench while sbt test/compile runs)")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,7 +59,7 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load_start":${fmt(startLoad)},"load_end":${fmt(loadAvg())},"queries":$qs,"sf":"$sfDir"}"""
     }
     // Slowest-first breakdown, dropped one-at-a-time until the line fits.
     var shown = results.toSeq.sortBy(-_._2)

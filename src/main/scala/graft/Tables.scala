@@ -21,18 +21,35 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame      = table(spark, sfDir, "part")
   def orders(spark: SparkSession, sfDir: String): DataFrame    = table(spark, sfDir, "orders")
   def lineitem(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects outright. Read it as a nanosecond long (legacy conf) and convert
-    * to TimestampType via integer division — ns-since-epoch (~1.7e18) is
-    * beyond double's 2^53 exact-integer range, so `div`, not `/`.
-    * Micros-truncation is lossless here: the generator stamps microsecond
-    * values.
+  /** `events.ts` has shipped as two parquet vintages across driver
+    * regenerations, so the loader adapts to whichever is on disk and
+    * normalizes both to the SAME TimestampType instants (UTC wall clock —
+    * the values every oracle was pinned against):
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader won't produce it
+    *     directly — read as a nanosecond long (legacy conf) and convert via
+    *     integer division (ns-since-epoch ~1.7e18 exceeds double's 2^53
+    *     exact-integer range, so `div`, not `/`; micros-truncation is
+    *     lossless — the generator stamps microsecond values).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ; cast to TimestampType under a pinned UTC session
+    *     timezone, which maps the naive wall clock to the identical
+    *     instant. The session tz is set HERE because the cast's meaning
+    *     depends on it — mains that don't set UTC themselves (Bench,
+    *     Scratch) must not silently shift event times with the host tz.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = table(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

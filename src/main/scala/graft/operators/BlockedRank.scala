@@ -124,7 +124,7 @@ object BlockedRank {
     // reason.
     val wBase =
       if (partition.isEmpty) Window.partitionBy(boundedPartition(col(blkNames.head)))
-      else Window.partitionBy(partition.map(col): _*)
+      else Window.partitionBy(pNames.map(col): _*)
     val wOff = wBase.orderBy(blkSort: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = wBase
@@ -140,7 +140,7 @@ object BlockedRank {
 
     val wLocal = Window.partitionBy(keyCols: _*).orderBy(localOrder: _*)
     val ranked = base
-      .join(offsets, partition ++ blkNames)
+      .join(offsets, pNames ++ blkNames)
       .withColumn(outRank, col("__brk_off") + row_number().over(wLocal))
     val out = values.zip(vNames).foldLeft(ranked) {
       case (d, (pv, n)) =>
@@ -155,7 +155,7 @@ object BlockedRank {
         d.withColumn(pv.outCum, coalesce(off + localSum, off, localSum))
           .drop(s"${n}_off", n)
     }
-    out.drop("__brk_off").drop(blkNames: _*)
+    out.drop("__brk_off").drop(blkNames: _*).drop(pNames: _*)
   }
 
   /** Exact distributed order statistics — the rows of `df` sitting at the

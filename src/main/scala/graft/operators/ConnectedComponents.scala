@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
 
 /** Distributed connected components by min-label propagation — the missing
   * step between "near-duplicate PAIRS" and an actionable dedup decision:
@@ -21,8 +22,9 @@ import org.apache.spark.sql.functions._
   * Scale notes (the reason this is join-based, not graph-library-based):
   *  - each round is one equi-join + one groupBy on (node, label) longs —
   *    plain shuffles that partition like any other key at 100 TB;
-  *  - `localCheckpoint` after every round truncates lineage, otherwise the
-  *    iterative plan nests one join-stage deeper per round and both the
+  *  - a lineage cut after every round (PlanBridge.cutLineage — see the
+  *    method scaladoc for why NOT `localCheckpoint`) truncates the plan,
+  *    otherwise it nests one join-stage deeper per round and both the
   *    optimizer and the scheduler choke; on a real cluster with a
   *    checkpoint dir, `checkpoint()` adds failure-tolerance across rounds;
   *  - the driver sees only the per-round change COUNT (a scalar), never
@@ -40,17 +42,31 @@ object ConnectedComponents {
     * so the label sum strictly decreases until the fixpoint — no
     * compare-join), and the pointer jump runs only on rounds that actually
     * changed something (a converged round's jump is the identity).
+    *
+    * Lineage cuts go through [[org.apache.spark.sql.graft.PlanBridge]]
+    * rather than `localCheckpoint`: the checkpoint form INHERITS the
+    * origin plan's size estimate onto the new leaf, and because each
+    * round references the previous labels twice (union + join) and the
+    * jump self-joins, that inherited estimate squares twice per round —
+    * by round ~15 the driver burns minutes multiplying megabit BigInts
+    * inside the stats visitor (measured: 510 s/run on the 10⁴-node
+    * co-purchase graph, ~all of it driver-side). The bridge's fresh leaf
+    * restarts every round's estimate from the session default.
+    *
+    * `maxIter` is a runaway bound, not a tuning knob: pointer jumping
+    * converges in O(log diameter) rounds, so 30 covers any graph whose
+    * diameter fits in a long. The loop exits at the detected fixpoint.
     */
-  def components(edges: DataFrame, maxIter: Int = 15): DataFrame = {
-    val sym = edges.select(col("a"), col("b"))
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+  def components(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val (sym, symRdd) = PlanBridge.cutLineage(
+      edges.select(col("a"), col("b"))
+        .union(edges.select(col("b").as("a"), col("a").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct())
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var (labels, labelsRdd) = PlanBridge.cutLineage(
+      sym.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")))
 
     // exact sum as decimal(38,0): node ids may be full-range hashes, so a
     // long sum could overflow and alias two distinct label states
@@ -64,40 +80,39 @@ object ConnectedComponents {
       // new label = min over own label (self-edge) and neighbors' labels
       val withSelf = sym
         .union(labels.select(col("node").as("a"), col("node").as("b")))
-      val next = withSelf
+      val (next, nextRdd) = PlanBridge.cutLineage(withSelf
         .join(labels.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .agg(min(col("label")).as("label")))
       val nextSum = labelSum(next)
       if (nextSum.compareTo(prevSum) == 0) {
         // fixpoint: next == labels; keep the already-materialized labels
-        next.unpersist()
+        nextRdd.unpersist()
         converged = true
       } else {
-        prevSum = nextSum
         // pointer jump: label := label(label) — a label is itself a node of
         // the same component, so composing the mapping halves chain depth
-        val jumped = next.select("node", "label").as("x")
-          .join(next.select(col("node").as("label"), col("label").as("jlabel")).as("y"),
-            Seq("label"), "left")
-          .select(col("node"),
-            coalesce(col("jlabel"), col("label")).as("label"))
-          .localCheckpoint(true)
-        // superseded rounds' checkpoint blocks are dead once `jumped` has
+        val (jumped, jumpedRdd) = PlanBridge.cutLineage(
+          next.select("node", "label").as("x")
+            .join(next.select(col("node").as("label"), col("label").as("jlabel")).as("y"),
+              Seq("label"), "left")
+            .select(col("node"),
+              coalesce(col("jlabel"), col("label")).as("label")))
+        // superseded rounds' blocks are dead once `jumped` has
         // materialized (eager) — unpersist NOW instead of waiting for the
         // ContextCleaner, so a long-lived session running many cluster
         // queries doesn't accumulate pinned block-manager entries
-        next.unpersist()
-        labels.unpersist()
+        nextRdd.unpersist()
+        labelsRdd.unpersist()
         labels = jumped
+        labelsRdd = jumpedRdd
         // the jump can itself reach the fixpoint; the next round's sum
         // check sees it (sum is invariant under the jump only at fixpoint)
         prevSum = labelSum(labels)
       }
       iter += 1
     }
-    sym.unpersist() // final labels' blocks are materialized; edges are dead
+    symRdd.unpersist() // final labels' blocks stay; edges are dead
     labels.withColumnRenamed("label", "component")
   }
 }

@@ -36,21 +36,27 @@ object Graph extends QueryModule {
     * dominant cost of all five queries.
     */
   private val volCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), DataFrame]
 
   private def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = volCache.synchronized {
-    // One lock around lookup + eviction + build: TrieMap.getOrElseUpdate
-    // may race two builders (the loser's persisted frame would leak its
-    // storage blocks for the session), and an unlocked check-then-evict
-    // could unpersist an entry a concurrent query is mid-scan on.
-    // Contention is nil — the lock guards plan CONSTRUCTION (ms), not
-    // execution. Bound the cache: a long session sweeping many corpora
-    // must not pin storage blocks forever — evict beyond 4 entries.
-    if (!volCache.contains((spark, sfDir)) && volCache.size >= 4)
-      volCache.keys.headOption.foreach { k =>
-        volCache.remove(k).foreach(_.unpersist())
+    // One lock around lookup + eviction + build: an unlocked
+    // getOrElseUpdate may race two builders (the loser's persisted frame
+    // would leak its storage blocks for the session), and an unlocked
+    // check-then-evict could unpersist an entry a concurrent query is
+    // mid-scan on. Contention is nil — the lock guards plan CONSTRUCTION
+    // (ms), not execution. Bound the cache: a long session sweeping many
+    // corpora must not pin storage blocks forever — evict beyond 4
+    // entries, OLDEST-INSERTED first (LinkedHashMap preserves insertion
+    // order; an arbitrary-order map could evict the entry in active use).
+    // Keyed on a session identity STRING, not the SparkSession object, so
+    // a stopped session's entry never pins the whole session graph in
+    // memory while it waits its turn to be evicted.
+    val key = (System.identityHashCode(spark).toHexString, sfDir)
+    if (!volCache.contains(key) && volCache.size >= 4)
+      volCache.headOption.foreach { case (k, df) =>
+        volCache.remove(k); df.unpersist()
       }
-    volCache.getOrElseUpdate((spark, sfDir), {
+    volCache.getOrElseUpdate(key, {
       val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
       val cNat = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
         .join(Tables.customer(spark, sfDir)
@@ -256,8 +262,60 @@ object Graph extends QueryModule {
       .orderBy("n_name")
   }
 
+  /** Connected components over a CUSTOMER co-purchase graph — the first
+    * graph query whose node set scales with the corpus (10⁴ customers at
+    * sf0.1, vs the 25-nation graphs above), so the iterative machinery in
+    * `graft.operators.ConnectedComponents` (per-round localCheckpoint
+    * lineage cuts, label-sum convergence detection, pointer jumping) is
+    * exercised at non-toy cardinality instead of resting on shape claims.
+    *
+    * Edge derivation is the scale-safe "rare feature" pattern: customers
+    * are linked when they bought from the same (part, supplier) pair that
+    * only 2-3 distinct customers ever bought from. Pair expansion happens
+    * ONLY inside those rare groups — each emits ≤ C(3,2)=3 edges — so the
+    * self-join is bounded by 3·|rare groups| output rows, never the
+    * all-pairs blowup a naive co-purchase join risks (the same
+    * bounded-group discipline as the LSH band joins in Dedup). The group
+    * threshold is a relative-rarity dial at 100 TB exactly like MinHash
+    * band width; both join sides rename their columns BEFORE the
+    * self-join so no shared-lineage ambiguous predicate exists (the
+    * PlanSpec trivially-true-predicate guard covers this query too).
+    *
+    * Labels are exact min-customer-ids (integer, engine-independent); the
+    * DuckDB oracle computes the same fixpoint via a reachability-closure
+    * recursive CTE, tractable at verify SF because components are
+    * corpus-bounded there.
+    */
+  def graphCopurchaseComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_suppkey").as("supp"))
+      .distinct()
+    val rare = base.groupBy("part", "supp")
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust").between(2, 3))
+      .select("part", "supp")
+    // members is referenced twice; localCheckpoint cuts the shared
+    // 3-table-join lineage so the pair join's two branches read the
+    // materialized ≤3-per-group frame instead of recomputing the join
+    val members = base.join(rare, Seq("part", "supp")).localCheckpoint(true)
+    val lhs = members.select(col("part"), col("supp"), col("cust").as("a"))
+    val rhs = members.select(col("part").as("r_part"), col("supp").as("r_supp"),
+      col("cust").as("b"))
+    val edges = lhs.join(rhs,
+        col("part") === col("r_part") && col("supp") === col("r_supp") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+    graft.operators.ConnectedComponents.components(edges)
+      .select(col("node").as("c_custkey"), col("component"))
+      .orderBy("c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> (graphCloseness _),
+    "graph_copurchase_components" -> (graphCopurchaseComponents _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs" -> (graphBfs _),
@@ -265,6 +323,32 @@ object Graph extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    "graph_copurchase_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), rare AS (
+        |  SELECT part, supp FROM base GROUP BY part, supp
+        |  HAVING COUNT(*) BETWEEN 2 AND 3
+        |), members AS (
+        |  SELECT b.cust, b.part, b.supp FROM base b
+        |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
+        |), edges AS (
+        |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
+        |  FROM members m1
+        |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
+        |    AND m1.cust < m2.cust
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT w.node, e.b FROM reach w JOIN sym e ON e.a = w.r
+        |)
+        |SELECT node AS c_custkey, MIN(r) AS component
+        |FROM reach GROUP BY node
+        |ORDER BY c_custkey""".stripMargin,
     "graph_closeness" ->
       """WITH RECURSIVE vol AS (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w

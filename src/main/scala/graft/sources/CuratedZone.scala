@@ -97,10 +97,15 @@ object CuratedZone {
     // re-creating the SAME table would interleave drop/delete/write.
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:")
-    val loc = new java.io.File(warehouse, table.toLowerCase)
-    if (loc.exists()) graft.Fs.deleteRecursively(loc)
+    // Resolve the orphaned location through the Hadoop FileSystem for the
+    // warehouse URI — a java.io.File on the stripped path silently no-ops
+    // for any non-local warehouse (hdfs://, s3a://), which would resurface
+    // the LOCATION_ALREADY_EXISTS re-run failure this delete prevents.
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)

@@ -81,18 +81,34 @@ object Layout extends QueryModule {
     */
   private val bucketJoinRun = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Best-effort sweep of bucketed-join generations older than an hour:
-    * per-invocation names below cannot collide with a LIVE reader (pid +
-    * counter), so anything old is a leftover from a finished process. A
-    * failed delete is ignored — the next sweep retries.
+  /** Best-effort sweep of bucketed-join generations that are provably
+    * dead: the generation name embeds its creator's pid (`_p<pid>_`), so a
+    * generation is deletable only when that process is GONE — age alone is
+    * not proof of death (a Bench sweep running longer than the age cutoff
+    * still reads its own early generations). The age cutoff remains as a
+    * second condition so a just-exited process's tables linger briefly
+    * rather than vanishing under a reader that raced the exit. A failed
+    * delete or an unparseable name is ignored — the next sweep retries.
     */
+  private val GenPid = ".*_p(\\d+)_\\d+$".r
+
   private def sweepStaleGenerations(spark: SparkSession): Unit = {
     val warehouse = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
     val cutoff = System.currentTimeMillis() - 3600L * 1000
+    def creatorDead(name: String): Boolean = name match {
+      case GenPid(pid) =>
+        // our own generations are never dead; other pids: alive iff the
+        // OS still knows the handle
+        val h = ProcessHandle.of(pid.toLong)
+        pid.toLong != ProcessHandle.current().pid() &&
+          (!h.isPresent || !h.get().isAlive)
+      case _ => false
+    }
     val stale = warehouse.listFiles()
     if (stale != null) stale
-      .filter(f => f.getName.startsWith("graft_bj_") && f.lastModified() < cutoff)
+      .filter(f => f.getName.startsWith("graft_bj_") &&
+        f.lastModified() < cutoff && creatorDead(f.getName))
       .foreach(graft.Fs.deleteRecursively)
   }
 

@@ -1,0 +1,51 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.storage.StorageLevel
+
+/** Lineage cut for ITERATIVE dataframes that does NOT inherit the origin
+  * plan's statistics.
+  *
+  * `Dataset.localCheckpoint(eager = true)` truncates lineage for
+  * execution, but `LogicalRDD.fromDataset` computes the origin plan's
+  * size-in-bytes estimate and pins it on the new leaf. The size visitor
+  * estimates a join as the PRODUCT of its children's sizes — so in a loop
+  * that references the previous round's frame twice (min-label
+  * propagation: once in the union, once in the join; again in the pointer
+  * jump's self-join), the inherited estimate roughly SQUARES twice per
+  * round. The bit length of that BigInt doubles-and-doubles: by round ~15
+  * it is megabits wide, and every stats walk during checkpointing spends
+  * MINUTES in BigInteger Toom-Cook multiplication on the driver — the
+  * 10⁴-node co-purchase component query measured 510 s/run, ~100% of it
+  * in `SizeInBytesOnlyStatsPlanVisitor`. Short loops (≤4 rounds) never
+  * notice, which is why the perceptual-hash cluster queries stayed fast.
+  *
+  * This helper materializes the frame (eager, like `localCheckpoint(true)`
+  * — parents are superseded immediately) into a persisted
+  * `RDD[InternalRow]` and rebuilds a DataFrame whose `LogicalRDD` leaf
+  * carries NO inherited stats: each round's estimate restarts from the
+  * session default instead of compounding. Rows are defensively copied —
+  * the physical plan's output reuses `UnsafeRow` buffers, and persisting
+  * without copying would alias every row in a partition to the last one.
+  *
+  * Lives in `org.apache.spark.sql.graft` for `private[sql]` access to
+  * `internalCreateDataFrame` (same access pattern as [[VectorBridge]]).
+  */
+object PlanBridge {
+
+  /** Materialize `df` now and return (frame-with-cut-lineage, backing
+    * RDD). The caller owns the RDD: `unpersist` it once the frame is
+    * superseded — iterative drivers should, or a long session pins every
+    * round's blocks (same discipline the localCheckpoint form used).
+    */
+  def cutLineage(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val rdd = ds.queryExecution.toRdd.map(_.copy())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager materialization: the cut happens NOW
+    (spark.internalCreateDataFrame(rdd, df.schema), rdd)
+  }
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env bash
+# One-command local reproduction of the driver's per-round gates, in order:
+#   compile -> Verify (sf0.01) -> selfcheck (DuckDB oracle) -> idle check -> Bench (sf0.1)
+#
+# Encodes the tribal rules that used to live only in SKILL.md / VERDICT:
+#   - grep for [verify] / "metric", never for "error" (Spark log noise is
+#     tagged [error] by sbt);
+#   - NEVER bench while sbt or another heavy process runs — contention
+#     inflates numbers 2-6x and poisons the artifact (round-3 evidence).
+#
+# Usage: tools/gate.sh [verify_sf_dir] [bench_sf_dir]
+#   defaults: /root/testdata/sf0.01  /root/testdata/sf0.1
+# Env: SPARK_GRAFT_CPUS (default 8), GATE_SKIP_BENCH=1 to stop after selfcheck.
+set -u
+cd "$(dirname "$0")/.."
+
+VERIFY_SF="${1:-/root/testdata/sf0.01}"
+BENCH_SF="${2:-/root/testdata/sf0.1}"
+CPUS="${SPARK_GRAFT_CPUS:-8}"
+OUT="$(mktemp -d /tmp/graft_gate.XXXXXX)"
+FAIL=0
+
+step() { printf '\n=== gate: %s ===\n' "$*"; }
+
+step "sbt compile"
+if ! sbt -batch compile > "$OUT/compile.log" 2>&1; then
+  tail -30 "$OUT/compile.log"
+  echo "GATE FAIL: compile"; exit 1
+fi
+echo "compile OK"
+
+# Direct-java invocation (SKILL.md fast loop): no sbt lock, no sbt JVM.
+JAVA_OPTS=(
+  --add-opens=java.base/java.lang=ALL-UNNAMED
+  --add-opens=java.base/java.lang.invoke=ALL-UNNAMED
+  --add-opens=java.base/java.lang.reflect=ALL-UNNAMED
+  --add-opens=java.base/java.io=ALL-UNNAMED
+  --add-opens=java.base/java.net=ALL-UNNAMED
+  --add-opens=java.base/java.nio=ALL-UNNAMED
+  --add-opens=java.base/java.util=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent=ALL-UNNAMED
+  --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED
+  --add-opens=java.base/jdk.internal.ref=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.ch=ALL-UNNAMED
+  --add-opens=java.base/sun.nio.cs=ALL-UNNAMED
+  --add-opens=java.base/sun.security.action=ALL-UNNAMED
+  --add-opens=java.base/sun.util.calendar=ALL-UNNAMED
+)
+RUN="java -cp target/scala-2.13/classes:src/main/resources:/opt/spark/jars/* ${JAVA_OPTS[*]}"
+
+step "graft.Verify @ $VERIFY_SF"
+if ! SPARK_GRAFT_CPUS="$CPUS" $RUN graft.Verify "$VERIFY_SF" "$OUT/verify" \
+    > "$OUT/verify.log" 2>&1; then
+  grep "\[verify\]" "$OUT/verify.log" | tail -20
+  echo "GATE FAIL: Verify exited non-zero"; exit 1
+fi
+echo "Verify OK ($(ls "$OUT/verify" | wc -l) entries)"
+
+step "DuckDB oracle selfcheck"
+if ! python3 tools/selfcheck.py "$VERIFY_SF" "$OUT/verify" > "$OUT/selfcheck.log" 2>&1; then
+  grep -v "^ *OK" "$OUT/selfcheck.log" | head -30
+  echo "GATE FAIL: selfcheck"; exit 1
+fi
+tail -2 "$OUT/selfcheck.log"
+
+if [ "${GATE_SKIP_BENCH:-0}" = "1" ]; then
+  echo; echo "GATE OK (bench skipped by GATE_SKIP_BENCH)"; exit 0
+fi
+
+step "idle check before bench"
+LOAD=$(cut -d' ' -f1 /proc/loadavg)
+if awk "BEGIN{exit !($LOAD > 4.0)}"; then
+  echo "GATE FAIL: load average $LOAD > 4.0 — a bench now would be poisoned."
+  echo "Stop sbt/other work and re-run (the rule: NEVER bench under load)."
+  exit 1
+fi
+echo "idle OK (load $LOAD)"
+
+step "graft.Bench @ $BENCH_SF"
+SPARK_GRAFT_SF_DIR="$BENCH_SF" SPARK_GRAFT_CPUS=32 $RUN graft.Bench \
+  2> "$OUT/bench.err" | grep '"metric"' | tee "$OUT/bench.json"
+if ! [ -s "$OUT/bench.json" ]; then
+  tail -20 "$OUT/bench.err"; echo "GATE FAIL: bench produced no JSON line"; exit 1
+fi
+
+echo; echo "GATE OK — artifacts in $OUT"
