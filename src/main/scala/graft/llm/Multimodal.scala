@@ -299,8 +299,8 @@ object Multimodal extends QueryModule {
     * pairs → clusters (`dedup_clusters`). A~B and B~C must collapse
     * {B, C} together even when A~C's Hamming distance exceeds the radius;
     * the component step is what makes dedup decisions consistent. Scale
-    * profile is ConnectedComponents' (rounds = cluster diameter,
-    * localCheckpoint per round); near-dup graphs are shallow.
+    * profile is ConnectedComponents' (star-contraction rounds, lineage
+    * cut per round); near-dup graphs converge in a handful of rounds.
     */
   def mmAhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = mmAhashPairs(spark, sfDir)

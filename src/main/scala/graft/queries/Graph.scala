@@ -265,9 +265,10 @@ object Graph extends QueryModule {
   /** Connected components over a CUSTOMER co-purchase graph — the first
     * graph query whose node set scales with the corpus (10⁴ customers at
     * sf0.1, vs the 25-nation graphs above), so the iterative machinery in
-    * `graft.operators.ConnectedComponents` (per-round localCheckpoint
-    * lineage cuts, label-sum convergence detection, pointer jumping) is
-    * exercised at non-toy cardinality instead of resting on shape claims.
+    * `graft.operators.ConnectedComponents` (large-star/small-star
+    * contraction, per-round PlanBridge lineage cuts, exact fixpoint
+    * detection) is exercised at non-toy cardinality instead of resting on
+    * shape claims.
     *
     * Edge derivation is the scale-safe "rare feature" pattern: customers
     * are linked when they bought from the same (part, supplier) pair that

@@ -36,16 +36,18 @@ import org.apache.spark.storage.StorageLevel
 object PlanBridge {
 
   /** Materialize `df` now and return (frame-with-cut-lineage, backing
-    * RDD). The caller owns the RDD: `unpersist` it once the frame is
-    * superseded — iterative drivers should, or a long session pins every
-    * round's blocks (same discipline the localCheckpoint form used).
+    * RDD, row count). The caller owns the RDD: `unpersist` it once the
+    * frame is superseded — iterative drivers should, or a long session
+    * pins every round's blocks (same discipline the localCheckpoint form
+    * used). The count rides along for free (materialization IS a count
+    * job) so iterative convergence checks don't pay a second action.
     */
-  def cutLineage(df: DataFrame): (DataFrame, RDD[InternalRow]) = {
+  def cutLineage(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
-    rdd.count() // eager materialization: the cut happens NOW
-    (spark.internalCreateDataFrame(rdd, df.schema), rdd)
+    val n = rdd.count() // eager materialization: the cut happens NOW
+    (spark.internalCreateDataFrame(rdd, df.schema), rdd, n)
   }
 }

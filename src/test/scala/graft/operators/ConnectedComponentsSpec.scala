@@ -29,6 +29,43 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.size === 13)
   }
 
+  test("star contraction ≡ union-find on randomized graphs (paths, stars, dense, shuffled ids)") {
+    // Local union-find reference: component = min member id.
+    def truth(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val es = edges.filter { case (a, b) => a != b }
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+      val cmin = scala.collection.mutable.Map.empty[Long, Long]
+      parent.keys.foreach { n =>
+        val r = find(n); cmin(r) = math.min(cmin.getOrElse(r, n), n)
+      }
+      parent.keys.map(n => n -> cmin(find(n))).toMap
+    }
+    val rnd = new scala.util.Random(7) // deterministic corpus
+    for (trial <- 0 until 8) {
+      val n = 20 + rnd.nextInt(60)
+      val ids = rnd.shuffle((0L until 10L * n).toVector)
+      val raw: Seq[(Long, Long)] = trial % 4 match {
+        case 0 => (0 until n - 1).map(i => (ids(i), ids(i + 1)))        // path
+        case 1 => (1 until n).map(i => (ids(0), ids(i)))                // star
+        case 2 => Seq.fill(3 * n)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))) // dense + self-loops
+        case _ => Seq.fill(n / 2)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))) // sparse fragments
+      }
+      val expected = truth(raw)
+      if (expected.nonEmpty)
+        assert(cc(raw) === expected, s"trial $trial")
+    }
+  }
+
   test("cluster canonical rule is transitive-consistent on the corpus") {
     val rows = graft.llm.Dedup.dedupClusters(spark, sf0001).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups, clusters expected")
