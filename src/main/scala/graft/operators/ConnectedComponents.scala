@@ -127,4 +127,41 @@ object ConnectedComponents {
     // persisted backing the returned frame (same discipline as before).
     minNbr(dirAdj(e)).select(col("u").as("node"), col("m").as("component"))
   }
+
+  /** Incremental update: fold a batch of NEW edges into a standing
+    * labeling without re-running components over the whole corpus — the
+    * daily-growth counterpart of `Dedup.dedupIncremental`. At 100 TB the
+    * full edge set is the corpus; a day's arrivals touch a sliver of it,
+    * and re-clustering everything to absorb them is the classic
+    * accidental-quadratic pipeline cost.
+    *
+    * Only components INCIDENT to a new edge are re-solved: their members
+    * re-enter contraction as star edges (node → component), which
+    * preserve exact connectivity and min-ids because every prior
+    * component is already a star by construction; untouched components
+    * pass through verbatim (one semi-join + one anti-join — no
+    * contraction work at all). Cost is O(new edges + members of touched
+    * components), independent of corpus size.
+    *
+    * `prior` must be a components() output (node, component) — in
+    * particular every component has ≥ 2 members, so each root re-enters
+    * the contraction via some member's star edge even though its own
+    * (root, root) self-loop drops. Result is EXACTLY components(old edges
+    * ∪ new edges) restricted to... nothing — the equivalence is total,
+    * and the oracle of `graph_copurchase_incremental` pins it against the
+    * batch closure each round.
+    */
+  def incrementalComponents(prior: DataFrame, newEdges: DataFrame): DataFrame = {
+    val ends = newEdges.select(col("a").as("node"))
+      .union(newEdges.select(col("b").as("node")))
+      .distinct()
+    val touched = prior.join(ends, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    val frozen = prior.join(touched, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+    val starEdges = prior.join(touched, Seq("component"), "left_semi")
+      .select(col("node").as("a"), col("component").as("b"))
+    val relabeled = components(starEdges.union(newEdges.select(col("a"), col("b"))))
+    frozen.union(relabeled.select(col("node"), col("component")))
+  }
 }

@@ -314,9 +314,60 @@ object Graph extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** INCREMENTAL components — the daily-growth form: a standing labeling
+    * absorbs a batch of new edges via
+    * `ConnectedComponents.incrementalComponents`, re-solving ONLY the
+    * components the batch touches (O(new edges + touched members), never
+    * O(corpus) — `dedup_incremental`'s discipline applied to clustering).
+    *
+    * The query splits the co-purchase edge set into two deterministic
+    * waves by edge hash, batch-solves wave 1, folds wave 2 in
+    * incrementally — and the oracle checks the RESULT EQUALS BATCH CC ON
+    * ALL EDGES (the same reachability closure as
+    * `graph_copurchase_components`): the incremental ≡ batch equivalence
+    * IS the correctness statement, pinned against an engine that never
+    * saw the split. Restricted to every third customer key so the
+    * verify-SF closure and the two contraction passes stay cheap while
+    * sf0.1 still exercises a ~1.7×10³-node, ~6×10²-component
+    * freeze/relabel split.
+    */
+  def graphCopurchaseIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_suppkey")
+      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_custkey") % 3 === 0)
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
+        col("l_suppkey").as("supp"))
+      .distinct()
+    val rare = base.groupBy("part", "supp")
+      .agg(count(lit(1)).as("n_cust"))
+      .filter(col("n_cust").between(2, 3))
+      .select("part", "supp")
+    val members = base.join(rare, Seq("part", "supp")).localCheckpoint(true)
+    val lhs = members.select(col("part"), col("supp"), col("cust").as("a"))
+    val rhs = members.select(col("part").as("r_part"), col("supp").as("r_supp"),
+      col("cust").as("b"))
+    val edges = lhs.join(rhs,
+        col("part") === col("r_part") && col("supp") === col("r_supp") &&
+          col("a") < col("b"))
+      .select("a", "b").distinct()
+      // referenced twice (one per wave) — materialize the derivation once
+      .localCheckpoint(true)
+    // deterministic wave split: any split works (the result is
+    // split-invariant, that's the point), determinism keeps runs stable
+    val wave = pmod(hash(col("a"), col("b")), lit(2))
+    val prior = graft.operators.ConnectedComponents.components(
+      edges.filter(wave === 0))
+    graft.operators.ConnectedComponents.incrementalComponents(
+        prior, edges.filter(wave === 1))
+      .select(col("node").as("c_custkey"), col("component"))
+      .orderBy("c_custkey")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> (graphCloseness _),
     "graph_copurchase_components" -> (graphCopurchaseComponents _),
+    "graph_copurchase_incremental" -> (graphCopurchaseIncremental _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_bfs" -> (graphBfs _),
@@ -324,6 +375,35 @@ object Graph extends QueryModule {
   )
 
   override def oracles: Map[String, String] = Map(
+    // batch closure over ALL (restricted) edges — the oracle never sees
+    // the wave split, so a hash match proves incremental ≡ batch
+    "graph_copurchase_incremental" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_custkey % 3 = 0
+        |), rare AS (
+        |  SELECT part, supp FROM base GROUP BY part, supp
+        |  HAVING COUNT(*) BETWEEN 2 AND 3
+        |), members AS (
+        |  SELECT b.cust, b.part, b.supp FROM base b
+        |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
+        |), edges AS (
+        |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
+        |  FROM members m1
+        |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
+        |    AND m1.cust < m2.cust
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT w.node, e.b FROM reach w JOIN sym e ON e.a = w.r
+        |)
+        |SELECT node AS c_custkey, MIN(r) AS component
+        |FROM reach GROUP BY node
+        |ORDER BY c_custkey""".stripMargin,
     "graph_copurchase_components" ->
       """WITH RECURSIVE base AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp

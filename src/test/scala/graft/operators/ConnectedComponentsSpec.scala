@@ -66,6 +66,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental update ≡ batch components on randomized edge splits") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 6) {
+      val n = 15 + rnd.nextInt(40)
+      val ids = rnd.shuffle((0L until 5L * n).toVector)
+      val all = Seq.fill(2 * n)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n))))
+        .filter { case (a, b) => a != b }
+      if (all.nonEmpty) {
+        // split so wave 2 contains bridge edges, brand-new nodes, and
+        // edges internal to frozen-candidate components alike
+        val (w1, w2) = all.partition { case (a, b) => (a + b) % 3 != 0 }
+        val batch = cc(all)
+        if (w1.nonEmpty && w2.nonEmpty) {
+          val prior = ConnectedComponents.components(w1.toDF("a", "b"))
+          val got = ConnectedComponents
+            .incrementalComponents(prior, w2.toDF("a", "b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === batch, s"trial $trial")
+        }
+      }
+    }
+  }
+
   test("cluster canonical rule is transitive-consistent on the corpus") {
     val rows = graft.llm.Dedup.dedupClusters(spark, sf0001).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups, clusters expected")
