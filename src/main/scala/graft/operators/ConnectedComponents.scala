@@ -66,8 +66,13 @@ object ConnectedComponents {
     d.groupBy(col("a")).agg(min(col("b")).as("mn"))
       .select(col("a").as("u"), least(col("a"), col("mn")).as("m"))
 
-  /** Large-star: for every node u, connect each neighbor v > u to m(u). */
-  private def largeStar(e: DataFrame): DataFrame = {
+  /** Large-star: for every node u, connect each neighbor v > u to m(u).
+    * `private[operators]` (not private): the loop's per-round plans hide
+    * behind cutLineage's RDD leaves, so the repo-wide PlanSpec guards
+    * never see them — `ConnectedComponentsSpec` pins ONE round's plan
+    * shape through this access instead.
+    */
+  private[operators] def largeStar(e: DataFrame): DataFrame = {
     val d = dirAdj(e)
     canon(d.filter(col("b") > col("a"))
       .join(minNbr(d), col("a") === col("u"))
@@ -77,7 +82,7 @@ object ConnectedComponents {
   /** Small-star: for every node v, connect each neighbor u < v — and v
     * itself — to m(v).
     */
-  private def smallStar(e: DataFrame): DataFrame = {
+  private[operators] def smallStar(e: DataFrame): DataFrame = {
     val d = dirAdj(e)
     val m = minNbr(d)
     val smaller = d.filter(col("b") < col("a"))

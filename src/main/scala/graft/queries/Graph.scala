@@ -36,7 +36,7 @@ object Graph extends QueryModule {
     * dominant cost of all five queries.
     */
   private val volCache =
-    scala.collection.mutable.LinkedHashMap.empty[(String, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
 
   private def tradeVolume(spark: SparkSession, sfDir: String): DataFrame = volCache.synchronized {
     // One lock around lookup + eviction + build: an unlocked
@@ -45,13 +45,17 @@ object Graph extends QueryModule {
     // check-then-evict could unpersist an entry a concurrent query is
     // mid-scan on. Contention is nil — the lock guards plan CONSTRUCTION
     // (ms), not execution. Bound the cache: a long session sweeping many
-    // corpora must not pin storage blocks forever — evict beyond 4
-    // entries, OLDEST-INSERTED first (LinkedHashMap preserves insertion
-    // order; an arbitrary-order map could evict the entry in active use).
-    // Keyed on a session identity STRING, not the SparkSession object, so
-    // a stopped session's entry never pins the whole session graph in
-    // memory while it waits its turn to be evicted.
-    val key = (System.identityHashCode(spark).toHexString, sfDir)
+    // corpora must not pin storage blocks forever — drop every entry
+    // whose session has STOPPED (its blocks are gone with the context;
+    // serving its frame would throw on a stopped SparkContext — and an
+    // indirect key could even hand a new session a dead session's frame),
+    // then evict beyond 4 entries OLDEST-INSERTED first (LinkedHashMap
+    // preserves insertion order; an arbitrary-order map could evict the
+    // entry in active use). The session object itself is the key: the
+    // cached DataFrame value references its session anyway, so a weaker
+    // key would not un-pin anything — it would only add collision risk.
+    volCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+    val key = (spark, sfDir)
     if (!volCache.contains(key) && volCache.size >= 4)
       volCache.headOption.foreach { case (k, df) =>
         volCache.remove(k); df.unpersist()

@@ -99,10 +99,17 @@ object Layout extends QueryModule {
     def creatorDead(name: String): Boolean = name match {
       case GenPid(pid) =>
         // our own generations are never dead; other pids: alive iff the
-        // OS still knows the handle
-        val h = ProcessHandle.of(pid.toLong)
-        pid.toLong != ProcessHandle.current().pid() &&
-          (!h.isPresent || !h.get().isAlive)
+        // OS still knows the handle. Try-wrapped so a digit run beyond
+        // Long range (corrupted name) is "not provably dead", honoring
+        // the ignore-unparseable contract instead of failing the sweep.
+        // Known residual: a recycled pid owned by an unrelated live
+        // process blocks that one generation until the squatter exits.
+        scala.util.Try {
+          val p = pid.toLong
+          val h = ProcessHandle.of(p)
+          p != ProcessHandle.current().pid() &&
+            (!h.isPresent || !h.get().isAlive)
+        }.getOrElse(false)
       case _ => false
     }
     val stale = warehouse.listFiles()

@@ -89,6 +89,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("one contraction round plans hash joins, not cartesians or unpartitioned windows") {
+    // The loop's inner plans execute behind cutLineage's RDD leaves, so
+    // the repo-wide PlanSpec guards cannot see them — pin one round's
+    // physical shape here instead.
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val p = ConnectedComponents.smallStar(ConnectedComponents.largeStar(e))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p) // contraction is joins + aggs only
+  }
+
   test("cluster canonical rule is transitive-consistent on the corpus") {
     val rows = graft.llm.Dedup.dedupClusters(spark, sf0001).collect()
     assert(rows.nonEmpty, "corpus has planted near-dups, clusters expected")
