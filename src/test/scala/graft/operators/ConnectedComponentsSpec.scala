@@ -89,6 +89,32 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incremental folds CHAIN: two successive batches ≡ one batch solve") {
+    import spark.implicits._
+    // wave1 forms {1,2} {10,11}; wave2 bridges 2-10 and adds {20,21};
+    // wave3 bridges 21-1 — the final fold must see THROUGH the wave-2
+    // relabeling (its output is a valid prior: components ≥ 2 members)
+    val w1 = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val w2 = Seq((2L, 10L), (20L, 21L)).toDF("a", "b")
+    val w3 = Seq((21L, 1L)).toDF("a", "b")
+    val p1 = ConnectedComponents.components(w1)
+    val p2 = ConnectedComponents.incrementalComponents(p1, w2)
+    val got = ConnectedComponents.incrementalComponents(p2, w3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L,
+      20L -> 1L, 21L -> 1L))
+  }
+
+  test("incremental fold tolerates an empty prior and an all-new batch") {
+    import spark.implicits._
+    val empty = ConnectedComponents.components(
+      Seq.empty[(Long, Long)].toDF("a", "b"))
+    val got = ConnectedComponents
+      .incrementalComponents(empty, Seq((5L, 6L)).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("one contraction round plans hash joins, not cartesians or unpartitioned windows") {
     // The loop's inner plans execute behind cutLineage's RDD leaves, so
     // the repo-wide PlanSpec guards cannot see them — pin one round's
