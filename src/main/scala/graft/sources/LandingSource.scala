@@ -357,7 +357,9 @@ object LandingLedger {
     */
   def incrementalLedger(root: Path): Array[(Long, String)] = {
     val acc = Array.newBuilder[(Long, String)]
+    val visited = scala.collection.mutable.Set.empty[Path]
     def visit(dir: Path): Unit = {
+      visited += dir
       val m =
         try Files.getLastModifiedTime(dir).toMillis
         catch { case _: java.io.IOException => dirCache.remove(dir); return }
@@ -371,8 +373,23 @@ object LandingLedger {
       entry.subdirs.foreach(visit)
     }
     if (Files.exists(root)) visit(root)
+    // Prune entries the walk no longer reaches: when a directory is
+    // DELETED, its parent re-lists (the deletion bumped the parent's
+    // mtime) and drops it from `subdirs` — so the deleted directory and
+    // its whole cached subtree would otherwise sit in the cache forever.
+    // A zone with daily partitions that compaction removes would leak an
+    // entry (holding its full file-name array) per dead directory,
+    // unboundedly, on the driver. O(cache-under-root) per call — the
+    // same order as the stat sweep the walk already pays.
+    dirCache.keys.foreach { k =>
+      if (k.startsWith(root) && !visited.contains(k)) dirCache.remove(k)
+    }
     acc.result()
   }
+
+  /** Cached-directory count under `root` — spec hook for the prune. */
+  private[sources] def cachedDirCount(root: Path): Int =
+    dirCache.keys.count(_.startsWith(root))
 
   private def listDir(dir: Path, mtime: Long): DirEntry = {
     val files = Array.newBuilder[(Long, String)]

@@ -256,6 +256,24 @@ class LandingSourceSpec extends SparkSpec {
     assert(quiescent < 100, s"quiescent drain visited $quiescent entries")
   }
 
+  test("deleting a directory prunes its cached subtree from the incremental ledger") {
+    val root = Files.createTempDirectory("landing-prune")
+    for (d <- 0 until 3; f <- 0 until 2) {
+      val p = root.resolve(f"d$d").resolve(s"obj$f.ndjson")
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"""{"d":$d}""".getBytes(StandardCharsets.UTF_8))
+    }
+    assert(LandingLedger.incrementalLedger(root).length == 6)
+    val before = LandingLedger.cachedDirCount(root)
+    assert(before >= 4, s"root + 3 subdirs expected, got $before")
+    // delete one subtree; the parent mtime bump makes the walk drop it,
+    // and the prune must evict its cache entry rather than leak it
+    graft.Fs.deleteRecursively(root.resolve("d1").toFile)
+    assert(LandingLedger.incrementalLedger(root).length == 4)
+    val after = LandingLedger.cachedDirCount(root)
+    assert(after == before - 1, s"deleted dir's entry must evict: $before -> $after")
+  }
+
   test("sidecar round-trip is strict on write, tolerant on read") {
     import spark.implicits._
     // write: metadata that cannot round-trip through k=v lines fails
