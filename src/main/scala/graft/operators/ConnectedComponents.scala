@@ -157,14 +157,27 @@ object ConnectedComponents {
     * batch closure each round.
     */
   def incrementalComponents(prior: DataFrame, newEdges: DataFrame): DataFrame = {
+    // Materialize the standing labeling ONCE: `prior` is referenced three
+    // times below (touched / frozen / starEdges), and a components()
+    // output is a LAZY label read-off over the fixpoint edges — without
+    // the cut each reference would re-run that corpus-sized aggregation,
+    // tripling the pass the O(batch + touched) claim budgets for.
+    // `touched` (component ids, batch-bounded) is referenced twice and
+    // cut for the same reason. Both backing RDDs stay persisted: `frozen`
+    // IS part of the returned frame (the ContextCleaner reclaims them
+    // once the result is unreferenced — same discipline as components()'
+    // final labels).
+    val (p, _, _) = PlanBridge.cutLineage(
+      prior.select(col("node"), col("component")))
     val ends = newEdges.select(col("a").as("node"))
       .union(newEdges.select(col("b").as("node")))
       .distinct()
-    val touched = prior.join(ends, Seq("node"), "left_semi")
-      .select(col("component")).distinct()
-    val frozen = prior.join(touched, Seq("component"), "left_anti")
+    val (touched, _, _) = PlanBridge.cutLineage(
+      p.join(ends, Seq("node"), "left_semi")
+        .select(col("component")).distinct())
+    val frozen = p.join(touched, Seq("component"), "left_anti")
       .select(col("node"), col("component"))
-    val starEdges = prior.join(touched, Seq("component"), "left_semi")
+    val starEdges = p.join(touched, Seq("component"), "left_semi")
       .select(col("node").as("a"), col("component").as("b"))
     val relabeled = components(starEdges.union(newEdges.select(col("a"), col("b"))))
     frozen.union(relabeled.select(col("node"), col("component")))

@@ -291,10 +291,20 @@ object Graph extends QueryModule {
     * recursive CTE, tractable at verify SF because components are
     * corpus-bounded there.
     */
-  def graphCopurchaseComponents(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The co-purchase edge list both components queries share: customers
+    * linked through rare (part, supplier) groups (2-3 distinct buyers —
+    * pair expansion bounded to ≤3 edges per group, never all-pairs), with
+    * an optional deterministic customer-key restriction. Returned
+    * CHECKPOINTED: the derivation is referenced once per wave by the
+    * incremental query, and its `members` frame feeds both sides of the
+    * pair self-join.
+    */
+  private def copurchaseEdges(
+      spark: SparkSession, sfDir: String, keyMod: Option[Int]): DataFrame = {
+    val orders0 = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+    val orders = keyMod.fold(orders0)(m => orders0.filter(col("o_custkey") % m === 0))
     val base = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_suppkey")
-      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
         col("l_suppkey").as("supp"))
       .distinct()
@@ -309,11 +319,16 @@ object Graph extends QueryModule {
     val lhs = members.select(col("part"), col("supp"), col("cust").as("a"))
     val rhs = members.select(col("part").as("r_part"), col("supp").as("r_supp"),
       col("cust").as("b"))
-    val edges = lhs.join(rhs,
+    lhs.join(rhs,
         col("part") === col("r_part") && col("supp") === col("r_supp") &&
           col("a") < col("b"))
       .select("a", "b").distinct()
-    graft.operators.ConnectedComponents.components(edges)
+      .localCheckpoint(true)
+  }
+
+  def graphCopurchaseComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.operators.ConnectedComponents.components(
+        copurchaseEdges(spark, sfDir, keyMod = None))
       .select(col("node").as("c_custkey"), col("component"))
       .orderBy("c_custkey")
   }
@@ -336,27 +351,7 @@ object Graph extends QueryModule {
     * freeze/relabel split.
     */
   def graphCopurchaseIncremental(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_suppkey")
-      .join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .filter(col("o_custkey") % 3 === 0)
-      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"),
-        col("l_suppkey").as("supp"))
-      .distinct()
-    val rare = base.groupBy("part", "supp")
-      .agg(count(lit(1)).as("n_cust"))
-      .filter(col("n_cust").between(2, 3))
-      .select("part", "supp")
-    val members = base.join(rare, Seq("part", "supp")).localCheckpoint(true)
-    val lhs = members.select(col("part"), col("supp"), col("cust").as("a"))
-    val rhs = members.select(col("part").as("r_part"), col("supp").as("r_supp"),
-      col("cust").as("b"))
-    val edges = lhs.join(rhs,
-        col("part") === col("r_part") && col("supp") === col("r_supp") &&
-          col("a") < col("b"))
-      .select("a", "b").distinct()
-      // referenced twice (one per wave) — materialize the derivation once
-      .localCheckpoint(true)
+    val edges = copurchaseEdges(spark, sfDir, keyMod = Some(3))
     // deterministic wave split: any split works (the result is
     // split-invariant, that's the point), determinism keeps runs stable
     val wave = pmod(hash(col("a"), col("b")), lit(2))

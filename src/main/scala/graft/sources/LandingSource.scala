@@ -358,6 +358,7 @@ object LandingLedger {
   def incrementalLedger(root: Path): Array[(Long, String)] = {
     val acc = Array.newBuilder[(Long, String)]
     val visited = scala.collection.mutable.Set.empty[Path]
+    var relisted = false
     def visit(dir: Path): Unit = {
       visited += dir
       val m =
@@ -365,7 +366,7 @@ object LandingLedger {
         catch { case _: java.io.IOException => dirCache.remove(dir); return }
       val entry = dirCache.get(dir) match {
         case Some(e) if e.mtime == m && !e.unstable => e
-        case _                                      => listDir(dir, m)
+        case _ => relisted = true; listDir(dir, m)
       }
       entry.files.foreach { case (fm, name) =>
         acc += ((fm, root.relativize(dir.resolve(name)).toString))
@@ -379,9 +380,13 @@ object LandingLedger {
     // its whole cached subtree would otherwise sit in the cache forever.
     // A zone with daily partitions that compaction removes would leak an
     // entry (holding its full file-name array) per dead directory,
-    // unboundedly, on the driver. O(cache-under-root) per call — the
-    // same order as the stat sweep the walk already pays.
-    dirCache.keys.foreach { k =>
+    // unboundedly, on the driver. Gated on `relisted`: a fully-quiescent
+    // walk cannot have unreached entries (subdir sets are unchanged), so
+    // the common steady-state trigger skips the sweep entirely; only
+    // change rounds pay the full-cache key scan (which spans ALL roots
+    // sharing the cache — a per-root index isn't worth the bookkeeping
+    // at realistic zone counts).
+    if (relisted) dirCache.keys.foreach { k =>
       if (k.startsWith(root) && !visited.contains(k)) dirCache.remove(k)
     }
     acc.result()

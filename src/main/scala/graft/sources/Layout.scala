@@ -99,17 +99,21 @@ object Layout extends QueryModule {
     def creatorDead(name: String): Boolean = name match {
       case GenPid(pid) =>
         // our own generations are never dead; other pids: alive iff the
-        // OS still knows the handle. Try-wrapped so a digit run beyond
-        // Long range (corrupted name) is "not provably dead", honoring
-        // the ignore-unparseable contract instead of failing the sweep.
+        // OS still knows the handle. A digit run beyond Long range can
+        // never be a live OS pid, so it is PROVABLY dead — returning
+        // false there would leak the corrupted directory forever.
+        // ProcessHandle failures stay conservative (not provably dead).
         // Known residual: a recycled pid owned by an unrelated live
         // process blocks that one generation until the squatter exits.
-        scala.util.Try {
-          val p = pid.toLong
-          val h = ProcessHandle.of(p)
-          p != ProcessHandle.current().pid() &&
-            (!h.isPresent || !h.get().isAlive)
-        }.getOrElse(false)
+        pid.toLongOption match {
+          case None => true // > Long.MaxValue digits: no such pid exists
+          case Some(p) =>
+            scala.util.Try {
+              val h = ProcessHandle.of(p)
+              p != ProcessHandle.current().pid() &&
+                (!h.isPresent || !h.get().isAlive)
+            }.getOrElse(false)
+        }
       case _ => false
     }
     val stale = warehouse.listFiles()
