@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, StringStartsWith}
 import org.apache.spark.sql.types._
@@ -106,7 +106,7 @@ class LandingTable(path: String) extends Table with SupportsRead with SupportsWr
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LandingScanBuilder(path)
+    new LandingScanBuilder(path, AdmissionLimits(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LandingWriteBuilder(path, info)
@@ -230,7 +230,43 @@ class LandingWriter(staging: String, taskDir: String, idx: (Int, Int, Int))
   override def close(): Unit = ()
 }
 
-class LandingScanBuilder(path: String) extends ScanBuilder
+/** Stream-side admission-control knobs (`maxFilesPerTrigger` /
+  * `maxBytesPerTrigger` reader options — the same spellings Spark's file
+  * source uses). Bounding each micro-batch is what makes recovery sane at
+  * a 100-TB landing zone: after an outage the backlog is millions of
+  * objects, and an unbounded "process everything since the last commit"
+  * batch is the classic recovery storm (one giant batch, no progress
+  * checkpoints, restart ⇒ start over). With a limit the backlog drains in
+  * ⌈N/k⌉ committed micro-batches, each a durable checkpoint.
+  */
+case class AdmissionLimits(maxFiles: Option[Int], maxBytes: Option[Long])
+
+object AdmissionLimits {
+  def apply(options: CaseInsensitiveStringMap): AdmissionLimits = AdmissionLimits(
+    Option(options.get("maxFilesPerTrigger")).map { v =>
+      val n = v.trim.toInt
+      require(n > 0, s"maxFilesPerTrigger must be positive, got $v"); n
+    },
+    Option(options.get("maxBytesPerTrigger")).map { v =>
+      val n = parseBytes(v.trim)
+      require(n > 0, s"maxBytesPerTrigger must be positive, got $v"); n
+    })
+
+  /** "1048576", "512k", "100m", "1g" — the byte-string shapes Spark's own
+    * size options accept (case-insensitive suffix, binary powers). */
+  private def parseBytes(s: String): Long = {
+    val lower = s.toLowerCase
+    val (num, mult) = lower.last match {
+      case 'k' => (lower.dropRight(1), 1L << 10)
+      case 'm' => (lower.dropRight(1), 1L << 20)
+      case 'g' => (lower.dropRight(1), 1L << 30)
+      case _   => (lower, 1L)
+    }
+    math.multiplyExact(num.trim.toLong, mult)
+  }
+}
+
+class LandingScanBuilder(path: String, limits: AdmissionLimits) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = LandingSource.Schema
@@ -261,7 +297,7 @@ class LandingScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LandingScan(path, required, pruning)
+    new LandingScan(path, required, pruning, limits)
 }
 
 /** Conjunction of every pushed key predicate: all prefixes AND all
@@ -277,7 +313,8 @@ case class KeyPruning(prefixes: Seq[String], equals: Seq[String]) {
 class LandingScan(
     path: String,
     required: StructType,
-    pruning: KeyPruning) extends Scan with Batch {
+    pruning: KeyPruning,
+    limits: AdmissionLimits) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -302,7 +339,7 @@ class LandingScan(
     new LandingReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LandingMicroBatchStream(path, required, pruning)
+    new LandingMicroBatchStream(path, required, pruning, limits)
 }
 
 object LandingLedger {
@@ -323,6 +360,13 @@ object LandingLedger {
         .toArray
     }
 
+  /** One object in the streaming ledger: arrival mtime, payload size, and
+    * zone-relative key. Size rides along from the directory enumeration
+    * (one extra `stat` per CHANGED file only) so byte-bounded admission
+    * control never re-stats the backlog at planning time.
+    */
+  final case class LedgerEntry(mtime: Long, bytes: Long, key: String)
+
   /** A directory's listing, validated by the directory's own mtime.
     * `unstable` marks a directory listed within one FS-timestamp granule
     * of its mtime: a same-granule arrival after our enumeration would not
@@ -331,7 +375,7 @@ object LandingLedger {
   private case class DirEntry(
       mtime: Long,
       unstable: Boolean,
-      files: Array[(Long, String)], // (file mtime, file name)
+      files: Array[(Long, Long, String)], // (file mtime, file bytes, file name)
       subdirs: Array[Path])
 
   private val dirCache = scala.collection.concurrent.TrieMap.empty[Path, DirEntry]
@@ -355,8 +399,8 @@ object LandingLedger {
     * exactly the affected directory. The cache is self-validating, so it
     * is safely shared across stream instances and queries.
     */
-  def incrementalLedger(root: Path): Array[(Long, String)] = {
-    val acc = Array.newBuilder[(Long, String)]
+  def incrementalLedger(root: Path): Array[LedgerEntry] = {
+    val acc = Array.newBuilder[LedgerEntry]
     val visited = scala.collection.mutable.Set.empty[Path]
     var relisted = false
     def visit(dir: Path): Unit = {
@@ -368,8 +412,8 @@ object LandingLedger {
         case Some(e) if e.mtime == m && !e.unstable => e
         case _ => relisted = true; listDir(dir, m)
       }
-      entry.files.foreach { case (fm, name) =>
-        acc += ((fm, root.relativize(dir.resolve(name)).toString))
+      entry.files.foreach { case (fm, sz, name) =>
+        acc += LedgerEntry(fm, sz, root.relativize(dir.resolve(name)).toString)
       }
       entry.subdirs.foreach(visit)
     }
@@ -397,7 +441,7 @@ object LandingLedger {
     dirCache.keys.count(_.startsWith(root))
 
   private def listDir(dir: Path, mtime: Long): DirEntry = {
-    val files = Array.newBuilder[(Long, String)]
+    val files = Array.newBuilder[(Long, Long, String)]
     val dirs = Array.newBuilder[Path]
     try {
       scala.util.Using.resource(Files.list(dir)) { s =>
@@ -407,7 +451,7 @@ object LandingLedger {
           if (Files.isDirectory(p)) {
             if (!name.startsWith("._staging_")) dirs += p
           } else if (Files.isRegularFile(p) && !name.endsWith(".meta"))
-            files += ((Files.getLastModifiedTime(p).toMillis, name))
+            files += ((Files.getLastModifiedTime(p).toMillis, Files.size(p), name))
         }
       }
     } catch { case _: java.io.IOException => /* dir vanished mid-list */ }
@@ -475,28 +519,115 @@ object LandingOffset {
 class LandingMicroBatchStream(
     path: String,
     required: StructType,
-    pruning: KeyPruning) extends MicroBatchStream {
+    pruning: KeyPruning,
+    limits: AdmissionLimits) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import LandingLedger.LedgerEntry
 
   /** Per-trigger listing goes through the incremental per-directory cache:
     * a quiescent zone costs one stat per directory, an arrival re-lists
     * only its own directory. (A full `Files.walk` per trigger — O(objects)
     * — is the classic file-source scaling wall at millions of objects.)
+    * Sorted by (mtime, key) — the arrival order every offset computation
+    * below assumes.
     */
-  private def ledger(): Array[(Long, String)] =
+  private def ledger(): Array[LedgerEntry] =
     LandingLedger.incrementalLedger(Paths.get(path))
-      .filter { case (_, k) => pruning.matches(k) }
-      .sorted
+      .filter(e => pruning.matches(e.key))
+      .sortBy(e => (e.mtime, e.key))
+
+  /** Watermark covering ALL of `l` (the unbounded "everything listed"
+    * offset). */
+  private def unboundedLatest(l: Array[LedgerEntry]): LandingOffset =
+    if (l.isEmpty) LandingOffset.Start
+    else {
+      val maxM = l.iterator.map(_.mtime).max
+      LandingOffset(maxM, l.iterator.filter(_.mtime == maxM).map(_.key).toSeq)
+    }
+
+  /** Trigger.AvailableNow contract: snapshot the zone ONCE at query start
+    * and drain (in admission-bounded micro-batches) exactly up to it, so
+    * the query terminates even while new objects keep arriving.
+    */
+  @volatile private var availableNowCap: Option[LandingOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(unboundedLatest(ledger()))
 
   override def initialOffset(): Offset = LandingOffset.Start
 
-  override def latestOffset(): Offset = {
-    val l = ledger()
-    if (l.isEmpty) LandingOffset.Start
-    else {
-      val maxM = l.iterator.map(_._1).max
-      LandingOffset(maxM, l.collect { case (m, k) if m == maxM => k }.toSeq)
+  /** With SupportsAdmissionControl the engine always calls the two-arg
+    * `latestOffset(start, limit)`; reaching this overload means a harness
+    * bug, not a backlog — fail loudly rather than silently drain
+    * unbounded. */
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called for an admission-controlled stream")
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = limits.maxFiles.map(ReadLimit.maxFiles).toSeq ++
+      limits.maxBytes.map(ReadLimit.maxBytes).toSeq
+    ls match {
+      case Seq()    => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many     => ReadLimit.compositeLimit(many.toArray)
     }
   }
+
+  /** The bounded-batch endpoint: everything past `start` (capped at the
+    * AvailableNow snapshot if one is active), admitted in (mtime, key)
+    * order up to the read limit. Returning `start` unchanged signals "no
+    * new data" to the engine.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[LandingOffset]
+    val all = ledger()
+    val capped = availableNowCap match {
+      case Some(cap) => all.filter(e => !cap.admits(e.mtime, e.key))
+      case None      => all
+    }
+    val pending = capped.filter(e => s.admits(e.mtime, e.key))
+    val taken = admit(pending, limit)
+    if (taken.isEmpty) start
+    else {
+      val m = taken.last.mtime
+      // An admitted prefix may split an mtime granule: keys at the boundary
+      // mtime that were ALREADY committed (carried in `start`) must stay in
+      // the new watermark's key set, or the next batch would re-admit them
+      // (duplicate emission) the moment the watermark mtime stops moving.
+      val carried = if (s.mtime == m) s.keysAtMtime else Nil
+      LandingOffset(m,
+        carried ++ taken.iterator.filter(_.mtime == m).map(_.key).toSeq)
+    }
+  }
+
+  /** Longest prefix of `pending` (already (mtime, key)-sorted) within the
+    * limit. Prefix-taking is what keeps the watermark offset sound — an
+    * arbitrary subset would admit out of arrival order. One object = one
+    * row here, so ReadMaxRows and ReadMaxFiles coincide.
+    */
+  private def admit(pending: Array[LedgerEntry], limit: ReadLimit): Array[LedgerEntry] =
+    limit match {
+      case _: ReadAllAvailable  => pending
+      case f: ReadMaxFiles      => pending.take(f.maxFiles)
+      case r: ReadMaxRows       =>
+        pending.take(math.min(r.maxRows, Int.MaxValue.toLong).toInt)
+      case b: ReadMaxBytes      =>
+        // Always admit the first object even if it alone exceeds the
+        // budget: a sub-budget limit must degrade to one-object batches,
+        // never stall the stream forever.
+        var total = 0L
+        val n = pending.indexWhere { e => total += e.bytes; total > b.maxBytes }
+        if (n <= 0) pending.take(if (n == 0) 1 else pending.length)
+        else pending.take(n)
+      case c: CompositeReadLimit =>
+        // conjunction of limits = min prefix; each pass returns a prefix,
+        // so folding preserves the prefix property
+        c.getReadLimits.foldLeft(pending)((acc, l) => admit(acc, l))
+      case _ => pending // ReadMinRows etc.: advisory — never hold data back
+    }
+
+  override def reportLatestOffset(): Offset = unboundedLatest(ledger())
 
   override def deserializeOffset(json: String): Offset =
     if (json.forall(_.isDigit)) {
@@ -508,8 +639,9 @@ class LandingMicroBatchStream(
       val l = ledger()
       if (n <= 0 || l.isEmpty) LandingOffset.Start
       else {
-        val (m, k) = l(math.min(n, l.length) - 1)
-        LandingOffset(m, l.collect { case (`m`, key) if key <= k => key })
+        val e = l(math.min(n, l.length) - 1)
+        LandingOffset(e.mtime,
+          l.collect { case x if x.mtime == e.mtime && x.key <= e.key => x.key }.toSeq)
       }
     } else LandingOffset.parse(json)
 
@@ -517,8 +649,8 @@ class LandingMicroBatchStream(
     val s = start.asInstanceOf[LandingOffset]
     val e = end.asInstanceOf[LandingOffset]
     ledger()
-      .filter { case (m, k) => s.admits(m, k) && !e.admits(m, k) }
-      .map { case (_, k) => LandingPartition(path, k): InputPartition }
+      .filter(x => s.admits(x.mtime, x.key) && !e.admits(x.mtime, x.key))
+      .map(x => LandingPartition(path, x.key): InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -256,6 +256,78 @@ class LandingSourceSpec extends SparkSpec {
     assert(quiescent < 100, s"quiescent drain visited $quiescent entries")
   }
 
+  test("admission control: a backlog drains in ⌈N/k⌉ bounded micro-batches, exactly once") {
+    // 9 pre-existing objects (the post-outage backlog shape), k = 4
+    val dir = Files.createTempDirectory("landing-adm").toString
+    for (i <- 0 until 9) {
+      val p = Paths.get(dir, "in", f"obj$i%02d.ndjson")
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"""{"i":$i}""".getBytes(StandardCharsets.UTF_8))
+    }
+    val ckpt = Files.createTempDirectory("landing-adm-ck").toString
+    val out = Files.createTempDirectory("landing-adm-out").toString
+    def drain(): Seq[Long] = {
+      val q = spark.readStream.format("graft-landing")
+        .option("maxFilesPerTrigger", "4").load(dir)
+        .select("key")
+        .writeStream.format("json").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    }
+    val batches = drain()
+    // the backlog must arrive in bounded batches — each one a durable
+    // checkpoint — not one unbounded recovery batch
+    assert(batches == Seq(4L, 4L, 1L), s"expected 4/4/1 micro-batches, got $batches")
+    val keys = spark.read.schema("key STRING").json(out)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(keys == (0 until 9).map(i => f"in/obj$i%02d.ndjson"))
+    // exactly-once across the bounded drain: a re-drain emits nothing
+    assert(drain().isEmpty)
+    assert(spark.read.schema("key STRING").json(out).count() == 9)
+  }
+
+  test("admission control: maxBytesPerTrigger bounds batches by payload size") {
+    val dir = Files.createTempDirectory("landing-admb").toString
+    // 6 objects of 100 bytes each; budget 250 → 2 per batch → 3 batches
+    for (i <- 0 until 6) {
+      val p = Paths.get(dir, f"obj$i.bin")
+      Files.write(p, Array.fill[Byte](100)('x'))
+    }
+    val ckpt = Files.createTempDirectory("landing-admb-ck").toString
+    val out = Files.createTempDirectory("landing-admb-out").toString
+    val q = spark.readStream.format("graft-landing")
+      .option("maxBytesPerTrigger", "250").load(dir)
+      .select("key", "byte_len")
+      .writeStream.format("json").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(batches == Seq(2L, 2L, 2L), s"expected 2/2/2 micro-batches, got $batches")
+    assert(spark.read.schema("key STRING, byte_len INT").json(out).count() == 6)
+    // an object larger than the whole budget still admits alone (no stall)
+    val dir2 = Files.createTempDirectory("landing-admb2").toString
+    Files.write(Paths.get(dir2, "big.bin"), Array.fill[Byte](1000)('y'))
+    Files.write(Paths.get(dir2, "big2.bin"), Array.fill[Byte](1000)('z'))
+    val ckpt2 = Files.createTempDirectory("landing-admb2-ck").toString
+    val out2 = Files.createTempDirectory("landing-admb2-out").toString
+    val q2 = spark.readStream.format("graft-landing")
+      .option("maxBytesPerTrigger", "50").load(dir2)
+      .select("key")
+      .writeStream.format("json").option("path", out2)
+      .option("checkpointLocation", ckpt2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val b2 = q2.recentProgress.toSeq.map(_.numInputRows).filter(_ > 0)
+    assert(b2 == Seq(1L, 1L), s"oversized objects must drain one per batch, got $b2")
+    assert(spark.read.schema("key STRING").json(out2).count() == 2)
+  }
+
   test("deleting a directory prunes its cached subtree from the incremental ledger") {
     val root = Files.createTempDirectory("landing-prune")
     for (d <- 0 until 3; f <- 0 until 2) {
