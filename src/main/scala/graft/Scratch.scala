@@ -29,11 +29,26 @@ object Scratch {
       .groupBy("k").count().count()
     val names = args.headOption.getOrElse("dedup_containment").split(',').toSeq
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      names.foreach(n => SparkEntry.queries(n)(spark, sfDir).explain("formatted"))
+      names.filter(SparkEntry.queries.contains)
+        .foreach(n => SparkEntry.queries(n)(spark, sfDir).explain("formatted"))
     val mins = names.map { name =>
+      // production-shaped incremental-CC timing: materialize the standing
+      // labeling OUTSIDE the timer, time only the per-batch fold — the
+      // cost a daily pipeline actually pays (the registered query times
+      // prior-build + fold because its oracle proves incremental ≡ batch)
+      val run: () => Long =
+        if (name == "graph_copurchase_incremental_fold") {
+          val (prior, fold) = graft.queries.Graph
+            .copurchaseIncrementalHalves(spark, sfDir)
+          // standing labeling: fully materialized before "day 2" begins
+          val (p, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(prior)
+          () => fold(p).count()
+        } else {
+          () => SparkEntry.queries(name)(spark, sfDir).count()
+        }
       val times = (1 to 3).map { i =>
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        val n = run()
         val s = (System.nanoTime() - t0) / 1e9
         println(f"[scratch] $name run$i rows=$n $s%.2f s")
         s

@@ -40,12 +40,30 @@ import org.apache.spark.sql.graft.PlanBridge
   *  - a lineage cut after every round (PlanBridge.cutLineage — see its
   *    scaladoc for why NOT `localCheckpoint`: inherited size estimates
   *    square per round and drown the driver in BigInt stats arithmetic)
-  *    keeps the plan flat; on a real cluster with a checkpoint dir,
-  *    `checkpoint()` adds failure-tolerance across rounds;
+  *    keeps the plan flat; when the session has a RELIABLE CHECKPOINT DIR
+  *    set, every per-round cut is also written there (wired inside
+  *    PlanBridge.cutLineage) — the cut blocks are the only copy of the
+  *    contracted edge set, so on a real cluster executor loss mid-loop
+  *    would otherwise kill the job;
   *  - the driver sees only per-round scalars (edge count, empty-check),
   *    never node data.
   */
 object ConnectedComponents {
+
+  /** The persisted blocks backing a returned labeling. A one-shot query
+    * can ignore it (the ContextCleaner reclaims blocks once the frame is
+    * unreferenced), but an ITERATIVE deployment — a streaming fold
+    * absorbing batch after batch — must `unpersist()` each superseded
+    * labeling explicitly, or every fold pins a full-corpus labeling copy
+    * in the block manager until a driver GC happens to run (the same
+    * discipline as the per-round `eRdd.unpersist` inside the loop).
+    * Unpersisting is safe even if the frame is later re-read: the cut
+    * RDDs recompute from their physical lineage, just slowly.
+    */
+  final class LabelingHandle private[operators] (
+      private[operators] val rdds: Seq[org.apache.spark.rdd.RDD[_]]) {
+    def unpersist(): Unit = rdds.foreach(_.unpersist(blocking = false))
+  }
 
   /** Canonical undirected edge set: a < b, self-loops dropped, distinct. */
   private def canon(df: DataFrame): DataFrame =
@@ -99,7 +117,13 @@ object ConnectedComponents {
     * converges in O(log² n) rounds regardless of diameter, and the loop
     * exits on the exact fixpoint (edge set unchanged by a full round).
     */
-  def components(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 50): DataFrame =
+    componentsManaged(edges, maxIter)._1
+
+  /** `components` plus the handle freeing the labeling's pinned blocks —
+    * for iterative callers (streaming folds) that supersede labelings. */
+  def componentsManaged(
+      edges: DataFrame, maxIter: Int = 50): (DataFrame, LabelingHandle) = {
     var (e, eRdd, eCount) =
       PlanBridge.cutLineage(canon(edges.select(col("a"), col("b"))))
     var iter = 0
@@ -127,10 +151,22 @@ object ConnectedComponents {
       }
       iter += 1
     }
+    // Reading labels off a NON-fixpoint edge set would return silently
+    // wrong components; the bound is unreachable for star contraction
+    // (O(log² n) rounds — a 300-graph property sim converged within 9),
+    // so hitting it means a broken edge derivation or a bug here. Fail
+    // loudly rather than answer wrong.
+    if (!converged) {
+      eRdd.unpersist()
+      throw new IllegalStateException(
+        s"connected components did not reach the contraction fixpoint in $maxIter rounds " +
+          s"(edge count at abort: $eCount) — refusing to read labels off an unconverged edge set")
+    }
     // fixpoint edges are stars centered at component minima: the label is
     // the min of the closed neighborhood. The final edge RDD stays
     // persisted backing the returned frame (same discipline as before).
-    minNbr(dirAdj(e)).select(col("u").as("node"), col("m").as("component"))
+    (minNbr(dirAdj(e)).select(col("u").as("node"), col("m").as("component")),
+      new LabelingHandle(Seq(eRdd)))
   }
 
   /** Incremental update: fold a batch of NEW edges into a standing
@@ -156,7 +192,17 @@ object ConnectedComponents {
     * and the oracle of `graph_copurchase_incremental` pins it against the
     * batch closure each round.
     */
-  def incrementalComponents(prior: DataFrame, newEdges: DataFrame): DataFrame = {
+  def incrementalComponents(prior: DataFrame, newEdges: DataFrame): DataFrame =
+    incrementalComponentsManaged(prior, newEdges)._1
+
+  /** `incrementalComponents` plus the handle freeing the fold's pinned
+    * blocks. A streaming deployment folds batch after batch — it should
+    * unpersist the PREVIOUS labeling's handle once this fold's result is
+    * materialized, or every fold leaves a full-corpus labeling copy in
+    * the block manager (`StreamingComponentsSpec` pins the drain shape).
+    */
+  def incrementalComponentsManaged(
+      prior: DataFrame, newEdges: DataFrame): (DataFrame, LabelingHandle) = {
     // Materialize the standing labeling ONCE: `prior` is referenced three
     // times below (touched / frozen / starEdges), and a components()
     // output is a LAZY label read-off over the fixpoint edges — without
@@ -164,22 +210,23 @@ object ConnectedComponents {
     // tripling the pass the O(batch + touched) claim budgets for.
     // `touched` (component ids, batch-bounded) is referenced twice and
     // cut for the same reason. Both backing RDDs stay persisted: `frozen`
-    // IS part of the returned frame (the ContextCleaner reclaims them
-    // once the result is unreferenced — same discipline as components()'
-    // final labels).
-    val (p, _, _) = PlanBridge.cutLineage(
+    // IS part of the returned frame (the returned handle — or the
+    // ContextCleaner, for one-shot callers — reclaims them).
+    val (p, pRdd, _) = PlanBridge.cutLineage(
       prior.select(col("node"), col("component")))
     val ends = newEdges.select(col("a").as("node"))
       .union(newEdges.select(col("b").as("node")))
       .distinct()
-    val (touched, _, _) = PlanBridge.cutLineage(
+    val (touched, touchedRdd, _) = PlanBridge.cutLineage(
       p.join(ends, Seq("node"), "left_semi")
         .select(col("component")).distinct())
     val frozen = p.join(touched, Seq("component"), "left_anti")
       .select(col("node"), col("component"))
     val starEdges = p.join(touched, Seq("component"), "left_semi")
       .select(col("node").as("a"), col("component").as("b"))
-    val relabeled = components(starEdges.union(newEdges.select(col("a"), col("b"))))
-    frozen.union(relabeled.select(col("node"), col("component")))
+    val (relabeled, relabeledHandle) =
+      componentsManaged(starEdges.union(newEdges.select(col("a"), col("b"))))
+    (frozen.union(relabeled.select(col("node"), col("component"))),
+      new LabelingHandle(Seq(pRdd, touchedRdd) ++ relabeledHandle.rdds))
   }
 }

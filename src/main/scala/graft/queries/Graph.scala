@@ -363,6 +363,26 @@ object Graph extends QueryModule {
       .orderBy("c_custkey")
   }
 
+  /** The two halves of `graph_copurchase_incremental`, separately, for
+    * TIMING the production path (graft.Scratch's
+    * `graph_copurchase_incremental_fold` mode): the registered query runs
+    * BOTH solves so its oracle can pin incremental ≡ batch, which makes
+    * its bench number price the equivalence PROOF at roughly 2× the cost
+    * a production pipeline pays — there, the prior labeling stands
+    * materialized and each day pays only the incremental fold. Returns
+    * (prior-labeling frame, fold function over a materialized prior).
+    */
+  private[graft] def copurchaseIncrementalHalves(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame => DataFrame) = {
+    val edges = copurchaseEdges(spark, sfDir, keyMod = Some(3))
+    val wave = pmod(hash(col("a"), col("b")), lit(2))
+    val prior = graft.operators.ConnectedComponents.components(
+      edges.filter(wave === 0))
+    (prior,
+      p => graft.operators.ConnectedComponents.incrementalComponents(
+        p, edges.filter(wave === 1)))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_closeness" -> (graphCloseness _),
     "graph_copurchase_components" -> (graphCopurchaseComponents _),

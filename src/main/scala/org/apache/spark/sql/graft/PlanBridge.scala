@@ -47,6 +47,14 @@ object PlanBridge {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val rdd = ds.queryExecution.toRdd.map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Fault tolerance on a real cluster: the persisted blocks are the ONLY
+    // copy of an iterative round's state — there is deliberately no lineage
+    // to recompute from, so an executor loss mid-loop would otherwise kill
+    // the whole job. When the session has a reliable checkpoint directory
+    // configured, write the materialized blocks there too (one extra
+    // read-from-cache job per cut); without one — local dev, the driver's
+    // verify/bench runs — behavior is unchanged.
+    if (rdd.sparkContext.getCheckpointDir.isDefined) rdd.checkpoint()
     val n = rdd.count() // eager materialization: the cut happens NOW
     (spark.internalCreateDataFrame(rdd, df.schema), rdd, n)
   }

@@ -115,6 +115,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got === Map(5L -> 5L, 6L -> 5L))
   }
 
+  test("a reliable checkpoint dir changes fault tolerance, not results") {
+    // On a real cluster the per-round cut is the ONLY copy of the
+    // contracted edge set (no lineage to recompute — that's the point of
+    // the cut), so executor loss mid-loop kills the job unless each round
+    // is also written to reliable storage. PlanBridge wires that in
+    // whenever the session has a checkpoint dir; this pins (a) identical
+    // labels and (b) checkpoint files actually written.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L))
+    val plain = cc(edges)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      assert(cc(edges) === plain)
+      val written = java.nio.file.Files.walk(ckptDir).iterator()
+      val hasRddData = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(written).asScala
+        .exists(_.getFileName.toString.startsWith("rdd-"))
+      assert(hasRddData, s"no reliable checkpoint data written under $ckptDir")
+    } finally {
+      // a null dir resets SparkContext.checkpointDir to None — the shared
+      // session must not keep checkpointing for every later suite
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
+  test("a hopeless iteration cap fails loudly instead of returning wrong labels") {
+    import spark.implicits._
+    // maxIter = 0 can never reach the fixpoint check — the call must
+    // throw, not silently read labels off an uncontracted edge set
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.components(
+        Seq((1L, 2L), (2L, 3L)).toDF("a", "b"), maxIter = 0).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("one contraction round plans hash joins, not cartesians or unpartitioned windows") {
     // The loop's inner plans execute behind cutLineage's RDD leaves, so
     // the repo-wide PlanSpec guards cannot see them — pin one round's

@@ -38,13 +38,22 @@ class StreamingComponentsSpec extends SparkSpec {
         .map { case (a, b) => s"""{"a":$a,"b":$b}""" }.mkString("\n"))
 
     var labeling: DataFrame = null
+    var handle: ConnectedComponents.LabelingHandle = null
     var folds = 0
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
     val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(dir)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        labeling =
-          if (labeling == null) ConnectedComponents.components(batch)
-          else ConnectedComponents.incrementalComponents(labeling, batch)
+        val (next, nextHandle) =
+          if (labeling == null) ConnectedComponents.componentsManaged(batch)
+          else ConnectedComponents.incrementalComponentsManaged(labeling, batch)
+        // the managed fold materializes its own cut of the prior before
+        // returning, so the SUPERSEDED labeling's blocks are dead now —
+        // unpersist them instead of letting each fold pin a full-corpus
+        // labeling copy in the block manager until a driver GC
+        if (handle != null) handle.unpersist()
+        labeling = next
+        handle = nextHandle
         folds += 1
         ()
       }
@@ -52,6 +61,11 @@ class StreamingComponentsSpec extends SparkSpec {
     q.awaitTermination()
 
     assert(folds >= 2, "maxFilesPerTrigger=1 must produce multiple folds")
+    // only the LIVE labeling's blocks remain pinned — superseded folds
+    // must not accumulate (ConnectedComponents ADVICE: explicit handle)
+    val persistedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(persistedAfter - persistedBefore <= 4,
+      s"superseded labelings leak: $persistedBefore -> $persistedAfter persisted RDDs")
     val got = labeling.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val batch = ConnectedComponents
       .components(spark.read.schema(schema).json(dir))
