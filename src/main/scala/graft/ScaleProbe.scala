@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.PlanBridge
+
+import graft.operators.ConnectedComponents
+
+/** Iterative-operator scaling probe (dev tool, not part of the driver
+  * contract): MEASURES — rather than argues — the two scale claims the
+  * connected-components tier rests on, on synthetic graphs far larger
+  * than any driver corpus (SCALING.md records the results):
+  *
+  *  1. Star contraction's round count is O(log² n) and INDEPENDENT of
+  *     component diameter: a 10⁶-node hash graph (10⁷ edges, giant
+  *     component) and a 10⁶-node union of 100 paths of diameter 10⁴ must
+  *     both converge in single-digit rounds. (The replaced min-label
+  *     propagation loop needed ~diameter rounds — 10⁴ here.)
+  *  2. Incremental folds cost O(batch + touched members), not O(corpus):
+  *     with a fixed bridge batch over a block-structured corpus, fold
+  *     time must stay near-flat as the corpus grows 10×, while the full
+  *     re-solve it replaces grows with the corpus.
+  *
+  * All graphs are DETERMINISTIC (id arithmetic + xxhash64 — no rand(),
+  * no wall clock), so runs are comparable across rounds.
+  *
+  * Usage: `runMain graft.ScaleProbe [small]` — `small` divides sizes by
+  * 10 for a quick smoke pass. One JSON line per measurement.
+  */
+object ScaleProbe {
+
+  private def time[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** `nPaths` disjoint paths of `pathLen` nodes each: worst-case diameter
+    * per node count — the graph family that broke round-capped label
+    * propagation. */
+  private def pathGraph(spark: SparkSession, nPaths: Int, pathLen: Int): DataFrame =
+    spark.range(nPaths.toLong * pathLen)
+      .filter(col("id") % pathLen =!= (pathLen - 1))
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+
+  /** `e` pseudo-random edges over `n` nodes (xxhash64 arithmetic): one
+    * giant component plus noise — the organic near-dup-graph shape. */
+  private def hashGraph(spark: SparkSession, n: Long, e: Long): DataFrame =
+    spark.range(e).select(
+      pmod(xxhash64(col("id")), lit(n)).as("a"),
+      pmod(xxhash64(col("id") * 7 + 1), lit(n)).as("b"))
+
+  /** Block-structured corpus: edges stay INSIDE 10-node blocks, so the
+    * corpus is `n/10` small components and a bridge batch touches a fixed
+    * number of them regardless of corpus size. Two deterministic edges
+    * per node → every block is connected. */
+  private def blockCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val block = (col("id") / 10) * 10
+    spark.range(n).select(
+      (block + pmod(xxhash64(col("id")), lit(10))).as("a"),
+      (block + pmod(xxhash64(col("id") * 31 + 7), lit(10))).as("b"))
+  }
+
+  /** Fixed-size batch bridging consecutive blocks: always touches
+    * ~2×`nBridges` components however large the corpus is. */
+  private def bridgeBatch(spark: SparkSession, nBridges: Int): DataFrame =
+    spark.range(nBridges).select(
+      (col("id") * 10).as("a"), ((col("id") + 1) * 10).as("b"))
+
+  def main(args: Array[String]): Unit = {
+    val div = if (args.contains("small")) 10 else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def solveStats(name: String, edges: DataFrame, nodes: Long, nEdges: Long): Unit = {
+      val ((labels, handle), sec) =
+        time(ConnectedComponents.componentsManaged(edges))
+      val (nLabeled, labelSec) = time(labels.count())
+      println(f"""{"probe":"$name","nodes":$nodes,"edges":$nEdges,""" +
+        f""""rounds":${ConnectedComponents.lastRounds.get()},""" +
+        f""""contract_sec":$sec%.1f,"label_sec":$labelSec%.1f,"labeled":$nLabeled}""")
+      handle.unpersist()
+    }
+
+    // claim 1: round count independent of shape and diameter
+    solveStats("hash_graph",
+      hashGraph(spark, 1000000L / div, 10000000L / div),
+      1000000L / div, 10000000L / div)
+    solveStats("path_graph_diameter_1e4",
+      pathGraph(spark, 100 / div, 10000),
+      100L / div * 10000, 100L / div * (10000 - 1))
+
+    // claim 2: incremental fold flat as corpus grows, batch fixed
+    for (n <- Seq(100000L, 300000L, 1000000L).map(_ / div)) {
+      val corpus = blockCorpus(spark, n)
+      val batch = bridgeBatch(spark, 1000 / div)
+      val ((prior, priorHandle), priorSec) =
+        time(ConnectedComponents.componentsManaged(corpus))
+      // standing labeling materialized (the steady state a daily pipeline
+      // holds); the timed fold still pays its own linear cut of it
+      val (p, pRdd, nPrior) = PlanBridge.cutLineage(prior)
+      priorHandle.unpersist()
+      val ((folded, foldHandle), foldSec) = time {
+        val r = ConnectedComponents.incrementalComponentsManaged(p, batch)
+        r._1.count() // materialize: the fold isn't done until labels exist
+        r
+      }
+      val (_, fullSec) = time(
+        ConnectedComponents.components(corpus.union(batch)).count())
+      println(f"""{"probe":"incremental_vs_full","corpus_nodes":$n,""" +
+        f""""prior_members":$nPrior,"batch_edges":${1000 / div},""" +
+        f""""prior_solve_sec":$priorSec%.1f,"fold_sec":$foldSec%.1f,""" +
+        f""""full_resolve_sec":$fullSec%.1f}""")
+      foldHandle.unpersist()
+      pRdd.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -9,13 +9,27 @@ import org.apache.spark.sql.functions._
   * payloads as opaque `binary` columns with typed metadata, and run
   * decode/feature-extraction as batched per-partition passes.
   *
-  * The corpus has no real media, so the binary payload is the UTF-8 document
-  * text and the decoder is a STUB — `decodePartition` derives deterministic
-  * fake width/height/duration from the payload's md5 (clearly marked below).
-  * Everything around the stub is the real production shape:
+  * Two payload tiers coexist here:
+  *  - REAL CODECS (`mm_png_decode` / `mm_png_resize` / `mm_wav_decode`):
+  *    payloads are genuine PNG and WAV bytes — rasters/PCM generated
+  *    deterministically from public columns, encoded with `javax.imageio` /
+  *    `javax.sound.sampled`, then DECODED BACK through the same codecs
+  *    inside the partition-batched pass. Because both formats are lossless,
+  *    every decoded pixel/sample equals the generating arithmetic, so the
+  *    DuckDB oracle verifies the REAL decode output exactly (it mirrors
+  *    the generator, not the codec).
+  *  - The text-payload tier (`mediaTable` + the original mm_* queries):
+  *    payload = UTF-8 document text; `decodePartition` derives
+  *    deterministic width/height/duration from the payload's md5. This
+  *    remains for the VIDEO modality only by necessity — a stock JRE has
+  *    no video codec — and because its queries pin the metadata/planning
+  *    arithmetic (resize fits, frame sampling) at full dimension ranges
+  *    the tiny real rasters can't exercise.
+  *
+  * Everything around the codecs is the real production shape:
   *  - schema: (id, modality, payload binary, byte_len, content_md5)
   *  - partition-level batching via `mapPartitions` on a typed Dataset —
-  *    the Scala analog of `mapInPandas`: the decoder amortizes model/codec
+  *    the Scala analog of `mapInPandas`: the decoder amortizes codec
   *    init once per partition, not per row;
   *  - frame sampling emits (id, frame_no) pairs via `explode(sequence(...))`
   *    — a generator, not a driver loop.
@@ -99,6 +113,184 @@ object Multimodal extends QueryModule {
       .withColumn("frame_no",
         explode(sequence(lit(0L), greatest((col("duration_ms") / everyMs).cast("long") - 1, lit(0L)))))
       .select(col("id"), col("frame_no"), (col("frame_no") * everyMs).as("frame_ts_ms"))
+
+  // --------------------------------------------- real-codec decode tier
+
+  case class PngPayload(id: Long, payload: Array[Byte])
+  case class PngDecoded(
+      id: Long, width: Int, height: Int, n_px: Int, sum_gray: Long, ahash: Long)
+  case class WavPayload(id: Long, payload: Array[Byte])
+  case class WavDecoded(
+      id: Long, sample_rate: Int, n_samples: Int, sum_abs: Long, peak: Int)
+
+  /** Deterministic gray raster for image row `id`: 8..16 px per side,
+    * pixel (x, y) = (id·31 + x·7 + y·13) mod 256. Small enough that a
+    * whole corpus of them encodes in seconds; rich enough that every
+    * pixel, sum, and hash bit differs per id. The SAME arithmetic lives
+    * in the DuckDB oracles — PNG is lossless, so decode must return it.
+    */
+  private[llm] def rasterDims(id: Long): (Int, Int) =
+    ((8 + id % 9).toInt, (8 + (id / 7) % 9).toInt)
+  private[llm] def rasterPixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** ENCODE pass: genuine PNG bytes via javax.imageio, batched per
+    * partition (one ImageIO plugin lookup amortized across the batch —
+    * the mapInPandas shape). In a real zone these bytes ARE the stored
+    * payload column; here they're derived so the corpus stays
+    * self-contained.
+    */
+  private def encodePngPartition(ids: Iterator[Long]): Iterator[PngPayload] = {
+    ids.map { id =>
+      val (w, h) = rasterDims(id)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, rasterPixel(id, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      PngPayload(id, bos.toByteArray)
+    }
+  }
+
+  /** REAL DECODE pass: `javax.imageio.ImageIO.read` on the payload bytes,
+    * then feature extraction straight off the decoded raster — dimensions,
+    * gray sum, and the house 60-bit average-hash over the row-major pixel
+    * sequence (same stride-sample + exact integer threshold as `ahashOf`,
+    * now fed by actual pixels). A corrupt payload is a loud per-object
+    * error, not a silent skip — at 100 TB silent decode drops are how
+    * corpora rot.
+    */
+  private def decodePngPartition(rows: Iterator[PngPayload]): Iterator[PngDecoded] = {
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"payload of id=${r.id} is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val raster = img.getRaster
+      val n = w * h
+      var sum = 0L
+      var i = 0
+      while (i < n) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
+      val samples = Array.tabulate(60)(k => raster.getSample(
+        (k * n / 60) % w, (k * n / 60) / w, 0))
+      val tot = samples.map(_.toLong).sum
+      var hash = 0L
+      var k = 0
+      while (k < 60) {
+        if (samples(k) * 60L > tot) hash |= (1L << k)
+        k += 1
+      }
+      PngDecoded(r.id, w, h, n, sum, hash)
+    }
+  }
+
+  /** Deterministic 16-bit mono PCM for audio row `id`: 200..299 samples,
+    * sample t = (id·131 + t·17) mod 2048 − 1024. Mirrored in the WAV
+    * oracle — PCM-in-WAV is lossless. */
+  private[llm] def wavSamples(id: Long): Array[Short] =
+    Array.tabulate((200 + id % 100).toInt)(t =>
+      ((id * 131 + t * 17) % 2048 - 1024).toShort)
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+
+  /** ENCODE pass: genuine RIFF/WAVE bytes via javax.sound.sampled. */
+  private def encodeWavPartition(ids: Iterator[Long]): Iterator[WavPayload] = {
+    ids.map { id =>
+      val samples = wavSamples(id)
+      val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(pcm.putShort)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm.array()), WavFormat, samples.length)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      WavPayload(id, bos.toByteArray)
+    }
+  }
+
+  /** REAL DECODE pass: parse the WAV container back through
+    * javax.sound.sampled, rebuild the signed samples from the little-endian
+    * frames the FORMAT declares (not from assumptions about the writer),
+    * and extract energy features. */
+  private def decodeWavPartition(rows: Iterator[WavPayload]): Iterator[WavDecoded] = {
+    rows.map { r =>
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"id=${r.id}: unexpected WAV shape $fmt")
+      val bytes = in.readAllBytes()
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = bytes.length / 2
+      var sumAbs = 0L
+      var peak = 0
+      var i = 0
+      while (i < n) {
+        val v = math.abs(buf.getShort(i * 2).toInt)
+        sumAbs += v
+        if (v > peak) peak = v
+        i += 1
+      }
+      WavDecoded(r.id, fmt.getSampleRate.toInt, n, sumAbs, peak)
+    }
+  }
+
+  /** Genuine-PNG decode: encode each image row's deterministic raster to
+    * real PNG bytes, decode them back with javax.imageio, and extract
+    * dimensions + gray sum + the 60-bit perceptual hash FROM THE DECODED
+    * PIXELS. The oracle recomputes the raster arithmetic in SQL — a hash
+    * match proves the whole codec round-trip bit-exact.
+    */
+  def mmPngDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(decodePngPartition _)
+      .toDF()
+      .orderBy("id")
+  }
+
+  /** Resize planning over REAL decoded dimensions: the decode pass feeds
+    * `resizePlan` (fit in 12×12, never upscale) — the pixel-real version
+    * of mm_resize's arithmetic tier. */
+  def mmPngResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(encodePngPartition _)
+      .mapPartitions(decodePngPartition _)
+      .toDF()
+      .withColumn("modality", lit("image"))
+    resizePlan(decoded, maxW = 12, maxH = 12)
+      .withColumn("scale", round(col("scale"), 6))
+      .orderBy("id")
+  }
+
+  /** Genuine-WAV decode: PCM features (sample count, total/peak absolute
+    * amplitude — the energy pass silence trimming runs on) from bytes that
+    * really went through the WAVE container. */
+  def mmWavDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 1) // the 'audio' rows of mediaTable
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(encodeWavPartition _)
+      .mapPartitions(decodeWavPartition _)
+      .toDF()
+      .orderBy("id")
+  }
 
   // ------------------------------------------------------- oracle queries
 
@@ -322,6 +514,9 @@ object Multimodal extends QueryModule {
     "mm_frames"     -> (mmFrames _), // oracled: the md5 stub is SQL-mirrorable
     "mm_frames_sql" -> (mmFramesSql _),
     "mm_resize"     -> (mmResize _),
+    "mm_png_decode" -> (mmPngDecode _),
+    "mm_png_resize" -> (mmPngResize _),
+    "mm_wav_decode" -> (mmWavDecode _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -450,6 +645,61 @@ object Multimodal extends QueryModule {
         |  COALESCE(n_frames - 1 - last_voiced, 0) AS tail_trim
         |FROM agg
         |ORDER BY id""".stripMargin,
+    // The real-codec tier: the oracle mirrors the deterministic raster/PCM
+    // GENERATOR; PNG and 16-bit PCM WAV are lossless, so a hash match
+    // proves the javax.imageio / javax.sound round-trip is bit-exact.
+    "mm_png_decode" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS w,
+        |    CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), px AS (
+        |  SELECT id, w, h,
+        |    list_transform(range(0, w * h),
+        |      i -> (id * 31 + (i % w) * 7 + (i // w) * 13) % 256) AS g
+        |  FROM img
+        |), samp AS (
+        |  SELECT id, w, h, list_sum(g) AS sum_gray,
+        |    list_transform(range(0, 60), k -> g[CAST((k * w * h) // 60 AS INTEGER) + 1]) AS s
+        |  FROM px
+        |), tot AS (
+        |  SELECT id, w, h, sum_gray, s, list_sum(s) AS t FROM samp
+        |)
+        |SELECT id, w AS width, h AS height, CAST(w * h AS INTEGER) AS n_px,
+        |  CAST(sum_gray AS BIGINT) AS sum_gray,
+        |  CAST(list_sum(list_transform(range(0, 60),
+        |    k -> CASE WHEN s[k + 1] * 60 > t THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+        |    AS BIGINT) AS ahash
+        |FROM tot ORDER BY id""".stripMargin,
+    "mm_png_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id AS id, 'image' AS modality,
+        |    CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |    CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS height
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), r AS (
+        |  SELECT *, least(12.0 / width, 12.0 / height, 1.0) AS raw_scale FROM img
+        |)
+        |SELECT id, modality, width, height,
+        |  CAST(floor(width * raw_scale) AS INTEGER) AS out_width,
+        |  CAST(floor(height * raw_scale) AS INTEGER) AS out_height,
+        |  ROUND(raw_scale, 6) AS scale
+        |FROM r ORDER BY id""".stripMargin,
+    "mm_wav_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id, CAST(200 + doc_id % 100 AS INTEGER) AS n
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), s AS (
+        |  SELECT id, n,
+        |    list_transform(range(0, n),
+        |      t -> abs((id * 131 + t * 17) % 2048 - 1024)) AS amp
+        |  FROM a
+        |)
+        |SELECT id, 8000 AS sample_rate, n AS n_samples,
+        |  CAST(list_sum(amp) AS BIGINT) AS sum_abs,
+        |  CAST(list_aggregate(amp, 'max') AS INTEGER) AS peak
+        |FROM s ORDER BY id""".stripMargin,
     "mm_frames_sql" ->
       """SELECT doc_id AS id,
         |  unnest(range(0, greatest(CAST(ceil((n_chars * 40)::DOUBLE / 5000) AS BIGINT), 1))) AS frame_no,

@@ -65,6 +65,13 @@ object ConnectedComponents {
     def unpersist(): Unit = rdds.foreach(_.unpersist(blocking = false))
   }
 
+  /** Contraction rounds of the most recent components() call in this JVM
+    * — diagnostic observability for the scaling probe (`graft.ScaleProbe`,
+    * SCALING.md's measured round counts; same test-hook pattern as
+    * `LandingSource.payloadReads`). Not part of the query contract.
+    */
+  val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Canonical undirected edge set: a < b, self-loops dropped, distinct. */
   private def canon(df: DataFrame): DataFrame =
     df.select(least(col("a"), col("b")).as("a"),
@@ -151,6 +158,7 @@ object ConnectedComponents {
       }
       iter += 1
     }
+    lastRounds.set(iter)
     // Reading labels off a NON-fixpoint edge set would return silently
     // wrong components; the bound is unreachable for star contraction
     // (O(log² n) rounds — a 300-graph property sim converged within 9),

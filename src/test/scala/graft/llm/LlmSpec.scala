@@ -143,6 +143,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG decode is REAL: javax.imageio round-trip returns the generating raster exactly") {
+    val rows = Multimodal.mmPngDecode(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val (ew, eh) = Multimodal.rasterDims(id)
+      assert((w, h) === ((ew, eh)), s"decoded dims for id=$id")
+      // decoded gray sum equals the generator's arithmetic — PNG lossless
+      val expectSum = (0 until ew * eh).map(i =>
+        Multimodal.rasterPixel(id, i % ew, i / ew).toLong).sum
+      assert(r.getLong(4) === expectSum, s"sum_gray for id=$id")
+    }
+  }
+
+  test("WAV decode is REAL: javax.sound round-trip returns the generating PCM exactly") {
+    val rows = Multimodal.mmWavDecode(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val samples = Multimodal.wavSamples(id)
+      assert(r.getInt(1) === 8000)
+      assert(r.getInt(2) === samples.length, s"n_samples for id=$id")
+      assert(r.getLong(3) === samples.map(s => math.abs(s.toInt).toLong).sum)
+      assert(r.getInt(4) === samples.map(s => math.abs(s.toInt)).max)
+    }
+  }
+
   test("frame sampling emits ceil(duration/step) frames per video row") {
     import spark.implicits._
     val decoded = Multimodal.decodeAll(spark, sf0001).toDF()
