@@ -41,6 +41,17 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // PUBLIC-API CONTRACT: events() PINS the session timezone to UTC for
+    // the whole session (the NTZ→instant cast's meaning depends on it,
+    // and downstream timestamp rendering/casts in OTHER queries follow).
+    // Overriding a deliberately different caller setting is surprising —
+    // so it is loud, never silent.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    if (prev != "UTC")
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft.Tables.events pins spark.sql.session.timeZone=UTC for this session " +
+          s"(was '$prev'): event-time semantics are defined in UTC; set UTC at " +
+          "session build to silence this")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {

@@ -378,7 +378,28 @@ object LandingLedger {
       files: Array[(Long, Long, String)], // (file mtime, file bytes, file name)
       subdirs: Array[Path])
 
-  private val dirCache = scala.collection.concurrent.TrieMap.empty[Path, DirEntry]
+  /** Per-root directory cache plus the last drain tick that touched it —
+    * the eviction unit. Keying the cache BY ROOT (instead of one flat
+    * map) keeps the deletion prune's key scan O(this root's directories)
+    * rather than O(every root the process ever drained), and makes
+    * whole-root eviction one map removal.
+    */
+  private final class RootCache {
+    val dirs = scala.collection.concurrent.TrieMap.empty[Path, DirEntry]
+    @volatile var lastSeen = 0L
+  }
+
+  private val roots = scala.collection.concurrent.TrieMap.empty[Path, RootCache]
+  private val drainTick = new AtomicLong(0)
+
+  /** Roots not listed for this many ledger calls lose their cache: a
+    * process that drains many TRANSIENT zones (tests, per-tenant
+    * ephemeral landing dirs) must not accumulate a dead directory index
+    * per zone forever. 256 ≈ dozens of idle triggers for every live
+    * stream sharing the process — far past any legitimate reuse gap,
+    * while a re-listed evicted root only pays one cold full list.
+    */
+  private val EvictAfterCalls = 256L
 
   /** Coarsest directory-mtime resolution we defend against (ext4 is ns,
     * but FAT-ish filesystems and coarse NFS servers round to seconds). */
@@ -400,6 +421,24 @@ object LandingLedger {
     * is safely shared across stream instances and queries.
     */
   def incrementalLedger(root: Path): Array[LedgerEntry] = {
+    val tick = drainTick.incrementAndGet()
+    // Evict roots nobody listed for EvictAfterCalls ledger calls. The
+    // scan is over the ROOT map (zones, not directories) — a handful of
+    // entries for any realistic process — so paying it per call keeps
+    // eviction prompt without a timer thread.
+    roots.foreach { case (r, rc) =>
+      if (tick - rc.lastSeen > EvictAfterCalls) roots.remove(r)
+    }
+    if (!Files.exists(root)) {
+      // A DELETED root never enters visit() (nothing to walk), so the
+      // relisted-gated prune below can't fire — drop the whole cached
+      // subtree here or it leaks until the root path happens to reappear.
+      roots.remove(root)
+      return Array.empty
+    }
+    val rc = roots.getOrElseUpdate(root, new RootCache)
+    rc.lastSeen = tick
+    val dirCache = rc.dirs
     val acc = Array.newBuilder[LedgerEntry]
     val visited = scala.collection.mutable.Set.empty[Path]
     var relisted = false
@@ -410,14 +449,14 @@ object LandingLedger {
         catch { case _: java.io.IOException => dirCache.remove(dir); return }
       val entry = dirCache.get(dir) match {
         case Some(e) if e.mtime == m && !e.unstable => e
-        case _ => relisted = true; listDir(dir, m)
+        case _ => relisted = true; listDir(dirCache, dir, m)
       }
       entry.files.foreach { case (fm, sz, name) =>
         acc += LedgerEntry(fm, sz, root.relativize(dir.resolve(name)).toString)
       }
       entry.subdirs.foreach(visit)
     }
-    if (Files.exists(root)) visit(root)
+    visit(root)
     // Prune entries the walk no longer reaches: when a directory is
     // DELETED, its parent re-lists (the deletion bumped the parent's
     // mtime) and drops it from `subdirs` — so the deleted directory and
@@ -427,20 +466,24 @@ object LandingLedger {
     // unboundedly, on the driver. Gated on `relisted`: a fully-quiescent
     // walk cannot have unreached entries (subdir sets are unchanged), so
     // the common steady-state trigger skips the sweep entirely; only
-    // change rounds pay the full-cache key scan (which spans ALL roots
-    // sharing the cache — a per-root index isn't worth the bookkeeping
-    // at realistic zone counts).
+    // change rounds pay the key scan, and the per-root index bounds it
+    // to THIS zone's directories.
     if (relisted) dirCache.keys.foreach { k =>
-      if (k.startsWith(root) && !visited.contains(k)) dirCache.remove(k)
+      if (!visited.contains(k)) dirCache.remove(k)
     }
     acc.result()
   }
 
   /** Cached-directory count under `root` — spec hook for the prune. */
   private[sources] def cachedDirCount(root: Path): Int =
-    dirCache.keys.count(_.startsWith(root))
+    roots.get(root).map(_.dirs.size).getOrElse(0)
 
-  private def listDir(dir: Path, mtime: Long): DirEntry = {
+  /** Cached-root count — spec hook for transient-root eviction. */
+  private[sources] def cachedRootCount: Int = roots.size
+
+  private def listDir(
+      dirCache: scala.collection.concurrent.TrieMap[Path, DirEntry],
+      dir: Path, mtime: Long): DirEntry = {
     val files = Array.newBuilder[(Long, Long, String)]
     val dirs = Array.newBuilder[Path]
     try {

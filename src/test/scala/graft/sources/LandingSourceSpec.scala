@@ -346,6 +346,44 @@ class LandingSourceSpec extends SparkSpec {
     assert(after == before - 1, s"deleted dir's entry must evict: $before -> $after")
   }
 
+  test("deleting the ROOT itself drops its whole cached subtree") {
+    val root = Files.createTempDirectory("landing-rootdel")
+    for (d <- 0 until 3) {
+      val p = root.resolve(f"d$d").resolve("obj.ndjson")
+      Files.createDirectories(p.getParent)
+      Files.write(p, s"""{"d":$d}""".getBytes(StandardCharsets.UTF_8))
+    }
+    assert(LandingLedger.incrementalLedger(root).length == 3)
+    assert(LandingLedger.cachedDirCount(root) >= 4)
+    // the root vanishing entirely (zone decommissioned) never enters the
+    // walk, so the in-walk prune can't fire — the ledger call itself must
+    // evict, or the dead zone's directory index leaks forever
+    graft.Fs.deleteRecursively(root.toFile)
+    assert(LandingLedger.incrementalLedger(root).isEmpty)
+    assert(LandingLedger.cachedDirCount(root) == 0,
+      "deleted root must not keep a cached subtree")
+  }
+
+  test("transient roots evict: the ledger cache stays bounded across many zones") {
+    // simulate a process that drains many short-lived zones (per-tenant
+    // dirs, test fixtures): each gets cached once, then is never listed
+    // again — the cache must not grow one dead index per zone forever
+    val transients = (0 until 20).map { i =>
+      val r = Files.createTempDirectory(f"landing-tr$i")
+      Files.write(r.resolve("obj.ndjson"), s"""{"i":$i}""".getBytes(StandardCharsets.UTF_8))
+      assert(LandingLedger.incrementalLedger(r).length == 1)
+      r
+    }
+    val live = Files.createTempDirectory("landing-live")
+    Files.write(live.resolve("obj.ndjson"), "{}".getBytes(StandardCharsets.UTF_8))
+    // 300 ledger calls on the live zone push every transient root past
+    // the eviction horizon (256 calls unseen)
+    for (_ <- 0 until 300) assert(LandingLedger.incrementalLedger(live).length == 1)
+    assert(transients.forall(LandingLedger.cachedDirCount(_) == 0),
+      "roots unseen for the eviction horizon must drop their cache")
+    assert(LandingLedger.cachedDirCount(live) == 1)
+  }
+
   test("sidecar round-trip is strict on write, tolerant on read") {
     import spark.implicits._
     // write: metadata that cannot round-trip through k=v lines fails

@@ -12,6 +12,10 @@
 #   defaults: /root/testdata/sf0.01  /root/testdata/sf0.1
 # Env: SPARK_GRAFT_CPUS (default 8), GATE_SKIP_BENCH=1 to stop after selfcheck.
 set -u
+# pipefail: the Bench pipeline below ends in grep/tee — without it, a
+# Bench run that prints its metric line and then CRASHES mid-teardown
+# would still exit 0 and pass the gate with a possibly-partial artifact
+set -o pipefail
 cd "$(dirname "$0")/.."
 
 VERIFY_SF="${1:-/root/testdata/sf0.01}"
@@ -94,6 +98,12 @@ BENCH_CPUS=$(nproc)
 [ "$BENCH_CPUS" -gt 32 ] && BENCH_CPUS=32
 SPARK_GRAFT_SF_DIR="$BENCH_SF" SPARK_GRAFT_CPUS="$BENCH_CPUS" $RUN graft.Bench \
   2> "$OUT/bench.err" | grep '"metric"' | tee "$OUT/bench.json"
+BENCH_RC=$?  # pipefail: nonzero if Bench ITSELF died, even after printing
+if [ "$BENCH_RC" -ne 0 ]; then
+  tail -20 "$OUT/bench.err"
+  echo "GATE FAIL: bench pipeline exited $BENCH_RC (metric line alone is not a pass)"
+  exit 1
+fi
 if ! [ -s "$OUT/bench.json" ]; then
   tail -20 "$OUT/bench.err"; echo "GATE FAIL: bench produced no JSON line"; exit 1
 fi
