@@ -245,6 +245,63 @@ object Similarity extends QueryModule {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding space, then compare pairs
+    * ONLY within a cluster — the observation that semantic duplicates land
+    * in the same k-means cell is what turns corpus×corpus cosine into
+    * k × (cell × cell), the same cell-bounded discipline as `simAnnIvf`.
+    *
+    * Output is a per-vector keep/drop verdict: a vector DROPS iff some
+    * SMALLER-id vector in its cluster has cosine ≥ τ with it
+    * (`matched_to` = the smallest such id; NULL ⇒ kept). The keep-rule is
+    * a deterministic policy knob: the paper keeps the member farthest
+    * from the centroid, and a transitive-exact variant would run the
+    * within-cluster pair graph through `ConnectedComponents` (that
+    * pattern is `dedup_clusters`); min-id is engine-independent and makes
+    * the whole verdict ORACLE-EXACT. τ = 0.45 targets the corpus's one
+    * populated similarity band (see `dedupEmbeddingLsh`'s geometry note).
+    *
+    * At 100 TB: assignment is a broadcast-k map pass; the pair join
+    * shuffles each cell once (cells are the unit of parallelism, sized by
+    * k — more centroids ⇒ smaller cells ⇒ cheaper pairs at some recall
+    * cost across cell boundaries, the standard SemDeDup tradeoff); the
+    * verdict join shuffles ids + booleans, never vectors.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val cents = emb.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+    val byCent = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    // pinned exchange on cluster: the assignment pass (broadcast-k argmax)
+    // feeds both pair-join sides and the verdict join once (ReuseExchange)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("e"), col("cente")))
+      .withColumn("crn", row_number().over(byCent))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id").as("cluster"))
+      .repartition(col("cluster"))
+    val lo = assigned.select(
+      col("cluster"), col("vec_id").as("va"), col("e").as("ea"))
+    val hi = assigned.select(
+      col("cluster").as("cluster_h"), col("vec_id").as("vb"), col("e").as("eb"))
+    // within-cell pairs, cosine at the SAME rounded grid as the oracle;
+    // per higher id keep only its smallest τ-neighbor
+    val rep = lo.join(hi,
+        col("cluster") === col("cluster_h") && col("va") < col("vb") &&
+          round(cosine(col("ea"), col("eb")), 6) >= SemDedupTau)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("matched_to"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(rep, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"), col("matched_to"),
+        col("matched_to").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
+  private val SemDedupTau = 0.45
+
   /** Embedding-corpus preprocessing stats per label: count and norm
     * distribution — the sanity pass a pipeline runs before indexing
     * (catches unnormalized or degenerate vectors).
@@ -727,6 +784,7 @@ object Similarity extends QueryModule {
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
+    "dedup_semantic"  -> (dedupSemantic _),
   )
 
   // DuckDB mirrors: same double math as the Spark fold — elementwise
@@ -1180,6 +1238,30 @@ object Similarity extends QueryModule {
          |  ON exact3.q_id = ivf3.q_id AND exact3.cand_id = ivf3.cand_id
          |GROUP BY exact3.q_id
          |ORDER BY exact3.q_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), assigned AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), rep AS (
+         |  SELECT b.vec_id, MIN(a.vec_id) AS matched_to
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |   AND ROUND(${duckCos("a.v", "b.v")}, 6) >= $SemDedupTau
+         |  GROUP BY b.vec_id
+         |)
+         |SELECT s.vec_id, s.cluster, r.matched_to,
+         |  (r.matched_to IS NULL) AS keep
+         |FROM assigned s LEFT JOIN rep r ON s.vec_id = r.vec_id
+         |ORDER BY s.vec_id""".stripMargin,
     "sim_ann_ivf" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
