@@ -68,9 +68,69 @@ object Curation extends QueryModule {
   def decontaminateQuery(spark: SparkSession, sfDir: String): DataFrame =
     decontaminate(Tables.documents(spark, sfDir))
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): pick
+    * raw-pool documents whose hashed-unigram distribution looks like the
+    * TARGET domain. Log importance weight of a doc =
+    * Σ_tokens [ln p̂_target(bucket) − ln p̂_raw(bucket)] over B = 256 hash
+    * buckets (the hashing trick: the bucket LM is O(B) state, never
+    * O(vocab)) with add-one smoothing on both sides; the draw is weighted
+    * sampling WITHOUT replacement via Gumbel top-k on hash-derived
+    * uniforms (key = logw + Gumbel(u) — the A-ES/Gumbel-max
+    * correspondence `sample_weighted` already uses, deterministic and
+    * rerun-stable). Target here = src0/src1 (the "match this domain"
+    * stand-in, e.g. Wikipedia); pool = every other source.
+    *
+    * Determinism discipline: the per-BUCKET log-ratio is computed once on
+    * the 256-row bucket table, rounded onto the 6dp grid as DECIMAL, and
+    * joined back — the per-doc sum is exact decimal arithmetic,
+    * order-independent at any parallelism; ln runs on identical doubles
+    * in both engines (the text_unigram_lm contract). At 100 TB: one
+    * map-side-combined bucket groupBy, a 1-row totals broadcast, a
+    * 256-row ratio broadcast joined into the token stream, one doc-level
+    * groupBy, and a TakeOrderedAndProject top-k — no stage carries more
+    * than O(corpus tokens) with O(B) state.
+    */
+  def dsirSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Hashing
+    val B = 256
+    val N = 50
+    val isTarget = col("source").isin("src0", "src1")
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("tgt"),
+        pmod(Hashing.hash60(col("w")), lit(B)).as("b"))
+    val counts = toks.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val totals = toks.agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("tr"))
+    val ratio = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log((col("ct") + 1).cast("double") / (col("tt") + lit(B)))
+          - log((col("cr") + 1).cast("double") / (col("tr") + lit(B))), 6)
+          .cast("decimal(14,6)").as("lr"))
+    val scored = toks.filter(!col("tgt"))
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr")).as("slr"))
+    val u = (pmod(Hashing.hash60(col("doc_id").cast("string")), lit(1000000))
+      .cast("double") + 0.5) / 1000000.0
+    scored
+      .withColumn("logw", round(col("slr").cast("double"), 6))
+      .withColumn("key", round(col("logw") - log(-log(u)), 6))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(N)
+      .select("doc_id", "n_tokens", "logw", "key")
+      .orderBy(col("key").desc, col("doc_id"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> (curateCorpus _),
     "decontaminate" -> (decontaminateQuery _),
+    "dsir_select"   -> (dsirSelect _),
   )
 
   override def oracles: Map[String, String] = {
@@ -117,6 +177,39 @@ object Curation extends QueryModule {
            |SELECT doc_id, lang, source FROM documents
            |WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
            |ORDER BY doc_id""".stripMargin,
+      "dsir_select" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+           |    (${graft.functions.Hashing.duckHash60("w")} % 256) AS b
+           |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+           |        FROM documents)
+           |), counts AS (
+           |  SELECT b,
+           |    SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+           |    SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+           |  FROM toks GROUP BY b
+           |), totals AS (
+           |  SELECT SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tt,
+           |         SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS tr
+           |  FROM toks
+           |), ratio AS (
+           |  SELECT b, CAST(ROUND(ln((ct + 1)::DOUBLE / (tt + 256))
+           |                     - ln((cr + 1)::DOUBLE / (tr + 256)), 6)
+           |             AS DECIMAL(14,6)) AS lr
+           |  FROM counts CROSS JOIN totals
+           |), scored AS (
+           |  SELECT doc_id, COUNT(*) AS n_tokens, SUM(lr) AS slr
+           |  FROM toks JOIN ratio USING (b)
+           |  WHERE NOT tgt
+           |  GROUP BY doc_id
+           |), keyed AS (
+           |  SELECT doc_id, n_tokens, ROUND(CAST(slr AS DOUBLE), 6) AS logw,
+           |    ROUND(ROUND(CAST(slr AS DOUBLE), 6)
+           |      - ln(-ln(((${graft.functions.Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 1000000)::DOUBLE + 0.5) / 1000000.0)), 6) AS key
+           |  FROM scored
+           |)
+           |SELECT doc_id, n_tokens, logw, key FROM keyed
+           |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin,
     )
   }
 }
