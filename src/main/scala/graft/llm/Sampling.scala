@@ -209,6 +209,60 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** UniMax-style language-balanced token budgeting (Chung et al.,
+    * "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining", ICLR 2023): spread a token budget as
+    * uniformly as possible across languages while capping every language
+    * at `UniMaxEpochCap` epochs of its own data — tail languages cap
+    * (never over-repeated into memorization), and the head language
+    * absorbs the slack. The iterative spec has a WATERFILL closed form:
+    * sort languages by capacity ascending; position k is capped iff
+    * cap_k · (L − k) ≤ budget − prefix_cap_k (the flag is prefix-monotone,
+    * so the cap set is the flagged prefix), and everyone else gets the
+    * integer level (budget − prefix at k*) div (L − k*).
+    *
+    * Every step is integer arithmetic on the L-row language table (one
+    * token-count groupBy feeds it), so the allocation is bit-reproducible;
+    * windows over the bounded language axis carry `boundedPartition` per
+    * the house rule. Budget = 80% of corpus tokens, cap = 1 epoch —
+    * chosen so the corpus's head/tail split actually exercises both
+    * branches (4 capped languages + an uncapped head at this corpus).
+    */
+  def mixUnimax(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank.boundedPartition
+    val perLang = Tables.documents(spark, sfDir)
+      .groupBy("lang")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val total = perLang.agg(sum(col("n_tokens")).as("total"))
+    val bp = boundedPartition(col("lang"))
+    val byCap = Window.partitionBy(bp).orderBy(col("capacity"), col("lang"))
+    val all = Window.partitionBy(boundedPartition(col("lang")))
+    perLang
+      .withColumn("capacity", col("n_tokens") * UniMaxEpochCap)
+      .crossJoin(broadcast(total))
+      .withColumn("budget", expr("(total * 8) div 10"))
+      .withColumn("l_count", count(lit(1)).over(all))
+      .withColumn("k", row_number().over(byCap))
+      .withColumn("s", sum(col("capacity")).over(byCap))
+      .withColumn("flag",
+        col("capacity") * (col("l_count") - col("k")) <= col("budget") - col("s"))
+      .withColumn("k_star", coalesce(max(when(col("flag"), col("k"))).over(all), lit(0)))
+      .withColumn("s_star", coalesce(max(when(col("flag"), col("s"))).over(all), lit(0L)))
+      .withColumn("level",
+        when(col("l_count") > col("k_star"),
+          expr("(budget - s_star) div (l_count - k_star)"))
+          .otherwise(lit(0L)))
+      .withColumn("capped", col("k") <= col("k_star"))
+      .withColumn("alloc_tokens",
+        when(col("capped"), col("capacity")).otherwise(col("level")))
+      .select(col("lang"), col("n_tokens"), col("capacity"), col("capped"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6).as("epochs"))
+      .orderBy("lang")
+  }
+
+  private val UniMaxEpochCap = 1
+
   /** Class-balanced downsampling: every language keeps exactly the
     * smallest class's count, chosen by hash rank — the deterministic
     * "balance the training mix" op (no rand(), so membership is
@@ -330,6 +384,7 @@ object Sampling extends QueryModule {
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
+    "mix_unimax"      -> (mixUnimax _),
     "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
   )
@@ -477,6 +532,32 @@ object Sampling extends QueryModule {
            |FROM documents d JOIN rates r ON d.source = r.source
            |GROUP BY d.source, r.rate
            |ORDER BY d.source""".stripMargin,
+      "mix_unimax" ->
+        """WITH per_lang AS (
+          |  SELECT lang, SUM(len(string_split(text, ' '))) AS n_tokens
+          |  FROM documents GROUP BY lang
+          |), env AS (
+          |  SELECT lang, n_tokens, n_tokens * 1 AS capacity,
+          |    (SELECT (SUM(n_tokens) * 8) // 10 FROM per_lang) AS budget,
+          |    (SELECT COUNT(*) FROM per_lang) AS l_count,
+          |    row_number() OVER (ORDER BY n_tokens * 1, lang) AS k,
+          |    SUM(n_tokens * 1) OVER (ORDER BY n_tokens * 1, lang) AS s
+          |  FROM per_lang
+          |), flagged AS (
+          |  SELECT *, capacity * (l_count - k) <= budget - s AS flag FROM env
+          |), star AS (
+          |  SELECT *,
+          |    COALESCE(MAX(CASE WHEN flag THEN k END) OVER (), 0) AS k_star,
+          |    COALESCE(MAX(CASE WHEN flag THEN s END) OVER (), 0) AS s_star
+          |  FROM flagged
+          |)
+          |SELECT lang, n_tokens, capacity, (k <= k_star) AS capped,
+          |  CASE WHEN k <= k_star THEN capacity
+          |       ELSE (budget - s_star) // (l_count - k_star) END AS alloc_tokens,
+          |  ROUND((CASE WHEN k <= k_star THEN capacity
+          |              ELSE (budget - s_star) // (l_count - k_star) END)::DOUBLE
+          |        / n_tokens, 6) AS epochs
+          |FROM star ORDER BY lang""".stripMargin,
       "pack_sequences" ->
         s"""WITH t AS (
            |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
