@@ -101,4 +101,115 @@ class EndToEndSpec extends SparkSpec {
     // payload-read accounting stays observable through the whole path
     assert(LandingSource.payloadReads.get() > 0)
   }
+
+  /** The CURATION day-in-the-life, composed from this round's pieces:
+    * objects arrive at the landing zone, an admission-bounded stream
+    * drains them (`maxFilesPerTrigger` — the post-outage backlog never
+    * becomes one unbounded batch), every micro-batch is quality-gated,
+    * fingerprinted into a STANDING index, and its duplicate edges fold
+    * into a STANDING component labeling via the managed incremental CC —
+    * superseded labelings unpersisted at each fold. The final labeling
+    * must EQUAL the batch solve over everything that ever arrived, and a
+    * re-drain must change nothing.
+    */
+  test("curation pipeline: bounded drain → quality gate → standing index → incremental clusters") {
+    import spark.implicits._
+    import graft.operators.ConnectedComponents
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.DataFrame
+
+    val landing = tmp("cur-landing")
+    val ckpt = tmp("cur-ckpt")
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "colorless green ideas sleep furiously in the deep winter night"
+    def put(objs: (Long, String)*): Unit =
+      objs.toSeq.map { case (id, text) => (f"docs/d$id%03d.ndjson", text) }
+        .toDF("key", "content")
+        .withColumn("byte_len", length(col("content")))
+        .withColumn("metadata", map().cast("map<string,string>"))
+        .select("key", "byte_len", "content", "metadata")
+        .write.format("graft-landing").mode("append").save(landing)
+
+    // wave 1: a dup pair (1,2), a unique doc (3), a quality reject (4)
+    put(1L -> t1, 2L -> t1, 3L -> ("something else entirely " * 3), 4L -> "too short")
+
+    // standing state the folds maintain
+    var index: DataFrame = null            // (doc_id, fp) — cut per fold
+    var indexRdd: org.apache.spark.rdd.RDD[_] = null
+    var labeling: DataFrame = null
+    var handle: ConnectedComponents.LabelingHandle = null
+    var folds = 0
+    var batches = 0
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-landing")
+        .option("maxFilesPerTrigger", "3").load(landing)
+        .select("key", "content")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) batches += 1
+          val docs = batch
+            .select(
+              regexp_extract(col("key"), "d(\\d+)", 1).cast("long").as("doc_id"),
+              col("content"))
+            .filter(length(col("content")) >= 20) // the quality gate
+            .select(col("doc_id"), md5(col("content")).as("fp"))
+          if (!docs.isEmpty) {
+            // fold the batch into the standing fingerprint index (cut so
+            // the plan never deepens fold over fold)
+            val unioned = if (index == null) docs else index.union(docs)
+            val (newIndex, newIndexRdd, _) = PlanBridge.cutLineage(unioned)
+            // duplicate edges incident to THIS batch: new-new and new-old
+            // pairs sharing a fingerprint (old-old pairs folded earlier)
+            val edges = newIndex.select(col("doc_id").as("a"), col("fp"))
+              .join(docs.select(col("doc_id").as("b"), col("fp")), "fp")
+              .filter(col("a") =!= col("b"))
+              .select("a", "b")
+            val (next, nextHandle) =
+              if (labeling == null) ConnectedComponents.componentsManaged(edges)
+              else ConnectedComponents.incrementalComponentsManaged(labeling, edges)
+            if (handle != null) handle.unpersist()
+            if (indexRdd != null) indexRdd.unpersist(false)
+            index = newIndex; indexRdd = newIndexRdd
+            labeling = next; handle = nextHandle
+            folds += 1
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    drain()
+    // wave 2: a bridge into {1,2} (5 shares t1), a fresh dup pair (6,7),
+    // another quality reject (8)
+    put(5L -> t1, 6L -> t2, 7L -> t2, 8L -> "tiny")
+    drain()
+
+    def labels: Map[Long, Long] = labeling.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the standing labeling equals the batch truth over ALL arrivals:
+    // {1,2,5} share t1, {6,7} share t2; 3 has no duplicate edge; the
+    // quality rejects never entered the index at all
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 6L, 7L -> 6L))
+    assert(index.filter(col("doc_id").isin(4L, 8L)).isEmpty,
+      "quality-rejected docs must never enter the standing index")
+    // admission control bounded the drains: 4 objects per wave at
+    // maxFilesPerTrigger=3 → two micro-batches per drain; the
+    // quality-reject-only batches (d4 alone, d8 alone) correctly fold
+    // NOTHING — gating happens before any state is touched
+    assert(batches == 4,
+      s"8 objects at maxFilesPerTrigger=3 must drain in 4 micro-batches, got $batches")
+    assert(folds == 2,
+      s"only the two batches with surviving docs may fold, got $folds")
+
+    // exactly-once: a re-drain folds nothing and the labeling is unchanged
+    val before = labels
+    val batchesBefore = batches
+    drain()
+    assert(batches == batchesBefore, "re-drain must process no objects")
+    assert(labels === before)
+  }
 }
