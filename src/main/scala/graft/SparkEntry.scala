@@ -25,6 +25,7 @@ object SparkEntry {
     llm.Dedup,
     llm.Similarity,
     llm.Multimodal,
+    llm.Bpe,
     llm.Curation,
     llm.Sampling,
     llm.Relevance,

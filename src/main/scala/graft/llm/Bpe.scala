@@ -1,0 +1,184 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (north-star EXT tier): learn a
+  * byte-pair-encoding merge table over the document corpus — the
+  * vocabulary-construction pass every LLM data pipeline runs before
+  * tokenization (Sennrich et al., ACL 2016, public literature; the
+  * reference has no tokenizer stage — its text handling stops at JSON
+  * field projection, lambda/handler.ts:41-57).
+  *
+  * Algorithm (classic greedy BPE, exactly):
+  *   round r: count adjacent token pairs corpus-wide → pick the most
+  *   frequent (deterministic tiebreak: count DESC, pair ASC) → merge every
+  *   non-overlapping left-to-right occurrence → repeat.
+  *
+  * Distributed shape: each round is ONE map-side-combinable groupBy over
+  * per-doc adjacent pairs (shuffle carries (pair, partial count) — bounded
+  * by active-vocab², never corpus rows) + a TakeOrdered(1). The winning
+  * pair returns to the driver (k rounds × 1 row — the same bounded
+  * actions-per-round discipline as the connected-components loop) and is
+  * embedded as a LITERAL in the next round's merge expression, so the
+  * round-r corpus state is a chain of r codegen'd `replace` calls over the
+  * scan — no intermediate corpus materialization, no broadcast-plan
+  * nesting. At real corpus scale (k in the tens of thousands) you would
+  * checkpoint the state every few hundred merges and train on a
+  * `sample_hash`-gated corpus slice, exactly like production tokenizer
+  * trainers; the per-round plan is unchanged by either.
+  *
+  * EXACT-GREEDY-BY-REPLACE representation: the corpus state wraps every
+  * token in pipes — `|t1||t2||t3|` — so merging pair (a,b) is the plain
+  * string replace `|a||b|` → `|ab|`:
+  *   - token boundaries are exact (tokens are [a-z]+, never containing
+  *     `|`), so `|a||b|` cannot match inside a longer token;
+  *   - adjacent matches share NO characters (the closing `|` of one match
+  *     and the opening `|` of the next are different characters), so
+  *     non-overlapping left-to-right `replace` — identical semantics in
+  *     Spark's StringReplace and DuckDB's replace — IS token-level greedy
+  *     BPE merge, with no delimiter-consumption artifacts. A
+  *     space-separated representation gets this wrong on runs (` a a a `
+  *     consumes the middle delimiter), which is why the pipe-wrap is the
+  *     canonical state here and in the DuckDB oracle.
+  */
+object Bpe extends QueryModule {
+
+  /** Merge rounds for the registered queries — enough to learn real
+    * English digraphs on the synthetic corpus while keeping the oracle's
+    * CTE chain readable.
+    */
+  val Rounds = 6
+
+  private val MaxChars = 120
+
+  /** `|c1||c2|...` initial state: letters-only, truncated, one token per
+    * character.
+    */
+  private def state0(text: Column): Column = {
+    val cleaned = regexp_replace(lower(text), "[^a-z]", "")
+    regexp_replace(substring(cleaned, 1, MaxChars), "(.)", "|$1|")
+  }
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(length(regexp_replace(lower(col("text")), "[^a-z]", "")) >= 2)
+      .select(col("doc_id"), state0(col("text")).as("state"))
+
+  /** Adjacent-pair counts of the current state. One explode + one
+    * map-side-combinable agg; the shuffle carries (a, b, partial count).
+    */
+  private def pairCounts(state: DataFrame): DataFrame =
+    state
+      .select(expr("split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Train `k` merges: returns the merge table rows and the final-state
+    * frame (documents with all k merges applied as chained literal
+    * replaces). Public so crafted-corpus specs can pin the greedy
+    * semantics against hand-computed merges (the mirror-oracle
+    * countermeasure).
+    */
+  def train(docs: DataFrame, k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var state = docs
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val best = pairCounts(state)
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect() // 1 row per round — bounded driver action, see scaladoc
+      if (best.nonEmpty) {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, a, b, c))
+        state = state.withColumn(
+          "state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
+      }
+    }
+    (merges.result(), state)
+  }
+
+  /** EXT: the learned merge table — (round, pair, corpus count at merge
+    * time). This IS the tokenizer model a 100-TB curation run ships.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (merges, _) = train(corpus(spark, sfDir), Rounds)
+    import spark.implicits._
+    merges.toDF("round", "a", "b", "cnt").orderBy("round")
+  }
+
+  /** EXT: the post-merge vocabulary head — top tokens by corpus frequency
+    * after applying the learned merges (the sanity report a tokenizer
+    * train job emits). Single scan: the k merges are literal chained
+    * replaces inside one codegen'd projection.
+    */
+  def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, fin) = train(corpus(spark, sfDir), Rounds)
+    fin
+      .select(col("doc_id"),
+        explode(expr("split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(20)
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_vocab" -> (bpeVocab _),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** The identical greedy-BPE chain in DuckDB: same pipe-wrapped state,
+    * same replace-based merge, same tiebreak — the oracle re-LEARNS the
+    * merges rather than being handed them, so a Spark-side counting or
+    * application bug cannot self-confirm.
+    */
+  private def oracleCtes(k: Int): String = {
+    def pairs(src: String): String =
+      s"""  SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
+         |  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z
+         |        FROM (SELECT string_split(substr(state, 2, length(state)-2), '||') AS toks
+         |              FROM $src) i) u
+         |  WHERE z[2] IS NOT NULL GROUP BY 1, 2""".stripMargin
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""s0 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, $MaxChars),
+       |                   '(.)', '|\\1|', 'g') AS state
+       |  FROM documents
+       |  WHERE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= 2)""".stripMargin
+    for (r <- 1 to k) {
+      ctes += s"p$r AS (\n${pairs(s"s${r - 1}")})"
+      ctes += s"b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)"
+      ctes += s"""s$r AS (
+         |  SELECT doc_id,
+         |    replace(state, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|') AS state
+         |  FROM s${r - 1}, b$r)""".stripMargin
+    }
+    ctes.result().mkString("WITH ", ",\n", "")
+  }
+
+  override def oracles: Map[String, String] = {
+    val k = Rounds
+    val mergeRows = (1 to k)
+      .map(r => s"SELECT $r AS round, a, b, cnt FROM b$r")
+      .mkString(" UNION ALL ")
+    Map(
+      "text_bpe_train" ->
+        s"${oracleCtes(k)}\nSELECT * FROM ($mergeRows) ORDER BY round",
+      "text_bpe_vocab" ->
+        s"""${oracleCtes(k)}
+           |SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs FROM (
+           |  SELECT doc_id, unnest(string_split(substr(state, 2, length(state)-2), '||')) AS tok
+           |  FROM s$k) x
+           |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+    )
+  }
+}

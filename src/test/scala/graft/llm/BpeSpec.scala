@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE trainer's greedy semantics against HAND-COMPUTED merges on
+  * a crafted corpus (the mirror-oracle countermeasure: the DuckDB oracle
+  * re-learns with the same algorithm, so only an independent hand
+  * derivation can catch a shared semantic bug).
+  */
+class BpeSpec extends SparkSpec {
+
+  private def docs(rows: (Int, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def corpus(rows: (Int, String)*) =
+    docs(rows: _*)
+      .filter(length(regexp_replace(lower(col("text")), "[^a-z]", "")) >= 2)
+      .select(col("doc_id"),
+        regexp_replace(
+          substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 120),
+          "(.)", "|$1|").as("state"))
+
+  test("merge table matches the hand-derived greedy run") {
+    // doc1 "ababab": pairs (a,b)x3 (b,a)x2; doc2 "abc": (a,b) (b,c)
+    // r1: (a,b,4) -> doc1 [ab,ab,ab], doc2 [ab,c]
+    // r2: (ab,ab,2) -> doc1 [abab,ab], doc2 [ab,c]
+    // r3: counts (abab,ab)=1 (ab,c)=1 -> tiebreak a ASC: (ab,c,1)
+    // r4: (abab,ab,1) -> doc1 [ababab]
+    val (merges, fin) = Bpe.train(corpus(1 -> "ab ab ab", 2 -> "abc"), 4)
+    assert(merges === Seq(
+      (1, "a", "b", 4L),
+      (2, "ab", "ab", 2L),
+      (3, "ab", "c", 1L),
+      (4, "abab", "ab", 1L)))
+    val states = fin.orderBy("doc_id").collect().map(_.getString(1))
+    assert(states === Array("|ababab|", "|abc|"))
+  }
+
+  test("runs merge non-overlapping left-to-right (no delimiter consumption)") {
+    // "aaaa" with best pair (a,a): greedy gives [aa, aa], NOT [aa, a, a] —
+    // the failure mode of a space-separated state representation.
+    // "aaaaa" (odd run) gives [aa, aa, a].
+    val (merges, fin) = Bpe.train(corpus(1 -> "aaaa", 2 -> "aaaaa"), 1)
+    assert(merges === Seq((1, "a", "a", 7L))) // 3 + 4 adjacent pairs
+    val states = fin.orderBy("doc_id").collect().map(_.getString(1))
+    assert(states === Array("|aa||aa|", "|aa||aa||a|"))
+  }
+
+  test("merged tokens participate in later rounds but not their own") {
+    // "abab" r1 -> (a,b,2): state [ab, ab]; the new 'ab' token pairs with
+    // itself only in round 2, never retroactively within round 1.
+    val (merges, _) = Bpe.train(corpus(1 -> "abab"), 2)
+    assert(merges === Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
+  }
+
+  test("cleaning strips non-letters and truncates before training") {
+    // "A-B a!b" cleans to "abab"; digits-only doc is dropped by the
+    // length>=2 filter.
+    val (merges, _) = Bpe.train(corpus(1 -> "A-B a!b", 2 -> "12 3"), 1)
+    assert(merges === Seq((1, "a", "b", 2L)))
+  }
+}
