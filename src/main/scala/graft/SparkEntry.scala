@@ -21,6 +21,7 @@ object SparkEntry {
     _root_.graft.queries.TpchSql,
     _root_.graft.queries.Sketches,
     _root_.graft.queries.Graph,
+    _root_.graft.queries.Ml,
     llm.TextAnalysis,
     llm.Dedup,
     llm.Similarity,

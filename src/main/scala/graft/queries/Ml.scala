@@ -1,0 +1,359 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import graft.operators.BlockedRank
+import graft.operators.BlockedRank.{blockedPrefix, PrefixValue}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed model training + evaluation primitives (north-star EXT
+  * tier): the quality-classifier feedback loop every curated corpus runs —
+  * fit a model on corpus features, then grade classifier scores against
+  * labels (AUC, confusion, calibration, lift). The reference pipeline has
+  * no model stage at all (its transform is a field projection,
+  * lambda/handler.ts:41-57); these are the operators that turn the engine
+  * into a training-data refinery.
+  *
+  * Scale + determinism design:
+  *  - training is mini-round BATCH GRADIENT DESCENT: each iteration is one
+  *    map-side-combinable aggregate over the corpus producing d+1 scalar
+  *    gradient sums (d = feature count). The shuffle carries d+1 decimals
+  *    per partition — never rows. That is exactly how distributed GD runs
+  *    at 100 TB (MLlib's treeAggregate shape); iterations are bounded
+  *    driver actions of O(d) scalars, the CC-loop discipline.
+  *  - every per-row quantity is EXACT decimal arithmetic on pinned grids
+  *    (features on the 1e-4/1e-2 grid, residuals rounded to the micro
+  *    grid), so gradient sums are order-independent and engine-identical;
+  *    the one float step per iteration is the scalar weight update, done
+  *    in IEEE double on both engines and re-quantized to micro via
+  *    floor(x·1e6 + 0.5) — floor of an identical double, never round(),
+  *    whose half-way behavior differs across engines (see winEwma's
+  *    scaladoc for the measured failure mode).
+  *  - evaluation metrics are INTEGER arithmetic end-to-end: rank-sums for
+  *    AUC (Mann-Whitney with exact tie mid-ranks, doubled to stay
+  *    integral), parts-per-million ratios via positive integer division
+  *    (identical truncation in Spark's `div` and DuckDB's `//`). No float
+  *    enters any metric.
+  *  - global orderings (AUC rank-sum, lift deciles) run through
+  *    [[BlockedRank.blockedPrefix]]: block partials + a bounded summary
+  *    window — no unpartitioned window over a corpus-sized table.
+  */
+object Ml extends QueryModule {
+
+  // ------------------------------------------------- linear model training
+
+  /** GD iteration count for the registered query — enough to show real
+    * convergence on the quantity→price relation while keeping the
+    * oracle's CTE chain readable.
+    */
+  val GdIters = 5
+
+  /** Feature grids, shared verbatim with the DuckDB oracle. Normalized so
+    * every feature and the target sit in [0, ~1.1]: quantity/50, 10×
+    * discount, price/100000 — constant scaling (never data-dependent
+    * standardization, which would inject a float moment into the grid).
+    */
+  private val X1 = "CAST(CAST(l_quantity AS DECIMAL(9,2)) * 0.02 AS DECIMAL(6,4))"
+  private val X2 = "CAST(CAST(l_discount AS DECIMAL(6,2)) * 10 AS DECIMAL(4,2))"
+  private val Y  = "CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 0.00001 AS DECIMAL(8,7))"
+
+  private val Lr = 0.5
+
+  /** One scalar weight update, identical expression tree in Scala and SQL:
+    * w' = floor((w − lr·g/n)·1e6 + 0.5) back on the micro grid.
+    */
+  private def updateSql(w: String, g: String, n: String): String =
+    s"CAST(CAST(FLOOR((CAST($w AS DOUBLE) - $Lr * (CAST($g AS DOUBLE) / CAST($n AS DOUBLE)))" +
+      s" * 1000000.0 + 0.5) AS BIGINT) AS DECIMAL(13,0)) * CAST(0.000001 AS DECIMAL(7,6))"
+
+  /** EXT: 5 iterations of exact-decimal batch gradient descent fitting
+    * l_extendedprice from (l_quantity, l_discount) — one row per
+    * iteration with the updated weights and the gradient sums that
+    * produced them. The learned slope on x1 recovers the quantity×price
+    * structure of the data (extendedprice = qty·unitprice); convergence is
+    * visible as the gradient norms shrinking round over round.
+    */
+  def mlLinregGd(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.lineitem(spark, sfDir)
+      .selectExpr(s"$X1 AS x1", s"$X2 AS x2", s"$Y AS y")
+    var w1 = java.math.BigDecimal.valueOf(0, 6)
+    var w2 = java.math.BigDecimal.valueOf(0, 6)
+    var b  = java.math.BigDecimal.valueOf(0, 6)
+    val out = Seq.newBuilder[(Int, Double, Double, Double, Double, Double, Double, Long)]
+    for (iter <- 1 to GdIters) {
+      val err =
+        s"CAST(round(CAST($w1 AS DECIMAL(13,6)) * x1 + CAST($w2 AS DECIMAL(13,6)) * x2" +
+          s" + CAST($b AS DECIMAL(13,6)) - y, 6) AS DECIMAL(12,6))"
+      // d+1 scalars per iteration — the bounded driver action (see scaladoc)
+      val r = feats.selectExpr(s"$err AS err", "x1", "x2")
+        .selectExpr("count(1) AS n", "round(sum(err * x1), 6) AS g1",
+          "round(sum(err * x2), 6) AS g2", "round(sum(err), 6) AS g0")
+        .collect()(0)
+      val n = r.getLong(0)
+      val Seq(g1, g2, g0) = Seq(1, 2, 3).map(r.getDecimal)
+      def upd(w: java.math.BigDecimal, g: java.math.BigDecimal): java.math.BigDecimal = {
+        val x = w.doubleValue - Lr * (g.doubleValue / n.toDouble)
+        java.math.BigDecimal.valueOf(math.floor(x * 1000000.0 + 0.5).toLong, 6)
+      }
+      w1 = upd(w1, g1); w2 = upd(w2, g2); b = upd(b, g0)
+      out += ((iter, w1.doubleValue, w2.doubleValue, b.doubleValue,
+        g1.doubleValue, g2.doubleValue, g0.doubleValue, n))
+    }
+    import spark.implicits._
+    out.result()
+      .toDF("iter", "w_qty", "w_disc", "bias", "g_qty", "g_disc", "g_bias", "n")
+      .orderBy("iter")
+  }
+
+  private def gdOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"f AS (SELECT $X1 AS x1, $X2 AS x2, $Y AS y FROM lineitem)"
+    ctes += "w0 AS (SELECT CAST(0 AS DECIMAL(13,6)) AS w1, " +
+      "CAST(0 AS DECIMAL(13,6)) AS w2, CAST(0 AS DECIMAL(13,6)) AS b)"
+    for (i <- 1 to GdIters) {
+      val p = s"w${i - 1}"
+      ctes += s"""a$i AS (
+         |  SELECT count(*) AS n, round(sum(err * x1), 6) AS g1,
+         |         round(sum(err * x2), 6) AS g2, round(sum(err), 6) AS g0
+         |  FROM (SELECT CAST(round(w.w1 * x1 + w.w2 * x2 + w.b - y, 6) AS DECIMAL(12,6)) AS err,
+         |               x1, x2
+         |        FROM f, $p w) t)""".stripMargin
+      ctes += s"""w$i AS (
+         |  SELECT CAST(${updateSql(s"$p.w1", s"a$i.g1", s"a$i.n")} AS DECIMAL(13,6)) AS w1,
+         |         CAST(${updateSql(s"$p.w2", s"a$i.g2", s"a$i.n")} AS DECIMAL(13,6)) AS w2,
+         |         CAST(${updateSql(s"$p.b",  s"a$i.g0", s"a$i.n")} AS DECIMAL(13,6)) AS b
+         |  FROM $p, a$i)""".stripMargin
+    }
+    val rows = (1 to GdIters).map { i =>
+      s"SELECT $i AS iter, CAST(w$i.w1 AS DOUBLE) AS w_qty, CAST(w$i.w2 AS DOUBLE) AS w_disc," +
+        s" CAST(w$i.b AS DOUBLE) AS bias, CAST(a$i.g1 AS DOUBLE) AS g_qty," +
+        s" CAST(a$i.g2 AS DOUBLE) AS g_disc, CAST(a$i.g0 AS DOUBLE) AS g_bias, a$i.n AS n" +
+        s" FROM w$i, a$i"
+    }.mkString(" UNION ALL ")
+    ctes.result().mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM ($rows) ORDER BY iter"
+  }
+
+  // ----------------------------------------------------- scored documents
+
+  /** Classifier score + binary label per document: the hashed-linear-model
+    * score (same frozen md5 weight family as text_classifier_score) against
+    * the lang='en' label — the "does the quality score separate the target
+    * slice" readout. Exact integer score; no float anywhere.
+    */
+  private def scored(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("w", pmod(Hashing.hash60(col("tok")), lit(2001L)) - 1000L)
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("w")).as("s"), count(lit(1)).as("n_toks"))
+      .select(col("doc_id"), col("s"), col("n_toks"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+
+  private val scoredCte: String =
+    s"""tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |sc AS (
+       |  SELECT doc_id, CAST(SUM(${Hashing.duckHash60("tok")} % 2001 - 1000) AS BIGINT) AS s,
+       |         COUNT(*) AS n_toks,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM tok WHERE length(tok) > 0 GROUP BY doc_id, lang)""".stripMargin
+
+  // ----------------------------------------------------------------- AUC
+
+  /** EXT: exact ROC-AUC of the classifier score against the label, via the
+    * Mann-Whitney rank-sum with tie mid-ranks. Doubled mid-ranks keep the
+    * numerator integral: for a tie group at score s with c rows starting
+    * after cum_before rows, 2·midrank = 2·cum_before + c + 1, so
+    * num2 = Σ_pos 2·midrank − n⁺(n⁺+1) and AUC = num2 / (2·n⁺·n⁻) —
+    * reported in exact integer millionths. The per-score group table is
+    * bounded (|score| ≤ 1000·max tokens per doc, independent of corpus
+    * rows), and its cumulative pass runs through blockedPrefix, so no
+    * unpartitioned window and no corpus-sized single task. At ~10⁹⁺ docs
+    * the num2·10⁶ product needs 128-bit — lift the micro-scaling into the
+    * final division (num2 div, then scale remainder) at that point.
+    */
+  def mlAuc(spark: SparkSession, sfDir: String): DataFrame =
+    aucOf(scored(spark, sfDir))
+
+  /** The rank-sum pass over any (s: score, y: 0/1 label) frame — public so
+    * crafted corpora with closed-form AUC can pin the tie mid-rank
+    * arithmetic (the mirror-oracle countermeasure).
+    */
+  def aucOf(scoredDf: DataFrame): DataFrame = {
+    val counts = scoredDf
+      .groupBy("s")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    blockedPrefix(counts, Nil,
+      Seq("__b_s" -> floor(col("s") / lit(1024))), Seq(false),
+      Seq(col("s")), "__rk", "__n",
+      values = Seq(PrefixValue(col("c"), "cum_c", "tot_c")))
+      .select(col("c"), col("p"), col("cum_c"))
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("c") - col("p")).as("n_neg"),
+        // 2·cum_inclusive − c + 1 == 2·cum_before + c + 1
+        sum(col("p") * (lit(2) * col("cum_c") - col("c") + lit(1))).as("r2"))
+      .selectExpr("n_pos", "n_neg",
+        "r2 - n_pos * (n_pos + 1) AS num2",
+        "(r2 - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg) AS auc_micro")
+  }
+
+  private val aucOracle: String =
+    s"""WITH $scoredCte,
+       |g AS (SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS p FROM sc GROUP BY s),
+       |r AS (SELECT c, p,
+       |        CAST(SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
+       |      FROM g),
+       |t AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(c - p) AS BIGINT) AS n_neg,
+       |        CAST(SUM(p * (2 * cum_c - c + 1)) AS BIGINT) AS r2 FROM r)
+       |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS num2,
+       |  CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+       |FROM t""".stripMargin
+
+  // ------------------------------------------------------ confusion matrix
+
+  /** EXT: confusion matrix + derived metrics at the model's natural
+    * threshold (score ≥ 0 → predict positive). Counts exact; ratios in
+    * integer millionths via positive integer division (greatest(·,1)
+    * guards the degenerate all-one-class corpus identically in both
+    * engines). Single map-side-combinable aggregate.
+    */
+  def mlConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    scored(spark, sfDir)
+      .selectExpr(
+        "CAST(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_tp",
+        "CAST(CASE WHEN s >= 0 AND y = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_fp",
+        "CAST(CASE WHEN s < 0 AND y = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_fn",
+        "CAST(CASE WHEN s < 0 AND y = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_tn")
+      .selectExpr("sum(is_tp) AS tp", "sum(is_fp) AS fp",
+        "sum(is_fn) AS fn", "sum(is_tn) AS tn")
+      .selectExpr("tp", "fp", "fn", "tn",
+        "tp * 1000000 div greatest(tp + fp, 1) AS precision_micro",
+        "tp * 1000000 div greatest(tp + fn, 1) AS recall_micro",
+        "2 * tp * 1000000 div greatest(2 * tp + fp + fn, 1) AS f1_micro",
+        "(tp + tn) * 1000000 div (tp + fp + fn + tn) AS accuracy_micro")
+
+  private val confusionOracle: String =
+    s"""WITH $scoredCte,
+       |m AS (SELECT
+       |  CAST(SUM(CASE WHEN s >= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN s >= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN s < 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN s < 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc)
+       |SELECT tp, fp, fn, tn,
+       |  CAST(tp * 1000000 // greatest(tp + fp, 1) AS BIGINT) AS precision_micro,
+       |  CAST(tp * 1000000 // greatest(tp + fn, 1) AS BIGINT) AS recall_micro,
+       |  CAST(2 * tp * 1000000 // greatest(2 * tp + fp + fn, 1) AS BIGINT) AS f1_micro,
+       |  CAST((tp + tn) * 1000000 // (tp + fp + fn + tn) AS BIGINT) AS accuracy_micro
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------- calibration
+
+  /** EXT: calibration table — fixed-width buckets of the per-doc mean
+    * token weight (shifted to [0, 2000] milli so every division is
+    * positive-integer, sidestepping the trunc-vs-floor divergence on
+    * negatives), each with observed positive rate. Pure groupBy on a
+    * 10-key bucket — map-side combined, no window.
+    */
+  def mlCalibration(spark: SparkSession, sfDir: String): DataFrame =
+    scored(spark, sfDir)
+      .selectExpr("y", "((s + 1000 * n_toks) * 1000) div n_toks AS rate_shift_milli")
+      .selectExpr("y", "rate_shift_milli",
+        "least(rate_shift_milli div 200000, 9) AS bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"),
+        sum(col("rate_shift_milli")).as("rate_sum"))
+      .selectExpr("bucket", "n_docs", "n_pos",
+        "n_pos * 1000000 div n_docs AS pos_micro",
+        "rate_sum div n_docs AS mean_rate_shift_milli")
+      .orderBy("bucket")
+
+  private val calibrationOracle: String =
+    s"""WITH $scoredCte,
+       |b AS (SELECT y, ((s + 1000 * n_toks) * 1000) // n_toks AS rate_shift_milli FROM sc),
+       |g AS (SELECT least(rate_shift_milli // 200000, 9) AS bucket,
+       |        COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+       |        CAST(SUM(rate_shift_milli) AS BIGINT) AS rate_sum
+       |      FROM b GROUP BY 1)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_pos,
+       |  CAST(n_pos * 1000000 // n_docs AS BIGINT) AS pos_micro,
+       |  CAST(rate_sum // n_docs AS BIGINT) AS mean_rate_shift_milli
+       |FROM g ORDER BY bucket""".stripMargin
+
+  // ----------------------------------------------------------------- lift
+
+  /** EXT: decile lift / cumulative-gains table — rank every document by
+    * score descending, cut into tenths, report how concentrated the
+    * positives are in the top deciles (the "how much corpus must I keep to
+    * capture X% of the good docs" curve every quality-filter threshold
+    * decision reads). The global rank runs through blockedPrefix (blocks =
+    * the score itself; the summary is bounded by the score range, not
+    * corpus rows); the decile cumulative is a window over exactly 10 rows
+    * (boundedPartition, bound = 10).
+    */
+  def mlLift(spark: SparkSession, sfDir: String): DataFrame =
+    liftOf(scored(spark, sfDir))
+
+  /** Decile table over any (doc_id, s, y) frame — public for crafted-corpus
+    * specs.
+    */
+  def liftOf(scoredDf: DataFrame): DataFrame = {
+    val ranked = blockedPrefix(scoredDf, Nil,
+      Seq("__b_s" -> col("s")), Seq(true),
+      Seq(col("doc_id")), "rk", "n_tot", values = Nil)
+    val wCum = Window.partitionBy(BlockedRank.boundedPartition(col("decile")))
+      .orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(BlockedRank.boundedPartition(col("decile")))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .selectExpr("y", "(rk - 1) * 10 div n_tot AS decile")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("tot_docs", sum(col("n_docs")).over(wTot))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wTot))
+      .selectExpr("decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
+        "cum_pos * tot_docs * 1000000 div (cum_docs * greatest(tot_pos, 1)) AS lift_micro",
+        "cum_pos * 1000000 div greatest(tot_pos, 1) AS capture_micro")
+      .orderBy("decile")
+  }
+
+  private val liftOracle: String =
+    s"""WITH $scoredCte,
+       |rk AS (SELECT y, row_number() OVER (ORDER BY s DESC, doc_id) AS rk,
+       |         COUNT(*) OVER () AS n_tot FROM sc),
+       |d AS (SELECT CAST((rk - 1) * 10 // n_tot AS BIGINT) AS decile,
+       |        COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos
+       |      FROM rk GROUP BY 1),
+       |c AS (SELECT decile, n_docs, n_pos,
+       |        CAST(SUM(n_docs) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+       |        CAST(SUM(n_pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+       |        CAST(SUM(n_docs) OVER () AS BIGINT) AS tot_docs,
+       |        CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+       |      FROM d)
+       |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
+       |  CAST(cum_pos * tot_docs * 1000000 // (cum_docs * greatest(tot_pos, 1)) AS BIGINT) AS lift_micro,
+       |  CAST(cum_pos * 1000000 // greatest(tot_pos, 1) AS BIGINT) AS capture_micro
+       |FROM c ORDER BY decile""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_linreg_gd"   -> (mlLinregGd _),
+    "ml_auc"         -> (mlAuc _),
+    "ml_confusion"   -> (mlConfusion _),
+    "ml_calibration" -> (mlCalibration _),
+    "ml_lift"        -> (mlLift _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "ml_linreg_gd"   -> gdOracle,
+    "ml_auc"         -> aucOracle,
+    "ml_confusion"   -> confusionOracle,
+    "ml_calibration" -> calibrationOracle,
+    "ml_lift"        -> liftOracle,
+  )
+}

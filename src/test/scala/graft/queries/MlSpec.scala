@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkSpec
+import java.math.{BigDecimal => JBD, RoundingMode}
+
+/** Pins the ML tier against independent derivations (the mirror-oracle
+  * countermeasure: the DuckDB oracle shares each query's formulas, so only
+  * a hand derivation or an independent scalar implementation can catch a
+  * shared semantic bug).
+  */
+class MlSpec extends SparkSpec {
+
+  private def scoredDf(rows: (Long, Long, Long)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "s", "y")
+  }
+
+  test("AUC is 1 for perfect separation, 0 for perfect inversion") {
+    val perfect = scoredDf((1L, 10L, 1L), (2L, 9L, 1L), (3L, 2L, 0L), (4L, 1L, 0L))
+    val r1 = Ml.aucOf(perfect).collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(3)) === ((2L, 2L, 1000000L)))
+    val inverted = scoredDf((1L, 1L, 1L), (2L, 2L, 1L), (3L, 9L, 0L), (4L, 10L, 0L))
+    assert(Ml.aucOf(inverted).collect()(0).getLong(3) === 0L)
+  }
+
+  test("AUC tie mid-ranks match the hand-derived Mann-Whitney value") {
+    // scores: pos {3, 2}, neg {2, 1}. Pairs: (3,2)+1, (3,1)+1, (2,2)+0.5,
+    // (2,1)+1 -> U = 3.5 of 4 -> AUC = 0.875.
+    val ties = scoredDf((1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 1L, 0L))
+    val r = Ml.aucOf(ties).collect()(0)
+    // num2 = 2*U = 7; auc_micro = 7*1e6 div 8 = 875000
+    assert((r.getLong(2), r.getLong(3)) === ((7L, 875000L)))
+  }
+
+  test("lift deciles match the hand-derived gains table") {
+    // 10 docs, distinct scores 10..1, positives at ranks 1-3: decile d
+    // holds exactly rank d+1.
+    val docs = (1L to 10L).map(i => (i, 11L - i, if (i <= 3) 1L else 0L))
+    val rows = Ml.liftOf(scoredDf(docs: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (decile, cum_docs, cum_pos, lift_micro, capture_micro)
+    assert(rows(0) === ((0L, 1L, 1L, 3333333L, 333333L)))
+    assert(rows(2) === ((2L, 3L, 3L, 3333333L, 1000000L)))
+    assert(rows(9) === ((9L, 10L, 3L, 1000000L, 1000000L)))
+  }
+
+  test("gradient descent matches an independent scalar mirror on sf0.001") {
+    // Local single-threaded BigDecimal implementation of the SAME spec:
+    // features on their pinned grids, residuals rounded to micro, exact
+    // sums, IEEE-double update, floor-requantize. Any divergence in the
+    // distributed decimal path (overflow, engine rounding, plan rewrite)
+    // shows up as a weight mismatch.
+    val raw = graft.Tables.lineitem(spark, sf0001)
+      .selectExpr("l_quantity", "l_discount", "l_extendedprice")
+      .collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def d2(x: Double) = JBD.valueOf(x).setScale(2, RoundingMode.HALF_UP)
+    val feats = raw.map { case (q, disc, price) =>
+      (d2(q).multiply(new JBD("0.02")).setScale(4),
+        d2(disc).multiply(new JBD("10")).setScale(2),
+        d2(price).multiply(new JBD("0.00001")).setScale(7))
+    }
+    var w1 = JBD.valueOf(0, 6); var w2 = JBD.valueOf(0, 6); var b = JBD.valueOf(0, 6)
+    val expect = (1 to Ml.GdIters).map { iter =>
+      var g1 = JBD.ZERO; var g2 = JBD.ZERO; var g0 = JBD.ZERO
+      feats.foreach { case (x1, x2, y) =>
+        val err = w1.multiply(x1).add(w2.multiply(x2)).add(b).subtract(y)
+          .setScale(6, RoundingMode.HALF_UP)
+        g1 = g1.add(err.multiply(x1)); g2 = g2.add(err.multiply(x2)); g0 = g0.add(err)
+      }
+      val n = feats.length.toDouble
+      def r6(g: JBD) = g.setScale(6, RoundingMode.HALF_UP)
+      def upd(w: JBD, g: JBD) = JBD.valueOf(
+        math.floor((w.doubleValue - 0.5 * (r6(g).doubleValue / n)) * 1000000.0 + 0.5).toLong, 6)
+      w1 = upd(w1, g1); w2 = upd(w2, g2); b = upd(b, g0)
+      (iter, w1.doubleValue, w2.doubleValue, b.doubleValue,
+        r6(g1).doubleValue, r6(g2).doubleValue, r6(g0).doubleValue, feats.length.toLong)
+    }
+    val got = Ml.mlLinregGd(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7)))
+    assert(got.toSeq === expect)
+  }
+
+  test("confusion counts plus derived ratios stay consistent") {
+    val r = Ml.mlConfusion(spark, sf0001).collect()(0)
+    val Seq(tp, fp, fn, tn) = (0 to 3).map(r.getLong)
+    assert(tp + fp + fn + tn > 0)
+    assert(r.getLong(4) === tp * 1000000L / math.max(tp + fp, 1L))
+    assert(r.getLong(7) === (tp + tn) * 1000000L / (tp + fp + fn + tn))
+  }
+}
