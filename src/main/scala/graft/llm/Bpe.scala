@@ -150,9 +150,31 @@ object Bpe extends QueryModule {
       .limit(20)
   }
 
+  /** EXT: the tokenize-and-count pass — apply the learned merges to every
+    * document and report its token count and chars-per-token compression
+    * (the number a packing/budgeting stage consumes). Single scan over the
+    * corpus: the k merges are literal chained replaces from the model
+    * registry; no counting rounds re-run.
+    */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val fin = trainedMerges(spark, sfDir).foldLeft(corpus(spark, sfDir)) {
+      case (d, (_, a, b, _)) =>
+        d.withColumn("state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
+    }
+    fin
+      .selectExpr("doc_id",
+        "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_tokens",
+        "CAST(length(state) AS BIGINT) AS len_state")
+      .selectExpr("doc_id", "len_state - 2 * n_tokens AS n_chars_clean", "n_tokens")
+      .selectExpr("doc_id", "n_chars_clean", "n_tokens",
+        "n_chars_clean * 1000000 div n_tokens AS chars_per_token_micro")
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (bpeTrain _),
     "text_bpe_vocab" -> (bpeVocab _),
+    "text_bpe_encode" -> (bpeEncode _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -201,6 +223,16 @@ object Bpe extends QueryModule {
            |  SELECT doc_id, unnest(string_split(substr(state, 2, length(state)-2), '||')) AS tok
            |  FROM s$k) x
            |GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 20""".stripMargin,
+      "text_bpe_encode" ->
+        s"""${oracleCtes(k)}
+           |SELECT doc_id,
+           |  CAST(length(state) AS BIGINT)
+           |    - 2 * CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_chars_clean,
+           |  CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_tokens,
+           |  CAST((CAST(length(state) AS BIGINT)
+           |    - 2 * CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT)) * 1000000
+           |    // CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS BIGINT) AS chars_per_token_micro
+           |FROM s$k ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -142,6 +142,107 @@ object Ml extends QueryModule {
       s"\nSELECT * FROM ($rows) ORDER BY iter"
   }
 
+  // ------------------------------------------------- logistic regression
+
+  /** Iterations for the logistic trainer. */
+  val LogregIters = 5
+
+  /** EXT: distributed logistic-regression training in PURE INTEGER
+    * arithmetic — batch GD on documents features (length, word rate)
+    * against the lang='en' label, with the logistic replaced by the
+    * fast-sigmoid rational approximation σ(z) ≈ 1/2 + z/(2(1+|z|))
+    * (classic "fast sigmoid"; pure arithmetic, no exp). Every quantity
+    * lives on an integer grid: features in milli, weights/activations in
+    * micro, so gradient sums are exact BIGINTs — bit-identical across
+    * engines, partitionings and reruns, with no decimal machinery at all.
+    * Negative-operand integer division never occurs: z uses an offset
+    * (constant multiple of the divisor), the update uses explicit
+    * sign-decomposition — both make Spark's trunc `div` and DuckDB's
+    * floor `//` coincide. Per iteration: one map-side-combinable 3-sum
+    * aggregate; the shuffle carries 3 longs per partition.
+    */
+  def mlLogregGd(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir)
+      .selectExpr(s"$LogregFeats1 AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"$LogregLabel AS y")
+      .persist()
+    var w1 = 0L; var w2 = 0L; var b = 0L
+    val out = Seq.newBuilder[(Int, Long, Long, Long, Long, Long, Long, Long)]
+    for (iter <- 1 to LogregIters) {
+      val r = feats
+        .selectExpr(s"${logregErr(w1, w2, b)} AS e", "x1", "x2")
+        .selectExpr("count(1) AS n", "sum(e * x1) AS g1", "sum(e * x2) AS g2", "sum(e) AS g0")
+        .collect()(0)
+      val n = r.getLong(0)
+      val Seq(g1, g2, g0) = Seq(1, 2, 3).map(r.getLong)
+      def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n) // Long / truncates = the SQL CASE
+      w1 = upd(w1, g1); w2 = upd(w2, g2); b = upd(b, g0)
+      out += ((iter, w1, w2, b, g1, g2, g0, n))
+    }
+    feats.unpersist(blocking = false)
+    import spark.implicits._
+    out.result()
+      .toDF("iter", "w1_micro", "w2_micro", "b_micro", "g1", "g2", "g0", "n")
+      .orderBy("iter")
+  }
+
+  private val LogregLr = 5L
+  // doc length capped at 1000 chars -> milli units of [0,1]; the second
+  // feature is words-per-char in milli (word count includes empty splits,
+  // identical split semantics in both engines)
+  private val LogregFeats1 = "least(n_chars, 1000)"
+  private val LogregLabel = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
+
+  /** err_micro = fast-sigmoid(z)·1e6 − y·1e6, with z in micro from the
+    * offset-guarded nano→micro division.
+    */
+  private def logregErr(w1: Long, w2: Long, b: Long): String = {
+    val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) div 1000 - 1000000000000 + $b)"
+    s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
+       |  * ((abs($z) * 500000) div (1000000 + abs($z)))
+       |  - y * 1000000)""".stripMargin
+  }
+
+  private def logregErrDuck(w1: String, w2: String, b: String): String = {
+    val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) // 1000 - 1000000000000 + $b)"
+    s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
+       |  * ((abs($z) * 500000) // (1000000 + abs($z)))
+       |  - y * 1000000)""".stripMargin
+  }
+
+  private def logregOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""f AS (
+       |  SELECT $LogregFeats1 AS x1,
+       |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+       |         $LogregLabel AS y
+       |  FROM documents)""".stripMargin
+    ctes += "w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
+    for (i <- 1 to LogregIters) {
+      val p = s"w${i - 1}"
+      ctes += s"""a$i AS (
+         |  SELECT count(*) AS n, CAST(sum(e * x1) AS BIGINT) AS g1,
+         |         CAST(sum(e * x2) AS BIGINT) AS g2, CAST(sum(e) AS BIGINT) AS g0
+         |  FROM (SELECT ${logregErrDuck(s"w.w1", s"w.w2", s"w.b")} AS e, x1, x2
+         |        FROM f, $p w) t)""".stripMargin
+      def upd(w: String, g: String) =
+        s"$w - (CASE WHEN $g < 0 THEN -((-($g) * $LogregLr) // (1000 * a$i.n)) " +
+          s"ELSE (($g) * $LogregLr) // (1000 * a$i.n) END)"
+      ctes += s"""w$i AS (
+         |  SELECT CAST(${upd(s"$p.w1", s"a$i.g1")} AS BIGINT) AS w1,
+         |         CAST(${upd(s"$p.w2", s"a$i.g2")} AS BIGINT) AS w2,
+         |         CAST(${upd(s"$p.b", s"a$i.g0")} AS BIGINT) AS b
+         |  FROM $p, a$i)""".stripMargin
+    }
+    val rows = (1 to LogregIters).map { i =>
+      s"SELECT $i AS iter, w$i.w1 AS w1_micro, w$i.w2 AS w2_micro, w$i.b AS b_micro," +
+        s" a$i.g1 AS g1, a$i.g2 AS g2, a$i.g0 AS g0, a$i.n AS n FROM w$i, a$i"
+    }.mkString(" UNION ALL ")
+    ctes.result().mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM ($rows) ORDER BY iter"
+  }
+
   // ----------------------------------------------------- scored documents
 
   /** Classifier score + binary label per document: the hashed-linear-model
@@ -349,6 +450,7 @@ object Ml extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_gd"   -> (mlLinregGd _),
+    "ml_logreg_gd"   -> (mlLogregGd _),
     "ml_auc"         -> (mlAuc _),
     "ml_confusion"   -> (mlConfusion _),
     "ml_calibration" -> (mlCalibration _),
@@ -357,6 +459,7 @@ object Ml extends QueryModule {
 
   override def oracles: Map[String, String] = Map(
     "ml_linreg_gd"   -> gdOracle,
+    "ml_logreg_gd"   -> logregOracle,
     "ml_auc"         -> aucOracle,
     "ml_confusion"   -> confusionOracle,
     "ml_calibration" -> calibrationOracle,

@@ -56,6 +56,18 @@ class BpeSpec extends SparkSpec {
     assert(merges === Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
   }
 
+  test("encode reports token counts consistent with char counts") {
+    // After any merges: chars = len(state) - 2*tokens, 1 <= chars/token
+    // ratio, and tokens never exceed chars.
+    val rows = Bpe.bpeEncode(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nc, nt, ratio) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nt >= 1 && nt <= nc, s"doc ${r.getLong(0)}: $nt tokens vs $nc chars")
+      assert(ratio === nc * 1000000L / nt)
+    }
+  }
+
   test("cleaning strips non-letters and truncates before training") {
     // "A-B a!b" cleans to "abab"; digits-only doc is dropped by the
     // length>=2 filter.

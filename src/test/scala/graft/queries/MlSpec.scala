@@ -82,6 +82,35 @@ class MlSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("integer logistic GD matches an independent scalar mirror on sf0.001") {
+    // Pure-Long single-threaded re-derivation of the fast-sigmoid GD spec;
+    // catches any engine-side integer-division or overflow divergence.
+    val raw = graft.Tables.documents(spark, sf0001)
+      .selectExpr("least(n_chars, 1000) AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var w1 = 0L; var w2 = 0L; var b = 0L
+    val expect = (1 to Ml.LogregIters).map { iter =>
+      var g1 = 0L; var g2 = 0L; var g0 = 0L
+      raw.foreach { case (x1v, x2v, y) =>
+        val z = (w1 * x1v + w2 * x2v + 1000000000000000L) / 1000L - 1000000000000L + b
+        val sig = 500000L + (if (z < 0) -1L else 1L) *
+          ((math.abs(z) * 500000L) / (1000000L + math.abs(z)))
+        val e = sig - y * 1000000L
+        g1 += e * x1v; g2 += e * x2v; g0 += e
+      }
+      val n = raw.length.toLong
+      def upd(w: Long, g: Long): Long = w - 5L * g / (1000L * n)
+      w1 = upd(w1, g1); w2 = upd(w2, g2); b = upd(b, g0)
+      (iter, w1, w2, b, g1, g2, g0, n)
+    }
+    val got = Ml.mlLogregGd(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(got.toSeq === expect)
+  }
+
   test("confusion counts plus derived ratios stay consistent") {
     val r = Ml.mlConfusion(spark, sf0001).collect()(0)
     val Seq(tp, fp, fn, tn) = (0 to 3).map(r.getLong)
