@@ -61,10 +61,30 @@ object Bpe extends QueryModule {
     regexp_replace(substring(cleaned, 1, MaxChars), "(.)", "|$1|")
   }
 
-  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  /** Tokenize any (doc_id, text) frame into the pipe-wrapped state —
+    * package-visible so specs exercise the SAME cleaning/truncation the
+    * registered queries use (a duplicated pipeline would keep passing
+    * against stale preprocessing).
+    */
+  private[llm] def state0Of(docs: DataFrame): DataFrame =
+    docs
       .filter(length(regexp_replace(lower(col("text")), "[^a-z]", "")) >= 2)
       .select(col("doc_id"), state0(col("text")).as("state"))
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    state0Of(Tables.documents(spark, sfDir))
+
+  /** Apply a learned merge table as chained literal replaces — the single
+    * definition of merge application shared by the training loop, the
+    * vocab report, and the encode pass.
+    */
+  private[llm] def applyMerges(state: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
+    merges.foldLeft(state) { case (d, (_, a, b, _)) =>
+      d.withColumn("state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
+    }
+
+  private def finalState(spark: SparkSession, sfDir: String): DataFrame =
+    applyMerges(corpus(spark, sfDir), trainedMerges(spark, sfDir))
 
   /** Adjacent-pair counts of the current state. One explode + one
     * map-side-combinable agg; the shuffle carries (a, b, partial count).
@@ -102,8 +122,7 @@ object Bpe extends QueryModule {
       if (best.nonEmpty) {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, c))
-        state = state.withColumn(
-          "state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
+        state = applyMerges(state, Seq((r, a, b, c)))
       }
     }
     base.unpersist(blocking = false)
@@ -137,11 +156,7 @@ object Bpe extends QueryModule {
     * replaces inside one codegen'd projection.
     */
   def bpeVocab(spark: SparkSession, sfDir: String): DataFrame = {
-    val fin = trainedMerges(spark, sfDir).foldLeft(corpus(spark, sfDir)) {
-      case (d, (_, a, b, _)) =>
-        d.withColumn("state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
-    }
-    fin
+    finalState(spark, sfDir)
       .select(col("doc_id"),
         explode(expr("split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')")).as("tok"))
       .groupBy("tok")
@@ -157,11 +172,7 @@ object Bpe extends QueryModule {
     * registry; no counting rounds re-run.
     */
   def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val fin = trainedMerges(spark, sfDir).foldLeft(corpus(spark, sfDir)) {
-      case (d, (_, a, b, _)) =>
-        d.withColumn("state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
-    }
-    fin
+    finalState(spark, sfDir)
       .selectExpr("doc_id",
         "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_tokens",
         "CAST(length(state) AS BIGINT) AS len_state")
@@ -200,7 +211,15 @@ object Bpe extends QueryModule {
        |  WHERE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= 2)""".stripMargin
     for (r <- 1 to k) {
       ctes += s"p$r AS (\n${pairs(s"s${r - 1}")})"
-      ctes += s"b$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)"
+      // The sentinel ('','',0) keeps b$r at exactly one row when a round
+      // has no pairs left (every doc merged to one token): real pairs
+      // (cnt >= 1) always beat it, and its replace pattern '||||' can
+      // never match a pipe-wrapped state (tokens are nonempty, so at most
+      // two pipes ever run consecutively) — so the state CTE's cross join
+      // stays total instead of annihilating the corpus, mirroring the
+      // trainer's skip-the-round behavior.
+      ctes += s"b$r AS (SELECT a, b, cnt FROM (SELECT a, b, cnt FROM p$r" +
+        s" UNION ALL SELECT '', '', CAST(0 AS BIGINT)) ORDER BY cnt DESC, a, b LIMIT 1)"
       ctes += s"""s$r AS (
          |  SELECT doc_id,
          |    replace(state, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|') AS state
@@ -212,7 +231,7 @@ object Bpe extends QueryModule {
   override def oracles: Map[String, String] = {
     val k = Rounds
     val mergeRows = (1 to k)
-      .map(r => s"SELECT $r AS round, a, b, cnt FROM b$r")
+      .map(r => s"SELECT $r AS round, a, b, cnt FROM b$r WHERE cnt > 0")
       .mkString(" UNION ALL ")
     Map(
       "text_bpe_train" ->

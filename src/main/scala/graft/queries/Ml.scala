@@ -278,9 +278,13 @@ object Ml extends QueryModule {
     * reported in exact integer millionths. The per-score group table is
     * bounded (|score| ≤ 1000·max tokens per doc, independent of corpus
     * rows), and its cumulative pass runs through blockedPrefix, so no
-    * unpartitioned window and no corpus-sized single task. At ~10⁹⁺ docs
-    * the num2·10⁶ product needs 128-bit — lift the micro-scaling into the
-    * final division (num2 div, then scale remainder) at that point.
+    * unpartitioned window and no corpus-sized single task. Overflow: the
+    * rank-sum and the num2·10⁶ product run in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) — exact far past any corpus; only the BIGINT num2
+    * OUTPUT column caps at ~3·10⁹ docs (num2 ≤ 2·n⁺·n⁻), where it would
+    * switch to DECIMAL(38,0). greatest(·,1) guards the single-class
+    * corpus identically in both engines (auc_micro 0 instead of a
+    * NULL-vs-error divergence).
     */
   def mlAuc(spark: SparkSession, sfDir: String): DataFrame =
     aucOf(scored(spark, sfDir))
@@ -297,15 +301,17 @@ object Ml extends QueryModule {
       Seq("__b_s" -> floor(col("s") / lit(1024))), Seq(false),
       Seq(col("s")), "__rk", "__n",
       values = Seq(PrefixValue(col("c"), "cum_c", "tot_c")))
-      .select(col("c"), col("p"), col("cum_c"))
+    .select(col("c"), col("p"), col("cum_c"))
       .agg(
         sum(col("p")).as("n_pos"),
         sum(col("c") - col("p")).as("n_neg"),
-        // 2·cum_inclusive − c + 1 == 2·cum_before + c + 1
-        sum(col("p") * (lit(2) * col("cum_c") - col("c") + lit(1))).as("r2"))
+        // 2·cum_inclusive − c + 1 == 2·cum_before + c + 1; 128-bit-safe sum
+        sum(expr("CAST(p AS DECIMAL(38,0))") *
+          (lit(2) * col("cum_c") - col("c") + lit(1))).as("r2"))
       .selectExpr("n_pos", "n_neg",
-        "r2 - n_pos * (n_pos + 1) AS num2",
-        "(r2 - n_pos * (n_pos + 1)) * 1000000 div (2 * n_pos * n_neg) AS auc_micro")
+        "CAST(r2 - CAST(n_pos AS DECIMAL(19,0)) * (n_pos + 1) AS BIGINT) AS num2",
+        "CAST((r2 - CAST(n_pos AS DECIMAL(19,0)) * (n_pos + 1)) * 1000000" +
+          " div (CAST(2 AS DECIMAL(38,0)) * greatest(n_pos, 1) * greatest(n_neg, 1)) AS BIGINT) AS auc_micro")
   }
 
   private val aucOracle: String =
@@ -315,9 +321,11 @@ object Ml extends QueryModule {
        |        CAST(SUM(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c
        |      FROM g),
        |t AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos, CAST(SUM(c - p) AS BIGINT) AS n_neg,
-       |        CAST(SUM(p * (2 * cum_c - c + 1)) AS BIGINT) AS r2 FROM r)
-       |SELECT n_pos, n_neg, r2 - n_pos * (n_pos + 1) AS num2,
-       |  CAST((r2 - n_pos * (n_pos + 1)) * 1000000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_micro
+       |        SUM(CAST(p AS HUGEINT) * (2 * cum_c - c + 1)) AS r2 FROM r)
+       |SELECT n_pos, n_neg,
+       |  CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS BIGINT) AS num2,
+       |  CAST((r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+       |    // (2 * CAST(greatest(n_pos, 1) AS HUGEINT) * greatest(n_neg, 1)) AS BIGINT) AS auc_micro
        |FROM t""".stripMargin
 
   // ------------------------------------------------------ confusion matrix
@@ -425,8 +433,11 @@ object Ml extends QueryModule {
       .withColumn("tot_docs", sum(col("n_docs")).over(wTot))
       .withColumn("tot_pos", sum(col("n_pos")).over(wTot))
       .selectExpr("decile", "n_docs", "n_pos", "cum_docs", "cum_pos",
-        "cum_pos * tot_docs * 1000000 div (cum_docs * greatest(tot_pos, 1)) AS lift_micro",
-        "cum_pos * 1000000 div greatest(tot_pos, 1) AS capture_micro")
+        // DECIMAL(38,0) intermediates: the cum_pos·tot_docs·10⁶ product
+        // would wrap BIGINT at only ~3M docs
+        "CAST(CAST(cum_pos AS DECIMAL(38,0)) * tot_docs * 1000000" +
+          " div (CAST(cum_docs AS DECIMAL(38,0)) * greatest(tot_pos, 1)) AS BIGINT) AS lift_micro",
+        "CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000 div greatest(tot_pos, 1) AS BIGINT) AS capture_micro")
       .orderBy("decile")
   }
 
@@ -444,8 +455,9 @@ object Ml extends QueryModule {
        |        CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
        |      FROM d)
        |SELECT decile, n_docs, n_pos, cum_docs, cum_pos,
-       |  CAST(cum_pos * tot_docs * 1000000 // (cum_docs * greatest(tot_pos, 1)) AS BIGINT) AS lift_micro,
-       |  CAST(cum_pos * 1000000 // greatest(tot_pos, 1) AS BIGINT) AS capture_micro
+       |  CAST(CAST(cum_pos AS HUGEINT) * tot_docs * 1000000
+       |    // (CAST(cum_docs AS HUGEINT) * greatest(tot_pos, 1)) AS BIGINT) AS lift_micro,
+       |  CAST(CAST(cum_pos AS HUGEINT) * 1000000 // greatest(tot_pos, 1) AS BIGINT) AS capture_micro
        |FROM c ORDER BY decile""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

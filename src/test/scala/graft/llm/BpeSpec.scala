@@ -15,13 +15,9 @@ class BpeSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
-  private def corpus(rows: (Int, String)*) =
-    docs(rows: _*)
-      .filter(length(regexp_replace(lower(col("text")), "[^a-z]", "")) >= 2)
-      .select(col("doc_id"),
-        regexp_replace(
-          substring(regexp_replace(lower(col("text")), "[^a-z]", ""), 1, 120),
-          "(.)", "|$1|").as("state"))
+  // the REAL tokenization entry point — a re-implementation here would
+  // keep passing against stale preprocessing if Bpe's cleaning changed
+  private def corpus(rows: (Int, String)*) = Bpe.state0Of(docs(rows: _*))
 
   test("merge table matches the hand-derived greedy run") {
     // doc1 "ababab": pairs (a,b)x3 (b,a)x2; doc2 "abc": (a,b) (b,c)
@@ -54,6 +50,14 @@ class BpeSpec extends SparkSpec {
     // itself only in round 2, never retroactively within round 1.
     val (merges, _) = Bpe.train(corpus(1 -> "abab"), 2)
     assert(merges === Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
+  }
+
+  test("pair exhaustion skips rounds instead of corrupting state") {
+    // "ab" merges once then has no pairs; rounds 2-3 must be no-ops with
+    // no merge rows emitted (mirrors the oracle's sentinel no-op rounds).
+    val (merges, fin) = Bpe.train(corpus(1 -> "ab"), 3)
+    assert(merges === Seq((1, "a", "b", 1L)))
+    assert(fin.collect().map(_.getString(1)) === Array("|ab|"))
   }
 
   test("encode reports token counts consistent with char counts") {
