@@ -55,7 +55,10 @@ object ScaleProbe {
     * number of them regardless of corpus size. Two deterministic edges
     * per node → every block is connected. */
   private def blockCorpus(spark: SparkSession, n: Long): DataFrame = {
-    val block = (col("id") / 10) * 10
+    // `div`, not `/`: Spark's `/` on integers is DOUBLE division, which
+    // would turn the block floor into id-valued FP noise and degrade the
+    // corpus into 2-node fragments (review-caught measurement bug)
+    val block = expr("id div 10 * 10")
     spark.range(n).select(
       (block + pmod(xxhash64(col("id")), lit(10))).as("a"),
       (block + pmod(xxhash64(col("id") * 31 + 7), lit(10))).as("b"))
@@ -66,6 +69,18 @@ object ScaleProbe {
   private def bridgeBatch(spark: SparkSession, nBridges: Int): DataFrame =
     spark.range(nBridges).select(
       (col("id") * 10).as("a"), ((col("id") + 1) * 10).as("b"))
+
+  /** Deterministic letters-only corpus for the tokenizer-trainer probe:
+    * each doc concatenates `blocks` md5 hexes of (id, block) with digits
+    * translated to letters — 32·blocks chars/doc of stable character-pair
+    * statistics, no rand(), identical across runs. */
+  private def textCorpus(spark: SparkSession, nDocs: Long, blocks: Int): DataFrame =
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      translate(
+        concat((1 to blocks).map(j =>
+          md5(concat(col("id").cast("string"), lit(s"-$j")))): _*),
+        "0123456789", "ghijklmnop").as("text"))
 
   def main(args: Array[String]): Unit = {
     val div = if (args.contains("small")) 10 else 1
@@ -111,14 +126,48 @@ object ScaleProbe {
         r._1.count() // materialize: the fold isn't done until labels exist
         r
       }
-      val (_, fullSec) = time(
-        ConnectedComponents.components(corpus.union(batch)).count())
+      val (fullPair, fullSec) = time {
+        val r = ConnectedComponents.componentsManaged(corpus.union(batch))
+        r._1.count(); r
+      }
+      fullPair._2.unpersist()
       println(f"""{"probe":"incremental_vs_full","corpus_nodes":$n,""" +
         f""""prior_members":$nPrior,"batch_edges":${1000 / div},""" +
         f""""prior_solve_sec":$priorSec%.1f,"fold_sec":$foldSec%.1f,""" +
         f""""full_resolve_sec":$fullSec%.1f}""")
       foldHandle.unpersist()
       pRdd.unpersist()
+    }
+
+    // claim 3 (round-5 trainers): BPE training cost is LINEAR in corpus
+    // bytes and per-round cost stays flat across rounds (the chained
+    // literal replaces over the persisted state do not compound), at
+    // corpora 10-100x the bench SF (sf0.1 = 5e3 docs).
+    for (n <- Seq(50000L, 150000L, 500000L).map(_ / div)) {
+      val docs = llm.Bpe.state0Of(textCorpus(spark, n, 4))
+      val ((m6, _), t6) = time(llm.Bpe.train(docs, 6))
+      val (_, t1) = time(llm.Bpe.train(docs, 1))
+      println(f"""{"probe":"bpe_train","docs":$n,"chars_per_doc":128,""" +
+        f""""merges":${m6.size},"train6_sec":$t6%.1f,"train1_sec":$t1%.1f}""")
+    }
+
+    // claim 4: one GD iteration is a single map-side-combinable aggregate
+    // whose cost is linear in rows (the shuffle carries d+1 scalars), at
+    // 2-30x the bench SF's lineitem (6e5 rows).
+    for (n <- Seq(1000000L, 3000000L, 10000000L).map(_ / div)) {
+      val feats = spark.range(n).selectExpr(
+        "CAST(CAST(id % 50 + 1 AS DECIMAL(9,2)) * 0.02 AS DECIMAL(6,4)) AS x1",
+        "CAST(CAST((id % 11) AS DECIMAL(6,2)) * 0.01 * 10 AS DECIMAL(4,2)) AS x2",
+        "CAST(CAST((id % 50 + 1) * ((id * 2654435761) % 1000 + 900) AS DECIMAL(14,2)) * 0.00001 AS DECIMAL(8,7)) AS y")
+      val err = "CAST(round(CAST(0.100000 AS DECIMAL(8,6)) * x1 + CAST(0.100000 AS DECIMAL(8,6)) * x2" +
+        " + CAST(0.100000 AS DECIMAL(8,6)) - y, 6) AS DECIMAL(11,6))"
+      val (_, sec) = time {
+        feats.selectExpr(s"$err AS err", "x1", "x2")
+          .selectExpr("count(1) AS n", "round(sum(err * x1), 6) AS g1",
+            "round(sum(err * x2), 6) AS g2", "round(sum(err), 6) AS g0")
+          .collect()
+      }
+      println(f"""{"probe":"gd_iteration","rows":$n,"iter_sec":$sec%.2f}""")
     }
     spark.stop()
   }

@@ -42,7 +42,9 @@ object Scratch {
             .copurchaseIncrementalHalves(spark, sfDir)
           // standing labeling: fully materialized before "day 2" begins
           val (p, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(prior)
-          () => fold(p).count()
+          // unpersist each run's fold cuts: min-of-3 must not time run 3
+          // under two earlier runs' pinned labelings
+          () => { val (df, h) = fold(p); val n = df.count(); h.unpersist(); n }
         } else {
           () => SparkEntry.queries(name)(spark, sfDir).count()
         }

@@ -66,7 +66,7 @@ object Bpe extends QueryModule {
     * registered queries use (a duplicated pipeline would keep passing
     * against stale preprocessing).
     */
-  private[llm] def state0Of(docs: DataFrame): DataFrame =
+  private[graft] def state0Of(docs: DataFrame): DataFrame =
     docs
       .filter(length(regexp_replace(lower(col("text")), "[^a-z]", "")) >= 2)
       .select(col("doc_id"), state0(col("text")).as("state"))
@@ -78,7 +78,7 @@ object Bpe extends QueryModule {
     * definition of merge application shared by the training loop, the
     * vocab report, and the encode pass.
     */
-  private[llm] def applyMerges(state: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
+  private[graft] def applyMerges(state: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame =
     merges.foldLeft(state) { case (d, (_, a, b, _)) =>
       d.withColumn("state", expr(s"replace(state, '|$a||$b|', '|$a$b|')"))
     }

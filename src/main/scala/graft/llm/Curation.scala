@@ -104,9 +104,11 @@ object Curation extends QueryModule {
     val counts = toks.groupBy("b").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
-    val totals = toks.agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).as("tt"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).as("tr"))
+    // grand totals fold out of the 256-row bucket table — a second
+    // corpus-wide explode for two scalars would double the token passes
+    val totals = counts.agg(
+      sum(col("ct")).as("tt"),
+      sum(col("cr")).as("tr"))
     val ratio = counts.crossJoin(broadcast(totals))
       .select(col("b"),
         round(log((col("ct") + 1).cast("double") / (col("tt") + lit(B)))

@@ -141,6 +141,12 @@ object Multimodal extends QueryModule {
     * self-contained.
     */
   private def encodePngPartition(ids: Iterator[Long]): Iterator[PngPayload] = {
+    // writer resolved ONCE per partition: ImageIO.write scans the plugin
+    // registry per call, which is the lookup this batching exists to
+    // amortize (review-caught: the static call repaid nothing)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(writers.hasNext, "JRE ships no PNG writer")
+    val writer = writers.next()
     ids.map { id =>
       val (w, h) = rasterDims(id)
       val img = new java.awt.image.BufferedImage(
@@ -153,7 +159,11 @@ object Multimodal extends QueryModule {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally ios.close()
       PngPayload(id, bos.toByteArray)
     }
   }

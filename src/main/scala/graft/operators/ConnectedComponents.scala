@@ -57,12 +57,14 @@ object ConnectedComponents {
     * labeling explicitly, or every fold pins a full-corpus labeling copy
     * in the block manager until a driver GC happens to run (the same
     * discipline as the per-round `eRdd.unpersist` inside the loop).
-    * Unpersisting is safe even if the frame is later re-read: the cut
-    * RDDs recompute from their physical lineage, just slowly.
+    * Releasing also deletes the cut's reliable-checkpoint files (see
+    * PlanBridge.releaseCut) — call it only once the labeling is truly
+    * superseded; the frame must not be read afterward.
     */
   final class LabelingHandle private[operators] (
       private[operators] val rdds: Seq[org.apache.spark.rdd.RDD[_]]) {
-    def unpersist(): Unit = rdds.foreach(_.unpersist(blocking = false))
+    def unpersist(): Unit =
+      rdds.foreach(org.apache.spark.sql.graft.PlanBridge.releaseCut)
   }
 
   /** Contraction rounds of the most recent components() call in this JVM
@@ -153,14 +155,16 @@ object ConnectedComponents {
       val same = e2Count == eCount &&
         e2.join(e, Seq("a", "b"), "left_anti").isEmpty
       if (same) {
-        e2Rdd.unpersist()
+        PlanBridge.releaseCut(e2Rdd)
         converged = true
       } else {
         // superseded round's blocks are dead once e2 has materialized
         // (cutLineage is eager) — unpersist NOW instead of waiting for
         // the ContextCleaner, so a long-lived session running many
         // cluster queries doesn't accumulate pinned block-manager entries
-        eRdd.unpersist()
+        // (releaseCut also drops the round's reliable-checkpoint files —
+        // a many-round loop must not fill the checkpoint filesystem)
+        PlanBridge.releaseCut(eRdd)
         e = e2
         eRdd = e2Rdd
         eCount = e2Count
@@ -174,7 +178,7 @@ object ConnectedComponents {
     // so hitting it means a broken edge derivation or a bug here. Fail
     // loudly rather than answer wrong.
     if (!converged) {
-      eRdd.unpersist()
+      PlanBridge.releaseCut(eRdd)
       throw new IllegalStateException(
         s"connected components did not reach the contraction fixpoint in $maxIter rounds " +
           s"(edge count at abort: $eCount) — refusing to read labels off an unconverged edge set")

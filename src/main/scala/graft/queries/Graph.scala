@@ -373,13 +373,16 @@ object Graph extends QueryModule {
     * (prior-labeling frame, fold function over a materialized prior).
     */
   private[graft] def copurchaseIncrementalHalves(
-      spark: SparkSession, sfDir: String): (DataFrame, DataFrame => DataFrame) = {
+      spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame => (DataFrame, graft.operators.ConnectedComponents.LabelingHandle)) = {
     val edges = copurchaseEdges(spark, sfDir, keyMod = Some(3))
     val wave = pmod(hash(col("a"), col("b")), lit(2))
     val prior = graft.operators.ConnectedComponents.components(
       edges.filter(wave === 0))
+    // the managed variant so repeat-timing callers (Scratch min-of-3) can
+    // free each fold's pinned cuts instead of stacking three labelings
     (prior,
-      p => graft.operators.ConnectedComponents.incrementalComponents(
+      p => graft.operators.ConnectedComponents.incrementalComponentsManaged(
         p, edges.filter(wave === 1)))
   }
 

@@ -390,16 +390,20 @@ object LandingLedger {
   }
 
   private val roots = scala.collection.concurrent.TrieMap.empty[Path, RootCache]
-  private val drainTick = new AtomicLong(0)
 
-  /** Roots not listed for this many ledger calls lose their cache: a
-    * process that drains many TRANSIENT zones (tests, per-tenant
-    * ephemeral landing dirs) must not accumulate a dead directory index
-    * per zone forever. 256 ≈ dozens of idle triggers for every live
-    * stream sharing the process — far past any legitimate reuse gap,
-    * while a re-listed evicted root only pays one cold full list.
+  /** Roots not listed for this long lose their cache: a process that
+    * drains many TRANSIENT zones (tests, per-tenant ephemeral landing
+    * dirs) must not accumulate a dead directory index per zone forever.
+    * The horizon is WALL-CLOCK, not a call counter: a shared global tick
+    * would let a hot 1-second stream burn a co-located 10-minute stream's
+    * budget between its own triggers, evicting the slow stream's index
+    * before every trigger and forcing the cold O(objects) re-list the
+    * cache exists to avoid (review-caught starvation). 30 min is far
+    * past any trigger interval a landing stream runs at, while an
+    * evicted root only pays one cold full list. Test hook: specs shrink
+    * the horizon rather than waiting it out.
     */
-  private val EvictAfterCalls = 256L
+  @volatile private[sources] var evictAfterMs: Long = 30L * 60 * 1000
 
   /** Coarsest directory-mtime resolution we defend against (ext4 is ns,
     * but FAT-ish filesystems and coarse NFS servers round to seconds). */
@@ -421,13 +425,13 @@ object LandingLedger {
     * is safely shared across stream instances and queries.
     */
   def incrementalLedger(root: Path): Array[LedgerEntry] = {
-    val tick = drainTick.incrementAndGet()
-    // Evict roots nobody listed for EvictAfterCalls ledger calls. The
-    // scan is over the ROOT map (zones, not directories) — a handful of
+    val now = System.currentTimeMillis()
+    // Evict roots nobody listed inside the wall-clock horizon. The scan
+    // is over the ROOT map (zones, not directories) — a handful of
     // entries for any realistic process — so paying it per call keeps
     // eviction prompt without a timer thread.
     roots.foreach { case (r, rc) =>
-      if (tick - rc.lastSeen > EvictAfterCalls) roots.remove(r)
+      if (now - rc.lastSeen > evictAfterMs) roots.remove(r)
     }
     if (!Files.exists(root)) {
       // A DELETED root never enters visit() (nothing to walk), so the
@@ -437,7 +441,7 @@ object LandingLedger {
       return Array.empty
     }
     val rc = roots.getOrElseUpdate(root, new RootCache)
-    rc.lastSeen = tick
+    rc.lastSeen = now
     val dirCache = rc.dirs
     val acc = Array.newBuilder[LedgerEntry]
     val visited = scala.collection.mutable.Set.empty[Path]

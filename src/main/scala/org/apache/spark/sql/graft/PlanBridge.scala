@@ -58,4 +58,23 @@ object PlanBridge {
     val n = rdd.count() // eager materialization: the cut happens NOW
     (spark.internalCreateDataFrame(rdd, df.schema), rdd, n)
   }
+
+  /** Release a superseded cut: unpersist its blocks AND delete its
+    * reliable-checkpoint files. Spark's ContextCleaner only removes
+    * checkpoint files when `spark.cleaner.referenceTracking
+    * .cleanCheckpoints` is set (default false) and a driver GC collects
+    * the RDD — so a days-long streaming fold that cuts per batch would
+    * otherwise accumulate one full materialized labeling per round on
+    * the checkpoint filesystem until it fills. Deletion is best-effort:
+    * the cut is superseded, nothing reads it again.
+    */
+  def releaseCut(rdd: RDD[_]): Unit = {
+    rdd.getCheckpointFile.foreach { dir =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
+      } catch { case _: java.io.IOException => () }
+    }
+    rdd.unpersist(blocking = false)
+  }
 }

@@ -376,12 +376,20 @@ class LandingSourceSpec extends SparkSpec {
     }
     val live = Files.createTempDirectory("landing-live")
     Files.write(live.resolve("obj.ndjson"), "{}".getBytes(StandardCharsets.UTF_8))
-    // 300 ledger calls on the live zone push every transient root past
-    // the eviction horizon (256 calls unseen)
-    for (_ <- 0 until 300) assert(LandingLedger.incrementalLedger(live).length == 1)
-    assert(transients.forall(LandingLedger.cachedDirCount(_) == 0),
-      "roots unseen for the eviction horizon must drop their cache")
-    assert(LandingLedger.cachedDirCount(live) == 1)
+    // shrink the wall-clock horizon (the production 30 min would out-wait
+    // the suite), let the transients age past it, then one live call
+    // must sweep them — and must NOT depend on how many OTHER streams
+    // called in between (the old call-counter design starved slow
+    // streams sharing the process)
+    val prev = LandingLedger.evictAfterMs
+    try {
+      LandingLedger.evictAfterMs = 50L
+      Thread.sleep(120)
+      assert(LandingLedger.incrementalLedger(live).length == 1)
+      assert(transients.forall(LandingLedger.cachedDirCount(_) == 0),
+        "roots unseen past the eviction horizon must drop their cache")
+      assert(LandingLedger.cachedDirCount(live) == 1)
+    } finally LandingLedger.evictAfterMs = prev
   }
 
   test("sidecar round-trip is strict on write, tolerant on read") {

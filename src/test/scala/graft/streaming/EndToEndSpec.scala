@@ -122,13 +122,28 @@ class EndToEndSpec extends SparkSpec {
     val ckpt = tmp("cur-ckpt")
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
     val t2 = "colorless green ideas sleep furiously in the deep winter night"
-    def put(objs: (Long, String)*): Unit =
+    // Deterministic arrival order: the DSv2 write commits objects from
+    // PARALLEL tasks, so raw file mtimes are not ordered by key — and the
+    // (mtime, key)-sorted ledger would then split micro-batches at
+    // key-dependent places, making the folds/batches asserts flaky.
+    // Re-stamp each put's own files with monotonically increasing mtimes
+    // in key order (never touching earlier waves' stamps — the
+    // exactly-once watermark tracks them).
+    var stamp = System.currentTimeMillis() - 3600000L
+    def put(objs: (Long, String)*): Unit = {
       objs.toSeq.map { case (id, text) => (f"docs/d$id%03d.ndjson", text) }
         .toDF("key", "content")
         .withColumn("byte_len", length(col("content")))
         .withColumn("metadata", map().cast("map<string,string>"))
         .select("key", "byte_len", "content", "metadata")
         .write.format("graft-landing").mode("append").save(landing)
+      objs.toSeq.map(_._1).sorted.foreach { id =>
+        stamp += 1000
+        java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Paths.get(landing, "docs", f"d$id%03d.ndjson"),
+          java.nio.file.attribute.FileTime.fromMillis(stamp))
+      }
+    }
 
     // wave 1: a dup pair (1,2), a unique doc (3), a quality reject (4)
     put(1L -> t1, 2L -> t1, 3L -> ("something else entirely " * 3), 4L -> "too short")
