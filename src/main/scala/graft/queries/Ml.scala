@@ -194,21 +194,128 @@ object Ml extends QueryModule {
   private val LogregFeats1 = "least(n_chars, 1000)"
   private val LogregLabel = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
 
-  /** err_micro = fast-sigmoid(z)·1e6 − y·1e6, with z in micro from the
+  /** sig_micro = fast-sigmoid(z)·1e6, with z in micro from the
     * offset-guarded nano→micro division.
     */
-  private def logregErr(w1: Long, w2: Long, b: Long): String = {
+  private def logregSig(w1: Long, w2: Long, b: Long): String = {
     val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) div 1000 - 1000000000000 + $b)"
     s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
-       |  * ((abs($z) * 500000) div (1000000 + abs($z)))
-       |  - y * 1000000)""".stripMargin
+       |  * ((abs($z) * 500000) div (1000000 + abs($z))))""".stripMargin
   }
+
+  /** err_micro = sig_micro − y·1e6. */
+  private def logregErr(w1: Long, w2: Long, b: Long): String =
+    s"(${logregSig(w1, w2, b)} - y * 1000000)"
 
   private def logregErrDuck(w1: String, w2: String, b: String): String = {
     val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) // 1000 - 1000000000000 + $b)"
     s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
        |  * ((abs($z) * 500000) // (1000000 + abs($z)))
        |  - y * 1000000)""".stripMargin
+  }
+
+  // ------------------------------------------------ hyperparameter sweep
+
+  /** Sweep learning rates (micro-int update step factors) and iterations
+    * for the batched trainer.
+    */
+  val SweepLrs: Seq[Long] = Seq(2L, 5L, 15L)
+  val SweepIters = 3
+
+  /** EXT: batched hyperparameter sweep — train THREE learning-rate
+    * variants of the logistic model in the SAME corpus pass: each
+    * iteration is still one map-side-combinable aggregate, now producing
+    * 3 configs × 3 gradient sums (the shuffle carries 9 longs + a count
+    * per partition). This is how a scan-bound sweep actually runs at
+    * 100 TB — candidate models share every pass instead of multiplying
+    * them; the candidate count, not the corpus, is the multiplier on
+    * per-row work. A final shared pass scores training accuracy per
+    * config. Output: one row per learning rate with final weights and
+    * accuracy — the model-selection table. Same pure-BIGINT grids and
+    * division guards as ml_logreg_gd.
+    */
+  def mlSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir)
+      .selectExpr(s"$LogregFeats1 AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"$LogregLabel AS y")
+      .persist()
+    val idx = SweepLrs.indices
+    var ws: Seq[(Long, Long, Long)] = SweepLrs.map(_ => (0L, 0L, 0L))
+    for (_ <- 1 to SweepIters) {
+      val errCols = idx.map(i => s"${logregErr(ws(i)._1, ws(i)._2, ws(i)._3)} AS e$i")
+      val sums = idx.flatMap(i =>
+        Seq(s"sum(e$i * x1) AS g1_$i", s"sum(e$i * x2) AS g2_$i", s"sum(e$i) AS g0_$i"))
+      val r = feats
+        .selectExpr((Seq("x1", "x2", "y") ++ errCols): _*)
+        .selectExpr(("count(1) AS n" +: sums): _*)
+        .collect()(0)
+      val n = r.getLong(0)
+      ws = idx.map { i =>
+        val (w1, w2, b) = ws(i)
+        val Seq(g1, g2, g0) = (0 to 2).map(j => r.getLong(1 + i * 3 + j))
+        def upd(w: Long, g: Long): Long = w - SweepLrs(i) * g / (1000L * n)
+        (upd(w1, g1), upd(w2, g2), upd(b, g0))
+      }
+    }
+    val accCols = idx.map(i =>
+      s"sum(CASE WHEN (${logregSig(ws(i)._1, ws(i)._2, ws(i)._3)} >= 500000) = (y = 1)" +
+        s" THEN 1 ELSE 0 END) AS c$i")
+    val accRow = feats.selectExpr(("count(1) AS n" +: accCols): _*).collect()(0)
+    feats.unpersist(blocking = false)
+    val n = accRow.getLong(0)
+    import spark.implicits._
+    idx.map { i =>
+      val (w1, w2, b) = ws(i)
+      (SweepLrs(i), w1, w2, b, accRow.getLong(1 + i) * 1000000L / n, n)
+    }.toDF("lr", "w1_micro", "w2_micro", "b_micro", "train_acc_micro", "n")
+      .orderBy("lr")
+  }
+
+  private def sweepOracle: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += s"""f AS (
+       |  SELECT $LogregFeats1 AS x1,
+       |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+       |         $LogregLabel AS y
+       |  FROM documents)""".stripMargin
+    def sigDuck(w1: String, w2: String, b: String): String = {
+      val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) // 1000 - 1000000000000 + $b)"
+      s"(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)" +
+        s" * ((abs($z) * 500000) // (1000000 + abs($z))))"
+    }
+    for (i <- SweepLrs.indices) {
+      val lr = SweepLrs(i)
+      ctes += s"s${i}w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
+      for (r <- 1 to SweepIters) {
+        val p = s"s${i}w${r - 1}"
+        ctes += s"""s${i}a$r AS (
+           |  SELECT count(*) AS n, CAST(sum(e * x1) AS BIGINT) AS g1,
+           |         CAST(sum(e * x2) AS BIGINT) AS g2, CAST(sum(e) AS BIGINT) AS g0
+           |  FROM (SELECT (${sigDuck("w.w1", "w.w2", "w.b")} - y * 1000000) AS e, x1, x2
+           |        FROM f, $p w) t)""".stripMargin
+        def upd(w: String, g: String) =
+          s"$w - (CASE WHEN $g < 0 THEN -((-($g) * $lr) // (1000 * s${i}a$r.n)) " +
+            s"ELSE (($g) * $lr) // (1000 * s${i}a$r.n) END)"
+        ctes += s"""s${i}w$r AS (
+           |  SELECT CAST(${upd(s"$p.w1", s"s${i}a$r.g1")} AS BIGINT) AS w1,
+           |         CAST(${upd(s"$p.w2", s"s${i}a$r.g2")} AS BIGINT) AS w2,
+           |         CAST(${upd(s"$p.b", s"s${i}a$r.g0")} AS BIGINT) AS b
+           |  FROM $p, s${i}a$r)""".stripMargin
+      }
+      ctes += s"""s${i}acc AS (
+         |  SELECT count(*) AS n,
+         |    CAST(sum(CASE WHEN (${sigDuck(s"w.w1", s"w.w2", s"w.b")} >= 500000) = (y = 1)
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM f, s${i}w$SweepIters w)""".stripMargin
+    }
+    val rows = SweepLrs.indices.map { i =>
+      s"SELECT CAST(${SweepLrs(i)} AS BIGINT) AS lr, w.w1 AS w1_micro, w.w2 AS w2_micro, w.b AS b_micro," +
+        s" CAST(a.c * 1000000 // a.n AS BIGINT) AS train_acc_micro, a.n AS n" +
+        s" FROM s${i}w$SweepIters w, s${i}acc a"
+    }.mkString(" UNION ALL ")
+    ctes.result().mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM ($rows) ORDER BY lr"
   }
 
   private def logregOracle: String = {
@@ -463,6 +570,7 @@ object Ml extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_gd"   -> (mlLinregGd _),
     "ml_logreg_gd"   -> (mlLogregGd _),
+    "ml_sweep"       -> (mlSweep _),
     "ml_auc"         -> (mlAuc _),
     "ml_confusion"   -> (mlConfusion _),
     "ml_calibration" -> (mlCalibration _),
@@ -472,6 +580,7 @@ object Ml extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "ml_linreg_gd"   -> gdOracle,
     "ml_logreg_gd"   -> logregOracle,
+    "ml_sweep"       -> sweepOracle,
     "ml_auc"         -> aucOracle,
     "ml_confusion"   -> confusionOracle,
     "ml_calibration" -> calibrationOracle,

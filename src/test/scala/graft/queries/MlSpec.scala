@@ -111,6 +111,40 @@ class MlSpec extends SparkSpec {
     assert(got.toSeq === expect)
   }
 
+  test("hyperparameter sweep matches an independent scalar mirror on sf0.001") {
+    val raw = graft.Tables.documents(spark, sf0001)
+      .selectExpr("least(n_chars, 1000) AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = raw.length.toLong
+    def sig(w1: Long, w2: Long, b: Long, x1: Long, x2: Long): Long = {
+      val z = (w1 * x1 + w2 * x2 + 1000000000000000L) / 1000L - 1000000000000L + b
+      500000L + (if (z < 0) -1L else 1L) *
+        ((math.abs(z) * 500000L) / (1000000L + math.abs(z)))
+    }
+    val expect = Ml.SweepLrs.map { lr =>
+      var w1 = 0L; var w2 = 0L; var b = 0L
+      for (_ <- 1 to Ml.SweepIters) {
+        var g1 = 0L; var g2 = 0L; var g0 = 0L
+        raw.foreach { case (x1v, x2v, y) =>
+          val e = sig(w1, w2, b, x1v, x2v) - y * 1000000L
+          g1 += e * x1v; g2 += e * x2v; g0 += e
+        }
+        def upd(w: Long, g: Long): Long = w - lr * g / (1000L * n)
+        w1 = upd(w1, g1); w2 = upd(w2, g2); b = upd(b, g0)
+      }
+      val correct = raw.count { case (x1v, x2v, y) =>
+        (sig(w1, w2, b, x1v, x2v) >= 500000L) == (y == 1L)
+      }.toLong
+      (lr, w1, w2, b, correct * 1000000L / n, n)
+    }
+    val got = Ml.mlSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === expect)
+  }
+
   test("confusion counts plus derived ratios stay consistent") {
     val r = Ml.mlConfusion(spark, sf0001).collect()(0)
     val Seq(tp, fp, fn, tn) = (0 to 3).map(r.getLong)
