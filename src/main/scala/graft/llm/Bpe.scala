@@ -74,6 +74,30 @@ object Bpe extends QueryModule {
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
     state0Of(Tables.documents(spark, sfDir))
 
+  /** Word-boundary initial state (SentencePiece-style): words split on
+    * non-letter runs, each word's first character glued to a `_` marker —
+    * so learned merges build word-aware units (`_t`+`h` → `_th` ≠
+    * mid-word `th`) and a merged token can never span a word boundary
+    * (no pair (x, _y) beats intra-word pairs on this corpus, and even if
+    * learned it is a legitimate phrase unit, as in real BPE vocabularies).
+    * Marker `_` is outside the [a-z] token alphabet but safely inside the
+    * pipe-wrap representation (never `|`).
+    */
+  private def state0Words(text: Column): Column = {
+    val words   = trim(regexp_replace(lower(text), "[^a-z]+", " "))
+    val marked  = regexp_replace(substring(words, 1, MaxChars), "(^| )([a-z])", " _$2")
+    val glued   = regexp_replace(marked, " ", "")
+    regexp_replace(glued, "(_?[a-z])", "|$1|")
+  }
+
+  private[graft] def state0WordsOf(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(trim(regexp_replace(lower(col("text")), "[^a-z]+", " "))) >= 2)
+      .select(col("doc_id"), state0Words(col("text")).as("state"))
+
+  private def corpusWords(spark: SparkSession, sfDir: String): DataFrame =
+    state0WordsOf(Tables.documents(spark, sfDir))
+
   /** Apply a learned merge table as chained literal replaces — the single
     * definition of merge application shared by the training loop, the
     * vocab report, and the encode pass.
@@ -141,6 +165,9 @@ object Bpe extends QueryModule {
   private def trainedMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] =
     mergeMemo.getOrElseUpdate(sfDir, train(corpus(spark, sfDir), Rounds)._1)
 
+  private def trainedWordMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] =
+    mergeMemo.getOrElseUpdate(sfDir + "#words", train(corpusWords(spark, sfDir), Rounds)._1)
+
   /** EXT: the learned merge table — (round, pair, corpus count at merge
     * time). This IS the tokenizer model a 100-TB curation run ships.
     */
@@ -182,8 +209,20 @@ object Bpe extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** EXT: word-boundary merge table — the same trainer over the
+    * SentencePiece-style marked alphabet, so the learned units respect
+    * word starts (`_th` vs mid-word `th`). Separate model-registry entry
+    * per tokenization variant.
+    */
+  def bpeTrainWords(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedWordMerges(spark, sfDir)
+    import spark.implicits._
+    merges.toDF("round", "a", "b", "cnt").orderBy("round")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bpe_train" -> (bpeTrain _),
+    "text_bpe_words" -> (bpeTrainWords _),
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_encode" -> (bpeEncode _),
   )
@@ -195,7 +234,31 @@ object Bpe extends QueryModule {
     * merges rather than being handed them, so a Spark-side counting or
     * application bug cannot self-confirm.
     */
-  private def oracleCtes(k: Int): String = {
+  /** The character-level s0 CTE shared by the default oracles. */
+  private val charS0: String =
+    s"""s0 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, $MaxChars),
+       |                   '(.)', '|\\1|', 'g') AS state
+       |  FROM documents
+       |  WHERE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= 2)""".stripMargin
+
+  /** Word-boundary s0: identical pipeline to [[state0Words]] in DuckDB
+    * syntax (RE2 group refs, 'g' flags).
+    */
+  private val wordS0: String =
+    s"""s0 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(
+       |      replace(
+       |        regexp_replace(substr(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), 1, $MaxChars),
+       |                       '(^| )([a-z])', ' _\\2', 'g'),
+       |        ' ', ''),
+       |      '(_?[a-z])', '|\\1|', 'g') AS state
+       |  FROM documents
+       |  WHERE length(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))) >= 2)""".stripMargin
+
+  private def oracleCtes(k: Int, s0: String = charS0): String = {
     def pairs(src: String): String =
       s"""  SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
          |  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z
@@ -203,12 +266,7 @@ object Bpe extends QueryModule {
          |              FROM $src) i) u
          |  WHERE z[2] IS NOT NULL GROUP BY 1, 2""".stripMargin
     val ctes = Seq.newBuilder[String]
-    ctes += s"""s0 AS (
-       |  SELECT doc_id,
-       |    regexp_replace(substr(regexp_replace(lower(text), '[^a-z]', '', 'g'), 1, $MaxChars),
-       |                   '(.)', '|\\1|', 'g') AS state
-       |  FROM documents
-       |  WHERE length(regexp_replace(lower(text), '[^a-z]', '', 'g')) >= 2)""".stripMargin
+    ctes += s0
     for (r <- 1 to k) {
       ctes += s"p$r AS (\n${pairs(s"s${r - 1}")})"
       // The sentinel ('','',0) keeps b$r at exactly one row when a round
@@ -236,6 +294,8 @@ object Bpe extends QueryModule {
     Map(
       "text_bpe_train" ->
         s"${oracleCtes(k)}\nSELECT * FROM ($mergeRows) ORDER BY round",
+      "text_bpe_words" ->
+        s"${oracleCtes(k, wordS0)}\nSELECT * FROM ($mergeRows) ORDER BY round",
       "text_bpe_vocab" ->
         s"""${oracleCtes(k)}
            |SELECT tok, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs FROM (

@@ -52,6 +52,18 @@ class BpeSpec extends SparkSpec {
     assert(merges === Seq((1, "a", "b", 2L), (2, "ab", "ab", 1L)))
   }
 
+  test("word-boundary variant glues the marker and learns word-aware units") {
+    // "to to to" -> [_t,o]x3 ; "stop" -> [_s,t,o,p]
+    // pairs: (_t,o)x3, (o,_t)x2, (_s,t), (t,o), (o,p) -> r1: (_t,o,3)
+    // after r1: [_to,_to,_to] and [_s,t,o,p] -> r2 pairs: (_to,_to)x2,
+    // (_s,t), (t,o), (o,p) -> r2: (_to,_to,2)
+    val (merges, fin) = Bpe.train(
+      Bpe.state0WordsOf(docs(1 -> "to to to", 2 -> "stop!")), 2)
+    assert(merges === Seq((1, "_t", "o", 3L), (2, "_to", "_to", 2L)))
+    val states = fin.orderBy("doc_id").collect().map(_.getString(1))
+    assert(states === Array("|_to_to||_to|", "|_s||t||o||p|"))
+  }
+
   test("pair exhaustion skips rounds instead of corrupting state") {
     // "ab" merges once then has no pairs; rounds 2-3 must be no-ops with
     // no merge rows emitted (mirrors the oracle's sentinel no-op rounds).
