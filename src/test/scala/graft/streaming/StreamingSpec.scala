@@ -150,6 +150,64 @@ class StreamOpsSpec extends SparkSpec {
     assert(got === Set((10L, 20L), (11L, 22L)))
   }
 
+  test("left-outer stream-stream join emits unmatched views only past the watermark") {
+    val vdir = Files.createTempDirectory("graft-slv").toString
+    val cdir = Files.createTempDirectory("graft-slc").toString
+    val ckpt = Files.createTempDirectory("graft-sl-ck").toString
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    // the shared writeEvents helper overwrites one fixed file (fine for
+    // single-wave suites); multi-wave drains need fresh file names or the
+    // source never sees the later arrivals
+    def arrive(dir: String, rows: String*): Unit =
+      Files.writeString(java.nio.file.Paths.get(dir, s"w${System.nanoTime}.json"),
+        rows.mkString("\n"))
+    def drain(): Unit = {
+      val views = spark.readStream.schema(eventsSchema).json(vdir)
+      val clicks = spark.readStream.schema(eventsSchema).json(cdir)
+      val q = StreamOps.attributeViewsLeftOuter(views, clicks)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("view_id", "click_id").collect()
+            .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    arrive(vdir,
+      """{"event_id":10,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"view","value":0.0}""",
+      """{"event_id":11,"ts":"2024-01-01T00:30:00Z","user_id":2,"event_type":"view","value":0.0}""")
+    arrive(cdir,
+      """{"event_id":20,"ts":"2024-01-01T00:04:00Z","user_id":1,"event_type":"click","value":0.0}""")
+    drain()
+    // the converted view emits immediately; the unconverted one must NOT —
+    // a click for user 2 could still arrive inside its horizon
+    assert(got.toSet === Set((10L, Some(20L))),
+      s"only the matched view may emit before the watermark passes: $got")
+    // much later arrivals on BOTH streams: the engine's GLOBAL watermark
+    // is the MIN across inputs (multipleWatermarkPolicy=min), so a late
+    // click alone cannot prove view 11 unmatched while the view-side
+    // watermark still allows late views that could... not matter here,
+    // but min() doesn't know that — both sides must advance
+    arrive(cdir,
+      """{"event_id":99,"ts":"2024-01-01T03:00:00Z","user_id":9,"event_type":"click","value":0.0}""")
+    arrive(vdir,
+      """{"event_id":98,"ts":"2024-01-01T03:00:00Z","user_id":9,"event_type":"view","value":0.0}""")
+    drain()
+    // the watermark advance is COMMITTED at the end of the batch that saw
+    // the late arrivals; the null flush itself needs one more batch to
+    // evaluate under it (restart-boundary twin of the in-run no-data
+    // batch) — so push one more arrival and re-drain
+    arrive(cdir,
+      """{"event_id":100,"ts":"2024-01-01T03:30:00Z","user_id":9,"event_type":"click","value":0.0}""")
+    drain()
+    assert(got.toSet.contains((11L, None)),
+      s"watermark passage must flush the unmatched view with NULL click: $got")
+    assert(got.count(_ == (11L, None)) == 1 && got.count(_ == (10L, Some(20L))) == 1,
+      s"each view emits exactly once: $got")
+  }
+
   test("streaming top-k emits a window's leaderboard exactly once, on close") {
     val dir = Files.createTempDirectory("graft-topk").toString
     val ckpt = Files.createTempDirectory("graft-topk-ck").toString
