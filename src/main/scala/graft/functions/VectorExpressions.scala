@@ -49,6 +49,13 @@ object VectorExpressions {
     */
   def simhash60(tokenHashes: Column): Column = VectorBridge.simhash60(tokenHashes)
 
+  /** Adjacent token pairs of a pipe-wrapped BPE state in one byte scan —
+    * bit-identical to the split/transform/element_at chain it replaces
+    * (see org.apache.spark.sql.graft.TokenPairs); fewer than two tokens
+    * yields an empty array (the size filter, absorbed).
+    */
+  def token_pairs(state: Column): Column = VectorBridge.tokenPairs(state)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

@@ -110,16 +110,16 @@ object Bpe extends QueryModule {
   private def finalState(spark: SparkSession, sfDir: String): DataFrame =
     applyMerges(corpus(spark, sfDir), trainedMerges(spark, sfDir))
 
-  /** Adjacent-pair counts of the current state. One explode + one
-    * map-side-combinable agg; the shuffle carries (a, b, partial count).
+  /** Adjacent-pair counts of the current state. One explode of the native
+    * single-scan pair expression (org.apache.spark.sql.graft.TokenPairs —
+    * replaces the interpreted split/transform/element_at HOF chain with
+    * bit-identical output) + one map-side-combinable agg; the shuffle
+    * carries (a, b, partial count).
     */
   private def pairCounts(state: DataFrame): DataFrame =
     state
-      .select(expr("split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), " +
-          "i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))")).as("p"))
+      .select(explode(
+        graft.functions.VectorExpressions.token_pairs(col("state"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
 

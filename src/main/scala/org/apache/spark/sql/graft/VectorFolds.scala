@@ -302,6 +302,9 @@ object VectorBridge {
   def simhash60(tokenHashes: Column): Column =
     ExpressionUtils.column(Simhash60(ExpressionUtils.expression(tokenHashes)))
 
+  def tokenPairs(state: Column): Column =
+    ExpressionUtils.column(TokenPairs(ExpressionUtils.expression(state)))
+
   /** Integral division (SQL `div`) — exact on longs, unlike `/` which
     * routes through double. The Column API exposes no wrapper for
     * catalyst's `IntegralDivide`, so it is bridged here.
