@@ -124,8 +124,10 @@ object ScaleProbe {
     // entirely on the smallest corpus and inverts the trend.
     if (on("inc")) {
     locally {
-      val (wp, wpRdd, _) = PlanBridge.cutLineage(
-        ConnectedComponents.components(blockCorpus(spark, 10000L)))
+      val (warmLabels, warmHandle) =
+        ConnectedComponents.componentsManaged(blockCorpus(spark, 10000L))
+      val (wp, wpRdd, _) = PlanBridge.cutLineage(warmLabels)
+      warmHandle.unpersist() // the warm-up must not leave its own residue
       val (wf, wfH) = ConnectedComponents.incrementalComponentsManaged(
         wp, bridgeBatch(spark, 10))
       wf.count(); wfH.unpersist(); wpRdd.unpersist()
@@ -170,10 +172,13 @@ object ScaleProbe {
     // corpora 10-100x the bench SF (sf0.1 = 5e3 docs).
     if (on("bpe")) for (n <- Seq(50000L, 150000L, 500000L).map(_ / div)) {
       val docs = llm.Bpe.state0Of(textCorpus(spark, n, 4))
-      val t6 = (1 to 3).map(_ => time(llm.Bpe.train(docs, 6))._2).min
+      var merges = 0 // report the count actually learned, not the ask
+      val t6 = (1 to 3).map { _ =>
+        val ((m, _), sec) = time(llm.Bpe.train(docs, 6)); merges = m.size; sec
+      }.min
       val t1 = (1 to 3).map(_ => time(llm.Bpe.train(docs, 1))._2).min
       println(f"""{"probe":"bpe_train","docs":$n,"chars_per_doc":128,""" +
-        f""""merges":6,"train6_sec":$t6%.1f,"train1_sec":$t1%.1f}""")
+        f""""merges":$merges,"train6_sec":$t6%.1f,"train1_sec":$t1%.1f}""")
     }
 
     // claim 4: one GD iteration is a single map-side-combinable aggregate

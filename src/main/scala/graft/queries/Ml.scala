@@ -207,12 +207,17 @@ object Ml extends QueryModule {
   private def logregErr(w1: Long, w2: Long, b: Long): String =
     s"(${logregSig(w1, w2, b)} - y * 1000000)"
 
-  private def logregErrDuck(w1: String, w2: String, b: String): String = {
+  /** DuckDB twin of [[logregSig]] — the one definition every logistic
+    * oracle (plain and sweep) shares.
+    */
+  private def logregSigDuck(w1: String, w2: String, b: String): String = {
     val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) // 1000 - 1000000000000 + $b)"
     s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
-       |  * ((abs($z) * 500000) // (1000000 + abs($z)))
-       |  - y * 1000000)""".stripMargin
+       |  * ((abs($z) * 500000) // (1000000 + abs($z))))""".stripMargin
   }
+
+  private def logregErrDuck(w1: String, w2: String, b: String): String =
+    s"(${logregSigDuck(w1, w2, b)} - y * 1000000)"
 
   // ------------------------------------------------ hyperparameter sweep
 
@@ -279,11 +284,6 @@ object Ml extends QueryModule {
        |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
        |         $LogregLabel AS y
        |  FROM documents)""".stripMargin
-    def sigDuck(w1: String, w2: String, b: String): String = {
-      val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) // 1000 - 1000000000000 + $b)"
-      s"(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)" +
-        s" * ((abs($z) * 500000) // (1000000 + abs($z))))"
-    }
     for (i <- SweepLrs.indices) {
       val lr = SweepLrs(i)
       ctes += s"s${i}w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
@@ -292,7 +292,7 @@ object Ml extends QueryModule {
         ctes += s"""s${i}a$r AS (
            |  SELECT count(*) AS n, CAST(sum(e * x1) AS BIGINT) AS g1,
            |         CAST(sum(e * x2) AS BIGINT) AS g2, CAST(sum(e) AS BIGINT) AS g0
-           |  FROM (SELECT (${sigDuck("w.w1", "w.w2", "w.b")} - y * 1000000) AS e, x1, x2
+           |  FROM (SELECT (${logregSigDuck("w.w1", "w.w2", "w.b")} - y * 1000000) AS e, x1, x2
            |        FROM f, $p w) t)""".stripMargin
         def upd(w: String, g: String) =
           s"$w - (CASE WHEN $g < 0 THEN -((-($g) * $lr) // (1000 * s${i}a$r.n)) " +
@@ -305,7 +305,7 @@ object Ml extends QueryModule {
       }
       ctes += s"""s${i}acc AS (
          |  SELECT count(*) AS n,
-         |    CAST(sum(CASE WHEN (${sigDuck(s"w.w1", s"w.w2", s"w.b")} >= 500000) = (y = 1)
+         |    CAST(sum(CASE WHEN (${logregSigDuck(s"w.w1", s"w.w2", s"w.b")} >= 500000) = (y = 1)
          |             THEN 1 ELSE 0 END) AS BIGINT) AS c
          |  FROM f, s${i}w$SweepIters w)""".stripMargin
     }

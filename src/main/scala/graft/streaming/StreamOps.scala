@@ -48,7 +48,16 @@ object StreamOps {
   def attributeClicksToViews(
       views: DataFrame,
       clicks: DataFrame,
-      horizon: String = "10 minutes"): DataFrame = {
+      horizon: String = "10 minutes"): DataFrame =
+    viewClickJoin(views, clicks, horizon, "inner")
+
+  /** The one definition of the view↔click interval join, shared by the
+    * inner and left-outer forms — the projections, watermarks, and time
+    * bound must never diverge between them.
+    */
+  private def viewClickJoin(
+      views: DataFrame, clicks: DataFrame,
+      horizon: String, joinType: String): DataFrame = {
     val v = views
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
       .withWatermark("view_ts", horizon)
@@ -60,40 +69,29 @@ object StreamOps {
       expr(s"""user_id = c_user_id
               |AND click_ts > view_ts
               |AND click_ts <= view_ts + INTERVAL $horizon""".stripMargin),
-      "inner")
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }
 
   /** LEFT-OUTER form of [[attributeClicksToViews]]: every view emits
     * exactly once — joined rows as soon as the click arrives, unmatched
-    * views with NULL click columns only after the CLICK-side watermark
-    * passes the view's interval end (the engine must prove no matching
-    * click can still arrive before it may emit the null). Same bounded
-    * state as the inner form; the null-emission delay is the correctness
-    * price of outer semantics on unbounded inputs — the batch twin
+    * views with NULL click columns only after the GLOBAL watermark (the
+    * MIN across BOTH inputs, `multipleWatermarkPolicy=min`) passes the
+    * view's interval end. A click-heavy/view-idle topology therefore
+    * stalls null emission even though no matching click can arrive: the
+    * engine's proof obligation runs through the lagging view-side
+    * watermark too — the spec pins exactly this. Same bounded state as
+    * the inner form; the null-emission delay is the correctness price of
+    * outer semantics on unbounded inputs — the batch twin
     * (`evt_attribution`'s left join) has no such delay because its input
     * is complete by definition.
     */
   def attributeViewsLeftOuter(
       views: DataFrame,
       clicks: DataFrame,
-      horizon: String = "10 minutes"): DataFrame = {
-    val v = views
-      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
-      .withWatermark("view_ts", horizon)
-    val c = clicks
-      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
-        col("event_id").as("click_id"))
-      .withWatermark("click_ts", horizon)
-    v.join(c,
-      expr(s"""user_id = c_user_id
-              |AND click_ts > view_ts
-              |AND click_ts <= view_ts + INTERVAL $horizon""".stripMargin),
-      "left_outer")
-      .select(col("user_id"), col("view_id"), col("click_id"),
-        col("view_ts"), col("click_ts"))
-  }
+      horizon: String = "10 minutes"): DataFrame =
+    viewClickJoin(views, clicks, horizon, "left_outer")
 
   /** Streaming OHLC bars — the windowed twin of EventTime.evtOhlc: open and
     * close via min_by/max_by on the packed (ts, event_id) event-time order

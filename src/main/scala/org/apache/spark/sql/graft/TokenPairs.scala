@@ -42,24 +42,29 @@ object TokenPairs {
     val bytes = state.getBytes
     val len = bytes.length
     if (len < 2) return new GenericArrayData(Array.empty[Any])
-    // token boundaries inside the outer pipes
-    val starts = new java.util.ArrayList[Int](16)
-    val ends = new java.util.ArrayList[Int](16)
+    // token boundaries inside the outer pipes — primitive arrays, no
+    // boxing in the per-row hot path. Capacity is the MALFORMED worst
+    // case (a separator every 2 bytes yields empty tokens): grammar
+    // states bound n by len/3, but the expression must not index out of
+    // bounds on arbitrary input
+    val cap = len / 2 + 2
+    val starts = new Array[Int](cap)
+    val ends = new Array[Int](cap)
+    var n = 0
     var start = 1
     var i = 1
     val inner = len - 1
     while (i < inner - 1) {
       if (bytes(i) == Pipe && bytes(i + 1) == Pipe) {
-        ends.add(i); starts.add(start); start = i + 2; i += 2
+        starts(n) = start; ends(n) = i; n += 1; start = i + 2; i += 2
       } else i += 1
     }
-    starts.add(start); ends.add(inner)
-    val n = starts.size()
+    starts(n) = start; ends(n) = inner; n += 1
     if (n < 2) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](n)
     i = 0
     while (i < n) {
-      toks(i) = UTF8String.fromBytes(bytes, starts.get(i), ends.get(i) - starts.get(i))
+      toks(i) = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
       i += 1
     }
     val out = new Array[Any](n - 1)
