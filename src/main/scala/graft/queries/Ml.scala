@@ -435,6 +435,50 @@ object Ml extends QueryModule {
        |    // (2 * CAST(greatest(n_pos, 1) AS HUGEINT) * greatest(n_neg, 1)) AS BIGINT) AS auc_micro
        |FROM t""".stripMargin
 
+  // -------------------------------------------------------------- PR curve
+
+  /** EXT: the full precision/recall curve — one row per distinct score
+    * threshold, predicting positive at score ≥ threshold. The confusion
+    * matrix samples this curve at one operating point; a threshold
+    * decision for a quality filter reads the whole thing. Same bounded
+    * machinery as the AUC: per-score groups (bounded by score RANGE, not
+    * corpus rows) through a DESCENDING blockedPrefix for the inclusive
+    * cumulative tp / predicted counts; ratios in exact integer millionths
+    * with DECIMAL(38,0)/HUGEINT intermediates.
+    */
+  def mlPrCurve(spark: SparkSession, sfDir: String): DataFrame =
+    prCurveOf(scored(spark, sfDir))
+
+  /** The curve over any (s, y) frame — public for crafted-corpus specs. */
+  def prCurveOf(scoredDf: DataFrame): DataFrame = {
+    val counts = scoredDf
+      .groupBy("s")
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    blockedPrefix(counts, Nil,
+      Seq("__b_s" -> floor(col("s") / lit(1024))), Seq(true),
+      Seq(col("s").desc), "__rk", "__n",
+      values = Seq(
+        PrefixValue(col("p"), "cum_p", "tot_p"),
+        PrefixValue(col("c"), "cum_c", "tot_c")))
+      .selectExpr("s AS threshold", "cum_p AS tp", "cum_c - cum_p AS fp",
+        "CAST(CAST(cum_p AS DECIMAL(38,0)) * 1000000 div cum_c AS BIGINT) AS precision_micro",
+        "CAST(CAST(cum_p AS DECIMAL(38,0)) * 1000000 div greatest(tot_p, 1) AS BIGINT) AS recall_micro")
+      .orderBy(col("threshold").desc)
+  }
+
+  private val prCurveOracle: String =
+    s"""WITH $scoredCte,
+       |g AS (SELECT s, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS p FROM sc GROUP BY s),
+       |r AS (SELECT s,
+       |        CAST(SUM(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_p,
+       |        CAST(SUM(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_c,
+       |        CAST(SUM(p) OVER () AS BIGINT) AS tot_p
+       |      FROM g)
+       |SELECT s AS threshold, cum_p AS tp, cum_c - cum_p AS fp,
+       |  CAST(CAST(cum_p AS HUGEINT) * 1000000 // cum_c AS BIGINT) AS precision_micro,
+       |  CAST(CAST(cum_p AS HUGEINT) * 1000000 // greatest(tot_p, 1) AS BIGINT) AS recall_micro
+       |FROM r ORDER BY threshold DESC""".stripMargin
+
   // ------------------------------------------------------ confusion matrix
 
   /** EXT: confusion matrix + derived metrics at the model's natural
@@ -572,6 +616,7 @@ object Ml extends QueryModule {
     "ml_logreg_gd"   -> (mlLogregGd _),
     "ml_sweep"       -> (mlSweep _),
     "ml_auc"         -> (mlAuc _),
+    "ml_pr_curve"    -> (mlPrCurve _),
     "ml_confusion"   -> (mlConfusion _),
     "ml_calibration" -> (mlCalibration _),
     "ml_lift"        -> (mlLift _),
@@ -582,6 +627,7 @@ object Ml extends QueryModule {
     "ml_logreg_gd"   -> logregOracle,
     "ml_sweep"       -> sweepOracle,
     "ml_auc"         -> aucOracle,
+    "ml_pr_curve"    -> prCurveOracle,
     "ml_confusion"   -> confusionOracle,
     "ml_calibration" -> calibrationOracle,
     "ml_lift"        -> liftOracle,

@@ -32,6 +32,20 @@ class MlSpec extends SparkSpec {
     assert((r.getLong(2), r.getLong(3)) === ((7L, 875000L)))
   }
 
+  test("PR curve matches the hand-derived thresholds") {
+    // scores 3,2,2,1 with labels 1,1,0,0:
+    //  t=3: tp=1 fp=0 -> P=1.0      R=0.5
+    //  t=2: tp=2 fp=1 -> P=0.666666 R=1.0
+    //  t=1: tp=2 fp=2 -> P=0.5      R=1.0
+    val rows = Ml.prCurveOf(scoredDf(
+      (1L, 3L, 1L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 1L, 0L))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (3L, 1L, 0L, 1000000L, 500000L),
+      (2L, 2L, 1L, 666666L, 1000000L),
+      (1L, 2L, 2L, 500000L, 1000000L)))
+  }
+
   test("lift deciles match the hand-derived gains table") {
     // 10 docs, distinct scores 10..1, positives at ranks 1-3: decile d
     // holds exactly rank d+1.
