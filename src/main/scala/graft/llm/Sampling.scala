@@ -551,9 +551,10 @@ object Sampling extends QueryModule {
           |    COALESCE(MAX(CASE WHEN flag THEN s END) OVER (), 0) AS s_star
           |  FROM flagged
           |)
-          |SELECT lang, n_tokens, capacity, (k <= k_star) AS capped,
-          |  CASE WHEN k <= k_star THEN capacity
-          |       ELSE (budget - s_star) // (l_count - k_star) END AS alloc_tokens,
+          |SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(capacity AS BIGINT) AS capacity, (k <= k_star) AS capped,
+          |  CAST(CASE WHEN k <= k_star THEN capacity
+          |       ELSE (budget - s_star) // (l_count - k_star) END AS BIGINT) AS alloc_tokens,
           |  ROUND((CASE WHEN k <= k_star THEN capacity
           |              ELSE (budget - s_star) // (l_count - k_star) END)::DOUBLE
           |        / n_tokens, 6) AS epochs

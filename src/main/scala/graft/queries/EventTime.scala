@@ -1206,7 +1206,8 @@ object EventTime extends QueryModule {
         |ORDER BY r.w_end""".stripMargin,
     "evt_hod_dow" ->
       """WITH grid AS (
-        |  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, COUNT(*) AS n
+        |  SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+        |    CAST(hour(ts) AS INTEGER) AS hod, COUNT(*) AS n
         |  FROM events GROUP BY event_type, dow, hod
         |)
         |SELECT event_type, dow, hod, n,
@@ -1512,7 +1513,7 @@ object EventTime extends QueryModule {
         |            AND CURRENT ROW) AS dead
         |  FROM w
         |)
-        |SELECT t AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+        |SELECT CAST(t AS INTEGER) AS t_days, CAST(n_at_risk AS BIGINT) AS n_at_risk,
         |  CAST(n_deaths AS BIGINT) AS n_deaths,
         |  CAST(n_censored AS BIGINT) AS n_censored,
         |  CASE WHEN dead = 1 THEN NULL

@@ -280,7 +280,7 @@ object Sketches extends QueryModule {
        |  SELECT quantile_cont(p, 0.5) AS x50, quantile_cont(p, 0.9) AS x90,
        |         quantile_cont(p, 0.99) AS x99
        |  FROM li
-       |), qq AS (SELECT unnest([0.5, 0.9, 0.99]) AS q),
+       |), qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
        |t AS (
        |  SELECT q, n_rows, bin, c, cum, cum_prev,
        |    CAST(ceil(q * n_rows) AS BIGINT) AS target

@@ -28,6 +28,26 @@ def norm(v):
     return v
 
 
+# Type pairs (spark_parquet_type, oracle_type) known NOT to trip the
+# driver's type-sensitive hash (both sides arrive as the same logical
+# value class after the driver's arrow read). Everything else — notably
+# HUGEINT/DECIMAL on the oracle side vs BIGINT/DOUBLE on the Spark side,
+# the exact drift that shipped mix_unimax red in round 5 — fails the gate.
+BENIGN_TYPE_PAIRS = set()
+
+
+def base_type(t):
+    """DuckDB type name stripped of parameters: DECIMAL(38,0) -> DECIMAL."""
+    return str(t).split("(")[0].strip().upper()
+
+
+def types_equivalent(got_t, exp_t):
+    g, e = base_type(got_t), base_type(exp_t)
+    if g == e:
+        return True
+    return (g, e) in BENIGN_TYPE_PAIRS
+
+
 def cells_equal(a, b):
     if a is None and b is None:
         return True, False
@@ -66,16 +86,21 @@ def main():
         if name not in result_dirs:
             results[name] = "MISSING no result dir (Verify failed?)"
     for name in result_dirs:
-        got_rel = con.execute(
+        # con.sql (not con.execute): the relation API exposes real DuckDB
+        # types (.types -> BIGINT/HUGEINT/DECIMAL...), where the DB-API
+        # cursor description collapses them all to 'NUMBER'.
+        got_rel = con.sql(
             f"SELECT * FROM '{os.path.join(out_dir, name)}/*.parquet'")
-        got_cols = [d[0] for d in got_rel.description]
+        got_cols = list(got_rel.columns)
+        got_types = [str(t) for t in got_rel.types]
         got = got_rel.fetchall()
         if name not in oracles:
             results[name] = f"NO-ORACLE rows={len(got)}"
             continue
         try:
-            exp_rel = con.execute(oracles[name])
-            exp_cols = [d[0] for d in exp_rel.description]
+            exp_rel = con.sql(oracles[name])
+            exp_cols = list(exp_rel.columns)
+            exp_types = [str(t) for t in exp_rel.types]
             exp = exp_rel.fetchall()
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR {str(e).splitlines()[0][:120]}"
@@ -83,6 +108,20 @@ def main():
         if sorted(got_cols) != sorted(exp_cols):
             results[name] = (f"SCHEMA-MISMATCH got={sorted(got_cols)} "
                              f"exp={sorted(exp_cols)}")
+            continue
+        # Type fidelity: the driver's hash is type-sensitive, so an oracle
+        # column whose DuckDB type differs from the Spark parquet column's
+        # (e.g. uncast SUM -> HUGEINT vs Spark BIGINT) is red at the driver
+        # even when every cell value matches. Catch it here.
+        got_tmap = dict(zip(got_cols, got_types))
+        exp_tmap = dict(zip(exp_cols, exp_types))
+        type_bad = [(c, got_tmap[c], exp_tmap[c]) for c in sorted(got_cols)
+                    if not types_equivalent(got_tmap[c], exp_tmap[c])]
+        if type_bad:
+            c, gt, et = type_bad[0]
+            results[name] = (f"TYPE-MISMATCH col={c} spark={gt} oracle={et}"
+                             + (f" (+{len(type_bad)-1} more)"
+                                if len(type_bad) > 1 else ""))
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT-MISMATCH got={len(got)} exp={len(exp)}"
