@@ -105,7 +105,7 @@ object ScaleProbe {
       println(f"""{"probe":"$name","nodes":$nodes,"edges":$nEdges,""" +
         f""""rounds":${ConnectedComponents.lastRounds.get()},""" +
         f""""contract_sec":$sec%.1f,"label_sec":$labelSec%.1f,"labeled":$nLabeled}""")
-      handle.unpersist()
+      handle.release()
     }
 
     // claim 1: round count independent of shape and diameter
@@ -127,7 +127,7 @@ object ScaleProbe {
       val (warmLabels, warmHandle) =
         ConnectedComponents.componentsManaged(blockCorpus(spark, 10000L))
       val (wp, wpRdd, _) = PlanBridge.cutLineage(warmLabels)
-      warmHandle.unpersist() // the warm-up must not leave its own residue
+      warmHandle.release() // the warm-up must not leave its own residue
       val (wf, wfH) = ConnectedComponents.incrementalComponentsManaged(
         wp, bridgeBatch(spark, 10))
       wf.count(); wfH.unpersist(); wpRdd.unpersist()
@@ -140,7 +140,7 @@ object ScaleProbe {
       // standing labeling materialized (the steady state a daily pipeline
       // holds); the timed fold still pays its own linear cut of it
       val (p, pRdd, nPrior) = PlanBridge.cutLineage(prior)
-      priorHandle.unpersist()
+      priorHandle.release()
       // min-of-3: this box shows intermittent multi-x slowdowns (observed
       // 14 s -> 126 s on an identical fold), so one-shot walls are noise
       val foldSec = (1 to 3).map { _ =>

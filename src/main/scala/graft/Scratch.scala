@@ -44,7 +44,7 @@ object Scratch {
           val (p, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(prior)
           // unpersist each run's fold cuts: min-of-3 must not time run 3
           // under two earlier runs' pinned labelings
-          () => { val (df, h) = fold(p); val n = df.count(); h.unpersist(); n }
+          () => { val (df, h) = fold(p); val n = df.count(); h.release(); n }
         } else {
           () => SparkEntry.queries(name)(spark, sfDir).count()
         }

@@ -56,6 +56,13 @@ object VectorExpressions {
     */
   def token_pairs(state: Column): Column = VectorBridge.tokenPairs(state)
 
+  /** Adjacent space-separated word pairs of a raw text column in one byte
+    * scan — bit-identical to the split(text, " ")/transform/element_at
+    * chain it replaces (see org.apache.spark.sql.graft.WordPairs); fewer
+    * than two words yields an empty array (the size filter, absorbed).
+    */
+  def word_pairs(text: Column): Column = VectorBridge.wordPairs(text)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

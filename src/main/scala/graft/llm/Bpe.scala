@@ -162,11 +162,33 @@ object Bpe extends QueryModule {
   private val mergeMemo =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
 
+  /** Cheap corpus fingerprint (file count : max mtime : total bytes) so the
+    * memo invalidates when the files at a reused path are regenerated
+    * in-place within one JVM lifetime — without it, a rewritten corpus
+    * would silently serve a model trained on the old data while the
+    * oracle reads the new files.
+    */
+  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L; var maxM = 0L; var sz = 0L
+      while (it.hasNext) {
+        val f = it.next(); n += 1
+        maxM = math.max(maxM, f.getModificationTime); sz += f.getLen
+      }
+      s"$n:$maxM:$sz"
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+  }
+
   private def trainedMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] =
-    mergeMemo.getOrElseUpdate(sfDir, train(corpus(spark, sfDir), Rounds)._1)
+    mergeMemo.getOrElseUpdate(s"$sfDir@${corpusFingerprint(spark, sfDir)}",
+      train(corpus(spark, sfDir), Rounds)._1)
 
   private def trainedWordMerges(spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] =
-    mergeMemo.getOrElseUpdate(sfDir + "#words", train(corpusWords(spark, sfDir), Rounds)._1)
+    mergeMemo.getOrElseUpdate(s"$sfDir#words@${corpusFingerprint(spark, sfDir)}",
+      train(corpusWords(spark, sfDir), Rounds)._1)
 
   /** EXT: the learned merge table — (round, pair, corpus count at merge
     * time). This IS the tokenizer model a 100-TB curation run ships.

@@ -185,12 +185,13 @@ object Relevance extends QueryModule {
     val tok = tokens(spark, sfDir)
     val uni = tok.groupBy("word").agg(count(lit(1)).as("uc"))
     val totU = uni.agg(sum(col("uc")).cast("long").as("tu"))
+    // Bigrams via the native adjacent-pairs byte scan (one fused pass;
+    // bit-identical to the split/transform/element_at chain it replaced —
+    // TokenPairsSpec pins the equality; fewer than two words yields an
+    // empty array, absorbing the old size(w) >= 2 filter).
     val bi = docs
-      .withColumn("w", words(col("text")))
-      .filter(size(col("w")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS wa, element_at(w, i + 1) AS wb))")).as("p"))
-      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      .select(explode(graft.functions.VectorExpressions.word_pairs(col("text"))).as("p"))
+      .select(col("p.a").as("wa"), col("p.b").as("wb"))
     val totB = bi.agg(count(lit(1)).as("tb"))
     val bc = bi.groupBy("wa", "wb").agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= PmiMinCount)

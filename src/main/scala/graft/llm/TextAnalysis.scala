@@ -433,11 +433,13 @@ object TextAnalysis extends QueryModule {
     */
   def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val bigrams = docs.withColumn("w", words(col("text")))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(w) - 1), " +
-          "i -> struct(element_at(w, i) AS v, element_at(w, i + 1) AS wn))")).as("b"))
-      .select(col("doc_id"), col("b.v").as("v"), col("b.wn").as("wn"))
+    // Native adjacent-pairs byte scan (TokenPairsSpec pins equality with
+    // the split/transform/element_at chain it replaced on ≥2-word docs;
+    // corpus min doc length is 10 words).
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions.word_pairs(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.a").as("v"), col("b.b").as("wn"))
     val bgCounts = bigrams.groupBy("v", "wn").agg(count(lit(1)).as("cbg"))
     val ctxCounts = bigrams.groupBy("v").agg(count(lit(1)).as("cv"))
     val vsz = docs.select(explode(words(col("text"))).as("w"))

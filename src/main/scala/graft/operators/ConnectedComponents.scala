@@ -53,17 +53,25 @@ object ConnectedComponents {
   /** The persisted blocks backing a returned labeling. A one-shot query
     * can ignore it (the ContextCleaner reclaims blocks once the frame is
     * unreferenced), but an ITERATIVE deployment — a streaming fold
-    * absorbing batch after batch — must `unpersist()` each superseded
+    * absorbing batch after batch — must `release()` each superseded
     * labeling explicitly, or every fold pins a full-corpus labeling copy
     * in the block manager until a driver GC happens to run (the same
     * discipline as the per-round `eRdd.unpersist` inside the loop).
-    * Releasing also deletes the cut's reliable-checkpoint files (see
-    * PlanBridge.releaseCut) — call it only once the labeling is truly
-    * superseded; the frame must not be read afterward.
     */
   final class LabelingHandle private[operators] (
       private[operators] val rdds: Seq[org.apache.spark.rdd.RDD[_]]) {
-    def unpersist(): Unit =
+    /** Unpin the blocks only. Safe even if the frame is read again — it
+      * recomputes from the reliable checkpoint (if one was written) or
+      * re-materializes; nothing is deleted.
+      */
+    def unpersist(): Unit = rdds.foreach(_.unpersist(blocking = false))
+
+    /** DESTRUCTIVE: unpersist AND delete the cut's reliable-checkpoint
+      * files (PlanBridge.releaseCut). Call only once the labeling is
+      * truly superseded — the frame must never be read afterward; on a
+      * cluster with a checkpoint dir, a later read fails at runtime.
+      */
+    def release(): Unit =
       rdds.foreach(org.apache.spark.sql.graft.PlanBridge.releaseCut)
   }
 

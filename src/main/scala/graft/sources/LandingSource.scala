@@ -386,7 +386,12 @@ object LandingLedger {
     */
   private final class RootCache {
     val dirs = scala.collection.concurrent.TrieMap.empty[Path, DirEntry]
-    @volatile var lastSeen = 0L
+    // Born "seen": a freshly inserted root must not look ancient to a
+    // concurrent eviction scan in the window between getOrElseUpdate and
+    // the caller's lastSeen refresh (check-then-act race — the scan would
+    // remove the instance the caller is about to populate, losing its
+    // directory-cache updates and forcing a cold re-list next trigger).
+    @volatile var lastSeen = System.currentTimeMillis()
   }
 
   private val roots = scala.collection.concurrent.TrieMap.empty[Path, RootCache]
@@ -401,7 +406,10 @@ object LandingLedger {
     * cache exists to avoid (review-caught starvation). 30 min is far
     * past any trigger interval a landing stream runs at, while an
     * evicted root only pays one cold full list. Test hook: specs shrink
-    * the horizon rather than waiting it out.
+    * the horizon rather than waiting it out. It stays an object-level
+    * var (not per-stream config) because the cache itself is
+    * process-global — a per-instance horizon could not govern eviction
+    * of roots other streams own.
     */
   @volatile private[sources] var evictAfterMs: Long = 30L * 60 * 1000
 
@@ -431,7 +439,12 @@ object LandingLedger {
     // entries for any realistic process — so paying it per call keeps
     // eviction prompt without a timer thread.
     roots.foreach { case (r, rc) =>
-      if (now - rc.lastSeen > evictAfterMs) roots.remove(r)
+      val staleAtScan = now - rc.lastSeen > evictAfterMs
+      // Re-read lastSeen (volatile) at remove time — a concurrent drain
+      // that just touched this root refreshes it between the scan's read
+      // and the remove — and remove only the exact instance we judged:
+      // remove(k, v) never deletes a replacement another thread inserted.
+      if (staleAtScan && now - rc.lastSeen > evictAfterMs) roots.remove(r, rc)
     }
     if (!Files.exists(root)) {
       // A DELETED root never enters visit() (nothing to walk), so the

@@ -73,7 +73,7 @@ object PlanBridge {
       try {
         val p = new org.apache.hadoop.fs.Path(dir)
         p.getFileSystem(rdd.sparkContext.hadoopConfiguration).delete(p, true)
-      } catch { case _: java.io.IOException => () }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     rdd.unpersist(blocking = false)
   }

@@ -36,6 +36,55 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TokenPairs {
   private val Pipe: Byte = '|'
+  private val Space: Byte = ' '
+
+  /** (tok_i, tok_i+1) structs from resolved token boundaries — shared
+    * tail of both kernels. Token slices alias the input buffer.
+    */
+  private def pairsFrom(bytes: Array[Byte], starts: Array[Int],
+                        ends: Array[Int], n: Int): GenericArrayData = {
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      toks(i) = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
+      i += 1
+    }
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = new GenericInternalRow(Array[Any](toks(i), toks(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Adjacent word pairs of a SPACE-separated text in one byte scan —
+    * bit-identical to `explode(transform(sequence(1, size(w)-1),
+    * i -> struct(element_at(w,i), element_at(w,i+1))))` over
+    * `w = split(text, " ")`, including Java split's limit=-1 semantics
+    * (empty tokens from doubled/leading/trailing spaces are KEPT; empty
+    * input yields the single empty token). UTF-8 continuation bytes are
+    * ≥ 0x80, so cutting on the ASCII space byte is exact on any input.
+    * Fewer than two tokens yields an empty array — the builtin path's
+    * `size(w) >= 2` filter, absorbed.
+    */
+  def wordPairs(text: UTF8String): GenericArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val cap = len + 1 // all-spaces worst case: len+1 (empty) tokens
+    val starts = new Array[Int](cap)
+    val ends = new Array[Int](cap)
+    var n = 0
+    var start = 0
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == Space) { starts(n) = start; ends(n) = i; n += 1; start = i + 1 }
+      i += 1
+    }
+    starts(n) = start; ends(n) = len; n += 1
+    pairsFrom(bytes, starts, ends, n)
+  }
 
   /** Core kernel; also called from generated code. */
   def tokenPairs(state: UTF8String): GenericArrayData = {
@@ -60,25 +109,14 @@ object TokenPairs {
       } else i += 1
     }
     starts(n) = start; ends(n) = inner; n += 1
-    if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val toks = new Array[UTF8String](n)
-    i = 0
-    while (i < n) {
-      toks(i) = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
-      i += 1
-    }
-    val out = new Array[Any](n - 1)
-    i = 0
-    while (i < n - 1) {
-      out(i) = new GenericInternalRow(Array[Any](toks(i), toks(i + 1)))
-      i += 1
-    }
-    new GenericArrayData(out)
+    pairsFrom(bytes, starts, ends, n)
   }
 }
 
-case class TokenPairs(child: Expression)
-  extends UnaryExpression with ImplicitCastInputTypes {
+/** Shared shape of the adjacent-pairs expressions: array<struct<a,b>> of
+  * non-null strings, null iff the input string is null.
+  */
+sealed trait AdjacentPairsExpression extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -86,6 +124,9 @@ case class TokenPairs(child: Expression)
       StructField("b", StringType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = child.nullable
+}
+
+case class TokenPairs(child: Expression) extends AdjacentPairsExpression {
   override def prettyName: String = "graft_token_pairs"
 
   override def nullSafeEval(s: Any): Any =
@@ -94,6 +135,25 @@ case class TokenPairs(child: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graft.TokenPairs.tokenPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Adjacent space-separated word pairs of a raw text column — the
+  * collocations/bigram hot path fused into one byte scan (see
+  * TokenPairs.wordPairs for the exact-equivalence contract with the
+  * split/transform/element_at builtin chain it replaces).
+  */
+case class WordPairs(child: Expression) extends AdjacentPairsExpression {
+  override def prettyName: String = "graft_word_pairs"
+
+  override def nullSafeEval(s: Any): Any =
+    TokenPairs.wordPairs(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenPairs.wordPairs($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

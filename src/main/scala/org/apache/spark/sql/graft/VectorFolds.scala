@@ -305,6 +305,9 @@ object VectorBridge {
   def tokenPairs(state: Column): Column =
     ExpressionUtils.column(TokenPairs(ExpressionUtils.expression(state)))
 
+  def wordPairs(text: Column): Column =
+    ExpressionUtils.column(WordPairs(ExpressionUtils.expression(text)))
+
   /** Integral division (SQL `div`) — exact on longs, unlike `/` which
     * routes through double. The Column API exposes no wrapper for
     * catalyst's `IntegralDivide`, so it is bridged here.

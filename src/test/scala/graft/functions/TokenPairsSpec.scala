@@ -39,6 +39,42 @@ class TokenPairsSpec extends SparkSpec {
     assert(nativePairs(states).nonEmpty)
   }
 
+  private def builtinWordPairs(df: DataFrame): Seq[(String, String, Long)] =
+    df.select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p"))
+      .groupBy("p.a", "p.b").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+
+  private def nativeWordPairs(df: DataFrame): Seq[(String, String, Long)] =
+    df.select(explode(VectorExpressions.word_pairs(col("text"))).as("p"))
+      .groupBy("p.a", "p.b").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+
+  test("word_pairs native == builtin on crafted edge texts") {
+    val texts = Seq(
+      "a b",            // minimal pair
+      "word",           // single word -> no pairs
+      "",               // empty -> split yields [""] -> no pairs
+      "a  b",           // doubled space: empty token KEPT (limit=-1)
+      " a b ",          // leading/trailing space: empty edge tokens kept
+      "a a a a",        // run: overlapping adjacencies all counted
+      "héllo wörld déjà", // multi-byte UTF-8 never contains 0x20
+      "x y z x y")      // repeats across positions
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("doc_id", "text")
+    assert(nativeWordPairs(texts) === builtinWordPairs(texts))
+    assert(nativeWordPairs(texts).nonEmpty)
+  }
+
+  test("word_pairs native == builtin on the real corpus") {
+    val docs = graft.Tables.documents(spark, sf0001).select("doc_id", "text")
+    assert(nativeWordPairs(docs) === builtinWordPairs(docs))
+    assert(nativeWordPairs(docs).nonEmpty)
+  }
+
   test("native == builtin on both corpus tokenizations after merges") {
     val docs = graft.Tables.documents(spark, sf0001)
     for (base <- Seq(

@@ -185,7 +185,7 @@ class EndToEndSpec extends SparkSpec {
             val (next, nextHandle) =
               if (labeling == null) ConnectedComponents.componentsManaged(edges)
               else ConnectedComponents.incrementalComponentsManaged(labeling, edges)
-            if (handle != null) handle.unpersist()
+            if (handle != null) handle.release()
             if (indexRdd != null) indexRdd.unpersist(false)
             index = newIndex; indexRdd = newIndexRdd
             labeling = next; handle = nextHandle

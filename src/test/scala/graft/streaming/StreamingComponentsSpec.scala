@@ -51,7 +51,7 @@ class StreamingComponentsSpec extends SparkSpec {
         // returning, so the SUPERSEDED labeling's blocks are dead now —
         // unpersist them instead of letting each fold pin a full-corpus
         // labeling copy in the block manager until a driver GC
-        if (handle != null) handle.unpersist()
+        if (handle != null) handle.release()
         labeling = next
         handle = nextHandle
         folds += 1
