@@ -46,23 +46,40 @@ object Bench {
     // timed query doesn't absorb session startup.
     spark.range(1000000).selectExpr("id % 97 AS k", "id AS v")
       .groupBy("k").count().count()
-    // Steady-state timing: two runs per query, report the min — ambient
-    // load on a shared box swings single-shot numbers by ±15%.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t1 = once()
-      name -> math.min(t1, once())
+    // Steady-state timing, structured against the box's ambient noise:
+    //  - TWO FULL PASSES (not two back-to-back runs per query): adjacent
+    //    runs share whatever transient poisoned them — r5's artifact had
+    //    14× spread on unchanged queries from exactly that; a full-pass
+    //    gap puts minutes between a query's two samples, so a spike
+    //    lands in at most one. Pass 1 doubles as the per-query warmup
+    //    (page cache, codegen); the min is the recorded value.
+    //  - a THIRD sample only where the two passes still disagree >2×
+    //    (plus 0.2 s absolute slack so millisecond queries don't
+    //    trigger): targeted, so the resample cost is bounded by the
+    //    unstable tail instead of doubling the whole bench.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val queries = SparkEntry.queries
+    val pass1 = queries.map { case (name, fn) => name -> once(fn) }
+    val pass2 = queries.map { case (name, fn) => name -> once(fn) }
+    var resampled = 0
+    val results = queries.map { case (name, fn) =>
+      val (a, b) = (pass1(name), pass2(name))
+      val m = math.min(a, b)
+      val v = if (math.max(a, b) > 2 * m + 0.2) {
+        resampled += 1; math.min(m, once(fn))
+      } else m
+      name -> v
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     def fmt(v: Double): String = f"$v%.2f"
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load_start":${fmt(startLoad)},"load_end":${fmt(loadAvg())},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load_start":${fmt(startLoad)},"load_end":${fmt(loadAvg())},"resampled":$resampled,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Slowest-first breakdown, dropped one-at-a-time until the line fits.
     var shown = results.toSeq.sortBy(-_._2)

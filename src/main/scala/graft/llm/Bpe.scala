@@ -24,10 +24,11 @@ import org.apache.spark.sql.functions._
   * embedded as a LITERAL in the next round's merge expression, so the
   * round-r corpus state is a chain of r codegen'd `replace` calls over the
   * scan — no intermediate corpus materialization, no broadcast-plan
-  * nesting. At real corpus scale (k in the tens of thousands) you would
-  * checkpoint the state every few hundred merges and train on a
-  * `sample_hash`-gated corpus slice, exactly like production tokenizer
-  * trainers; the per-round plan is unchanged by either.
+  * nesting. At real corpus scale (k in the tens of thousands) checkpoint
+  * the state every few hundred merges — wired: `trainCheckpointed`'s
+  * cadence cuts the replace chain through PlanBridge.cutLineage — and
+  * train on a `sample_hash`-gated corpus slice, exactly like production
+  * tokenizer trainers; the per-round plan is unchanged by either.
   *
   * EXACT-GREEDY-BY-REPLACE representation: the corpus state wraps every
   * token in pipes — `|t1||t2||t3|` — so merging pair (a,b) is the plain
@@ -130,13 +131,33 @@ object Bpe extends QueryModule {
     * countermeasure).
     */
   def train(docs: DataFrame, k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (merges, state, _) = trainCheckpointed(docs, k, checkpointEvery = 0)
+    (merges, state)
+  }
+
+  /** `train` with an explicit checkpoint cadence — the k≈10⁴-merge shape,
+    * executable. Every `checkpointEvery` merges the state's replace chain
+    * is cut via PlanBridge.cutLineage (materialized blocks + a RELIABLE
+    * checkpoint when the session has a checkpoint dir — executor loss
+    * mid-training then recovers the cut instead of killing the job), so
+    * the per-round plan stays O(checkpointEvery) chained replaces instead
+    * of O(r) — at tens of thousands of merges an uncut chain would drown
+    * analysis/codegen long before the data became the cost. Superseded
+    * cuts are released as soon as the next cut lands (same discipline as
+    * the CC loop's per-round eRdd release); the LAST cut may back the
+    * returned state, so its release is handed to the caller as the third
+    * element — call it once the state frame is no longer needed.
+    * `checkpointEvery = 0` disables cutting (the registered k=6 queries).
+    */
+  def trainCheckpointed(docs: DataFrame, k: Int, checkpointEvery: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame, () => Unit) = {
     // The initial tokenization (two corpus-wide regexes) is computed once
-    // and pinned; every round's state is then r cheap literal `replace`s
-    // over the cached strings, never a regex recompute. At real corpus
-    // scale swap persist for a checkpoint every few hundred merges — the
-    // per-round plan is unchanged.
+    // and pinned; every round's state is then cheap literal `replace`s
+    // over the cached strings, never a regex recompute.
     val base = docs.persist()
     var state = base
+    var lastCut: org.apache.spark.rdd.RDD[_] = null
+    var sinceCut = 0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (r <- 1 to k) {
       val best = pairCounts(state)
@@ -147,10 +168,22 @@ object Bpe extends QueryModule {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r, a, b, c))
         state = applyMerges(state, Seq((r, a, b, c)))
+        sinceCut += 1
+        if (checkpointEvery > 0 && sinceCut >= checkpointEvery && r < k) {
+          val (cutDf, cutRdd, _) =
+            org.apache.spark.sql.graft.PlanBridge.cutLineage(state)
+          if (lastCut != null)
+            org.apache.spark.sql.graft.PlanBridge.releaseCut(lastCut)
+          state = cutDf; lastCut = cutRdd; sinceCut = 0
+        }
       }
     }
     base.unpersist(blocking = false)
-    (merges.result(), state)
+    val finalCut = lastCut
+    val release: () => Unit = () =>
+      if (finalCut != null)
+        org.apache.spark.sql.graft.PlanBridge.releaseCut(finalCut)
+    (merges.result(), state, release)
   }
 
   /** Learned merge tables per corpus — the model-registry memo: training

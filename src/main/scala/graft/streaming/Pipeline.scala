@@ -45,6 +45,16 @@ object Pipeline {
     *   the Spark form of the reference's per-object
     *   `pipeline-output-bucket` metadata hint with env-default fallback
     *   (`lambda/handler.ts:28-30,46-48`). Default: constant root.
+    * @param maxFilesPerTrigger admission control, ON BY DEFAULT: a drain
+    *   over a large backlog (first run on a populated zone, recovery
+    *   after downtime) processes at most this many objects per
+    *   micro-batch instead of one giant all-or-nothing batch — bounded
+    *   memory/retry units, exactly-once across batches via the
+    *   checkpoint. The reference-parity entry point must not need the
+    *   caller to know the option spelling to be recovery-storm safe.
+    * @param maxBytesPerTrigger byte-bounded admission instead (the right
+    *   bound when object sizes vary wildly); Spark's file source forbids
+    *   combining the two, so when set it REPLACES the file bound.
     */
   def run(
       spark: SparkSession,
@@ -52,14 +62,20 @@ object Pipeline {
       outputRoot: String,
       schema: StructType,
       checkpointDir: String,
-      resolveOutputRoot: Option[String => String] = None): StreamingQuery = {
+      resolveOutputRoot: Option[String => String] = None,
+      maxFilesPerTrigger: Int = 1000,
+      maxBytesPerTrigger: Option[Long] = None): StreamingQuery = {
 
     val resolve = resolveOutputRoot.getOrElse((_: String) => outputRoot)
-    val in = spark.readStream
+    val reader = spark.readStream
       .schema(schema.add(Ndjson.CorruptCol, "string"))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", Ndjson.CorruptCol)
-      .json(landingDir)
+    val admitted = maxBytesPerTrigger match {
+      case Some(b) => reader.option("maxBytesPerTrigger", b.toString)
+      case None    => reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    }
+    val in = admitted.json(landingDir)
       // P4 (lambda/handler.ts:37 `decodeURIComponent(record.s3.object.key)`):
       // input_file_name() returns the PERCENT-ENCODED URI, so the source key
       // must be decoded before the transformed/{key} routing rule sees it —

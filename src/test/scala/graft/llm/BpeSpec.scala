@@ -84,6 +84,35 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint cadence leaves the merge table bit-identical") {
+    // k=50 merges with a cut every 16 through PlanBridge.cutLineage under
+    // a RELIABLE checkpoint dir — the k≈10⁴ production shape, executable.
+    // The cadence must be invisible to the learned model.
+    val docs = graft.Tables.documents(spark, sf0001)
+    val (plain, _) = Bpe.train(Bpe.state0Of(docs), 50)
+    assert(plain.size === 50, "corpus must sustain 50 distinct merges")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-bpe-ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try {
+      val (cut, fin, release) =
+        Bpe.trainCheckpointed(Bpe.state0Of(docs), 50, checkpointEvery = 16)
+      assert(cut === plain)
+      // the returned state is readable off the last cut...
+      assert(fin.count() > 0)
+      val written = java.nio.file.Files.walk(ckptDir).iterator()
+      val hasRddData = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(written).asScala
+        .exists(_.getFileName.toString.startsWith("rdd-"))
+      assert(hasRddData, s"no reliable checkpoint data written under $ckptDir")
+      // ...and release() drops the final cut's blocks + checkpoint files
+      release()
+    } finally {
+      // a null dir resets SparkContext.checkpointDir to None — the shared
+      // session must not keep checkpointing for every later suite
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("cleaning strips non-letters and truncates before training") {
     // "A-B a!b" cleans to "abab"; digits-only doc is dropped by the
     // length>=2 filter.

@@ -63,6 +63,26 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.json(s"$rootB/transformed/b.json").count() === 1)
   }
 
+  test("backlog drain is admission-controlled into bounded micro-batches") {
+    // 5 objects with maxFilesPerTrigger=2 must drain as ceil(5/2)=3
+    // micro-batches (2+2+1), not one giant batch — the recovery-storm
+    // safety the façade now defaults to — and still produce every output
+    // exactly once.
+    val landing = tmp(); val out = tmp(); val ckpt = tmp()
+    (1 to 5).foreach { i =>
+      Files.writeString(java.nio.file.Paths.get(landing, s"f$i.json"),
+        s"""{"name":"n$i","id":$i}\n""")
+    }
+    val q = Pipeline.run(spark, landing, out, schema, ckpt,
+      maxFilesPerTrigger = 2)
+    q.awaitTermination()
+    val nonEmpty = q.recentProgress.count(_.numInputRows > 0)
+    assert(nonEmpty === 3, s"expected 3 bounded micro-batches, got $nonEmpty")
+    (1 to 5).foreach { i =>
+      assert(spark.read.json(s"$out/transformed/f$i.json").count() === 1)
+    }
+  }
+
   test("checkpoint gives exactly-once across drains: re-run processes nothing new") {
     val landing = tmp(); val out = tmp(); val ckpt = tmp()
     Files.writeString(java.nio.file.Paths.get(landing, "x.json"), "{\"name\":\"x\",\"id\":1}\n")
