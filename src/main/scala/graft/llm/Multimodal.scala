@@ -18,13 +18,18 @@ import org.apache.spark.sql.functions._
   *    every decoded pixel/sample equals the generating arithmetic, so the
   *    DuckDB oracle verifies the REAL decode output exactly (it mirrors
   *    the generator, not the codec).
+  *  - REAL CONTAINER (`mm_avi_decode`): video payloads as genuine
+  *    RIFF/AVI bytes with uncompressed DIB frames (AviContainer — a
+  *    hand-written pure-JVM writer/parser; a stock JRE has no video
+  *    codec, but the uncompressed container needs none), so frame count,
+  *    fps, duration, and every pixel come from actually parsing the
+  *    container.
   *  - The text-payload tier (`mediaTable` + the original mm_* queries):
   *    payload = UTF-8 document text; `decodePartition` derives
   *    deterministic width/height/duration from the payload's md5. This
-  *    remains for the VIDEO modality only by necessity — a stock JRE has
-  *    no video codec — and because its queries pin the metadata/planning
-  *    arithmetic (resize fits, frame sampling) at full dimension ranges
-  *    the tiny real rasters can't exercise.
+  *    remains because its queries pin the metadata/planning arithmetic
+  *    (resize fits, frame sampling) at full dimension ranges the tiny
+  *    real rasters/frames can't exercise.
   *
   * Everything around the codecs is the real production shape:
   *  - schema: (id, modality, payload binary, byte_len, content_md5)
@@ -302,6 +307,94 @@ object Multimodal extends QueryModule {
       .orderBy("id")
   }
 
+  // ------------------------------------------------ real AVI video tier
+
+  case class AviPayload(id: Long, payload: Array[Byte])
+  case class AviDecoded(
+      id: Long, n_frames: Long, width: Int, height: Int, fps: Int,
+      duration_ms: Long, px_sum: Long, px_check: Long)
+
+  /** Frozen AVI tier shape: 6×4 BGR frames at 25 fps. Width 6 makes the
+    * DIB stride 20 ≠ 18 raw bytes, so row padding (and the bottom-up row
+    * order) is genuinely exercised by every payload, not just declared.
+    */
+  private[llm] val AviW = 6
+  private[llm] val AviH = 4
+  private[llm] val AviUsPerFrame = 40000L // 25 fps
+  private[llm] def aviFrameCount(id: Long): Int = (2 + id % 5).toInt
+  private[llm] def aviPixel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    ((id * 7 + f * 31 + y * 13 + x * 5 + c * 11) % 256).toInt
+
+  /** ENCODE pass: genuine RIFF/AVI bytes (uncompressed DIB frames) from
+    * the deterministic per-id raster — the same generate-then-really-
+    * encode shape as the PNG/WAV tiers, batched per partition.
+    */
+  private def encodeAviPartition(ids: Iterator[Long]): Iterator[AviPayload] =
+    ids.map { id =>
+      val nf = aviFrameCount(id)
+      val frames = Array.tabulate(nf) { f =>
+        val bytes = new Array[Byte](AviW * AviH * 3)
+        var i = 0
+        var y = 0
+        while (y < AviH) {
+          var x = 0
+          while (x < AviW) {
+            var c = 0
+            while (c < 3) {
+              bytes(i) = aviPixel(id, f, x, y, c).toByte; i += 1; c += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        bytes
+      }
+      AviPayload(id, AviContainer.encode(AviW, AviH, AviUsPerFrame, frames))
+    }
+
+  /** REAL DECODE pass: parse the AVI container (AviContainer.decode walks
+    * the RIFF tree, cross-checks avih/strh/movi frame counts, undoes DIB
+    * stride padding and bottom-up row order) and extract features FROM
+    * THE DECODED FRAMES: duration from the container's µs/frame ×
+    * totalFrames — the value that was md5-synthetic through round 5 —
+    * plus an exact pixel sum and a position-weighted checksum that any
+    * row-order or padding mistake would break. The DuckDB oracle mirrors
+    * the generating arithmetic, so a hash match proves the container
+    * round-trip bit-exact.
+    */
+  private def decodeAviPartition(rows: Iterator[AviPayload]): Iterator[AviDecoded] =
+    rows.map { r =>
+      val v = AviContainer.decode(r.payload)
+      var pxSum = 0L
+      var pxCheck = 0L
+      var f = 0
+      while (f < v.nFrames) {
+        val frame = v.frames(f)
+        var i = 0
+        while (i < frame.length) {
+          val px = frame(i) & 0xff
+          pxSum += px
+          pxCheck += px.toLong * (f.toLong * frame.length + i + 1)
+          i += 1
+        }
+        f += 1
+      }
+      AviDecoded(r.id, v.nFrames.toLong, v.width, v.height, v.fps,
+        v.durationMs, pxSum, pxCheck)
+    }
+
+  /** Genuine-AVI decode over the corpus's video rows. */
+  def mmAviDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 2) // the 'video' rows of mediaTable
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(encodeAviPartition _)
+      .mapPartitions(decodeAviPartition _)
+      .toDF()
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------- oracle queries
 
   /** Metadata pass over binary payloads — the non-stub subset (byte length,
@@ -527,6 +620,7 @@ object Multimodal extends QueryModule {
     "mm_png_decode" -> (mmPngDecode _),
     "mm_png_resize" -> (mmPngResize _),
     "mm_wav_decode" -> (mmWavDecode _),
+    "mm_avi_decode" -> (mmAviDecode _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -710,6 +804,26 @@ object Multimodal extends QueryModule {
         |  CAST(list_sum(amp) AS BIGINT) AS sum_abs,
         |  CAST(list_aggregate(amp, 'max') AS INTEGER) AS peak
         |FROM s ORDER BY id""".stripMargin,
+    // mm_avi_decode: mirrors the GENERATING raster arithmetic — the Spark
+    // side must reproduce it through a real AVI encode → container parse
+    // round-trip (stride padding + bottom-up rows undone), so a hash
+    // match proves the container handling bit-exact. Global pixel index
+    // i = f*72 + (y*6 + x)*3 + c over 6×4 BGR frames.
+    "mm_avi_decode" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, 2 + doc_id % 5 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2
+        |), px AS (
+        |  SELECT v.id, v.nf, i.i,
+        |    (v.id * 7 + (i.i // 72) * 31 + ((i.i % 72) // 18) * 13
+        |     + ((i.i % 18) // 3) * 5 + (i.i % 3) * 11) % 256 AS val
+        |  FROM v JOIN range(0, 6 * 72) i(i) ON i.i < v.nf * 72
+        |)
+        |SELECT id, CAST(nf AS BIGINT) AS n_frames, 6 AS width, 4 AS height,
+        |  25 AS fps, CAST(nf * 40 AS BIGINT) AS duration_ms,
+        |  CAST(SUM(val) AS BIGINT) AS px_sum,
+        |  CAST(SUM(val * (i + 1)) AS BIGINT) AS px_check
+        |FROM px GROUP BY id, nf ORDER BY id""".stripMargin,
     "mm_frames_sql" ->
       """SELECT doc_id AS id,
         |  unnest(range(0, greatest(CAST(ceil((n_chars * 40)::DOUBLE / 5000) AS BIGINT), 1))) AS frame_no,
