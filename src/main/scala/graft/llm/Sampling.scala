@@ -263,6 +263,85 @@ object Sampling extends QueryModule {
 
   private val UniMaxEpochCap = 1
 
+  /** DoReMi iterations / learning rate / uniform-smoothing, frozen for the
+    * oracle. η = 0.5 enters as `excess_micro div 2`; smoothing mixes 10%
+    * uniform back in each round (the paper's c·u term).
+    */
+  private[graft] val DoremiRounds = 3
+
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining", 2305.10429, public
+    * literature): up-weight the domains a proxy scorer finds HARD (excess
+    * loss over the current mixture's expected loss), iterating
+    * multiplicative weights with uniform smoothing. Differences from the
+    * paper, chosen for a deterministic data-engine setting and documented
+    * as the contract: the proxy loss is the corpus-unigram-LM surprisal
+    * (the text_unigram_lm scorer — no neural proxy model re-trained per
+    * round), the reference loss is the CURRENT MIXTURE's α-weighted mean
+    * (Group-DRO's baseline, recomputed each round so iterations genuinely
+    * move), and Hedge's exp(ηλ) is linearized to (1 + ηλ) — the standard
+    * multiplicative-weights approximation — so every update is INTEGER
+    * arithmetic on micro-nat/ppm grids: bit-reproducible across engines,
+    * no cross-engine exp() contract needed.
+    *
+    * Scale shape: one vocab groupBy + one token→surprisal join + one doc
+    * groupBy + one domain groupBy — all map-side-combinable corpus passes
+    * — then T rounds of window arithmetic over the DOMAINS-sized frame
+    * (tens of rows; `boundedPartition` per the house window rule). The
+    * output α column is what a sampler (mix_temperature's gate) consumes.
+    */
+  def mixDoremi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).cast("double").as("tot"))
+    // per-token surprisal in integer micro-nats: the 6dp-rounded ln is the
+    // one float op both engines must agree on (text_unigram_lm contract);
+    // decimal×int keeps the micro-grid conversion exact
+    val micro = vocab.crossJoin(broadcast(total))
+      .select(col("w"),
+        (round(log(col("cnt") / col("tot")), 6).cast("decimal(12,6)")
+          * lit(-1000000)).cast("long").as("micro"))
+    val perDoc = toks.join(micro, "w")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_toks"), sum(col("micro")).as("sm"))
+      .select(col("source"), expr("sm div n_toks").as("doc_loss"))
+    val perSource = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_loss")).as("sl"))
+      .select(col("source"), col("n_docs"), expr("sl div n_docs").as("loss_micro"))
+    doremiIterate(perSource)
+      .select(col("source"), col("n_docs"), col("loss_micro"),
+        col("excess_micro"), col("alpha").as("alpha_ppm"))
+      .orderBy("source")
+  }
+
+  /** The MW rounds over a (source, n_docs, loss_micro) domain frame —
+    * separated so specs can pin the iteration against a hand-derived run
+    * on crafted domain stats (the mirror-oracle countermeasure).
+    */
+  private[graft] def doremiIterate(perSource: DataFrame): DataFrame = {
+    import graft.operators.BlockedRank.boundedPartition
+    val all = Window.partitionBy(boundedPartition(col("source")))
+    var dom = perSource
+      .withColumn("d_count", count(lit(1)).over(all))
+      .withColumn("alpha", expr("1000000 div d_count"))
+    for (_ <- 1 to DoremiRounds) {
+      dom = dom
+        .withColumn("refsum", sum(col("alpha") * col("loss_micro")).over(all))
+        .withColumn("excess_micro",
+          greatest(expr("loss_micro - refsum div 1000000"), lit(0L)))
+        .withColumn("wgt",
+          expr("(alpha * (1000000 + excess_micro div 2)) div 1000000"))
+        .withColumn("wsum", sum(col("wgt")).over(all))
+        .withColumn("alpha",
+          expr("(900000 * ((wgt * 1000000) div wsum)" +
+            " + 100000 * (1000000 div d_count)) div 1000000"))
+        .drop("refsum", "wgt", "wsum")
+    }
+    dom
+  }
+
   /** Class-balanced downsampling: every language keeps exactly the
     * smallest class's count, chosen by hash rank — the deterministic
     * "balance the training mix" op (no rand(), so membership is
@@ -385,6 +464,7 @@ object Sampling extends QueryModule {
     "mix_sources"     -> (mixSources _),
     "mix_temperature" -> (mixTemperature _),
     "mix_unimax"      -> (mixUnimax _),
+    "mix_doremi"      -> (mixDoremi _),
     "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
   )
@@ -532,6 +612,58 @@ object Sampling extends QueryModule {
            |FROM documents d JOIN rates r ON d.source = r.source
            |GROUP BY d.source, r.rate
            |ORDER BY d.source""".stripMargin,
+      // mix_doremi: integer micro-nat/ppm re-derivation of the 3 MW rounds,
+      // unrolled (two CTE steps per round: excess needs the α·L window sum,
+      // the update needs the w window sum — w is inlined twice rather than
+      // staged). SUM(BIGINT) is HUGEINT in DuckDB: exact, positive-operand
+      // // matches Spark div, and the final SELECT casts every column back
+      // to BIGINT for the type-sensitive driver hash.
+      "mix_doremi" -> {
+        val rounds = (1 to DoremiRounds).map { t =>
+          s"""r${t}a AS (
+             |  SELECT source, n_docs, loss_micro, d_count, alpha,
+             |    greatest(loss_micro
+             |      - (SUM(alpha * loss_micro) OVER ()) // 1000000, 0) AS excess
+             |  FROM r${t - 1}
+             |), r$t AS (
+             |  SELECT source, n_docs, loss_micro, d_count, excess,
+             |    (900000 * (((alpha * (1000000 + excess // 2)) // 1000000) * 1000000
+             |        // (SUM((alpha * (1000000 + excess // 2)) // 1000000) OVER ()))
+             |     + 100000 * (1000000 // d_count)) // 1000000 AS alpha
+             |  FROM r${t}a
+             |)""".stripMargin
+        }.mkString(", ")
+        s"""WITH toks AS (
+           |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+           |  FROM documents
+           |), vocab AS (
+           |  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+           |), total AS (
+           |  SELECT COUNT(*)::DOUBLE AS tot FROM toks
+           |), micro AS (
+           |  SELECT w, CAST(CAST(ROUND(ln(cnt / tot), 6) AS DECIMAL(12,6))
+           |    * -1000000 AS BIGINT) AS micro
+           |  FROM vocab CROSS JOIN total
+           |), per_doc AS (
+           |  SELECT t.doc_id, t.source, SUM(m.micro) // COUNT(*) AS doc_loss
+           |  FROM toks t JOIN micro m ON t.w = m.w
+           |  GROUP BY t.doc_id, t.source
+           |), dom AS (
+           |  SELECT source, COUNT(*) AS n_docs,
+           |    SUM(doc_loss) // COUNT(*) AS loss_micro
+           |  FROM per_doc GROUP BY source
+           |), r0 AS (
+           |  SELECT source, n_docs, loss_micro,
+           |    COUNT(*) OVER () AS d_count,
+           |    1000000 // COUNT(*) OVER () AS alpha
+           |  FROM dom
+           |), $rounds
+           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           |  CAST(loss_micro AS BIGINT) AS loss_micro,
+           |  CAST(excess AS BIGINT) AS excess_micro,
+           |  CAST(alpha AS BIGINT) AS alpha_ppm
+           |FROM r$DoremiRounds ORDER BY source""".stripMargin
+      },
       "mix_unimax" ->
         """WITH per_lang AS (
           |  SELECT lang, SUM(len(string_split(text, ' '))) AS n_tokens
