@@ -3,6 +3,7 @@ package graft.llm
 import graft.{QueryModule, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators (SURVEY §2.10 U1-U2 + north-star EXT tier):
@@ -349,6 +350,56 @@ object Dedup extends QueryModule {
     * (32 bits saturates on this shared-vocabulary corpus — 1k+ pairs at
     * hamming 0; 60 bits restores discriminative power.)
     */
+  /** Corpus-duplicated SPAN extraction — the remediation step of
+    * substring-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", 2107.06499, public literature): any
+    * repeated substring of ≥ k tokens necessarily repeats one of its
+    * sliding k-grams, so the duplicated REGIONS of every document are the
+    * merged intervals of its corpus-duplicated sliding 8-grams. The
+    * suffix-array machinery of the paper is a single-machine construct;
+    * the k-gram contract is its distributable equivalent at fixed k, and
+    * what it emits is the actionable output a masking/removal pass
+    * consumes: per doc, the merged word ranges to cut.
+    *
+    * Shape at scale: one fused n-gram pass (posexplode keeps positions),
+    * one gram-hash groupBy (map-side combined, compact longs), one join
+    * back, then per-doc interval merging — a doc_id-partitioned window
+    * (gaps-and-islands: island break when a span starts past the running
+    * max end + 1, adjacent spans merge), never anything cross-doc. The
+    * duplicated-position set is tiny relative to the corpus (only
+    * genuinely repeated mass survives the occ ≥ 2 filter), so the window
+    * stage is load-proportional to the duplication it reports.
+    */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSpansOf(Tables.documents(spark, sfDir))
+
+  /** Frame-level form — package-visible so crafted-corpus specs pin the
+    * interval algebra against hand-derived spans.
+    */
+  private[graft] def dedupSpansOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 8, distinct = false)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
+    val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+    val dup = grams.join(occ.filter(col("occ") >= 2), "g")
+      .select(col("doc_id"), col("s"), (col("s") + 7).as("e"))
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+      .orderBy("doc_id", "span_start")
+  }
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
@@ -479,6 +530,7 @@ object Dedup extends QueryModule {
     "dedup_containment"   -> (dedupContainment _),
     "dedup_blocks"        -> (dedupBlocks _),
     "text_source_novelty" -> (sourceNovelty _),
+    "text_dedup_spans"    -> (dedupSpans _),
   )
 
   override def oracles: Map[String, String] = {
@@ -549,6 +601,42 @@ object Dedup extends QueryModule {
           |    // COUNT(*) AS novelty_ppm
           |FROM b JOIN f ON b.bh = f.bh
           |GROUP BY b.source ORDER BY b.source""".stripMargin,
+      // text_dedup_spans: positions from the same sliding-8-gram contract
+      // as text_shared_spans (range is end-exclusive: i = 1..len-7), then
+      // gaps-and-islands interval merge per doc. s is produced as BIGINT
+      // on both sides; the Spark window's running SUM stays BIGINT while
+      // DuckDB's goes HUGEINT — island ids are internal, outputs cast.
+      "text_dedup_spans" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |), g AS (
+           |  SELECT doc_id, i AS s,
+           |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
+           |        FROM d)
+           |), occ AS (
+           |  SELECT g, COUNT(*) AS occ FROM g GROUP BY g
+           |), dup AS (
+           |  SELECT doc_id, s, s + 7 AS e
+           |  FROM g JOIN occ USING (g) WHERE occ.occ >= 2
+           |), brk AS (
+           |  SELECT doc_id, s, e,
+           |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+           |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           |      -1) + 1 THEN 1 ELSE 0 END AS brk
+           |  FROM dup
+           |), isl AS (
+           |  SELECT doc_id, s, e,
+           |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           |  FROM brk
+           |)
+           |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+           |  CAST(MAX(e) AS BIGINT) AS span_end,
+           |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_words
+           |FROM isl GROUP BY doc_id, island
+           |ORDER BY doc_id, span_start""".stripMargin,
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, COUNT(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

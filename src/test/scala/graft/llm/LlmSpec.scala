@@ -33,6 +33,39 @@ class DedupSpec extends SparkSpec {
     assert(byId(1L) !== byId(3L))
   }
 
+  test("dedup spans: hand-derived merged intervals on a crafted corpus") {
+    import spark.implicits._
+    // doc 1 repeats an 8-gram INSIDE itself at positions 1 and 12
+    //   -> two non-adjacent spans [1,8] and [12,19]
+    // docs 2 and 3 share a 9-word prefix -> their sliding grams at
+    //   positions 1 AND 2 are both duplicated -> overlap-merged [1,9]
+    // doc 4 shares nothing -> no rows
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z a b c d e f g h q"),
+      (2L, "m n o p q r s t u alpha beta gamma delta eps zeta"),
+      (3L, "m n o p q r s t u one two three four five six"),
+      (4L, "totally unrelated words that repeat nothing eightfold anywhere at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpansOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 1L, 8L, 8L), (1L, 12L, 19L, 8L),
+      (2L, 1L, 9L, 9L), (3L, 1L, 9L, 9L)))
+  }
+
+  test("dedup spans on the corpus: spans are disjoint, merged, and in-bounds") {
+    val rows = Dedup.dedupSpans(spark, sf0001).collect()
+    assert(rows.nonEmpty, "corpus should contain duplicated 8-grams")
+    rows.groupBy(_.getLong(0)).foreach { case (id, spans) =>
+      val sorted = spans.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      sorted.foreach { case (s, e) => assert(s >= 1 && e >= s + 7) }
+      // merged means consecutive spans have a gap of at least 2 words
+      sorted.zip(sorted.tail).foreach { case ((_, e1), (s2, _)) =>
+        assert(s2 > e1 + 1, s"doc $id: spans [$e1] and [$s2] should have merged")
+      }
+    }
+  }
+
   test("exact dedup keeps min doc_id per content hash") {
     import spark.implicits._
     val out = Seq((5L, "xx"), (2L, "xx"), (9L, "yy"))
