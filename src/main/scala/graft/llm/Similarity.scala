@@ -371,6 +371,55 @@ object Similarity extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** Simplified (centroid) silhouette — the clustering-quality report for
+    * the curation stack built on these cells (emb_kmeans, dedup_semantic,
+    * sim_ann_ivf): per point, a = cosine distance to its OWN centroid,
+    * b = distance to the nearest OTHER centroid, s = (b − a) / max(a, b).
+    * The classic silhouette's pairwise a/b is O(n²) and dies at corpus
+    * scale; the centroid form (standard "simplified silhouette") is
+    * O(n·k) — one broadcast crossJoin pass, the same topology as the
+    * assignment step itself. With nearest-centroid assignment a ≤ b by
+    * construction, so s ∈ [0, 1]: it reports the separation margin (0 =
+    * on the decision boundary; the degenerate b = 0 case scores 0, the
+    * house convention for silhouette's 0/0).
+    *
+    * Cross-engine exactness: both distances round onto the 6dp decimal
+    * grid (monotone, so rounding preserves a ≤ b), then s is one integral
+    * division on micro units — per-cluster means are integer arithmetic.
+    */
+  def embSilhouette(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val cents = emb.filter(col("vec_id") < NCentroids)
+      .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+    val byCos = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    // rank 1 = own centroid (max cos = min distance), rank 2 = nearest
+    // other — the cosine ranking IS the distance ranking reversed
+    val ab = emb.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("e"), col("cente")))
+      .withColumn("crn", row_number().over(byCos))
+      .filter(col("crn") <= 2)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("crn") === 1, col("cent_id"))).as("cluster"),
+        max(when(col("crn") === 1, col("ccos"))).as("cos_own"),
+        max(when(col("crn") === 2, col("ccos"))).as("cos_next"))
+      .select(col("vec_id"), col("cluster"),
+        (round(lit(1) - col("cos_own"), 6).cast("decimal(9,6)")
+          * lit(1000000)).cast("long").as("a_micro"),
+        (round(lit(1) - col("cos_next"), 6).cast("decimal(9,6)")
+          * lit(1000000)).cast("long").as("b_micro"))
+    ab
+      .withColumn("sil", when(col("b_micro") === 0, lit(0L))
+        .otherwise(expr("(b_micro - a_micro) * 1000000 div b_micro")))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(sil) div count(1)").as("mean_sil_ppm"),
+        min(col("sil")).as("min_sil_ppm"),
+        max(col("sil")).as("max_sil_ppm"))
+      .orderBy("cluster")
+  }
+
   def embStats(spark: SparkSession, sfDir: String): DataFrame = {
     embDouble(Tables.embeddings(spark, sfDir))
       .withColumn("nrm", normOf(col("e")))
@@ -777,6 +826,7 @@ object Similarity extends QueryModule {
     "emb_stats"       -> (embStats _),
     "emb_centroid"    -> (embCentroid _),
     "emb_kmeans"      -> (embKmeans _),
+    "emb_silhouette"  -> (embSilhouette _),
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
@@ -1046,6 +1096,40 @@ object Similarity extends QueryModule {
         |  FROM embeddings
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // emb_silhouette: same assignment algebra as emb_kmeans round 1, then
+    // the micro-grid silhouette. MAX(CASE WHEN crn=…) pivots the 2 ranked
+    // rows per vector; both distances pass through the 6dp decimal grid
+    // before the single integral division (positive operands: // == div).
+    "emb_silhouette" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), r AS (
+         |  SELECT e.vec_id, cents.cent_id, ${duckCos("e.v", "cents.cv")} AS ccos,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |  FROM e CROSS JOIN cents
+         |), ab AS (
+         |  SELECT vec_id,
+         |    MAX(CASE WHEN crn = 1 THEN cent_id END) AS cluster,
+         |    CAST(CAST(ROUND(1 - MAX(CASE WHEN crn = 1 THEN ccos END), 6)
+         |      AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS a_micro,
+         |    CAST(CAST(ROUND(1 - MAX(CASE WHEN crn = 2 THEN ccos END), 6)
+         |      AS DECIMAL(9,6)) * 1000000 AS BIGINT) AS b_micro
+         |  FROM r WHERE crn <= 2 GROUP BY vec_id
+         |), sil AS (
+         |  SELECT vec_id, cluster,
+         |    CASE WHEN b_micro = 0 THEN 0
+         |         ELSE (b_micro - a_micro) * 1000000 // b_micro END AS sil
+         |  FROM ab
+         |)
+         |SELECT cluster, COUNT(*) AS n_vecs,
+         |  CAST(SUM(sil) // COUNT(*) AS BIGINT) AS mean_sil_ppm,
+         |  CAST(MIN(sil) AS BIGINT) AS min_sil_ppm,
+         |  CAST(MAX(sil) AS BIGINT) AS max_sil_ppm
+         |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin,
     "emb_kmeans" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

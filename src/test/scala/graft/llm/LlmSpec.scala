@@ -99,6 +99,42 @@ class SimilaritySpec extends SparkSpec {
       assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length).toSeq)
     }
   }
+
+  test("centroid silhouette matches a driver-side brute-force mirror exactly") {
+    // independent recomputation with plain Scala doubles — same sequential
+    // fold order as the native cosine expression, so values (not just
+    // properties) must agree bit-for-bit after the shared 6dp grid
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def micro(c: Double): Long =
+      (BigDecimal(1 - c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact
+    val cents = embs.filter(_._1 < Similarity.NCentroids)
+    val per = embs.map { case (_, e) =>
+      val ranked = cents.map { case (cid, cv) => (cos(e, cv), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+      val (a, b) = (micro(ranked(0)._1), micro(ranked(1)._1))
+      val sil = if (b == 0) 0L else (b - a) * 1000000L / b
+      (ranked(0)._2, sil)
+    }
+    val expect = per.groupBy(_._1).map { case (cl, ss) =>
+      val sils = ss.map(_._2)
+      (cl, ss.length.toLong, sils.sum / sils.length, sils.min, sils.max)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.embSilhouette(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    got.foreach { case (_, _, mean, mn, mx) =>
+      assert(mn >= 0 && mx <= 1000000L && mn <= mean && mean <= mx)
+    }
+  }
 }
 
 /** The LSH dedup variant against its own brute-force truth: subset +
