@@ -400,6 +400,77 @@ object Dedup extends QueryModule {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Content-defined chunk divisor: boundary after word i when the 60-bit
+    * hash of the 4-gram ending at i ≡ 0 (mod CdcDivisor) — expected chunk
+    * ≈ CdcDivisor words. Frozen for the oracle.
+    */
+  private[graft] val CdcDivisor = 16
+
+  /** Content-defined chunking dedup — the insertion-robust complement to
+    * [[dedupBlocks]]' fixed 16-word blocks (the rolling-hash boundary idea
+    * behind rsync/LBFS-style storage dedup, public literature): chunk
+    * boundaries fall where a rolling window hash hits a divisor
+    * condition, so they are anchored to CONTENT, not to offsets. Insert
+    * one word at the front of a document and every fixed block shifts and
+    * misses; the content-defined boundaries realign after the first
+    * post-edit boundary and the remaining chunks dedup again
+    * (spec-demonstrated). Per doc: chunk count and how much of it is
+    * corpus-duplicated chunk mass.
+    *
+    * Scale shape: one fused n-gram pass for boundary flags + one word
+    * explode, one doc-partitioned window (running boundary count = chunk
+    * id), a (doc, chunk) groupBy rebuilding chunk text via the sorted-
+    * struct collect pattern, one chunk-hash groupBy for occurrence
+    * counts, one join back, one per-doc rollup — every shuffle is
+    * map-side combinable, nothing pairwise.
+    */
+  def dedupCdcChunks(spark: SparkSession, sfDir: String): DataFrame =
+    dedupCdcChunksOf(Tables.documents(spark, sfDir))
+
+  private[graft] def dedupCdcChunksOf(docs: DataFrame): DataFrame = {
+    // boundary flags: gram at 0-based pos ends at 1-based word p = pos+4
+    val flags = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 4, distinct = false)))
+      // renamed key (fd): flags and words share the docs lineage, and a
+      // dataset-id-disambiguated self-join condition is the pattern the
+      // analyzer can silently degenerate (see simAnnPq's LUT note)
+      .select(col("doc_id").as("fd"), (col("pos") + 4).cast("long").as("p"),
+        when(pmod(col("col"), lit(CdcDivisor.toLong)) === 0, 1L)
+          .otherwise(0L).as("flag"))
+      // a doc with < 4 words emits one PARTIAL gram (house n-gram
+      // contract); its end position 4 exceeds the word count, so the
+      // flag can never land on a real word — drop it for clarity
+      .filter(col("flag") === 1)
+    val words = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"), col("col").as("w"))
+    val byPos = Window.partitionBy("doc_id").orderBy("j")
+    val chunks = words
+      .join(flags, col("doc_id") === col("fd") && col("j") === col("p"), "left")
+      .select(col("doc_id"), col("j"), col("w"),
+        coalesce(col("flag"), lit(0L)).as("b"))
+      .withColumn("chunk_id",
+        coalesce(sum(col("b")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(expr("transform(array_sort(collect_list(struct(j, w))), s -> s.w)").as("ws"))
+      .select(col("doc_id"), col("chunk_id"),
+        md5(concat_ws(" ", col("ws"))).as("ch"),
+        size(col("ws")).cast("long").as("n_words"))
+    val occ = chunks.groupBy("ch").agg(count(lit(1)).as("occ"))
+    chunks.join(occ, "ch")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("occ") >= 2, col("n_words")).otherwise(0L)).as("dup_words"))
+      .withColumn("dup_ppm", expr("dup_words * 1000000 div n_words"))
+      .orderBy("doc_id")
+  }
+
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
     simhashOf(Tables.documents(spark, sfDir)).orderBy("doc_id")
 
@@ -531,6 +602,7 @@ object Dedup extends QueryModule {
     "dedup_blocks"        -> (dedupBlocks _),
     "text_source_novelty" -> (sourceNovelty _),
     "text_dedup_spans"    -> (dedupSpans _),
+    "dedup_cdc_chunks"    -> (dedupCdcChunks _),
   )
 
   override def oracles: Map[String, String] = {
@@ -637,6 +709,46 @@ object Dedup extends QueryModule {
            |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_words
            |FROM isl GROUP BY doc_id, island
            |ORDER BY doc_id, span_start""".stripMargin,
+      // dedup_cdc_chunks: boundary positions from the n=4 house n-gram
+      // contract (i = 1..greatest(len-3,1), end word p = i+3; the short-doc
+      // partial gram's p > len never lands on a word, mirrored by the
+      // explicit p <= len guard), then the same window/cumsum chunk ids
+      // and chunk-hash occurrence counts.
+      "dedup_cdc_chunks" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           |), fl AS (
+           |  SELECT doc_id, i + 3 AS p FROM (
+           |    SELECT doc_id, w, unnest(range(1, greatest(len(w) - 2, 2))) AS i
+           |    FROM d)
+           |  WHERE ${Hashing.duckHash60("array_to_string(w[i:i+3], ' ')")}
+           |      % $CdcDivisor = 0
+           |    AND i + 3 <= len(w)
+           |), wd AS (
+           |  SELECT doc_id, j, w[j] AS word FROM (
+           |    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM d)
+           |), cid AS (
+           |  SELECT wd.doc_id, wd.j, wd.word,
+           |    COALESCE(SUM(CASE WHEN fl.p IS NULL THEN 0 ELSE 1 END)
+           |      OVER (PARTITION BY wd.doc_id ORDER BY wd.j
+           |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+           |  FROM wd LEFT JOIN fl ON wd.doc_id = fl.doc_id AND wd.j = fl.p
+           |), ch AS (
+           |  SELECT doc_id, chunk_id,
+           |    md5(string_agg(word, ' ' ORDER BY j)) AS chash,
+           |    COUNT(*) AS nw
+           |  FROM cid GROUP BY doc_id, chunk_id
+           |), occ AS (
+           |  SELECT chash, COUNT(*) AS occ FROM ch GROUP BY chash
+           |)
+           |SELECT doc_id, COUNT(*) AS n_chunks,
+           |  CAST(SUM(nw) AS BIGINT) AS n_words,
+           |  CAST(SUM(CASE WHEN occ.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           |  CAST(SUM(CASE WHEN occ.occ >= 2 THEN nw ELSE 0 END) AS BIGINT) AS dup_words,
+           |  CAST(SUM(CASE WHEN occ.occ >= 2 THEN nw ELSE 0 END) * 1000000
+           |    // SUM(nw) AS BIGINT) AS dup_ppm
+           |FROM ch JOIN occ USING (chash)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, md5(text) AS content_hash, COUNT(*) AS n_copies
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

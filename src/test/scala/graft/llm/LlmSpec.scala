@@ -66,6 +66,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("CDC chunking realigns after an insertion where fixed blocks cannot") {
+    import spark.implicits._
+    // deterministic 64-word doc; doc 2 = same text with ONE word prepended
+    val base = (1 to 64).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val got = Dedup.dedupCdcChunksOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(5))).toMap
+    // content-defined boundaries re-anchor after the first post-edit
+    // boundary: a majority of each doc's words dedup against the other
+    got.foreach { case (id, (nChunks, dupChunks, dupPpm)) =>
+      assert(nChunks >= 2, s"doc $id: expected multiple chunks")
+      assert(dupChunks >= 1, s"doc $id: expected shared chunks after realign")
+      assert(dupPpm > 500000L, s"doc $id: expected majority dup mass, got $dupPpm ppm")
+    }
+    // the fixed-offset strategy on the same pair shares NOTHING: every
+    // 16-word block of doc 2 is shifted by one
+    val blocks = docs.select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos"),
+        (col("pos").cast("long") / 16).cast("long").as("b"), col("col").as("w"))
+      .groupBy("doc_id", "b")
+      .agg(md5(concat_ws(" ",
+        expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)"))).as("h"))
+    val byDoc = blocks.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(2)).toSet }
+    assert((byDoc(1L) & byDoc(2L)).isEmpty, "fixed blocks must all shift and miss")
+  }
+
+  test("CDC chunks partition every document exactly") {
+    val rows = Dedup.dedupCdcChunks(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val wordCounts = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === wordCounts(r.getLong(0)),
+        s"doc ${r.getLong(0)}: chunks must cover every word exactly once")
+      assert(r.getLong(1) >= 1L)
+    }
+  }
+
   test("exact dedup keeps min doc_id per content hash") {
     import spark.implicits._
     val out = Seq((5L, "xx"), (2L, "xx"), (9L, "yy"))
