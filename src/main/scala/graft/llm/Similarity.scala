@@ -78,6 +78,49 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Hard-negative mining — the batch that contrastive embedding training
+    * (triplet / InfoNCE) feeds on: for each query, the top-3 most-similar
+    * candidates with a DIFFERENT label (similar-but-wrong is what teaches
+    * the margin; random negatives are trivially easy), each row carrying
+    * the query's best same-label positive and the pos−neg margin the loss
+    * would see. Same broadcast-query topology as sim_cosine_topk — the
+    * label filter rides the scored pass, nothing new shuffles — and at
+    * 100 TB the candidate side would first shrink through the ANN index
+    * (sim_ann_ivf) exactly like any other top-k. Margin is a subtraction
+    * of two 6dp decimals — exact, no float fuzz in the report.
+    */
+  def simHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("nrm", normOf(col("e")))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+      col("e").as("ce"), col("nrm").as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos",
+        round(cosinePrenorm(col("qe"), col("ce"), col("qn"), col("cn")), 6))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val negs = scored.filter(col("c_label") =!= col("q_label"))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("q_label"), col("rn"), col("cand_id"),
+        col("c_label").as("neg_label"), col("cos").as("neg_cos"))
+    // renamed key (pq): negs and pos share the scored lineage (see
+    // simAnnPq's LUT note on dataset-id-disambiguated self-joins)
+    val pos = scored.filter(col("c_label") === col("q_label"))
+      .withColumn("prn", row_number().over(byCos))
+      .filter(col("prn") === 1)
+      .select(col("q_id").as("pq"), col("cos").as("pos_cos"))
+    negs.join(pos, col("q_id") === col("pq"))
+      .select(col("q_id"), col("q_label"), col("rn"), col("cand_id"),
+        col("neg_label"), col("neg_cos"), col("pos_cos"),
+        (col("pos_cos").cast("decimal(9,6)")
+          - col("neg_cos").cast("decimal(9,6)")).as("margin"))
+      .orderBy("q_id", "rn")
+  }
+
   /** U3b: IVF-style search — assign all vectors to the nearest of
     * NCentroids seed centroids, then search only the query's own cluster.
     */
@@ -827,6 +870,7 @@ object Similarity extends QueryModule {
     "emb_centroid"    -> (embCentroid _),
     "emb_kmeans"      -> (embKmeans _),
     "emb_silhouette"  -> (embSilhouette _),
+    "sim_hard_negatives" -> (simHardNegatives _),
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
@@ -1096,6 +1140,34 @@ object Similarity extends QueryModule {
         |  FROM embeddings
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // sim_hard_negatives: ranking on the ROUNDED cosine with cand_id
+    // tiebreak (the sim_cosine_topk contract); margin is exact decimal
+    // subtraction, row_number cast back to INTEGER for the type gate.
+    "sim_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, label AS q_label, v AS qv
+         |  FROM e WHERE vec_id < $NQueries
+         |), sc AS (
+         |  SELECT q.q_id, q.q_label, e.vec_id AS cand_id, e.label AS c_label,
+         |    ROUND(${duckCos("q.qv", "e.v")}, 6) AS cos
+         |  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+         |), negs AS (
+         |  SELECT q_id, q_label, cand_id, c_label AS neg_label, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+         |  FROM sc WHERE c_label <> q_label
+         |), pos AS (
+         |  SELECT q_id, cos AS pos_cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS prn
+         |  FROM sc WHERE c_label = q_label
+         |)
+         |SELECT n.q_id, n.q_label, CAST(n.rn AS INTEGER) AS rn, n.cand_id,
+         |  n.neg_label, n.cos AS neg_cos, p.pos_cos,
+         |  CAST(p.pos_cos AS DECIMAL(9,6)) - CAST(n.cos AS DECIMAL(9,6)) AS margin
+         |FROM negs n JOIN pos p ON n.q_id = p.q_id AND p.prn = 1
+         |WHERE n.rn <= 3 ORDER BY n.q_id, n.rn""".stripMargin,
     // emb_silhouette: same assignment algebra as emb_kmeans round 1, then
     // the micro-grid silhouette. MAX(CASE WHEN crn=…) pivots the 2 ranked
     // rows per vector; both distances pass through the 6dp decimal grid

@@ -140,6 +140,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: driver brute-force mirror agrees on picks and margins") {
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = embs.filter(_._1 < Similarity.NQueries).sortBy(_._1).flatMap {
+      case (qid, qlab, qe) =>
+        val scored = embs.filter(_._1 != qid)
+          .map { case (cid, clab, ce) => (cid, clab, r6(cos(qe, ce))) }
+        val posCos = scored.filter(_._2 == qlab)
+          .sortBy { case (cid, _, c) => (-c, cid) }.head._3
+        scored.filter(_._2 != qlab)
+          .sortBy { case (cid, _, c) => (-c, cid) }.take(3).zipWithIndex
+          .map { case ((cid, clab, c), i) =>
+            (qid, qlab, i + 1, cid, clab, c, posCos, posCos - c) }
+    }.toSeq
+    val got = Similarity.simHardNegatives(spark, sf0001).collect().map { r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4),
+        BigDecimal(r.getDouble(5)).setScale(6),
+        BigDecimal(r.getDouble(6)).setScale(6),
+        BigDecimal(r.getDecimal(7)).setScale(6))
+    }.toSeq
+    assert(got === expect)
+    // every mined negative really is cross-label and ranked correctly
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq)
+      val cs = rows.sortBy(_._3).map(_._6)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("centroid silhouette matches a driver-side brute-force mirror exactly") {
     // independent recomputation with plain Scala doubles — same sequential
     // fold order as the native cosine expression, so values (not just
