@@ -263,6 +263,57 @@ object Sampling extends QueryModule {
 
   private val UniMaxEpochCap = 1
 
+  /** Micro-batch size and length-bucket width for the padding report,
+    * frozen for the oracle.
+    */
+  private val PackBatch = 8
+  private val PackBucketWidth = 16
+
+  /** Padding-efficiency report for length-bucketed batching — the data-
+    * loader decision every trainer makes: batching by ARRIVAL order pads
+    * every sequence in a micro-batch up to the batch max (mixed lengths →
+    * massive padding waste); bucketing by length first makes batch
+    * members near-equal and the padding collapses. One output row per
+    * strategy with the exact integer padded-token mass and waste ppm —
+    * the number that decides the shuffle-vs-padding tradeoff.
+    *
+    * Scale shape: arrival batches are a pure projection (`doc_id div B` —
+    * no shuffle, no global ordering); bucketed batches rank INSIDE each
+    * length bucket (a partitioned window — at 100 TB you'd additionally
+    * salt wide buckets by a hash prefix, which only renames batches and
+    * leaves the padding arithmetic identical). Everything downstream is
+    * two map-side-combinable groupBys.
+    */
+  def packLengthBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    packLengthBucketsOf(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks")))
+
+  /** (doc_id, toks)-frame form — package-visible for crafted-length specs. */
+  private[graft] def packLengthBucketsOf(docs: DataFrame): DataFrame = {
+    val naive = docs
+      .withColumn("strategy", lit("arrival"))
+      .withColumn("batch", expr(s"doc_id div $PackBatch"))
+    val byLen = Window.partitionBy("bucket").orderBy("toks", "doc_id")
+    val bucketed = docs
+      .withColumn("bucket", expr(s"toks div $PackBucketWidth"))
+      .withColumn("rk", row_number().over(byLen))
+      .withColumn("strategy", lit("length_bucketed"))
+      // bucket-disjoint batch ids; 1000 >> any per-bucket batch count here
+      .withColumn("batch", expr(s"bucket * 1000 + (rk - 1) div $PackBatch"))
+    naive.select("strategy", "batch", "toks")
+      .unionByName(bucketed.select("strategy", "batch", "toks"))
+      .groupBy("strategy", "batch")
+      .agg(count(lit(1)).as("n"), sum(col("toks")).as("st"), max(col("toks")).as("mx"))
+      .groupBy("strategy")
+      .agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("st")).as("n_tokens"),
+        sum(col("n") * col("mx") - col("st")).as("padded_tokens"))
+      .withColumn("waste_ppm",
+        expr("padded_tokens * 1000000 div (n_tokens + padded_tokens)"))
+      .orderBy("strategy")
+  }
+
   /** DoReMi iterations / learning rate / uniform-smoothing, frozen for the
     * oracle. η = 0.5 enters as `excess_micro div 2`; smoothing mixes 10%
     * uniform back in each round (the paper's c·u term).
@@ -467,6 +518,7 @@ object Sampling extends QueryModule {
     "mix_doremi"      -> (mixDoremi _),
     "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
+    "pack_length_buckets" -> (packLengthBuckets _),
   )
 
   override def oracles: Map[String, String] = {
@@ -691,6 +743,32 @@ object Sampling extends QueryModule {
           |              ELSE (budget - s_star) // (l_count - k_star) END)::DOUBLE
           |        / n_tokens, 6) AS epochs
           |FROM star ORDER BY lang""".stripMargin,
+      "pack_length_buckets" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           |  FROM documents
+           |), naive AS (
+           |  SELECT 'arrival' AS strategy, doc_id // $PackBatch AS batch, toks
+           |  FROM t
+           |), bucketed AS (
+           |  SELECT 'length_bucketed' AS strategy,
+           |    (toks // $PackBucketWidth) * 1000
+           |      + (row_number() OVER (PARTITION BY toks // $PackBucketWidth
+           |           ORDER BY toks, doc_id) - 1) // $PackBatch AS batch,
+           |    toks
+           |  FROM t
+           |), batches AS (
+           |  SELECT strategy, batch, COUNT(*) AS n, SUM(toks) AS st,
+           |    MAX(toks) AS mx
+           |  FROM (SELECT * FROM naive UNION ALL SELECT * FROM bucketed)
+           |  GROUP BY strategy, batch
+           |)
+           |SELECT strategy, COUNT(*) AS n_batches,
+           |  CAST(SUM(st) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(n * mx - st) AS BIGINT) AS padded_tokens,
+           |  CAST(SUM(n * mx - st) * 1000000
+           |    // (SUM(st) + SUM(n * mx - st)) AS BIGINT) AS waste_ppm
+           |FROM batches GROUP BY strategy ORDER BY strategy""".stripMargin,
       "pack_sequences" ->
         s"""WITH t AS (
            |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks

@@ -50,6 +50,88 @@ class SamplingSpec extends SparkSpec {
       assert(kept <= total)
     }
   }
+
+  test("DoReMi iteration matches an independent hand-rolled run on crafted domains") {
+    import spark.implicits._
+    // independent re-implementation over plain Scala collections — the
+    // mirror-oracle countermeasure (the DuckDB oracle unrolls the same
+    // CTE algebra, so only this derivation catches a shared formula bug)
+    def iterate(ls: Seq[Long], rounds: Int): (Seq[Long], Seq[Long]) = {
+      val d = ls.size
+      var alpha = ls.map(_ => 1000000L / d)
+      var excess: Seq[Long] = ls.map(_ => 0L)
+      for (_ <- 1 to rounds) {
+        val refsum = alpha.lazyZip(ls).map(_ * _).sum
+        excess = ls.map(l => math.max(l - refsum / 1000000L, 0L))
+        val w = alpha.lazyZip(excess).map((a, e) => a * (1000000L + e / 2) / 1000000L)
+        val wsum = w.sum
+        alpha = w.map(x =>
+          (900000L * (x * 1000000L / wsum) + 100000L * (1000000L / d)) / 1000000L)
+      }
+      (alpha, excess)
+    }
+    val losses = Seq(1000000L, 2000000L, 5000000L) // 1, 2, 5 nats
+    val perSource = Seq(("a", 10L, losses(0)), ("b", 20L, losses(1)),
+      ("c", 5L, losses(2))).toDF("source", "n_docs", "loss_micro")
+    val got = Sampling.doremiIterate(perSource)
+      .orderBy("source")
+      .select("alpha", "excess_micro")
+      .collect()
+    val (expAlpha, expExcess) = iterate(losses, Sampling.DoremiRounds)
+    assert(got.map(_.getLong(0)).toSeq === expAlpha, "alpha_ppm")
+    assert(got.map(_.getLong(1)).toSeq === expExcess, "excess_micro")
+    // the hard domain ends up-weighted, the easy one down-weighted,
+    // and the mixture stays a (truncation-tolerant) distribution
+    assert(expAlpha(2) > expAlpha(0))
+    assert(math.abs(expAlpha.sum - 1000000L) <= 10L)
+  }
+
+  test("length-bucketed padding matches a hand-rolled mirror and beats arrival order") {
+    import spark.implicits._
+    // crafted lengths: shorts and longs interleaved by doc_id, so arrival
+    // batches mix them (max-pads the shorts) while bucketing separates
+    val lens = (0 until 32).map(i => (i.toLong, if (i % 2 == 0) 10L else 90L))
+    val got = Sampling.packLengthBucketsOf(lens.toDF("doc_id", "toks"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // independent mirror with plain collections
+    def waste(batches: Seq[Seq[Long]]): (Long, Long) = {
+      val padded = batches.map(b => b.length * b.max - b.sum).sum
+      (batches.map(_.sum).sum, padded)
+    }
+    val arrival = lens.groupBy(_._1 / 8).toSeq.map(_._2.map(_._2).toSeq)
+    val bucketed = lens.map(_._2).groupBy(_ / 16).toSeq.flatMap { case (_, ls) =>
+      ls.sorted.grouped(8).toSeq
+    }
+    val (at, ap) = waste(arrival)
+    val (bt, bp) = waste(bucketed)
+    assert(got("arrival") === ((arrival.size.toLong, at, ap,
+      ap * 1000000L / (at + ap))))
+    assert(got("length_bucketed") === ((bucketed.size.toLong, bt, bp,
+      bp * 1000000L / (bt + bp))))
+    // the entire point: bucketing collapses padding (here to zero)
+    assert(bp < ap && bp === 0L)
+  }
+
+  test("on the corpus, length bucketing strictly reduces padding waste") {
+    val rows = Sampling.packLengthBuckets(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows("length_bucketed") < rows("arrival"),
+      s"bucketing must cut waste: $rows")
+  }
+
+  test("mix_doremi on the corpus: weights form a distribution, hard sources rank first") {
+    val rows = Sampling.mixDoremi(spark, sf0001).collect()
+    assert(rows.length > 1)
+    val alphaSum = rows.map(_.getLong(4)).sum
+    assert(math.abs(alphaSum - 1000000L) <= rows.length * 2L,
+      s"alpha_ppm must sum to ~1e6, got $alphaSum")
+    // α is monotone in excess loss across domains (MW property with a
+    // shared reference): sort by excess, alphas must be non-decreasing
+    val byExcess = rows.sortBy(_.getLong(3)).map(_.getLong(4))
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
+      "alpha must be non-decreasing in excess loss")
+  }
 }
 
 class DecontaminateSpec extends SparkSpec {
@@ -116,53 +198,5 @@ class TextAnalysisExtSpec extends SparkSpec {
       val counts = sorted.map(_.getLong(3))
       assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
     }
-  }
-
-  test("DoReMi iteration matches an independent hand-rolled run on crafted domains") {
-    import spark.implicits._
-    // independent re-implementation over plain Scala collections — the
-    // mirror-oracle countermeasure (the DuckDB oracle unrolls the same
-    // CTE algebra, so only this derivation catches a shared formula bug)
-    def iterate(ls: Seq[Long], rounds: Int): (Seq[Long], Seq[Long]) = {
-      val d = ls.size
-      var alpha = ls.map(_ => 1000000L / d)
-      var excess: Seq[Long] = ls.map(_ => 0L)
-      for (_ <- 1 to rounds) {
-        val refsum = alpha.lazyZip(ls).map(_ * _).sum
-        excess = ls.map(l => math.max(l - refsum / 1000000L, 0L))
-        val w = alpha.lazyZip(excess).map((a, e) => a * (1000000L + e / 2) / 1000000L)
-        val wsum = w.sum
-        alpha = w.map(x =>
-          (900000L * (x * 1000000L / wsum) + 100000L * (1000000L / d)) / 1000000L)
-      }
-      (alpha, excess)
-    }
-    val losses = Seq(1000000L, 2000000L, 5000000L) // 1, 2, 5 nats
-    val perSource = Seq(("a", 10L, losses(0)), ("b", 20L, losses(1)),
-      ("c", 5L, losses(2))).toDF("source", "n_docs", "loss_micro")
-    val got = Sampling.doremiIterate(perSource)
-      .orderBy("source")
-      .select("alpha", "excess_micro")
-      .collect()
-    val (expAlpha, expExcess) = iterate(losses, Sampling.DoremiRounds)
-    assert(got.map(_.getLong(0)).toSeq === expAlpha, "alpha_ppm")
-    assert(got.map(_.getLong(1)).toSeq === expExcess, "excess_micro")
-    // the hard domain ends up-weighted, the easy one down-weighted,
-    // and the mixture stays a (truncation-tolerant) distribution
-    assert(expAlpha(2) > expAlpha(0))
-    assert(math.abs(expAlpha.sum - 1000000L) <= 10L)
-  }
-
-  test("mix_doremi on the corpus: weights form a distribution, hard sources rank first") {
-    val rows = Sampling.mixDoremi(spark, sf0001).collect()
-    assert(rows.length > 1)
-    val alphaSum = rows.map(_.getLong(4)).sum
-    assert(math.abs(alphaSum - 1000000L) <= rows.length * 2L,
-      s"alpha_ppm must sum to ~1e6, got $alphaSum")
-    // α is monotone in excess loss across domains (MW property with a
-    // shared reference): sort by excess, alphas must be non-decreasing
-    val byExcess = rows.sortBy(_.getLong(3)).map(_.getLong(4))
-    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b },
-      "alpha must be non-decreasing in excess loss")
   }
 }
