@@ -417,50 +417,46 @@ object Dedup extends QueryModule {
     * (spec-demonstrated). Per doc: chunk count and how much of it is
     * corpus-duplicated chunk mass.
     *
-    * Scale shape: one fused n-gram pass for boundary flags + one word
-    * explode, one doc-partitioned window (running boundary count = chunk
-    * id), a (doc, chunk) groupBy rebuilding chunk text via the sorted-
-    * struct collect pattern, one chunk-hash groupBy for occurrence
-    * counts, one join back, one per-doc rollup — every shuffle is
-    * map-side combinable, nothing pairwise.
+    * Scale shape: chunking is ONE shuffle-free scan (fused n-gram pass →
+    * per-doc boundary array → consecutive-pair slices of the word array),
+    * then one chunk-hash groupBy for occurrence counts, one join back,
+    * one per-doc rollup — every shuffle map-side combinable, nothing
+    * pairwise, and nothing word-level ever crosses the wire.
     */
   def dedupCdcChunks(spark: SparkSession, sfDir: String): DataFrame =
     dedupCdcChunksOf(Tables.documents(spark, sfDir))
 
   private[graft] def dedupCdcChunksOf(docs: DataFrame): DataFrame = {
-    // boundary flags: gram at 0-based pos ends at 1-based word p = pos+4
-    val flags = docs
+    // Whole computation up to the chunk-hash groupBy is ONE shuffle-free
+    // scan: boundary END positions (gram at 0-based index i ends at
+    // 1-based word i+4) become a per-doc array, consecutive (start, end)
+    // pairs slice the word array directly — no word-level explode, no
+    // (doc, position) join, no per-doc window. A boundary exactly at the
+    // last word would open an empty trailing chunk; the s <= e filter
+    // drops it. The short-doc partial gram (house n-gram contract) has
+    // end position 4 > word count and is excluded by the p <= size(w)
+    // guard.
+    val chunks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"),
+        graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 4, distinct = false).as("gh"))
+      .withColumn("bounds", expr(
+        s"filter(transform(gh, (g, i) -> IF(pmod(g, $CdcDivisor) = 0, i + 4, -1))," +
+          " p -> p > 0 AND p <= size(w))"))
+      .withColumn("spans", expr(
+        "filter(zip_with(concat(array(1), transform(bounds, b -> b + 1))," +
+          " concat(bounds, array(size(w)))," +
+          " (s, e) -> struct(s AS s, e AS e)), c -> c.s <= c.e)"))
+      .select(col("doc_id"), col("w"), explode(col("spans")).as("c"))
       .select(col("doc_id"),
-        posexplode(graft.functions.VectorExpressions
-          .word_ngram_hashes(col("text"), 4, distinct = false)))
-      // renamed key (fd): flags and words share the docs lineage, and a
-      // dataset-id-disambiguated self-join condition is the pattern the
-      // analyzer can silently degenerate (see simAnnPq's LUT note)
-      .select(col("doc_id").as("fd"), (col("pos") + 4).cast("long").as("p"),
-        when(pmod(col("col"), lit(CdcDivisor.toLong)) === 0, 1L)
-          .otherwise(0L).as("flag"))
-      // a doc with < 4 words emits one PARTIAL gram (house n-gram
-      // contract); its end position 4 exceeds the word count, so the
-      // flag can never land on a real word — drop it for clarity
-      .filter(col("flag") === 1)
-    val words = docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("j"), col("col").as("w"))
-    val byPos = Window.partitionBy("doc_id").orderBy("j")
-    val chunks = words
-      .join(flags, col("doc_id") === col("fd") && col("j") === col("p"), "left")
-      .select(col("doc_id"), col("j"), col("w"),
-        coalesce(col("flag"), lit(0L)).as("b"))
-      .withColumn("chunk_id",
-        coalesce(sum(col("b")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(expr("transform(array_sort(collect_list(struct(j, w))), s -> s.w)").as("ws"))
-      .select(col("doc_id"), col("chunk_id"),
-        md5(concat_ws(" ", col("ws"))).as("ch"),
-        size(col("ws")).cast("long").as("n_words"))
-    val occ = chunks.groupBy("ch").agg(count(lit(1)).as("occ"))
-    chunks.join(occ, "ch")
+        md5(concat_ws(" ", expr("slice(w, c.s, c.e - c.s + 1)"))).as("ch"),
+        expr("cast(c.e - c.s + 1 AS bigint)").as("n_words"))
+    // occurrence counts as a chash-partitioned window, not groupBy+join:
+    // the join form re-runs the whole chunking scan on both sides (the
+    // frame has no materialization barrier), the window runs it once and
+    // pays a single shuffle by chunk hash
+    chunks
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("ch")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_chunks"),
