@@ -40,6 +40,12 @@ object Bench {
       // on host tz or on whether an events-based query ran first
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The two-pass structure runs ~300 queries between a query's two
+      // samples; the default 100-entry codegen cache evicts every plan's
+      // generated classes in between, so BOTH samples would pay Janino
+      // recompilation (~0.1-0.3 s/query, measured +45% on the suite).
+      // Size the cache to hold the whole suite and pass 2 runs warm.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (classloading, codegen, shuffle machinery) so the first

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join-based iterative graph analytics beyond connected components
@@ -386,7 +387,48 @@ object Graph extends QueryModule {
         p, edges.filter(wave === 1)))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, public
+    * literature) — the community-detection primitive next to triangles
+    * and components: every node starts as its own label; each round it
+    * adopts the most frequent label among its NEIGHBORS (count DESC,
+    * label ASC tiebreak — deterministic where the paper randomizes;
+    * isolated nodes keep their own). Three fixed synchronous rounds, so
+    * the oracle unrolls exactly. All-integer — exact in any engine.
+    *
+    * Scale shape: each round is one edge⋈label join + one (node, label)
+    * count + one node-partitioned argmax window — the same per-round
+    * topology as PageRank's contribution join, partitioning on the node
+    * key at any scale; a convergence-driven variant would cut lineage
+    * per round like ConnectedComponents.
+    */
+  def graphLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = strongUnd(tradeVolume(spark, sfDir)) // (src, dst), both directions
+    val nodes = nationNodes(spark, sfDir)
+
+    def step(lab: DataFrame): DataFrame = {
+      val byCnt = Window.partitionBy("src")
+        .orderBy(col("cnt").desc, col("nl"))
+      val best = und
+        .join(lab.select(col("node").as("dst"), col("lab").as("nl")), "dst")
+        .groupBy("src", "nl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byCnt))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("nl").as("newlab"))
+      lab.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+    }
+
+    val l0 = nodes.select(col("node"), col("node").as("lab"))
+    val l3 = step(step(step(l0)))
+    val sizes = l3.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    l3.join(sizes, "lab")
+      .join(nodes, "node")
+      .select(col("n_name"), col("lab").as("community"), col("community_size"))
+      .orderBy("n_name")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> (graphLabelProp _),
     "graph_closeness" -> (graphCloseness _),
     "graph_copurchase_components" -> (graphCopurchaseComponents _),
     "graph_copurchase_incremental" -> (graphCopurchaseIncremental _),
@@ -483,6 +525,50 @@ object Graph extends QueryModule {
         |       THEN a.n_reached * 1000000 // a.sum_depth ELSE 0 END AS closeness_ppm
         |FROM agg a JOIN nation nt ON a.node = nt.n_nationkey
         |ORDER BY nt.n_name""".stripMargin,
+    // graph_label_prop: three synchronous rounds unrolled — each round is
+    // neighbor-label counts + argmax (count DESC, label ASC) + keep-own
+    // for isolated nodes. All integer.
+    "graph_label_prop" -> {
+      def round(prev: String, cur: String): String =
+        s"""${cur}c AS (
+           |  SELECT u.src AS node, l.lab AS nl, COUNT(*) AS cnt
+           |  FROM und u JOIN $prev l ON u.dst = l.node
+           |  GROUP BY u.src, l.lab
+           |), ${cur}b AS (
+           |  SELECT node, nl FROM (
+           |    SELECT node, nl,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY cnt DESC, nl) AS rn
+           |    FROM ${cur}c) WHERE rn = 1
+           |), $cur AS (
+           |  SELECT p.node, COALESCE(b.nl, p.lab) AS lab
+           |  FROM $prev p LEFT JOIN ${cur}b b ON p.node = b.node
+           |)""".stripMargin
+      s"""WITH vol AS (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY src, dst
+         |), tot AS (
+         |  SELECT SUM(w) AS total, COUNT(*) AS n_pairs FROM vol
+         |), strong AS (
+         |  SELECT src, dst FROM vol CROSS JOIN tot WHERE w * n_pairs > total
+         |), und AS (
+         |  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+         |), l0 AS (
+         |  SELECT n_nationkey AS node, n_nationkey AS lab FROM nation
+         |), ${round("l0", "l1")}, ${round("l1", "l2")}, ${round("l2", "l3")},
+         |sizes AS (
+         |  SELECT lab, COUNT(*) AS community_size FROM l3 GROUP BY lab
+         |)
+         |SELECT nt.n_name, l3.lab AS community, sizes.community_size
+         |FROM l3 JOIN sizes USING (lab)
+         |JOIN nation nt ON l3.node = nt.n_nationkey
+         |ORDER BY nt.n_name""".stripMargin
+    },
     "graph_linkpred" ->
       """WITH vol AS (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
