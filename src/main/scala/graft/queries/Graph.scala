@@ -404,7 +404,17 @@ object Graph extends QueryModule {
   def graphLabelProp(spark: SparkSession, sfDir: String): DataFrame = {
     val und = strongUnd(tradeVolume(spark, sfDir)) // (src, dst), both directions
     val nodes = nationNodes(spark, sfDir)
+    labelPropOf(und, nodes.select("node"))
+      .join(nodes, "node")
+      .select(col("n_name"), col("community"), col("community_size"))
+      .orderBy("n_name")
+  }
 
+  /** Frame-level LPA — (src, dst) symmetric edges + (node) frame, 3
+    * synchronous rounds; package-visible so crafted-graph specs pin the
+    * propagation against hand-derived labels.
+    */
+  private[graft] def labelPropOf(und: DataFrame, nodes: DataFrame): DataFrame = {
     def step(lab: DataFrame): DataFrame = {
       val byCnt = Window.partitionBy("src")
         .orderBy(col("cnt").desc, col("nl"))
@@ -422,9 +432,7 @@ object Graph extends QueryModule {
     val l3 = step(step(step(l0)))
     val sizes = l3.groupBy("lab").agg(count(lit(1)).as("community_size"))
     l3.join(sizes, "lab")
-      .join(nodes, "node")
-      .select(col("n_name"), col("lab").as("community"), col("community_size"))
-      .orderBy("n_name")
+      .select(col("node"), col("lab").as("community"), col("community_size"))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
