@@ -121,6 +121,57 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Matryoshka truncation dims, frozen for the oracle. */
+  private val MrlDims = Seq(8, 16, 32)
+
+  /** Matryoshka truncation fidelity (Kusupati et al., "Matryoshka
+    * Representation Learning", 2205.13147, public literature) — the
+    * storage/recall dial modern embedding stacks expose: search on the
+    * FIRST m dims of each vector and report how much of the full-width
+    * top-3 survives (overlap@3) and whether rank-1 is preserved, per
+    * query per m ∈ {8, 16, 32} of 64. The decision table for "how many
+    * dims do we actually ship to the index".
+    *
+    * Scale shape: the same one broadcast-query scored pass as
+    * sim_cosine_topk, evaluated once per truncation width (slice is a
+    * per-row projection — no extra shuffle); overlap is a 3-rows-per-
+    * group join against the full-width top-3. Ranking on the rounded
+    * cosine with cand_id tiebreak (the house top-k contract).
+    */
+  def simMatryoshka(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val scored = c.crossJoin(broadcast(q)).filter(col("q_id") =!= col("cand_id"))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    def top3(m: Int): DataFrame =
+      scored
+        .withColumn("cos", round(
+          if (m == 64) cosine(col("qe"), col("ce"))
+          else cosine(expr(s"slice(qe, 1, $m)"), expr(s"slice(ce, 1, $m)")), 6))
+        .withColumn("rn", row_number().over(byCos))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"), col("rn"))
+    // renamed keys (fq/fcand): all frames share the scored lineage (see
+    // simAnnPq's LUT note)
+    val full = top3(64)
+      .select(col("q_id").as("fq"), col("cand_id").as("fcand"), col("rn").as("frn"))
+    val trunc = MrlDims.map(m => top3(m).withColumn("dims", lit(m)))
+      .reduce(_ unionByName _)
+    val overlap = trunc
+      .join(full.filter(col("frn") <= 3),
+        col("q_id") === col("fq") && col("cand_id") === col("fcand"), "left")
+      .groupBy("q_id", "dims")
+      .agg(sum(when(col("fcand").isNotNull, 1L).otherwise(0L)).as("overlap3"),
+        max(when(col("rn") === 1, col("cand_id"))).as("r1cand"))
+    overlap
+      .join(full.filter(col("frn") === 1), col("q_id") === col("fq"))
+      .select(col("q_id"), col("dims"), col("overlap3"),
+        (col("r1cand") === col("fcand")).as("rank1_match"))
+      .orderBy("q_id", "dims")
+  }
+
   /** U3b: IVF-style search — assign all vectors to the nearest of
     * NCentroids seed centroids, then search only the query's own cluster.
     */
@@ -871,6 +922,7 @@ object Similarity extends QueryModule {
     "emb_kmeans"      -> (embKmeans _),
     "emb_silhouette"  -> (embSilhouette _),
     "sim_hard_negatives" -> (simHardNegatives _),
+    "sim_matryoshka"  -> (simMatryoshka _),
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
@@ -1140,6 +1192,40 @@ object Similarity extends QueryModule {
         |  FROM embeddings
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // sim_matryoshka: same top-3 contract per truncation width; LEFT JOIN
+    // against the full-width top-3 counts survivors (COUNT of non-null
+    // match keys -> 0..3 even when nothing survives).
+    "sim_matryoshka" -> {
+      def top3(mExpr: String, cosA: String, cosB: String): String =
+        s"""SELECT q_id, cand_id, rn, $mExpr AS dims FROM (
+           |    SELECT q.q_id, e.vec_id AS cand_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ROUND(${duckCos(cosA, cosB)}, 6) DESC, e.vec_id) AS rn
+           |    FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id)
+           |  WHERE rn <= 3""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries
+         |), full3 AS (
+         |  ${top3("64", "q.qv", "e.v")}
+         |), trunc AS (
+         |  ${MrlDims.map(m => top3(m.toString, s"q.qv[1:$m]", s"e.v[1:$m]"))
+                     .mkString("\n  UNION ALL\n  ")}
+         |), ov AS (
+         |  SELECT t.q_id, t.dims,
+         |    CAST(COUNT(f.cand_id) AS BIGINT) AS overlap3,
+         |    MAX(CASE WHEN t.rn = 1 THEN t.cand_id END) AS r1cand
+         |  FROM trunc t LEFT JOIN full3 f
+         |    ON t.q_id = f.q_id AND t.cand_id = f.cand_id
+         |  GROUP BY t.q_id, t.dims
+         |)
+         |SELECT ov.q_id, CAST(ov.dims AS INTEGER) AS dims, ov.overlap3,
+         |  (ov.r1cand = f1.cand_id) AS rank1_match
+         |FROM ov JOIN full3 f1 ON ov.q_id = f1.q_id AND f1.rn = 1
+         |ORDER BY ov.q_id, ov.dims""".stripMargin
+    },
     // sim_hard_negatives: ranking on the ROUNDED cosine with cand_id
     // tiebreak (the sim_cosine_topk contract); margin is exact decimal
     // subtraction, row_number cast back to INTEGER for the type gate.

@@ -178,6 +178,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("matryoshka fidelity matches a driver brute-force mirror exactly") {
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double], m: Int): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < m) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    def top3(qid: Long, qe: Array[Double], m: Int): Seq[Long] =
+      embs.filter(_._1 != qid)
+        .map { case (cid, ce) => (cid, cos(qe, ce, m)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(3).map(_._1).toSeq
+    val expect = embs.filter(_._1 < Similarity.NQueries).sortBy(_._1).flatMap {
+      case (qid, qe) =>
+        val full = top3(qid, qe, 64)
+        Seq(8, 16, 32).map { m =>
+          val t = top3(qid, qe, m)
+          (qid, m, t.count(full.contains).toLong, t.head == full.head)
+        }
+    }.toSeq
+    val got = Similarity.simMatryoshka(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === expect)
+    // fidelity must be monotone-ish: 32 dims can't do worse than 8 on avg
+    val byDim = got.groupBy(_._2).map { case (m, rs) => m -> rs.map(_._3).sum }
+    assert(byDim(32) >= byDim(8))
+  }
+
   test("centroid silhouette matches a driver-side brute-force mirror exactly") {
     // independent recomputation with plain Scala doubles — same sequential
     // fold order as the native cosine expression, so values (not just
