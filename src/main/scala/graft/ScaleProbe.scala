@@ -82,12 +82,22 @@ object ScaleProbe {
           md5(concat(col("id").cast("string"), lit(s"-$j")))): _*),
         "0123456789", "ghijklmnop").as("text"))
 
+  /** Spaced deterministic corpus: `words` 8-char md5-derived words per
+    * doc — the word-level probes' input (no rand(), identical across
+    * runs).
+    */
+  private def spacedCorpus(spark: SparkSession, nDocs: Long, words: Int): DataFrame =
+    spark.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (1 to words).map(j =>
+        substring(md5(concat(col("id").cast("string"), lit(s"-$j"))), 1, 8)): _*).as("text"))
+
   def main(args: Array[String]): Unit = {
     val div = if (args.contains("small")) 10 else 1
-    // section filters: pass any of cc / inc / bpe / gd to run a subset
-    // (isolating a claim keeps its timings clear of the other probes'
-    // block-manager and GC residue)
-    val sections = Set("cc", "inc", "bpe", "gd").filter(args.contains)
+    // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
+    // run a subset (isolating a claim keeps its timings clear of the
+    // other probes' block-manager and GC residue)
+    val sections = Set("cc", "inc", "bpe", "gd", "pairs", "cdc").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -200,6 +210,35 @@ object ScaleProbe {
         }._2
       }.min
       println(f"""{"probe":"gd_iteration","rows":$n,"iter_sec":$sec%.2f}""")
+    }
+
+    // claim 5 (round-6 hot paths): the native adjacent-pairs byte scan
+    // (WordPairs) vs the builtin split/transform/element_at chain it
+    // replaced, and CDC chunking's linearity — both on a spaced synthetic
+    // corpus 60-200x the bench SF's documents table (sf0.1 = 5e3 docs).
+    if (on("pairs")) for (n <- Seq(300000L, 1000000L).map(_ / div)) {
+      val docs = spacedCorpus(spark, n, 16).persist()
+      docs.count() // pin: both variants must read cached strings
+      def run(df: DataFrame): Double =
+        (1 to 3).map(_ => time(df.agg(count(col("p.a"))).collect())._2).min
+      val tNative = run(docs.select(explode(
+        functions.VectorExpressions.word_pairs(col("text"))).as("p")))
+      val tBuiltin = run(docs
+        .withColumn("w", split(col("text"), " "))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))")).as("p")))
+      println(f"""{"probe":"word_pairs","docs":$n,"words_per_doc":16,""" +
+        f""""native_sec":$tNative%.2f,"builtin_sec":$tBuiltin%.2f,""" +
+        f""""speedup":${tBuiltin / tNative}%.1f}""")
+      docs.unpersist(blocking = false)
+    }
+    if (on("cdc")) for (n <- Seq(100000L, 300000L, 1000000L).map(_ / div)) {
+      val docs = spacedCorpus(spark, n, 16)
+      val sec = (1 to 3).map(_ =>
+        time(llm.Dedup.dedupCdcChunksOf(docs).count())._2).min
+      println(f"""{"probe":"cdc_chunks","docs":$n,"chunk_sec":$sec%.2f}""")
     }
     spark.stop()
   }
