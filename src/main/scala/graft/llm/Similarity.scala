@@ -514,6 +514,34 @@ object Similarity extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** Elbow-method inertia sweep — the model-selection report next to
+    * emb_silhouette: for k ∈ {2, 4, 8} seed centroids, total and mean
+    * within-cluster cosine distance (micro grid). Picking k is the first
+    * decision every clustering-based curation stage makes; the elbow is
+    * where the inertia drop flattens. Only the BEST cosine per (point, k)
+    * matters, so assignment ties are irrelevant and the whole sweep is
+    * max-aggregates over broadcast crossJoins — one pass per k, O(n·k)
+    * total, monotone by construction (more centroids can never increase
+    * a point's distance — spec-pinned).
+    */
+  def embKmeansElbow(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    Seq(2, 4, 8).map { k =>
+      val cents = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(col("e"), col("cente")))
+        .groupBy("vec_id").agg(max(col("ccos")).as("best"))
+        .select((round(lit(1) - col("best"), 6).cast("decimal(9,6)")
+          * lit(1000000)).cast("long").as("a"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("a")).as("inertia_micro"))
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+      .select(col("k"), col("n_vecs"), col("inertia_micro"),
+        expr("inertia_micro div n_vecs").as("mean_micro"))
+      .orderBy("k")
+  }
+
   def embStats(spark: SparkSession, sfDir: String): DataFrame = {
     embDouble(Tables.embeddings(spark, sfDir))
       .withColumn("nrm", normOf(col("e")))
@@ -923,6 +951,7 @@ object Similarity extends QueryModule {
     "emb_silhouette"  -> (embSilhouette _),
     "sim_hard_negatives" -> (simHardNegatives _),
     "sim_matryoshka"  -> (simMatryoshka _),
+    "emb_kmeans_elbow" -> (embKmeansElbow _),
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
@@ -1192,6 +1221,27 @@ object Similarity extends QueryModule {
         |  FROM embeddings
         |)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    // emb_kmeans_elbow: only MAX cosine per (point, k) matters, so the
+    // sweep is one grouped max per k over the first-k seed join; the 6dp
+    // grid + micro conversion is the silhouette contract.
+    "emb_kmeans_elbow" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), ks AS (SELECT unnest([2, 4, 8]) AS k
+         |), best AS (
+         |  SELECT ks.k, e.vec_id, MAX(${duckCos("e.v", "c.v")}) AS best
+         |  FROM e CROSS JOIN ks JOIN e c ON c.vec_id < ks.k
+         |  GROUP BY ks.k, e.vec_id
+         |), per AS (
+         |  SELECT k, CAST(CAST(ROUND(1 - best, 6) AS DECIMAL(9,6))
+         |    * 1000000 AS BIGINT) AS a
+         |  FROM best
+         |)
+         |SELECT CAST(k AS INTEGER) AS k, COUNT(*) AS n_vecs,
+         |  CAST(SUM(a) AS BIGINT) AS inertia_micro,
+         |  CAST(SUM(a) // COUNT(*) AS BIGINT) AS mean_micro
+         |FROM per GROUP BY k ORDER BY k""".stripMargin,
     // sim_matryoshka: same top-3 contract per truncation width; LEFT JOIN
     // against the full-width top-3 counts survivors (COUNT of non-null
     // match keys -> 0..3 even when nothing survives).

@@ -208,6 +208,31 @@ class SimilaritySpec extends SparkSpec {
     assert(byDim(32) >= byDim(8))
   }
 
+  test("kmeans elbow inertia is monotone non-increasing in k and mirrors brute force") {
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS e")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def micro(c: Double): Long =
+      (BigDecimal(1 - c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * 1000000).toLongExact
+    val expect = Seq(2, 4, 8).map { k =>
+      val cents = embs.filter(_._1 < k).map(_._2)
+      val as = embs.map { case (_, e) => micro(cents.map(c => cos(e, c)).max) }
+      (k, embs.length.toLong, as.sum, as.sum / embs.length)
+    }
+    val got = Similarity.embKmeansElbow(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expect)
+    val inertias = got.map(_._3)
+    assert(inertias.zip(inertias.tail).forall { case (a, b) => a >= b },
+      "more centroids can never increase inertia")
+  }
+
   test("centroid silhouette matches a driver-side brute-force mirror exactly") {
     // independent recomputation with plain Scala doubles — same sequential
     // fold order as the native cosine expression, so values (not just
