@@ -400,6 +400,37 @@ object Dedup extends QueryModule {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The remediation [[dedupSpans]] reports, APPLIED: every document with
+    * its corpus-duplicated word ranges cut out, as (doc_id, kept/removed
+    * counts, md5 of the masked text) — the pass a training corpus
+    * actually ships (Lee et al. cut the duplicated spans rather than
+    * dropping whole documents). Docs without duplicated spans pass
+    * through untouched. The span set joins back doc-grouped (an array of
+    * at most a handful of intervals per affected doc), and masking is a
+    * per-row array filter — no word-level shuffle; the md5 keeps the
+    * output compact and hash-comparable.
+    */
+  def dedupMask(spark: SparkSession, sfDir: String): DataFrame =
+    dedupMaskOf(Tables.documents(spark, sfDir))
+
+  private[graft] def dedupMaskOf(docs: DataFrame): DataFrame = {
+    val spans = dedupSpansOf(docs)
+      .groupBy(col("doc_id").as("sd"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.join(spans, col("doc_id") === col("sd"), "left")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("kept", expr(
+        "filter(transform(w, (x, i) -> struct(x AS x, CAST(i + 1 AS BIGINT) AS j)), " +
+          "p -> spans IS NULL OR NOT exists(spans, " +
+          "s -> p.j >= s.span_start AND p.j <= s.span_end))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr("transform(kept, p -> p.x)"))).as("masked_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Content-defined chunk divisor: boundary after word i when the 60-bit
     * hash of the 4-gram ending at i ≡ 0 (mod CdcDivisor) — expected chunk
     * ≈ CdcDivisor words. Frozen for the oracle.
@@ -598,8 +629,41 @@ object Dedup extends QueryModule {
     "dedup_blocks"        -> (dedupBlocks _),
     "text_source_novelty" -> (sourceNovelty _),
     "text_dedup_spans"    -> (dedupSpans _),
+    "text_dedup_mask"     -> (dedupMask _),
     "dedup_cdc_chunks"    -> (dedupCdcChunks _),
   )
+
+  /** Shared CTE chain of the duplicated-span oracles: sliding-8-gram
+    * positions → corpus occurrence counts → duplicated positions →
+    * gaps-and-islands interval ids (`isl` with doc_id, s, e, island;
+    * `d` with doc_id, w).
+    */
+  private lazy val dupSpanCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), g AS (
+       |  SELECT doc_id, i AS s,
+       |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
+       |        FROM d)
+       |), occ AS (
+       |  SELECT g, COUNT(*) AS occ FROM g GROUP BY g
+       |), dup AS (
+       |  SELECT doc_id, s, s + 7 AS e
+       |  FROM g JOIN occ USING (g) WHERE occ.occ >= 2
+       |), brk AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM dup
+       |), isl AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM brk
+       |)""".stripMargin
 
   override def oracles: Map[String, String] = {
     val permValues = Hashing.MinhashParams.zipWithIndex
@@ -675,36 +739,39 @@ object Dedup extends QueryModule {
       // on both sides; the Spark window's running SUM stays BIGINT while
       // DuckDB's goes HUGEINT — island ids are internal, outputs cast.
       "text_dedup_spans" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-           |), g AS (
-           |  SELECT doc_id, i AS s,
-           |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
-           |  FROM (SELECT doc_id, w,
-           |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
-           |        FROM d)
-           |), occ AS (
-           |  SELECT g, COUNT(*) AS occ FROM g GROUP BY g
-           |), dup AS (
-           |  SELECT doc_id, s, s + 7 AS e
-           |  FROM g JOIN occ USING (g) WHERE occ.occ >= 2
-           |), brk AS (
-           |  SELECT doc_id, s, e,
-           |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-           |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-           |      -1) + 1 THEN 1 ELSE 0 END AS brk
-           |  FROM dup
-           |), isl AS (
-           |  SELECT doc_id, s, e,
-           |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-           |  FROM brk
-           |)
+        s"""WITH $dupSpanCtes
            |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
            |  CAST(MAX(e) AS BIGINT) AS span_end,
            |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_words
            |FROM isl GROUP BY doc_id, island
            |ORDER BY doc_id, span_start""".stripMargin,
+      // text_dedup_mask: the same merged spans, applied — words whose
+      // 1-based position falls inside any span are cut; string_agg over
+      // zero kept rows is NULL, coalesced to '' to match Spark's
+      // concat_ws over an empty array.
+      "text_dedup_mask" ->
+        s"""WITH $dupSpanCtes, sp AS (
+           |  SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+           |  FROM isl GROUP BY doc_id, island
+           |), wd AS (
+           |  SELECT doc_id, j, w[j] AS word FROM (
+           |    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM d)
+           |), kept AS (
+           |  SELECT wd.doc_id, wd.j, wd.word
+           |  FROM wd LEFT JOIN sp
+           |    ON wd.doc_id = sp.doc_id AND wd.j BETWEEN sp.ss AND sp.se
+           |  WHERE sp.doc_id IS NULL
+           |), ka AS (
+           |  SELECT doc_id, COUNT(*) AS n_kept,
+           |    string_agg(word, ' ' ORDER BY j) AS masked
+           |  FROM kept GROUP BY doc_id
+           |)
+           |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+           |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           |  CAST(len(d.w) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+           |  md5(COALESCE(ka.masked, '')) AS masked_md5
+           |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       // dedup_cdc_chunks: boundary positions from the n=4 house n-gram
       // contract (i = 1..greatest(len-3,1), end word p = i+3; the short-doc
       // partial gram's p > len never lands on a word, mirrored by the

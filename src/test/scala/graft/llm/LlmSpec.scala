@@ -53,6 +53,26 @@ class DedupSpec extends SparkSpec {
       (2L, 1L, 9L, 9L), (3L, 1L, 9L, 9L)))
   }
 
+  test("dedup mask applies the spans: hand-derived kept words and digests") {
+    import spark.implicits._
+    val d4 = "totally unrelated words that repeat nothing eightfold anywhere at all"
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z a b c d e f g h q"),
+      (2L, "m n o p q r s t u alpha beta gamma delta eps zeta"),
+      (3L, "m n o p q r s t u one two three four five six"),
+      (4L, d4)).toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = Dedup.dedupMaskOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSeq
+    assert(got === Seq(
+      (1L, 20L, 4L, 16L, md5hex("x y z q")),
+      (2L, 15L, 6L, 9L, md5hex("alpha beta gamma delta eps zeta")),
+      (3L, 15L, 6L, 9L, md5hex("one two three four five six")),
+      (4L, 10L, 10L, 0L, md5hex(d4))))
+  }
+
   test("dedup spans on the corpus: spans are disjoint, merged, and in-bounds") {
     val rows = Dedup.dedupSpans(spark, sf0001).collect()
     assert(rows.nonEmpty, "corpus should contain duplicated 8-grams")
