@@ -85,8 +85,88 @@ object MergeIntersectCountRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Catalyst optimizer rule: the hand-written bigram idiom
+  *
+  *   transform(sequence(1, size(w) - 1),
+  *             i -> struct(element_at(w, i) [AS x], element_at(w, i+1) [AS y]))
+  *
+  * over any array<string> `w` → the fused adjacent-pairs kernel
+  * (`ArrayAdjacentPairs`, preserving the user's struct field names): the
+  * builtin chain allocates the index sequence and evaluates an
+  * interpreted lambda with two element_at calls plus a struct per pair;
+  * the kernel is one pass over the array the plan already has. (The
+  * string-level byte scan `WordPairs` is stronger still, but the
+  * optimizer cannot reach the pre-split string through a Project
+  * boundary — the split array is what is in scope here.)
+  *
+  * Soundness: for arrays of ≥2 elements the kernel is value-identical to
+  * the chain (pair i = (w[i], w[i+1]), nulls surfaced as element_at
+  * would). For a ONE-element array the builtin chain ERRORS
+  * (sequence(1, 0) counts DOWN to 0 and element_at(w, 0) is an invalid
+  * index) — an optimizer must not turn that error into a value, so the
+  * rewrite guards with `size(w) >= 2` (O(1) on an array) and keeps the
+  * ORIGINAL expression as the else branch: error behavior — and the
+  * null-input result — is preserved exactly. `GraftOptimizationsSpec`
+  * A/Bs both the values and the one-element error.
+  */
+object AdjacentWordPairsRule extends Rule[LogicalPlan] {
+
+  /** The rewrite keeps the ORIGINAL chain as the If's else branch (error
+    * preservation), which this rule would otherwise match again on the
+    * next descent/fixed-point pass, wrapping forever — the kept original
+    * is tagged and skipped.
+    */
+  private val processed =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftAdjacentPairs")
+
+  private def isOne(e: Expression): Boolean = e match {
+    case Literal(1, IntegerType) => true
+    case Literal(1L, LongType) => true
+    case _ => false
+  }
+
+  private def isVar(e: Expression, lv: NamedLambdaVariable): Boolean = e match {
+    case v: NamedLambdaVariable => v.exprId == lv.exprId
+    case _ => false
+  }
+
+  private def isVarPlusOne(e: Expression, lv: NamedLambdaVariable): Boolean = e match {
+    case Add(a, b, _) => (isVar(a, lv) && isOne(b)) || (isOne(a) && isVar(b, lv))
+    case _ => false
+  }
+
+  private def isStringArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case at @ ArrayTransform(
+        Sequence(start, stop @ Subtract(Size(w1, _), one, _), step, _),
+        LambdaFunction(cns: CreateNamedStruct, Seq(lv: NamedLambdaVariable), _))
+        if at.getTagValue(processed).isEmpty &&
+          isOne(start) && isOne(one) && step.forall(isOne) && isStringArray(w1) =>
+      val names = cns.children match {
+        case Seq(Literal(n1: org.apache.spark.unsafe.types.UTF8String, _),
+                 ea1: ElementAt,
+                 Literal(n2: org.apache.spark.unsafe.types.UTF8String, _),
+                 ea2: ElementAt)
+            if ea1.left.semanticEquals(w1) && ea2.left.semanticEquals(w1) &&
+               isVar(ea1.right, lv) && isVarPlusOne(ea2.right, lv) =>
+          Some((n1.toString, n2.toString))
+        case _ => None
+      }
+      names.fold(at: Expression) { case (n1, n2) =>
+        at.setTagValue(processed, true)
+        If(GreaterThanOrEqual(stop, Literal(1)),
+          ArrayAdjacentPairs(w1, n1, n2), at)
+      }
+  }
+}
+
 object GraftOptimizations {
-  val rules: Seq[Rule[LogicalPlan]] = Seq(BandLevenshteinRule, MergeIntersectCountRule)
+  val rules: Seq[Rule[LogicalPlan]] =
+    Seq(BandLevenshteinRule, MergeIntersectCountRule, AdjacentWordPairsRule)
 
   /** Register on a live session (idempotent). */
   def install(spark: SparkSession): Unit = {

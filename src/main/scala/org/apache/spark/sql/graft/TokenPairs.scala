@@ -59,6 +59,29 @@ object TokenPairs {
     new GenericArrayData(out)
   }
 
+  /** Adjacent pairs straight off an ArrayData of strings — the array-level
+    * kernel behind AdjacentWordPairsRule (the optimizer can't reach the
+    * pre-split string through a Project boundary, but the split array is
+    * right there): one pass, element references aliased into the structs,
+    * no sequence array, no lambda interpretation, no element_at calls.
+    * Null elements pass through into (nullable) struct fields, exactly as
+    * the builtin element_at chain would surface them.
+    */
+  def arrayPairs(arr: org.apache.spark.sql.catalyst.util.ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev: UTF8String = if (arr.isNullAt(0)) null else arr.getUTF8String(0)
+    var i = 0
+    while (i < n - 1) {
+      val next: UTF8String = if (arr.isNullAt(i + 1)) null else arr.getUTF8String(i + 1)
+      out(i) = new GenericInternalRow(Array[Any](prev, next))
+      prev = next
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Adjacent word pairs of a SPACE-separated text in one byte scan —
     * bit-identical to `explode(transform(sequence(1, size(w)-1),
     * i -> struct(element_at(w,i), element_at(w,i+1))))` over
@@ -114,19 +137,25 @@ object TokenPairs {
 }
 
 /** Shared shape of the adjacent-pairs expressions: array<struct<a,b>> of
-  * non-null strings, null iff the input string is null.
+  * non-null strings, null iff the input string is null. Field names are
+  * overridable so the optimizer rewrite (AdjacentWordPairsRule) can
+  * preserve whatever names the user's struct(... AS x, ... AS y) chose.
   */
 sealed trait AdjacentPairsExpression extends UnaryExpression with ImplicitCastInputTypes {
+  def aName: String
+  def bName: String
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("a", StringType, nullable = false),
-      StructField("b", StringType, nullable = false))),
+      StructField(aName, StringType, nullable = false),
+      StructField(bName, StringType, nullable = false))),
     containsNull = false)
   override def nullable: Boolean = child.nullable
 }
 
 case class TokenPairs(child: Expression) extends AdjacentPairsExpression {
+  override def aName: String = "a"
+  override def bName: String = "b"
   override def prettyName: String = "graft_token_pairs"
 
   override def nullSafeEval(s: Any): Any =
@@ -145,7 +174,41 @@ case class TokenPairs(child: Expression) extends AdjacentPairsExpression {
   * TokenPairs.wordPairs for the exact-equivalence contract with the
   * split/transform/element_at builtin chain it replaces).
   */
-case class WordPairs(child: Expression) extends AdjacentPairsExpression {
+/** Adjacent pairs of an array<string> column — the optimizer-rewrite
+  * target (AdjacentWordPairsRule): where WordPairs needs the pre-split
+  * STRING, this kernel takes the split ARRAY the plan already has. Struct
+  * field nullability mirrors the input's element nullability (a null
+  * element surfaces in its pairs exactly as the element_at chain would).
+  */
+case class ArrayAdjacentPairs(child: Expression,
+    aName: String = "a", bName: String = "b") extends UnaryExpression
+  with ImplicitCastInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  private def elementsNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField(aName, StringType, nullable = elementsNullable),
+      StructField(bName, StringType, nullable = elementsNullable))),
+    containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_array_adjacent_pairs"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenPairs.arrayPairs(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.TokenPairs.arrayPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WordPairs(child: Expression, aName: String = "a", bName: String = "b")
+  extends AdjacentPairsExpression {
   override def prettyName: String = "graft_word_pairs"
 
   override def nullSafeEval(s: Any): Any =

@@ -69,6 +69,43 @@ class GraftOptimizationsSpec extends SparkSpec {
     }
   }
 
+  test("the builtin bigram idiom rewrites to the adjacent-pairs kernel, names and errors preserved") {
+    val bigramExpr = "transform(sequence(1, size(w) - 1), " +
+      "i -> struct(element_at(w, i) AS wa, element_at(w, i + 1) AS wb))"
+    val docs = graft.Tables.documents(spark, sf0001)
+    def pairs(q: org.apache.spark.sql.DataFrame): Seq[(String, String, Long)] =
+      q.groupBy("p.wa", "p.wb").count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    def query = docs
+      .selectExpr("split(text, ' ') AS w")
+      .filter(size(col("w")) >= 2)
+      .selectExpr(s"explode($bigramExpr) AS p")
+    val builtin = pairs(query)
+    assert(builtin.nonEmpty)
+
+    GraftOptimizations.install(spark)
+    try {
+      val q = query
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_array_adjacent_pairs"),
+        s"expected adjacent-pairs rewrite in:\n$optimized")
+      // the user's field names survive the rewrite (p.wa / p.wb resolved)
+      assert(pairs(q) === builtin)
+      // the one-word error path is PRESERVED: without the size guard a
+      // single-word text drives element_at(w, 0), which must still error
+      // after the rewrite (the size-guard falls through to the
+      // original chain)
+      import spark.implicits._
+      val oneWord = Seq("solo").toDF("text").selectExpr("split(text, ' ') AS w")
+        .selectExpr(s"explode($bigramExpr) AS p")
+      assert(oneWord.queryExecution.optimizedPlan.toString.contains("graft_array_adjacent_pairs"))
+      intercept[Exception] { oneWord.collect() }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(GraftOptimizations.rules.contains)
+    }
+  }
+
   test("install is idempotent") {
     GraftOptimizations.install(spark)
     GraftOptimizations.install(spark)
