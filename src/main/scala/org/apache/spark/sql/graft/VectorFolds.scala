@@ -338,7 +338,10 @@ object VectorBridge {
           s"graft_word_ngrams60: distinct must be a boolean literal, got $other")
       }
       WordNgramHashes(exprs(0), n, distinct)
-    }))
+    }),
+    "graft_token_pairs" -> (exprs => TokenPairs(exprs(0))),
+    "graft_word_pairs"  -> (exprs => WordPairs(exprs(0))),
+    "graft_adjacent_pairs" -> (exprs => ArrayAdjacentPairs(exprs(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

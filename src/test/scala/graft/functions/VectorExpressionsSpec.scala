@@ -91,6 +91,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("SQL registration: the adjacent-pairs family callable from spark.sql") {
+    VectorExpressions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_word_pairs('a b c') AS wp, " +
+        "graft_token_pairs('|a||b||c|') AS tp, " +
+        "graft_adjacent_pairs(array('a', 'b', 'c')) AS ap").collect().head
+    def pairs(i: Int): Seq[(String, String)] =
+      r.getSeq[org.apache.spark.sql.Row](i).map(s => (s.getString(0), s.getString(1)))
+    assert(pairs(0) === Seq(("a", "b"), ("b", "c")))
+    assert(pairs(1) === Seq(("a", "b"), ("b", "c")))
+    assert(pairs(2) === Seq(("a", "b"), ("b", "c")))
+  }
+
   test("expression participates in whole-stage codegen (no fallback)") {
     // needs a non-local source: local Seqs get constant-folded at plan time
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
