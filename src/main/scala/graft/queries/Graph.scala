@@ -424,8 +424,15 @@ object Graph extends QueryModule {
         .withColumn("rn", row_number().over(byCnt))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("nl").as("newlab"))
+      // eager cut per round: `lab` is referenced twice (neighbor counts +
+      // the keep-own fallback), so without it the plan tree doubles per
+      // round (2^r copies of the base — 30 joins in the 3-round dump).
+      // The frame is ≤|nations| rows, so the cut is O(nothing); a
+      // convergence-driven variant at corpus node counts would use
+      // PlanBridge.cutLineage exactly like the CC loop.
       lab.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint(true)
     }
 
     val l0 = nodes.select(col("node"), col("node").as("lab"))
