@@ -92,7 +92,7 @@ object AviContainer {
     buf.putInt(microSecPerFrame.toInt) // dwMicroSecPerFrame
     buf.putInt(frameBytes * fpsOf(microSecPerFrame)) // dwMaxBytesPerSec
     buf.putInt(0)                      // dwPaddingGranularity
-    buf.putInt(0x10)                   // dwFlags: AVIF_HASINDEX off, WASCAPTUREFILE off; 0x10=AVIF_ISINTERLEAVED (benign)
+    buf.putInt(0)                      // dwFlags: no AVIF_HASINDEX (no idx1 chunk is written — advertising one would invite index-based seeks into a missing chunk), no AVIF_ISINTERLEAVED
     buf.putInt(nf)                     // dwTotalFrames
     buf.putInt(0)                      // dwInitialFrames
     buf.putInt(1)                      // dwStreams

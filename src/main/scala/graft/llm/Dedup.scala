@@ -378,13 +378,19 @@ object Dedup extends QueryModule {
     */
   private[graft] def dedupSpansOf(docs: DataFrame): DataFrame = {
     val grams = docs
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"),
         posexplode(graft.functions.VectorExpressions
           .word_ngram_hashes(col("text"), 8, distinct = false)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
+      .select(col("doc_id"), col("nw"),
+        (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
     val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+    // span_end clamps to the document's word count: a doc shorter than the
+    // gram width emits one PARTIAL gram (house n-gram contract), and its
+    // unclamped s + 7 would report a span past the document's end —
+    // overstating span_words in the remediation report (masking was always
+    // unaffected; positions past the end match no word)
     val dup = grams.join(occ.filter(col("occ") >= 2), "g")
-      .select(col("doc_id"), col("s"), (col("s") + 7).as("e"))
+      .select(col("doc_id"), col("s"), least(col("s") + 7, col("nw")).as("e"))
     val byStart = Window.partitionBy("doc_id").orderBy("s")
     val prevMax = max(col("e")).over(
       byStart.rowsBetween(Window.unboundedPreceding, -1))
@@ -642,7 +648,7 @@ object Dedup extends QueryModule {
     s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), g AS (
-       |  SELECT doc_id, i AS s,
+       |  SELECT doc_id, len(w) AS nw, i AS s,
        |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
        |  FROM (SELECT doc_id, w,
        |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
@@ -650,7 +656,7 @@ object Dedup extends QueryModule {
        |), occ AS (
        |  SELECT g, COUNT(*) AS occ FROM g GROUP BY g
        |), dup AS (
-       |  SELECT doc_id, s, s + 7 AS e
+       |  SELECT doc_id, s, LEAST(s + 7, nw) AS e
        |  FROM g JOIN occ USING (g) WHERE occ.occ >= 2
        |), brk AS (
        |  SELECT doc_id, s, e,

@@ -292,14 +292,19 @@ object Sampling extends QueryModule {
   private[graft] def packLengthBucketsOf(docs: DataFrame): DataFrame = {
     val naive = docs
       .withColumn("strategy", lit("arrival"))
-      .withColumn("batch", expr(s"doc_id div $PackBatch"))
+      .withColumn("batch", expr(s"CAST(doc_id div $PackBatch AS STRING)"))
     val byLen = Window.partitionBy("bucket").orderBy("toks", "doc_id")
     val bucketed = docs
       .withColumn("bucket", expr(s"toks div $PackBucketWidth"))
       .withColumn("rk", row_number().over(byLen))
       .withColumn("strategy", lit("length_bucketed"))
-      // bucket-disjoint batch ids; 1000 >> any per-bucket batch count here
-      .withColumn("batch", expr(s"bucket * 1000 + (rk - 1) div $PackBatch"))
+      // collision-free compound batch id (bucket, within-bucket batch) as a
+      // string key: an arithmetic encoding (bucket * K + …) silently merges
+      // batches from different buckets once a bucket holds > K·PackBatch
+      // docs — at 100 TB that is a certainty, and it would corrupt the
+      // padding statistics on BOTH engines without tripping the oracle
+      .withColumn("batch",
+        expr(s"concat(CAST(bucket AS STRING), ':', CAST((rk - 1) div $PackBatch AS STRING))"))
     naive.select("strategy", "batch", "toks")
       .unionByName(bucketed.select("strategy", "batch", "toks"))
       .groupBy("strategy", "batch")
@@ -748,13 +753,14 @@ object Sampling extends QueryModule {
            |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
            |  FROM documents
            |), naive AS (
-           |  SELECT 'arrival' AS strategy, doc_id // $PackBatch AS batch, toks
+           |  SELECT 'arrival' AS strategy,
+           |    CAST(doc_id // $PackBatch AS VARCHAR) AS batch, toks
            |  FROM t
            |), bucketed AS (
            |  SELECT 'length_bucketed' AS strategy,
-           |    (toks // $PackBucketWidth) * 1000
-           |      + (row_number() OVER (PARTITION BY toks // $PackBucketWidth
-           |           ORDER BY toks, doc_id) - 1) // $PackBatch AS batch,
+           |    CAST(toks // $PackBucketWidth AS VARCHAR) || ':' ||
+           |      CAST((row_number() OVER (PARTITION BY toks // $PackBucketWidth
+           |           ORDER BY toks, doc_id) - 1) // $PackBatch AS VARCHAR) AS batch,
            |    toks
            |  FROM t
            |), batches AS (

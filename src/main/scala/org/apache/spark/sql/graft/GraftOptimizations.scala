@@ -111,14 +111,6 @@ object MergeIntersectCountRule extends Rule[LogicalPlan] {
   */
 object AdjacentWordPairsRule extends Rule[LogicalPlan] {
 
-  /** The rewrite keeps the ORIGINAL chain as the If's else branch (error
-    * preservation), which this rule would otherwise match again on the
-    * next descent/fixed-point pass, wrapping forever — the kept original
-    * is tagged and skipped.
-    */
-  private val processed =
-    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graftAdjacentPairs")
-
   private def isOne(e: Expression): Boolean = e match {
     case Literal(1, IntegerType) => true
     case Literal(1L, LongType) => true
@@ -140,12 +132,30 @@ object AdjacentWordPairsRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+  /** The rewrite keeps the ORIGINAL chain as the If's else branch (error
+    * preservation), which a blind fixed-point descent would match again
+    * and wrap forever. Idempotence is STRUCTURAL, not stateful: the
+    * recursion recognizes the guard shape this rule itself emits —
+    * `If(size(w) - 1 >= 1, ArrayAdjacentPairs, ArrayTransform)` — and
+    * leaves it (and its kept else branch) untouched. No TreeNodeTag: a
+    * tag lives on one expression INSTANCE, which the analyzed plan shares
+    * with the optimized copy — re-optimizing a cached/reused Dataset saw
+    * the tag already set and silently skipped the rewrite, and
+    * termination depended on every later rule's node copies preserving
+    * tags. A structural check survives any number of plan copies.
+    */
+  private def alreadyRewritten(e: Expression): Boolean = e match {
+    case If(GreaterThanOrEqual(Subtract(Size(_, _), one, _), Literal(1, IntegerType)),
+            _: ArrayAdjacentPairs, _: ArrayTransform) => isOne(one)
+    case _ => false
+  }
+
+  private def rewrite(e: Expression): Expression = e match {
+    case _ if alreadyRewritten(e) => e
     case at @ ArrayTransform(
         Sequence(start, stop @ Subtract(Size(w1, _), one, _), step, _),
         LambdaFunction(cns: CreateNamedStruct, Seq(lv: NamedLambdaVariable), _))
-        if at.getTagValue(processed).isEmpty &&
-          isOne(start) && isOne(one) && step.forall(isOne) && isStringArray(w1) =>
+        if isOne(start) && isOne(one) && step.forall(isOne) && isStringArray(w1) =>
       val names = cns.children match {
         case Seq(Literal(n1: org.apache.spark.unsafe.types.UTF8String, _),
                  ea1: ElementAt,
@@ -156,12 +166,15 @@ object AdjacentWordPairsRule extends Rule[LogicalPlan] {
           Some((n1.toString, n2.toString))
         case _ => None
       }
-      names.fold(at: Expression) { case (n1, n2) =>
-        at.setTagValue(processed, true)
+      names.fold(at.mapChildren(rewrite)) { case (n1, n2) =>
         If(GreaterThanOrEqual(stop, Literal(1)),
           ArrayAdjacentPairs(w1, n1, n2), at)
       }
+    case _ => e.mapChildren(rewrite)
   }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp { case p => p.mapExpressions(rewrite) }
 }
 
 object GraftOptimizations {

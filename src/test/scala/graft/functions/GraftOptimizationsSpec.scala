@@ -106,6 +106,34 @@ class GraftOptimizationsSpec extends SparkSpec {
     }
   }
 
+  test("adjacent-pairs rewrite is structurally idempotent across plan copies") {
+    // The guard shape keeps the ORIGINAL transform as the If's else branch;
+    // a stateful (TreeNodeTag) guard both (a) depended on tags surviving
+    // node copies for termination and (b) SKIPPED the rewrite when a
+    // cached/reused Dataset was re-optimized with the tag already set.
+    // Structural idempotence must rewrite a FRESH copy of the same
+    // expression tree, and applying the rule to its own output must be a
+    // fixpoint (no nested guard Ifs).
+    import org.apache.spark.sql.graft.AdjacentWordPairsRule
+    val bigramExpr = "transform(sequence(1, size(w) - 1), " +
+      "i -> struct(element_at(w, i) AS wa, element_at(w, i + 1) AS wb))"
+    def freshPlan = graft.Tables.documents(spark, sf0001)
+      .selectExpr("split(text, ' ') AS w")
+      .selectExpr(s"$bigramExpr AS p")
+      .queryExecution.analyzed
+    val once = AdjacentWordPairsRule(freshPlan)
+    assert(once.toString.contains("graft_array_adjacent_pairs"),
+      s"rule must fire on an analyzed plan:\n$once")
+    val twice = AdjacentWordPairsRule(once)
+    assert(twice.toString === once.toString,
+      "re-applying the rule to its own output must be a fixpoint")
+    // a SECOND fresh copy of the same tree (what a re-optimized cached
+    // Dataset presents) must still rewrite — no instance-level state
+    val again = AdjacentWordPairsRule(freshPlan)
+    assert(again.toString.contains("graft_array_adjacent_pairs"),
+      "an identical fresh plan copy must still be rewritten")
+  }
+
   test("install is idempotent") {
     GraftOptimizations.install(spark)
     GraftOptimizations.install(spark)
