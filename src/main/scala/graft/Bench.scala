@@ -63,20 +63,27 @@ object Bench {
     //    (plus 0.2 s absolute slack so millisecond queries don't
     //    trigger): targeted, so the resample cost is bounded by the
     //    unstable tail instead of doubling the whole bench.
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A throwing query must be VISIBLE in the artifact: swallowing it
+    // records the time-to-throw as a legitimate sample, so a regression
+    // that breaks a query between Verify and Bench would quietly make the
+    // bench look FASTER. Failures still contribute their wall time (n
+    // stays the registry size) but the line carries the count and names.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     val queries = SparkEntry.queries
-    val pass1 = queries.map { case (name, fn) => name -> once(fn) }
-    val pass2 = queries.map { case (name, fn) => name -> once(fn) }
+    val pass1 = queries.map { case (name, fn) => name -> once(name, fn) }
+    val pass2 = queries.map { case (name, fn) => name -> once(name, fn) }
     var resampled = 0
     val results = queries.map { case (name, fn) =>
       val (a, b) = (pass1(name), pass2(name))
       val m = math.min(a, b)
       val v = if (math.max(a, b) > 2 * m + 0.2) {
-        resampled += 1; math.min(m, once(fn))
+        resampled += 1; math.min(m, once(name, fn))
       } else m
       name -> v
     }
@@ -85,7 +92,12 @@ object Bench {
     def line(entries: Seq[(String, Double)]): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"load_start":${fmt(startLoad)},"load_end":${fmt(loadAvg())},"resampled":$resampled,"queries":$qs,"sf":"$sfDir"}"""
+      // failure names are bounded to 10 in the line (a wholesale breakage
+      // would otherwise evict the entire per-query breakdown); the COUNT
+      // is always exact
+      val failedNames = failed.take(10)
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"failed_queries":$failedNames,"load_start":${fmt(startLoad)},"load_end":${fmt(loadAvg())},"resampled":$resampled,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Slowest-first breakdown, dropped one-at-a-time until the line fits.
     var shown = results.toSeq.sortBy(-_._2)
