@@ -105,8 +105,15 @@ class LandingTable(path: String) extends Table with SupportsRead with SupportsWr
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LandingScanBuilder(path, AdmissionLimits(options))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // directory-cache eviction horizon, per stream (reader option; the
+    // ledger default applies when unset)
+    val evictAfter = Option(options.get("evictAfterMs")).map { v =>
+      val n = v.trim.toLong
+      require(n > 0, s"evictAfterMs must be positive, got $v"); n
+    }.getOrElse(LandingLedger.DefaultEvictAfterMs)
+    new LandingScanBuilder(path, AdmissionLimits(options), evictAfter)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LandingWriteBuilder(path, info)
@@ -266,7 +273,10 @@ object AdmissionLimits {
   }
 }
 
-class LandingScanBuilder(path: String, limits: AdmissionLimits) extends ScanBuilder
+class LandingScanBuilder(
+    path: String,
+    limits: AdmissionLimits,
+    evictAfterMs: Long = LandingLedger.DefaultEvictAfterMs) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = LandingSource.Schema
@@ -297,7 +307,7 @@ class LandingScanBuilder(path: String, limits: AdmissionLimits) extends ScanBuil
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LandingScan(path, required, pruning, limits)
+    new LandingScan(path, required, pruning, limits, evictAfterMs)
 }
 
 /** Conjunction of every pushed key predicate: all prefixes AND all
@@ -314,7 +324,8 @@ class LandingScan(
     path: String,
     required: StructType,
     pruning: KeyPruning,
-    limits: AdmissionLimits) extends Scan with Batch {
+    limits: AdmissionLimits,
+    evictAfterMs: Long = LandingLedger.DefaultEvictAfterMs) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -339,7 +350,7 @@ class LandingScan(
     new LandingReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new LandingMicroBatchStream(path, required, pruning, limits)
+    new LandingMicroBatchStream(path, required, pruning, limits, evictAfterMs)
 }
 
 object LandingLedger {
@@ -405,13 +416,13 @@ object LandingLedger {
     * before every trigger and forcing the cold O(objects) re-list the
     * cache exists to avoid (review-caught starvation). 30 min is far
     * past any trigger interval a landing stream runs at, while an
-    * evicted root only pays one cold full list. Test hook: specs shrink
-    * the horizon rather than waiting it out. It stays an object-level
-    * var (not per-stream config) because the cache itself is
-    * process-global — a per-instance horizon could not govern eviction
-    * of roots other streams own.
+    * evicted root only pays one cold full list. The horizon is a CALL
+    * PARAMETER with this default (streams thread the `evictAfterMs`
+    * reader option through), not mutable process state: eviction is
+    * evaluated per scan, so each caller's horizon governs the scan it
+    * makes — no global var for specs to mutate and forget to restore.
     */
-  @volatile private[sources] var evictAfterMs: Long = 30L * 60 * 1000
+  val DefaultEvictAfterMs: Long = 30L * 60 * 1000
 
   /** Coarsest directory-mtime resolution we defend against (ext4 is ns,
     * but FAT-ish filesystems and coarse NFS servers round to seconds). */
@@ -432,7 +443,9 @@ object LandingLedger {
     * exactly the affected directory. The cache is self-validating, so it
     * is safely shared across stream instances and queries.
     */
-  def incrementalLedger(root: Path): Array[LedgerEntry] = {
+  def incrementalLedger(
+      root: Path,
+      evictAfterMs: Long = DefaultEvictAfterMs): Array[LedgerEntry] = {
     val now = System.currentTimeMillis()
     // Evict roots nobody listed inside the wall-clock horizon. The scan
     // is over the ROOT map (zones, not directories) — a handful of
@@ -580,7 +593,8 @@ class LandingMicroBatchStream(
     path: String,
     required: StructType,
     pruning: KeyPruning,
-    limits: AdmissionLimits) extends MicroBatchStream
+    limits: AdmissionLimits,
+    evictAfterMs: Long = LandingLedger.DefaultEvictAfterMs) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import LandingLedger.LedgerEntry
@@ -593,7 +607,7 @@ class LandingMicroBatchStream(
     * below assumes.
     */
   private def ledger(): Array[LedgerEntry] =
-    LandingLedger.incrementalLedger(Paths.get(path))
+    LandingLedger.incrementalLedger(Paths.get(path), evictAfterMs)
       .filter(e => pruning.matches(e.key))
       .sortBy(e => (e.mtime, e.key))
 

@@ -377,19 +377,29 @@ class LandingSourceSpec extends SparkSpec {
     val live = Files.createTempDirectory("landing-live")
     Files.write(live.resolve("obj.ndjson"), "{}".getBytes(StandardCharsets.UTF_8))
     // shrink the wall-clock horizon (the production 30 min would out-wait
-    // the suite), let the transients age past it, then one live call
-    // must sweep them — and must NOT depend on how many OTHER streams
-    // called in between (the old call-counter design starved slow
-    // streams sharing the process)
-    val prev = LandingLedger.evictAfterMs
-    try {
-      LandingLedger.evictAfterMs = 50L
-      Thread.sleep(120)
-      assert(LandingLedger.incrementalLedger(live).length == 1)
-      assert(transients.forall(LandingLedger.cachedDirCount(_) == 0),
-        "roots unseen past the eviction horizon must drop their cache")
-      assert(LandingLedger.cachedDirCount(live) == 1)
-    } finally LandingLedger.evictAfterMs = prev
+    // the suite) by PASSING it — the horizon is a per-call parameter, not
+    // process state, so there is nothing to restore. Eviction must also
+    // NOT depend on how many OTHER streams called in between (the old
+    // call-counter design starved slow streams sharing the process).
+    Thread.sleep(120)
+    assert(LandingLedger.incrementalLedger(live, evictAfterMs = 50L).length == 1)
+    assert(transients.forall(LandingLedger.cachedDirCount(_) == 0),
+      "roots unseen past the eviction horizon must drop their cache")
+    assert(LandingLedger.cachedDirCount(live) == 1)
+  }
+
+  test("evictAfterMs reader option parses strictly") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val table = new LandingTable(Files.createTempDirectory("landing-opt").toString)
+    // valid horizon builds a scan
+    table.newScanBuilder(new CaseInsensitiveStringMap(
+      java.util.Map.of("evictAfterMs", "1234"))).build()
+    // a non-positive horizon would evict every root on every call —
+    // reject loudly at option-parse time
+    intercept[IllegalArgumentException] {
+      table.newScanBuilder(new CaseInsensitiveStringMap(
+        java.util.Map.of("evictAfterMs", "0")))
+    }
   }
 
   test("sidecar round-trip is strict on write, tolerant on read") {
