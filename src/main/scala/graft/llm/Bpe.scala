@@ -2,6 +2,7 @@ package graft.llm
 
 import graft.{QueryModule, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer training (north-star EXT tier): learn a
@@ -264,6 +265,41 @@ object Bpe extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** EXT: context-window packing on REAL tokenizer output — the
+    * composition a training run actually executes: the packing stage
+    * (Sampling.packAssign's contiguous greedy cumsum-÷-budget, same
+    * 2048-token budget) budgeted on the TRAINED BPE encoder's token
+    * counts instead of whitespace tokens. Whitespace counts misprice
+    * every context window (they ignore the compression the tokenizer
+    * delivers — chars_per_token_micro in [[bpeEncode]]); packing on the
+    * encoder the pipeline trained is what keeps window fill honest.
+    *
+    * Scale shape: the encode is the single codegen'd
+    * chained-replace scan of [[bpeEncode]] (no counting rounds re-run —
+    * the merge table comes from the model-registry memo), the doc→lang
+    * attach is one equi-join on the corpus key, and packing is the same
+    * per-lang window cumsum as `pack_sequences` (at 100 TB, re-key to
+    * (lang, date-bucket) — packing is order-local, so narrower windows
+    * compose). The oracle replays the frozen merge chain (the
+    * `text_bpe_encode` CTEs) plus the cumsum-div — the full
+    * train→encode→pack composition is pinned cross-engine.
+    */
+  def packBpeSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = Sampling.PackBudget // the whitespace tier's window budget
+    val toks = finalState(spark, sfDir)
+      .selectExpr("doc_id",
+        "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS toks")
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(toks, "doc_id")
+      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before div $budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   /** EXT: word-boundary merge table — the same trainer over the
     * SentencePiece-style marked alphabet, so the learned units respect
     * word starts (`_th` vs mid-word `th`). Separate model-registry entry
@@ -280,6 +316,7 @@ object Bpe extends QueryModule {
     "text_bpe_words" -> (bpeTrainWords _),
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_encode" -> (bpeEncode _),
+    "pack_bpe_sequences" -> (packBpeSequences _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -367,6 +404,28 @@ object Bpe extends QueryModule {
            |    - 2 * CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT)) * 1000000
            |    // CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS BIGINT) AS chars_per_token_micro
            |FROM s$k ORDER BY doc_id""".stripMargin,
+      // pack_bpe_sequences: the SAME re-learned merge chain, then the
+      // encode token count feeds the pack_sequences cumsum-÷-budget —
+      // the train→encode→pack composition pinned end-to-end.
+      "pack_bpe_sequences" ->
+        s"""${oracleCtes(k)},
+           |enc AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS toks
+           |  FROM s$k
+           |), j AS (
+           |  SELECT d.lang, e.doc_id, e.toks
+           |  FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+           |), c AS (
+           |  SELECT lang, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM j
+           |)
+           |SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
+           |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+           |FROM c GROUP BY lang, cum_before // ${Sampling.PackBudget}
+           |ORDER BY lang, bin""".stripMargin,
     )
   }
 }
