@@ -318,13 +318,13 @@ object Ml extends QueryModule {
       s"\nSELECT * FROM ($rows) ORDER BY lr"
   }
 
-  private def logregOracle: String = {
+  /** The logistic GD CTE chain (f, w0, a1..aK, w1..wK) over a caller-
+    * supplied training-frame CTE — shared by the plain trainer oracle and
+    * the curation-gate oracle (whose f is the hash-split training slice).
+    */
+  private def logregTrainCtes(fCte: String): Seq[String] = {
     val ctes = Seq.newBuilder[String]
-    ctes += s"""f AS (
-       |  SELECT $LogregFeats1 AS x1,
-       |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
-       |         $LogregLabel AS y
-       |  FROM documents)""".stripMargin
+    ctes += fCte
     ctes += "w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
     for (i <- 1 to LogregIters) {
       val p = s"w${i - 1}"
@@ -342,12 +342,129 @@ object Ml extends QueryModule {
          |         CAST(${upd(s"$p.b", s"a$i.g0")} AS BIGINT) AS b
          |  FROM $p, a$i)""".stripMargin
     }
+    ctes.result()
+  }
+
+  private def logregOracle: String = {
+    val ctes = logregTrainCtes(
+      s"""f AS (
+         |  SELECT $LogregFeats1 AS x1,
+         |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |         $LogregLabel AS y
+         |  FROM documents)""".stripMargin)
     val rows = (1 to LogregIters).map { i =>
       s"SELECT $i AS iter, w$i.w1 AS w1_micro, w$i.w2 AS w2_micro, w$i.b AS b_micro," +
         s" a$i.g1 AS g1, a$i.g2 AS g2, a$i.g0 AS g0, a$i.n AS n FROM w$i, a$i"
     }.mkString(" UNION ALL ")
-    ctes.result().mkString("WITH ", ",\n", "") +
+    ctes.mkString("WITH ", ",\n", "") +
       s"\nSELECT * FROM ($rows) ORDER BY iter"
+  }
+
+  // ------------------------------------------- classifier-scored curation
+
+  /** Training split: docs whose 100-bucket identity hash falls below 80 —
+    * the deterministic 80% train slice (sample_hash's gate family).
+    */
+  private val CurateTrainPct = 80L
+
+  /** EXT: the fastText-style quality gate every production corpus runs,
+    * composed from already-green parts: TRAIN the integer logistic
+    * classifier (ml_logreg_gd's machinery — same features, label, integer
+    * grids and division guards) on a deterministic 80% hash split, then
+    * SCORE every document with the final weights and emit keep/drop with
+    * per-source keep rates — the decision table a curation run acts on.
+    *
+    * The keep threshold is the TRAINING SPLIT'S BASE RATE (positive
+    * fraction in ppm), not a fixed σ ≥ 0.5: five integer-GD iterations
+    * from zero weights leave scores uncalibrated (on an imbalanced label
+    * every score sits below 0.5 and a fixed threshold keeps nothing —
+    * observed, not hypothetical), while "score above the prior" is the
+    * standard uncalibrated-classifier gate and is exactly computable on
+    * the micro grid from the same training pass.
+    *
+    * Scale shape: training is LogregIters map-side-combinable 3-sum
+    * aggregates over the split (d+1 scalars to the driver per iteration —
+    * the treeAggregate discipline; the prior rides along with iteration
+    * 1's count at zero extra passes); scoring is ONE full-corpus
+    * projection with the weights and threshold embedded as literals,
+    * folded into a per-source count — no join, no shuffle beyond the
+    * rollup. All-integer weights and fast-sigmoid make the gate
+    * oracle-exact: DuckDB re-TRAINS on the same split, re-derives the
+    * threshold, and re-scores, so a drift anywhere in the composition
+    * breaks the hash.
+    */
+  def curateClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val feats = Tables.documents(spark, sfDir)
+      .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
+      .selectExpr(s"$LogregFeats1 AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"$LogregLabel AS y")
+      .persist()
+    var w1 = 0L; var w2 = 0L; var b = 0L
+    var threshold = 0L
+    for (iter <- 1 to LogregIters) {
+      val r = feats
+        .selectExpr(s"${logregErr(w1, w2, b)} AS e", "x1", "x2", "y")
+        .selectExpr("count(1) AS n", "sum(e * x1) AS g1", "sum(e * x2) AS g2",
+          "sum(e) AS g0", "sum(y) AS p")
+        .collect()(0) // d+2 scalars — bounded driver action
+      val n = r.getLong(0)
+      def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n)
+      w1 = upd(w1, r.getLong(1)); w2 = upd(w2, r.getLong(2)); b = upd(b, r.getLong(3))
+      if (iter == 1) threshold = r.getLong(4) * 1000000L / n // base rate, micro
+    }
+    feats.unpersist(blocking = false)
+    curateScoreOf(Tables.documents(spark, sfDir), w1, w2, b, threshold)
+  }
+
+  /** The scored full-corpus pass at GIVEN weights and threshold —
+    * separated so crafted specs pin the keep decision against
+    * hand-derived fast-sigmoid values (the mirror-oracle countermeasure
+    * for the scoring half).
+    */
+  private[graft] def curateScoreOf(
+      docs: DataFrame, w1: Long, w2: Long, b: Long, thresholdMicro: Long): DataFrame =
+    docs
+      .selectExpr("source", s"$LogregFeats1 AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"$LogregLabel AS y")
+      .withColumn("keep", expr(s"${logregSig(w1, w2, b)} >= $thresholdMicro"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep") && col("y") === 1L, 1L).otherwise(0L)).as("n_keep_en"))
+      .withColumn("keep_ppm", expr("n_keep * 1000000 div n_docs"))
+      .orderBy("source")
+
+  private def curateOracle: String = {
+    val ctes = logregTrainCtes(
+      s"""f AS (
+         |  SELECT x1, x2, y FROM (
+         |    SELECT $LogregFeats1 AS x1,
+         |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |           $LogregLabel AS y,
+         |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |    FROM documents) WHERE h < $CurateTrainPct)""".stripMargin) ++ Seq(
+      s"""th AS (
+         |  SELECT CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS t
+         |  FROM f)""".stripMargin,
+      s"""sc AS (
+         |  SELECT source, $LogregFeats1 AS x1,
+         |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |         $LogregLabel AS y
+         |  FROM documents)""".stripMargin,
+      s"""kp AS (
+         |  SELECT sc.source, sc.y,
+         |    (${logregSigDuck("w.w1", "w.w2", "w.b")} >= th.t) AS keep
+         |  FROM sc, w$LogregIters w, th)""".stripMargin)
+    ctes.mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN keep AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_en,
+         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+         |FROM kp GROUP BY source ORDER BY source""".stripMargin
   }
 
   // ----------------------------------------------------- scored documents
@@ -614,6 +731,7 @@ object Ml extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_gd"   -> (mlLinregGd _),
     "ml_logreg_gd"   -> (mlLogregGd _),
+    "curate_classifier" -> (curateClassifier _),
     "ml_sweep"       -> (mlSweep _),
     "ml_auc"         -> (mlAuc _),
     "ml_pr_curve"    -> (mlPrCurve _),
@@ -625,6 +743,7 @@ object Ml extends QueryModule {
   override def oracles: Map[String, String] = Map(
     "ml_linreg_gd"   -> gdOracle,
     "ml_logreg_gd"   -> logregOracle,
+    "curate_classifier" -> curateOracle,
     "ml_sweep"       -> sweepOracle,
     "ml_auc"         -> aucOracle,
     "ml_pr_curve"    -> prCurveOracle,

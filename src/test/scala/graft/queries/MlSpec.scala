@@ -166,4 +166,26 @@ class MlSpec extends SparkSpec {
     assert(r.getLong(4) === tp * 1000000L / math.max(tp + fp, 1L))
     assert(r.getLong(7) === (tp + tn) * 1000000L / (tp + fp + fn + tn))
   }
+
+  test("curation gate keep decisions match hand-derived fast-sigmoid values") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", 1000L, "a b", "en"),
+      ("s1", 100L, "a", "de"),
+      ("s2", 100L, "a", "en"))
+      .toDF("source", "n_chars", "text", "lang")
+    // Hand derivation at w1=1000, w2=0, b=0 (micro grid):
+    //   x1=1000: z = (1000*1000 + 1e15) div 1000 - 1e12 = 1000
+    //            sig = 500000 + (1000*500000) div (1000000+1000) = 500499
+    //   x1=100:  z = 100 -> sig = 500000 + 50000000 div 1000100 = 500049
+    // threshold 500100 keeps exactly the x1=1000 doc.
+    val r = Ml.curateScoreOf(docs, 1000L, 0L, 0L, 500100L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(r.toSeq === Seq(("s1", 2L, 1L, 1L, 500000L), ("s2", 1L, 0L, 0L, 0L)))
+    // negative-z mirror: w1=-1000 -> sigs 499501/499951, everything below
+    // the 0.5 line drops (the sign-decomposition branch of the sigmoid)
+    val neg = Ml.curateScoreOf(docs, -1000L, 0L, 0L, 500000L).collect()
+      .map(_.getLong(2))
+    assert(neg.toSeq === Seq(0L, 0L))
+  }
 }
