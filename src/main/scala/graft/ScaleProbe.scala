@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "inc", "bpe", "gd", "pairs", "cdc").filter(args.contains)
+    val sections = Set("cc", "inc", "bpe", "gd", "pairs", "cdc", "lpa").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -239,6 +239,24 @@ object ScaleProbe {
       val sec = (1 to 3).map(_ =>
         time(llm.Dedup.dedupCdcChunksOf(docs).count())._2).min
       println(f"""{"probe":"cdc_chunks","docs":$n,"chunk_sec":$sec%.2f}""")
+    }
+
+    // claim 6 (round-7): converged label propagation's round count is set
+    // by community structure, NOT corpus size (block corpus: 10-node
+    // communities at every n), and total cost grows ~linearly in edges —
+    // the run-until-stable production form with per-round cutLineage.
+    if (on("lpa")) for (n <- Seq(100000L, 300000L, 1000000L).map(_ / div)) {
+      val e = blockCorpus(spark, n).filter(col("a") =!= col("b"))
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .select(col("a").as("src"), col("b").as("dst"))
+      val nodes = spark.range(n).select(col("id").as("node"))
+      val ((labels, rounds, release), sec) =
+        time(queries.Graph.labelPropConverged(und, nodes))
+      val nComm = labels.select("lab").distinct().count()
+      println(f"""{"probe":"label_prop_converged","nodes":$n,""" +
+        f""""rounds":$rounds,"communities":$nComm,"total_sec":$sec%.1f}""")
+      release()
     }
     spark.stop()
   }

@@ -490,6 +490,115 @@ object Graph extends QueryModule {
       .select(col("node"), col("lab").as("community"), col("community_size"))
   }
 
+  /** RUN-UNTIL-STABLE label propagation — the production form of
+    * [[labelPropOf]] (which runs 3 fixed synchronous rounds so its oracle
+    * unrolls exactly): iterate until an ATTRACTOR, with the
+    * ConnectedComponents loop's discipline at corpus node counts —
+    * PlanBridge.cutLineage per round (localCheckpoint's inherited size
+    * estimates square per round, see CC scaladoc), superseded cuts
+    * released immediately, exact attractor detection (join-shaped empty
+    * checks on the cut frames — bounded driver actions per round), and a
+    * runaway bound that THROWS rather than return unconverged labels.
+    *
+    * Two semantic choices, documented as the contract:
+    *
+    *  - CLOSED neighborhood: each node's own current label joins the
+    *    neighbor vote (ties still break count DESC, label ASC). The
+    *    isolated-node keep-own fallback comes free (the self-vote is its
+    *    only ballot), and the trivial two-node label swap damps.
+    *
+    *  - PERIOD-2 RESOLUTION: synchronous majority-style dynamics
+    *    provably reach attractors of period ≤ 2, not always fixpoints
+    *    (Goles & Olivos, "Periodic behaviour of generalized threshold
+    *    functions", Discrete Math. 30 (1980) — the parallel-iteration
+    *    theorem for threshold networks; observed here on hash-random
+    *    block graphs where rare configurations blink A↔B forever, which
+    *    ALSO grows the round count unboundedly — each round's cut chains
+    *    its RDD dependency, so a non-terminating loop eventually
+    *    overflows task serialization). Both attractor types are detected
+    *    exactly: labeling == previous (fixpoint) or labeling == the one
+    *    TWO rounds back (2-cycle). A 2-cycle resolves deterministically
+    *    to the ELEMENTWISE MIN of the two alternating labelings —
+    *    order-free, engine-free, and the natural min-label convention of
+    *    this file; the emitted labels are the attractor pair's canonical
+    *    representative, not a fixpoint of the raw update rule (exactly
+    *    the asynchronous-update escape Raghavan et al. §3 reach for,
+    *    made deterministic).
+    *
+    * Returns (labels, rounds, release). The labels frame is backed by the
+    * final cut; call release() once it is consumed (Bpe.trainCheckpointed
+    * contract).
+    */
+  private[graft] def labelPropConverged(
+      und: DataFrame, nodes: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int, () => Unit) =
+    labelPropConvergedFrom(
+      und, nodes.select(col("node"), col("node").as("lab")), maxRounds)
+
+  /** [[labelPropConverged]] from an ARBITRARY initial labeling — the
+    * testing seam that lets crafted specs drive the dynamics into a
+    * known 2-cycle (identity initialization makes distinct ids, from
+    * which a hand-constructable blinker is hard to reach).
+    */
+  private[graft] def labelPropConvergedFrom(
+      und: DataFrame, l0: DataFrame, maxRounds: Int = 50)
+      : (DataFrame, Int, () => Unit) = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.rdd.RDD
+    val (e, eRdd, _) = PlanBridge.cutLineage(und.select(col("src"), col("dst")))
+    var (lab, labRdd, _) = PlanBridge.cutLineage(l0.select(col("node"), col("lab")))
+    var prev: DataFrame = null
+    var prevRdd: RDD[_] = null
+    var rounds = 0
+    var result: DataFrame = null
+    var resultRdd: RDD[_] = null
+    def same(a: DataFrame, b: DataFrame): Boolean =
+      a.join(b.withColumnRenamed("lab", "other"), "node")
+        .filter(col("lab") =!= col("other"))
+        .isEmpty
+    while (result == null && rounds < maxRounds) {
+      val byCnt = Window.partitionBy("node").orderBy(col("cnt").desc, col("nl"))
+      val next = e
+        .join(lab.select(col("node").as("dst"), col("lab").as("nl")), "dst")
+        .select(col("src").as("node"), col("nl"))
+        .union(lab.select(col("node"), col("lab").as("nl"))) // self-vote
+        .groupBy("node", "nl").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byCnt))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("nl").as("lab"))
+      val (nl, nlRdd, _) = PlanBridge.cutLineage(next)
+      rounds += 1
+      if (same(nl, lab)) { // fixpoint: one-row-per-node cut frames
+        PlanBridge.releaseCut(nlRdd)
+        if (prevRdd != null) PlanBridge.releaseCut(prevRdd)
+        result = lab; resultRdd = labRdd
+      } else if (prev != null && same(nl, prev)) { // period-2 attractor
+        val (res, resRdd, _) = PlanBridge.cutLineage(
+          lab.withColumnRenamed("lab", "l1")
+            .join(nl.withColumnRenamed("lab", "l2"), "node")
+            .select(col("node"), least(col("l1"), col("l2")).as("lab")))
+        PlanBridge.releaseCut(nlRdd)
+        PlanBridge.releaseCut(labRdd)
+        PlanBridge.releaseCut(prevRdd)
+        result = res; resultRdd = resRdd
+      } else {
+        if (prevRdd != null) PlanBridge.releaseCut(prevRdd)
+        prev = lab; prevRdd = labRdd
+        lab = nl; labRdd = nlRdd
+      }
+    }
+    PlanBridge.releaseCut(eRdd)
+    if (result == null) {
+      if (prevRdd != null) PlanBridge.releaseCut(prevRdd)
+      PlanBridge.releaseCut(labRdd)
+      throw new IllegalStateException(
+        s"label propagation reached no attractor in $maxRounds rounds — " +
+          "refusing to return unconverged labels")
+    }
+    val finalRdd = resultRdd
+    (result, rounds, () => PlanBridge.releaseCut(finalRdd))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_label_prop" -> (graphLabelProp _),
     "graph_closeness" -> (graphCloseness _),

@@ -27,4 +27,64 @@ class GraphSpec extends SparkSpec {
       4 -> (3, 3L), 5 -> (3, 3L), 6 -> (3, 3L),
       7 -> (7, 1L)))
   }
+
+  test("converged label propagation matches the hand-derived fixpoint") {
+    import spark.implicits._
+    // same bridged triangles + isolated node, CLOSED-neighborhood rule:
+    //   l1: [1,1,1,3,4,4,7]  (each node votes its own label too)
+    //   l2: [1,1,1,4,4,4,7]
+    //   l3 = l2 -> stable at round 3
+    val half = Seq((1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4))
+    val und = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val nodes = (1 to 7).toDF("node")
+    val (labels, rounds, release) = Graph.labelPropConverged(und, nodes)
+    try {
+      val got = labels.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 4, 5 -> 4, 6 -> 4, 7 -> 7))
+      assert(rounds === 3)
+    } finally release()
+  }
+
+  test("converged label propagation damps the bipartite swap oscillation") {
+    import spark.implicits._
+    // one edge 1-2: synchronous OPEN-neighborhood LPA swaps the two
+    // labels forever (Raghavan et al. §3's oscillation case). The
+    // self-vote makes round 1 a tie broken to min(1), round 2 detects
+    // the fixpoint.
+    val und = Seq((1, 2), (2, 1)).toDF("src", "dst")
+    val nodes = Seq(1, 2).toDF("node")
+    val (labels, rounds, release) = Graph.labelPropConverged(und, nodes)
+    try {
+      val got = labels.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === Map(1 -> 1, 2 -> 1))
+      assert(rounds === 2)
+    } finally release()
+  }
+
+  test("period-2 attractors are detected and resolved to the elementwise min") {
+    import spark.implicits._
+    // C4 blinker (the Goles-Olivos period-2 case): from the alternating
+    // labeling [1,2,1,2] the synchronous closed-neighborhood update swaps
+    // to [2,1,2,1] and back forever. Round 2 must detect labeling ==
+    // two-rounds-back and emit the elementwise min = all-1.
+    val half = Seq((1, 2), (2, 3), (3, 4), (4, 1))
+    val und = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val l0 = Seq((1, 1), (2, 2), (3, 1), (4, 2)).toDF("node", "lab")
+    val (labels, rounds, release) = Graph.labelPropConvergedFrom(und, l0)
+    try {
+      val got = labels.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === Map(1 -> 1, 2 -> 1, 3 -> 1, 4 -> 1))
+      assert(rounds === 2)
+    } finally release()
+  }
+
+  test("converged label propagation throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val half = Seq((1, 2), (2, 3), (3, 4))
+    val und = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val nodes = (1 to 4).toDF("node")
+    intercept[IllegalStateException] {
+      Graph.labelPropConverged(und, nodes, maxRounds = 1)
+    }
+  }
 }
