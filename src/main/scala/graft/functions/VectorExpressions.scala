@@ -63,6 +63,14 @@ object VectorExpressions {
     */
   def word_pairs(text: Column): Column = VectorBridge.wordPairs(text)
 
+  /** Word-level longest-common-prefix of two document suffixes (1-based
+    * start positions) in one fused early-exit scan — replaces the
+    * interpreted filter/sequence HOF chain (HOF lambdas don't codegen;
+    * see org.apache.spark.sql.graft.SuffixLcp).
+    */
+  def suffix_lcp(w1: Column, p1: Column, w2: Column, p2: Column): Column =
+    VectorBridge.suffixLcp(w1, p1, w2, p2)
+
   /** Register `graft_dot` / `graft_cosine` for spark.sql. */
   def register(spark: SparkSession): Unit = VectorBridge.register(spark)
 }

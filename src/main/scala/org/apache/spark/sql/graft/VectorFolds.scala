@@ -2,7 +2,7 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, Literal, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -274,10 +274,84 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Word-level longest-common-prefix of two document SUFFIXES:
+  * `graft_suffix_lcp(w1, p1, w2, p2)` = number of consecutive equal words
+  * starting at 1-based positions p1 in w1 and p2 in w2, stopping at the
+  * first mismatch or either array's end — the LCP kernel of the
+  * suffix-ordered span-dedup pass (`graft.llm.SuffixDedup`).
+  *
+  * Why a custom Expression: the HOF formulation
+  * (`filter(sequence(1,m), j -> w1[p+j-1] <> w2[q+j-1])[1]`) materializes
+  * an index array per row and evaluates an INTERPRETED lambda per element
+  * (higher-order functions do not participate in codegen) — measured 7 s
+  * of a 20 s pass at sf0.1. This fused loop compares UTF8String slices
+  * in place inside whole-stage codegen and exits at the first mismatch.
+  *
+  * Null semantics: null input → null; a null ELEMENT stops the scan (a
+  * mismatch) — split()-produced word arrays contain no nulls, so the
+  * branch is defensive only. Out-of-range positions yield 0.
+  */
+case class SuffixLcp(first: Expression, second: Expression,
+                     third: Expression, fourth: Expression)
+  extends QuaternaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.StringType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(StringType), LongType, ArrayType(StringType), LongType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean =
+    first.nullable || second.nullable || third.nullable || fourth.nullable
+  override def prettyName: String = "graft_suffix_lcp"
+
+  override def nullSafeEval(w1: Any, p1: Any, w2: Any, p2: Any): Any = {
+    val a = w1.asInstanceOf[ArrayData]
+    val b = w2.asInstanceOf[ArrayData]
+    val n1 = a.numElements(); val n2 = b.numElements()
+    var i = p1.asInstanceOf[Long].toInt - 1
+    var j = p2.asInstanceOf[Long].toInt - 1
+    var c = 0L
+    while (i >= 0 && j >= 0 && i < n1 && j < n2 &&
+      !a.isNullAt(i) && !b.isNullAt(j) &&
+      a.getUTF8String(i).equals(b.getUTF8String(j))) {
+      c += 1; i += 1; j += 1
+    }
+    c
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (w1, p1, w2, p2) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n1 = ctx.freshName("n1"); val n2 = ctx.freshName("n2")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n1 = $w1.numElements(); int $n2 = $w2.numElements();
+         |int $i = (int) $p1 - 1; int $j = (int) $p2 - 1;
+         |long $c = 0L;
+         |while ($i >= 0 && $j >= 0 && $i < $n1 && $j < $n2 &&
+         |       !$w1.isNullAt($i) && !$w2.isNullAt($j) &&
+         |       $w1.getUTF8String($i).equals($w2.getUTF8String($j))) {
+         |  $c++; $i++; $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
 /** Expression→Column bridge + SQL registration (inside the sql package
   * because both touch `private[sql]` API).
   */
 object VectorBridge {
+  def suffixLcp(w1: Column, p1: Column, w2: Column, p2: Column): Column =
+    ExpressionUtils.column(SuffixLcp(
+      ExpressionUtils.expression(w1), ExpressionUtils.expression(p1),
+      ExpressionUtils.expression(w2), ExpressionUtils.expression(p2)))
+
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -324,6 +398,7 @@ object VectorBridge {
     "graft_dot"    -> (exprs => DotProduct(exprs(0), exprs(1))),
     "graft_cosine" -> (exprs => CosineSim(exprs(0), exprs(1))),
     "graft_intersect_count" -> (exprs => SortedIntersectCount(exprs(0), exprs(1))),
+    "graft_suffix_lcp" -> (exprs => SuffixLcp(exprs(0), exprs(1), exprs(2), exprs(3))),
     "graft_simhash60" -> (exprs => Simhash60(exprs(0))),
     // graft_word_ngrams60(text, n[, distinct]) — n/distinct must be literals
     "graft_word_ngrams60" -> (exprs => {
