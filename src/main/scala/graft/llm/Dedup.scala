@@ -419,8 +419,16 @@ object Dedup extends QueryModule {
   def dedupMask(spark: SparkSession, sfDir: String): DataFrame =
     dedupMaskOf(Tables.documents(spark, sfDir))
 
-  private[graft] def dedupMaskOf(docs: DataFrame): DataFrame = {
-    val spans = dedupSpansOf(docs)
+  private[graft] def dedupMaskOf(docs: DataFrame): DataFrame =
+    maskWithSpans(docs, dedupSpansOf(docs))
+
+  /** The masking algebra over an ARBITRARY span report (doc_id,
+    * span_start, span_end) — shared by the gram tier (above) and the
+    * suffix-exact tier (`SuffixDedup`'s mask query): one definition of
+    * "cut these word ranges" so the two reports stay comparable.
+    */
+  private[graft] def maskWithSpans(docs: DataFrame, spanReport: DataFrame): DataFrame = {
+    val spans = spanReport
       .groupBy(col("doc_id").as("sd"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs.join(spans, col("doc_id") === col("sd"), "left")

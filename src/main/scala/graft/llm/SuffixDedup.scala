@@ -232,53 +232,99 @@ object SuffixDedup extends QueryModule {
     res
   }
 
+  /** The exact-span report APPLIED — the remediation pass over the
+    * suffix-grade extents (`Dedup.maskWithSpans` is the single shared
+    * masking algebra, so this output differs from `text_dedup_mask` only
+    * through the spans: the 5-7-word duplications the gram tier cannot
+    * see now get cut too, and ≥8-word spans cut with exact boundaries
+    * instead of gram-window extents). Consumes the memoized span report,
+    * so the pass prices masking, not the index build.
+    */
+  def dupMaskExact(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.maskWithSpans(
+      Tables.documents(spark, sfDir),
+      dupSpansExact(spark, sfDir))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_dedup_spans_exact" -> (dupSpansExact _),
+    "text_dedup_mask_exact" -> (dupMaskExact _),
   )
+
+  /** The naive suffix-sort CTE chain shared by both oracles: real
+    * word-array suffixes sorted and word-compared, positions → merged
+    * duplicated intervals (`mg` with doc_id, ss, se; `d` with doc_id, w).
+    */
+  private lazy val suffixSpanCtes: String =
+    s"""d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), suf AS (
+       |  SELECT doc_id, i AS p, len(w) AS nw, w[i:] AS s
+       |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)
+       |), ord AS (
+       |  SELECT doc_id, p, s,
+       |    row_number() OVER (ORDER BY s, doc_id, p) AS rk
+       |  FROM suf
+       |), adj AS (
+       |  SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2,
+       |    COALESCE(
+       |      (list_filter(range(1, least(len(a.s), len(b.s)) + 1),
+       |                   j -> a.s[j] IS DISTINCT FROM b.s[j]))[1] - 1,
+       |      least(len(a.s), len(b.s))) AS l
+       |  FROM ord a JOIN ord b ON b.rk = a.rk + 1
+       |), ext AS (
+       |  SELECT doc_id, p, MAX(l) AS ext FROM (
+       |    SELECT d1 AS doc_id, p1 AS p, l FROM adj
+       |    UNION ALL
+       |    SELECT d2 AS doc_id, p2 AS p, l FROM adj
+       |  ) GROUP BY doc_id, p
+       |), sp AS (
+       |  SELECT doc_id, p AS s, p + ext - 1 AS e
+       |  FROM ext WHERE ext >= $MinSpan
+       |), brk AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM sp
+       |), isl AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM brk
+       |), mg AS (
+       |  SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
+       |  FROM isl GROUP BY doc_id, island
+       |)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "text_dedup_spans_exact" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |), suf AS (
-         |  SELECT doc_id, i AS p, len(w) AS nw, w[i:] AS s
-         |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)
-         |), ord AS (
-         |  SELECT doc_id, p, s,
-         |    row_number() OVER (ORDER BY s, doc_id, p) AS rk
-         |  FROM suf
-         |), adj AS (
-         |  SELECT a.doc_id AS d1, a.p AS p1, b.doc_id AS d2, b.p AS p2,
-         |    COALESCE(
-         |      (list_filter(range(1, least(len(a.s), len(b.s)) + 1),
-         |                   j -> a.s[j] IS DISTINCT FROM b.s[j]))[1] - 1,
-         |      least(len(a.s), len(b.s))) AS l
-         |  FROM ord a JOIN ord b ON b.rk = a.rk + 1
-         |), ext AS (
-         |  SELECT doc_id, p, MAX(l) AS ext FROM (
-         |    SELECT d1 AS doc_id, p1 AS p, l FROM adj
-         |    UNION ALL
-         |    SELECT d2 AS doc_id, p2 AS p, l FROM adj
-         |  ) GROUP BY doc_id, p
-         |), sp AS (
-         |  SELECT doc_id, p AS s, p + ext - 1 AS e
-         |  FROM ext WHERE ext >= $MinSpan
-         |), brk AS (
-         |  SELECT doc_id, s, e,
-         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      -1) + 1 THEN 1 ELSE 0 END AS brk
-         |  FROM sp
-         |), isl AS (
-         |  SELECT doc_id, s, e,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM brk
-         |)
-         |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
-         |  CAST(MAX(e) AS BIGINT) AS span_end,
-         |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_words
-         |FROM isl GROUP BY doc_id, island
+      s"""WITH $suffixSpanCtes
+         |SELECT doc_id, CAST(ss AS BIGINT) AS span_start,
+         |  CAST(se AS BIGINT) AS span_end,
+         |  CAST(se - ss + 1 AS BIGINT) AS span_words
+         |FROM mg
          |ORDER BY doc_id, span_start""".stripMargin,
+    // the same merged spans, applied — identical mask tail to
+    // text_dedup_mask (one shared algebra on the Spark side too)
+    "text_dedup_mask_exact" ->
+      s"""WITH $suffixSpanCtes, wd AS (
+         |  SELECT doc_id, j, w[j] AS word FROM (
+         |    SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS j FROM d)
+         |), kept AS (
+         |  SELECT wd.doc_id, wd.j, wd.word
+         |  FROM wd LEFT JOIN mg
+         |    ON wd.doc_id = mg.doc_id AND wd.j BETWEEN mg.ss AND mg.se
+         |  WHERE mg.doc_id IS NULL
+         |), ka AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(word, ' ' ORDER BY j) AS masked
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(len(d.w) - COALESCE(ka.n_kept, 0) AS BIGINT) AS n_removed,
+         |  md5(COALESCE(ka.masked, '')) AS masked_md5
+         |FROM d LEFT JOIN ka ON d.doc_id = ka.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 }
