@@ -76,7 +76,14 @@ object PlanDump {
     "mm_avi_decode", "mix_doremi", "text_dedup_spans", "text_dedup_mask",
     "dedup_cdc_chunks", "emb_silhouette", "emb_kmeans_elbow",
     "sim_hard_negatives", "sim_matryoshka", "pack_length_buckets",
-    "graph_label_prop")
+    "graph_label_prop",
+    // round 7: tier compositions + suffix-grade dedup (the suffix ORDER
+    // builds eagerly behind PlanBridge cuts and the span report is an
+    // artifact-registry entry, so those dumps show the registry read /
+    // mask stage — the per-round contraction shape is spec-pinned in
+    // SuffixDedupSpec/SuffixDedupPropSpec instead)
+    "pack_bpe_sequences", "curate_classifier", "graph_copurchase_fold",
+    "text_dedup_mask_exact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
