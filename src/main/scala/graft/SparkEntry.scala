@@ -25,6 +25,7 @@ object SparkEntry {
     llm.TextAnalysis,
     llm.Dedup,
     llm.SuffixDedup,
+    llm.Refinery,
     llm.Similarity,
     llm.Multimodal,
     llm.Bpe,

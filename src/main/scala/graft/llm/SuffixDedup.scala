@@ -254,7 +254,7 @@ object SuffixDedup extends QueryModule {
     * word-array suffixes sorted and word-compared, positions → merged
     * duplicated intervals (`mg` with doc_id, ss, se; `d` with doc_id, w).
     */
-  private lazy val suffixSpanCtes: String =
+  private[graft] lazy val suffixSpanCtes: String =
     s"""d AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), suf AS (

@@ -191,13 +191,13 @@ object Ml extends QueryModule {
   // doc length capped at 1000 chars -> milli units of [0,1]; the second
   // feature is words-per-char in milli (word count includes empty splits,
   // identical split semantics in both engines)
-  private val LogregFeats1 = "least(n_chars, 1000)"
-  private val LogregLabel = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
+  private[graft] val LogregFeats1 = "least(n_chars, 1000)"
+  private[graft] val LogregLabel = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
 
   /** sig_micro = fast-sigmoid(z)·1e6, with z in micro from the
     * offset-guarded nano→micro division.
     */
-  private def logregSig(w1: Long, w2: Long, b: Long): String = {
+  private[graft] def logregSig(w1: Long, w2: Long, b: Long): String = {
     val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) div 1000 - 1000000000000 + $b)"
     s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
        |  * ((abs($z) * 500000) div (1000000 + abs($z))))""".stripMargin
@@ -210,7 +210,7 @@ object Ml extends QueryModule {
   /** DuckDB twin of [[logregSig]] — the one definition every logistic
     * oracle (plain and sweep) shares.
     */
-  private def logregSigDuck(w1: String, w2: String, b: String): String = {
+  private[graft] def logregSigDuck(w1: String, w2: String, b: String): String = {
     val z = s"(($w1 * x1 + $w2 * x2 + 1000000000000000) // 1000 - 1000000000000 + $b)"
     s"""(500000 + (CASE WHEN $z < 0 THEN -1 ELSE 1 END)
        |  * ((abs($z) * 500000) // (1000000 + abs($z))))""".stripMargin
@@ -322,7 +322,7 @@ object Ml extends QueryModule {
     * supplied training-frame CTE — shared by the plain trainer oracle and
     * the curation-gate oracle (whose f is the hash-split training slice).
     */
-  private def logregTrainCtes(fCte: String): Seq[String] = {
+  private[graft] def logregTrainCtes(fCte: String): Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += fCte
     ctes += "w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
@@ -365,7 +365,7 @@ object Ml extends QueryModule {
   /** Training split: docs whose 100-bucket identity hash falls below 80 —
     * the deterministic 80% train slice (sample_hash's gate family).
     */
-  private val CurateTrainPct = 80L
+  private[graft] val CurateTrainPct = 80L
 
   /** EXT: the fastText-style quality gate every production corpus runs,
     * composed from already-green parts: TRAIN the integer logistic
@@ -403,9 +403,15 @@ object Ml extends QueryModule {
   private val curateModelMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long, Long)]
 
-  def curateClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The registered model for a corpus: (w1, w2, b, threshold) in micro —
+    * trained on first request per corpus snapshot, then a registry hit.
+    * Package-visible so downstream compositions (the refinery pass) score
+    * with the SAME model the gate query reports on.
+    */
+  private[graft] def curateModel(
+      spark: SparkSession, sfDir: String): (Long, Long, Long, Long) = {
     val key = s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir)}"
-    val (w1, w2, b, threshold) = curateModelMemo.getOrElseUpdate(key, {
+    curateModelMemo.getOrElseUpdate(key, {
       val feats = Tables.documents(spark, sfDir)
         .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
         .selectExpr(s"$LogregFeats1 AS x1",
@@ -428,6 +434,10 @@ object Ml extends QueryModule {
       feats.unpersist(blocking = false)
       (tw1, tw2, tb, thr)
     })
+  }
+
+  def curateClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w1, w2, b, threshold) = curateModel(spark, sfDir)
     curateScoreOf(Tables.documents(spark, sfDir), w1, w2, b, threshold)
   }
 
