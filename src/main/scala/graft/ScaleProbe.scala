@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "inc", "bpe", "gd", "pairs", "cdc", "lpa").filter(args.contains)
+    val sections = Set("cc", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -239,6 +239,39 @@ object ScaleProbe {
       val sec = (1 to 3).map(_ =>
         time(llm.Dedup.dedupCdcChunksOf(docs).count())._2).min
       println(f"""{"probe":"cdc_chunks","docs":$n,"chunk_sec":$sec%.2f}""")
+    }
+
+    // claim 7 (round-7): the suffix-grade span pass's heavy stages are
+    // bounded by DUPLICATED-doc mass, not corpus mass — the candidate
+    // prune is the only full-corpus work. Synthetic corpus: 16 md5 words
+    // per doc, with a deterministic fraction of docs carrying one of 32
+    // shared 8-word runs (the duplicated mass). Measured two ways: corpus
+    // grows at fixed 20% dup rate (cost ∝ corpus only through the cheap
+    // prune), and dup rate grows at fixed corpus (the suffix stages'
+    // input scales with rate).
+    if (on("sfx")) {
+      def dupCorpus(n: Long, dupPct: Int): DataFrame = {
+        val base = spacedCorpus(spark, n, 16)
+        val shared = concat_ws(" ", (1 to 8).map(j =>
+          substring(md5(concat(pmod(col("doc_id"), lit(32L)).cast("string"),
+            lit(s"#$j"))), 1, 8)): _*)
+        base.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(100L)) < dupPct,
+            concat_ws(" ",
+              substring_index(col("text"), " ", 4), shared,
+              substring_index(col("text"), " ", -4)))
+            .otherwise(col("text")).as("text"))
+      }
+      for (n <- Seq(100000L, 300000L, 1000000L).map(_ / div)) {
+        val sec = (1 to 2).map(_ =>
+          time(llm.SuffixDedup.dupSpansExactOf(dupCorpus(n, 20)).count())._2).min
+        println(f"""{"probe":"suffix_spans","docs":$n,"dup_pct":20,"sec":$sec%.1f}""")
+      }
+      for (pct <- Seq(10, 20, 40)) {
+        val sec = (1 to 2).map(_ =>
+          time(llm.SuffixDedup.dupSpansExactOf(dupCorpus(300000L / div, pct)).count())._2).min
+        println(f"""{"probe":"suffix_spans_rate","docs":${300000L / div},"dup_pct":$pct,"sec":$sec%.1f}""")
+      }
     }
 
     // claim 6 (round-7): converged label propagation's round count is set
