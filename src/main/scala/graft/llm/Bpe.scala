@@ -204,8 +204,10 @@ object Bpe extends QueryModule {
     * memo in the llm tier (merge tables here, classifier weights in Ml,
     * the span report in SuffixDedup) keys on the same fingerprint.
     */
-  private[graft] def corpusFingerprint(spark: SparkSession, sfDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(sfDir, "documents.parquet")
+  private[graft] def corpusFingerprint(
+      spark: SparkSession, sfDir: String,
+      table: String = "documents.parquet"): String = {
+    val p = new org.apache.hadoop.fs.Path(sfDir, table)
     try {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fs.listFiles(p, true)

@@ -375,9 +375,15 @@ object Graph extends QueryModule {
 
   private def materializedPrior(spark: SparkSession, sfDir: String): String =
     priorMemo.synchronized {
-      priorMemo.getOrElseUpdate(sfDir, {
+      // fingerprint in the key: in-place corpus regeneration within one
+      // JVM must invalidate the standing labeling (the same discipline as
+      // the BPE/classifier/span registries); fingerprint LINEITEM — the
+      // co-purchase edges derive from it, not from documents
+      val key =
+        s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir, "lineitem.parquet")}"
+      priorMemo.getOrElseUpdate(key, {
         val out = s"${sys.props("java.io.tmpdir")}/graft_graph/" +
-          s"${math.abs(sfDir.hashCode)}/copurchase_prior"
+          s"${math.abs(key.hashCode)}/copurchase_prior"
         val edges = copurchaseEdges(spark, sfDir, keyMod = Some(3))
         val wave = pmod(hash(col("a"), col("b")), lit(2))
         val (prior, handle) = graft.operators.ConnectedComponents
