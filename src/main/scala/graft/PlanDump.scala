@@ -83,7 +83,7 @@ object PlanDump {
     // mask stage — the per-round contraction shape is spec-pinned in
     // SuffixDedupSpec/SuffixDedupPropSpec instead)
     "pack_bpe_sequences", "curate_classifier", "graph_copurchase_fold",
-    "text_dedup_mask_exact")
+    "text_dedup_mask_exact", "refinery_pack")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
