@@ -427,7 +427,29 @@ object Dedup extends QueryModule {
     * suffix-exact tier (`SuffixDedup`'s mask query): one definition of
     * "cut these word ranges" so the two reports stay comparable.
     */
-  private[graft] def maskWithSpans(docs: DataFrame, spanReport: DataFrame): DataFrame = {
+  private[graft] def maskWithSpans(docs: DataFrame, spanReport: DataFrame): DataFrame =
+    maskedFrame(docs, spanReport)
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr("transform(kept, p -> p.x)"))).as("masked_md5"))
+      .orderBy("doc_id")
+
+  /** Materializable form of the mask: the full masked TEXT per doc — what
+    * a sink pass (Refinery.refineryWrite) actually ships to the curated
+    * zone; maskWithSpans hashes exactly this string.
+    */
+  private[graft] def maskedTextWithSpans(docs: DataFrame, spanReport: DataFrame): DataFrame =
+    maskedFrame(docs, spanReport)
+      .select(col("doc_id"),
+        // size(kept), not size(split(masked_text)): a fully-masked doc's
+        // text is "" whose split is [""] — word count 1, not 0
+        size(col("kept")).cast("long").as("n_kept_words"),
+        concat_ws(" ", expr("transform(kept, p -> p.x)")).as("masked_text"))
+
+  /** Common (doc_id, w, kept) frame of the two mask forms above. */
+  private def maskedFrame(docs: DataFrame, spanReport: DataFrame): DataFrame = {
     val spans = spanReport
       .groupBy(col("doc_id").as("sd"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
@@ -437,12 +459,6 @@ object Dedup extends QueryModule {
         "filter(transform(w, (x, i) -> struct(x AS x, CAST(i + 1 AS BIGINT) AS j)), " +
           "p -> spans IS NULL OR NOT exists(spans, " +
           "s -> p.j >= s.span_start AND p.j <= s.span_end))"))
-      .select(col("doc_id"),
-        size(col("w")).cast("long").as("n_words"),
-        size(col("kept")).cast("long").as("n_kept"),
-        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
-        md5(concat_ws(" ", expr("transform(kept, p -> p.x)"))).as("masked_md5"))
-      .orderBy("doc_id")
   }
 
   /** Content-defined chunk divisor: boundary after word i when the 60-bit

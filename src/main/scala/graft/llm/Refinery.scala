@@ -61,6 +61,32 @@ object Refinery extends QueryModule {
       .orderBy("lang", "bin")
   }
 
+  /** The refinery's SINK pass: materialize the curated corpus — kept docs
+    * with their duplicated spans CUT — to `outPath` as parquet, the
+    * artifact a training run actually reads. Columns: doc_id, lang,
+    * source, masked text plus original/kept word counts. Returns the kept
+    * count. `RefinerySpec` pins the round-trip against the oracled
+    * queries: the written set equals the gate's keep decisions and
+    * md5(masked text) equals `text_dedup_mask_exact`'s digests row for
+    * row — the sink ships exactly what the reports promise.
+    */
+  def refineryWrite(spark: SparkSession, sfDir: String, outPath: String): Long = {
+    val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
+    val masked = graft.llm.Dedup.maskedTextWithSpans(
+      Tables.documents(spark, sfDir),
+      SuffixDedup.dupSpansExact(spark, sfDir))
+    Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lang", "source",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        s"${Ml.LogregFeats1} AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+      .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
+      .join(masked, "doc_id")
+      .select("doc_id", "lang", "source", "n_words", "n_kept_words", "masked_text")
+      .write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "refinery_pack" -> (refineryPack _),
   )

@@ -67,6 +67,14 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.head.getInt(0) === 2)
   }
 
+  test("SQL registration: graft_suffix_lcp callable from spark.sql") {
+    graft.Graft.install(spark)
+    val r = spark.sql(
+      "SELECT graft_suffix_lcp(array('x','a','b','c'), 2L, " +
+        "array('y','a','b','d'), 2L) AS l").collect()
+    assert(r.head.getLong(0) === 2L)
+  }
+
   test("SQL registration: graft_cosine callable from spark.sql") {
     VectorExpressions.register(spark)
     spark.read.parquet(s"$sf0001/embeddings.parquet").limit(3)
