@@ -306,10 +306,15 @@ case class SuffixLcp(first: Expression, second: Expression,
     val a = w1.asInstanceOf[ArrayData]
     val b = w2.asInstanceOf[ArrayData]
     val n1 = a.numElements(); val n2 = b.numElements()
-    var i = p1.asInstanceOf[Long].toInt - 1
-    var j = p2.asInstanceOf[Long].toInt - 1
+    val s1 = p1.asInstanceOf[Long]
+    val s2 = p2.asInstanceOf[Long]
+    // range-check the LONGS before narrowing: a position like 2^32+5
+    // would otherwise truncate to a wrong-but-valid int index
+    if (s1 < 1 || s1 > n1 || s2 < 1 || s2 > n2) return 0L
+    var i = s1.toInt - 1
+    var j = s2.toInt - 1
     var c = 0L
-    while (i >= 0 && j >= 0 && i < n1 && j < n2 &&
+    while (i < n1 && j < n2 &&
       !a.isNullAt(i) && !b.isNullAt(j) &&
       a.getUTF8String(i).equals(b.getUTF8String(j))) {
       c += 1; i += 1; j += 1
@@ -324,12 +329,14 @@ case class SuffixLcp(first: Expression, second: Expression,
       val c = ctx.freshName("c")
       s"""
          |int $n1 = $w1.numElements(); int $n2 = $w2.numElements();
-         |int $i = (int) $p1 - 1; int $j = (int) $p2 - 1;
          |long $c = 0L;
-         |while ($i >= 0 && $j >= 0 && $i < $n1 && $j < $n2 &&
-         |       !$w1.isNullAt($i) && !$w2.isNullAt($j) &&
-         |       $w1.getUTF8String($i).equals($w2.getUTF8String($j))) {
-         |  $c++; $i++; $j++;
+         |if ($p1 >= 1 && $p1 <= $n1 && $p2 >= 1 && $p2 <= $n2) {
+         |  int $i = (int) $p1 - 1; int $j = (int) $p2 - 1;
+         |  while ($i < $n1 && $j < $n2 &&
+         |         !$w1.isNullAt($i) && !$w2.isNullAt($j) &&
+         |         $w1.getUTF8String($i).equals($w2.getUTF8String($j))) {
+         |    $c++; $i++; $j++;
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -19,7 +19,8 @@ class SuffixDedupSpec extends SparkSpec {
       (Seq("a", "b"), 1L, Seq("a", "b"), 1L, 2L),       // identical to end
       (Seq("a", "b", "c"), 2L, Seq("b", "c", "z"), 1L, 2L), // prefix-of
       (Seq("a"), 1L, Seq("b"), 1L, 0L),                 // immediate mismatch
-      (Seq("a"), 5L, Seq("a"), 1L, 0L))                 // out-of-range start
+      (Seq("a"), 5L, Seq("a"), 1L, 0L),                 // out-of-range start
+      (Seq("a"), 4294967297L, Seq("a"), 1L, 0L))        // 2^32+1: long range-check, no int truncation
       .toDF("w1", "p1", "w2", "p2", "want")
     val got = df.select(graft.functions.VectorExpressions
         .suffix_lcp(col("w1"), col("p1"), col("w2"), col("p2")).as("lcp"),
