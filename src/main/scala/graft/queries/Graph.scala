@@ -464,6 +464,51 @@ object Graph extends QueryModule {
       .orderBy("n_name")
   }
 
+  /** The CONVERGED form as an ORACLED query: run-until-attractor LPA
+    * ([[labelPropConverged]] — closed neighborhood, exact fixpoint and
+    * period-2 detection) over the strong trade graph. The oracle cannot
+    * iterate to convergence, so it unrolls [[LpaOracleRounds]]
+    * closed-neighborhood rounds and emits elementwise
+    * LEAST(l_{K-1}, l_K): for a fixpoint the two final states are equal
+    * (extra rounds are no-ops), and for a period-2 attractor they ARE
+    * the alternating pair, whose elementwise min is exactly the
+    * resolution the operator emits — so ONE hash pins the attractor
+    * detection, the early exit, and the resolution rule against an
+    * engine that iterated blindly. (Sound as long as the attractor is
+    * reached by round K-1; the nations graph converges in ≤5 rounds —
+    * asserted with margin in `GraphSpec`.)
+    */
+  def graphLabelPropConverged(spark: SparkSession, sfDir: String): DataFrame = {
+    val und = strongUnd(tradeVolume(spark, sfDir))
+    val nodes = nationNodes(spark, sfDir)
+    val (labels, _, _) = labelPropConverged(und, nodes.select("node"))
+    // the labeling is cut-backed; like the CC queries, the one-shot path
+    // leaves the pinned blocks to the ContextCleaner (release() is for
+    // iterative callers)
+    val sizes = labels.groupBy("lab").agg(count(lit(1)).as("community_size"))
+    labels.join(sizes, "lab")
+      .join(nodes, "node")
+      .select(col("n_name"), col("lab").as("community"), col("community_size"))
+      .orderBy("n_name")
+  }
+
+  /** Unroll depth of the converged-LPA oracle (see above): must exceed
+    * the graph's rounds-to-attractor by ≥2 so both final states sit on
+    * the attractor. `GraphSpec` asserts the margin on the real corpus.
+    */
+  private[graft] val LpaOracleRounds = 12
+
+  /** Rounds-to-attractor on a corpus's strong trade graph — the margin
+    * probe behind [[LpaOracleRounds]] (spec-only).
+    */
+  private[graft] def labelPropConvergedRounds(spark: SparkSession, sfDir: String): Int = {
+    val (labels, rounds, release) = labelPropConverged(
+      strongUnd(tradeVolume(spark, sfDir)), nationNodes(spark, sfDir).select("node"))
+    labels.count()
+    release()
+    rounds
+  }
+
   /** Frame-level LPA — (src, dst) symmetric edges + (node) frame, 3
     * synchronous rounds; package-visible so crafted-graph specs pin the
     * propagation against hand-derived labels.
@@ -607,6 +652,7 @@ object Graph extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_label_prop" -> (graphLabelProp _),
+    "graph_label_prop_converged" -> (graphLabelPropConverged _),
     "graph_closeness" -> (graphCloseness _),
     "graph_copurchase_components" -> (graphCopurchaseComponents _),
     "graph_copurchase_incremental" -> (graphCopurchaseIncremental _),
@@ -752,6 +798,67 @@ object Graph extends QueryModule {
          |SELECT nt.n_name, l3.lab AS community, sizes.community_size
          |FROM l3 JOIN sizes USING (lab)
          |JOIN nation nt ON l3.node = nt.n_nationkey
+         |ORDER BY nt.n_name""".stripMargin
+    },
+    // graph_label_prop_converged: K unrolled CLOSED-neighborhood rounds
+    // (self-vote rides the union — no left join needed, every node has a
+    // ballot), final labeling = elementwise LEAST of the last two states:
+    // equal at a fixpoint, the exact min-resolution on a period-2
+    // attractor. See graphLabelPropConverged's scaladoc for soundness.
+    "graph_label_prop_converged" -> {
+      // every round CTE is MATERIALIZED: each references the previous
+      // round TWICE (neighbor join + self-vote union), so inlining makes
+      // the expansion 2^K copies of the base derivation — observed as a
+      // DuckDB hang at K=12 before the hints landed
+      def round(prev: String, cur: String): String =
+        s"""${cur}c AS (
+           |  SELECT node, nl, COUNT(*) AS cnt FROM (
+           |    SELECT u.src AS node, l.lab AS nl
+           |    FROM und u JOIN $prev l ON u.dst = l.node
+           |    UNION ALL
+           |    SELECT node, lab AS nl FROM $prev) v
+           |  GROUP BY node, nl
+           |), $cur AS MATERIALIZED (
+           |  SELECT node, nl AS lab FROM (
+           |    SELECT node, nl,
+           |      row_number() OVER (PARTITION BY node
+           |        ORDER BY cnt DESC, nl) AS rn
+           |    FROM ${cur}c) WHERE rn = 1
+           |)""".stripMargin
+      val rounds = (1 to LpaOracleRounds)
+        .map(r => round(s"cl${r - 1}", s"cl$r")).mkString(",\n")
+      // und is referenced once per unrolled round — MATERIALIZED, or
+      // DuckDB inlines the 4-table derivation 12× (observed: file-handle
+      // exhaustion from the repeated parquet scans)
+      s"""WITH vol AS MATERIALIZED (
+         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY src, dst
+         |), tot AS (
+         |  SELECT SUM(w) AS total, COUNT(*) AS n_pairs FROM vol
+         |), strong AS (
+         |  SELECT src, dst FROM vol CROSS JOIN tot WHERE w * n_pairs > total
+         |), und AS MATERIALIZED (
+         |  SELECT src, dst FROM strong UNION SELECT dst, src FROM strong
+         |), cl0 AS (
+         |  SELECT n_nationkey AS node, n_nationkey AS lab FROM nation
+         |),
+         |$rounds,
+         |fin AS (
+         |  -- LEAST promotes INTEGER args to BIGINT in DuckDB; cast back
+         |  -- so the community column type matches the Spark side
+         |  SELECT a.node, CAST(LEAST(a.lab, b.lab) AS INTEGER) AS lab
+         |  FROM cl${LpaOracleRounds - 1} a JOIN cl$LpaOracleRounds b USING (node)
+         |), sizes AS (
+         |  SELECT lab, COUNT(*) AS community_size FROM fin GROUP BY lab
+         |)
+         |SELECT nt.n_name, fin.lab AS community, sizes.community_size
+         |FROM fin JOIN sizes USING (lab)
+         |JOIN nation nt ON fin.node = nt.n_nationkey
          |ORDER BY nt.n_name""".stripMargin
     },
     "graph_linkpred" ->

@@ -78,6 +78,14 @@ class GraphSpec extends SparkSpec {
     } finally release()
   }
 
+  test("the converged-LPA oracle's unroll depth has >=2 rounds of margin on the real graph") {
+    // the oracle emits LEAST(l_{K-1}, l_K); soundness needs the attractor
+    // reached by round K-1 — assert the real corpus converges well inside
+    val rounds = Graph.labelPropConvergedRounds(spark, sf0001)
+    assert(rounds <= Graph.LpaOracleRounds - 2,
+      s"attractor at round $rounds leaves <2 rounds of oracle margin")
+  }
+
   test("converged label propagation throws instead of returning unconverged labels") {
     import spark.implicits._
     val half = Seq((1, 2), (2, 3), (3, 4))
