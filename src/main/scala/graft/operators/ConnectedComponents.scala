@@ -46,7 +46,14 @@ import org.apache.spark.sql.graft.PlanBridge
   *    contracted edge set, so on a real cluster executor loss mid-loop
   *    would otherwise kill the job;
   *  - the driver sees only per-round scalars (edge count, empty-check),
-  *    never node data.
+  *    never node data;
+  *  - LOCAL FINISH: contraction shrinks the edge set geometrically, so
+  *    after the bulk rounds the loop is paying 4-5 fixed-cost shuffle
+  *    stages per round to converge a tail that fits one task. Once the
+  *    materialized edge count is ≤ [[LocalFinishMaxEdges]] a single-task
+  *    union-find emits the fixpoint star set directly (the same shortcut
+  *    GraphFrames ships) — bit-identical labels, A/B'd against the pure
+  *    distributed loop across the randomized property sim.
   */
 object ConnectedComponents {
 
@@ -74,6 +81,28 @@ object ConnectedComponents {
     def release(): Unit =
       rdds.foreach(org.apache.spark.sql.graft.PlanBridge.releaseCut)
   }
+
+  /** Whether the most recent components() call in this JVM finished with
+    * the single-task union-find (diagnostic test hook, like
+    * [[lastRounds]]). Not part of the query contract.
+    */
+  val lastLocalFinish = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Default edge-count threshold below which the contraction loop
+    * finishes in ONE single-task union-find pass instead of more
+    * distributed rounds (the same production shortcut GraphFrames ships).
+    * Star contraction shrinks the edge set geometrically, so at any
+    * corpus size the loop spends O(1) distributed rounds on the bulk and
+    * then pays per-round FIXED cost (4-5 shuffle stages + 2 driver
+    * actions) for a tail that fits one task — measured 7 rounds for the
+    * 10⁴-edge co-purchase graph where the local pass needs one.
+    * Memory math for the bound: the union-find keeps ≤ 2·edges nodes in
+    * primitive open-addressed arrays (~24 B/node at 0.5 load), so 2²⁰
+    * edges ⇒ ≤ ~50 MB in the one task — far inside any sane executor
+    * budget, while covering every contracted tail a 100 TB solve leaves
+    * behind. Pass 0 to force the pure distributed loop.
+    */
+  val LocalFinishMaxEdges: Long = 1L << 20
 
   /** Contraction rounds of the most recent components() call in this JVM
     * — diagnostic observability for the scaling probe (`graft.ScaleProbe`,
@@ -126,6 +155,101 @@ object ConnectedComponents {
     canon(smaller.union(m.select(col("u").as("a"), col("m").as("b"))))
   }
 
+  /** The fixpoint star set of an edge set SMALL ENOUGH FOR ONE TASK:
+    * `coalesce(1)` + a primitive-array union-find emitting exactly the
+    * (component-min, member) star edges the distributed loop would
+    * converge to — so the caller's read-off and handle discipline are
+    * identical on both paths. Column types are preserved (ids round-trip
+    * through Long losslessly; the contraction only ever compares and
+    * copies them).
+    */
+  private[operators] def localStar(e: DataFrame): DataFrame = {
+    val dt = e.schema("a").dataType
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions(localUnionFind)
+      .toDF("a", "b")
+      .select(col("a").cast(dt).as("a"), col("b").cast(dt).as("b"))
+  }
+
+  /** Single-pass union-find over an edge iterator, no boxing: an
+    * open-addressed long→dense-index table (slot 0 = empty, so key 0
+    * needs no sentinel) plus Int parent links, union-by-min-ORIGINAL-id
+    * (the greater root attaches under the smaller, so a root is always
+    * its component's min id) with path-halving finds. Emits (min, member)
+    * for every non-root member — the canonical star set.
+    */
+  private def localUnionFind(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    var cap = 1 << 10                       // power of two; grown at 0.5 load
+    var table = new Array[Long](cap)        // key at slot
+    var slot = new Array[Int](cap)          // dense index + 1; 0 = empty
+    var ids = new Array[Long](cap / 2)      // dense index → original id
+    var parent = new Array[Int](cap / 2)    // dense index → parent index
+    var n = 0
+    def hash(k: Long): Int = {
+      val x = k * -7046029254386353131L
+      ((x ^ (x >>> 32)) & (cap - 1)).toInt
+    }
+    def grow(): Unit = {
+      val oldTable = table; val oldSlot = slot
+      cap <<= 1
+      table = new Array[Long](cap); slot = new Array[Int](cap)
+      var i = 0
+      while (i < oldTable.length) {
+        if (oldSlot(i) != 0) {
+          var h = hash(oldTable(i))
+          while (slot(h) != 0) h = (h + 1) & (cap - 1)
+          table(h) = oldTable(i); slot(h) = oldSlot(i)
+        }
+        i += 1
+      }
+      ids = java.util.Arrays.copyOf(ids, cap / 2)
+      parent = java.util.Arrays.copyOf(parent, cap / 2)
+    }
+    def idx(k: Long): Int = {
+      var h = hash(k)
+      while (true) {
+        val s = slot(h)
+        if (s == 0) {
+          if (2 * (n + 1) > cap) { grow(); return idx(k) }
+          table(h) = k; slot(h) = n + 1; ids(n) = k; parent(n) = n
+          n += 1
+          return n - 1
+        } else if (table(h) == k) return s - 1
+        h = (h + 1) & (cap - 1)
+      }
+      -1 // unreachable
+    }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    while (it.hasNext) {
+      val (a, b) = it.next()
+      val ra = find(idx(a)); val rb = find(idx(b))
+      if (ra != rb) {
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = Array.newBuilder[(Long, Long)]
+    out.sizeHint(n)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (r != i) out += ((ids(r), ids(i)))
+      i += 1
+    }
+    out.result().iterator
+  }
+
   /** `edges`: two long columns (`a`, `b`), undirected, self-loops/dups ok.
     * Returns (node, component) with component = min node id in the
     * component; only nodes appearing in a non-self-loop edge are labeled.
@@ -133,18 +257,27 @@ object ConnectedComponents {
     * `maxIter` is a runaway bound, not a tuning knob — star contraction
     * converges in O(log² n) rounds regardless of diameter, and the loop
     * exits on the exact fixpoint (edge set unchanged by a full round).
+    * Once the contracted edge set is ≤ `localFinishMaxEdges` the loop
+    * finishes in one single-task union-find pass (see
+    * [[LocalFinishMaxEdges]]); results are bit-identical either way
+    * (A/B'd across the randomized property sim in
+    * `ConnectedComponentsSpec`).
     */
-  def components(edges: DataFrame, maxIter: Int = 50): DataFrame =
-    componentsManaged(edges, maxIter)._1
+  def components(edges: DataFrame, maxIter: Int = 50,
+      localFinishMaxEdges: Long = LocalFinishMaxEdges): DataFrame =
+    componentsManaged(edges, maxIter, localFinishMaxEdges)._1
 
   /** `components` plus the handle freeing the labeling's pinned blocks —
     * for iterative callers (streaming folds) that supersede labelings. */
   def componentsManaged(
-      edges: DataFrame, maxIter: Int = 50): (DataFrame, LabelingHandle) = {
+      edges: DataFrame, maxIter: Int = 50,
+      localFinishMaxEdges: Long = LocalFinishMaxEdges
+  ): (DataFrame, LabelingHandle) = {
     var (e, eRdd, eCount) =
       PlanBridge.cutLineage(canon(edges.select(col("a"), col("b"))))
     var iter = 0
     var converged = false
+    lastLocalFinish.set(false)
     // ONE contraction round per materialization — measured as optimal, do
     // not "batch rounds to save driver actions": each star operator
     // references its input 2-4× (dirAdj union + the min-neighbor join),
@@ -155,29 +288,46 @@ object ConnectedComponents {
     // halving job launches. The cut is load-bearing for subtree reuse,
     // not just for the stats cliff.
     while (!converged && iter < maxIter) {
-      val (e2, e2Rdd, e2Count) = PlanBridge.cutLineage(smallStar(largeStar(e)))
-      // exact set equality: both frames are distinct, so equal cardinality
-      // (counts rode along with materialization — no extra job) + "no edge
-      // of e2 outside e" ⇒ identical edge sets. Per round the driver runs
-      // exactly TWO actions: the materialize-count and this anti-join.
-      val same = e2Count == eCount &&
-        e2.join(e, Seq("a", "b"), "left_anti").isEmpty
-      if (same) {
-        PlanBridge.releaseCut(e2Rdd)
-        converged = true
-      } else {
-        // superseded round's blocks are dead once e2 has materialized
-        // (cutLineage is eager) — unpersist NOW instead of waiting for
-        // the ContextCleaner, so a long-lived session running many
-        // cluster queries doesn't accumulate pinned block-manager entries
-        // (releaseCut also drops the round's reliable-checkpoint files —
-        // a many-round loop must not fill the checkpoint filesystem)
+      if (eCount <= localFinishMaxEdges) {
+        // the contracted tail fits one task: a single union-find pass
+        // emits the fixpoint star set directly — same output contract as
+        // the loop's convergence, minus O(log n) rounds of fixed
+        // per-round stage cost. The cut materializes + persists it so the
+        // read-off below sees the same RDD-leaf shape either way.
+        val (e2, e2Rdd, _) = PlanBridge.cutLineage(localStar(e))
         PlanBridge.releaseCut(eRdd)
         e = e2
         eRdd = e2Rdd
-        eCount = e2Count
+        converged = true
+        lastLocalFinish.set(true)
+      } else {
+        val (e2, e2Rdd, e2Count) =
+          PlanBridge.cutLineage(smallStar(largeStar(e)))
+        // exact set equality: both frames are distinct, so equal
+        // cardinality (counts rode along with materialization — no extra
+        // job) + "no edge of e2 outside e" ⇒ identical edge sets. Per
+        // round the driver runs exactly TWO actions: the
+        // materialize-count and this anti-join.
+        val same = e2Count == eCount &&
+          e2.join(e, Seq("a", "b"), "left_anti").isEmpty
+        if (same) {
+          PlanBridge.releaseCut(e2Rdd)
+          converged = true
+        } else {
+          // superseded round's blocks are dead once e2 has materialized
+          // (cutLineage is eager) — unpersist NOW instead of waiting for
+          // the ContextCleaner, so a long-lived session running many
+          // cluster queries doesn't accumulate pinned block-manager
+          // entries (releaseCut also drops the round's reliable-
+          // checkpoint files — a many-round loop must not fill the
+          // checkpoint filesystem)
+          PlanBridge.releaseCut(eRdd)
+          e = e2
+          eRdd = e2Rdd
+          eCount = e2Count
+        }
+        iter += 1
       }
-      iter += 1
     }
     lastRounds.set(iter)
     // Reading labels off a NON-fixpoint edge set would return silently

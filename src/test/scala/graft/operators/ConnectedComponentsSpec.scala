@@ -9,6 +9,16 @@ class ConnectedComponentsSpec extends SparkSpec {
     ConnectedComponents.components(edges.toDF("a", "b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** The pure distributed contraction loop — localFinishMaxEdges = 0
+    * disables the single-task shortcut so the star rounds themselves
+    * stay exercised now that every small graph takes the local path by
+    * default.
+    */
+  private def ccDistributed(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"),
+        localFinishMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("transitive chain collapses to one component rooted at the min id") {
     // 7→2→5→9 as a path; min label must flow the full diameter
     val got = cc(Seq((7L, 2L), (5L, 2L), (5L, 9L)))
@@ -61,8 +71,17 @@ class ConnectedComponentsSpec extends SparkSpec {
         case _ => Seq.fill(n / 2)((ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))) // sparse fragments
       }
       val expected = truth(raw)
-      if (expected.nonEmpty)
-        assert(cc(raw) === expected, s"trial $trial")
+      if (expected.nonEmpty) {
+        // default path (these graphs are all under the local-finish
+        // threshold, so this exercises the single-task union-find)
+        assert(cc(raw) === expected, s"trial $trial (local finish)")
+        assert(ConnectedComponents.lastLocalFinish.get(),
+          s"trial $trial expected the local-finish path")
+        // pure distributed star contraction — the 100 TB bulk path
+        assert(ccDistributed(raw) === expected, s"trial $trial (distributed)")
+        assert(!ConnectedComponents.lastLocalFinish.get(),
+          s"trial $trial expected the distributed path")
+      }
     }
   }
 
