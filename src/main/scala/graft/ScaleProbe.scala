@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -126,6 +126,30 @@ object ScaleProbe {
     solveStats("path_graph_diameter_1e4",
       pathGraph(spark, 100 / div, 10000),
       100L / div * 10000, 100L / div * (10000 - 1))
+    }
+
+    // claim 1b: the local finish vs the pure distributed loop, SAME box
+    // SAME hour — recorded wall times drift across boxes/days, so the
+    // speedup claim is only honest as a paired A/B (min-of-2 each)
+    if (on("ccab")) {
+    for (mode <- Seq("local_finish", "distributed_only");
+         thr = if (mode == "local_finish")
+           ConnectedComponents.LocalFinishMaxEdges else 0L) {
+      val sec = (1 to 2).map { _ =>
+        val ((labels, handle), s) = time {
+          val r = ConnectedComponents.componentsManaged(
+            hashGraph(spark, 1000000L / div, 10000000L / div),
+            localFinishMaxEdges = thr)
+          r._1.count()
+          r
+        }
+        handle.release(); s
+      }.min
+      println(f"""{"probe":"cc_ab","mode":"$mode","edges":${10000000L / div},""" +
+        f""""rounds":${ConnectedComponents.lastRounds.get()},""" +
+        f""""local_finish":${ConnectedComponents.lastLocalFinish.get()},""" +
+        f""""solve_sec":$sec%.1f}""")
+    }
     }
 
     // claim 2: incremental fold flat as corpus grows, batch fixed.
