@@ -68,6 +68,61 @@ object Curation extends QueryModule {
   def decontaminateQuery(spark: SparkSession, sfDir: String): DataFrame =
     decontaminate(Tables.documents(spark, sfDir))
 
+  /** Gopher/MassiveText-style quality-rule battery (Rae et al.,
+    * arXiv:2112.11446, A1.1), recalibrated to this corpus's shape
+    * (single-line space-separated text — the punctuation/bullet rules are
+    * vacuous here, so the battery keeps the five rules with signal):
+    *   R1 word count in [30, 90];
+    *   R2 mean word length in [4.4, 5.6] — compared as
+    *      10·chars ∈ [44·n, 56·n], pure integer, no float division;
+    *   R3 ≥ 2 distinct stop words present (the Gopher "stop word" rule);
+    *   R4 top-word dominance ≤ 15% (ppm, integer div) — the repetition
+    *      screen that catches "batch batch batch" spam;
+    *   R5 type-token ratio ≥ 30% (ppm) — template-farm screen.
+    * Report: per-source rule-violation counts, survivors, keep rate —
+    * the per-rule accounting a curation run publishes so a rule change
+    * can be attributed. Scale shape: R1-R3/R5 are per-row expressions on
+    * one scan; R4 is one (doc, word) groupBy (map-side combinable) + a
+    * doc-keyed max join-back; the report groupBy is source-sized.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ws = split(col("text"), " ")
+    val stopArr = array(TextAnalysis.Stopwords.map(lit): _*)
+    val base = docs.select(
+      col("doc_id"), col("source"),
+      size(ws).cast("long").as("nw"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("chars"),
+      size(array_distinct(ws)).cast("long").as("ndw"),
+      size(array_intersect(array_distinct(ws), stopArr)).cast("long").as("nstop"))
+    val topw = docs.select(col("doc_id"), explode(ws).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topc"))
+    val flags = base.join(topw, "doc_id").select(
+      col("source"),
+      when(col("nw").between(30, 90), 0L).otherwise(1L).as("v_words"),
+      when(col("chars") * 10 >= col("nw") * 44 &&
+           col("chars") * 10 <= col("nw") * 56, 0L).otherwise(1L).as("v_wordlen"),
+      when(col("nstop") >= 2, 0L).otherwise(1L).as("v_stop"),
+      when(expr("topc * 1000000 div nw") <= 150000, 0L).otherwise(1L).as("v_topword"),
+      when(expr("ndw * 1000000 div nw") >= 300000, 0L).otherwise(1L).as("v_ttr"))
+    flags
+      .withColumn("viol",
+        col("v_words") + col("v_wordlen") + col("v_stop") +
+          col("v_topword") + col("v_ttr"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("v_words")).as("v_words"),
+        sum(col("v_wordlen")).as("v_wordlen"),
+        sum(col("v_stop")).as("v_stop"),
+        sum(col("v_topword")).as("v_topword"),
+        sum(col("v_ttr")).as("v_ttr"),
+        sum(when(col("viol") === 0, 1L).otherwise(0L)).as("kept"))
+      .withColumn("keep_ppm", expr("kept * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
   /** DSIR-style importance resampling (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", arXiv:2302.03169): pick
     * raw-pool documents whose hashed-unigram distribution looks like the
@@ -131,6 +186,7 @@ object Curation extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> (curateCorpus _),
+    "curate_gopher_rules" -> (gopherRules _),
     "decontaminate" -> (decontaminateQuery _),
     "dsir_select"   -> (dsirSelect _),
   )
@@ -162,6 +218,47 @@ object Curation extends QueryModule {
            |FROM scored
            |WHERE score >= 0.5 AND doc_id NOT IN (SELECT doc_id FROM losers)
            |ORDER BY doc_id""".stripMargin,
+      "curate_gopher_rules" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           |    CAST(strlen(replace(text, ' ', '')) AS BIGINT) AS chars,
+           |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS ndw,
+           |    CAST(len(list_filter(list_distinct(string_split(text, ' ')),
+           |      x -> list_contains($stop, x))) AS BIGINT) AS nstop
+           |  FROM documents
+           |), topw AS (
+           |  SELECT doc_id, MAX(c) AS topc FROM (
+           |    SELECT doc_id, COUNT(*) AS c
+           |    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |          FROM documents)
+           |    GROUP BY doc_id, w)
+           |  GROUP BY doc_id
+           |), flags AS (
+           |  SELECT source,
+           |    CASE WHEN nw BETWEEN 30 AND 90 THEN 0 ELSE 1 END AS v_words,
+           |    CASE WHEN 10 * chars BETWEEN 44 * nw AND 56 * nw
+           |         THEN 0 ELSE 1 END AS v_wordlen,
+           |    CASE WHEN nstop >= 2 THEN 0 ELSE 1 END AS v_stop,
+           |    CASE WHEN topc * 1000000 // nw <= 150000 THEN 0 ELSE 1 END
+           |      AS v_topword,
+           |    CASE WHEN ndw * 1000000 // nw >= 300000 THEN 0 ELSE 1 END
+           |      AS v_ttr
+           |  FROM base JOIN topw USING (doc_id)
+           |)
+           |SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(v_words) AS BIGINT) AS v_words,
+           |  CAST(SUM(v_wordlen) AS BIGINT) AS v_wordlen,
+           |  CAST(SUM(v_stop) AS BIGINT) AS v_stop,
+           |  CAST(SUM(v_topword) AS BIGINT) AS v_topword,
+           |  CAST(SUM(v_ttr) AS BIGINT) AS v_ttr,
+           |  CAST(SUM(CASE WHEN v_words + v_wordlen + v_stop + v_topword
+           |                     + v_ttr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS kept,
+           |  CAST(SUM(CASE WHEN v_words + v_wordlen + v_stop + v_topword
+           |                     + v_ttr = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // COUNT(*) AS keep_ppm
+           |FROM flags GROUP BY source ORDER BY source""".stripMargin,
       "decontaminate" ->
         s"""WITH g AS (
            |  SELECT doc_id,

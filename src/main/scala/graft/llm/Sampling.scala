@@ -150,6 +150,37 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Per-source epoch schedule — the "how many passes over each source"
+    * table every pretraining run publishes (LLaMA-style): given frozen
+    * per-source mixture weights (integer parts, derived here from the
+    * source index — standing in for the hand-tuned weights a data team
+    * configures) and a token budget (1× the corpus), each source's
+    * target token count is `budget·w ÷ Σw` and its repeat factor is
+    * `target·1000 ÷ tokens` in exact milli-epochs — over 1000 means the
+    * source is UPSAMPLED (seen more than once per budget), the
+    * overfitting-risk flag the schedule exists to surface. All integer
+    * arithmetic: at 100 TB (≈2·10¹³ tokens) the worst intermediate
+    * `budget·w·1000` is ~10¹⁷, inside BIGINT. Scale shape: one
+    * map-side-combinable per-source groupBy + a 1-row totals broadcast —
+    * the frame never exceeds the source count.
+    */
+  def mixEpochSchedule(spark: SparkSession, sfDir: String): DataFrame = {
+    val perSrc = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .groupBy("source").agg(sum(col("nw")).as("tokens"))
+      .withColumn("weight_parts",
+        regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 5 + 1)
+    val tot = perSrc.agg(
+      sum(col("tokens")).as("budget"),
+      sum(col("weight_parts")).as("total_parts"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("weight_parts"), col("tokens"),
+        expr("budget * weight_parts div total_parts").as("target_tokens"))
+      .withColumn("epochs_milli", expr("target_tokens * 1000 div tokens"))
+      .withColumn("upsampled", col("epochs_milli") > 1000)
+      .orderBy("source")
+  }
+
   /** Weighted reservoir sample (Efraimidis–Spirakis A-ES), derandomized:
     * pick k documents with inclusion probability proportional to weight
     * (here `n_chars` — the "sample long docs more" curation knob) by
@@ -518,6 +549,7 @@ object Sampling extends QueryModule {
     "sample_neyman"     -> (sampleNeyman _),
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
+    "mix_epoch_schedule" -> (mixEpochSchedule _),
     "mix_temperature" -> (mixTemperature _),
     "mix_unimax"      -> (mixUnimax _),
     "mix_doremi"      -> (mixDoremi _),
@@ -639,6 +671,26 @@ object Sampling extends QueryModule {
            |SELECT source, rate_pct, COUNT(*) AS n_total,
            |  COUNT(CASE WHEN kept THEN 1 END) AS n_kept
            |FROM d GROUP BY source, rate_pct ORDER BY source""".stripMargin,
+      "mix_epoch_schedule" ->
+        """WITH per_src AS (
+          |  SELECT source,
+          |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+          |    CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1
+          |      AS weight_parts
+          |  FROM documents GROUP BY source
+          |), tot AS (
+          |  SELECT CAST(SUM(tokens) AS BIGINT) AS budget,
+          |    CAST(SUM(weight_parts) AS BIGINT) AS total_parts
+          |  FROM per_src
+          |), sched AS (
+          |  SELECT source, weight_parts, tokens,
+          |    budget * weight_parts // total_parts AS target_tokens
+          |  FROM per_src CROSS JOIN tot
+          |)
+          |SELECT source, weight_parts, tokens, target_tokens,
+          |  target_tokens * 1000 // tokens AS epochs_milli,
+          |  (target_tokens * 1000 // tokens) > 1000 AS upsampled
+          |FROM sched ORDER BY source""".stripMargin,
       "sample_balanced" ->
         s"""WITH r AS (
            |  SELECT lang, doc_id,

@@ -475,6 +475,29 @@ object TextAnalysis extends QueryModule {
       .orderBy("lang", "bucket")
   }
 
+  /** CCNet-style perplexity GATE (Wenzek et al., arXiv:1911.00359): the
+    * deployment decision [[qualityBuckets]] only profiles — keep the
+    * head + middle terciles of the per-language LM score, drop the tail,
+    * and report per-source survivor rates (the number a corpus team
+    * watches to see which feeds die under the gate). Same deterministic
+    * ntile (rounded score, doc_id tiebreak), so the keep decision is
+    * engine-independent; the report groupBy is source-sized.
+    */
+  def curatePerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    val bucketed = lmScores(spark, sfDir)
+      .withColumn("bucket", ntile(3).over(byLang))
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    bucketed.join(src, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") <= 2, 1L).otherwise(0L)).as("kept"))
+      .withColumn("keep_ppm", expr("kept * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
   /** Tech-domain terms for the domain-router heuristic (the topic-mixing
     * knob of corpus assembly: route technical docs to a code/tech bucket).
     * Frozen list so the oracle embeds the identical set.
@@ -633,6 +656,7 @@ object TextAnalysis extends QueryModule {
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
     "text_quality_buckets" -> (qualityBuckets _),
+    "curate_perplexity" -> (curatePerplexity _),
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
     "text_lang_confusion" -> (langConfusion _),
@@ -806,6 +830,20 @@ object TextAnalysis extends QueryModule {
            |  MIN(nll) AS nll_lo, MAX(nll) AS nll_hi
            |FROM b GROUP BY lang, bucket
            |ORDER BY lang, bucket""".stripMargin,
+      "curate_perplexity" ->
+        s"""$duckLmPerDoc, b AS (
+           |  SELECT doc_id,
+           |    CAST(ntile(3) OVER (PARTITION BY lang
+           |      ORDER BY nll, doc_id) AS INTEGER) AS bucket
+           |  FROM per_doc
+           |)
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN b.bucket <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS kept,
+           |  CAST(SUM(CASE WHEN b.bucket <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // COUNT(*) AS keep_ppm
+           |FROM b JOIN documents d USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
