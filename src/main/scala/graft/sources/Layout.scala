@@ -152,9 +152,81 @@ object Layout extends QueryModule {
       .orderBy("c_mktsegment")
   }
 
+  /** Shard count for the training-shard publish op. 64 here; on a real
+    * corpus this is the artifact-count knob (WebDataset-style shards of
+    * ~a few hundred MB each — the schedule is identical at any count).
+    */
+  val NShards = 64
+
+  /** Modulus keeping the manifest's order/content checksums inside
+    * BIGINT at any corpus size: each term is < 10⁶, so even 10¹² docs
+    * per shard cannot overflow the sum.
+    */
+  private val FpMod = 1000003L
+
+  /** Training-shard publish manifest — the op that turns a curated
+    * corpus into the artifact a training run actually reads: every doc
+    * gets a deterministic shard (hash, not round-robin — stable under
+    * reruns and corpus growth) and a deterministic EPOCH-0 READ ORDER
+    * within its shard (the global-shuffle-without-a-shuffle trick:
+    * ordering by a per-doc hash IS a reproducible random permutation,
+    * no rand(), no driver-side state). The manifest row per shard pins
+    * doc count, token count, an order-independent content checksum, the
+    * head doc, and an order-SENSITIVE permutation checksum
+    * Σ (rk·(doc_id mod m)) mod m — so the cross-engine hash proves the
+    * exact permutation, not just membership. Scale shape: one scan, one
+    * shard-partitioned window (shard count scales with the corpus), one
+    * shard-sized groupBy.
+    */
+  def layoutShards(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Hashing
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("okey"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        pmod(Hashing.hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(NShards.toLong)).cast("int").as("shard"),
+        Hashing.hash60(concat(lit("ep0:"), col("doc_id").cast("string"))).as("okey"),
+        size(split(col("text"), " ")).cast("long").as("nw"),
+        (Hashing.hash60(col("text")) % FpMod).as("cfp"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("tokens"),
+        sum(col("cfp")).as("content_fp"),
+        max(when(col("rk") === 1, col("doc_id"))).as("head_doc"),
+        sum(((col("rk") % FpMod) * (col("doc_id") % FpMod)) % FpMod)
+          .as("order_fp"))
+      .orderBy("shard")
+  }
+
+  /** Materialize the shards [[layoutShards]] manifests: one directory
+    * per shard, rows stored in epoch-0 read order (a single-file shard
+    * read back in one task IS the training read order — no shuffle at
+    * load time). `repartition(shard)` co-locates whole shards so the
+    * partitionBy write emits one file per shard dir; at corpus scale the
+    * shard count is the parallelism and file-size knob in one.
+    */
+  def shardWrite(docs: DataFrame, nShards: Int, outDir: String): Unit = {
+    import graft.functions.Hashing
+    docs
+      .withColumn("shard",
+        pmod(Hashing.hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("__okey",
+        Hashing.hash60(concat(lit("ep0:"), col("doc_id").cast("string"))))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__okey"), col("doc_id"))
+      .drop("__okey")
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (layoutZorder _),
     "layout_bucket_join" -> (layoutBucketJoin _),
+    "layout_shards" -> (layoutShards _),
   )
 
   override def oracles: Map[String, String] = {
@@ -168,6 +240,29 @@ object Layout extends QueryModule {
           |  COUNT(DISTINCT o.o_custkey) AS n_cust
           |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
           |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+      "layout_shards" -> {
+        import graft.functions.Hashing.duckHash60
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(${duckHash60("'shard:' || CAST(doc_id AS VARCHAR)")} % $NShards
+           |      AS INTEGER) AS shard,
+           |    ${duckHash60("'ep0:' || CAST(doc_id AS VARCHAR)")} AS okey,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           |    ${duckHash60("text")} % $FpMod AS cfp
+           |  FROM documents
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY shard
+           |    ORDER BY okey, doc_id) AS rk
+           |  FROM d
+           |)
+           |SELECT shard, COUNT(*) AS n_docs,
+           |  CAST(SUM(nw) AS BIGINT) AS tokens,
+           |  CAST(SUM(cfp) AS BIGINT) AS content_fp,
+           |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS head_doc,
+           |  CAST(SUM(((rk % $FpMod) * (doc_id % $FpMod)) % $FpMod) AS BIGINT)
+           |    AS order_fp
+           |FROM r GROUP BY shard ORDER BY shard""".stripMargin
+      },
       "layout_zorder" ->
         s"""WITH c AS (
            |  SELECT o_orderkey,

@@ -43,4 +43,29 @@ class LayoutSpec extends SparkSpec {
     // fidelity: same rows back
     assert(spark.read.parquet(out).count() === n)
   }
+
+  test("shardWrite materializes what layout_shards manifests: one file per shard, epoch-0 order") {
+    val out = Files.createTempDirectory("graft-shards").toString
+    val docs = graft.Tables.documents(spark, sf0001)
+    Layout.shardWrite(docs, Layout.NShards, out)
+    val manifest = Layout.layoutShards(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.length === manifest.size,
+      "every manifested shard materializes, nothing else")
+    shardDirs.foreach { dir =>
+      val shard = dir.getName.stripPrefix("shard=").toInt
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $shard must be ONE file")
+      // a single file read in one task preserves row order — the stored
+      // order IS the epoch-0 read order the manifest's head doc pins
+      val rows = spark.read.parquet(files.head.getPath)
+        .select("doc_id").collect().map(_.getLong(0))
+      val m = manifest(shard)
+      assert(rows.length === m.getLong(m.fieldIndex("n_docs")))
+      assert(rows.head === m.getLong(m.fieldIndex("head_doc")),
+        s"shard $shard stored head != manifest head")
+    }
+  }
 }
