@@ -83,7 +83,12 @@ object PlanDump {
     // mask stage — the per-round contraction shape is spec-pinned in
     // SuffixDedupSpec/SuffixDedupPropSpec instead)
     "pack_bpe_sequences", "curate_classifier", "graph_copurchase_fold",
-    "text_dedup_mask_exact", "refinery_pack")
+    "text_dedup_mask_exact", "refinery_pack",
+    // round 7, second wave: rule battery, perplexity gate, epoch
+    // schedule, shard publish, converged LPA (read-off stage — the
+    // contraction runs behind cuts, round shape spec-pinned)
+    "curate_gopher_rules", "curate_perplexity", "mix_epoch_schedule",
+    "layout_shards", "graph_label_prop_converged")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
