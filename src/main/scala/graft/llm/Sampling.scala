@@ -168,8 +168,13 @@ object Sampling extends QueryModule {
     val perSrc = Tables.documents(spark, sfDir)
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("nw"))
       .groupBy("source").agg(sum(col("nw")).as("tokens"))
+      // try_cast + coalesce: a source name with no trailing digits (or
+      // digits past BIGINT) gets the DOCUMENTED default part 1 on BOTH
+      // engines — a bare CAST would diverge (Spark ANSI errors on '',
+      // DuckDB raises a conversion error) and either way a NULL part
+      // would silently corrupt the schedule instead of defaulting
       .withColumn("weight_parts",
-        regexp_extract(col("source"), "(\\d+)$", 1).cast("long") % 5 + 1)
+        expr("""coalesce(try_cast(regexp_extract(source, '(\\d+)$', 1) AS BIGINT), 0) % 5 + 1"""))
     val tot = perSrc.agg(
       sum(col("tokens")).as("budget"),
       sum(col("weight_parts")).as("total_parts"))
@@ -675,7 +680,7 @@ object Sampling extends QueryModule {
         """WITH per_src AS (
           |  SELECT source,
           |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-          |    CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 5 + 1
+          |    COALESCE(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT), 0) % 5 + 1
           |      AS weight_parts
           |  FROM documents GROUP BY source
           |), tot AS (

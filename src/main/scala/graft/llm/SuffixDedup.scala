@@ -28,8 +28,13 @@ import org.apache.spark.sql.functions._
   *      self-join plus a projection, no ranking — with a DENSIFY step
   *      ([[BlockedRank.blockedPrefix]] over the distinct keys,
   *      prefix-bucketed, no unpartitioned window) that collapses values
-  *      back under K ≤ positions so the next composite cannot overflow a
-  *      long. End-of-doc encodes as rank 0 (the end-marker-smallest
+  *      back under K ≤ positions so the next composite stays in long
+  *      range while K·(K+1) fits — and once the densified rank count
+  *      exceeds [[ArithPackMaxRank]] (~3.0e9: duplicated-position counts
+  *      a 100 TB corpus CAN reach) the packing would silently wrap, so
+  *      [[compositeRank]] switches to ranking the (r, r2) pair directly
+  *      (one extra distinct+rank, order-identical — SuffixDedupSpec pins
+  *      the equivalence). End-of-doc encodes as rank 0 (the end-marker-smallest
   *      convention); lineage cut + superseded-cut release per round; the
   *      loop stops at the PARTITION FIXPOINT — a round that splits no
   *      rank group means equal rank already ⟺ identical-to-end, so the
@@ -77,6 +82,48 @@ object SuffixDedup extends QueryModule {
     */
   private val spanMemo = scala.collection.mutable.LinkedHashMap
     .empty[(SparkSession, String), DataFrame]
+
+  /** Largest densified rank count k for which the arithmetic composite
+    * r·(k+1)+r2 provably fits a signed long: the worst value is
+    * (k+1)²−1, so k+1 ≤ ⌊√(2⁶³−1)⌋ = 3 037 000 499. Duplicated-position
+    * counts at 100 TB can exceed that, and past it the packing would
+    * silently wrap — producing a WRONG suffix order with no error — so
+    * [[compositeRank]] switches strategies at this bound.
+    */
+  private[graft] val ArithPackMaxRank: Long = 3037000498L
+
+  /** The doubling round's composite key over `joined` =
+    * (doc_id, p, r, r2-nullable): an order-preserving injection of the
+    * pair (r, r2) into a single long rank column. While k stays under
+    * [[ArithPackMaxRank]] this is the free arithmetic packing (a
+    * projection — no ranking); past it, rank the distinct (r, r2) pairs
+    * directly with the same prefix-bucketed [[BlockedRank.blockedPrefix]]
+    * the densify step uses and join back — one extra bounded round, and
+    * the result is additionally DENSE, which every consumer (densify,
+    * final suffix-order ranking) already tolerates. `SuffixDedupSpec`
+    * pins order-equivalence of the two strategies on a crafted frame.
+    */
+  private[graft] def compositeRank(
+      joined: DataFrame, k: Long,
+      arithMax: Long = ArithPackMaxRank): DataFrame = {
+    if (k <= arithMax)
+      joined.select(col("doc_id"), col("p"),
+        (col("r") * (k + 1) + coalesce(col("r2"), lit(0L))).as("r"))
+    else {
+      val pairRanks = BlockedRank.blockedPrefix(
+        joined.select(col("r").as("pr1"),
+          coalesce(col("r2"), lit(0L)).as("pr2")).distinct(),
+        partition = Nil,
+        blocks = Seq(("__b", expr("pr1 div 1024"))),
+        blockDesc = Seq(false),
+        localOrder = Seq(col("pr1"), col("pr2")),
+        outRank = "nr", outTotalN = "__nt").drop("__nt")
+      joined.join(pairRanks,
+          col("r") === col("pr1") &&
+            coalesce(col("r2"), lit(0L)) === col("pr2"))
+        .select(col("doc_id"), col("p"), col("nr").as("r"))
+    }
+  }
 
   def dupSpansExact(spark: SparkSession, sfDir: String): DataFrame =
     spanMemo.synchronized {
@@ -146,9 +193,7 @@ object SuffixDedup extends QueryModule {
       // self-join.
       val shifted = cur.select(col("doc_id"), (col("p") - len).as("p"), col("r").as("r2"))
       val (composite, compRdd, _) = PlanBridge.cutLineage(
-        cur.join(shifted, Seq("doc_id", "p"), "left")
-          .select(col("doc_id"), col("p"),
-            (col("r") * (k + 1) + coalesce(col("r2"), lit(0L))).as("r")))
+        compositeRank(cur.join(shifted, Seq("doc_id", "p"), "left"), k))
       PlanBridge.releaseCut(curRdd)
       len *= 2
       if (len >= maxLen) {

@@ -382,8 +382,15 @@ object Graph extends QueryModule {
       val key =
         s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir, "lineitem.parquet")}"
       priorMemo.getOrElseUpdate(key, {
+        // Collision-free path component: a 32-bit hashCode collision
+        // between two corpus keys would let the second solve overwrite
+        // the first's standing prior while the first memo entry still
+        // pointed at the path (and math.abs(Int.MinValue) is negative).
+        // SHA-256 of the full key can't collide in practice.
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val out = s"${sys.props("java.io.tmpdir")}/graft_graph/" +
-          s"${math.abs(key.hashCode)}/copurchase_prior"
+          s"$digest/copurchase_prior"
         val edges = copurchaseEdges(spark, sfDir, keyMod = Some(3))
         val wave = pmod(hash(col("a"), col("b")), lit(2))
         val (prior, handle) = graft.operators.ConnectedComponents

@@ -403,6 +403,12 @@ object LandingLedger {
     // remove the instance the caller is about to populate, losing its
     // directory-cache updates and forcing a cold re-list next trigger).
     @volatile var lastSeen = System.currentTimeMillis()
+    // The horizon that governs THIS root's eviction — written by the root's
+    // own scans (last caller wins; a root's streams share its configuration
+    // in practice), never read from another root's scan. Born at the
+    // default so a root is never judged by an uninitialized horizon in the
+    // window before its first scan sets it.
+    @volatile var evictAfterMs = DefaultEvictAfterMs
   }
 
   private val roots = scala.collection.concurrent.TrieMap.empty[Path, RootCache]
@@ -418,9 +424,11 @@ object LandingLedger {
     * past any trigger interval a landing stream runs at, while an
     * evicted root only pays one cold full list. The horizon is a CALL
     * PARAMETER with this default (streams thread the `evictAfterMs`
-    * reader option through), not mutable process state: eviction is
-    * evaluated per scan, so each caller's horizon governs the scan it
-    * makes — no global var for specs to mutate and forget to restore.
+    * reader option through), not mutable process state — no global var
+    * for specs to mutate and forget to restore. Scope is PER ROOT: a
+    * scan's horizon is recorded on the root it scans and governs only
+    * that root's eviction; the sweep judges every other root by the
+    * horizon its own streams configured.
     */
   val DefaultEvictAfterMs: Long = 30L * 60 * 1000
 
@@ -450,14 +458,19 @@ object LandingLedger {
     // Evict roots nobody listed inside the wall-clock horizon. The scan
     // is over the ROOT map (zones, not directories) — a handful of
     // entries for any realistic process — so paying it per call keeps
-    // eviction prompt without a timer thread.
+    // eviction prompt without a timer thread. Each root is judged by ITS
+    // OWN configured horizon (set by that root's scans, below), never by
+    // the calling scan's: one stream configured with a small horizon must
+    // not evict roots owned by other, less-frequently-triggered streams —
+    // that cross-stream starvation would force the slow streams into cold
+    // O(objects) re-lists on every trigger (review-caught).
     roots.foreach { case (r, rc) =>
-      val staleAtScan = now - rc.lastSeen > evictAfterMs
+      val staleAtScan = now - rc.lastSeen > rc.evictAfterMs
       // Re-read lastSeen (volatile) at remove time — a concurrent drain
       // that just touched this root refreshes it between the scan's read
       // and the remove — and remove only the exact instance we judged:
       // remove(k, v) never deletes a replacement another thread inserted.
-      if (staleAtScan && now - rc.lastSeen > evictAfterMs) roots.remove(r, rc)
+      if (staleAtScan && now - rc.lastSeen > rc.evictAfterMs) roots.remove(r, rc)
     }
     if (!Files.exists(root)) {
       // A DELETED root never enters visit() (nothing to walk), so the
@@ -468,6 +481,7 @@ object LandingLedger {
     }
     val rc = roots.getOrElseUpdate(root, new RootCache)
     rc.lastSeen = now
+    rc.evictAfterMs = evictAfterMs
     val dirCache = rc.dirs
     val acc = Array.newBuilder[LedgerEntry]
     val visited = scala.collection.mutable.Set.empty[Path]

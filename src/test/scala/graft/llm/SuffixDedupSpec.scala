@@ -59,4 +59,29 @@ class SuffixDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq === Seq((1L, 1L, 6L, 6L), (2L, 1L, 6L, 6L)))
   }
+
+  test("compositeRank: pair-ranking fallback is order-equivalent to arithmetic packing") {
+    import spark.implicits._
+    // crafted (doc_id, p, r, r2) rounds frame with null r2 (end-of-doc),
+    // ties on r, and reversed insert order — everything the composite
+    // must order by (r asc, r2 asc nulls-as-0)
+    val joined = Seq(
+      (1L, 1L, 5L, Some(2L)),
+      (1L, 2L, 5L, None),
+      (1L, 3L, 2L, Some(7L)),
+      (2L, 1L, 2L, Some(1L)),
+      (2L, 2L, 7L, Some(7L)),
+      (2L, 3L, 2L, None))
+      .toDF("doc_id", "p", "r", "r2")
+    val k = 7L
+    def order(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.orderBy(col("r"), col("doc_id"), col("p"))
+        .select("doc_id", "p").as[(Long, Long)].collect().toSeq
+    val arith = SuffixDedup.compositeRank(joined, k) // k <= arithMax: packing
+    val pair = SuffixDedup.compositeRank(joined, k, arithMax = 0L) // forced fallback
+    assert(order(arith) === order(pair))
+    // the fallback is additionally DENSE: ranks are 1..#distinct pairs
+    val pr = pair.select("r").distinct().as[Long].collect().sorted
+    assert(pr.toSeq === (1L to pr.length))
+  }
 }

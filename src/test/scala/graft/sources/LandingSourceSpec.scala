@@ -368,24 +368,45 @@ class LandingSourceSpec extends SparkSpec {
     // simulate a process that drains many short-lived zones (per-tenant
     // dirs, test fixtures): each gets cached once, then is never listed
     // again — the cache must not grow one dead index per zone forever
+    // each transient root's OWN streams configure its short horizon (the
+    // horizon is recorded per root at scan time — another root's scan
+    // never governs it); the production 30 min default would out-wait
+    // the suite, so pass it. Nothing to restore: no process-global state.
     val transients = (0 until 20).map { i =>
       val r = Files.createTempDirectory(f"landing-tr$i")
       Files.write(r.resolve("obj.ndjson"), s"""{"i":$i}""".getBytes(StandardCharsets.UTF_8))
-      assert(LandingLedger.incrementalLedger(r).length == 1)
+      assert(LandingLedger.incrementalLedger(r, evictAfterMs = 50L).length == 1)
       r
     }
     val live = Files.createTempDirectory("landing-live")
     Files.write(live.resolve("obj.ndjson"), "{}".getBytes(StandardCharsets.UTF_8))
-    // shrink the wall-clock horizon (the production 30 min would out-wait
-    // the suite) by PASSING it — the horizon is a per-call parameter, not
-    // process state, so there is nothing to restore. Eviction must also
-    // NOT depend on how many OTHER streams called in between (the old
-    // call-counter design starved slow streams sharing the process).
+    // Eviction must NOT depend on how many OTHER streams called in
+    // between (the old call-counter design starved slow streams sharing
+    // the process) — any later scan's sweep applies each root's own
+    // recorded horizon.
     Thread.sleep(120)
-    assert(LandingLedger.incrementalLedger(live, evictAfterMs = 50L).length == 1)
+    assert(LandingLedger.incrementalLedger(live).length == 1)
     assert(transients.forall(LandingLedger.cachedDirCount(_) == 0),
-      "roots unseen past the eviction horizon must drop their cache")
+      "roots unseen past their own eviction horizon must drop their cache")
     assert(LandingLedger.cachedDirCount(live) == 1)
+  }
+
+  test("eviction horizon is per root: a hot small-horizon stream cannot evict a slow stream's root") {
+    // the review-caught cross-stream starvation: stream A triggers every
+    // second with a small horizon, stream B every 10 minutes with the
+    // default — A's sweep must judge B's root by B's OWN horizon, or B
+    // pays a cold O(objects) re-list on every one of its triggers
+    val slow = Files.createTempDirectory("landing-slow")
+    Files.write(slow.resolve("obj.ndjson"), "{}".getBytes(StandardCharsets.UTF_8))
+    assert(LandingLedger.incrementalLedger(slow).length == 1) // default horizon
+    val hot = Files.createTempDirectory("landing-hot")
+    Files.write(hot.resolve("obj.ndjson"), "{}".getBytes(StandardCharsets.UTF_8))
+    Thread.sleep(120)
+    // hot stream scans with a 50 ms horizon, well past slow's lastSeen —
+    // slow's cache must survive because slow's OWN horizon is 30 min
+    assert(LandingLedger.incrementalLedger(hot, evictAfterMs = 50L).length == 1)
+    assert(LandingLedger.cachedDirCount(slow) == 1,
+      "a slow stream's root must not be evicted by another stream's small horizon")
   }
 
   test("evictAfterMs reader option parses strictly") {
