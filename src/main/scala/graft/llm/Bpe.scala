@@ -282,9 +282,9 @@ object Bpe extends QueryModule {
     * chained-replace scan of [[bpeEncode]] (no counting rounds re-run —
     * the merge table comes from the model-registry memo), the doc→lang
     * attach is one equi-join on the corpus key, and packing is the same
-    * per-lang window cumsum as `pack_sequences` (at 100 TB, re-key to
-    * (lang, date-bucket) — packing is order-local, so narrower windows
-    * compose). The oracle replays the frozen merge chain (the
+    * hierarchical (lang, doc_id-block) prefix as `pack_sequences`
+    * ([[Sampling.cumBeforeByLang]] — no single-task per-language
+    * window). The oracle replays the frozen merge chain (the
     * `text_bpe_encode` CTEs) plus the cumsum-div — the full
     * train→encode→pack composition is pinned cross-engine.
     */
@@ -293,11 +293,9 @@ object Bpe extends QueryModule {
     val toks = finalState(spark, sfDir)
       .selectExpr("doc_id",
         "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS toks")
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
-      .join(toks, "doc_id")
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+    Sampling.cumBeforeByLang(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+          .join(toks, "doc_id"))
       .withColumn("bin", expr(s"cum_before div $budget"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))

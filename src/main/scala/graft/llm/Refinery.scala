@@ -33,9 +33,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the gate is a literal-weight projection folded into the
   * scan; the span charge is one duplication-bounded aggregate + a left
-  * join on the corpus key; packing is the per-lang window cumsum (at
-  * 100 TB, re-key to (lang, date-bucket) — packing is order-local).
-  * Nothing here shuffles more than the standalone parts already did.
+  * join on the corpus key; packing is the hierarchical
+  * (lang, doc_id-block) prefix ([[Sampling.cumBeforeByLang]] — no
+  * single-task per-language window). Nothing here shuffles more than
+  * the standalone parts already did.
   */
 object Refinery extends QueryModule {
 
@@ -49,12 +50,10 @@ object Refinery extends QueryModule {
         s"${Ml.LogregFeats1} AS x1",
         "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
       .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    kept.join(cut, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("lang"),
-        (col("n_words") - coalesce(col("cut_words"), lit(0L))).as("toks"))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+    Sampling.cumBeforeByLang(
+        kept.join(cut, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            (col("n_words") - coalesce(col("cut_words"), lit(0L))).as("toks")))
       .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))

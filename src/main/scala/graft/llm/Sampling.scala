@@ -464,21 +464,56 @@ object Sampling extends QueryModule {
 
   val PackBudget = 2048
 
+  /** Width of the doc_id-range blocks the hierarchical packing prefix
+    * partitions on. The scale knob (BlockedRank's B): per-(lang, block)
+    * work is ≤ this many rows, and the per-lang summary window sees
+    * max_doc_id ÷ this rows — size it so the summary stays
+    * metadata-scale (≈10⁴–10⁷ rows) at the corpus at hand; 256 exercises
+    * multiple blocks even at the sf0.01 test corpus.
+    */
+  private[graft] val PackCumBlock = 256L
+
+  /** Exclusive per-language running token sum over doc_id order — the
+    * packing prefix — computed HIERARCHICALLY over a (doc_id, lang,
+    * toks)-bearing frame: per-(lang, doc_id-range block) partial sums →
+    * per-lang prefix offsets over the BLOCK SUMMARIES (a bounded frame —
+    * max_doc_id ÷ [[PackCumBlock]] rows, never the corpus) → per-block
+    * local cumsum + offset. The naive `Window.partitionBy("lang")`
+    * cumsum puts an entire language on ONE task — on a
+    * mono-lingual-dominant 100 TB corpus that is a single-task stage
+    * over ~the whole corpus (the round-7 plan-audit finding); the block
+    * key `doc_id div W` is a monotone coarsening of the per-lang doc_id
+    * order, so the hierarchical prefix is VALUE-IDENTICAL and every
+    * heavy stage partitions on (lang, block). Shared by
+    * `pack_sequences`, `pack_bpe_sequences`, and `refinery_pack` — all
+    * three oracles pin the equivalence cross-engine.
+    */
+  private[graft] def cumBeforeByLang(docs: DataFrame): DataFrame = {
+    import graft.operators.BlockedRank
+    BlockedRank.blockedPrefix(
+      docs,
+      partition = Seq("lang"),
+      blocks = Seq(("__pk_b", expr(s"doc_id div $PackCumBlock"))),
+      blockDesc = Seq(false),
+      localOrder = Seq(col("doc_id")),
+      outRank = "__pk_rk", outTotalN = "__pk_nt",
+      values = Seq(BlockedRank.PrefixValue(
+        col("toks").cast("long"), "__pk_cum", "__pk_tot")))
+      .withColumn("cum_before", col("__pk_cum") - col("toks"))
+      .drop("__pk_rk", "__pk_nt", "__pk_tot", "__pk_cum")
+  }
+
   /** Per-doc bin assignment: contiguous greedy packing of documents into
     * ~`budget`-token context windows, partitioned by lang (monolingual
     * windows). bin = cumulative-tokens-before ÷ budget over a per-lang
-    * doc_id order: a window cumsum, so the parallelism unit is the lang
-    * partition — at 100 TB, re-key to (lang, date-bucket) for narrower
-    * windows; the semantics compose because packing is order-local.
+    * doc_id order; the prefix comes from [[cumBeforeByLang]]'s
+    * hierarchical (lang, doc_id-block) plan, so no stage funnels a whole
+    * language through one task. Packing is order-local, so the
+    * block-decomposed prefix composes exactly.
     */
-  def packAssign(docs: DataFrame, budget: Int): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
-      .withColumn("toks", size(split(col("text"), " ")))
-      .withColumn("cum_before", coalesce(sum(col("toks")).over(w), lit(0L)))
+  def packAssign(docs: DataFrame, budget: Int): DataFrame =
+    cumBeforeByLang(docs.withColumn("toks", size(split(col("text"), " "))))
       .withColumn("bin", expr(s"cum_before div $budget"))
-  }
 
   /** Packing profile: windows per language with doc and token counts. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
