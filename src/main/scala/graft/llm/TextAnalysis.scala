@@ -3,6 +3,7 @@ package graft.llm
 import graft.{QueryModule, Tables}
 import graft.functions.Hashing
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (SURVEY §2.10 U4 +
@@ -456,17 +457,41 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Per-doc per-language tercile over the LM score — the exact ntile(3)
+    * (rounded score, doc_id tiebreak: engine-independent), computed
+    * WITHOUT `Window.partitionBy(lang)` over the corpus: that plan puts
+    * an entire language on one task (the round-7 plan-audit finding for
+    * a mono-lingual-dominant 100 TB corpus). Instead the per-lang rank
+    * comes from [[graft.operators.BlockedRank.blockedPrefix]] — blocks =
+    * the centi-rounded score (a monotone coarsening, so the only
+    * per-lang window runs over the bounded score-grid summary) — and the
+    * tercile falls out of [[graft.operators.BlockedRank.ntileFromRank]]
+    * as a map-side expression. Value-identical to the naive ntile; both
+    * consumers' oracles pin it cross-engine.
+    */
+  private def tercileScores(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank
+    BlockedRank.blockedPrefix(
+        lmScores(spark, sfDir),
+        partition = Seq("lang"),
+        blocks = Seq(("__tc_b", round(col("nll"), 2))),
+        blockDesc = Seq(false),
+        localOrder = Seq(col("nll"), col("doc_id")),
+        outRank = "__tc_r", outTotalN = "__tc_n")
+      .withColumn("bucket",
+        BlockedRank.ntileFromRank(col("__tc_r"), col("__tc_n"), 3))
+      .drop("__tc_r", "__tc_n")
+  }
+
   /** CCNet-style head/middle/tail quality bucketing: tercile of the
     * unigram-LM score within each language (per-language because token
     * distributions aren't comparable across languages), reported as bucket
     * profiles. The ntile runs on the ROUNDED score with doc_id tiebreak, so
-    * bucket assignment is engine-independent.
+    * bucket assignment is engine-independent; [[tercileScores]] carries
+    * the hierarchical plan.
     */
   def qualityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
-    val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
-    lmScores(spark, sfDir)
-      .withColumn("bucket", ntile(3).over(byLang))
+    tercileScores(spark, sfDir)
       .groupBy("lang", "bucket")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -480,20 +505,56 @@ object TextAnalysis extends QueryModule {
     * head + middle terciles of the per-language LM score, drop the tail,
     * and report per-source survivor rates (the number a corpus team
     * watches to see which feeds die under the gate). Same deterministic
-    * ntile (rounded score, doc_id tiebreak), so the keep decision is
-    * engine-independent; the report groupBy is source-sized.
+    * ntile (rounded score, doc_id tiebreak — [[tercileScores]]'s
+    * hierarchical plan), so the keep decision is engine-independent; the
+    * report groupBy is source-sized.
     */
   def curatePerplexity(spark: SparkSession, sfDir: String): DataFrame = {
-    val byLang = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
-    val bucketed = lmScores(spark, sfDir)
-      .withColumn("bucket", ntile(3).over(byLang))
+    val bucketed = tercileScores(spark, sfDir)
     val src = Tables.documents(spark, sfDir).select("doc_id", "source")
     bucketed.join(src, "doc_id")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("bucket") <= 2, 1L).otherwise(0L)).as("kept"))
+      .withColumn("keep_ppm", expr("kept * 1000000 div n_docs"))
+      .orderBy("source")
+  }
+
+  /** The SAMPLED-CUTOFF form of the perplexity gate — what production
+    * CCNet actually runs: instead of ranking every doc (even
+    * hierarchically), derive one tercile CUTOFF per language from the
+    * score HISTOGRAM and gate by comparison. keep ⟺ nll ≤ cutoff where
+    * cutoff is the smallest score value whose cumulative count reaches
+    * ⅔ of the language (so ties AT the cutoff are all kept — the
+    * documented difference from the exact ntile, which splits a
+    * straddling tie by doc_id; survivor counts differ only by those
+    * ties). Scale shape: one (lang, score) groupBy (map-side
+    * combinable; the frame is the per-lang distinct 6dp score grid —
+    * vocabulary-bounded, not corpus-bounded), a per-lang window over
+    * THAT bounded frame, a broadcast of the L-row cutoff table, and a
+    * per-row comparison the scan can apply. Fully deterministic — both
+    * engines compare the identical 6dp-rounded doubles — so the oracle
+    * is exact, not approximate.
+    */
+  def curatePerplexityScaled(spark: SparkSession, sfDir: String): DataFrame = {
+    val scores = lmScores(spark, sfDir)
+    val byLangScore = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("nll")
+    val cutoffs = scores
+      .groupBy("lang", "nll").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        byLangScore.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_lang", sum(col("c")).over(
+        byLangScore.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") * 3 >= col("n_lang") * 2)
+      .groupBy("lang").agg(min(col("nll")).as("cutoff"))
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    scores.join(broadcast(cutoffs), "lang").join(src, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nll") <= col("cutoff"), 1L).otherwise(0L)).as("kept"))
       .withColumn("keep_ppm", expr("kept * 1000000 div n_docs"))
       .orderBy("source")
   }
@@ -657,6 +718,7 @@ object TextAnalysis extends QueryModule {
     "text_bigram_lm"   -> (bigramLm _),
     "text_quality_buckets" -> (qualityBuckets _),
     "curate_perplexity" -> (curatePerplexity _),
+    "curate_perplexity_scaled" -> (curatePerplexityScaled _),
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
     "text_lang_confusion" -> (langConfusion _),
@@ -843,6 +905,31 @@ object TextAnalysis extends QueryModule {
            |  CAST(SUM(CASE WHEN b.bucket <= 2 THEN 1 ELSE 0 END) AS BIGINT)
            |    * 1000000 // COUNT(*) AS keep_ppm
            |FROM b JOIN documents d USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      // curate_perplexity_scaled: the same histogram-cutoff derivation —
+      // per-(lang, nll) counts, per-lang cumulative over the score grid,
+      // cutoff = min score whose cum count reaches 2/3, keep = nll <=
+      // cutoff. Exact, not approximate: both engines compare identical
+      // 6dp-rounded doubles.
+      "curate_perplexity_scaled" ->
+        s"""$duckLmPerDoc, hist AS (
+           |  SELECT lang, nll, COUNT(*) AS c FROM per_doc GROUP BY lang, nll
+           |), cum AS (
+           |  SELECT lang, nll,
+           |    SUM(c) OVER (PARTITION BY lang ORDER BY nll
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    SUM(c) OVER (PARTITION BY lang) AS n_lang
+           |  FROM hist
+           |), cut AS (
+           |  SELECT lang, MIN(nll) AS cutoff FROM cum
+           |  WHERE cum * 3 >= n_lang * 2 GROUP BY lang
+           |)
+           |SELECT d.source, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN p.nll <= c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS kept,
+           |  CAST(SUM(CASE WHEN p.nll <= c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+           |    * 1000000 // COUNT(*) AS keep_ppm
+           |FROM per_doc p JOIN cut c USING (lang) JOIN documents d USING (doc_id)
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id,
