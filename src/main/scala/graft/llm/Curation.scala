@@ -68,6 +68,27 @@ object Curation extends QueryModule {
   def decontaminateQuery(spark: SparkSession, sfDir: String): DataFrame =
     decontaminate(Tables.documents(spark, sfDir))
 
+  /** The gram-overlap contamination CTEs with PREFIXED names (dc_*) so
+    * they compose into other oracles (refinery_decontaminated) without
+    * colliding; exposes `dc_cont(doc_id)` — the non-benchmark docs
+    * sharing a word 5-gram with the benchmark slice. Same arithmetic as
+    * the standalone `decontaminate` oracle below.
+    */
+  private[llm] val duckDecontCtes: String =
+    s"""dc_g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(
+       |      range(1, greatest(len(string_split(text, ' ')) - 3, 2)),
+       |      i -> ${graft.functions.Hashing.duckHash60(
+              "array_to_string(string_split(text, ' ')[i:i+4], ' ')")})) AS g
+       |  FROM documents
+       |), dc_bench AS (
+       |  SELECT DISTINCT g FROM dc_g WHERE doc_id % 97 = 0
+       |), dc_cont AS (
+       |  SELECT DISTINCT doc_id FROM dc_g
+       |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM dc_bench)
+       |)""".stripMargin
+
   /** Gopher/MassiveText-style quality-rule battery (Rae et al.,
     * arXiv:2112.11446, A1.1), recalibrated to this corpus's shape
     * (single-line space-separated text — the punctuation/bullet rules are

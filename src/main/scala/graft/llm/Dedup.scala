@@ -38,6 +38,34 @@ object Dedup extends QueryModule {
     "list_distinct(list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 2)), " +
       "i -> CAST('0x' || substr(md5(array_to_string(string_split(text, ' ')[i:i+2], ' ')), 1, 15) AS BIGINT)))"
 
+  /** The connected-components chain over the Jaccard ≥ 0.8 pair graph
+    * with PREFIXED CTE names (cl_*) so it composes into OTHER oracles
+    * (refinery_dedup_pack) without colliding with their CTEs; exposes
+    * `cl_losers(doc_id)` — the non-canonical members of every near-dup
+    * cluster, i.e. exactly the docs a representative-keeping dedup
+    * drops (the Spark side's `dedupClusters.filter(!canonical)`). The
+    * enclosing query must open `WITH RECURSIVE`.
+    */
+  private[llm] val duckClusterLoserCtes: String =
+    s"""cl_d AS (
+       |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+       |), cl_pairs AS (
+       |  SELECT a.doc_id AS pa, b.doc_id AS pb
+       |  FROM cl_d a JOIN cl_d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+       |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+       |), cl_edges AS (
+       |  SELECT pa AS a, pb AS b FROM cl_pairs
+       |  UNION SELECT pb, pa FROM cl_pairs
+       |), cl_reach(n, m) AS (
+       |  SELECT a, b FROM cl_edges
+       |  UNION
+       |  SELECT r.n, e.b FROM cl_reach r JOIN cl_edges e ON r.m = e.a WHERE e.b <> r.n
+       |), cl_losers AS (
+       |  SELECT n AS doc_id FROM cl_reach GROUP BY n
+       |  HAVING LEAST(n, MIN(m)) <> n
+       |)""".stripMargin
+
   // ------------------------------------------------------------ exact dedup
 
   /** U1: exact dedup via content hash — keep min doc_id per digest. */

@@ -4,7 +4,6 @@ import graft.{QueryModule, Tables}
 import graft.functions.Hashing
 import graft.queries.Ml
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** THE REFINERY PASS — the end-to-end composition a training-data
@@ -23,41 +22,101 @@ import org.apache.spark.sql.functions._
   * 3. Pack the post-mask token counts into `Sampling.PackBudget`-token
   *    context windows per language (the pack_sequences cumsum-÷-budget).
   *
+  * Two further shipping variants slot an extra stage between gate and
+  * mask — exactly where a production chain runs them:
+  *  - [[refineryDedupPack]]: NEAR-DUP CLUSTER-REPRESENTATIVE removal
+  *    (the `dedup_clusters` connected components; keep the min-doc_id
+  *    canonical per cluster, drop the rest) — `refinery_pack` masks
+  *    duplicated SPANS but still ships both members of every
+  *    whole-document near-dup pair; this variant doesn't.
+  *  - [[refineryDecontaminated]]: BENCHMARK DECONTAMINATION (the
+  *    `decontaminate` 5-gram-overlap rule) — drop the eval slice and
+  *    every doc sharing a 5-gram with it before packing.
+  *
   * Every stage consumes a registry artifact the standalone queries also
   * report on (`curate_classifier`, `text_dedup_spans_exact`,
-  * `pack_sequences`), so the composition adds NO new trust surface —
-  * and the DuckDB oracle replays the WHOLE chain from scratch (re-train
-  * + re-threshold, re-sort the suffixes, re-pack), which makes this
-  * single hash the deepest cross-engine statement in the suite: a drift
-  * anywhere in gate, spans, masking arithmetic, or packing breaks it.
+  * `dedup_clusters`, `decontaminate`, `pack_sequences`), so the
+  * compositions add NO new trust surface — and each DuckDB oracle
+  * replays its WHOLE chain from scratch (re-train + re-threshold,
+  * re-sort the suffixes, re-derive the clusters / the contamination
+  * set, re-pack), which makes these hashes the deepest cross-engine
+  * statements in the suite: a drift anywhere in gate, spans, cluster
+  * closure, contamination rule, masking arithmetic, or packing breaks
+  * them.
   *
   * Scale shape: the gate is a literal-weight projection folded into the
   * scan; the span charge is one duplication-bounded aggregate + a left
-  * join on the corpus key; packing is the hierarchical
-  * (lang, doc_id-block) prefix ([[Sampling.cumBeforeByLang]] — no
-  * single-task per-language window). Nothing here shuffles more than
-  * the standalone parts already did.
+  * join on the corpus key; cluster losers come from the banded-candidate
+  * component solve (never corpus×corpus), contamination from a
+  * broadcast semi-join of the tiny benchmark gram set; packing is the
+  * hierarchical (lang, doc_id-block) prefix
+  * ([[Sampling.cumBeforeByLang]] — no single-task per-language window).
+  * Nothing here shuffles more than the standalone parts already did.
   */
 object Refinery extends QueryModule {
 
-  def refineryPack(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The classifier-gated corpus: (doc_id, lang, n_words) of every doc
+    * the registered quality model keeps — stage 1 of every refinery
+    * variant.
+    */
+  private def gatedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
-    val cut = SuffixDedup.dupSpansExact(spark, sfDir)
-      .groupBy("doc_id").agg(sum(col("span_words")).as("cut_words"))
-    val kept = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "lang",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
         s"${Ml.LogregFeats1} AS x1",
         "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
       .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
+  }
+
+  /** Stages 2+3 shared by every variant: charge each surviving doc for
+    * its duplicated-span mass, then pack the post-mask token counts —
+    * the hierarchical per-lang prefix ÷ budget, reported per bin.
+    */
+  private def maskAndPack(
+      spark: SparkSession, sfDir: String, survivors: DataFrame): DataFrame = {
+    val cut = SuffixDedup.dupSpansExact(spark, sfDir)
+      .groupBy("doc_id").agg(sum(col("span_words")).as("cut_words"))
     Sampling.cumBeforeByLang(
-        kept.join(cut, Seq("doc_id"), "left")
+        survivors.join(cut, Seq("doc_id"), "left")
           .select(col("doc_id"), col("lang"),
             (col("n_words") - coalesce(col("cut_words"), lit(0L))).as("toks")))
       .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
       .orderBy("lang", "bin")
+  }
+
+  def refineryPack(spark: SparkSession, sfDir: String): DataFrame =
+    maskAndPack(spark, sfDir, gatedDocs(spark, sfDir))
+
+  /** gate ∘ cluster-representative dedup ∘ mask ∘ pack: between gate and
+    * mask, drop every NON-CANONICAL member of the `dedup_clusters`
+    * near-dup components (survivor = min doc_id per cluster — the
+    * transitive-consistent representative rule; docs in no cluster pass
+    * through). Closes the round-7 gap: `refinery_pack` charged docs for
+    * duplicated spans but still shipped BOTH members of every
+    * whole-document near-dup pair.
+    */
+  def refineryDedupPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val losers = Dedup.dedupClusters(spark, sfDir)
+      .filter(!col("canonical")).select("doc_id")
+    maskAndPack(spark, sfDir,
+      gatedDocs(spark, sfDir).join(losers, Seq("doc_id"), "left_anti"))
+  }
+
+  /** gate ∘ eval decontamination ∘ mask ∘ pack: between gate and mask,
+    * drop the benchmark slice itself AND every doc sharing a word
+    * 5-gram with it (the `decontaminate` rule — the pass a real
+    * pipeline runs before packing so eval answers never enter a
+    * context window). The contamination set rides the broadcast
+    * bench-gram semi-join; everything else is the shared chain.
+    */
+  def refineryDecontaminated(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
+      .select("doc_id")
+    maskAndPack(spark, sfDir,
+      gatedDocs(spark, sfDir).join(clean, Seq("doc_id"), "left_semi"))
   }
 
   /** The refinery's SINK pass: materialize the curated corpus — kept docs
@@ -70,17 +129,12 @@ object Refinery extends QueryModule {
     * row — the sink ships exactly what the reports promise.
     */
   def refineryWrite(spark: SparkSession, sfDir: String, outPath: String): Long = {
-    val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
     val masked = graft.llm.Dedup.maskedTextWithSpans(
       Tables.documents(spark, sfDir),
       SuffixDedup.dupSpansExact(spark, sfDir))
-    Tables.documents(spark, sfDir)
-      .selectExpr("doc_id", "lang", "source",
-        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
-        s"${Ml.LogregFeats1} AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
-      .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
+    gatedDocs(spark, sfDir)
       .join(masked, "doc_id")
+      .join(Tables.documents(spark, sfDir).select("doc_id", "source"), "doc_id")
       .select("doc_id", "lang", "source", "n_words", "n_kept_words", "masked_text")
       .write.mode("overwrite").parquet(outPath)
     spark.read.parquet(outPath).count()
@@ -88,6 +142,8 @@ object Refinery extends QueryModule {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "refinery_pack" -> (refineryPack _),
+    "refinery_dedup_pack" -> (refineryDedupPack _),
+    "refinery_decontaminated" -> (refineryDecontaminated _),
   )
 
   override def oracles: Map[String, String] = {
@@ -99,38 +155,65 @@ object Refinery extends QueryModule {
          |           ${Ml.LogregLabel} AS y,
          |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |    FROM documents) WHERE h < ${Ml.CurateTrainPct})""".stripMargin)
-    val sql =
-      (trainCtes ++ Seq(
-          s"""th AS (
-             |  SELECT CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS t
-             |  FROM f)""".stripMargin,
-          SuffixDedup.suffixSpanCtes,
-          s"""cutc AS (
-             |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS cut_words
-             |  FROM mg GROUP BY doc_id)""".stripMargin,
-          s"""keepd AS (
-             |  SELECT s.doc_id, s.lang, s.nw
-             |  FROM (SELECT doc_id, lang,
-             |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
-             |          ${Ml.LogregFeats1} AS x1,
-             |          (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2
-             |        FROM documents) s, w${Ml.LogregIters} w, th
-             |  WHERE ${Ml.logregSigDuck("w.w1", "w.w2", "w.b")} >= th.t)""".stripMargin,
-          s"""tk AS (
-             |  SELECT k.doc_id, k.lang,
-             |    k.nw - COALESCE(c.cut_words, 0) AS toks
-             |  FROM keepd k LEFT JOIN cutc c ON k.doc_id = c.doc_id)""".stripMargin,
-          s"""cum AS (
-             |  SELECT lang, toks,
-             |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-             |  FROM tk)""".stripMargin))
-          .mkString("WITH ", ",\n", "") +
-          s"""
-             |SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
-             |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
-             |FROM cum GROUP BY lang, cum_before // ${Sampling.PackBudget}
-             |ORDER BY lang, bin""".stripMargin
-    Map("refinery_pack" -> sql)
+    val sharedHead = trainCtes ++ Seq(
+      s"""th AS (
+         |  SELECT CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS t
+         |  FROM f)""".stripMargin,
+      SuffixDedup.suffixSpanCtes,
+      s"""cutc AS (
+         |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS cut_words
+         |  FROM mg GROUP BY doc_id)""".stripMargin,
+      s"""keepd AS (
+         |  SELECT s.doc_id, s.lang, s.nw
+         |  FROM (SELECT doc_id, lang,
+         |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |          ${Ml.LogregFeats1} AS x1,
+         |          (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2
+         |        FROM documents) s, w${Ml.LogregIters} w, th
+         |  WHERE ${Ml.logregSigDuck("w.w1", "w.w2", "w.b")} >= th.t)""".stripMargin)
+    // tk over a caller-chosen survivor CTE + the shared cumsum + report.
+    // The cumsum here is the naive per-lang window form — value-identical
+    // to the Spark side's hierarchical prefix, and DuckDB runs on one
+    // node anyway.
+    def packTail(survivorCte: String): String =
+      Seq(
+        s"""tk AS (
+           |  SELECT k.doc_id, k.lang,
+           |    k.nw - COALESCE(c.cut_words, 0) AS toks
+           |  FROM $survivorCte k LEFT JOIN cutc c ON k.doc_id = c.doc_id)""".stripMargin,
+        s"""cum AS (
+           |  SELECT lang, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM tk)""".stripMargin)
+        .mkString(",\n") +
+        s"""
+           |SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
+           |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+           |FROM cum GROUP BY lang, cum_before // ${Sampling.PackBudget}
+           |ORDER BY lang, bin""".stripMargin
+    val packSql =
+      sharedHead.mkString("WITH ", ",\n", ",\n") + packTail("keepd")
+    // dedup variant: the cluster-loser closure needs WITH RECURSIVE (the
+    // RECURSIVE keyword covers the whole, mostly non-recursive, CTE list)
+    val dedupSql =
+      (sharedHead ++ Seq(
+        Dedup.duckClusterLoserCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
+    val decontSql =
+      (sharedHead ++ Seq(
+        Curation.duckDecontCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont))""".stripMargin))
+        .mkString("WITH ", ",\n", ",\n") + packTail("surv")
+    Map(
+      "refinery_pack" -> packSql,
+      "refinery_dedup_pack" -> dedupSql,
+      "refinery_decontaminated" -> decontSql)
   }
 }
