@@ -119,6 +119,79 @@ object Refinery extends QueryModule {
       gatedDocs(spark, sfDir).join(clean, Seq("doc_id"), "left_semi"))
   }
 
+  /** The refinery deployed ON THE STREAM: drain a landing zone of NDJSON
+    * document objects and apply the REGISTERED quality gate + the
+    * REGISTERED span report to each micro-batch as it arrives, appending
+    * curated rows (masked text + post-mask word count) to `curatedDir`.
+    * Gate and mask are per-row decisions given the standing registry
+    * artifacts (classifier weights, span report), so they COMMUTE with
+    * micro-batching — the property `StreamingRefinerySpec` pins by
+    * comparing the drained stream's published manifest against the batch
+    * `refinery_pack` on the same corpus. Packing does NOT run per batch:
+    * bin boundaries are a corpus-global prefix, so publication derives
+    * them over the curated zone ([[manifestFromCurated]]) — the same
+    * artifact-then-publish split every registry tier here uses.
+    *
+    * Exactly-once: each micro-batch OVERWRITES its own `batch=<id>`
+    * subdirectory, so a failure-retry of a batch replaces rather than
+    * duplicates its rows (plain `append` under foreachBatch would be
+    * at-least-once).
+    */
+  def refineryStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      curatedDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
+    val spans = SuffixDedup.dupSpansExact(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val gated = batch
+          .selectExpr("doc_id", "lang", "source", "text",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+            s"${Ml.LogregFeats1} AS x1",
+            "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+          .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
+        gated
+          .join(Dedup.maskedTextWithSpans(
+            gated.select("doc_id", "text"), spans), "doc_id")
+          .select("doc_id", "lang", "source", "n_words", "n_kept_words",
+            "masked_text")
+          .write.mode("overwrite").parquet(s"$curatedDir/batch=$batchId")
+        ()
+      }
+      .start()
+    graft.streaming.JobRegistry.register(q)
+    q
+  }
+
+  /** Publication over the curated zone [[refineryStream]] maintains: the
+    * pack manifest with toks = the post-mask word count the sink rows
+    * already carry (n_kept_words = n_words − Σ span_words because the
+    * registered spans are disjoint and clamped) — so a drained stream's
+    * manifest equals the batch `refinery_pack` on the same corpus.
+    */
+  def manifestFromCurated(spark: SparkSession, curatedDir: String): DataFrame =
+    Sampling.cumBeforeByLang(
+        spark.read.parquet(curatedDir)
+          .select(col("doc_id"), col("lang"),
+            col("n_kept_words").cast("long").as("toks")))
+      .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+
   /** The refinery's SINK pass: materialize the curated corpus — kept docs
     * with their duplicated spans CUT — to `outPath` as parquet, the
     * artifact a training run actually reads. Columns: doc_id, lang,
