@@ -406,18 +406,26 @@ object Dedup extends QueryModule {
     */
   private[graft] def dedupSpansOf(docs: DataFrame): DataFrame = {
     val grams = docs
-      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"),
+      .select(col("doc_id"),
         posexplode(graft.functions.VectorExpressions
           .word_ngram_hashes(col("text"), 8, distinct = false)))
-      .select(col("doc_id"), col("nw"),
-        (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
     val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
     // span_end clamps to the document's word count: a doc shorter than the
     // gram width emits one PARTIAL gram (house n-gram contract), and its
     // unclamped s + 7 would report a span past the document's end —
     // overstating span_words in the remediation report (masking was always
-    // unaffected; positions past the end match no word)
+    // unaffected; positions past the end match no word). The length
+    // attaches to the DUPLICATED rows only, via a doc-keyed join
+    // co-partitioned with the merge window right below — carrying nw
+    // through the generate instead made Catalyst defer size(split(text))
+    // PAST the explode (requiredChildOutput kept the full text), which
+    // re-split the text once per GRAM row: measured 1.8x on the whole
+    // query at sf0.1 (SCRATCH_r8 isolation).
+    val lens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nw"))
     val dup = grams.join(occ.filter(col("occ") >= 2), "g")
+      .join(lens, "doc_id")
       .select(col("doc_id"), col("s"), least(col("s") + 7, col("nw")).as("e"))
     val byStart = Window.partitionBy("doc_id").orderBy("s")
     val prevMax = max(col("e")).over(
