@@ -435,10 +435,14 @@ object Relevance extends QueryModule {
     val freq = Tables.documents(spark, sfDir)
       .select(col("lang"), explode(words(col("text"))).as("word"))
       .groupBy("lang", "word").agg(count(lit(1)).as("c"))
-    val byFreq = Window.partitionBy("lang").orderBy(col("c").desc, col("word"))
-    val top = freq
-      .withColumn("rank", row_number().over(byFreq))
-      .filter(col("rank") <= 100)
+    // lossless two-phase per-lang top-100 — the naive per-lang window
+    // would sort a whole language's vocabulary on one task
+    val top = graft.operators.BlockedRank.saltedTopK(
+        freq,
+        groups = Seq("lang"),
+        order = Seq(col("c").desc, col("word")),
+        salt = graft.functions.Hashing.hash60(col("word")),
+        k = 100, outRank = "rank")
       .select(col("lang"),
         round(log(col("rank")) * 1000000).cast("bigint").as("xi"),
         round(log(col("c")) * 1000000).cast("bigint").as("yi"))

@@ -357,10 +357,18 @@ object Sampling extends QueryModule {
     val naive = docs
       .withColumn("strategy", lit("arrival"))
       .withColumn("batch", expr(s"CAST(doc_id div $PackBatch AS STRING)"))
-    val byLen = Window.partitionBy("bucket").orderBy("toks", "doc_id")
-    val bucketed = docs
-      .withColumn("bucket", expr(s"toks div $PackBucketWidth"))
-      .withColumn("rk", row_number().over(byLen))
+    // within-bucket rank via the hierarchical prefix: a length bucket is
+    // low-cardinality over an unbounded corpus (the scaladoc's "salt wide
+    // buckets" note, now implemented exactly — blocks (toks, doc_id-range)
+    // are a monotone coarsening of the in-bucket order, so the ranks are
+    // verbatim the naive window's)
+    val bucketed = graft.operators.BlockedRank.blockedPrefix(
+        docs.withColumn("bucket", expr(s"toks div $PackBucketWidth")),
+        partition = Seq("bucket"),
+        blocks = Seq(("__plb_t", col("toks")), ("__plb_d", expr("doc_id div 256"))),
+        blockDesc = Seq(false, false),
+        localOrder = Seq(col("toks"), col("doc_id")),
+        outRank = "rk", outTotalN = "__plb_n")
       .withColumn("strategy", lit("length_bucketed"))
       // collision-free compound batch id (bucket, within-bucket batch) as a
       // string key: an arithmetic encoding (bucket * K + …) silently merges
@@ -472,14 +480,23 @@ object Sampling extends QueryModule {
     * SELECTION matches, not just the counts.
     */
   def sampleBalanced(spark: SparkSession, sfDir: String): DataFrame = {
-    val byHash = Window.partitionBy("lang")
-      .orderBy(Hashing.hash60(col("doc_id").cast("string")), col("doc_id"))
+    import graft.operators.BlockedRank
     val minSize = Tables.documents(spark, sfDir)
       .groupBy("lang").agg(count(lit(1)).as("n"))
       .agg(min(col("n")).as("min_n"))
-    Tables.documents(spark, sfDir)
-      .withColumn("rn", row_number().over(byHash))
-      .crossJoin(broadcast(minSize))
+    // per-lang hash rank WITHOUT a per-lang corpus window (min_n can be
+    // any fraction of the class, so no top-k prefilter applies): blocks
+    // = the hash's top 12 bits — a monotone coarsening, ≤ 4096 block
+    // summaries per language, every heavy stage partitioned (lang, block)
+    val ranked = BlockedRank.blockedPrefix(
+      Tables.documents(spark, sfDir)
+        .withColumn("__h", Hashing.hash60(col("doc_id").cast("string"))),
+      partition = Seq("lang"),
+      blocks = Seq(("__sb_b", expr("__h div 281474976710656"))), // 2^48
+      blockDesc = Seq(false),
+      localOrder = Seq(col("__h"), col("doc_id")),
+      outRank = "rn", outTotalN = "__sb_n")
+    ranked.crossJoin(broadcast(minSize))
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_total"),

@@ -369,20 +369,24 @@ object TextAnalysis extends QueryModule {
 
   // ------------------------------------------------------------------ vocab
   /** Corpus vocabulary: top-10 words per language by frequency (tie-break
-    * lexicographic). explode → partial-agg groupBy → per-lang top-k window:
-    * the shuffle carries (lang, word, partial count), never raw text, and
-    * map-side combine collapses the heavy hitters before the exchange —
-    * the canonical scalable word-count shape.
+    * lexicographic). explode → partial-agg groupBy → LOSSLESS two-phase
+    * per-lang top-k ([[graft.operators.BlockedRank.saltedTopK]]): the
+    * shuffle carries (lang, word, partial count), never raw text,
+    * map-side combine collapses the heavy hitters before the exchange,
+    * and no task ever sorts a whole language's vocabulary — the naive
+    * per-lang window would put each language's (corpus-sized at 100 TB)
+    * vocabulary on one task.
     */
   def vocabTopk(spark: SparkSession, sfDir: String): DataFrame = {
-    val byFreq = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy(col("cnt").desc, col("word"))
-    Tables.documents(spark, sfDir)
-      .select(col("lang"), explode(words(col("text"))).as("word"))
-      .groupBy("lang", "word")
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("rn", row_number().over(byFreq))
-      .filter(col("rn") <= 10)
+    graft.operators.BlockedRank.saltedTopK(
+        Tables.documents(spark, sfDir)
+          .select(col("lang"), explode(words(col("text"))).as("word"))
+          .groupBy("lang", "word")
+          .agg(count(lit(1)).as("cnt")),
+        groups = Seq("lang"),
+        order = Seq(col("cnt").desc, col("word")),
+        salt = Hashing.hash60(col("word")),
+        k = 10, outRank = "rn")
       .select("lang", "rn", "word", "cnt")
       .orderBy("lang", "rn")
   }

@@ -211,6 +211,40 @@ object BlockedRank {
       .drop("__rn", "__off", "__r").drop(blkNames: _*)
   }
 
+  /** Lossless two-phase per-group top-k — the scale-safe replacement for
+    * `row_number().over(Window.partitionBy(group).orderBy(...))  ≤ k`
+    * when the GROUP key is low-cardinality over an unbounded frame (one
+    * language / one source = one task otherwise): rank inside
+    * (group, salt-bucket) first — a high-cardinality window — keep each
+    * bucket's top k, then rank the ≤ k·buckets survivors per group.
+    * EXACT: the global per-group top-k is contained in the union of the
+    * per-bucket top-k's (any row outside its bucket's top k has ≥ k rows
+    * of its own group ahead of it), so phase 2 reproduces the naive
+    * window's ranks verbatim. No task sees more than one salt-bucket of
+    * one group (phase 1) or k·buckets rows of one group (phase 2).
+    *
+    * `salt` must be a deterministic function of the row (hash of the
+    * tie-break column — NOT rand()), so reruns and retries agree.
+    */
+  def saltedTopK(
+      df: DataFrame,
+      groups: Seq[String],
+      order: Seq[Column],
+      salt: Column,
+      k: Int,
+      outRank: String,
+      buckets: Int = 32): DataFrame = {
+    val wSalt = Window
+      .partitionBy(groups.map(col) :+ pmod(salt, lit(buckets)): _*)
+      .orderBy(order: _*)
+    val wGroup = Window.partitionBy(groups.map(col): _*).orderBy(order: _*)
+    df.withColumn("__stk", row_number().over(wSalt))
+      .filter(col("__stk") <= k)
+      .drop("__stk")
+      .withColumn(outRank, row_number().over(wGroup))
+      .filter(col(outRank) <= k)
+  }
+
   /** `ntile(n)` bucket from an exact rank — Spark's distribution: with N
     * rows, the first `N mod n` buckets get `N div n + 1` rows, the rest
     * `N div n` (matches `NTile` in catalyst and DuckDB/ANSI NTILE). Pure

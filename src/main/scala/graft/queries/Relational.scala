@@ -1394,14 +1394,22 @@ object Relational extends QueryModule {
       col("l_extendedprice").as("price"),
       col("l_quantity").cast("bigint").as("w"),
       col("l_orderkey"), col("l_linenumber"))
-    val ord = Window.partitionBy("l_returnflag")
-      .orderBy(col("price"), col("l_orderkey"), col("l_linenumber"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy("l_returnflag")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    li
-      .withColumn("cum", sum(col("w")).over(ord))
-      .withColumn("tot", sum(col("w")).over(all))
+    // hierarchical per-flag running weight (l_returnflag has THREE values
+    // — the naive per-flag window is a single-task pass over a third of
+    // lineitem at any scale): blocks = the integer price (a monotone
+    // coarsening of the (price, orderkey, linenumber) order), partials
+    // per (flag, block), offsets over the bounded price-grid summary.
+    // PrefixValue emits exactly the inclusive running sum + grand total
+    // the two windows computed.
+    import graft.operators.BlockedRank
+    BlockedRank.blockedPrefix(
+        li,
+        partition = Seq("l_returnflag"),
+        blocks = Seq(("__wm_b", round(col("price"), 0))),
+        blockDesc = Seq(false),
+        localOrder = Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        outRank = "__wm_r", outTotalN = "__wm_n",
+        values = Seq(BlockedRank.PrefixValue(col("w"), "cum", "tot")))
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy("l_returnflag")
       .agg(min(col("price")).as("wmedian"), max(col("tot")).as("total_w"))

@@ -25,11 +25,22 @@ object Maintenance extends QueryModule {
   val TargetBytes = 65536L
 
   def compactionBins(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, sfDir)
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+    import graft.operators.BlockedRank
+    // hierarchical per-source byte prefix (the scaladoc's pre-split,
+    // implemented): partial sums per (source, doc_id-range block) →
+    // per-source offsets over block summaries → per-block local cumsum.
+    // Identical bins; no single-task per-source stage on a giant source.
+    BlockedRank.blockedPrefix(
+        Tables.documents(spark, sfDir)
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        partition = Seq("source"),
+        blocks = Seq(("__cb_b", expr("doc_id div 256"))),
+        blockDesc = Seq(false),
+        localOrder = Seq(col("doc_id")),
+        outRank = "__cb_r", outTotalN = "__cb_n",
+        values = Seq(BlockedRank.PrefixValue(
+          col("n_chars").cast("long"), "__cb_cum", "__cb_tot")))
+      .withColumn("cum_before", col("__cb_cum") - col("n_chars"))
       .withColumn("bin", expr(s"cum_before div $TargetBytes"))
       .groupBy("source", "bin")
       .agg(
