@@ -88,7 +88,13 @@ object PlanDump {
     // schedule, shard publish, converged LPA (read-off stage — the
     // contraction runs behind cuts, round shape spec-pinned)
     "curate_gopher_rules", "curate_perplexity", "mix_epoch_schedule",
-    "layout_shards", "graph_label_prop_converged")
+    "layout_shards", "graph_label_prop_converged",
+    // round 8: hierarchical low-cardinality-key windows (packing prefix,
+    // tercile gates, salted top-k, stratified prefilter) + refinery
+    // variants — the dumps are the evidence that no per-language /
+    // per-source / per-flag window takes corpus-scale input
+    "curate_perplexity_scaled", "sample_stratified", "sample_balanced",
+    "refinery_dedup_pack", "refinery_decontaminated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
