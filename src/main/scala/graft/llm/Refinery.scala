@@ -119,6 +119,32 @@ object Refinery extends QueryModule {
       gatedDocs(spark, sfDir).join(clean, Seq("doc_id"), "left_semi"))
   }
 
+  /** THE FULL CHAIN — every shipping stage in one oracled query:
+    *
+    *   gate ∘ eval decontamination ∘ cluster-representative dedup ∘
+    *   suffix-span mask ∘ pack
+    *
+    * Survivors = gated ∩ decontaminated \ cluster-losers: the two
+    * removals are set filters on the corpus key, so they commute — and
+    * clusters are the FULL-corpus registry artifact, deliberately: if
+    * decontamination removes a cluster's canonical, the cluster dies
+    * entirely rather than promoting a contaminated-adjacent near-dup to
+    * representative (the conservative call a real pipeline makes). One
+    * hash pins five tiers at once — the DuckDB oracle re-trains the
+    * classifier, re-derives the contamination set, re-closes the
+    * clusters recursively, re-sorts the suffixes, and re-packs.
+    */
+  def refineryFull(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
+      .select("doc_id")
+    val losers = Dedup.dedupClusters(spark, sfDir)
+      .filter(!col("canonical")).select("doc_id")
+    maskAndPack(spark, sfDir,
+      gatedDocs(spark, sfDir)
+        .join(clean, Seq("doc_id"), "left_semi")
+        .join(losers, Seq("doc_id"), "left_anti"))
+  }
+
   /** The refinery deployed ON THE STREAM: drain a landing zone of NDJSON
     * document objects and apply the REGISTERED quality gate + the
     * REGISTERED span report to each micro-batch as it arrives, appending
@@ -217,6 +243,7 @@ object Refinery extends QueryModule {
     "refinery_pack" -> (refineryPack _),
     "refinery_dedup_pack" -> (refineryDedupPack _),
     "refinery_decontaminated" -> (refineryDecontaminated _),
+    "refinery_full" -> (refineryFull _),
   )
 
   override def oracles: Map[String, String] = {
@@ -284,9 +311,20 @@ object Refinery extends QueryModule {
           |  WHERE doc_id % 97 <> 0
           |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont))""".stripMargin))
         .mkString("WITH ", ",\n", ",\n") + packTail("surv")
+    val fullSql =
+      (sharedHead ++ Seq(
+        Dedup.duckClusterLoserCtes,
+        Curation.duckDecontCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
+          |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
     Map(
       "refinery_pack" -> packSql,
       "refinery_dedup_pack" -> dedupSql,
-      "refinery_decontaminated" -> decontSql)
+      "refinery_decontaminated" -> decontSql,
+      "refinery_full" -> fullSql)
   }
 }

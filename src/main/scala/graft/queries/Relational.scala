@@ -1396,16 +1396,18 @@ object Relational extends QueryModule {
       col("l_orderkey"), col("l_linenumber"))
     // hierarchical per-flag running weight (l_returnflag has THREE values
     // — the naive per-flag window is a single-task pass over a third of
-    // lineitem at any scale): blocks = the integer price (a monotone
-    // coarsening of the (price, orderkey, linenumber) order), partials
-    // per (flag, block), offsets over the bounded price-grid summary.
+    // lineitem at any scale): blocks = price rounded to hundreds (a
+    // monotone coarsening of the (price, orderkey, linenumber) order;
+    // ~10^3 blocks over the TPC-H price range — integer price made the
+    // summary 100x bigger and benched 2.5 s), partials per (flag,
+    // block), offsets over the bounded price-grid summary.
     // PrefixValue emits exactly the inclusive running sum + grand total
     // the two windows computed.
     import graft.operators.BlockedRank
     BlockedRank.blockedPrefix(
         li,
         partition = Seq("l_returnflag"),
-        blocks = Seq(("__wm_b", round(col("price"), 0))),
+        blocks = Seq(("__wm_b", round(col("price"), -2))),
         blockDesc = Seq(false),
         localOrder = Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
         outRank = "__wm_r", outTotalN = "__wm_n",
