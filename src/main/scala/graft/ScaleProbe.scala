@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -314,6 +314,46 @@ object ScaleProbe {
       println(f"""{"probe":"label_prop_converged","nodes":$n,""" +
         f""""rounds":$rounds,"communities":$nComm,"total_sec":$sec%.1f}""")
       release()
+    }
+    // claim 8 (round-8): the hierarchical packing prefix
+    // (Sampling.cumBeforeByLang) holds where the naive per-lang window
+    // stalls — a MONO-LINGUAL-DOMINANT corpus (90% of docs one language:
+    // the naive plan puts 90% of the corpus on ONE task). Same rows, same
+    // bins (cross-checked by total-aggregate equality), wall-clock A/B.
+    if (on("prefix")) for (n <- Seq(10000000L, 30000000L).map(_ / div)) {
+      import org.apache.spark.sql.expressions.Window
+      // 90% lang0, remainder spread over 9 tail languages; toks a small
+      // deterministic integer
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(xxhash64(col("id")), lit(10L)) < 9, lit("lang0"))
+          .otherwise(concat(lit("lang"),
+            (pmod(xxhash64(col("id") * 13 + 5), lit(9L)) + 1).cast("string")))
+          .as("lang"),
+        (pmod(xxhash64(col("id") * 31 + 1), lit(200L)) + 20).cast("int").as("toks"))
+        .persist()
+      docs.count()
+      val budget = 2048
+      def bins(cum: DataFrame): DataFrame = cum
+        .withColumn("bin", expr(s"cum_before div $budget"))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      def fingerprint(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(expr("bin * n_docs + bin_tokens"))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val naive = bins(docs.withColumn("cum_before",
+        coalesce(sum(col("toks")).over(w), lit(0L))))
+      val hier = bins(llm.Sampling.cumBeforeByLang(docs))
+      val (fpN, tNaive) = time(fingerprint(naive))
+      val (fpH, tHier) = time(fingerprint(hier))
+      require(fpN == fpH, s"hierarchical prefix diverged: $fpN vs $fpH")
+      println(f"""{"probe":"pack_prefix","docs":$n,"dominant_lang_pct":90,""" +
+        f""""naive_window_sec":$tNaive%.1f,"hierarchical_sec":$tHier%.1f,""" +
+        f""""identical_bins":true}""")
+      docs.unpersist(blocking = false)
     }
     spark.stop()
   }

@@ -368,7 +368,8 @@ object Sampling extends QueryModule {
         blocks = Seq(("__plb_t", col("toks")), ("__plb_d", expr("doc_id div 256"))),
         blockDesc = Seq(false, false),
         localOrder = Seq(col("toks"), col("doc_id")),
-        outRank = "rk", outTotalN = "__plb_n")
+        outRank = "rk", outTotalN = "__plb_n",
+        broadcastOffsets = true)
       .withColumn("strategy", lit("length_bucketed"))
       // collision-free compound batch id (bucket, within-bucket batch) as a
       // string key: an arithmetic encoding (bucket * K + …) silently merges
@@ -495,7 +496,8 @@ object Sampling extends QueryModule {
       blocks = Seq(("__sb_b", expr("__h div 281474976710656"))), // 2^48
       blockDesc = Seq(false),
       localOrder = Seq(col("__h"), col("doc_id")),
-      outRank = "rn", outTotalN = "__sb_n")
+      outRank = "rn", outTotalN = "__sb_n",
+      broadcastOffsets = true)
     ranked.crossJoin(broadcast(minSize))
       .groupBy("lang")
       .agg(
@@ -543,7 +545,8 @@ object Sampling extends QueryModule {
       localOrder = Seq(col("doc_id")),
       outRank = "__pk_rk", outTotalN = "__pk_nt",
       values = Seq(BlockedRank.PrefixValue(
-        col("toks").cast("long"), "__pk_cum", "__pk_tot")))
+        col("toks").cast("long"), "__pk_cum", "__pk_tot")),
+      broadcastOffsets = true)
       .withColumn("cum_before", col("__pk_cum") - col("toks"))
       .drop("__pk_rk", "__pk_nt", "__pk_tot", "__pk_cum")
   }

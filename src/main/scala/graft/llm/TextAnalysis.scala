@@ -488,7 +488,8 @@ object TextAnalysis extends QueryModule {
         blocks = Seq(("__tc_b", round(col("nll"), 2))),
         blockDesc = Seq(false),
         localOrder = Seq(col("nll"), col("doc_id")),
-        outRank = "__tc_r", outTotalN = "__tc_n")
+        outRank = "__tc_r", outTotalN = "__tc_n",
+        broadcastOffsets = true)
       .withColumn("bucket",
         BlockedRank.ntileFromRank(col("__tc_r"), col("__tc_n"), 3))
       .drop("__tc_r", "__tc_n")

@@ -73,7 +73,8 @@ object BlockedRank {
       localOrder: Seq[Column],
       outRank: String,
       outTotalN: String,
-      values: Seq[PrefixValue] = Nil): DataFrame = {
+      values: Seq[PrefixValue] = Nil,
+      broadcastOffsets: Boolean = false): DataFrame = {
     require(blocks.nonEmpty && blocks.size == blockDesc.size)
     val blkNames = blocks.map(_._1)
     // Block keys AND outer partition columns are STRUCT-wrapped: a NULL
@@ -139,8 +140,16 @@ object BlockedRank {
     }.drop("__brk_n").drop(vNames.map(_ + "_s"): _*)
 
     val wLocal = Window.partitionBy(keyCols: _*).orderBy(localOrder: _*)
+    // broadcastOffsets: past the auto-broadcast threshold's size ESTIMATE
+    // (struct keys over a shuffle boundary estimate fat), Catalyst falls
+    // back to a sort-merge join here — re-sorting the DATA side on the
+    // block key, the single most expensive avoidable stage (measured 3x
+    // on a 3e7-row prefix probe). The offsets frame is the bounded block
+    // summary — |rows|/blockWidth — so callers whose width knob keeps it
+    // ≤ ~10^7 rows can force the hint and keep the join a map-side BHJ.
+    val offsetsSide = if (broadcastOffsets) broadcast(offsets) else offsets
     val ranked = base
-      .join(offsets, pNames ++ blkNames)
+      .join(offsetsSide, pNames ++ blkNames)
       .withColumn(outRank, col("__brk_off") + row_number().over(wLocal))
     val out = values.zip(vNames).foldLeft(ranked) {
       case (d, (pv, n)) =>

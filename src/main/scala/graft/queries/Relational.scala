@@ -1411,7 +1411,8 @@ object Relational extends QueryModule {
         blockDesc = Seq(false),
         localOrder = Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
         outRank = "__wm_r", outTotalN = "__wm_n",
-        values = Seq(BlockedRank.PrefixValue(col("w"), "cum", "tot")))
+        values = Seq(BlockedRank.PrefixValue(col("w"), "cum", "tot")),
+        broadcastOffsets = true)
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy("l_returnflag")
       .agg(min(col("price")).as("wmedian"), max(col("tot")).as("total_w"))

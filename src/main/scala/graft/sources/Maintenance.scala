@@ -39,7 +39,8 @@ object Maintenance extends QueryModule {
         localOrder = Seq(col("doc_id")),
         outRank = "__cb_r", outTotalN = "__cb_n",
         values = Seq(BlockedRank.PrefixValue(
-          col("n_chars").cast("long"), "__cb_cum", "__cb_tot")))
+          col("n_chars").cast("long"), "__cb_cum", "__cb_tot")),
+        broadcastOffsets = true)
       .withColumn("cum_before", col("__cb_cum") - col("n_chars"))
       .withColumn("bin", expr(s"cum_before div $TargetBytes"))
       .groupBy("source", "bin")
