@@ -94,7 +94,7 @@ object PlanDump {
     // variants — the dumps are the evidence that no per-language /
     // per-source / per-flag window takes corpus-scale input
     "curate_perplexity_scaled", "sample_stratified", "sample_balanced",
-    "refinery_dedup_pack", "refinery_decontaminated")
+    "refinery_dedup_pack", "refinery_decontaminated", "refinery_full")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
