@@ -269,6 +269,35 @@ object Bpe extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** EXT: per-language tokenizer FERTILITY — the multilingual
+    * tokenizer-equity report (BLOOM/XLM-style): chars-per-token of the
+    * TRAINED encoder per language. A tokenizer trained on a skewed mix
+    * compresses the dominant language far better than the tail — tail
+    * languages pay more tokens (≈ more compute, shorter effective
+    * context) for the same text; this table is the number that decision
+    * gets made on. Integer micro-grid ratios (per-lang sums first, one
+    * division — order-independent), doc counts beside them. Scale: the
+    * encode is the registry-memoized chained-replace scan; the lang
+    * attach one equi-join; the report a lang-sized groupBy.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = finalState(spark, sfDir)
+      .selectExpr("doc_id",
+        "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_tokens",
+        "CAST(length(state) AS BIGINT) AS len_state")
+      .selectExpr("doc_id", "len_state - 2 * n_tokens AS n_chars_clean", "n_tokens")
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+      .join(enc, "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars_clean")).as("chars"),
+        sum(col("n_tokens")).as("tokens"))
+      .withColumn("chars_per_token_micro", expr("chars * 1000000 div tokens"))
+      .withColumn("tokens_per_100_chars", expr("tokens * 100 div chars"))
+      .orderBy("lang")
+  }
+
   /** EXT: context-window packing on REAL tokenizer output — the
     * composition a training run actually executes: the packing stage
     * (Sampling.packAssign's contiguous greedy cumsum-÷-budget, same
@@ -319,6 +348,7 @@ object Bpe extends QueryModule {
     "text_bpe_vocab" -> (bpeVocab _),
     "text_bpe_encode" -> (bpeEncode _),
     "pack_bpe_sequences" -> (packBpeSequences _),
+    "text_bpe_fertility" -> (bpeFertility _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -409,6 +439,26 @@ object Bpe extends QueryModule {
       // pack_bpe_sequences: the SAME re-learned merge chain, then the
       // encode token count feeds the pack_sequences cumsum-÷-budget —
       // the train→encode→pack composition pinned end-to-end.
+      // text_bpe_fertility: the same re-learned merge chain, encode token
+      // counts joined to lang, per-lang integer micro ratios
+      "text_bpe_fertility" ->
+        s"""${oracleCtes(k)},
+           |enc AS (
+           |  SELECT doc_id,
+           |    CAST(length(state) AS BIGINT)
+           |      - 2 * CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_chars_clean,
+           |    CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_tokens
+           |  FROM s$k
+           |)
+           |SELECT d.lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(e.n_chars_clean) AS BIGINT) AS chars,
+           |  CAST(SUM(e.n_tokens) AS BIGINT) AS tokens,
+           |  CAST(SUM(e.n_chars_clean) AS BIGINT) * 1000000
+           |    // CAST(SUM(e.n_tokens) AS BIGINT) AS chars_per_token_micro,
+           |  CAST(SUM(e.n_tokens) AS BIGINT) * 100
+           |    // CAST(SUM(e.n_chars_clean) AS BIGINT) AS tokens_per_100_chars
+           |FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+           |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
       "pack_bpe_sequences" ->
         s"""${oracleCtes(k)},
            |enc AS (
