@@ -646,6 +646,42 @@ object Dedup extends QueryModule {
       .orderBy("cluster")
   }
 
+  /** SOFT dedup — duplicate-discounted sampling weights, the
+    * "keep everything, downweight copies" alternative to hard
+    * representative-keeping dedup: each near-dup cluster is normalized to
+    * unit total sampling mass (weight = 1e6∕csize ppm per member,
+    * singletons keep 1e6), so a 40-copy boilerplate template contributes
+    * one template's worth of expected training tokens instead of forty,
+    * without discarding the cross-copy wording variation a hard dedup
+    * loses. Reported per source: raw vs effective (weight-discounted)
+    * token mass — the number that tells a corpus team how much of a feed
+    * survives soft dedup. Scale: rides [[dedupClusters]]' bounded
+    * component solve; csize is one window over the cluster key (cluster
+    * ids are high-cardinality — no low-cardinality-key window); the
+    * corpus attach is a doc_id equi-join (cluster members only — the
+    * left side stays un-shuffled under AQE's broadcast of the small
+    * cluster frame at test scale, a plain hash join at 100 TB); the
+    * report groupBy is source-sized.
+    */
+  def dedupSoftWeight(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = dedupClusters(spark, sfDir)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+      .select("doc_id", "csize")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(words(col("text"))).cast("long").as("nw"))
+    docs.join(cl, Seq("doc_id"), "left")
+      .withColumn("cs", coalesce(col("csize"), lit(1L)))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cs") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(col("nw")).as("words_total"),
+        sum(col("nw") * expr("1000000 div cs")).as("eff_words_micro"))
+      .withColumn("eff_ppm", expr("eff_words_micro div words_total"))
+      .orderBy("source")
+  }
+
   /** Core simhash pass over any (doc_id, text) frame — public so callers can
     * simhash arbitrary corpora, not just the test tables.
     *
@@ -691,6 +727,7 @@ object Dedup extends QueryModule {
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_cluster_sizes" -> (dedupClusterSizes _),
+    "dedup_soft_weight"   -> (dedupSoftWeight _),
     "dedup_containment"   -> (dedupContainment _),
     "dedup_blocks"        -> (dedupBlocks _),
     "text_source_novelty" -> (sourceNovelty _),
@@ -1013,6 +1050,22 @@ object Dedup extends QueryModule {
         s"""SELECT cluster, COUNT(*) AS csize,
            |  MIN(doc_id) AS doc_min, MAX(doc_id) AS doc_max
            |FROM ($duckClusterBase) GROUP BY cluster ORDER BY cluster""".stripMargin,
+      "dedup_soft_weight" ->
+        s"""WITH m AS (
+           |  SELECT doc_id, COUNT(*) OVER (PARTITION BY cluster) AS csize
+           |  FROM ($duckClusterBase)
+           |)
+           |SELECT d.source,
+           |  COUNT(*) AS n_docs,
+           |  COUNT(m.doc_id) AS dup_docs,
+           |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS words_total,
+           |  CAST(SUM(len(string_split(d.text, ' ')) *
+           |           (1000000 // COALESCE(m.csize, 1))) AS BIGINT) AS eff_words_micro,
+           |  CAST(CAST(SUM(len(string_split(d.text, ' ')) *
+           |                (1000000 // COALESCE(m.csize, 1))) AS BIGINT) //
+           |       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS BIGINT) AS eff_ppm
+           |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin,
       "dedup_simhash_pairs" ->
         s"""WITH wh AS (
            |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h

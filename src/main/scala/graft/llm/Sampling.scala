@@ -214,6 +214,60 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Two-phase ANNEAL mix — the "decay-phase high-quality upsampling"
+    * schedule modern pretraining runs use (train the bulk of tokens on
+    * the full mix, then spend the final learning-rate-decay slice
+    * re-sampling the best data; the practice behind MiniCPM's and
+    * Llama-3-era "midtraining" mixes). Anneal set = per-LANGUAGE top
+    * third by a quality score (per-doc type-token ratio in integer ppm;
+    * per-language because lexical richness isn't comparable across
+    * languages), selected by the same histogram-CUTOFF shape as
+    * `curate_perplexity_scaled`: one (lang, score) groupBy — the frame
+    * is the bounded per-lang ppm grid, never the corpus — a per-lang
+    * window over THAT grid, a broadcast L-row cutoff table, and a
+    * per-row comparison (ties at the cutoff kept). The anneal token
+    * budget is fixed at 10% of corpus tokens; `epochs_milli` is the
+    * exact repeat factor of the anneal set inside that slice —
+    * `budget·1000 div anneal_tokens` — the upsampling knob the schedule
+    * exists to surface. Reported per source: raw vs anneal-phase doc
+    * and token mass. All integer arithmetic; at 100 TB the worst
+    * intermediate `tokens·1000` ≈ 2·10¹⁶, inside BIGINT.
+    */
+  def mixAnneal(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(col("w")).cast("long").as("nw"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+      .withColumn("q_ppm", expr("ndw * 1000000 div nw"))
+    val byLangDesc = Window.partitionBy("lang").orderBy(col("q_ppm").desc)
+    val cutoffs = docs.groupBy("lang", "q_ppm").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        byLangDesc.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n_lang", sum(col("c")).over(
+        byLangDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("cum") * 3 >= col("n_lang"))
+      .groupBy("lang").agg(max(col("q_ppm")).as("cutoff"))
+    val flagged = docs.join(broadcast(cutoffs), "lang")
+      .withColumn("anneal", col("q_ppm") >= col("cutoff"))
+    val tot = flagged.agg(
+      sum(col("nw")).as("tot_tokens"),
+      sum(when(col("anneal"), col("nw")).otherwise(0L)).as("tot_anneal"))
+    flagged.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("tokens"),
+        sum(when(col("anneal"), 1L).otherwise(0L)).as("anneal_docs"),
+        sum(when(col("anneal"), col("nw")).otherwise(0L)).as("anneal_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("anneal_token_ppm", expr("anneal_tokens * 1000000 div tokens"))
+      .withColumn("epochs_milli", expr("(tot_tokens div 10) * 1000 div tot_anneal"))
+      .select("source", "n_docs", "tokens", "anneal_docs", "anneal_tokens",
+        "anneal_token_ppm", "epochs_milli")
+      .orderBy("source")
+  }
+
   /** Weighted reservoir sample (Efraimidis–Spirakis A-ES), derandomized:
     * pick k documents with inclusion probability proportional to weight
     * (here `n_chars` — the "sample long docs more" curation knob) by
@@ -638,6 +692,7 @@ object Sampling extends QueryModule {
     "split_leakproof" -> (splitLeakproof _),
     "mix_sources"     -> (mixSources _),
     "mix_epoch_schedule" -> (mixEpochSchedule _),
+    "mix_anneal"      -> (mixAnneal _),
     "mix_temperature" -> (mixTemperature _),
     "mix_unimax"      -> (mixUnimax _),
     "mix_doremi"      -> (mixDoremi _),
@@ -779,6 +834,46 @@ object Sampling extends QueryModule {
           |  target_tokens * 1000 // tokens AS epochs_milli,
           |  (target_tokens * 1000 // tokens) > 1000 AS upsampled
           |FROM sched ORDER BY source""".stripMargin,
+      // mix_anneal: same histogram-cutoff derivation as
+      // curate_perplexity_scaled, on the per-doc TTR ppm grid, gating
+      // DESC (top third kept, ties at the cutoff kept).
+      "mix_anneal" ->
+        """WITH d AS (
+          |  SELECT doc_id, lang, source,
+          |    len(string_split(text, ' ')) AS nw,
+          |    len(list_distinct(string_split(text, ' '))) AS ndw
+          |  FROM documents
+          |), q AS (
+          |  SELECT *, ndw * 1000000 // nw AS q_ppm FROM d
+          |), grid AS (
+          |  SELECT lang, q_ppm, COUNT(*) AS c FROM q GROUP BY lang, q_ppm
+          |), cum AS (
+          |  SELECT lang, q_ppm,
+          |    SUM(c) OVER (PARTITION BY lang ORDER BY q_ppm DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(c) OVER (PARTITION BY lang) AS n_lang
+          |  FROM grid
+          |), cut AS (
+          |  SELECT lang, MAX(q_ppm) AS cutoff FROM cum
+          |  WHERE cum * 3 >= n_lang GROUP BY lang
+          |), f AS (
+          |  SELECT q.*, (q.q_ppm >= cut.cutoff) AS anneal
+          |  FROM q JOIN cut USING (lang)
+          |), tot AS (
+          |  SELECT CAST(SUM(nw) AS BIGINT) AS tot_tokens,
+          |    CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) AS tot_anneal
+          |  FROM f
+          |)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(nw) AS BIGINT) AS tokens,
+          |  CAST(SUM(CASE WHEN anneal THEN 1 ELSE 0 END) AS BIGINT) AS anneal_docs,
+          |  CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) AS anneal_tokens,
+          |  CAST(CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) * 1000000 //
+          |       CAST(SUM(nw) AS BIGINT) AS BIGINT) AS anneal_token_ppm,
+          |  CAST((tot.tot_tokens // 10) * 1000 // tot.tot_anneal AS BIGINT) AS epochs_milli
+          |FROM f CROSS JOIN tot
+          |GROUP BY source, tot.tot_tokens, tot.tot_anneal
+          |ORDER BY source""".stripMargin,
       "sample_balanced" ->
         s"""WITH r AS (
            |  SELECT lang, doc_id,

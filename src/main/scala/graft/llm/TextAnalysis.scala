@@ -571,6 +571,68 @@ object TextAnalysis extends QueryModule {
       .orderBy("source")
   }
 
+  /** Reciprocal-rank-fusion quality ENSEMBLE (Cormack/Clarke/Büttcher,
+    * SIGIR'09): no single quality signal survives contact with a web
+    * corpus — LM perplexity punishes rare-domain text, TTR punishes
+    * legitimate repetition, dominance misses fluent spam — so production
+    * gates fuse several. RRF is the standard scale-free fusion: each doc
+    * is ranked per-language under each signal, fused score =
+    * Σ 1∕(60 + rank) (the canonical k=60, here in exact integer
+    * nanounits: Σ 10⁹ div (60 + rank)), and the per-language top-10 is
+    * reported with its per-signal ranks — rank fusion needs no
+    * cross-signal calibration, which is why it beats z-score averaging
+    * on incomparable signals. Signals: unigram-LM nll (asc — lower is
+    * better), per-doc type-token ratio (desc), top-word dominance (asc).
+    * Scale: every per-lang rank comes from
+    * [[graft.operators.BlockedRank.blockedPrefix]] (blocks = the
+    * coarsened signal grid, so the only per-lang windows run over
+    * bounded score-grid summaries — never `Window.partitionBy(lang)`
+    * over the corpus), and the final top-10 uses
+    * [[graft.operators.BlockedRank.saltedTopK]]. All ranks tie-break on
+    * doc_id, so both engines rank identically and the oracle is exact.
+    */
+  def rrfEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank
+    val docs = Tables.documents(spark, sfDir)
+    val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val feat = wc.groupBy("doc_id").agg(
+        count(lit(1)).as("nd"), sum(col("c")).as("nt"), max(col("c")).as("mx"))
+      .select(col("doc_id"),
+        expr("nd * 1000000 div nt").as("ttr_ppm"),
+        expr("mx * 1000000 div nt").as("dom_ppm"))
+    val scored = lmScores(spark, sfDir).select("doc_id", "lang", "nll")
+      .join(feat, "doc_id")
+
+    def rankBy(df: DataFrame, sig: Column, out: String, desc: Boolean,
+        block: Column): DataFrame =
+      BlockedRank.blockedPrefix(df, partition = Seq("lang"),
+          blocks = Seq((s"__rrf_$out", block)), blockDesc = Seq(desc),
+          localOrder = Seq(if (desc) sig.desc else sig.asc, col("doc_id")),
+          outRank = out, outTotalN = s"__rrf_n_$out", broadcastOffsets = true)
+        .drop(s"__rrf_n_$out")
+
+    val ranked = rankBy(
+      rankBy(
+        rankBy(scored, col("nll"), "r_nll", desc = false,
+          round(col("nll"), 2)),
+        col("ttr_ppm"), "r_ttr", desc = true,
+        BlockedRank.idiv(col("ttr_ppm"), lit(10000L))),
+      col("dom_ppm"), "r_dom", desc = false,
+      BlockedRank.idiv(col("dom_ppm"), lit(10000L)))
+    val fused = ranked.withColumn("rrf_nano",
+      BlockedRank.idiv(lit(1000000000L), col("r_nll") + 60) +
+        BlockedRank.idiv(lit(1000000000L), col("r_ttr") + 60) +
+        BlockedRank.idiv(lit(1000000000L), col("r_dom") + 60))
+    BlockedRank.saltedTopK(fused, groups = Seq("lang"),
+        order = Seq(col("rrf_nano").desc, col("doc_id")),
+        salt = hash(col("doc_id")), k = 10, outRank = "sel_rank")
+      .select(col("lang"), col("sel_rank").cast("long").as("sel_rank"),
+        col("doc_id"), col("r_nll"), col("r_ttr"), col("r_dom"),
+        col("rrf_nano"))
+      .orderBy("lang", "sel_rank")
+  }
+
   /** Tech-domain terms for the domain-router heuristic (the topic-mixing
     * knob of corpus assembly: route technical docs to a code/tech bucket).
     * Frozen list so the oracle embeds the identical set.
@@ -731,6 +793,7 @@ object TextAnalysis extends QueryModule {
     "text_quality_buckets" -> (qualityBuckets _),
     "curate_perplexity" -> (curatePerplexity _),
     "curate_perplexity_scaled" -> (curatePerplexityScaled _),
+    "curate_rrf_ensemble" -> (rrfEnsemble _),
     "text_stats"       -> (textStats _),
     "text_lang_id"     -> (langId _),
     "text_lang_confusion" -> (langConfusion _),
@@ -943,6 +1006,41 @@ object TextAnalysis extends QueryModule {
            |    * 1000000 // COUNT(*) AS keep_ppm
            |FROM per_doc p JOIN cut c USING (lang) JOIN documents d USING (doc_id)
            |GROUP BY d.source ORDER BY d.source""".stripMargin,
+      // curate_rrf_ensemble: the same per-doc nll chain + per-doc
+      // TTR/dominance features, three per-lang row_number ranks
+      // (doc_id tiebreak — deterministic), integer-nano RRF fusion,
+      // per-lang top-10.
+      "curate_rrf_ensemble" ->
+        s"""$duckLmPerDoc, wc AS (
+           |  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+           |), feat AS (
+           |  SELECT doc_id,
+           |    CAST(COUNT(*) * 1000000 // SUM(c) AS BIGINT) AS ttr_ppm,
+           |    CAST(MAX(c) * 1000000 // SUM(c) AS BIGINT) AS dom_ppm
+           |  FROM wc GROUP BY doc_id
+           |), r AS (
+           |  SELECT p.doc_id, p.lang,
+           |    row_number() OVER (PARTITION BY p.lang
+           |      ORDER BY p.nll, p.doc_id) AS r_nll,
+           |    row_number() OVER (PARTITION BY p.lang
+           |      ORDER BY f.ttr_ppm DESC, p.doc_id) AS r_ttr,
+           |    row_number() OVER (PARTITION BY p.lang
+           |      ORDER BY f.dom_ppm, p.doc_id) AS r_dom
+           |  FROM per_doc p JOIN feat f USING (doc_id)
+           |), fused AS (
+           |  SELECT doc_id, lang, r_nll, r_ttr, r_dom,
+           |    1000000000 // (60 + r_nll) + 1000000000 // (60 + r_ttr) +
+           |      1000000000 // (60 + r_dom) AS rrf_nano
+           |  FROM r
+           |), top AS (
+           |  SELECT *, row_number() OVER (PARTITION BY lang
+           |    ORDER BY rrf_nano DESC, doc_id) AS sel_rank
+           |  FROM fused
+           |)
+           |SELECT lang, sel_rank, doc_id, r_nll, r_ttr, r_dom,
+           |  CAST(rrf_nano AS BIGINT) AS rrf_nano
+           |FROM top WHERE sel_rank <= 10
+           |ORDER BY lang, sel_rank""".stripMargin,
       "text_stats" ->
         s"""SELECT doc_id,
            |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,

@@ -1,0 +1,71 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-8 curation/mix additions that the DuckDB
+  * oracles (which re-derive every value) do not state as PROPERTIES:
+  * soft-dedup's unit-cluster-mass normalization, RRF's fused-score
+  * arithmetic, and the anneal schedule's budget identity.
+  */
+class CurationMixSpec extends SparkSpec {
+
+  test("dedup_soft_weight: every near-dup cluster is normalized to unit sampling mass (integer-div loss < csize)") {
+    import org.apache.spark.sql.expressions.Window
+    val cl = Dedup.dedupClusters(spark, sf0001)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("w_ppm", expr("1000000 div csize"))
+    val rows = cl.groupBy("cluster")
+      .agg(first(col("csize")).as("csize"), sum(col("w_ppm")).as("mass"))
+      .collect()
+    assert(rows.nonEmpty, "sf0.001 corpus should contain near-dup clusters")
+    rows.foreach { r =>
+      val (csize, mass) = (r.getAs[Long]("csize"), r.getAs[Long]("mass"))
+      assert(mass <= 1000000L && mass > 1000000L - csize,
+        s"cluster ${r.get(0)}: csize=$csize mass=$mass")
+    }
+  }
+
+  test("dedup_soft_weight: effective token mass never exceeds raw, and equals raw exactly when a source has no dup members") {
+    val out = Dedup.dedupSoftWeight(spark, sf0001).collect()
+    out.foreach { r =>
+      val (dup, total, eff) = (r.getAs[Long]("dup_docs"),
+        r.getAs[Long]("words_total"), r.getAs[Long]("eff_words_micro"))
+      assert(eff <= total * 1000000L, s"source ${r.get(0)}")
+      if (dup == 0L) assert(eff === total * 1000000L, s"source ${r.get(0)}")
+    }
+  }
+
+  test("curate_rrf_ensemble: contiguous per-lang top-10, fused score consistent with the reported ranks and non-increasing") {
+    val out = TextAnalysis.rrfEnsemble(spark, sf0001).collect()
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("sel_rank"))
+      assert(sorted.map(_.getAs[Long]("sel_rank")).toSeq ===
+        (1L to sorted.length).toSeq, s"lang $lang ranks not contiguous")
+      assert(sorted.length <= 10)
+      val scores = sorted.map(_.getAs[Long]("rrf_nano")).toSeq
+      assert(scores === scores.sorted.reverse, s"lang $lang not score-ordered")
+      sorted.foreach { r =>
+        val expect = Seq("r_nll", "r_ttr", "r_dom")
+          .map(c => 1000000000L / (60L + r.getAs[Long](c))).sum
+        assert(r.getAs[Long]("rrf_nano") === expect,
+          s"lang $lang doc ${r.getAs[Long]("doc_id")}")
+      }
+    }
+  }
+
+  test("mix_anneal: anneal mass bounded by raw mass, budget identity holds, and the anneal set is non-trivial") {
+    val out = Sampling.mixAnneal(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val totTokens = out.map(_.getAs[Long]("tokens")).sum
+    val totAnneal = out.map(_.getAs[Long]("anneal_tokens")).sum
+    assert(totAnneal > 0L && totAnneal < totTokens)
+    val expectedEpochs = (totTokens / 10L) * 1000L / totAnneal
+    out.foreach { r =>
+      assert(r.getAs[Long]("anneal_tokens") <= r.getAs[Long]("tokens"))
+      assert(r.getAs[Long]("anneal_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("epochs_milli") === expectedEpochs,
+        s"source ${r.get(0)}")
+    }
+  }
+}
