@@ -594,6 +594,11 @@ object TextAnalysis extends QueryModule {
   def rrfEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.BlockedRank
     val docs = Tables.documents(spark, sfDir)
+    // Features from one (doc, word) groupBy — the gopher battery's R4
+    // shape (map-side combinable). A per-row HOF fold over the sorted
+    // word array was tried and measured 2-3x WORSE at sf0.1 (HOFs don't
+    // codegen; the interpreted fold over ~100-word arrays costs more
+    // than the combinable shuffle it saves).
     val wc = docs.select(col("doc_id"), explode(words(col("text"))).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
     val feat = wc.groupBy("doc_id").agg(
@@ -601,8 +606,18 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"),
         expr("nd * 1000000 div nt").as("ttr_ppm"),
         expr("mx * 1000000 div nt").as("dom_ppm"))
-    val scored = lmScores(spark, sfDir).select("doc_id", "lang", "nll")
-      .join(feat, "doc_id")
+    // Lineage cut: the scored frame feeds SIX plan branches (two per
+    // blockedPrefix — partials + join-back — times three chained rank
+    // passes, compounding to 8 leaf scans of the LM-scoring join tree).
+    // tercileScores measured a cut WORSE at its 2 branches; at 8 the
+    // math flips — materializing one narrow 5-scalar-per-doc frame
+    // replaces 8 recomputes of the explode + vocab-join chain.
+    // Measured at sf0.1: 5.5 s cutless → see SCRATCH_r8. Same
+    // one-shot-query release contract as SuffixDedup: the final 50-row
+    // result is cut, then the corpus-sized intermediate releases.
+    val (scored, scoredRdd, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(
+      lmScores(spark, sfDir).select("doc_id", "lang", "nll")
+        .join(feat, "doc_id"))
 
     def rankBy(df: DataFrame, sig: Column, out: String, desc: Boolean,
         block: Column): DataFrame =
@@ -624,13 +639,19 @@ object TextAnalysis extends QueryModule {
       BlockedRank.idiv(lit(1000000000L), col("r_nll") + 60) +
         BlockedRank.idiv(lit(1000000000L), col("r_ttr") + 60) +
         BlockedRank.idiv(lit(1000000000L), col("r_dom") + 60))
-    BlockedRank.saltedTopK(fused, groups = Seq("lang"),
+    val out = BlockedRank.saltedTopK(fused, groups = Seq("lang"),
         order = Seq(col("rrf_nano").desc, col("doc_id")),
         salt = hash(col("doc_id")), k = 10, outRank = "sel_rank")
       .select(col("lang"), col("sel_rank").cast("long").as("sel_rank"),
         col("doc_id"), col("r_nll"), col("r_ttr"), col("r_dom"),
         col("rrf_nano"))
       .orderBy("lang", "sel_rank")
+    // Materialize the bounded (10·langs-row) result, then release the
+    // corpus-sized scored cut; the result's own cut stays pinned backing
+    // the returned frame (ContextCleaner reclaims it once unreferenced).
+    val (res, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(out)
+    org.apache.spark.sql.graft.PlanBridge.releaseCut(scoredRdd)
+    res
   }
 
   /** Tech-domain terms for the domain-router heuristic (the topic-mixing
