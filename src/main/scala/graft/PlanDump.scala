@@ -94,7 +94,13 @@ object PlanDump {
     // variants — the dumps are the evidence that no per-language /
     // per-source / per-flag window takes corpus-scale input
     "curate_perplexity_scaled", "sample_stratified", "sample_balanced",
-    "refinery_dedup_pack", "refinery_decontaminated", "refinery_full")
+    "refinery_dedup_pack", "refinery_decontaminated", "refinery_full",
+    // round 8, second wave: tokenizer-equity table, soft dedup, RRF
+    // ensemble (its ranks build behind a one-shot result cut — the dump
+    // shows the RDD read-off; rank-plan shape is the blockedPrefix form
+    // pinned in HierarchicalWindowPropSpec), anneal mix
+    "text_bpe_fertility", "dedup_soft_weight", "curate_rrf_ensemble",
+    "mix_anneal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
