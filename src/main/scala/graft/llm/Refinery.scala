@@ -145,6 +145,50 @@ object Refinery extends QueryModule {
         .join(losers, Seq("doc_id"), "left_anti"))
   }
 
+  /** THE FULL CHAIN ∘ ANNEAL SCHEDULE — what ships to the trainer after
+    * the refinery is not just packed windows but a two-phase schedule:
+    *
+    *   gate ∘ decontaminate ∘ cluster-rep dedup ∘ suffix-span mask ∘
+    *   anneal mix (per-lang top-third TTR, 10% decay-phase budget)
+    *
+    * The schedule is designed over the REFINED corpus (survivor set and
+    * POST-MASK token counts — a doc that is half duplicated spans costs
+    * half as many anneal-budget tokens), while the quality signal (TTR
+    * ppm) reads the original text — signals are computed pre-masking,
+    * like every other registry artifact. One hash pins SIX tiers: the
+    * DuckDB oracle re-trains the classifier, re-derives the
+    * contamination set, re-closes the clusters, re-sorts the suffixes,
+    * re-derives the per-lang histogram cutoffs over the surviving docs,
+    * and re-computes the schedule arithmetic. Scale: the survivor
+    * filters and span charge are the shared chain; the schedule adds
+    * one bounded (lang, ppm-grid) window + two broadcasts
+    * ([[Sampling.annealSchedule]]).
+    */
+  def refineryAnneal(spark: SparkSession, sfDir: String): DataFrame = {
+    val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
+      .select("doc_id")
+    val losers = Dedup.dedupClusters(spark, sfDir)
+      .filter(!col("canonical")).select("doc_id")
+    val survivors = gatedDocs(spark, sfDir)
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(losers, Seq("doc_id"), "left_anti")
+    val cut = SuffixDedup.dupSpansExact(spark, sfDir)
+      .groupBy("doc_id").agg(sum(col("span_words")).as("cut_words"))
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("nwq"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+      .select(col("doc_id"), col("source"),
+        expr("ndw * 1000000 div nwq").as("q_ppm"))
+    Sampling.annealSchedule(
+      survivors.join(cut, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          (col("n_words") - coalesce(col("cut_words"), lit(0L))).as("toks"))
+        .join(meta, "doc_id")
+        .select("doc_id", "lang", "source", "toks", "q_ppm"))
+  }
+
   /** The refinery deployed ON THE STREAM: drain a landing zone of NDJSON
     * document objects and apply the REGISTERED quality gate + the
     * REGISTERED span report to each micro-batch as it arrives, appending
@@ -244,6 +288,7 @@ object Refinery extends QueryModule {
     "refinery_dedup_pack" -> (refineryDedupPack _),
     "refinery_decontaminated" -> (refineryDecontaminated _),
     "refinery_full" -> (refineryFull _),
+    "refinery_anneal" -> (refineryAnneal _),
   )
 
   override def oracles: Map[String, String] = {
@@ -321,10 +366,64 @@ object Refinery extends QueryModule {
           |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
           |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
         .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
+    // anneal variant: the full chain's survivor set, post-mask token
+    // counts, then the per-lang TTR-histogram cutoff + schedule over
+    // SURVIVORS (an_* CTE names avoid the shared head's f/cum/tk).
+    val annealSql =
+      (sharedHead ++ Seq(
+        Dedup.duckClusterLoserCtes,
+        Curation.duckDecontCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
+          |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin,
+        """an_tk AS (
+          |  SELECT k.doc_id, k.lang,
+          |    k.nw - COALESCE(c.cut_words, 0) AS toks
+          |  FROM surv k LEFT JOIN cutc c ON k.doc_id = c.doc_id)""".stripMargin,
+        """an_meta AS (
+          |  SELECT doc_id, source,
+          |    len(list_distinct(string_split(text, ' '))) * 1000000 //
+          |      len(string_split(text, ' ')) AS q_ppm
+          |  FROM documents)""".stripMargin,
+        """an_j AS (
+          |  SELECT t.doc_id, t.lang, t.toks, m.source, m.q_ppm
+          |  FROM an_tk t JOIN an_meta m ON t.doc_id = m.doc_id)""".stripMargin,
+        """an_grid AS (
+          |  SELECT lang, q_ppm, COUNT(*) AS c FROM an_j GROUP BY lang, q_ppm)""".stripMargin,
+        """an_cum AS (
+          |  SELECT lang, q_ppm,
+          |    SUM(c) OVER (PARTITION BY lang ORDER BY q_ppm DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(c) OVER (PARTITION BY lang) AS n_lang
+          |  FROM an_grid)""".stripMargin,
+        """an_cut AS (
+          |  SELECT lang, MAX(q_ppm) AS cutoff FROM an_cum
+          |  WHERE cum * 3 >= n_lang GROUP BY lang)""".stripMargin,
+        """an_f AS (
+          |  SELECT an_j.*, (an_j.q_ppm >= an_cut.cutoff) AS anneal
+          |  FROM an_j JOIN an_cut USING (lang))""".stripMargin,
+        """an_tot AS (
+          |  SELECT CAST(SUM(toks) AS BIGINT) AS tot_tokens,
+          |    CAST(SUM(CASE WHEN anneal THEN toks ELSE 0 END) AS BIGINT) AS tot_anneal
+          |  FROM an_f)""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", "\n") +
+        """SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(toks) AS BIGINT) AS tokens,
+          |  CAST(SUM(CASE WHEN anneal THEN 1 ELSE 0 END) AS BIGINT) AS anneal_docs,
+          |  CAST(SUM(CASE WHEN anneal THEN toks ELSE 0 END) AS BIGINT) AS anneal_tokens,
+          |  CAST(CAST(SUM(CASE WHEN anneal THEN toks ELSE 0 END) AS BIGINT) * 1000000 //
+          |       CAST(SUM(toks) AS BIGINT) AS BIGINT) AS anneal_token_ppm,
+          |  CAST((an_tot.tot_tokens // 10) * 1000 // an_tot.tot_anneal AS BIGINT) AS epochs_milli
+          |FROM an_f CROSS JOIN an_tot
+          |GROUP BY source, an_tot.tot_tokens, an_tot.tot_anneal
+          |ORDER BY source""".stripMargin
     Map(
       "refinery_pack" -> packSql,
       "refinery_dedup_pack" -> dedupSql,
       "refinery_decontaminated" -> decontSql,
-      "refinery_full" -> fullSql)
+      "refinery_full" -> fullSql,
+      "refinery_anneal" -> annealSql)
   }
 }

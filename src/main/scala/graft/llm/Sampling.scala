@@ -233,14 +233,24 @@ object Sampling extends QueryModule {
     * and token mass. All integer arithmetic; at 100 TB the worst
     * intermediate `tokens·1000` ≈ 2·10¹⁶, inside BIGINT.
     */
-  def mixAnneal(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+  def mixAnneal(spark: SparkSession, sfDir: String): DataFrame =
+    annealSchedule(Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("lang"), col("source"),
-        size(col("w")).cast("long").as("nw"),
+        size(col("w")).cast("long").as("toks"),
         size(array_distinct(col("w"))).cast("long").as("ndw"))
-      .withColumn("q_ppm", expr("ndw * 1000000 div nw"))
+      .withColumn("q_ppm", expr("ndw * 1000000 div toks"))
+      .select("doc_id", "lang", "source", "toks", "q_ppm"))
+
+  /** The anneal-schedule core over any (doc_id, lang, source, toks,
+    * q_ppm) frame — shared by [[mixAnneal]] (raw corpus, toks = word
+    * count) and `Refinery.refineryAnneal` (refined corpus, toks =
+    * post-mask counts): per-lang top-third cutoff from the bounded
+    * (lang, q_ppm) grid, ties kept, 10%-of-input anneal budget, exact
+    * milli-epoch repeat factor.
+    */
+  private[llm] def annealSchedule(docs: DataFrame): DataFrame = {
     val byLangDesc = Window.partitionBy("lang").orderBy(col("q_ppm").desc)
     val cutoffs = docs.groupBy("lang", "q_ppm").agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
@@ -252,14 +262,14 @@ object Sampling extends QueryModule {
     val flagged = docs.join(broadcast(cutoffs), "lang")
       .withColumn("anneal", col("q_ppm") >= col("cutoff"))
     val tot = flagged.agg(
-      sum(col("nw")).as("tot_tokens"),
-      sum(when(col("anneal"), col("nw")).otherwise(0L)).as("tot_anneal"))
+      sum(col("toks")).as("tot_tokens"),
+      sum(when(col("anneal"), col("toks")).otherwise(0L)).as("tot_anneal"))
     flagged.groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(col("nw")).as("tokens"),
+        sum(col("toks")).as("tokens"),
         sum(when(col("anneal"), 1L).otherwise(0L)).as("anneal_docs"),
-        sum(when(col("anneal"), col("nw")).otherwise(0L)).as("anneal_tokens"))
+        sum(when(col("anneal"), col("toks")).otherwise(0L)).as("anneal_tokens"))
       .crossJoin(broadcast(tot))
       .withColumn("anneal_token_ppm", expr("anneal_tokens * 1000000 div tokens"))
       .withColumn("epochs_milli", expr("(tot_tokens div 10) * 1000 div tot_anneal"))

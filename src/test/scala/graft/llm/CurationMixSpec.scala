@@ -54,6 +54,21 @@ class CurationMixSpec extends SparkSpec {
     }
   }
 
+  test("refinery_anneal: schedules strictly less mass than the raw-corpus mix_anneal (the chain removed docs and masked spans), same identities") {
+    val raw = Sampling.mixAnneal(spark, sf0001).collect()
+    val refined = Refinery.refineryAnneal(spark, sf0001).collect()
+    val rawTokens = raw.map(_.getAs[Long]("tokens")).sum
+    val refTokens = refined.map(_.getAs[Long]("tokens")).sum
+    assert(refTokens > 0L && refTokens < rawTokens,
+      s"refined=$refTokens raw=$rawTokens")
+    val totAnneal = refined.map(_.getAs[Long]("anneal_tokens")).sum
+    val expectedEpochs = (refTokens / 10L) * 1000L / totAnneal
+    refined.foreach { r =>
+      assert(r.getAs[Long]("anneal_tokens") <= r.getAs[Long]("tokens"))
+      assert(r.getAs[Long]("epochs_milli") === expectedEpochs)
+    }
+  }
+
   test("mix_anneal: anneal mass bounded by raw mass, budget identity holds, and the anneal set is non-trivial") {
     val out = Sampling.mixAnneal(spark, sf0001).collect()
     assert(out.nonEmpty)
