@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -354,6 +354,53 @@ object ScaleProbe {
         f""""naive_window_sec":$tNaive%.1f,"hierarchical_sec":$tHier%.1f,""" +
         f""""identical_bins":true}""")
       docs.unpersist(blocking = false)
+    }
+    // claim 9 (round-8 second wave): the RRF ensemble's THREE per-lang
+    // ranks hold on a mono-lingual-dominant corpus where the naive form
+    // runs three single-task sorts of 90% of the corpus plus a fourth
+    // for the top-10. Same rows; the two top-10 row SETS (100 rows) are
+    // asserted identical, wall-clock A/B.
+    if (on("rrf")) for (n <- Seq(10000000L, 30000000L).map(_ / div)) {
+      import org.apache.spark.sql.expressions.Window
+      val scored = spark.range(n).select(
+        col("id").as("doc_id"),
+        when(pmod(xxhash64(col("id")), lit(10L)) < 9, lit("lang0"))
+          .otherwise(concat(lit("lang"),
+            (pmod(xxhash64(col("id") * 13 + 5), lit(9L)) + 1).cast("string")))
+          .as("lang"),
+        round(pmod(xxhash64(col("id") * 7 + 3), lit(100000L))
+          .cast("double") / 10000.0, 4).as("nll"),
+        pmod(xxhash64(col("id") * 17 + 11), lit(1000000L)).as("ttr_ppm"),
+        pmod(xxhash64(col("id") * 23 + 19), lit(1000000L)).as("dom_ppm"))
+        .persist()
+      scored.count()
+      val wL = Window.partitionBy("lang")
+      val naive = scored
+        .withColumn("r_nll",
+          row_number().over(wL.orderBy(col("nll"), col("doc_id"))).cast("long"))
+        .withColumn("r_ttr",
+          row_number().over(wL.orderBy(col("ttr_ppm").desc, col("doc_id"))).cast("long"))
+        .withColumn("r_dom",
+          row_number().over(wL.orderBy(col("dom_ppm"), col("doc_id"))).cast("long"))
+        .withColumn("rrf_nano",
+          expr("1000000000 div (60 + r_nll) + 1000000000 div (60 + r_ttr)" +
+            " + 1000000000 div (60 + r_dom)"))
+        .withColumn("sel_rank",
+          row_number().over(wL.orderBy(col("rrf_nano").desc, col("doc_id"))).cast("long"))
+        .filter(col("sel_rank") <= 10)
+      val hier = llm.TextAnalysis.rrfTopK(scored)
+        .withColumn("sel_rank", col("sel_rank").cast("long"))
+      def rows(df: DataFrame): Set[(String, Long, Long, Long)] =
+        df.select("lang", "sel_rank", "doc_id", "rrf_nano").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      val (top10N, tNaive) = time(rows(naive))
+      val (top10H, tHier) = time(rows(hier))
+      require(top10N == top10H, s"rrf top-10 diverged at n=$n")
+      println(f"""{"probe":"rrf_ranks","docs":$n,"dominant_lang_pct":90,""" +
+        f""""naive_windows_sec":$tNaive%.1f,"hierarchical_sec":$tHier%.1f,""" +
+        f""""identical_top10":true}""")
+      scored.unpersist(blocking = false)
     }
     spark.stop()
   }

@@ -592,7 +592,6 @@ object TextAnalysis extends QueryModule {
     * doc_id, so both engines rank identically and the oracle is exact.
     */
   def rrfEnsemble(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.BlockedRank
     val docs = Tables.documents(spark, sfDir)
     // Features from one (doc, word) groupBy — the gopher battery's R4
     // shape (map-side combinable). A per-row HOF fold over the sorted
@@ -619,29 +618,7 @@ object TextAnalysis extends QueryModule {
       lmScores(spark, sfDir).select("doc_id", "lang", "nll")
         .join(feat, "doc_id"))
 
-    def rankBy(df: DataFrame, sig: Column, out: String, desc: Boolean,
-        block: Column): DataFrame =
-      BlockedRank.blockedPrefix(df, partition = Seq("lang"),
-          blocks = Seq((s"__rrf_$out", block)), blockDesc = Seq(desc),
-          localOrder = Seq(if (desc) sig.desc else sig.asc, col("doc_id")),
-          outRank = out, outTotalN = s"__rrf_n_$out", broadcastOffsets = true)
-        .drop(s"__rrf_n_$out")
-
-    val ranked = rankBy(
-      rankBy(
-        rankBy(scored, col("nll"), "r_nll", desc = false,
-          round(col("nll"), 2)),
-        col("ttr_ppm"), "r_ttr", desc = true,
-        BlockedRank.idiv(col("ttr_ppm"), lit(10000L))),
-      col("dom_ppm"), "r_dom", desc = false,
-      BlockedRank.idiv(col("dom_ppm"), lit(10000L)))
-    val fused = ranked.withColumn("rrf_nano",
-      BlockedRank.idiv(lit(1000000000L), col("r_nll") + 60) +
-        BlockedRank.idiv(lit(1000000000L), col("r_ttr") + 60) +
-        BlockedRank.idiv(lit(1000000000L), col("r_dom") + 60))
-    val out = BlockedRank.saltedTopK(fused, groups = Seq("lang"),
-        order = Seq(col("rrf_nano").desc, col("doc_id")),
-        salt = hash(col("doc_id")), k = 10, outRank = "sel_rank")
+    val out = rrfTopK(scored)
       .select(col("lang"), col("sel_rank").cast("long").as("sel_rank"),
         col("doc_id"), col("r_nll"), col("r_ttr"), col("r_dom"),
         col("rrf_nano"))
@@ -652,6 +629,49 @@ object TextAnalysis extends QueryModule {
     val (res, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(out)
     org.apache.spark.sql.graft.PlanBridge.releaseCut(scoredRdd)
     res
+  }
+
+  /** The RRF rank-and-select core over any (doc_id, lang, nll, ttr_ppm,
+    * dom_ppm) frame — split out so `ScaleProbe rrf` can A/B the SHIPPED
+    * plan against the naive three-per-lang-windows form on synthetic
+    * skewed corpora: three hierarchical ranks (score-grid blocks, never
+    * a per-lang corpus window), integer-nano fusion, per-lang top-10 via
+    * saltedTopK. Value-identical to the naive form (every rank
+    * tie-breaks on doc_id).
+    */
+  private[graft] def rrfTopK(scored: DataFrame): DataFrame = {
+    import graft.operators.BlockedRank
+
+    def rankBy(df: DataFrame, sig: Column, out: String, desc: Boolean,
+        block: Column): DataFrame =
+      BlockedRank.blockedPrefix(df, partition = Seq("lang"),
+          blocks = Seq((s"__rrf_$out", block)), blockDesc = Seq(desc),
+          localOrder = Seq(if (desc) sig.desc else sig.asc, col("doc_id")),
+          outRank = out, outTotalN = s"__rrf_n_$out", broadcastOffsets = true)
+        .drop(s"__rrf_n_$out")
+
+    // Rank each signal INDEPENDENTLY from the input and join the three
+    // narrow (doc_id, rank) frames back — chaining the rank passes
+    // instead (pass 3's two plan branches re-running pass 2, whose
+    // branches re-run pass 1) measured SLOWER than even the naive
+    // window form at 3e6 rows (ScaleProbe rrf caught it: 63.5 s chained
+    // vs 50.0 s naive); independent ranks keep post-leaf work linear in
+    // the signal count, and the three joins co-partition on doc_id.
+    val ranked = Seq(
+      ("r_nll", col("nll"), false, round(col("nll"), 2)),
+      ("r_ttr", col("ttr_ppm"), true, BlockedRank.idiv(col("ttr_ppm"), lit(10000L))),
+      ("r_dom", col("dom_ppm"), false, BlockedRank.idiv(col("dom_ppm"), lit(10000L))))
+      .map { case (out, sig, desc, block) =>
+        rankBy(scored, sig, out, desc, block).select("doc_id", out)
+      }
+      .foldLeft(scored)((acc, r) => acc.join(r, "doc_id"))
+    val fused = ranked.withColumn("rrf_nano",
+      BlockedRank.idiv(lit(1000000000L), col("r_nll") + 60) +
+        BlockedRank.idiv(lit(1000000000L), col("r_ttr") + 60) +
+        BlockedRank.idiv(lit(1000000000L), col("r_dom") + 60))
+    BlockedRank.saltedTopK(fused, groups = Seq("lang"),
+      order = Seq(col("rrf_nano").desc, col("doc_id")),
+      salt = hash(col("doc_id")), k = 10, outRank = "sel_rank")
   }
 
   /** Tech-domain terms for the domain-router heuristic (the topic-mixing
