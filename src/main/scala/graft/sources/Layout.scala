@@ -202,6 +202,44 @@ object Layout extends QueryModule {
       .orderBy("shard")
   }
 
+  /** Multi-EPOCH read orders over the standing shards — the training
+    * loop needs a DIFFERENT permutation every epoch but must not move a
+    * byte between epochs: the shard assignment (hash of doc_id) is
+    * epoch-invariant, while the within-shard order key re-derives per
+    * epoch (hash of "ep<e>:" + doc_id) — reshuffling is a new sort ORDER
+    * over the same files, not a re-shard. The manifest pins, per
+    * (shard, epoch): the epoch-invariant doc count and content checksum
+    * (must be identical across epochs — membership never changes) and
+    * the order-SENSITIVE permutation checksum + head doc (must differ —
+    * that IS the reshuffle). Scale: one scan, a 3-row broadcast epoch
+    * explode, one (shard, epoch)-partitioned window — 3× the rows of
+    * [[layoutShards]], same shape.
+    */
+  def layoutShardEpochs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.Hashing
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "epoch").orderBy(col("okey"), col("doc_id"))
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        pmod(Hashing.hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(NShards.toLong)).cast("int").as("shard"),
+        (Hashing.hash60(col("text")) % FpMod).as("cfp"),
+        explode(array(lit(0), lit(1), lit(2))).as("epoch"))
+      .withColumn("okey",
+        Hashing.hash60(concat(lit("ep"), col("epoch").cast("string"),
+          lit(":"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(w))
+      .groupBy("shard", "epoch")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("cfp")).as("content_fp"),
+        max(when(col("rk") === 1, col("doc_id"))).as("head_doc"),
+        sum(((col("rk") % FpMod) * (col("doc_id") % FpMod)) % FpMod)
+          .as("order_fp"))
+      .orderBy("shard", "epoch")
+  }
+
   /** Materialize the shards [[layoutShards]] manifests: one directory
     * per shard, rows stored in epoch-0 read order (a single-file shard
     * read back in one task IS the training read order — no shuffle at
@@ -227,6 +265,7 @@ object Layout extends QueryModule {
     "layout_zorder" -> (layoutZorder _),
     "layout_bucket_join" -> (layoutBucketJoin _),
     "layout_shards" -> (layoutShards _),
+    "layout_shard_epochs" -> (layoutShardEpochs _),
   )
 
   override def oracles: Map[String, String] = {
@@ -274,6 +313,32 @@ object Layout extends QueryModule {
            |)
            |SELECT o_orderkey, cell_cust, cell_day, zval, zval >> 20 AS zbucket
            |FROM z ORDER BY o_orderkey""".stripMargin,
+      "layout_shard_epochs" -> {
+        import graft.functions.Hashing.duckHash60
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(${duckHash60("'shard:' || CAST(doc_id AS VARCHAR)")} % $NShards
+           |      AS INTEGER) AS shard,
+           |    ${duckHash60("text")} % $FpMod AS cfp,
+           |    CAST(unnest([0, 1, 2]) AS INTEGER) AS epoch
+           |  FROM documents
+           |), k AS (
+           |  SELECT *,
+           |    ${duckHash60("'ep' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")}
+           |      AS okey
+           |  FROM d
+           |), r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY shard, epoch
+           |    ORDER BY okey, doc_id) AS rk
+           |  FROM k
+           |)
+           |SELECT shard, epoch, COUNT(*) AS n_docs,
+           |  CAST(SUM(cfp) AS BIGINT) AS content_fp,
+           |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS head_doc,
+           |  CAST(SUM(((rk % $FpMod) * (doc_id % $FpMod)) % $FpMod) AS BIGINT)
+           |    AS order_fp
+           |FROM r GROUP BY shard, epoch ORDER BY shard, epoch""".stripMargin
+      },
     )
   }
 }

@@ -44,6 +44,36 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === n)
   }
 
+  test("layout_shard_epochs: membership is epoch-invariant, the permutation is not, and epoch 0 equals layout_shards") {
+    val ep = Layout.layoutShardEpochs(spark, sf0001).collect()
+      .groupBy(_.getAs[Int]("shard"))
+    val base = Layout.layoutShards(spark, sf0001).collect()
+      .map(r => r.getAs[Int]("shard") ->
+        (r.getAs[Long]("content_fp"), r.getAs[Long]("order_fp"),
+          r.getAs[Long]("head_doc"))).toMap
+    assert(ep.nonEmpty)
+    ep.foreach { case (shard, rows) =>
+      assert(rows.map(_.getAs[Int]("epoch")).sorted.toSeq === Seq(0, 1, 2))
+      // membership (count + content checksum) identical across epochs
+      assert(rows.map(_.getAs[Long]("n_docs")).distinct.length === 1, s"shard $shard")
+      assert(rows.map(_.getAs[Long]("content_fp")).distinct.length === 1, s"shard $shard")
+      // epoch 0 IS the layout_shards schedule
+      val e0 = rows.find(_.getAs[Int]("epoch") == 0).get
+      assert((e0.getAs[Long]("content_fp"), e0.getAs[Long]("order_fp"),
+        e0.getAs[Long]("head_doc")) === base(shard), s"shard $shard")
+    }
+    // the read order is a genuinely different permutation per epoch —
+    // asserted as existence across shards (a 1-doc shard legitimately
+    // has the identical trivial permutation in every epoch)
+    for (ea <- 0 to 2; eb <- 0 to 2 if ea < eb) {
+      val differs = ep.exists { case (_, rows) =>
+        rows.find(_.getAs[Int]("epoch") == ea).get.getAs[Long]("order_fp") !=
+          rows.find(_.getAs[Int]("epoch") == eb).get.getAs[Long]("order_fp")
+      }
+      assert(differs, s"epochs $ea and $eb produced identical orders everywhere")
+    }
+  }
+
   test("shardWrite materializes what layout_shards manifests: one file per shard, epoch-0 order") {
     val out = Files.createTempDirectory("graft-shards").toString
     val docs = graft.Tables.documents(spark, sf0001)
