@@ -100,7 +100,7 @@ object PlanDump {
     // shows the RDD read-off; rank-plan shape is the blockedPrefix form
     // pinned in HierarchicalWindowPropSpec), anneal mix
     "text_bpe_fertility", "dedup_soft_weight", "curate_rrf_ensemble",
-    "mix_anneal")
+    "mix_anneal", "refinery_anneal", "layout_shard_epochs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
