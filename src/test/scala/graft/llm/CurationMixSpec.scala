@@ -2,6 +2,8 @@ package graft.llm
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 /** Invariants of the round-8 curation/mix additions that the DuckDB
   * oracles (which re-derive every value) do not state as PROPERTIES:
@@ -66,6 +68,54 @@ class CurationMixSpec extends SparkSpec {
     refined.foreach { r =>
       assert(r.getAs[Long]("anneal_tokens") <= r.getAs[Long]("tokens"))
       assert(r.getAs[Long]("epochs_milli") === expectedEpochs)
+    }
+  }
+
+  test("annealSchedule ≡ brute-force cutoff semantics on random skewed frames (ties kept, top third minimal)") {
+    import spark.implicits._
+    // heavy q_ppm ties (values 0..15) so the ties-at-the-cutoff rule is
+    // exercised; lang skew so one language dominates
+    val gen: Gen[List[(Long, String, String, Long, Long)]] =
+      Gen.chooseNum(30, 150).flatMap { n =>
+        Gen.listOfN(n, for {
+          id <- Gen.chooseNum(0L, 5000L)
+          lang <- Gen.frequency(5 -> Gen.const("l0"), 1 -> Gen.oneOf("l1", "l2"))
+          src <- Gen.oneOf("s0", "s1", "s2")
+          toks <- Gen.chooseNum(1L, 50L)
+          q <- Gen.chooseNum(0L, 15L)
+        } yield (id, lang, src, toks, q))
+      }.map(_.distinctBy(_._1))
+    for (seed <- 1L to 8L) {
+      val rows = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      // brute force: per lang, cutoff = LARGEST q with count(q' >= q)*3 >= n
+      val cut = rows.groupBy(_._2).map { case (lang, rs) =>
+        val n = rs.size
+        val c = rs.map(_._5).distinct.sorted.reverse
+          .filter(q => rs.count(_._5 >= q) * 3 >= n).max
+        lang -> c
+      }
+      val flagged = rows.map(r => (r._3, r._4, r._5 >= cut(r._2)))
+      val totT = flagged.map(_._2).sum
+      val totA = flagged.filter(_._3).map(_._2).sum
+      val expect = flagged.groupBy(_._1).map { case (src, fs) =>
+        (src, fs.size.toLong, fs.map(_._2).sum,
+          fs.count(_._3).toLong, fs.filter(_._3).map(_._2).sum,
+          (totT / 10L) * 1000L / totA)
+      }.toSet
+      val got = Sampling.annealSchedule(
+          rows.toDF("doc_id", "lang", "source", "toks", "q_ppm"))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tokens"), r.getAs[Long]("anneal_docs"),
+          r.getAs[Long]("anneal_tokens"), r.getAs[Long]("epochs_milli"))).toSet
+      assert(got === expect, s"seed $seed")
+      // the kept set is the MINIMAL >= 1/3 tie-closed prefix per lang:
+      // dropping the cutoff value must fall under 1/3
+      rows.groupBy(_._2).foreach { case (lang, rs) =>
+        val kept = rs.count(_._5 >= cut(lang))
+        assert(kept * 3 >= rs.size, s"seed $seed lang $lang under a third")
+        val strictly = rs.count(_._5 > cut(lang))
+        assert(strictly * 3 < rs.size, s"seed $seed lang $lang not minimal")
+      }
     }
   }
 
