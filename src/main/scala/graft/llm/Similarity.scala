@@ -272,6 +272,66 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Probe-DEPTH tuning sweep — the table an ANN deployment reads before
+    * picking its multiprobe radius: recall@3 (vs the exact brute-force
+    * top-3) and candidate volume at Hamming probe radius 0 (own bucket
+    * only), 1 (+8 one-flip buckets), and 2 (+28 two-flip buckets), in
+    * ONE candidate pass. Every candidate's radius is a per-row
+    * expression (`bit_count(q_bucket ^ cand_bucket)` — each vector
+    * lives in exactly one bucket, so the radius-r candidate set is just
+    * a filter), and the three rankings reuse the one scored frame. The
+    * denominators come from the already-oracled exact tier, so recall
+    * is integer-exact. Scale: candidate generation is the same bucket
+    * equi-join as [[dedupEmbeddingLsh]]; the sweep's windows partition
+    * on the bounded query set.
+    */
+  def simAnnProbeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{Hashing, VectorExpressions}
+    val planes = Hashing.RpPlanes
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      when(VectorExpressions.dot_product(col("e"), typedlit(p)) > 0.0, lit(1 << j))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("e"), bucket.as("bucket"))
+    val flips1 = planes.indices.map(j => col("bucket").bitwiseXOR(lit(1 << j)))
+    val flips2 = for {
+      i <- planes.indices; j <- planes.indices if i < j
+    } yield col("bucket").bitwiseXOR(lit((1 << i) | (1 << j)))
+    val probes = array(col("bucket") +: (flips1 ++ flips2): _*)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"),
+        col("bucket").as("qb"), explode(probes).as("bucket"))
+    // the 37 probe values are pairwise distinct and a candidate lives in
+    // ONE bucket, so each (q, cand) pair matches at most one probe — no
+    // dedup stage needed
+    val scored = emb
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"), col("bucket"))
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("ham", expr("bit_count(qb ^ bucket)"))
+      .select("q_id", "cand_id", "cos", "ham")
+    val exact3 = simCosineTopk(spark, sfDir).filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val rows = Seq(0 -> 1, 1 -> 9, 2 -> 37).map { case (r, nb) =>
+      val sub = scored.filter(col("ham") <= r)
+      val byCos = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      val top3 = sub.withColumn("rn", row_number().over(byCos))
+        .filter(col("rn") <= 3)
+      val hits = top3.join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+      sub.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits).crossJoin(broadcast(nExact))
+        .select(lit(r).as("radius"), lit(nb).as("n_probe_buckets"),
+          col("n_candidates"), col("n_hits"),
+          expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("radius")
+  }
+
   /** Embedding-cosine near-duplicate pairs (the dedup family's vector
     * member): all pairs with cosine ≥ 0.45. This is the exact verification
     * stage run brute-force — correct at test scale and the ground truth the
@@ -957,6 +1017,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
+    "sim_ann_probe_sweep" -> (simAnnProbeSweep _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_semantic"  -> (dedupSemantic _),
@@ -1447,6 +1508,52 @@ object Similarity extends QueryModule {
          |)
          |SELECT q_id, rn, cand_id, cos FROM ranked WHERE rn <= 3
          |ORDER BY q_id, rn""".stripMargin,
+    // sim_ann_probe_sweep: candidate set at radius r equals the probe
+    // expansion's, so the oracle generates candidates directly by the
+    // Hamming predicate over the cross join and filters per radius.
+    "sim_ann_probe_sweep" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), bucketed AS (
+         |  SELECT vec_id, v, $duckBucket AS bucket FROM e
+         |), cand AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos,
+         |    bit_count(xor(q.bucket, c.bucket)) AS ham
+         |  FROM bucketed q JOIN bucketed c
+         |    ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |  WHERE bit_count(xor(q.bucket, c.bucket)) <= 2
+         |), exact AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= 3
+         |), nex AS (SELECT COUNT(*) AS n_exact FROM exact),
+         |radii(radius, n_probe_buckets) AS (VALUES (0, 1), (1, 9), (2, 37)),
+         |per AS (
+         |  SELECT r.radius, r.n_probe_buckets,
+         |    (SELECT COUNT(*) FROM cand WHERE ham <= r.radius) AS n_candidates,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT q_id, cand_id FROM (
+         |         SELECT q_id, cand_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, cand_id) AS rn
+         |         FROM cand WHERE ham <= r.radius)
+         |       WHERE rn <= 3) t
+         |     JOIN exact ON t.q_id = exact.q_id AND t.cand_id = exact.cand_id)
+         |      AS n_hits
+         |  FROM radii r
+         |)
+         |SELECT CAST(radius AS INTEGER) AS radius,
+         |  CAST(n_probe_buckets AS INTEGER) AS n_probe_buckets,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST(n_hits * 1000000 // nex.n_exact AS BIGINT) AS recall_ppm
+         |FROM per CROSS JOIN nex
+         |ORDER BY radius""".stripMargin,
     "sim_ann_rplsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
