@@ -298,6 +298,40 @@ object Bpe extends QueryModule {
       .orderBy("lang")
   }
 
+  /** EXT: merge-count SWEEP — the tokenizer-SIZING curve: corpus
+    * compression (chars per token) at 0, 2, 4, and all `Rounds` learned
+    * merges. Every vocab-size decision trades table size against
+    * compression along exactly this curve (each merge's marginal gain
+    * shrinks — the curve flattens toward the diminishing-returns knee
+    * where production vocabularies stop). Zero retraining: merge lists
+    * are prefix-stable under greedy BPE, so every sweep point is a
+    * `take(k)` of the registry-memoized table; each point is one
+    * codegen'd chained-replace scan (k scans total for a diagnostic
+    * run on a sampled corpus at 100 TB — this is a design-time report,
+    * not a shipping pass). The oracle re-learns the chain once and
+    * reads its own intermediate states — the same snapshots the sweep
+    * claims.
+    */
+  def bpeSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = trainedMerges(spark, sfDir)
+    val ks = (Seq(0, 2, 4, Rounds).distinct.sorted).filter(_ <= merges.size)
+    val rows = ks.map { k =>
+      applyMerges(corpus(spark, sfDir), merges.take(k))
+        .selectExpr(
+          "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_tokens",
+          "CAST(length(state) AS BIGINT) AS len_state")
+        .selectExpr("len_state - 2 * n_tokens AS chars", "n_tokens")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("chars")).as("chars"),
+          sum(col("n_tokens")).as("tokens"))
+        .withColumn("n_merges", lit(k))
+        .withColumn("chars_per_token_micro", expr("chars * 1000000 div tokens"))
+        .select("n_merges", "n_docs", "chars", "tokens", "chars_per_token_micro")
+    }
+    rows.reduce(_.unionAll(_)).orderBy("n_merges")
+  }
+
   /** EXT: context-window packing on REAL tokenizer output — the
     * composition a training run actually executes: the packing stage
     * (Sampling.packAssign's contiguous greedy cumsum-÷-budget, same
@@ -349,6 +383,7 @@ object Bpe extends QueryModule {
     "text_bpe_encode" -> (bpeEncode _),
     "pack_bpe_sequences" -> (packBpeSequences _),
     "text_bpe_fertility" -> (bpeFertility _),
+    "text_bpe_sweep" -> (bpeSweep _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -441,6 +476,28 @@ object Bpe extends QueryModule {
       // the train→encode→pack composition pinned end-to-end.
       // text_bpe_fertility: the same re-learned merge chain, encode token
       // counts joined to lang, per-lang integer micro ratios
+      // text_bpe_sweep: ONE re-learned chain; compression read at its
+      // own intermediate states s0/s2/s4/sk — the sweep's snapshots.
+      "text_bpe_sweep" ->
+        s"""${oracleCtes(k)},
+           |snap AS (
+           |  SELECT 0 AS n_merges, state FROM s0
+           |  UNION ALL SELECT 2, state FROM s2
+           |  UNION ALL SELECT 4, state FROM s4
+           |  UNION ALL SELECT $k, state FROM s$k
+           |), m AS (
+           |  SELECT n_merges,
+           |    CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_tokens,
+           |    CAST(length(state) AS BIGINT)
+           |      - 2 * CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS chars
+           |  FROM snap
+           |)
+           |SELECT CAST(n_merges AS INTEGER) AS n_merges, COUNT(*) AS n_docs,
+           |  CAST(SUM(chars) AS BIGINT) AS chars,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           |  CAST(CAST(SUM(chars) AS BIGINT) * 1000000
+           |    // CAST(SUM(n_tokens) AS BIGINT) AS BIGINT) AS chars_per_token_micro
+           |FROM m GROUP BY n_merges ORDER BY n_merges""".stripMargin,
       "text_bpe_fertility" ->
         s"""${oracleCtes(k)},
            |enc AS (
