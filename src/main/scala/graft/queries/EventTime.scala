@@ -889,6 +889,45 @@ object EventTime extends QueryModule {
       .orderBy("user_id")
   }
 
+  /** Inter-arrival BURSTINESS screen — the bot/automation signal
+    * [[evtRateOutliers]]' peak-day count misses: a scripted client fires
+    * METRONOMICALLY (squared CV of its inter-event gaps ≈ 0 — rate can
+    * look normal) while organic traffic is bursty (CV² ≈ 1 at Poisson,
+    * ≫ 1 with sessions). Gaps in whole seconds (integer floor of the µs
+    * difference — identical on both engines); CV² is the exact rational
+    * n·Σg²∕(Σg)² − 1 carried in DECIMAL(38,0) power sums with ONE
+    * integral division onto the micro grid (the agg_gini discipline —
+    * no engine float variance). Labels: metronomic CV² < 0.1, bursty
+    * CV² > 4. Scale: one user-keyed window (high-cardinality key) +
+    * one map-side-combinable groupBy.
+    */
+  def evtBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gaps = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"),
+        expr("(unix_micros(ts) - unix_micros(prev)) div 1000000").as("gap_s"))
+    gaps.groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"),
+        sum(col("gap_s").cast("decimal(38,0)") * col("gap_s")).as("sg2"))
+      .filter(col("n_gaps") >= 10 && col("sg") > 0)
+      .withColumn("mean_gap_s", expr("sg div n_gaps"))
+      .withColumn("cv2_micro", expr(
+        "CAST((CAST(n_gaps AS DECIMAL(38,0)) * sg2 * 1000000) div " +
+          "(CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))) " +
+          "- 1000000 AS BIGINT)"))
+      .withColumn("label",
+        when(col("cv2_micro") < 100000L, "metronomic")
+          .when(col("cv2_micro") > 4000000L, "bursty")
+          .otherwise("normal"))
+      .select("user_id", "n_gaps", "mean_gap_s", "cv2_micro", "label")
+      .orderBy("user_id")
+  }
+
   /** Time-bounded multi-step funnel — view → click within 1 h → purchase
     * within 2 h OF THE CLICK (the product-metrics funnel where each step's
     * clock starts at the previous step, unlike evtFunnel's simple ordered
@@ -934,6 +973,7 @@ object EventTime extends QueryModule {
     "join_scd2_pit" -> (joinScd2Pit _),
     "evt_abandoned" -> (evtAbandoned _),
     "evt_rate_outliers" -> (evtRateOutliers _),
+    "evt_burstiness" -> (evtBurstiness _),
     "evt_funnel_steps" -> (evtFunnelSteps _),
     "evt_feature_vector" -> (evtFeatureVector _),
     "evt_streaks"     -> (evtStreaks _),
@@ -1659,6 +1699,31 @@ object EventTime extends QueryModule {
         |FROM peak, thr
         |WHERE rn = 1 AND peak_events > thr.thr
         |ORDER BY user_id""".stripMargin,
+    "evt_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id))) // 1000000 AS gap_s
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, COUNT(*) AS n_gaps,
+        |    CAST(SUM(gap_s) AS BIGINT) AS sg,
+        |    SUM(CAST(gap_s AS HUGEINT) * gap_s) AS sg2
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
+        |  HAVING COUNT(*) >= 10 AND CAST(SUM(gap_s) AS BIGINT) > 0
+        |)
+        |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+        |  CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
+        |       (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
+        |    AS cv2_micro,
+        |  CASE WHEN CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
+        |                 (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
+        |            < 100000 THEN 'metronomic'
+        |       WHEN CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
+        |                 (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
+        |            > 4000000 THEN 'bursty'
+        |       ELSE 'normal' END AS label
+        |FROM s ORDER BY user_id""".stripMargin,
     "evt_abandoned" ->
       """WITH v AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
