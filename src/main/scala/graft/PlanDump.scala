@@ -100,7 +100,8 @@ object PlanDump {
     // shows the RDD read-off; rank-plan shape is the blockedPrefix form
     // pinned in HierarchicalWindowPropSpec), anneal mix
     "text_bpe_fertility", "dedup_soft_weight", "curate_rrf_ensemble",
-    "mix_anneal", "refinery_anneal", "layout_shard_epochs")
+    "mix_anneal", "refinery_anneal", "layout_shard_epochs",
+    "sim_ann_probe_sweep", "text_bpe_sweep", "evt_burstiness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
