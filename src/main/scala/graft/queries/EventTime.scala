@@ -914,12 +914,17 @@ object EventTime extends QueryModule {
         count(lit(1)).as("n_gaps"),
         sum(col("gap_s")).as("sg"),
         sum(col("gap_s").cast("decimal(38,0)") * col("gap_s")).as("sg2"))
-      .filter(col("n_gaps") >= 10 && col("sg") > 0)
+      .filter(col("n_gaps") >= 10)
       .withColumn("mean_gap_s", expr("sg div n_gaps"))
+      // sg = 0 (every gap under a second) is the EXTREME metronomic
+      // case — all-zero gaps have zero variance, so CV² is 0 by
+      // definition; excluding it would drop exactly the sub-second
+      // scripted client this screen exists to catch
       .withColumn("cv2_micro", expr(
-        "CAST((CAST(n_gaps AS DECIMAL(38,0)) * sg2 * 1000000) div " +
+        "CASE WHEN sg = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          "CAST((CAST(n_gaps AS DECIMAL(38,0)) * sg2 * 1000000) div " +
           "(CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))) " +
-          "- 1000000 AS BIGINT)"))
+          "- 1000000 AS BIGINT) END"))
       .withColumn("label",
         when(col("cv2_micro") < 100000L, "metronomic")
           .when(col("cv2_micro") > 4000000L, "bursty")
@@ -1710,20 +1715,20 @@ object EventTime extends QueryModule {
         |    CAST(SUM(gap_s) AS BIGINT) AS sg,
         |    SUM(CAST(gap_s AS HUGEINT) * gap_s) AS sg2
         |  FROM g WHERE gap_s IS NOT NULL GROUP BY user_id
-        |  HAVING COUNT(*) >= 10 AND CAST(SUM(gap_s) AS BIGINT) > 0
+        |  HAVING COUNT(*) >= 10
+        |), cv AS (
+        |  SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
+        |    CASE WHEN sg = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
+        |              (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
+        |    END AS cv2_micro
+        |  FROM s
         |)
-        |SELECT user_id, n_gaps, sg // n_gaps AS mean_gap_s,
-        |  CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
-        |       (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
-        |    AS cv2_micro,
-        |  CASE WHEN CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
-        |                 (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
-        |            < 100000 THEN 'metronomic'
-        |       WHEN CAST((CAST(n_gaps AS HUGEINT) * sg2 * 1000000) //
-        |                 (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) - 1000000 AS BIGINT)
-        |            > 4000000 THEN 'bursty'
+        |SELECT user_id, n_gaps, mean_gap_s, cv2_micro,
+        |  CASE WHEN cv2_micro < 100000 THEN 'metronomic'
+        |       WHEN cv2_micro > 4000000 THEN 'bursty'
         |       ELSE 'normal' END AS label
-        |FROM s ORDER BY user_id""".stripMargin,
+        |FROM cv ORDER BY user_id""".stripMargin,
     "evt_abandoned" ->
       """WITH v AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
