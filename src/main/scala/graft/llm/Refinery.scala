@@ -413,9 +413,12 @@ object Refinery extends QueryModule {
           |  CAST(SUM(toks) AS BIGINT) AS tokens,
           |  CAST(SUM(CASE WHEN anneal THEN 1 ELSE 0 END) AS BIGINT) AS anneal_docs,
           |  CAST(SUM(CASE WHEN anneal THEN toks ELSE 0 END) AS BIGINT) AS anneal_tokens,
-          |  CAST(CAST(SUM(CASE WHEN anneal THEN toks ELSE 0 END) AS BIGINT) * 1000000 //
-          |       CAST(SUM(toks) AS BIGINT) AS BIGINT) AS anneal_token_ppm,
-          |  CAST((an_tot.tot_tokens // 10) * 1000 // an_tot.tot_anneal AS BIGINT) AS epochs_milli
+          |  CASE WHEN CAST(SUM(toks) AS BIGINT) = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST(CAST(SUM(CASE WHEN anneal THEN toks ELSE 0 END) AS BIGINT) * 1000000 //
+          |            CAST(SUM(toks) AS BIGINT) AS BIGINT) END AS anneal_token_ppm,
+          |  CASE WHEN an_tot.tot_anneal = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST((an_tot.tot_tokens // 10) * 1000 // an_tot.tot_anneal AS BIGINT)
+          |  END AS epochs_milli
           |FROM an_f CROSS JOIN an_tot
           |GROUP BY source, an_tot.tot_tokens, an_tot.tot_anneal
           |ORDER BY source""".stripMargin

@@ -271,8 +271,17 @@ object Sampling extends QueryModule {
         sum(when(col("anneal"), 1L).otherwise(0L)).as("anneal_docs"),
         sum(when(col("anneal"), col("toks")).otherwise(0L)).as("anneal_tokens"))
       .crossJoin(broadcast(tot))
-      .withColumn("anneal_token_ppm", expr("anneal_tokens * 1000000 div tokens"))
-      .withColumn("epochs_milli", expr("(tot_tokens div 10) * 1000 div tot_anneal"))
+      // zero-mass guards (the mix_epoch_schedule discipline: a bare div
+      // would NULL here but ERROR in DuckDB — divergent AND silent):
+      // a source whose docs carry zero tokens (possible in the refinery
+      // variant when every survivor is fully masked) reports 0 share,
+      // and an empty-mass anneal set degenerates to 0 repeats
+      .withColumn("anneal_token_ppm", expr(
+        "CASE WHEN tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE anneal_tokens * 1000000 div tokens END"))
+      .withColumn("epochs_milli", expr(
+        "CASE WHEN tot_anneal = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE (tot_tokens div 10) * 1000 div tot_anneal END"))
       .select("source", "n_docs", "tokens", "anneal_docs", "anneal_tokens",
         "anneal_token_ppm", "epochs_milli")
       .orderBy("source")
@@ -878,9 +887,12 @@ object Sampling extends QueryModule {
           |  CAST(SUM(nw) AS BIGINT) AS tokens,
           |  CAST(SUM(CASE WHEN anneal THEN 1 ELSE 0 END) AS BIGINT) AS anneal_docs,
           |  CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) AS anneal_tokens,
-          |  CAST(CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) * 1000000 //
-          |       CAST(SUM(nw) AS BIGINT) AS BIGINT) AS anneal_token_ppm,
-          |  CAST((tot.tot_tokens // 10) * 1000 // tot.tot_anneal AS BIGINT) AS epochs_milli
+          |  CASE WHEN CAST(SUM(nw) AS BIGINT) = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST(CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) * 1000000 //
+          |            CAST(SUM(nw) AS BIGINT) AS BIGINT) END AS anneal_token_ppm,
+          |  CASE WHEN tot.tot_anneal = 0 THEN CAST(0 AS BIGINT)
+          |       ELSE CAST((tot.tot_tokens // 10) * 1000 // tot.tot_anneal AS BIGINT)
+          |  END AS epochs_milli
           |FROM f CROSS JOIN tot
           |GROUP BY source, tot.tot_tokens, tot.tot_anneal
           |ORDER BY source""".stripMargin,
