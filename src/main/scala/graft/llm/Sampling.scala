@@ -214,6 +214,42 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Dedup-AWARE leakage-safe train/val split: near-duplicates of a
+    * training doc inside the validation set inflate every eval number
+    * (the model has effectively seen them) — `split_leakproof` guards
+    * the source axis, this guards the CONTENT axis. The split unit is
+    * the near-dup CLUSTER (the `dedup_clusters` components; singletons
+    * are their own unit), so both members of every near-dup pair land
+    * on the same side by construction. The output carries the leakage
+    * AUDIT — clusters straddling sides — which must be 0; pinning it in
+    * the oracled result makes "no content leakage" a hash-checked
+    * claim, not a comment. Scale: rides the bounded component solve;
+    * the side decision is one hash of the unit id; report groupBys are
+    * side-sized.
+    */
+  def splitDedupSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = Dedup.dedupClusters(spark, sfDir).select("doc_id", "cluster")
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("unit", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("side",
+        when(pmod(Hashing.hash60(concat(lit("dsplit:"), col("unit").cast("string"))),
+          lit(100L)) < 90, "train").otherwise("val"))
+    val straddle = docs.filter(col("cluster").isNotNull)
+      .groupBy("cluster").agg(countDistinct(col("side")).as("nsides"))
+      .agg(coalesce(sum(when(col("nsides") > 1, 1L).otherwise(0L)), lit(0L))
+        .as("straddling_clusters"))
+    docs.groupBy("side")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("tokens"),
+        sum(when(col("cluster").isNotNull, 1L).otherwise(0L)).as("clustered_docs"))
+      .crossJoin(broadcast(straddle))
+      .select("side", "n_docs", "tokens", "clustered_docs", "straddling_clusters")
+      .orderBy("side")
+  }
+
   /** Two-phase ANNEAL mix — the "decay-phase high-quality upsampling"
     * schedule modern pretraining runs use (train the bulk of tokens on
     * the full mix, then spend the final learning-rate-decay slice
@@ -709,6 +745,7 @@ object Sampling extends QueryModule {
     "sample_stratified" -> (sampleStratified _),
     "sample_neyman"     -> (sampleNeyman _),
     "split_leakproof" -> (splitLeakproof _),
+    "split_dedup_safe" -> (splitDedupSafe _),
     "mix_sources"     -> (mixSources _),
     "mix_epoch_schedule" -> (mixEpochSchedule _),
     "mix_anneal"      -> (mixAnneal _),
@@ -823,6 +860,35 @@ object Sampling extends QueryModule {
            |)
            |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_sources
            |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
+      // split_dedup_safe: the cluster closure (shared loser CTEs expose
+      // cl_reach), membership derived as LEAST(n, MIN(m)), hash-split by
+      // UNIT id, straddle audit pinned in the output.
+      "split_dedup_safe" ->
+        s"""WITH RECURSIVE ${Dedup.duckClusterLoserCtes},
+           |cl_members AS (
+           |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS cluster
+           |  FROM cl_reach GROUP BY n
+           |), d AS (
+           |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           |    m.cluster, COALESCE(m.cluster, doc_id) AS unit
+           |  FROM documents LEFT JOIN cl_members m USING (doc_id)
+           |), s AS (
+           |  SELECT *,
+           |    CASE WHEN ${Hashing.duckHash60("'dsplit:' || CAST(unit AS VARCHAR)")} % 100 < 90
+           |         THEN 'train' ELSE 'val' END AS side
+           |  FROM d
+           |), st AS (
+           |  SELECT CAST(COALESCE(SUM(CASE WHEN nsides > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+           |    AS straddling_clusters
+           |  FROM (SELECT cluster, COUNT(DISTINCT side) AS nsides
+           |        FROM s WHERE cluster IS NOT NULL GROUP BY cluster)
+           |)
+           |SELECT side, COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens,
+           |  CAST(SUM(CASE WHEN cluster IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS clustered_docs,
+           |  st.straddling_clusters
+           |FROM s CROSS JOIN st
+           |GROUP BY side, st.straddling_clusters ORDER BY side""".stripMargin,
       "mix_sources" ->
         s"""WITH d AS (
            |  SELECT source,
