@@ -205,10 +205,50 @@ object Curation extends QueryModule {
       .orderBy(col("key").desc, col("doc_id"))
   }
 
+  /** Contamination-STRICTNESS sweep — the gram-size tuning table behind
+    * every decontamination deployment: overlap at n = 3 is aggressive
+    * (common phrases fire — false positives discard good data), n = 8
+    * catches only verbatim leaks (false negatives let paraphrased eval
+    * text through); production picks the knee. One row per gram size:
+    * contaminated-doc count, removed token mass, and the removal rate
+    * over the non-benchmark corpus — same bench slice, same fused
+    * native gram hasher as [[decontaminate]], three gram widths. Scale:
+    * each width is the same broadcast bench-gram semi-join as the
+    * shipping rule; corpus min doc length (10 words) keeps every width
+    * well-defined on both engines.
+    */
+  def decontaminateSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val isBench = col("doc_id") % 97 === 0
+    val nonBench = docs.filter(!isBench)
+      .agg(count(lit(1)).as("nonbench_docs"))
+    val rows = Seq(3, 5, 8).map { n =>
+      val grams = docs.select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), n, distinct = false)).as("g"))
+      val benchGrams = grams.filter(isBench).select("g").distinct()
+      val cont = grams.filter(!isBench)
+        .join(broadcast(benchGrams), "g")
+        .select("doc_id").distinct()
+      docs.join(cont, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("contaminated_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tr"))
+        .select(col("contaminated_docs"),
+          coalesce(col("tr"), lit(0L)).as("tokens_removed"))
+        .crossJoin(broadcast(nonBench))
+        .select(lit(n).as("gram_n"), col("contaminated_docs"),
+          col("tokens_removed"),
+          expr("contaminated_docs * 1000000 div nonbench_docs")
+            .as("removed_doc_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("gram_n")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> (curateCorpus _),
     "curate_gopher_rules" -> (gopherRules _),
     "decontaminate" -> (decontaminateQuery _),
+    "decontaminate_sweep" -> (decontaminateSweep _),
     "dsir_select"   -> (dsirSelect _),
   )
 
@@ -280,6 +320,39 @@ object Curation extends QueryModule {
            |                     + v_ttr = 0 THEN 1 ELSE 0 END) AS BIGINT)
            |    * 1000000 // COUNT(*) AS keep_ppm
            |FROM flags GROUP BY source ORDER BY source""".stripMargin,
+      "decontaminate_sweep" -> {
+        def block(n: Int): String =
+          s"""g$n AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(
+             |      range(1, greatest(len(string_split(text, ' ')) - ${n - 2}, 2)),
+             |      i -> ${graft.functions.Hashing.duckHash60(
+                    s"array_to_string(string_split(text, ' ')[i:i+${n - 1}], ' ')")})) AS g
+             |  FROM documents
+             |), b$n AS (
+             |  SELECT DISTINCT g FROM g$n WHERE doc_id % 97 = 0
+             |), c$n AS (
+             |  SELECT DISTINCT doc_id FROM g$n
+             |  WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM b$n)
+             |), s$n AS (
+             |  SELECT $n AS gram_n,
+             |    (SELECT COUNT(*) FROM c$n) AS contaminated_docs,
+             |    (SELECT CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+             |     FROM documents WHERE doc_id IN (SELECT doc_id FROM c$n)) AS tokens_removed
+             |)""".stripMargin
+        s"""WITH ${Seq(3, 5, 8).map(block).mkString(",\n")},
+           |nb AS (
+           |  SELECT COUNT(*) AS nonbench_docs FROM documents WHERE doc_id % 97 <> 0
+           |)
+           |SELECT CAST(gram_n AS INTEGER) AS gram_n,
+           |  CAST(contaminated_docs AS BIGINT) AS contaminated_docs,
+           |  tokens_removed,
+           |  CAST(contaminated_docs * 1000000 // nb.nonbench_docs AS BIGINT)
+           |    AS removed_doc_ppm
+           |FROM (SELECT * FROM s3 UNION ALL SELECT * FROM s5
+           |      UNION ALL SELECT * FROM s8) u
+           |CROSS JOIN nb ORDER BY gram_n""".stripMargin
+      },
       "decontaminate" ->
         s"""WITH g AS (
            |  SELECT doc_id,
