@@ -101,7 +101,14 @@ object PlanDump {
     // pinned in HierarchicalWindowPropSpec), anneal mix
     "text_bpe_fertility", "dedup_soft_weight", "curate_rrf_ensemble",
     "mix_anneal", "refinery_anneal", "layout_shard_epochs",
-    "sim_ann_probe_sweep", "text_bpe_sweep", "evt_burstiness")
+    "sim_ann_probe_sweep", "text_bpe_sweep", "evt_burstiness",
+    // round 8, third wave: leakage-safe split by near-dup cluster,
+    // decontamination gram-width sweep, LSH band/row S-curve (its
+    // signature/truth build behind one-shot cuts — the dump shows the
+    // 5-row read-off; per-config shape matches dedup_minhash), and the
+    // token-budget greedy fill (blockedPrefix per-mille-grid blocks)
+    "split_dedup_safe", "decontaminate_sweep", "dedup_lsh_sweep",
+    "mix_budget_fill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

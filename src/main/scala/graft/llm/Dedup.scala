@@ -261,6 +261,69 @@ object Dedup extends QueryModule {
       .orderBy("lang")
   }
 
+  /** LSH banding S-CURVE sweep — the (bands × rows) tuning table behind
+    * every MinHash deployment: over ONE 16-minhash signature, each split
+    * b×r (1×16, 2×8, 4×4, 8×2, 16×1) trades recall for candidate volume
+    * along P(candidate | J=s) = 1−(1−s^r)^b — 1×16 fires only on
+    * near-identical docs, 16×1 on any shared minhash. One row per
+    * config: candidate-pair count, within-language ground-truth count
+    * (exact PPJoin at J ≥ 0.5 — shared across configs), truth pairs the
+    * banding surfaced, recall, and hit rate per million candidates (the
+    * verification-cost side of the trade). Scale: candidates always come
+    * from the (band, key) equi-self-join, never corpus×corpus; the
+    * signature table (16 ints/doc) and the truth pairs are each
+    * materialized ONCE via lineage cuts and re-read by all five configs
+    * instead of recomputing the shingle scan 10× — the SuffixDedup
+    * one-shot release contract (cut the 5-row result, release the
+    * corpus-sized cuts).
+    */
+  def dedupLshSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val (sig, sigRdd, _) = PlanBridge.cutLineage(
+      shingled(Tables.documents(spark, sfDir)).select(col("doc_id"),
+        graft.functions.VectorExpressions
+          .minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP)
+          .as("mh")))
+    val (truth, truthRdd, _) = PlanBridge.cutLineage(
+      jaccardPairs(spark, sfDir, t = 0.5).select("doc_a", "doc_b"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true"))
+    val configs = Seq(1 -> 16, 2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
+    val perConfig = configs.map { case (b, r) =>
+      val bandStructs = (0 until b).map { bi =>
+        struct(lit(bi).as("band"),
+          concat_ws("-", (0 until r).map(ri =>
+            element_at(col("mh"), bi * r + ri + 1).cast("string")): _*)
+            .as("band_key"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.band_key").as("band_key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val nCand = cand.agg(count(lit(1)).as("n_cand"))
+      val nHit = truth.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nCand.crossJoin(broadcast(nHit)).crossJoin(broadcast(nTrue))
+        .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+          col("n_cand"), col("n_true"), col("n_hit"),
+          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"),
+          // empty-candidate guard: a bare div would NULL here but ERROR
+          // in DuckDB — divergent AND silent
+          expr("CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hit * 1000000 div n_cand END").as("hit_per_cand_ppm"))
+    }
+    val out = perConfig.reduce(_.unionAll(_)).orderBy("bands")
+    val (res, _, _) = PlanBridge.cutLineage(out)
+    PlanBridge.releaseCut(sigRdd)
+    PlanBridge.releaseCut(truthRdd)
+    res
+  }
+
   /** U2e: asymmetric CONTAINMENT near-dup — doc_a's shingle set ⊆-ish
     * doc_b's (|Sa∩Sb|/|Sa| ≥ 0.9), the doc-inside-doc case symmetric
     * Jaccard misses (a paragraph quoted whole inside a long page scores
@@ -723,6 +786,7 @@ object Dedup extends QueryModule {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_lsh_recall"    -> (dedupLshRecall _),
+    "dedup_lsh_sweep"     -> (dedupLshSweep _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -1024,6 +1088,54 @@ object Dedup extends QueryModule {
            |  ON truth.doc_a = found.doc_a AND truth.doc_b = found.doc_b
            |GROUP BY truth.lang
            |ORDER BY truth.lang""".stripMargin,
+      "dedup_lsh_sweep" -> {
+        def config(b: Int): String = {
+          val r = 16 / b
+          s"""bands$b AS (
+             |  SELECT doc_id, i // $r AS band,
+             |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+             |  FROM sig GROUP BY doc_id, i // $r
+             |), cand$b AS (
+             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+             |  FROM bands$b x JOIN bands$b y
+             |    ON x.band = y.band AND x.band_key = y.band_key
+             |   AND x.doc_id < y.doc_id
+             |), s$b AS (
+             |  SELECT $b AS bands, $r AS rows_per_band,
+             |    (SELECT COUNT(*) FROM cand$b) AS n_cand,
+             |    (SELECT COUNT(*) FROM truth) AS n_true,
+             |    (SELECT COUNT(*) FROM truth t JOIN cand$b c
+             |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+             |)""".stripMargin
+        }
+        s"""WITH d AS (
+           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+           |), truth AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |), sh AS (
+           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+           |), perms(i, pa, pb) AS (VALUES $permValues),
+           |sig AS (
+           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+           |),
+           |${Seq(1, 2, 4, 8, 16).map(config).mkString(",\n")}
+           |SELECT CAST(bands AS INTEGER) AS bands,
+           |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           |  n_cand, n_true, n_hit,
+           |  ROUND(n_hit::DOUBLE / n_true, 4) AS recall,
+           |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(n_hit * 1000000 // n_cand AS BIGINT)
+           |  END AS hit_per_cand_ppm
+           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+           |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s8
+           |      UNION ALL SELECT * FROM s16)
+           |ORDER BY bands""".stripMargin
+      },
       "dedup_simhash" ->
         s"""WITH wh AS (
            |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h

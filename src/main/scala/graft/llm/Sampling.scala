@@ -323,6 +323,53 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** Token-BUDGET quality fill — the greedy knapsack every
+    * fixed-compute pretraining run solves per source: rank documents by
+    * quality (type-token ratio in integer ppm — [[mixAnneal]]'s metric,
+    * doc_id tiebreak) and keep the best until half the source's token
+    * mass is spent (kept ⇔ 2·tokens-before-this-doc < source total, so
+    * the budget-straddling doc is kept — the C4-style "take the best N
+    * tokens, not the best N docs" selection that favors MANY short
+    * high-quality docs over few long ones). The running token mass
+    * comes from [[graft.operators.BlockedRank.blockedPrefix]] (blocks =
+    * the per-mille quality grid, descending), so no language or source
+    * ever funnels through a single-partition window — the exact
+    * round-7 plan demand the pack_* family already satisfies. Reported
+    * per source: doc/token mass in and out, fill rate, and the
+    * effective quality floor the budget bought.
+    */
+  def mixBudgetFill(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("toks"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+      .withColumn("q_ppm", expr("ndw * 1000000 div toks"))
+    val ranked = BlockedRank.blockedPrefix(
+        docs,
+        partition = Seq("source"),
+        blocks = Seq(("__bf_b", expr("q_ppm div 1000"))),
+        blockDesc = Seq(true),
+        localOrder = Seq(col("q_ppm").desc, col("doc_id")),
+        outRank = "__bf_r", outTotalN = "__bf_n",
+        values = Seq(BlockedRank.PrefixValue(col("toks"), "__bf_cum", "__bf_tot")),
+        broadcastOffsets = true)
+      .withColumn("kept", (col("__bf_cum") - col("toks")) * 2 < col("__bf_tot"))
+    ranked.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(col("toks")).as("tokens_total"),
+        sum(when(col("kept"), col("toks")).otherwise(0L)).as("tokens_kept"),
+        min(when(col("kept"), col("q_ppm"))).as("q_floor_ppm"))
+      .withColumn("kept_token_ppm",
+        expr("tokens_kept * 1000000 div tokens_total"))
+      .select("source", "n_docs", "n_kept", "tokens_total", "tokens_kept",
+        "kept_token_ppm", "q_floor_ppm")
+      .orderBy("source")
+  }
+
   /** Weighted reservoir sample (Efraimidis–Spirakis A-ES), derandomized:
     * pick k documents with inclusion probability proportional to weight
     * (here `n_chars` — the "sample long docs more" curation knob) by
@@ -749,6 +796,7 @@ object Sampling extends QueryModule {
     "mix_sources"     -> (mixSources _),
     "mix_epoch_schedule" -> (mixEpochSchedule _),
     "mix_anneal"      -> (mixAnneal _),
+    "mix_budget_fill" -> (mixBudgetFill _),
     "mix_temperature" -> (mixTemperature _),
     "mix_unimax"      -> (mixUnimax _),
     "mix_doremi"      -> (mixDoremi _),
@@ -962,6 +1010,32 @@ object Sampling extends QueryModule {
           |FROM f CROSS JOIN tot
           |GROUP BY source, tot.tot_tokens, tot.tot_anneal
           |ORDER BY source""".stripMargin,
+      "mix_budget_fill" ->
+        """WITH d AS (
+          |  SELECT doc_id, source,
+          |    len(string_split(text, ' ')) AS nw,
+          |    len(list_distinct(string_split(text, ' '))) AS ndw
+          |  FROM documents
+          |), q AS (
+          |  SELECT *, ndw * 1000000 // nw AS q_ppm FROM d
+          |), c AS (
+          |  SELECT *,
+          |    COALESCE(SUM(nw) OVER (PARTITION BY source
+          |      ORDER BY q_ppm DESC, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+          |    SUM(nw) OVER (PARTITION BY source) AS tot
+          |  FROM q
+          |), k AS (
+          |  SELECT *, (2 * cb < tot) AS kept FROM c
+          |)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  CAST(SUM(nw) AS BIGINT) AS tokens_total,
+          |  CAST(SUM(CASE WHEN kept THEN nw ELSE 0 END) AS BIGINT) AS tokens_kept,
+          |  CAST(CAST(SUM(CASE WHEN kept THEN nw ELSE 0 END) AS BIGINT) * 1000000 //
+          |       CAST(SUM(nw) AS BIGINT) AS BIGINT) AS kept_token_ppm,
+          |  CAST(MIN(CASE WHEN kept THEN q_ppm END) AS BIGINT) AS q_floor_ppm
+          |FROM k GROUP BY source ORDER BY source""".stripMargin,
       "sample_balanced" ->
         s"""WITH r AS (
            |  SELECT lang, doc_id,
