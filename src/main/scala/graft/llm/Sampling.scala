@@ -339,24 +339,7 @@ object Sampling extends QueryModule {
     * effective quality floor the budget bought.
     */
   def mixBudgetFill(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.BlockedRank
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), col("source"),
-        size(col("w")).cast("long").as("toks"),
-        size(array_distinct(col("w"))).cast("long").as("ndw"))
-      .withColumn("q_ppm", expr("ndw * 1000000 div toks"))
-    val ranked = BlockedRank.blockedPrefix(
-        docs,
-        partition = Seq("source"),
-        blocks = Seq(("__bf_b", expr("q_ppm div 1000"))),
-        blockDesc = Seq(true),
-        localOrder = Seq(col("q_ppm").desc, col("doc_id")),
-        outRank = "__bf_r", outTotalN = "__bf_n",
-        values = Seq(BlockedRank.PrefixValue(col("toks"), "__bf_cum", "__bf_tot")),
-        broadcastOffsets = true)
-      .withColumn("kept", (col("__bf_cum") - col("toks")) * 2 < col("__bf_tot"))
-    ranked.groupBy("source")
+    budgetFillFlags(Tables.documents(spark, sfDir)).groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -368,6 +351,30 @@ object Sampling extends QueryModule {
       .select("source", "n_docs", "n_kept", "tokens_total", "tokens_kept",
         "kept_token_ppm", "q_floor_ppm")
       .orderBy("source")
+  }
+
+  /** [[mixBudgetFill]]'s per-doc core — (doc_id, source, toks, q_ppm,
+    * kept) with the greedy keep decision; split out so the spec can
+    * check the keep-set against a sequential per-source simulation.
+    */
+  private[llm] def budgetFillFlags(documents: DataFrame): DataFrame = {
+    import graft.operators.BlockedRank
+    val docs = documents
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"),
+        size(col("w")).cast("long").as("toks"),
+        size(array_distinct(col("w"))).cast("long").as("ndw"))
+      .withColumn("q_ppm", expr("ndw * 1000000 div toks"))
+    BlockedRank.blockedPrefix(
+        docs,
+        partition = Seq("source"),
+        blocks = Seq(("__bf_b", expr("q_ppm div 1000"))),
+        blockDesc = Seq(true),
+        localOrder = Seq(col("q_ppm").desc, col("doc_id")),
+        outRank = "__bf_r", outTotalN = "__bf_n",
+        values = Seq(BlockedRank.PrefixValue(col("toks"), "__bf_cum", "__bf_tot")),
+        broadcastOffsets = true)
+      .withColumn("kept", (col("__bf_cum") - col("toks")) * 2 < col("__bf_tot"))
   }
 
   /** Weighted reservoir sample (Efraimidis–Spirakis A-ES), derandomized:

@@ -20,6 +20,27 @@ class DedupSpec extends SparkSpec {
     assert(jaccs.forall(_ >= 0.5))
   }
 
+  test("LSH sweep's 4x4 row agrees with the recall report's totals") {
+    // the sweep counts truth ∩ candidates; the recall report counts truth
+    // pairs among VERIFIED pairs — identical sets, because a truth pair
+    // (J ≥ 0.5 by definition) that becomes a candidate always survives
+    // the J ≥ 0.5 verification
+    val sweep = Dedup.dedupLshSweep(spark, sf0001)
+      .filter(col("bands") === 4).collect()
+    assert(sweep.length === 1)
+    val (nTrue, nHit) = (sweep(0).getAs[Long]("n_true"), sweep(0).getAs[Long]("n_hit"))
+    val recall = Dedup.dedupLshRecall(spark, sf0001)
+      .agg(sum("n_true"), sum("n_found")).collect()(0)
+    assert(nTrue === recall.getLong(0))
+    assert(nHit === recall.getLong(1))
+    // candidate volume must be monotone as bands narrow: 16 one-row bands
+    // can only add candidate pairs relative to wider rows ORed less often
+    val byBands = Dedup.dedupLshSweep(spark, sf0001).collect()
+      .map(r => r.getAs[Int]("bands") -> r.getAs[Long]("n_cand")).toMap
+    assert(byBands(1) <= byBands(16),
+      "strictest config exceeded the loosest in candidates")
+  }
+
   test("identical texts get identical simhash; disjoint vocab differs") {
     import spark.implicits._
     val docs = Seq(

@@ -41,6 +41,32 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("budget fill keep-set matches a sequential greedy simulation per source") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val got = Sampling.budgetFillFlags(docs)
+      .select("source", "doc_id", "toks", "q_ppm", "kept").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // independent greedy replay: walk each source in (quality desc,
+    // doc_id) order, keep while twice the spent mass is under the total
+    val expected = got.groupBy(_._1).toSeq.flatMap { case (source, rows) =>
+      val tot = rows.map(_._3).sum
+      var cum = 0L
+      rows.sortBy(r => (-r._4, r._2)).toSeq.map { case (_, id, toks, _, _) =>
+        val keep = 2 * cum < tot
+        cum += toks
+        (source, id) -> keep
+      }
+    }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (source, id, _, _, kept) =>
+      assert(kept === expected((source, id)), s"doc $id in $source")
+    }
+    // the greedy must actually cut something and keep something per source
+    got.groupBy(_._1).foreach { case (source, rows) =>
+      assert(rows.exists(_._5) && rows.exists(!_._5), s"degenerate fill in $source")
+    }
+  }
+
   test("mix keeps each source at its deterministic rate") {
     val out = Sampling.mixSources(spark, sf0001).collect()
     assert(out.nonEmpty)
