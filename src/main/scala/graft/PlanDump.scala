@@ -108,7 +108,12 @@ object PlanDump {
     // 5-row read-off; per-config shape matches dedup_minhash), and the
     // token-budget greedy fill (blockedPrefix per-mille-grid blocks)
     "split_dedup_safe", "decontaminate_sweep", "dedup_lsh_sweep",
-    "mix_budget_fill")
+    "mix_budget_fill",
+    // round 8, fourth wave: source-pair duplication matrix; k-core (the
+    // peel loop runs eagerly behind per-round cuts — the dump shows the
+    // final read-off; cascade semantics and oracle margin are pinned in
+    // GraphSpec)
+    "dedup_source_matrix", "graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

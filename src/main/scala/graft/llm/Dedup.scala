@@ -324,6 +324,31 @@ object Dedup extends QueryModule {
     res
   }
 
+  /** Cross-SOURCE duplication matrix — which feeds duplicate which: the
+    * verified MinHash near-dup pairs ([[dedupMinhash]], J ≥ 0.5) keyed by
+    * the unordered source pair of their endpoints, with pair count and
+    * distinct docs touched per cell. The src_lo = src_hi diagonal is
+    * within-feed duplication; off-diagonal cells are the mirror/scrape
+    * relationships between feeds — the table a corpus team reads before
+    * deciding which source to DROP rather than dedup doc-by-doc. Scale:
+    * everything after the banded pipeline is a broadcast-joinable
+    * (pairs × 2 source lookups) + a source²-bounded groupBy.
+    */
+  def dedupSourceMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+    dedupMinhash(spark, sfDir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        least(col("sa"), col("sb")).as("src_lo"),
+        greatest(col("sa"), col("sb")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_a"),
+        countDistinct(col("doc_b")).as("n_docs_b"))
+      .orderBy("src_lo", "src_hi")
+  }
+
   /** U2e: asymmetric CONTAINMENT near-dup — doc_a's shingle set ⊆-ish
     * doc_b's (|Sa∩Sb|/|Sa| ≥ 0.9), the doc-inside-doc case symmetric
     * Jaccard misses (a paragraph quoted whole inside a long page scores
@@ -787,6 +812,7 @@ object Dedup extends QueryModule {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_lsh_recall"    -> (dedupLshRecall _),
     "dedup_lsh_sweep"     -> (dedupLshSweep _),
+    "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -1136,6 +1162,40 @@ object Dedup extends QueryModule {
            |      UNION ALL SELECT * FROM s16)
            |ORDER BY bands""".stripMargin
       },
+      "dedup_source_matrix" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $duckShingles AS s FROM documents
+           |), sh AS (
+           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+           |), perms(i, pa, pb) AS (VALUES $permValues),
+           |sig AS (
+           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+           |), bands AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+           |  FROM sig GROUP BY doc_id, i // 4
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |), ver AS (
+           |  SELECT doc_a, doc_b
+           |  FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |)
+           |SELECT LEAST(da.source, db.source) AS src_lo,
+           |  GREATEST(da.source, db.source) AS src_hi,
+           |  COUNT(*) AS n_pairs,
+           |  COUNT(DISTINCT v.doc_a) AS n_docs_a,
+           |  COUNT(DISTINCT v.doc_b) AS n_docs_b
+           |FROM ver v
+           |JOIN documents da ON v.doc_a = da.doc_id
+           |JOIN documents db ON v.doc_b = db.doc_id
+           |GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+           |ORDER BY src_lo, src_hi""".stripMargin,
       "dedup_simhash" ->
         s"""WITH wh AS (
            |  SELECT doc_id, ${Hashing.duckHash60("wd")} AS h

@@ -300,7 +300,7 @@ object Graph extends QueryModule {
     * incremental query, and its `members` frame feeds both sides of the
     * pair self-join.
     */
-  private def copurchaseEdges(
+  private[graft] def copurchaseEdges(
       spark: SparkSession, sfDir: String, keyMod: Option[Int]): DataFrame = {
     val orders0 = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val orders = keyMod.fold(orders0)(m => orders0.filter(col("o_custkey") % m === 0))
@@ -332,6 +332,98 @@ object Graph extends QueryModule {
         copurchaseEdges(spark, sfDir, keyMod = None))
       .select(col("node").as("c_custkey"), col("component"))
       .orderBy("c_custkey")
+  }
+
+  /** k of the shipped [[graphKcore]] and unroll depth of its oracle.
+    * Soundness needs peel-to-fixpoint ≤ KcoreOracleRounds (peeling is
+    * idempotent at the fixpoint, so extra unrolled rounds are no-ops);
+    * `GraphSpec` pins the margin on the real graph and the cascade
+    * semantics on a crafted pendant chain.
+    */
+  private[graft] val KcoreK = 5
+  private[graft] val KcoreOracleRounds = 8
+
+  /** Iterative k-CORE peeling over a symmetric (src, dst) edge frame —
+    * the maximal subgraph where every node keeps ≥ k neighbors, the
+    * standard dense-cohort extractor (fraud rings, engaged-community
+    * cores) that components/triangles can't express: removal CASCADES
+    * (dropping a degree-(k−1) node can push its neighbors under k), so
+    * the operator is inherently iterative. Each round is one pair of
+    * semi-joins + a map-side-combinable degree count — plain key
+    * shuffles at 100 TB — with the ConnectedComponents loop discipline:
+    * PlanBridge.cutLineage per round (no lineage growth), superseded
+    * cuts released immediately, and an exact fixpoint test for free —
+    * the survivor set only SHRINKS (each round semi-joins against the
+    * previous set), so count-equality ⟺ set-equality, one already-paid
+    * driver scalar per round. Throws past `maxRounds` rather than
+    * return a non-core.
+    *
+    * Returns (surviving nodes, changed-rounds, release). Call release()
+    * after consuming the nodes frame (Bpe.trainCheckpointed contract).
+    */
+  private[graft] def kcoreOf(sym: DataFrame, k: Int, maxRounds: Int = 50)
+      : (DataFrame, Int, () => Unit) = {
+    import org.apache.spark.sql.graft.PlanBridge
+    var (cur, curRdd, curN) = PlanBridge.cutLineage(
+      sym.select(col("src").as("node")).distinct())
+    var rounds = 0
+    var fixed = false
+    while (!fixed) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"k-core did not reach a fixpoint within $maxRounds rounds")
+      val (nxt, nxtRdd, nxtN) = PlanBridge.cutLineage(
+        sym
+          .join(cur.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(cur.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("__kc_d"))
+          .filter(col("__kc_d") >= k)
+          .select(col("src").as("node")))
+      if (nxtN == curN) {
+        PlanBridge.releaseCut(nxtRdd)
+        fixed = true
+      } else {
+        PlanBridge.releaseCut(curRdd)
+        cur = nxt; curRdd = nxtRdd; curN = nxtN
+        rounds += 1
+      }
+    }
+    val rddToRelease = curRdd
+    (cur, rounds, () => PlanBridge.releaseCut(rddToRelease))
+  }
+
+  /** The 5-core of the co-purchase graph: surviving customers with their
+    * within-core degree. Result is consumed through one final cut so the
+    * loop's last survivor cut can release ([[kcoreOf]] contract).
+    */
+  def graphKcore(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val edges = copurchaseEdges(spark, sfDir, keyMod = None)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val (core, _, release) = kcoreOf(sym, KcoreK)
+    val out = sym
+      .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("c_custkey"), col("core_degree"))
+      .orderBy("c_custkey")
+    val (res, _, _) = PlanBridge.cutLineage(out)
+    release()
+    res
+  }
+
+  /** Peel rounds on the real co-purchase graph — the [[KcoreOracleRounds]]
+    * margin probe (spec-only).
+    */
+  private[graft] def kcoreRounds(spark: SparkSession, sfDir: String): Int = {
+    val edges = copurchaseEdges(spark, sfDir, keyMod = None)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val (core, rounds, release) = kcoreOf(sym, KcoreK)
+    core.count()
+    release()
+    rounds
   }
 
   /** INCREMENTAL components — the daily-growth form: a standing labeling
@@ -666,6 +758,7 @@ object Graph extends QueryModule {
     "graph_copurchase_fold" -> (graphCopurchaseFold _),
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
+    "graph_kcore" -> (graphKcore _),
     "graph_bfs" -> (graphBfs _),
     "graph_linkpred" -> (graphLinkpred _),
   )
@@ -732,6 +825,50 @@ object Graph extends QueryModule {
         |SELECT node AS c_custkey, MIN(r) AS component
         |FROM reach GROUP BY node
         |ORDER BY c_custkey""".stripMargin,
+    // graph_kcore: KcoreOracleRounds unrolled peel rounds (each = the
+    // induced-subgraph degree filter); peeling is idempotent at the
+    // fixpoint, so the unroll is exact as long as the cascade settles
+    // inside the depth — GraphSpec pins the margin on the real graph.
+    "graph_kcore" -> {
+      // MATERIALIZED is load-bearing: every round references the previous
+      // one twice (both endpoint joins), so an inlined chain re-evaluates
+      // the base 2^rounds times — measured >6 min vs 0.11 s at sf0.01
+      val peels = (1 to KcoreOracleRounds).map { i =>
+        s"""k$i AS MATERIALIZED (
+           |  SELECT s.a AS node FROM sym s
+           |  JOIN k${i - 1} x ON s.a = x.node
+           |  JOIN k${i - 1} y ON s.b = y.node
+           |  GROUP BY s.a HAVING COUNT(*) >= $KcoreK
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |), rare AS (
+         |  SELECT part, supp FROM base GROUP BY part, supp
+         |  HAVING COUNT(*) BETWEEN 2 AND 3
+         |), members AS (
+         |  SELECT b.cust, b.part, b.supp FROM base b
+         |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
+         |), edges AS (
+         |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
+         |  FROM members m1
+         |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
+         |    AND m1.cust < m2.cust
+         |), sym AS MATERIALIZED (
+         |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+         |), k0 AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node FROM sym
+         |),
+         |$peels
+         |SELECT s.a AS c_custkey, COUNT(*) AS core_degree
+         |FROM sym s
+         |JOIN k$KcoreOracleRounds x ON s.a = x.node
+         |JOIN k$KcoreOracleRounds y ON s.b = y.node
+         |GROUP BY s.a
+         |ORDER BY c_custkey""".stripMargin
+    },
     "graph_closeness" ->
       """WITH RECURSIVE vol AS (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w

@@ -86,6 +86,56 @@ class GraphSpec extends SparkSpec {
       s"attractor at round $rounds leaves <2 rounds of oracle margin")
   }
 
+  test("k-core peel cascades down a pendant chain and keeps the cycle") {
+    import spark.implicits._
+    // cycle 1-2-3-4 (all degree 2, survives k=2) with pendant chain
+    // 4-5-6-7: each round exposes the next chain node at degree 1, so
+    // the cascade takes exactly 3 rounds — the inherently-iterative case
+    // a single degree filter gets wrong
+    val half = Seq((1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7))
+    val sym = (half ++ half.map(_.swap)).toDF("src", "dst")
+    val (core, rounds, release) = Graph.kcoreOf(sym, k = 2)
+    try {
+      assert(core.collect().map(_.getInt(0)).toSet === Set(1, 2, 3, 4))
+      assert(rounds === 3)
+    } finally release()
+  }
+
+  test("5-core matches a driver brute-force peel on the real graph") {
+    val edges = Graph.copurchaseEdges(spark, sf0001, keyMod = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sym = (edges ++ edges.map(_.swap)).toSeq
+    var cur = sym.map(_._1).toSet
+    var changed = true
+    while (changed) {
+      val deg = sym.filter(e => cur(e._1) && cur(e._2))
+        .groupBy(_._1).map { case (n, es) => n -> es.size }
+      val nxt = cur.filter(n => deg.getOrElse(n, 0) >= Graph.KcoreK)
+      changed = nxt != cur
+      cur = nxt
+    }
+    val expDeg = sym.filter(e => cur(e._1) && cur(e._2))
+      .groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val got = Graph.graphKcore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expDeg)
+  }
+
+  test("the k-core oracle's unroll depth has >=2 rounds of margin on the real graph") {
+    val rounds = Graph.kcoreRounds(spark, sf0001)
+    assert(rounds <= Graph.KcoreOracleRounds - 2,
+      s"fixpoint at round $rounds leaves <2 rounds of oracle margin")
+  }
+
+  test("k-core throws instead of returning a non-core") {
+    import spark.implicits._
+    val half = Seq((1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7))
+    val sym = (half ++ half.map(_.swap)).toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Graph.kcoreOf(sym, k = 2, maxRounds = 1)
+    }
+  }
+
   test("converged label propagation throws instead of returning unconverged labels") {
     import spark.implicits._
     val half = Seq((1, 2), (2, 3), (3, 4))
