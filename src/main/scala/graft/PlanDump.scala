@@ -113,7 +113,9 @@ object PlanDump {
     // peel loop runs eagerly behind per-round cuts — the dump shows the
     // final read-off; cascade semantics and oracle margin are pinned in
     // GraphSpec)
-    "dedup_source_matrix", "graph_kcore")
+    "dedup_source_matrix", "graph_kcore",
+    // round 8, fifth wave: curriculum schedule, Markov stationary
+    "mix_curriculum", "evt_markov_stationary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -353,6 +353,34 @@ object Sampling extends QueryModule {
       .orderBy("source")
   }
 
+  /** CURRICULUM mixture schedule — the step-by-step weight table between
+    * [[mixAnneal]]'s two phases: training step s ∈ {0..3} interpolates
+    * each source's sampling weight from its raw corpus token share
+    * (step 0 — see everything, proportionally) to its share of the
+    * HIGH-QUALITY (per-lang top-third TTR) token mass (step 3 — the
+    * decay-phase mix), linearly in exact integer ppm:
+    * w_s = (base·(3−s) + quality·s) div 3. This is the published
+    * schedule a data loader consumes — one row per (step, source).
+    * Scale: everything past [[mixAnneal]]'s per-source aggregation is
+    * sources×4-bounded broadcast arithmetic.
+    */
+  def mixCurriculum(spark: SparkSession, sfDir: String): DataFrame = {
+    val sched = mixAnneal(spark, sfDir).select("source", "tokens", "anneal_tokens")
+    val tot = sched.agg(sum(col("tokens")).as("tt"),
+      sum(col("anneal_tokens")).as("ta"))
+    val steps = spark.range(4).select(col("id").cast("int").as("step"))
+    sched.crossJoin(broadcast(tot)).crossJoin(broadcast(steps))
+      .withColumn("base_ppm", expr("tokens * 1000000 div tt"))
+      // zero-mass guard (the annealSchedule discipline): no anneal mass
+      // anywhere degenerates the quality endpoint to 0, not a div error
+      .withColumn("quality_ppm", expr(
+        "CASE WHEN ta = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE anneal_tokens * 1000000 div ta END"))
+      .select(col("step"), col("source"),
+        expr("(base_ppm * (3 - step) + quality_ppm * step) div 3").as("w_ppm"))
+      .orderBy("step", "source")
+  }
+
   /** [[mixBudgetFill]]'s per-doc core — (doc_id, source, toks, q_ppm,
     * kept) with the greedy keep decision; split out so the spec can
     * check the keep-set against a sequential per-source simulation.
@@ -804,6 +832,7 @@ object Sampling extends QueryModule {
     "mix_epoch_schedule" -> (mixEpochSchedule _),
     "mix_anneal"      -> (mixAnneal _),
     "mix_budget_fill" -> (mixBudgetFill _),
+    "mix_curriculum"  -> (mixCurriculum _),
     "mix_temperature" -> (mixTemperature _),
     "mix_unimax"      -> (mixUnimax _),
     "mix_doremi"      -> (mixDoremi _),
@@ -1017,6 +1046,47 @@ object Sampling extends QueryModule {
           |FROM f CROSS JOIN tot
           |GROUP BY source, tot.tot_tokens, tot.tot_anneal
           |ORDER BY source""".stripMargin,
+      "mix_curriculum" ->
+        """WITH d AS (
+          |  SELECT doc_id, lang, source,
+          |    len(string_split(text, ' ')) AS nw,
+          |    len(list_distinct(string_split(text, ' '))) AS ndw
+          |  FROM documents
+          |), q AS (
+          |  SELECT *, ndw * 1000000 // nw AS q_ppm FROM d
+          |), grid AS (
+          |  SELECT lang, q_ppm, COUNT(*) AS c FROM q GROUP BY lang, q_ppm
+          |), cum AS (
+          |  SELECT lang, q_ppm,
+          |    SUM(c) OVER (PARTITION BY lang ORDER BY q_ppm DESC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |    SUM(c) OVER (PARTITION BY lang) AS n_lang
+          |  FROM grid
+          |), cut AS (
+          |  SELECT lang, MAX(q_ppm) AS cutoff FROM cum
+          |  WHERE cum * 3 >= n_lang GROUP BY lang
+          |), f AS (
+          |  SELECT q.*, (q.q_ppm >= cut.cutoff) AS anneal
+          |  FROM q JOIN cut USING (lang)
+          |), s AS (
+          |  SELECT source, CAST(SUM(nw) AS BIGINT) AS tokens,
+          |    CAST(SUM(CASE WHEN anneal THEN nw ELSE 0 END) AS BIGINT) AS anneal_tokens
+          |  FROM f GROUP BY source
+          |), tot AS (
+          |  SELECT CAST(SUM(tokens) AS BIGINT) AS tt,
+          |    CAST(SUM(anneal_tokens) AS BIGINT) AS ta
+          |  FROM s
+          |), steps(step) AS (VALUES (0), (1), (2), (3)),
+          |w AS (
+          |  SELECT CAST(step AS INTEGER) AS step, source,
+          |    tokens * 1000000 // tt AS base_ppm,
+          |    CASE WHEN ta = 0 THEN CAST(0 AS BIGINT)
+          |         ELSE anneal_tokens * 1000000 // ta END AS quality_ppm
+          |  FROM s CROSS JOIN tot CROSS JOIN steps
+          |)
+          |SELECT step, source,
+          |  CAST((base_ppm * (3 - step) + quality_ppm * step) // 3 AS BIGINT) AS w_ppm
+          |FROM w ORDER BY step, source""".stripMargin,
       "mix_budget_fill" ->
         """WITH d AS (
           |  SELECT doc_id, source,

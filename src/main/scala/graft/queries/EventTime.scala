@@ -150,6 +150,43 @@ object EventTime extends QueryModule {
       .orderBy("prev_type", "cur_type")
   }
 
+  /** STATIONARY distribution of the event-type Markov chain — where the
+    * session flow settles if users keep clicking: the [[evtTransitions]]
+    * counts row-normalized to transition probabilities in exact integer
+    * ppm, then three unrolled power-iteration steps from uniform,
+    * reported beside the EMPIRICAL type share (the two agree when
+    * sessions are long enough to mix — the gap IS the insight). All
+    * arithmetic is exact-integer with per-term floor division
+    * (Σ πᵢ·pᵢⱼ div 10⁶ — order-free, engine-identical; mass bleeds a
+    * few ppm per step by construction, same bleed both engines). Scale:
+    * the corpus-sized work is one (user) window + one (prev, cur)
+    * groupBy; everything after is |types|²-bounded broadcast algebra —
+    * the iteration cost never grows with the corpus.
+    */
+  def evtMarkovStationary(spark: SparkSession, sfDir: String): DataFrame = {
+    val trans = evtTransitions(spark, sfDir)
+    val outTot = trans.groupBy("prev_type").agg(sum("n").as("n_out"))
+    val p = trans.join(outTot, "prev_type")
+      .select(col("prev_type"), col("cur_type"),
+        expr("n * 1000000 div n_out").as("p_ppm"))
+    val types = Tables.events(spark, sfDir)
+      .groupBy("event_type").agg(count(lit(1)).as("n_evt"))
+    val tot = types.agg(sum("n_evt").as("n_all"), count(lit(1)).as("n_types"))
+    val pi0 = types.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_evt"), col("n_all"),
+        expr("1000000 div n_types").as("pi_ppm"))
+    val step = (pi: DataFrame) => pi
+      .join(broadcast(p), pi("event_type") === p("prev_type"))
+      .groupBy(col("cur_type").as("event_type"))
+      .agg(sum(expr("pi_ppm * p_ppm div 1000000")).as("pi_ppm"))
+      .select(col("event_type"), col("pi_ppm"))
+    val pi3 = step(step(step(pi0.select("event_type", "pi_ppm"))))
+    pi0.select(col("event_type"),
+        expr("n_evt * 1000000 div n_all").as("empirical_ppm"))
+      .join(pi3.withColumnRenamed("pi_ppm", "stationary_ppm"), "event_type")
+      .orderBy("event_type")
+  }
+
   /** Fixed-width histogram of the value column per event type — the
     * profiling primitive behind distribution dashboards. The bucket id is
     * pure row-local double math (identical IEEE ops in both engines);
@@ -1001,6 +1038,7 @@ object EventTime extends QueryModule {
     "evt_histogram_eqdepth" -> (evtHistogramEqdepth _),
     "evt_dwell"     -> (evtDwell _),
     "evt_transitions" -> (evtTransitions _),
+    "evt_markov_stationary" -> (evtMarkovStationary _),
     "evt_wow_change" -> (evtWowChange _),
     "evt_histogram" -> (evtHistogram _),
     "evt_tumbling"  -> (evtTumbling _),
@@ -1797,6 +1835,42 @@ object EventTime extends QueryModule {
         |FROM t WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, cur_type
         |ORDER BY prev_type, cur_type""".stripMargin,
+    "evt_markov_stationary" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), trans AS (
+        |  SELECT prev_type, event_type AS cur_type, COUNT(*) AS n
+        |  FROM t WHERE prev_type IS NOT NULL GROUP BY prev_type, cur_type
+        |), p AS (
+        |  SELECT prev_type, cur_type,
+        |    n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS p_ppm
+        |  FROM trans
+        |), ty AS (
+        |  SELECT event_type, COUNT(*) AS n_evt FROM events GROUP BY event_type
+        |), tot AS (
+        |  SELECT CAST(SUM(n_evt) AS BIGINT) AS n_all, COUNT(*) AS n_types FROM ty
+        |), pi0 AS (
+        |  SELECT event_type, 1000000 // n_types AS pi_ppm FROM ty CROSS JOIN tot
+        |), pi1 AS (
+        |  SELECT cur_type AS event_type,
+        |    CAST(SUM(pi_ppm * p_ppm // 1000000) AS BIGINT) AS pi_ppm
+        |  FROM pi0 JOIN p ON pi0.event_type = p.prev_type GROUP BY cur_type
+        |), pi2 AS (
+        |  SELECT cur_type AS event_type,
+        |    CAST(SUM(pi_ppm * p_ppm // 1000000) AS BIGINT) AS pi_ppm
+        |  FROM pi1 JOIN p ON pi1.event_type = p.prev_type GROUP BY cur_type
+        |), pi3 AS (
+        |  SELECT cur_type AS event_type,
+        |    CAST(SUM(pi_ppm * p_ppm // 1000000) AS BIGINT) AS pi_ppm
+        |  FROM pi2 JOIN p ON pi2.event_type = p.prev_type GROUP BY cur_type
+        |)
+        |SELECT ty.event_type,
+        |  CAST(n_evt * 1000000 // n_all AS BIGINT) AS empirical_ppm,
+        |  pi3.pi_ppm AS stationary_ppm
+        |FROM ty CROSS JOIN tot JOIN pi3 ON ty.event_type = pi3.event_type
+        |ORDER BY ty.event_type""".stripMargin,
     "evt_wow_change" ->
       """WITH w AS (
         |  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week,
