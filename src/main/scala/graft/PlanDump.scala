@@ -114,8 +114,10 @@ object PlanDump {
     // final read-off; cascade semantics and oracle margin are pinned in
     // GraphSpec)
     "dedup_source_matrix", "graph_kcore",
-    // round 8, fifth wave: curriculum schedule, Markov stationary
-    "mix_curriculum", "evt_markov_stationary")
+    // round 8, fifth wave: curriculum schedule, Markov stationary,
+    // index-backed incremental dedup (warm path reads the materialized
+    // band index — the dump shows the parquet scan feeding the probe join)
+    "mix_curriculum", "evt_markov_stationary", "dedup_incremental_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

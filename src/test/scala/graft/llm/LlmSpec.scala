@@ -20,6 +20,13 @@ class DedupSpec extends SparkSpec {
     assert(jaccs.forall(_ >= 0.5))
   }
 
+  test("indexed incremental dedup equals the recompute-everything form") {
+    val rec = Dedup.dedupIncremental(spark, sf0001).collect().map(_.toString).toSeq
+    val idx = Dedup.dedupIncrementalIndexed(spark, sf0001).collect().map(_.toString).toSeq
+    assert(idx === rec)
+    assert(rec.nonEmpty, "corpus should contain cross-wave near-duplicates")
+  }
+
   test("LSH sweep's 4x4 row agrees with the recall report's totals") {
     // the sweep counts truth ∩ candidates; the recall report counts truth
     // pairs among VERIFIED pairs — identical sets, because a truth pair
