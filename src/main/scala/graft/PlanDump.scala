@@ -117,7 +117,8 @@ object PlanDump {
     // round 8, fifth wave: curriculum schedule, Markov stationary,
     // index-backed incremental dedup (warm path reads the materialized
     // band index — the dump shows the parquet scan feeding the probe join)
-    "mix_curriculum", "evt_markov_stationary", "dedup_incremental_indexed")
+    "mix_curriculum", "evt_markov_stationary", "dedup_incremental_indexed",
+    "text_bigram_lm_kn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -461,6 +461,46 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Interpolated KNESER-NEY bigram scoring — the canonical n-gram
+    * smoothing (Kneser & Ney 1995; Chen & Goodman 1999 found the
+    * interpolated form best across every corpus size), upgrading
+    * [[bigramLm]]'s add-one: P(w|v) = (c(vw)−d + d·N₁₊(v·)·P_cont(w)) ∕
+    * c(v) with d = 0.75 and the CONTINUATION probability P_cont(w) =
+    * N₁₊(·w) ∕ N₁₊(··) — "how many contexts does w complete", the term
+    * that stops high-count-but-single-context words (the "San Francisco"
+    * problem) from leaking mass. No max(·,0) clamp is needed: every
+    * scored bigram comes from the corpus, so c(vw) ≥ 1 > d. All count
+    * tables are map-side-combinable groupBys over the (v, w) types
+    * frame; the per-pair probability is one double expression on
+    * identical integer inputs in identical operation order, rounded to
+    * the 6dp decimal grid before the order-free decimal sum — the
+    * [[bigramLm]] cross-engine discipline.
+    */
+  def bigramLmKn(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val bigrams = docs
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions.word_pairs(col("text"))).as("b"))
+      .select(col("doc_id"), col("b.a").as("v"), col("b.b").as("wn"))
+    val bg = bigrams.groupBy("v", "wn").agg(count(lit(1)).as("cbg"))
+    val ctx = bigrams.groupBy("v").agg(count(lit(1)).as("cv"))
+    val n1v = bg.groupBy("v").agg(count(lit(1)).as("n1v"))
+    val n1w = bg.groupBy("wn").agg(count(lit(1)).as("n1w"))
+    val tt = bg.agg(count(lit(1)).as("tt"))
+    val p = ((col("cbg") - 0.75) +
+      lit(0.75) * col("n1v") * col("n1w") / col("tt")) / col("cv")
+    val scored = bg.join(ctx, "v").join(n1v, "v").join(n1w, "wn")
+      .crossJoin(broadcast(tt))
+      .select(col("v"), col("wn"),
+        round(log(p), 6).cast("decimal(12,6)").as("logp"))
+    bigrams.join(scored, Seq("v", "wn"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("slp").cast("double") / col("n_bigrams"), 6).as("nll_kn"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc per-language tercile over the LM score — the exact ntile(3)
     * (rounded score, doc_id tiebreak: engine-independent), computed
     * WITHOUT `Window.partitionBy(lang)` over the corpus: that plan puts
@@ -831,6 +871,7 @@ object TextAnalysis extends QueryModule {
     "text_domain_mix"  -> (domainMix _),
     "text_unigram_lm"  -> (unigramLm _),
     "text_bigram_lm"   -> (bigramLm _),
+    "text_bigram_lm_kn" -> (bigramLmKn _),
     "text_quality_buckets" -> (qualityBuckets _),
     "curate_perplexity" -> (curatePerplexity _),
     "curate_perplexity_scaled" -> (curatePerplexityScaled _),
@@ -971,6 +1012,36 @@ object TextAnalysis extends QueryModule {
            |    AS jargon_ppm
            |FROM perdoc GROUP BY source
            |ORDER BY source""".stripMargin,
+      "text_bigram_lm_kn" ->
+        """WITH d AS (
+          |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          |), g AS (
+          |  SELECT doc_id, unnest(range(1, len(ws))) AS i, ws FROM d
+          |), bigrams AS (
+          |  SELECT doc_id, ws[i] AS v, ws[i + 1] AS wn FROM g
+          |), bg AS (
+          |  SELECT v, wn, COUNT(*) AS cbg FROM bigrams GROUP BY v, wn
+          |), ctx AS (
+          |  SELECT v, COUNT(*) AS cv FROM bigrams GROUP BY v
+          |), n1v AS (
+          |  SELECT v, COUNT(*) AS n1v FROM bg GROUP BY v
+          |), n1w AS (
+          |  SELECT wn, COUNT(*) AS n1w FROM bg GROUP BY wn
+          |), tt AS (
+          |  SELECT COUNT(*) AS tt FROM bg
+          |), scored AS (
+          |  SELECT bg.v, bg.wn,
+          |    CAST(ROUND(ln(((bg.cbg - 0.75) + 0.75 * n1v.n1v * n1w.n1w / tt.tt) / ctx.cv), 6)
+          |      AS DECIMAL(12,6)) AS logp
+          |  FROM bg JOIN ctx ON bg.v = ctx.v
+          |  JOIN n1v ON bg.v = n1v.v JOIN n1w ON bg.wn = n1w.wn
+          |  CROSS JOIN tt
+          |)
+          |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+          |  ROUND(-CAST(SUM(s.logp) AS DOUBLE) / COUNT(*), 6) AS nll_kn
+          |FROM bigrams b JOIN scored s ON b.v = s.v AND b.wn = s.wn
+          |GROUP BY b.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
       "text_bigram_lm" ->
         """WITH d AS (
           |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
