@@ -377,6 +377,50 @@ object Dedup extends QueryModule {
     res
   }
 
+  /** MinHash as an ESTIMATOR, calibrated against its own ground truth:
+    * for every banded candidate pair, the signature-agreement estimate
+    * Ĵ = |{i : mhᵃᵢ = mhᵇᵢ}| ∕ 16 (the property the whole scheme rests
+    * on — P(mhᵢ agrees) = J exactly, so agreement∕16 is an unbiased
+    * 16-sample estimate) beside the EXACT shingle Jaccard and the
+    * signed error — the `sketch_kmv`-style exact-oracled estimate
+    * table, showing ±1∕16-granular error concretely instead of citing
+    * the variance bound. Estimate in exact ppm (matches·62500);
+    * per-pair agreement is one 16-element array walk on the
+    * candidate-only joined pairs, so the extra cost over
+    * [[dedupMinhash]] is O(candidates).
+    */
+  def dedupMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = shingled(Tables.documents(spark, sfDir))
+    val sig = docs.select(col("doc_id"),
+      graft.functions.VectorExpressions
+        .minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP).as("mh"))
+    val bands = bandRowsOf(docs)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sortedDocs = docs.select(col("doc_id"), sort_array(col("s")).as("s"))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sa"), col("sb"))
+    val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    val matches = aggregate(
+      zip_with(col("ma"), col("mb"), (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    cand
+      .join(sortedDocs.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(sortedDocs.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .join(sig.select(col("doc_id").as("doc_a"), col("mh").as("ma")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("mh").as("mb")), "doc_b")
+      .withColumn("jacc", round(jacc, 6))
+      .filter(col("jacc") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jacc"),
+        (matches * 62500L).as("est_ppm"))
+      .withColumn("err_ppm",
+        col("est_ppm") - round(col("jacc") * 1000000).cast("long"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-SOURCE duplication matrix — which feeds duplicate which: the
     * verified MinHash near-dup pairs ([[dedupMinhash]], J ≥ 0.5) keyed by
     * the unordered source pair of their endpoints, with pair count and
@@ -862,6 +906,7 @@ object Dedup extends QueryModule {
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "dedup_lsh_recall"    -> (dedupLshRecall _),
@@ -1171,6 +1216,40 @@ object Dedup extends QueryModule {
            |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
            |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_estimate" ->
+        s"""WITH d AS (
+           |  SELECT doc_id, $duckShingles AS s FROM documents
+           |), sh AS (
+           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+           |), perms(i, pa, pb) AS (VALUES $permValues),
+           |sig AS (
+           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+           |), sigl AS (
+           |  SELECT doc_id, list(mh ORDER BY i) AS mh FROM sig GROUP BY doc_id
+           |), bands AS (
+           |  SELECT doc_id, i // 4 AS band,
+           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+           |  FROM sig GROUP BY doc_id, i // 4
+           |), cand AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands x JOIN bands y
+           |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |), v AS (
+           |  SELECT doc_a, doc_b,
+           |    ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc,
+           |    CAST(len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) * 62500
+           |      AS BIGINT) AS est_ppm
+           |  FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+           |  JOIN sigl ma ON cand.doc_a = ma.doc_id JOIN sigl mb ON cand.doc_b = mb.doc_id
+           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+           |)
+           |SELECT doc_a, doc_b, jacc, est_ppm,
+           |  est_ppm - CAST(ROUND(jacc * 1000000) AS BIGINT) AS err_ppm
+           |FROM v ORDER BY doc_a, doc_b""".stripMargin,
       "dedup_lsh_recall" ->
         s"""WITH d AS (
            |  SELECT doc_id, lang, $duckShingles AS s FROM documents
