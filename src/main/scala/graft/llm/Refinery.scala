@@ -134,6 +134,45 @@ object Refinery extends QueryModule {
     * classifier, re-derives the contamination set, re-closes the
     * clusters recursively, re-sorts the suffixes, and re-packs.
     */
+  /** Stage-ATTRITION waterfall — the one table every pipeline review
+    * reads first: docs and tokens surviving after each refinery stage
+    * (raw → classifier gate → decontamination → cluster-representative
+    * dedup → span mask), so "where did my corpus go" has a number per
+    * stage instead of only the end-to-end residue `refinery_full`
+    * reports. Token counts are pre-mask through stage 3 (whole docs
+    * drop) and post-mask at stage 4 (tokens drop, docs don't) — the mask
+    * stage's doc count EQUALS stage 3's by construction, which the
+    * waterfall shows rather than asserts. One oracle replays the whole
+    * chain (classifier retrain, contamination set, cluster closure,
+    * suffix spans) and counts after each filter — five stage hashes for
+    * the price of one.
+    */
+  def refineryWaterfall(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nw"))
+    val gated = gatedDocs(spark, sfDir).select(col("doc_id"), col("n_words").as("nw"))
+    val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
+      .select("doc_id")
+    val losers = Dedup.dedupClusters(spark, sfDir)
+      .filter(!col("canonical")).select("doc_id")
+    val decon = gated.join(clean, Seq("doc_id"), "left_semi")
+    val deduped = decon.join(losers, Seq("doc_id"), "left_anti")
+    val cut = SuffixDedup.dupSpansExact(spark, sfDir)
+      .groupBy("doc_id").agg(sum(col("span_words")).as("cut_words"))
+    val masked = deduped.join(cut, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("nw") - coalesce(col("cut_words"), lit(0L))).as("nw"))
+    def stage(i: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("nw")), lit(0L)).as("tokens"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("tokens"))
+    Seq(stage(0, "raw", raw), stage(1, "gate", gated),
+        stage(2, "decontaminate", decon), stage(3, "dedup", deduped),
+        stage(4, "mask", masked))
+      .reduce(_.unionAll(_)).orderBy("stage")
+  }
+
   def refineryFull(spark: SparkSession, sfDir: String): DataFrame = {
     val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
       .select("doc_id")
@@ -289,6 +328,7 @@ object Refinery extends QueryModule {
     "refinery_decontaminated" -> (refineryDecontaminated _),
     "refinery_full" -> (refineryFull _),
     "refinery_anneal" -> (refineryAnneal _),
+    "refinery_waterfall" -> (refineryWaterfall _),
   )
 
   override def oracles: Map[String, String] = {
@@ -422,11 +462,44 @@ object Refinery extends QueryModule {
           |FROM an_f CROSS JOIN an_tot
           |GROUP BY source, an_tot.tot_tokens, an_tot.tot_anneal
           |ORDER BY source""".stripMargin
+    // waterfall: the full chain's CTEs, counted after EACH filter —
+    // stage tokens are pre-mask through stage 3, post-mask at stage 4
+    val waterfallSql =
+      (sharedHead ++ Seq(
+        Dedup.duckClusterLoserCtes,
+        Curation.duckDecontCtes,
+        """wf_raw AS (
+          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nw
+          |  FROM documents)""".stripMargin,
+        """wf_decon AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont))""".stripMargin,
+        """wf_dedup AS (
+          |  SELECT * FROM wf_decon
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin,
+        """wf_mask AS (
+          |  SELECT k.doc_id, k.nw - COALESCE(c.cut_words, 0) AS nw
+          |  FROM wf_dedup k LEFT JOIN cutc c ON k.doc_id = c.doc_id)""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", "\n") +
+        """SELECT * FROM (
+          |  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS n_docs,
+          |    CAST(COALESCE(SUM(nw), 0) AS BIGINT) AS tokens FROM wf_raw
+          |  UNION ALL
+          |  SELECT 1, 'gate', COUNT(*), CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM keepd
+          |  UNION ALL
+          |  SELECT 2, 'decontaminate', COUNT(*), CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM wf_decon
+          |  UNION ALL
+          |  SELECT 3, 'dedup', COUNT(*), CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM wf_dedup
+          |  UNION ALL
+          |  SELECT 4, 'mask', COUNT(*), CAST(COALESCE(SUM(nw), 0) AS BIGINT) FROM wf_mask
+          |) ORDER BY stage""".stripMargin
     Map(
       "refinery_pack" -> packSql,
       "refinery_dedup_pack" -> dedupSql,
       "refinery_decontaminated" -> decontSql,
       "refinery_full" -> fullSql,
-      "refinery_anneal" -> annealSql)
+      "refinery_anneal" -> annealSql,
+      "refinery_waterfall" -> waterfallSql)
   }
 }
