@@ -118,7 +118,8 @@ object PlanDump {
     // index-backed incremental dedup (warm path reads the materialized
     // band index — the dump shows the parquet scan feeding the probe join)
     "mix_curriculum", "evt_markov_stationary", "dedup_incremental_indexed",
-    "text_bigram_lm_kn", "dedup_minhash_estimate", "refinery_waterfall")
+    "text_bigram_lm_kn", "dedup_minhash_estimate", "refinery_waterfall",
+    "pack_offsets")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

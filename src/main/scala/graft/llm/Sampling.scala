@@ -754,6 +754,23 @@ object Sampling extends QueryModule {
     cumBeforeByLang(docs.withColumn("toks", size(split(col("text"), " "))))
       .withColumn("bin", expr(s"cum_before div $budget"))
 
+  /** Per-doc WINDOW OFFSETS — the loader-facing half of packing: a data
+    * loader building attention masks needs each document's start
+    * position INSIDE its context window, not just the bin id.
+    * offset_in_bin = tokens-before mod budget (exactly `cum_before −
+    * bin·budget`, so it composes with [[packAssign]]'s bin for free);
+    * a doc whose offset + toks exceeds the budget straddles into the
+    * next window — the greedy convention packAssign documents, now
+    * visible per row. Same hierarchical prefix as every pack_* query —
+    * no single-partition language stage.
+    */
+  def packOffsets(spark: SparkSession, sfDir: String): DataFrame =
+    packAssign(Tables.documents(spark, sfDir), PackBudget)
+      .select(col("lang"), col("bin"), col("doc_id"),
+        (col("cum_before") - col("bin") * PackBudget).as("offset_in_bin"),
+        col("toks"))
+      .orderBy("lang", "bin", "offset_in_bin")
+
   /** Packing profile: windows per language with doc and token counts. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     packAssign(Tables.documents(spark, sfDir), PackBudget)
@@ -838,6 +855,7 @@ object Sampling extends QueryModule {
     "mix_doremi"      -> (mixDoremi _),
     "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
+    "pack_offsets"    -> (packOffsets _),
     "pack_length_buckets" -> (packLengthBuckets _),
   )
 
@@ -1262,6 +1280,19 @@ object Sampling extends QueryModule {
            |SELECT lang, CAST(cum_before // $PackBudget AS BIGINT) AS bin,
            |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
            |FROM c GROUP BY lang, cum_before // $PackBudget ORDER BY lang, bin""".stripMargin,
+      "pack_offsets" ->
+        s"""WITH t AS (
+           |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT lang, doc_id, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM t
+           |)
+           |SELECT lang, CAST(cum_before // $PackBudget AS BIGINT) AS bin, doc_id,
+           |  CAST(cum_before % $PackBudget AS BIGINT) AS offset_in_bin, toks
+           |FROM c ORDER BY lang, bin, offset_in_bin""".stripMargin,
     )
   }
 }
