@@ -119,7 +119,7 @@ object PlanDump {
     // band index — the dump shows the parquet scan feeding the probe join)
     "mix_curriculum", "evt_markov_stationary", "dedup_incremental_indexed",
     "text_bigram_lm_kn", "dedup_minhash_estimate", "refinery_waterfall",
-    "pack_offsets")
+    "pack_offsets", "graph_degree_histogram", "graph_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -413,6 +413,59 @@ object Graph extends QueryModule {
     res
   }
 
+  /** Degree profile of the co-purchase graph — the first chart of any
+    * graph audit: nodes per degree with corpus share in exact ppm. One
+    * degree groupBy + a degree-bounded histogram groupBy; the histogram
+    * of 100 TB is max-degree rows.
+    */
+  def graphDegreeHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, sfDir, keyMod = None)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("degree"))
+    val tot = deg.agg(count(lit(1)).as("n_nodes_total"))
+    deg.groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        expr("n_nodes * 1000000 div n_nodes_total").as("share_ppm"))
+      .orderBy("degree")
+  }
+
+  /** Degree ASSORTATIVITY (Newman 2002): the Pearson correlation of
+    * endpoint degrees over directed edges — positive = hubs attach to
+    * hubs (social), negative = hubs attach to leaves
+    * (infrastructure/star), the one scalar that says which shuffle-skew
+    * regime a graph job faces. Exact: the six moment sums are plain
+    * longs (degrees are small integers), the final expression one double
+    * computation on identical integers in identical op order both
+    * engines, rounded to 6dp — the `agg_corr_exact` discipline with no
+    * decimal step needed. Cost: one degree groupBy + two broadcastable
+    * degree lookups + a scalar aggregate.
+    */
+  def graphAssortativity(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = copurchaseEdges(spark, sfDir, keyMod = None)
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("d"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    sym
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n").as("n_directed_edges"),
+        round((n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+          .as("assortativity"))
+  }
+
   /** Peel rounds on the real co-purchase graph — the [[KcoreOracleRounds]]
     * margin probe (spec-only).
     */
@@ -759,6 +812,8 @@ object Graph extends QueryModule {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_degree_histogram" -> (graphDegreeHistogram _),
+    "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
     "graph_linkpred" -> (graphLinkpred _),
   )
@@ -869,6 +924,67 @@ object Graph extends QueryModule {
          |GROUP BY s.a
          |ORDER BY c_custkey""".stripMargin
     },
+    "graph_degree_histogram" ->
+      """WITH base AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), rare AS (
+        |  SELECT part, supp FROM base GROUP BY part, supp
+        |  HAVING COUNT(*) BETWEEN 2 AND 3
+        |), members AS (
+        |  SELECT b.cust, b.part, b.supp FROM base b
+        |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
+        |), edges AS (
+        |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
+        |  FROM members m1
+        |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
+        |    AND m1.cust < m2.cust
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), deg AS (
+        |  SELECT a AS node, COUNT(*) AS degree FROM sym GROUP BY a
+        |), tot AS (
+        |  SELECT COUNT(*) AS n_nodes_total FROM deg
+        |)
+        |SELECT degree, COUNT(*) AS n_nodes,
+        |  CAST(COUNT(*) * 1000000 // tot.n_nodes_total AS BIGINT) AS share_ppm
+        |FROM deg CROSS JOIN tot
+        |GROUP BY degree, tot.n_nodes_total
+        |ORDER BY degree""".stripMargin,
+    "graph_assortativity" ->
+      """WITH base AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), rare AS (
+        |  SELECT part, supp FROM base GROUP BY part, supp
+        |  HAVING COUNT(*) BETWEEN 2 AND 3
+        |), members AS (
+        |  SELECT b.cust, b.part, b.supp FROM base b
+        |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
+        |), edges AS (
+        |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
+        |  FROM members m1
+        |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
+        |    AND m1.cust < m2.cust
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), deg AS (
+        |  SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x.d) AS BIGINT) AS sx, CAST(SUM(y.d) AS BIGINT) AS sy,
+        |    CAST(SUM(x.d * x.d) AS BIGINT) AS sxx,
+        |    CAST(SUM(y.d * y.d) AS BIGINT) AS syy,
+        |    CAST(SUM(x.d * y.d) AS BIGINT) AS sxy
+        |  FROM sym JOIN deg x ON sym.a = x.node JOIN deg y ON sym.b = y.node
+        |)
+        |SELECT n AS n_directed_edges,
+        |  ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |    / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
     "graph_closeness" ->
       """WITH RECURSIVE vol AS (
         |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
