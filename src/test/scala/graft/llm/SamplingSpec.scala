@@ -67,6 +67,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("curriculum schedule interpolates exactly between its endpoints") {
+    val rows = Sampling.mixCurriculum(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val byStep = rows.groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(byStep.keySet === Set(0, 1, 2, 3))
+    // per-step mass: ppm shares sum to 1e6 minus bounded floor-division
+    // loss (< 2 ppm per source per endpoint)
+    byStep.foreach { case (s, w) =>
+      val tot = w.values.sum
+      assert(tot <= 1000000L && tot > 1000000L - 4L * w.size, s"step $s mass $tot")
+    }
+    // linear interpolation: each source's weight path is monotone from
+    // its step-0 share to its step-3 share, and the midpoints sit within
+    // floor-division distance of the exact thirds
+    byStep(0).keys.foreach { src =>
+      val p = (0 to 3).map(s => byStep(s)(src))
+      val exact1 = (p(0) * 2 + p(3) * 1) / 3.0
+      val exact2 = (p(0) * 1 + p(3) * 2) / 3.0
+      assert(math.abs(p(1) - exact1) <= 2, s"$src step1 ${p(1)} vs $exact1")
+      assert(math.abs(p(2) - exact2) <= 2, s"$src step2 ${p(2)} vs $exact2")
+      assert((p(3) - p(0)) * (p(2) - p(1)) >= 0, s"$src not monotone: $p")
+    }
+  }
+
   test("mix keeps each source at its deterministic rate") {
     val out = Sampling.mixSources(spark, sf0001).collect()
     assert(out.nonEmpty)
