@@ -371,6 +371,11 @@ object ScaleProbe {
         val r = df.agg(count(lit(1)), sum(expr("bin * n_docs + bin_tokens"))).collect()(0)
         (r.getLong(0), r.getLong(1))
       }
+      // PROBE-ONLY BASELINE — do NOT promote into a registered query:
+      // a bare partitionBy("lang") cumsum funnels each language through
+      // ONE task (the exact anti-pattern cumBeforeByLang exists to
+      // avoid); it lives here solely as the A/B control this probe
+      // measures the hierarchical form against.
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       val naive = bins(docs.withColumn("cum_before",
@@ -403,6 +408,10 @@ object ScaleProbe {
         pmod(xxhash64(col("id") * 23 + 19), lit(1000000L)).as("dom_ppm"))
         .persist()
       scored.count()
+      // PROBE-ONLY BASELINE — do NOT promote into a registered query:
+      // four bare per-lang windows, each a single-task sort of the
+      // dominant language; kept only as the A/B control for rrfTopK's
+      // hierarchical ranks.
       val wL = Window.partitionBy("lang")
       val naive = scored
         .withColumn("r_nll",

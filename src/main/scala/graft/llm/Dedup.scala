@@ -262,12 +262,36 @@ object Dedup extends QueryModule {
       bandIndexMemo.getOrElseUpdate(key, {
         val digest = java.security.MessageDigest.getInstance("SHA-256")
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val out = s"${sys.props("java.io.tmpdir")}/graft_dedup/" +
-          s"$digest/band_index"
-        bandRowsOf(shingled(Tables.documents(spark, sfDir))
-            .filter(col("doc_id") % 4 =!= 3))
-          .write.mode("overwrite").parquet(out)
-        out
+        val base = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_dedup", digest)
+        val target = base.resolve("band_index")
+        // Cross-process safety: build into a process-unique temp sibling,
+        // then ATOMIC-RENAME into place. A complete target (parquet's
+        // _SUCCESS marker) is never rewritten, so a concurrent process
+        // lazily scanning it can never observe the delete-then-write
+        // window a shared `mode(overwrite)` path would open; a racing
+        // builder that loses the rename discards its temp and reads the
+        // winner's index (deterministic content — same corpus
+        // fingerprint). A marker-less target is a crashed build's
+        // residue: cleared and replaced.
+        if (!java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
+          val tmp = base.resolve(
+            s"band_index.tmp.${java.util.UUID.randomUUID().toString}")
+          bandRowsOf(shingled(Tables.documents(spark, sfDir))
+              .filter(col("doc_id") % 4 =!= 3))
+            .write.mode("overwrite").parquet(tmp.toString)
+          try java.nio.file.Files.move(tmp, target,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            case _: java.nio.file.FileSystemException =>
+              if (!java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
+                graft.Fs.deleteRecursively(target.toFile)
+                java.nio.file.Files.move(tmp, target,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              } else graft.Fs.deleteRecursively(tmp.toFile)
+          }
+        }
+        target.toString
       })
     }
 
@@ -364,9 +388,12 @@ object Dedup extends QueryModule {
       nCand.crossJoin(broadcast(nHit)).crossJoin(broadcast(nTrue))
         .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
           col("n_cand"), col("n_true"), col("n_hit"),
-          round(col("n_hit").cast("double") / col("n_true"), 4).as("recall"),
-          // empty-candidate guard: a bare div would NULL here but ERROR
-          // in DuckDB — divergent AND silent
+          // degenerate-corpus guards on BOTH ratios (mirrored in the
+          // oracle): zero truth pairs / zero candidates would otherwise
+          // diverge silently (Spark NULL) vs loudly (DuckDB) — the same
+          // class, so the same CASE on both engines
+          expr("CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE) " +
+            "ELSE round(CAST(n_hit AS DOUBLE) / n_true, 4) END").as("recall"),
           expr("CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) " +
             "ELSE n_hit * 1000000 div n_cand END").as("hit_per_cand_ppm"))
     }
@@ -1324,7 +1351,9 @@ object Dedup extends QueryModule {
            |SELECT CAST(bands AS INTEGER) AS bands,
            |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
            |  n_cand, n_true, n_hit,
-           |  ROUND(n_hit::DOUBLE / n_true, 4) AS recall,
+           |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+           |       ELSE ROUND(n_hit::DOUBLE / n_true, 4)
+           |  END AS recall,
            |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
            |       ELSE CAST(n_hit * 1000000 // n_cand AS BIGINT)
            |  END AS hit_per_cand_ppm

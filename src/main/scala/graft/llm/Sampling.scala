@@ -771,6 +771,46 @@ object Sampling extends QueryModule {
         col("toks"))
       .orderBy("lang", "bin", "offset_in_bin")
 
+  /** LOADER-GRADE WINDOW FRAGMENTS — the rows an attention-mask-building
+    * data loader actually consumes: one row per (document, context
+    * window) FRAGMENT, materializing the straddling convention
+    * [[packOffsets]] documents (a doc overflowing its window continues
+    * into the next). For a doc with global token span
+    * [cum_before, cum_before + toks) the fragments are its intersections
+    * with the budget-aligned window grid:
+    *
+    *   bin            = cum_before div B + frag         (window id)
+    *   frag_start_tok = max(bin·B − cum_before, 0)      (position IN the doc)
+    *   frag_len       = min(cum_before+toks, (bin+1)·B) − max(cum_before, bin·B)
+    *   offset_in_bin  = max(cum_before − bin·B, 0)      (position IN the window)
+    *
+    * so Σ frag_len per doc = toks, a non-first fragment always starts at
+    * window offset 0, and fragments within one (lang, bin) tile the
+    * window contiguously (`PackChunksSpec` pins all three). The explode
+    * is bounded by ⌈toks∕B⌉ + 1 fragments per doc — output is
+    * O(corpus_tokens ∕ B + n_docs), the loader's own scale — and the
+    * prefix underneath is the same hierarchical (lang, doc_id-block)
+    * plan as every pack_* query: no single-task language stage anywhere.
+    */
+  def packChunks(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = PackBudget.toLong
+    packAssign(Tables.documents(spark, sfDir), PackBudget)
+      .select(col("lang"), col("doc_id"),
+        col("toks").cast("long").as("toks"), col("cum_before"))
+      .withColumn("frag", explode(sequence(lit(0L),
+        expr(s"(cum_before + toks - 1) div $b - cum_before div $b"))))
+      .withColumn("bin", expr(s"cum_before div $b") + col("frag"))
+      .select(
+        col("lang"), col("bin"), col("doc_id"),
+        greatest(col("bin") * b - col("cum_before"), lit(0L))
+          .as("frag_start_tok"),
+        (least(col("cum_before") + col("toks"), (col("bin") + 1) * b)
+          - greatest(col("cum_before"), col("bin") * b)).as("frag_len"),
+        greatest(col("cum_before") - col("bin") * b, lit(0L))
+          .as("offset_in_bin"))
+      .orderBy("lang", "bin", "offset_in_bin")
+  }
+
   /** Packing profile: windows per language with doc and token counts. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
     packAssign(Tables.documents(spark, sfDir), PackBudget)
@@ -856,6 +896,7 @@ object Sampling extends QueryModule {
     "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
     "pack_offsets"    -> (packOffsets _),
+    "pack_chunks"     -> (packChunks _),
     "pack_length_buckets" -> (packLengthBuckets _),
   )
 
@@ -1293,6 +1334,27 @@ object Sampling extends QueryModule {
            |SELECT lang, CAST(cum_before // $PackBudget AS BIGINT) AS bin, doc_id,
            |  CAST(cum_before % $PackBudget AS BIGINT) AS offset_in_bin, toks
            |FROM c ORDER BY lang, bin, offset_in_bin""".stripMargin,
+      "pack_chunks" ->
+        s"""WITH t AS (
+           |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT lang, doc_id, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM t
+           |), f AS (
+           |  SELECT lang, doc_id, toks, cum_before,
+           |    cum_before // $PackBudget + unnest(generate_series(0,
+           |      (cum_before + toks - 1) // $PackBudget - cum_before // $PackBudget)) AS bin
+           |  FROM c
+           |)
+           |SELECT lang, CAST(bin AS BIGINT) AS bin, doc_id,
+           |  CAST(GREATEST(bin * $PackBudget - cum_before, 0) AS BIGINT) AS frag_start_tok,
+           |  CAST(LEAST(cum_before + toks, (bin + 1) * $PackBudget)
+           |    - GREATEST(cum_before, bin * $PackBudget) AS BIGINT) AS frag_len,
+           |  CAST(GREATEST(cum_before - bin * $PackBudget, 0) AS BIGINT) AS offset_in_bin
+           |FROM f ORDER BY lang, bin, offset_in_bin""".stripMargin,
     )
   }
 }

@@ -327,7 +327,11 @@ object Similarity extends QueryModule {
         .crossJoin(hits).crossJoin(broadcast(nExact))
         .select(lit(r).as("radius"), lit(nb).as("n_probe_buckets"),
           col("n_candidates"), col("n_hits"),
-          expr("n_hits * 1000000 div n_exact").as("recall_ppm"))
+          // zero-truth guard (mirrored in the oracle): an empty exact
+          // top-3 would NULL here but ERROR in DuckDB — divergent AND
+          // silent, the dedup_lsh_sweep class
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
     }
     rows.reduce(_.unionAll(_)).orderBy("radius")
   }
@@ -1551,7 +1555,9 @@ object Similarity extends QueryModule {
          |  CAST(n_probe_buckets AS INTEGER) AS n_probe_buckets,
          |  CAST(n_candidates AS BIGINT) AS n_candidates,
          |  CAST(n_hits AS BIGINT) AS n_hits,
-         |  CAST(n_hits * 1000000 // nex.n_exact AS BIGINT) AS recall_ppm
+         |  CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_hits * 1000000 // nex.n_exact AS BIGINT)
+         |  END AS recall_ppm
          |FROM per CROSS JOIN nex
          |ORDER BY radius""".stripMargin,
     "sim_ann_rplsh" ->

@@ -937,6 +937,15 @@ object EventTime extends QueryModule {
     * no engine float variance). Labels: metronomic CV² < 0.1, bursty
     * CV² > 4. Scale: one user-keyed window (high-cardinality key) +
     * one map-side-combinable groupBy.
+    *
+    * 38-digit bound (DuckDB carries the sums in 128-bit HUGEINT, so the
+    * Spark DECIMAL(38,0) side is the binding one): the intermediate is
+    * n·Σg²·10⁶ with Σg² ≤ gap_max·Σg ≤ span² where span = the user's
+    * activity extent in seconds. A century-long log has span ≤ 3.2·10⁹,
+    * so n·Σg²·10⁶ ≤ n·10²⁵·1.1 — inside 10³⁸ for any per-user gap count
+    * n ≤ 10¹³, i.e. for any corpus physically storable (10¹³ events for
+    * ONE user). Both engines therefore stay exact over the whole
+    * realizable input range; no clamp needed.
     */
   def evtBurstiness(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))

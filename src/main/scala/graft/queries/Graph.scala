@@ -461,8 +461,14 @@ object Graph extends QueryModule {
         sum(col("dy") * col("dy")).as("syy"),
         sum(col("dx") * col("dy")).as("sxy"))
       .select(col("n").as("n_directed_edges"),
-        round((n * sxy - sx * sy)
-          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+        // zero-variance guard (mirrored in the oracle): on a REGULAR
+        // graph (all degrees equal) both factors are 0 and the bare
+        // division yields engine-dependent NaN/NULL — assortativity is
+        // undefined there, so both engines emit NULL explicitly
+        when((n * sxx - sx * sx) * (n * syy - sy * sy) === 0.0,
+            lit(null).cast("double"))
+          .otherwise(round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6))
           .as("assortativity"))
   }
 
@@ -981,9 +987,11 @@ object Graph extends QueryModule {
         |  FROM sym JOIN deg x ON sym.a = x.node JOIN deg y ON sym.b = y.node
         |)
         |SELECT n AS n_directed_edges,
-        |  ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
+        |  CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx)
+        |          * (n::DOUBLE * syy - sy::DOUBLE * sy) = 0 THEN NULL
+        |       ELSE ROUND((n::DOUBLE * sxy - sx::DOUBLE * sy)
         |    / sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) * (n::DOUBLE * syy - sy::DOUBLE * sy)), 6)
-        |    AS assortativity
+        |  END AS assortativity
         |FROM m""".stripMargin,
     "graph_closeness" ->
       """WITH RECURSIVE vol AS (
