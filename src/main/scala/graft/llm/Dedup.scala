@@ -104,10 +104,13 @@ object Dedup extends QueryModule {
     * widens the explored prefix ((1−t)·n tokens per doc), so cost rises as
     * t falls; exact at every t.
     */
-  private[llm] def jaccardPairs(spark: SparkSession, sfDir: String, t: Double): DataFrame = {
+  private[llm] def jaccardPairs(spark: SparkSession, sfDir: String, t: Double): DataFrame =
+    jaccardPairsOf(Tables.documents(spark, sfDir), t)
+
+  private[llm] def jaccardPairsOf(docs: DataFrame, t: Double): DataFrame = {
     // One pinned exchange over the shingled table → ReuseExchange runs the
     // md5 shingling once for the two probe sides + two verify joins.
-    val d = Tables.documents(spark, sfDir)
+    val d = docs
       .select(col("doc_id"), col("lang"), sort_array(shingles(col("text"))).as("s"))
       .withColumn("n", size(col("s")))
       .repartition(col("doc_id"))
@@ -354,15 +357,41 @@ object Dedup extends QueryModule {
     * one-shot release contract (cut the 5-row result, release the
     * corpus-sized cuts).
     */
-  def dedupLshSweep(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupLshSweep(spark: SparkSession, sfDir: String): DataFrame =
+    lshSweepOver(Tables.documents(spark, sfDir))
+
+  /** [[dedupLshSweep]] restricted to the deterministic
+    * [[CalibSamplePct]]% hash sample of docs — the form the calibration
+    * itself runs at 100 TB: the exact PPJoin ground truth is quadratic
+    * in corpus size, so production tunes band/row configs on a sample
+    * (cost drops ~(pct∕100)² ≈ 6×) and applies the chosen config
+    * corpus-wide. Both engines filter on the SAME doc_id hash before
+    * anything else, so the oracle replays the sampled sweep end to end;
+    * sweep logic is shared verbatim with the full tier, and the
+    * sampled-vs-full recall agreement at sf0.1 is probed in SCRATCH_r9.
+    */
+  def dedupLshSweepSampled(spark: SparkSession, sfDir: String): DataFrame =
+    lshSweepOver(calibSample(Tables.documents(spark, sfDir)))
+
+  /** Deterministic calibration sample: keep a doc iff
+    * hash60(doc_id) mod 100 < pct — the `sample_hash` discipline, so
+    * DuckDB applies the identical predicate and samples nest across pct.
+    */
+  private[llm] val CalibSamplePct = 40
+
+  private def calibSample(docs: DataFrame): DataFrame =
+    docs.filter(
+      pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100)) < CalibSamplePct)
+
+  private def lshSweepOver(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.PlanBridge
     val (sig, sigRdd, _) = PlanBridge.cutLineage(
-      shingled(Tables.documents(spark, sfDir)).select(col("doc_id"),
+      shingled(docs).select(col("doc_id"),
         graft.functions.VectorExpressions
           .minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP)
           .as("mh")))
     val (truth, truthRdd, _) = PlanBridge.cutLineage(
-      jaccardPairs(spark, sfDir, t = 0.5).select("doc_a", "doc_b"))
+      jaccardPairsOf(docs, t = 0.5).select("doc_a", "doc_b"))
     val nTrue = truth.agg(count(lit(1)).as("n_true"))
     val configs = Seq(1 -> 16, 2 -> 8, 4 -> 4, 8 -> 2, 16 -> 1)
     val perConfig = configs.map { case (b, r) =>
@@ -416,8 +445,20 @@ object Dedup extends QueryModule {
     * candidate-only joined pairs, so the extra cost over
     * [[dedupMinhash]] is O(candidates).
     */
-  def dedupMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = shingled(Tables.documents(spark, sfDir))
+  def dedupMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame =
+    minhashEstimateOver(Tables.documents(spark, sfDir))
+
+  /** [[dedupMinhashEstimate]] on the deterministic [[CalibSamplePct]]%
+    * hash sample — estimator calibration priced for 100 TB: the ±1∕16
+    * agreement-granularity error table needs only a representative pair
+    * population, not the whole corpus, and the hash sample keeps it
+    * reproducible AND oracle-replayable (same predicate both engines).
+    */
+  def dedupMinhashEstimateSampled(spark: SparkSession, sfDir: String): DataFrame =
+    minhashEstimateOver(calibSample(Tables.documents(spark, sfDir)))
+
+  private def minhashEstimateOver(corpus: DataFrame): DataFrame = {
+    val docs = shingled(corpus)
     val sig = docs.select(col("doc_id"),
       graft.functions.VectorExpressions
         .minhash_signature(col("s"), Hashing.MinhashParams, Hashing.MinhashP).as("mh"))
@@ -934,10 +975,12 @@ object Dedup extends QueryModule {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
+    "dedup_minhash_estimate_sampled" -> (dedupMinhashEstimateSampled _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "dedup_lsh_recall"    -> (dedupLshRecall _),
     "dedup_lsh_sweep"     -> (dedupLshSweep _),
+    "dedup_lsh_sweep_sampled" -> (dedupLshSweepSampled _),
     "dedup_source_matrix" -> (dedupSourceMatrix _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_simhash_pairs" -> (dedupSimhashPairs _),
@@ -987,6 +1030,98 @@ object Dedup extends QueryModule {
   override def oracles: Map[String, String] = {
     val permValues = Hashing.MinhashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+    // Deterministic calibration-sample predicate — the DuckDB mirror of
+    // calibSample, appended to the documents scan of *_sampled variants
+    // so both engines sample BEFORE any shingle/signature work.
+    val duckCalibWhere =
+      s"\n  WHERE ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 < $CalibSamplePct"
+    // Estimator-calibration oracle over a caller-chosen documents scan
+    // (full corpus or the calibration sample).
+    def minhashEstimateSql(srcWhere: String): String =
+      s"""WITH d AS (
+         |  SELECT doc_id, $duckShingles AS s FROM documents$srcWhere
+         |), sh AS (
+         |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+         |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+         |), perms(i, pa, pb) AS (VALUES $permValues),
+         |sig AS (
+         |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+         |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+         |), sigl AS (
+         |  SELECT doc_id, list(mh ORDER BY i) AS mh FROM sig GROUP BY doc_id
+         |), bands AS (
+         |  SELECT doc_id, i // 4 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+         |  FROM sig GROUP BY doc_id, i // 4
+         |), cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+         |), v AS (
+         |  SELECT doc_a, doc_b,
+         |    ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+         |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc,
+         |    CAST(len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) * 62500
+         |      AS BIGINT) AS est_ppm
+         |  FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
+         |  JOIN sigl ma ON cand.doc_a = ma.doc_id JOIN sigl mb ON cand.doc_b = mb.doc_id
+         |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+         |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+         |)
+         |SELECT doc_a, doc_b, jacc, est_ppm,
+         |  est_ppm - CAST(ROUND(jacc * 1000000) AS BIGINT) AS err_ppm
+         |FROM v ORDER BY doc_a, doc_b""".stripMargin
+    // Band/row S-curve sweep oracle over a caller-chosen documents scan.
+    def lshSweepSql(srcWhere: String): String = {
+      def config(b: Int): String = {
+        val r = 16 / b
+        s"""bands$b AS (
+           |  SELECT doc_id, i // $r AS band,
+           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
+           |  FROM sig GROUP BY doc_id, i // $r
+           |), cand$b AS (
+           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |  FROM bands$b x JOIN bands$b y
+           |    ON x.band = y.band AND x.band_key = y.band_key
+           |   AND x.doc_id < y.doc_id
+           |), s$b AS (
+           |  SELECT $b AS bands, $r AS rows_per_band,
+           |    (SELECT COUNT(*) FROM cand$b) AS n_cand,
+           |    (SELECT COUNT(*) FROM truth) AS n_true,
+           |    (SELECT COUNT(*) FROM truth t JOIN cand$b c
+           |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
+           |)""".stripMargin
+      }
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $duckShingles AS s FROM documents$srcWhere
+         |), truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
+         |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+         |), sh AS (
+         |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
+         |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
+         |), perms(i, pa, pb) AS (VALUES $permValues),
+         |sig AS (
+         |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
+         |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
+         |),
+         |${Seq(1, 2, 4, 8, 16).map(config).mkString(",\n")}
+         |SELECT CAST(bands AS INTEGER) AS bands,
+         |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
+         |  n_cand, n_true, n_hit,
+         |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
+         |       ELSE ROUND(n_hit::DOUBLE / n_true, 4)
+         |  END AS recall,
+         |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_hit * 1000000 // n_cand AS BIGINT)
+         |  END AS hit_per_cand_ppm
+         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+         |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s8
+         |      UNION ALL SELECT * FROM s16)
+         |ORDER BY bands""".stripMargin
+    }
     val bitSumExprs = (0 until 60)
       .map(j => s"SUM(CASE WHEN (h & (CAST(1 AS BIGINT) << $j)) <> 0 THEN 1 ELSE -1 END) AS s$j")
       .mkString(",\n        |    ")
@@ -1243,40 +1378,8 @@ object Dedup extends QueryModule {
            |WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
            |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
            |ORDER BY doc_a, doc_b""".stripMargin,
-      "dedup_minhash_estimate" ->
-        s"""WITH d AS (
-           |  SELECT doc_id, $duckShingles AS s FROM documents
-           |), sh AS (
-           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
-           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
-           |), perms(i, pa, pb) AS (VALUES $permValues),
-           |sig AS (
-           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
-           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
-           |), sigl AS (
-           |  SELECT doc_id, list(mh ORDER BY i) AS mh FROM sig GROUP BY doc_id
-           |), bands AS (
-           |  SELECT doc_id, i // 4 AS band,
-           |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
-           |  FROM sig GROUP BY doc_id, i // 4
-           |), cand AS (
-           |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-           |  FROM bands x JOIN bands y
-           |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-           |), v AS (
-           |  SELECT doc_a, doc_b,
-           |    ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
-           |          (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jacc,
-           |    CAST(len(list_filter(range(1, 17), i -> ma.mh[i] = mb.mh[i])) * 62500
-           |      AS BIGINT) AS est_ppm
-           |  FROM cand JOIN d a ON cand.doc_a = a.doc_id JOIN d b ON cand.doc_b = b.doc_id
-           |  JOIN sigl ma ON cand.doc_a = ma.doc_id JOIN sigl mb ON cand.doc_b = mb.doc_id
-           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
-           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
-           |)
-           |SELECT doc_a, doc_b, jacc, est_ppm,
-           |  est_ppm - CAST(ROUND(jacc * 1000000) AS BIGINT) AS err_ppm
-           |FROM v ORDER BY doc_a, doc_b""".stripMargin,
+      "dedup_minhash_estimate" -> minhashEstimateSql(""),
+      "dedup_minhash_estimate_sampled" -> minhashEstimateSql(duckCalibWhere),
       "dedup_lsh_recall" ->
         s"""WITH d AS (
            |  SELECT doc_id, lang, $duckShingles AS s FROM documents
@@ -1312,56 +1415,8 @@ object Dedup extends QueryModule {
            |  ON truth.doc_a = found.doc_a AND truth.doc_b = found.doc_b
            |GROUP BY truth.lang
            |ORDER BY truth.lang""".stripMargin,
-      "dedup_lsh_sweep" -> {
-        def config(b: Int): String = {
-          val r = 16 / b
-          s"""bands$b AS (
-             |  SELECT doc_id, i // $r AS band,
-             |    string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS band_key
-             |  FROM sig GROUP BY doc_id, i // $r
-             |), cand$b AS (
-             |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-             |  FROM bands$b x JOIN bands$b y
-             |    ON x.band = y.band AND x.band_key = y.band_key
-             |   AND x.doc_id < y.doc_id
-             |), s$b AS (
-             |  SELECT $b AS bands, $r AS rows_per_band,
-             |    (SELECT COUNT(*) FROM cand$b) AS n_cand,
-             |    (SELECT COUNT(*) FROM truth) AS n_true,
-             |    (SELECT COUNT(*) FROM truth t JOIN cand$b c
-             |       ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hit
-             |)""".stripMargin
-        }
-        s"""WITH d AS (
-           |  SELECT doc_id, lang, $duckShingles AS s FROM documents
-           |), truth AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-           |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
-           |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
-           |), sh AS (
-           |  SELECT doc_id, sh % ${Hashing.MinhashP} AS h
-           |  FROM (SELECT doc_id, unnest(s) AS sh FROM d)
-           |), perms(i, pa, pb) AS (VALUES $permValues),
-           |sig AS (
-           |  SELECT doc_id, i, MIN((pa * h + pb) % ${Hashing.MinhashP}) AS mh
-           |  FROM sh CROSS JOIN perms GROUP BY doc_id, i
-           |),
-           |${Seq(1, 2, 4, 8, 16).map(config).mkString(",\n")}
-           |SELECT CAST(bands AS INTEGER) AS bands,
-           |  CAST(rows_per_band AS INTEGER) AS rows_per_band,
-           |  n_cand, n_true, n_hit,
-           |  CASE WHEN n_true = 0 THEN CAST(0 AS DOUBLE)
-           |       ELSE ROUND(n_hit::DOUBLE / n_true, 4)
-           |  END AS recall,
-           |  CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT)
-           |       ELSE CAST(n_hit * 1000000 // n_cand AS BIGINT)
-           |  END AS hit_per_cand_ppm
-           |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
-           |      UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s8
-           |      UNION ALL SELECT * FROM s16)
-           |ORDER BY bands""".stripMargin
-      },
+      "dedup_lsh_sweep" -> lshSweepSql(""),
+      "dedup_lsh_sweep_sampled" -> lshSweepSql(duckCalibWhere),
       "dedup_source_matrix" ->
         s"""WITH d AS (
            |  SELECT doc_id, $duckShingles AS s FROM documents
