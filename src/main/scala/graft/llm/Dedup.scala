@@ -135,6 +135,63 @@ object Dedup extends QueryModule {
       .select("doc_a", "doc_b", "jacc", "lang")
   }
 
+  /** Sorted-shingle signature rows (doc_id, lang, s) of a (doc_id, lang,
+    * text) frame — the per-doc artifact the STANDING PPJOIN INDEX stores:
+    * everything the exact prefix-probe candidate generation and the
+    * Jaccard verification need, with no re-read of the original text.
+    */
+  private[graft] def shingleSigs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      sort_array(shingles(col("text"))).as("s"))
+
+  /** INCREMENTAL exact-Jaccard pairs — the per-batch half of the standing
+    * dedup index: verified J ≥ t pairs touching the NEW docs, against the
+    * standing corpus (`olds`, the accumulated signature index) and within
+    * the batch itself. Candidates come from the same PPJoin prefix-token
+    * probes + length-ratio filter as [[jaccardPairsOf]], so over a drained
+    * stream the union of per-batch pair sets EQUALS the batch PPJoin pair
+    * set: for any qualifying pair the later-arriving endpoint finds the
+    * earlier one in the index (or beside it in the same batch), and the
+    * candidate predicate is symmetric. Pairs are normalized (doc_a <
+    * doc_b) to the batch orientation. Scale: the probe join is
+    * batch × index on (lang, prefix-token) — the small batch side
+    * broadcasts, so each micro-batch costs one index scan with zero
+    * shuffle of the index (a tok-bucketed index layout would prune even
+    * the scan); verification re-joins signatures for CANDIDATES only.
+    */
+  private[graft] def incrementalJaccardPairs(
+      news: DataFrame, olds: DataFrame, t: Double): DataFrame = {
+    def withPrefix(sigs: DataFrame): DataFrame = {
+      val d = sigs.withColumn("n", size(col("s")))
+      val prefix =
+        slice(col("s"), lit(1), (col("n") - ceil(col("n") * t) + 1).cast("int"))
+      d.select(col("doc_id"), col("lang"), col("n"), explode(prefix).as("tok"))
+    }
+    val np = withPrefix(news)
+    val op = withPrefix(olds)
+    def ratioOk = least(col("x.n"), col("y.n")).cast("double") /
+      greatest(col("x.n"), col("y.n")) >= t
+    val candNewOld = broadcast(np).as("x").join(op.as("y"),
+        col("x.lang") === col("y.lang") && col("x.tok") === col("y.tok") && ratioOk)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+    val candNewNew = np.as("x").join(np.as("y"),
+        col("x.lang") === col("y.lang") && col("x.tok") === col("y.tok") &&
+        col("x.doc_id") < col("y.doc_id") && ratioOk)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = candNewOld.unionAll(candNewNew).distinct()
+    val all = news.select("doc_id", "s").unionAll(olds.select("doc_id", "s"))
+    val inter = graft.functions.VectorExpressions
+      .sorted_intersect_count(col("sa"), col("sb"))
+    val jacc = inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)
+    cand
+      .join(all.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(all.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("jacc", round(jacc, 6))
+      .filter(col("jacc") >= t)
+      .select("doc_a", "doc_b", "jacc")
+  }
+
   // ------------------------------------------------------------ MinHash/LSH
 
   /** U2b: MinHash signatures + LSH banding + exact-Jaccard verification.

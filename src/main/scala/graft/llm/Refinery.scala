@@ -292,14 +292,119 @@ object Refinery extends QueryModule {
     * manifest equals the batch `refinery_pack` on the same corpus.
     */
   def manifestFromCurated(spark: SparkSession, curatedDir: String): DataFrame =
+    packManifest(spark.read.parquet(curatedDir))
+
+  private def packManifest(curated: DataFrame): DataFrame =
     Sampling.cumBeforeByLang(
-        spark.read.parquet(curatedDir)
-          .select(col("doc_id"), col("lang"),
-            col("n_kept_words").cast("long").as("toks")))
+        curated.select(col("doc_id"), col("lang"),
+          col("n_kept_words").cast("long").as("toks")))
       .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
       .orderBy("lang", "bin")
+
+  /** The refinery stream WITH the standing near-dup index — the actual
+    * production ingestion shape: each arriving micro-batch (a) appends
+    * its sorted-shingle signatures to the index zone, (b) discovers the
+    * verified J ≥ 0.8 pairs it forms against HISTORY and within itself
+    * ([[Dedup.incrementalJaccardPairs]] — batch-side broadcast over the
+    * index, O(batch) signature work, never an O(corpus) recompute) and
+    * appends them to the pairs zone, and (c) gates + masks + appends
+    * curated rows exactly like [[refineryStream]]. Near-dup DROPPING is
+    * deliberately NOT per-batch: the survivor rule is
+    * transitive-consistent min-id-per-CLUSTER, and cluster closure is a
+    * corpus-global artifact (an arrival-order local rule would keep a
+    * doc whose only matches arrive later) — so, like packing's
+    * corpus-global prefix, it runs at publication
+    * ([[manifestFromCuratedDedup]]) over the accumulated pairs. Because
+    * the per-batch candidate predicate is symmetric and every pair's
+    * later endpoint sees the earlier one (in the index, or beside it in
+    * its own batch), the accumulated pair set equals the batch PPJoin
+    * pair set — which makes the published manifest IDENTICAL to the
+    * batch `refinery_dedup_pack` (`StreamingDedupIndexSpec` pins it,
+    * plus index idempotence across re-drains).
+    *
+    * Exactly-once: every zone (sigs, pairs, curated) writes
+    * per-micro-batch `batch=<id>` subdirectories with overwrite, so a
+    * failure-retry REPLACES its own partial output; the pair step reads
+    * the index filtered to `batch < batchId`, so a retry never joins
+    * against its own half-written signatures.
+    */
+  def refineryIndexedStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      curatedDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
+    val spans = SuffixDedup.dupSpansExact(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // (a) this batch's signatures into the standing index
+        val sigs = Dedup.shingleSigs(batch.select("doc_id", "lang", "text"))
+        sigs.write.mode("overwrite").parquet(s"$indexDir/sigs/batch=$batchId")
+        // (b) pairs vs history (index batches STRICTLY before this one)
+        //     plus within-batch pairs
+        //     (step (a) just wrote batch=<id>, so the zone always exists;
+        //     on batch 0 the filter prunes everything — an empty history)
+        val olds = spark.read.parquet(s"$indexDir/sigs")
+          .filter(col("batch") < batchId)
+          .select("doc_id", "lang", "s")
+        Dedup.incrementalJaccardPairs(sigs, olds, t = 0.8)
+          .select("doc_a", "doc_b")
+          .write.mode("overwrite").parquet(s"$indexDir/pairs/batch=$batchId")
+        // (c) gate + mask + curated rows (the refineryStream path)
+        val gated = batch
+          .selectExpr("doc_id", "lang", "source", "text",
+            "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+            s"${Ml.LogregFeats1} AS x1",
+            "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+          .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
+        gated
+          .join(Dedup.maskedTextWithSpans(
+            gated.select("doc_id", "text"), spans), "doc_id")
+          .select("doc_id", "lang", "source", "n_words", "n_kept_words",
+            "masked_text")
+          .write.mode("overwrite").parquet(s"$curatedDir/batch=$batchId")
+        ()
+      }
+      .start()
+    graft.streaming.JobRegistry.register(q)
+    q
+  }
+
+  /** Publication over the zones [[refineryIndexedStream]] maintains:
+    * close the accumulated pair set into clusters, drop every
+    * non-canonical member (survivor = min doc_id — the `dedup_clusters`
+    * rule), pack the remainder. A drained stream's published manifest
+    * equals the batch `refinery_dedup_pack` on the same corpus: the
+    * curated zone carries the gate ∘ mask survivors with post-mask token
+    * counts, and the accumulated pairs equal the batch PPJoin pair set.
+    * Scale: the component solve is the same banded-candidate
+    * ConnectedComponents the batch path runs — O(pairs), never
+    * corpus×corpus — and the loser drop is a key anti-join.
+    */
+  def manifestFromCuratedDedup(
+      spark: SparkSession, curatedDir: String, indexDir: String): DataFrame = {
+    val pairs = spark.read.parquet(s"$indexDir/pairs")
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val losers = graft.operators.ConnectedComponents.components(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    packManifest(
+      spark.read.parquet(curatedDir).join(losers, Seq("doc_id"), "left_anti"))
+  }
 
   /** The refinery's SINK pass: materialize the curated corpus — kept docs
     * with their duplicated spans CUT — to `outPath` as parquet, the
