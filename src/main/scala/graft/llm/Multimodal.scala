@@ -608,6 +608,44 @@ object Multimodal extends QueryModule {
       .orderBy("cluster", "id")
   }
 
+  /** The perceptual-cluster closure with PREFIXED CTE names (mm_*) so it
+    * composes into OTHER oracles (refinery_mm_dedup) without colliding
+    * with their CTEs — the `Dedup.duckClusterLoserCtes` discipline for
+    * the image pair graph. Exposes `mm_losers(doc_id)`: docs whose IMAGE
+    * payload is a non-canonical member of an aHash near-dup cluster,
+    * i.e. exactly what `mmAhashClusters.filter(!canonical)` drops. The
+    * enclosing query must open `WITH RECURSIVE`.
+    */
+  private[llm] val duckAhashLoserCtes: String =
+    """mm_img AS (
+      |  SELECT doc_id AS id,
+      |    list_transform(range(0, 60),
+      |      k -> ascii(substr(text, CAST((k * len(text)) // 60 AS INTEGER) + 1, 1))) AS s
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), mm_hashed AS (
+      |  SELECT id, s, list_sum(s) AS tot FROM mm_img
+      |), mm_packed AS (
+      |  SELECT id,
+      |    CAST(list_sum(list_transform(range(0, 60),
+      |      k -> CASE WHEN s[k + 1] * 60 > tot THEN (CAST(1 AS BIGINT) << k) ELSE 0 END))
+      |      AS BIGINT) AS ahash
+      |  FROM mm_hashed
+      |), mm_pairs AS (
+      |  SELECT a.id AS pa, b.id AS pb
+      |  FROM mm_packed a JOIN mm_packed b ON a.id < b.id
+      |  WHERE bit_count(xor(a.ahash, b.ahash)) <= 10
+      |), mm_edges AS (
+      |  SELECT pa AS a, pb AS b FROM mm_pairs
+      |  UNION SELECT pb, pa FROM mm_pairs
+      |), mm_reach(n, m) AS (
+      |  SELECT a, b FROM mm_edges
+      |  UNION
+      |  SELECT r.n, e.b FROM mm_reach r JOIN mm_edges e ON r.m = e.a WHERE e.b <> r.n
+      |), mm_losers AS (
+      |  SELECT n AS doc_id FROM mm_reach GROUP BY n
+      |  HAVING LEAST(n, MIN(m)) <> n
+      |)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_ahash"      -> (mmAhash _),
     "mm_ahash_pairs" -> (mmAhashPairs _),

@@ -173,6 +173,27 @@ object Refinery extends QueryModule {
       .reduce(_.unionAll(_)).orderBy("stage")
   }
 
+  /** gate ∘ IMAGE-cluster-representative dedup ∘ mask ∘ pack — the
+    * multimodal stage composed into the curation surface: a doc whose
+    * image payload is a NON-canonical member of a perceptual (aHash)
+    * near-dup cluster ([[Multimodal.mmAhashClusters]]) is dropped before
+    * packing — the image-near-dup-propagates-to-doc rule a real
+    * multimodal pipeline applies (a re-encoded/cropped copy of an image
+    * marks its OWNING document as a duplicate, whatever its text says).
+    * Media id = doc_id (the mediaTable contract), so the loser set is a
+    * key anti-join; the cluster solve is the banded-chunk candidate
+    * pipeline + ConnectedComponents, never corpus×corpus. The DuckDB
+    * oracle replays the whole chain — classifier retrain, aHash pair
+    * graph, recursive cluster closure, suffix spans, packing — so one
+    * hash pins the multimodal tier composed with all four text tiers.
+    */
+  def refineryMmDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val mmLosers = Multimodal.mmAhashClusters(spark, sfDir)
+      .filter(!col("canonical")).select(col("id").as("doc_id"))
+    maskAndPack(spark, sfDir,
+      gatedDocs(spark, sfDir).join(mmLosers, Seq("doc_id"), "left_anti"))
+  }
+
   def refineryFull(spark: SparkSession, sfDir: String): DataFrame = {
     val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
       .select("doc_id")
@@ -430,6 +451,7 @@ object Refinery extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "refinery_pack" -> (refineryPack _),
     "refinery_dedup_pack" -> (refineryDedupPack _),
+    "refinery_mm_dedup" -> (refineryMmDedup _),
     "refinery_decontaminated" -> (refineryDecontaminated _),
     "refinery_full" -> (refineryFull _),
     "refinery_anneal" -> (refineryAnneal _),
@@ -492,6 +514,15 @@ object Refinery extends QueryModule {
         """surv AS (
           |  SELECT * FROM keepd
           |  WHERE doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
+    // image-cluster variant: aHash pair graph + recursive closure over
+    // the image rows, losers anti-joined before the shared pack tail
+    val mmDedupSql =
+      (sharedHead ++ Seq(
+        Multimodal.duckAhashLoserCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM mm_losers))""".stripMargin))
         .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
     val decontSql =
       (sharedHead ++ Seq(
@@ -602,6 +633,7 @@ object Refinery extends QueryModule {
     Map(
       "refinery_pack" -> packSql,
       "refinery_dedup_pack" -> dedupSql,
+      "refinery_mm_dedup" -> mmDedupSql,
       "refinery_decontaminated" -> decontSql,
       "refinery_full" -> fullSql,
       "refinery_anneal" -> annealSql,
