@@ -52,6 +52,77 @@ object Maintenance extends QueryModule {
       .orderBy("source", "bin")
   }
 
+  /** EXECUTE a compaction over a real partitioned-parquet directory —
+    * the rewrite [[compactionBins]] only plans: per partition
+    * directory, list the actual data files (driver-side, metadata
+    * scale — the same listing every OPTIMIZE/rewriteDataFiles planner
+    * does), assign them to bins by the identical running-total
+    * division (name order, bin = bytes-before div target), then
+    * rewrite so each bin becomes EXACTLY ONE output file.
+    *
+    * The rewrite is fully distributed: one scan of the partition tags
+    * each row with its source file's bin (a broadcast basename→bin
+    * literal map over `input_file_name`), a hash repartition on the
+    * bin key lands every bin wholly inside one task, and a
+    * `partitionBy(__bin)` write therefore emits exactly one file per
+    * bin; the driver then only RENAMES those files into the final
+    * `partition/compact-<bin>.parquet` layout (a metadata-scale commit,
+    * like a table format's rewrite commit) — no data moves through the
+    * driver. Output keeps the input's `key=value` partition directories,
+    * so partition pruning is untouched, and the row payload is
+    * byte-identical (`CompactionExecuteSpec` pins file-count = bin
+    * count, content equality, and post-compaction pruning).
+    *
+    * Returns the executed report: (partition, n_files_in, n_bins).
+    */
+  def compactExecute(
+      spark: SparkSession, tableDir: String, outDir: String,
+      targetBytes: Long = TargetBytes): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val partDirs = Option(new java.io.File(tableDir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.contains("=")).sortBy(_.getName)
+    val report = partDirs.toSeq.flatMap { pd =>
+      val files = Option(pd.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .sortBy(_.getName)
+      if (files.isEmpty) None else Some {
+      var cum = 0L
+      val fileToBin: Map[String, Long] = files.map { f =>
+        val b = cum / targetBytes; cum += f.length(); f.getName -> b
+      }.toMap
+      val nBins = fileToBin.values.max + 1
+      val staging = s"$outDir/.staging/${pd.getName}"
+      spark.read.parquet(pd.toString)
+        .withColumn("__bin", element_at(typedlit(fileToBin),
+          regexp_extract(input_file_name(), "[^/]+$", 0)))
+        .repartition(col("__bin"))
+        .write.mode("overwrite").partitionBy("__bin").parquet(staging)
+      val outPart = new java.io.File(s"$outDir/${pd.getName}")
+      outPart.mkdirs()
+      Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("__bin=")).foreach { bd =>
+          val bin = bd.getName.stripPrefix("__bin=").toLong
+          val parts = bd.listFiles().filter(_.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"bin $bin of ${pd.getName} must compact to exactly one file, got ${parts.length}")
+          java.nio.file.Files.move(parts.head.toPath,
+            new java.io.File(outPart, f"compact-$bin%05d.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      graft.Fs.deleteRecursively(new java.io.File(s"$outDir/.staging"))
+      Row(pd.getName, files.length.toLong, nBins)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(report, 1),
+      StructType(Seq(
+        StructField("partition", StringType),
+        StructField("n_files_in", LongType),
+        StructField("n_bins", LongType))))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compaction_bins" -> (compactionBins _),
   )
