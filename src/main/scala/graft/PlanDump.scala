@@ -119,7 +119,14 @@ object PlanDump {
     // band index — the dump shows the parquet scan feeding the probe join)
     "mix_curriculum", "evt_markov_stationary", "dedup_incremental_indexed",
     "text_bigram_lm_kn", "dedup_minhash_estimate", "refinery_waterfall",
-    "pack_offsets", "graph_degree_histogram", "graph_assortativity")
+    "pack_offsets", "graph_degree_histogram", "graph_assortativity",
+    // round 9: loader-grade window fragments (bounded explode over the
+    // hierarchical prefix), sampled calibration tiers (scan-level hash
+    // filter ahead of the shared sweep — the dump shows the 5-row
+    // read-off; sampling sits in the cut branches), image-cluster
+    // refinery
+    "pack_chunks", "dedup_lsh_sweep_sampled",
+    "dedup_minhash_estimate_sampled", "refinery_mm_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -357,11 +357,55 @@ object Refinery extends QueryModule {
       landingDir: String,
       curatedDir: String,
       indexDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    indexedStream(spark, sfDir, landingDir, curatedDir, indexDir,
+      checkpointDir, decontaminate = false)
+
+  /** THE FULL CHAIN ON THE STREAM: [[refineryIndexedStream]] plus
+    * per-batch benchmark DECONTAMINATION — the eval slice itself and any
+    * doc sharing a word 5-gram with the standing benchmark gram set (a
+    * registry artifact, broadcast like the classifier weights and span
+    * report) drop before the curated write. Both decisions are per-row
+    * given the standing artifacts, so they commute with micro-batching;
+    * with publication-time cluster dropping this makes the drained
+    * stream's manifest IDENTICAL to the batch `refinery_full`
+    * (gate ∘ decontaminate ∘ cluster-rep dedup ∘ mask ∘ pack) — pinned
+    * in `StreamingDedupIndexSpec`. Note the index still sees EVERY
+    * arriving doc's signatures: clusters are deliberately the
+    * full-corpus artifact (`refineryFull`'s conservative
+    * dead-canonical rule), and only the curated zone is decontaminated.
+    */
+  def refineryFullStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      curatedDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    indexedStream(spark, sfDir, landingDir, curatedDir, indexDir,
+      checkpointDir, decontaminate = true)
+
+  private def indexedStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      curatedDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      decontaminate: Boolean): org.apache.spark.sql.streaming.StreamingQuery = {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
     val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
     val spans = SuffixDedup.dupSpansExact(spark, sfDir)
+    // the standing benchmark gram set (registry artifact): 5-gram hashes
+    // of the eval slice, broadcast into every micro-batch's gram join
+    val benchGrams =
+      if (!decontaminate) None
+      else Some(Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 97 === 0)
+        .select(explode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 5, distinct = false)).as("g"))
+        .distinct())
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
       StructField("lang", StringType), StructField("source", StringType),
@@ -385,13 +429,25 @@ object Refinery extends QueryModule {
         Dedup.incrementalJaccardPairs(sigs, olds, t = 0.8)
           .select("doc_a", "doc_b")
           .write.mode("overwrite").parquet(s"$indexDir/pairs/batch=$batchId")
-        // (c) gate + mask + curated rows (the refineryStream path)
-        val gated = batch
+        // (c) gate [+ decontaminate] + mask + curated rows
+        val gatedAll = batch
           .selectExpr("doc_id", "lang", "source", "text",
             "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
             s"${Ml.LogregFeats1} AS x1",
             "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
           .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
+        val gated = benchGrams match {
+          case None => gatedAll
+          case Some(bg) =>
+            val contaminated = gatedAll
+              .select(col("doc_id"),
+                explode(graft.functions.VectorExpressions
+                  .word_ngram_hashes(col("text"), 5, distinct = false)).as("g"))
+              .join(broadcast(bg), "g")
+              .select("doc_id").distinct()
+            gatedAll.filter(col("doc_id") % 97 =!= 0)
+              .join(contaminated, Seq("doc_id"), "left_anti")
+        }
         gated
           .join(Dedup.maskedTextWithSpans(
             gated.select("doc_id", "text"), spans), "doc_id")

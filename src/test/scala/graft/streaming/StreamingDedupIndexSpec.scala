@@ -70,4 +70,29 @@ class StreamingDedupIndexSpec extends SparkSpec {
     assert(zoneCounts() === before, "re-drain must not grow any zone")
     assert(manifest() === streamed, "re-drain must not change the manifest")
   }
+
+  test("full-chain stream (gate + decontaminate per batch) reproduces the batch refinery_full") {
+    val sfDir = "/root/testdata/sf0.001"
+    val root = Files.createTempDirectory("graft-full-stream").toString
+    val landing = s"$root/landing"
+    val curated = s"$root/curated"
+    val index = s"$root/index"
+
+    graft.Tables.documents(spark, sfDir)
+      .repartition(3)
+      .write.json(landing)
+
+    val q = Refinery.refineryFullStream(
+      spark, sfDir, landing, curated, index, s"$root/ckpt")
+    q.awaitTermination()
+
+    val streamed = Refinery.manifestFromCuratedDedup(spark, curated, index)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batch = Refinery.refineryFull(spark, sfDir)
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+  }
 }
