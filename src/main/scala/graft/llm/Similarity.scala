@@ -344,9 +344,24 @@ object Similarity extends QueryModule {
     * only candidates reach this exact check, exactly like the
     * minhash→jaccard pipeline.
     */
-  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = embDouble(Tables.embeddings(spark, sfDir))
-      .withColumn("nrm", normOf(col("e")))
+  def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbeddingOver(embDouble(Tables.embeddings(spark, sfDir)))
+
+  /** [[dedupEmbedding]]'s exact tier on the deterministic 40% hash
+    * sample of vectors (the `Dedup.CalibSamplePct` discipline on
+    * vec_id) — the 100 TB-runnable form of the ground-truth/calibration
+    * stage: pair cost drops ~(pct∕100)², both engines filter on the
+    * identical hash predicate before any vector math, and the LSH
+    * recall it calibrates is measured on a representative pair
+    * population instead of the whole corpus.
+    */
+  def dedupEmbeddingSampled(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbeddingOver(embDouble(Tables.embeddings(spark, sfDir))
+      .filter(pmod(graft.functions.Hashing.hash60(col("vec_id").cast("string")),
+        lit(100)) < Dedup.CalibSamplePct))
+
+  private def dedupEmbeddingOver(embeddings: DataFrame): DataFrame = {
+    val emb = embeddings.withColumn("nrm", normOf(col("e")))
     val a = emb.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("nrm").as("na"))
     val b = emb.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
@@ -1023,6 +1038,7 @@ object Similarity extends QueryModule {
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_probe_sweep" -> (simAnnProbeSweep _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_sampled" -> (dedupEmbeddingSampled _),
     "dedup_embedding_lsh" -> (dedupEmbeddingLsh _),
     "dedup_semantic"  -> (dedupSemantic _),
   )
@@ -1456,6 +1472,17 @@ object Similarity extends QueryModule {
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
+         |)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ROUND(${duckCos("a.v", "b.v")}, 6) >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "dedup_embedding_sampled" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  WHERE ${graft.functions.Hashing.duckHash60("CAST(vec_id AS VARCHAR)")} % 100 < ${Dedup.CalibSamplePct}
          |)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
