@@ -205,6 +205,42 @@ object Curation extends QueryModule {
       .orderBy(col("key").desc, col("doc_id"))
   }
 
+  /** Contamination PROVENANCE — the audit table behind [[decontaminate]]'s
+    * drop decisions: one row per (contaminated doc, benchmark doc) pair
+    * with the evidence — how many distinct word 5-grams they share, the
+    * doc's own distinct-gram count, and the overlap as ppm of the doc.
+    * `decontaminate` answers "what do we drop"; this answers the question
+    * the eval team asks next — WHICH eval item leaked into WHICH training
+    * doc, and how badly (a 1-gram brush vs a verbatim copy), the evidence
+    * that separates a false-positive common phrase from a real leak.
+    *
+    * Scale shape: identical to the shipping rule's — the benchmark gram
+    * set (now carrying bench_id) is still eval-suite-sized so it
+    * broadcasts; the pair table is one map-side-combined groupBy on
+    * (doc_id, bench_id) over the semi-join survivors; the per-doc gram
+    * totals reuse the same exploded scan. Grams are DISTINCT per doc on
+    * both sides so repeated phrases can't inflate the evidence count.
+    */
+  def decontaminateProvenance(spark: SparkSession, sfDir: String): DataFrame = {
+    val isBench = col("doc_id") % 97 === 0
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 5, distinct = true)).as("g"))
+    val bench = grams.filter(isBench)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    val corpus = grams.filter(!isBench)
+    val docTotals = corpus.groupBy("doc_id")
+      .agg(count(lit(1)).as("doc_grams")) // distinct=true ⇒ count == n distinct
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .join(docTotals, "doc_id")
+      .withColumn("shared_ppm", expr("n_shared * 1000000 div doc_grams"))
+      .select("doc_id", "bench_id", "n_shared", "doc_grams", "shared_ppm")
+      .orderBy("doc_id", "bench_id")
+  }
+
   /** Contamination-STRICTNESS sweep — the gram-size tuning table behind
     * every decontamination deployment: overlap at n = 3 is aggressive
     * (common phrases fire — false positives discard good data), n = 8
@@ -248,6 +284,7 @@ object Curation extends QueryModule {
     "curate_corpus" -> (curateCorpus _),
     "curate_gopher_rules" -> (gopherRules _),
     "decontaminate" -> (decontaminateQuery _),
+    "decontaminate_provenance" -> (decontaminateProvenance _),
     "decontaminate_sweep" -> (decontaminateSweep _),
     "dsir_select"   -> (dsirSelect _),
   )
@@ -353,6 +390,31 @@ object Curation extends QueryModule {
            |      UNION ALL SELECT * FROM s8) u
            |CROSS JOIN nb ORDER BY gram_n""".stripMargin
       },
+      "decontaminate_provenance" ->
+        s"""WITH g AS (
+           |  SELECT DISTINCT doc_id, ${graft.functions.Hashing.duckHash60("gram")} AS g
+           |  FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(
+           |        range(1, greatest(len(string_split(text, ' ')) - 3, 2)),
+           |        i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS gram
+           |    FROM documents
+           |  )
+           |), bench AS (
+           |  SELECT doc_id AS bench_id, g FROM g WHERE doc_id % 97 = 0
+           |), corpus AS (
+           |  SELECT doc_id, g FROM g WHERE doc_id % 97 <> 0
+           |), tot AS (
+           |  SELECT doc_id, COUNT(*) AS doc_grams FROM corpus GROUP BY doc_id
+           |), pairs AS (
+           |  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+           |  FROM corpus c JOIN bench b USING (g)
+           |  GROUP BY c.doc_id, b.bench_id
+           |)
+           |SELECT p.doc_id, p.bench_id, p.n_shared, t.doc_grams,
+           |  CAST(p.n_shared * 1000000 // t.doc_grams AS BIGINT) AS shared_ppm
+           |FROM pairs p JOIN tot t USING (doc_id)
+           |ORDER BY p.doc_id, p.bench_id""".stripMargin,
       "decontaminate" ->
         s"""WITH g AS (
            |  SELECT doc_id,

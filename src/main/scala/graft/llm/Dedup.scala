@@ -322,36 +322,12 @@ object Dedup extends QueryModule {
       bandIndexMemo.getOrElseUpdate(key, {
         val digest = java.security.MessageDigest.getInstance("SHA-256")
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val base = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft_dedup", digest)
-        val target = base.resolve("band_index")
-        // Cross-process safety: build into a process-unique temp sibling,
-        // then ATOMIC-RENAME into place. A complete target (parquet's
-        // _SUCCESS marker) is never rewritten, so a concurrent process
-        // lazily scanning it can never observe the delete-then-write
-        // window a shared `mode(overwrite)` path would open; a racing
-        // builder that loses the rename discards its temp and reads the
-        // winner's index (deterministic content — same corpus
-        // fingerprint). A marker-less target is a crashed build's
-        // residue: cleared and replaced.
-        if (!java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
-          val tmp = base.resolve(
-            s"band_index.tmp.${java.util.UUID.randomUUID().toString}")
+        // cross-process safety: atomic rename-into-place (Fs scaladoc)
+        graft.Fs.writeParquetAtomic(
           bandRowsOf(shingled(Tables.documents(spark, sfDir))
-              .filter(col("doc_id") % 4 =!= 3))
-            .write.mode("overwrite").parquet(tmp.toString)
-          try java.nio.file.Files.move(tmp, target,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch {
-            case _: java.nio.file.FileSystemException =>
-              if (!java.nio.file.Files.exists(target.resolve("_SUCCESS"))) {
-                graft.Fs.deleteRecursively(target.toFile)
-                java.nio.file.Files.move(tmp, target,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              } else graft.Fs.deleteRecursively(tmp.toFile)
-          }
-        }
-        target.toString
+            .filter(col("doc_id") % 4 =!= 3)),
+          java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft_dedup", digest, "band_index"))
       })
     }
 

@@ -175,21 +175,31 @@ object Similarity extends QueryModule {
   /** U3b: IVF-style search — assign all vectors to the nearest of
     * NCentroids seed centroids, then search only the query's own cluster.
     */
-  def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame = {
-    val emb = embDouble(Tables.embeddings(spark, sfDir))
+  def simAnnIvf(spark: SparkSession, sfDir: String): DataFrame =
+    ivfProbe(ivfAssignedOf(embDouble(Tables.embeddings(spark, sfDir))))
+
+  /** The IVF assignment pass: nearest centroid per vector — broadcast
+    * the k centroids, argmax cosine (ties broken by centroid id via the
+    * orderBy). This (vec_id, e, cluster) frame IS the IVF index a
+    * deployment materializes; [[simAnnIvf]] recomputes it in-query,
+    * [[simAnnIvfIndexed]] reads it from the standing parquet.
+    */
+  private def ivfAssignedOf(emb: DataFrame): DataFrame = {
     val cents = emb.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("e").as("cente"))
-
-    // nearest centroid per vector: broadcast the k centroids, argmax cosine
-    // (ties broken by centroid id via the orderBy).
     val byCent = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    emb.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("e"), col("cente")))
       .withColumn("crn", row_number().over(byCent))
       .filter(col("crn") === 1)
       .select(col("vec_id"), col("e"), col("cent_id").as("cluster"))
+  }
 
+  /** The probe half shared by the in-query and indexed IVF forms:
+    * queries search only their own cluster's posting list.
+    */
+  private def ivfProbe(assigned: DataFrame): DataFrame = {
     val q = assigned.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cluster"))
     val c = assigned
@@ -204,6 +214,41 @@ object Similarity extends QueryModule {
       .select(col("q_id"), col("cluster"), col("rn"), col("cand_id"), col("cos"))
       .orderBy("q_id", "rn")
   }
+
+  /** (JVM, corpus-fingerprint) → materialized IVF index parquet — the
+    * posting-list artifact an ANN deployment keeps in the curated zone
+    * (the `Dedup.materializedBandIndex` discipline: fingerprint-keyed
+    * memo, SHA-256 path, atomic rename-into-place).
+    */
+  private val ivfIndexMemo = scala.collection.mutable.Map[String, String]()
+
+  private def materializedIvfIndex(spark: SparkSession, sfDir: String): String =
+    ivfIndexMemo.synchronized {
+      val key = s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir, "embeddings.parquet")}"
+      ivfIndexMemo.getOrElseUpdate(key, {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        graft.Fs.writeParquetAtomic(
+          ivfAssignedOf(embDouble(Tables.embeddings(spark, sfDir))),
+          java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft_sim", digest, "ivf_index"))
+      })
+    }
+
+  /** The PRODUCTION IVF path, priced honestly: read the standing IVF
+    * index (per-vector cluster assignments + vectors) from its
+    * materialized parquet and run only the probe — the
+    * `dedup_incremental_indexed` discipline applied to ANN search.
+    * [[simAnnIvf]] keeps recomputing the assignment in-query, so its
+    * hash pins indexed ≡ recomputed end-to-end; this entry SHARES that
+    * exact oracle (the oracle never sees the parquet round-trip) while
+    * its bench number prices what a query actually pays against a
+    * standing index: one index scan + the cluster-bucketed top-3.
+    * First invocation per JVM pays the index build into the memo;
+    * Bench's min-of-two records the warm indexed cost.
+    */
+  def simAnnIvfIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    ivfProbe(spark.read.parquet(materializedIvfIndex(spark, sfDir)))
 
   /** U3c: random-hyperplane LSH search — 8 frozen hyperplanes give an 8-bit
     * sign-pattern bucket per vector (similar vectors land in the same
@@ -347,18 +392,36 @@ object Similarity extends QueryModule {
   def dedupEmbedding(spark: SparkSession, sfDir: String): DataFrame =
     dedupEmbeddingOver(embDouble(Tables.embeddings(spark, sfDir)))
 
-  /** [[dedupEmbedding]]'s exact tier on the deterministic 40% hash
-    * sample of vectors (the `Dedup.CalibSamplePct` discipline on
-    * vec_id) — the 100 TB-runnable form of the ground-truth/calibration
-    * stage: pair cost drops ~(pct∕100)², both engines filter on the
-    * identical hash predicate before any vector math, and the LSH
-    * recall it calibrates is measured on a representative pair
-    * population instead of the whole corpus.
+  /** [[dedupEmbedding]]'s calibration tier as a PROBE sample: the
+    * deterministic [[Dedup.CalibSamplePct]]% hash sample of vec_ids are
+    * the probes, and each probe's exact ≥0.45 neighbors are found
+    * against the FULL corpus — one row per (probe, neighbor), the
+    * probe-centric view recall calibration actually consumes. Sampling
+    * PROBES (not both endpoints) is the load-bearing design choice:
+    * both-endpoint sampling thins the true-pair population by
+    * (pct∕100)² — on a sparse-dup corpus it goes empty and the
+    * "ground truth" calibrates nothing (observed: this corpus's 14
+    * true pairs all lose ≥1 endpoint at 40%) — while probe sampling
+    * keeps every sampled probe's denominator exact. Cost drops to
+    * (pct∕100)·N² from N²; both engines filter on the identical hash
+    * predicate before any vector math.
     */
-  def dedupEmbeddingSampled(spark: SparkSession, sfDir: String): DataFrame =
-    dedupEmbeddingOver(embDouble(Tables.embeddings(spark, sfDir))
+  def dedupEmbeddingSampled(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+      .withColumn("nrm", normOf(col("e")))
+    val probes = emb
       .filter(pmod(graft.functions.Hashing.hash60(col("vec_id").cast("string")),
-        lit(100)) < Dedup.CalibSamplePct))
+        lit(100)) < Dedup.CalibSamplePct)
+      .select(col("vec_id").as("probe_id"), col("e").as("ea"), col("nrm").as("na"))
+    val cands = emb
+      .select(col("vec_id").as("nbr_id"), col("e").as("eb"), col("nrm").as("nb"))
+    probes.join(cands, col("probe_id") =!= col("nbr_id"))
+      .withColumn("cos",
+        round(cosinePrenorm(col("ea"), col("eb"), col("na"), col("nb")), 6))
+      .filter(col("cos") >= 0.45)
+      .select("probe_id", "nbr_id", "cos")
+      .orderBy("probe_id", "nbr_id")
+  }
 
   private def dedupEmbeddingOver(embeddings: DataFrame): DataFrame = {
     val emb = embeddings.withColumn("nrm", normOf(col("e")))
@@ -1034,6 +1097,7 @@ object Similarity extends QueryModule {
     "emb_quantize"    -> (embQuantize _),
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
+    "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_probe_sweep" -> (simAnnProbeSweep _),
@@ -1482,13 +1546,15 @@ object Similarity extends QueryModule {
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
+         |), s AS (
+         |  SELECT * FROM e
          |  WHERE ${graft.functions.Hashing.duckHash60("CAST(vec_id AS VARCHAR)")} % 100 < ${Dedup.CalibSamplePct}
          |)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  ROUND(${duckCos("a.v", "b.v")}, 6) AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
-         |WHERE ROUND(${duckCos("a.v", "b.v")}, 6) >= 0.45
-         |ORDER BY vec_a, vec_b""".stripMargin,
+         |SELECT s.vec_id AS probe_id, c.vec_id AS nbr_id,
+         |  ROUND(${duckCos("s.v", "c.v")}, 6) AS cos
+         |FROM s JOIN e c ON s.vec_id <> c.vec_id
+         |WHERE ROUND(${duckCos("s.v", "c.v")}, 6) >= 0.45
+         |ORDER BY probe_id, nbr_id""".stripMargin,
     "dedup_embedding_lsh" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1694,30 +1760,35 @@ object Similarity extends QueryModule {
          |  (r.matched_to IS NULL) AS keep
          |FROM assigned s LEFT JOIN rep r ON s.vec_id = r.vec_id
          |ORDER BY s.vec_id""".stripMargin,
-    "sim_ann_ivf" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
-         |), assigned AS (
-         |  SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
-         |    FROM e CROSS JOIN cents)
-         |  WHERE crn = 1
-         |), scored AS (
-         |  SELECT q.vec_id AS q_id, q.cluster, c.vec_id AS cand_id,
-         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
-         |  FROM assigned q JOIN assigned c
-         |    ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
-         |), ranked AS (
-         |  SELECT q_id, cluster, cand_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
-         |  FROM scored
-         |)
-         |SELECT q_id, cluster, rn, cand_id, cos FROM ranked WHERE rn <= 3
-         |ORDER BY q_id, rn""".stripMargin,
+    "sim_ann_ivf" -> simAnnIvfSql,
+    // the indexed form SHARES the oracle verbatim: the oracle never sees
+    // the parquet round-trip, so one hash pins indexed ≡ recomputed
+    "sim_ann_ivf_indexed" -> simAnnIvfSql,
   )
+
+  private def simAnnIvfSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+       |), assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+       |    FROM e CROSS JOIN cents)
+       |  WHERE crn = 1
+       |), scored AS (
+       |  SELECT q.vec_id AS q_id, q.cluster, c.vec_id AS cand_id,
+       |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+       |  FROM assigned q JOIN assigned c
+       |    ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+       |), ranked AS (
+       |  SELECT q_id, cluster, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, cluster, rn, cand_id, cos FROM ranked WHERE rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
 }

@@ -491,6 +491,101 @@ object Ml extends QueryModule {
          |FROM kp GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Gate-threshold multipliers swept by [[curateThresholdSweep]], in
+    * milli of the registered base-rate threshold.
+    */
+  private[graft] val ThresholdSweepMillis: Seq[Long] =
+    Seq(500L, 750L, 1000L, 1250L, 1500L)
+
+  /** EXT: the GATE-TUNING operating-point table — the sweep a curation
+    * team reads before committing a quality gate: score the corpus ONCE
+    * with the registered weights, then gate at five thresholds (0.5×,
+    * 0.75×, 1×, 1.25×, 1.5× of the registered base-rate threshold) and
+    * report, per threshold: kept docs, kept TOKEN mass (what the gate
+    * actually costs the training run), and precision/recall against the
+    * training label in exact ppm. The `ml_sweep` discipline applied to
+    * thresholds: candidates share the one corpus scan — the 5× fan-out
+    * multiplies only the narrow (nw, y, sig) projection, map-side
+    * combined into 5 rows. The oracle re-trains the classifier,
+    * re-derives the base rate, re-scores and re-sweeps, so one hash
+    * pins the whole tuning table.
+    */
+  def curateThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val (w1, w2, b, thr) = curateModel(spark, sfDir)
+    Tables.documents(spark, sfDir)
+      .selectExpr(
+        "CAST(size(split(text, ' ')) AS BIGINT) AS nw",
+        s"$LogregFeats1 AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"$LogregLabel AS y")
+      .selectExpr("nw", "y", s"${logregSig(w1, w2, b)} AS sig")
+      .withColumn("thr_milli", explode(typedlit(ThresholdSweepMillis)))
+      .withColumn("t_micro", expr(s"($thr * thr_milli) div 1000"))
+      .withColumn("keep", col("sig") >= col("t_micro"))
+      .groupBy("thr_milli", "t_micro")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(col("keep"), col("nw")).otherwise(0L)).as("kept_tokens"),
+        sum(col("y")).as("n_pos"),
+        sum(when(col("keep") && col("y") === 1L, 1L).otherwise(0L)).as("n_keep_pos"))
+      .withColumn("precision_ppm", expr(
+        "CASE WHEN n_keep = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_keep_pos * 1000000 div n_keep END"))
+      .withColumn("recall_ppm", expr(
+        "CASE WHEN n_pos = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_keep_pos * 1000000 div n_pos END"))
+      .select("thr_milli", "t_micro", "n_docs", "n_keep", "kept_tokens",
+        "n_pos", "n_keep_pos", "precision_ppm", "recall_ppm")
+      .orderBy("thr_milli")
+  }
+
+  private def thresholdSweepOracle: String = {
+    val ctes = logregTrainCtes(
+      s"""f AS (
+         |  SELECT x1, x2, y FROM (
+         |    SELECT $LogregFeats1 AS x1,
+         |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |           $LogregLabel AS y,
+         |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
+         |    FROM documents) WHERE h < $CurateTrainPct)""".stripMargin) ++ Seq(
+      s"""th AS (
+         |  SELECT CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS t
+         |  FROM f)""".stripMargin,
+      s"""sw_sc AS (
+         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+         |         $LogregFeats1 AS x1,
+         |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |         $LogregLabel AS y
+         |  FROM documents)""".stripMargin,
+      s"""sw_sig AS (
+         |  SELECT nw, y, ${logregSigDuck("w.w1", "w.w2", "w.b")} AS sig
+         |  FROM sw_sc, w$LogregIters w)""".stripMargin,
+      s"""sw_ms AS (
+         |  SELECT CAST(unnest([${ThresholdSweepMillis.mkString(", ")}]) AS BIGINT) AS thr_milli)""".stripMargin)
+    ctes.mkString("WITH ", ",\n", "") +
+      s"""
+         |SELECT thr_milli,
+         |  CAST((th.t * thr_milli) // 1000 AS BIGINT) AS t_micro,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 THEN nw ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |  CAST(SUM(y) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_pos,
+         |  CASE WHEN SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 THEN 1 ELSE 0 END) = 0
+         |       THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 AND y = 1 THEN 1 ELSE 0 END)
+         |            * 1000000 // SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 THEN 1 ELSE 0 END) AS BIGINT)
+         |  END AS precision_ppm,
+         |  CASE WHEN SUM(y) = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(SUM(CASE WHEN sig >= (th.t * thr_milli) // 1000 AND y = 1 THEN 1 ELSE 0 END)
+         |            * 1000000 // CAST(SUM(y) AS BIGINT) AS BIGINT)
+         |  END AS recall_ppm
+         |FROM sw_sig CROSS JOIN sw_ms, th
+         |GROUP BY thr_milli, th.t
+         |ORDER BY thr_milli""".stripMargin
+  }
+
   // ----------------------------------------------------- scored documents
 
   /** Classifier score + binary label per document: the hashed-linear-model
@@ -756,6 +851,7 @@ object Ml extends QueryModule {
     "ml_linreg_gd"   -> (mlLinregGd _),
     "ml_logreg_gd"   -> (mlLogregGd _),
     "curate_classifier" -> (curateClassifier _),
+    "curate_threshold_sweep" -> (curateThresholdSweep _),
     "ml_sweep"       -> (mlSweep _),
     "ml_auc"         -> (mlAuc _),
     "ml_pr_curve"    -> (mlPrCurve _),
@@ -768,6 +864,7 @@ object Ml extends QueryModule {
     "ml_linreg_gd"   -> gdOracle,
     "ml_logreg_gd"   -> logregOracle,
     "curate_classifier" -> curateOracle,
+    "curate_threshold_sweep" -> thresholdSweepOracle,
     "ml_sweep"       -> sweepOracle,
     "ml_auc"         -> aucOracle,
     "ml_pr_curve"    -> prCurveOracle,
