@@ -126,7 +126,15 @@ object PlanDump {
     // read-off; sampling sits in the cut branches), image-cluster
     // refinery
     "pack_chunks", "dedup_lsh_sweep_sampled",
-    "dedup_minhash_estimate_sampled", "refinery_mm_dedup")
+    "dedup_minhash_estimate_sampled", "refinery_mm_dedup",
+    // round 9, second wave: gate-tuning threshold sweep (one scan,
+    // literal weights, Generate fan-out after scoring), standing IVF
+    // index probe (parquet scan replaces the assignment subtree),
+    // codebook-frozen index append (history∪batch union, shared
+    // oracle pins append ≡ rebuild), contamination provenance
+    // (broadcast bench grams; pair evidence groupBy)
+    "curate_threshold_sweep", "sim_ann_ivf_indexed", "sim_ann_ivf_append",
+    "decontaminate_provenance", "dedup_embedding_sampled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

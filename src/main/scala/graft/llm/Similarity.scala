@@ -184,12 +184,27 @@ object Similarity extends QueryModule {
     * deployment materializes; [[simAnnIvf]] recomputes it in-query,
     * [[simAnnIvfIndexed]] reads it from the standing parquet.
     */
-  private def ivfAssignedOf(emb: DataFrame): DataFrame = {
-    val cents = emb.filter(col("vec_id") < NCentroids)
+  private def ivfAssignedOf(emb: DataFrame): DataFrame =
+    ivfAssignTo(ivfCentroidsOf(emb), emb)
+
+  /** The frozen codebook: the NCentroids seed vectors (registered model
+    * metadata — at deployment these come from a training run, here the
+    * first k vec_ids stand in).
+    */
+  private def ivfCentroidsOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < NCentroids)
       .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+
+  /** Assign `vecs` to their nearest codebook centroid. Per-vector
+    * independent given the frozen codebook — which is exactly why IVF
+    * ingestion is O(batch·k): [[simAnnIvfAppend]] runs this on an
+    * arriving slice alone and the result is bit-identical to a full
+    * rebuild's rows for those ids.
+    */
+  private def ivfAssignTo(cents: DataFrame, vecs: DataFrame): DataFrame = {
     val byCent = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id"))
-    emb.crossJoin(broadcast(cents))
+    vecs.crossJoin(broadcast(cents))
       .withColumn("ccos", cosine(col("e"), col("cente")))
       .withColumn("crn", row_number().over(byCent))
       .filter(col("crn") === 1)
@@ -249,6 +264,27 @@ object Similarity extends QueryModule {
     */
   def simAnnIvfIndexed(spark: SparkSession, sfDir: String): DataFrame =
     ivfProbe(spark.read.parquet(materializedIvfIndex(spark, sfDir)))
+
+  /** IVF index APPEND — the ingestion half of the standing-ANN-index
+    * story (`dedup_incremental_indexed`'s discipline on vectors): an
+    * arriving batch (vec_id ≡ 9 mod 10 stands in for today's vectors;
+    * NCentroids = 8 < 9 keeps every codebook seed in history) is
+    * assigned against the FROZEN codebook — O(batch·k), no re-clustering,
+    * no touch of the existing posting lists — and the probe runs over
+    * history ∪ appended. Because assignment is per-vector independent
+    * given the codebook, append ≡ full rebuild row-for-row, so this
+    * SHARES `sim_ann_ivf`'s oracle verbatim: one hash pins that
+    * incremental ingestion loses nothing vs rebuilding the index. At
+    * 100 TB this is why the ANN index ingests a daily batch in minutes
+    * (batch×k broadcast product) while a rebuild is corpus×k.
+    */
+  def simAnnIvfAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val cents = ivfCentroidsOf(emb)
+    val isNew = col("vec_id") % 10 === 9
+    ivfProbe(ivfAssignTo(cents, emb.filter(!isNew))
+      .unionAll(ivfAssignTo(cents, emb.filter(isNew))))
+  }
 
   /** U3c: random-hyperplane LSH search — 8 frozen hyperplanes give an 8-bit
     * sign-pattern bucket per vector (similar vectors land in the same
@@ -1098,6 +1134,7 @@ object Similarity extends QueryModule {
     "sim_cosine_topk" -> (simCosineTopk _),
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
+    "sim_ann_ivf_append" -> (simAnnIvfAppend _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_probe_sweep" -> (simAnnProbeSweep _),
@@ -1764,6 +1801,10 @@ object Similarity extends QueryModule {
     // the indexed form SHARES the oracle verbatim: the oracle never sees
     // the parquet round-trip, so one hash pins indexed ≡ recomputed
     "sim_ann_ivf_indexed" -> simAnnIvfSql,
+    // the append form shares it too: assignment is per-vector independent
+    // given the frozen codebook, so batch-append ≡ full rebuild and the
+    // same hash pins it (see simAnnIvfAppend scaladoc)
+    "sim_ann_ivf_append" -> simAnnIvfSql,
   )
 
   private def simAnnIvfSql: String =
