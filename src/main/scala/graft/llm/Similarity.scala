@@ -286,6 +286,54 @@ object Similarity extends QueryModule {
       .unionAll(ivfAssignTo(cents, emb.filter(isNew))))
   }
 
+  /** The ANN index ON THE STREAM — [[simAnnIvfAppend]]'s ingestion shape
+    * deployed as the production loop (the `Refinery.refineryIndexedStream`
+    * discipline applied to vectors): each arriving micro-batch of
+    * embeddings is assigned against the FROZEN codebook (a registry
+    * artifact, like the classifier weights) and appended to the standing
+    * index zone as `assigned/batch=<id>` — O(batch·k) per batch,
+    * overwrite-idempotent per batch id so a re-drain over the same
+    * checkpoint is a no-op. Because assignment is per-vector independent
+    * given the codebook, the drained zone is row-identical to a full
+    * rebuild — `StreamingAnnIndexSpec` pins probe-over-streamed-index ≡
+    * `sim_ann_ivf` and re-drain idempotence.
+    */
+  def annIndexStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val cents = ivfCentroidsOf(embDouble(Tables.embeddings(spark, sfDir)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ivfAssignTo(cents, embDouble(batch.select("vec_id", "embedding")))
+          .write.mode("overwrite").parquet(s"$indexDir/assigned/batch=$batchId")
+        ()
+      }
+      .start()
+    graft.streaming.JobRegistry.register(q)
+    q
+  }
+
+  /** Query side of [[annIndexStream]]'s standing index: read the
+    * accumulated assignments and run the cluster-bucketed probe — what a
+    * search deployment pays per query wave against a streamed-in index.
+    */
+  def annProbeFromIndex(spark: SparkSession, indexDir: String): DataFrame =
+    ivfProbe(spark.read.parquet(s"$indexDir/assigned")
+      .select("vec_id", "e", "cluster"))
+
   /** U3c: random-hyperplane LSH search — 8 frozen hyperplanes give an 8-bit
     * sign-pattern bucket per vector (similar vectors land in the same
     * bucket with probability (1 − θ/π)⁸); queries probe only their own
