@@ -134,7 +134,11 @@ object PlanDump {
     // oracle pins append ≡ rebuild), contamination provenance
     // (broadcast bench grams; pair evidence groupBy)
     "curate_threshold_sweep", "sim_ann_ivf_indexed", "sim_ann_ivf_append",
-    "decontaminate_provenance", "dedup_embedding_sampled")
+    "decontaminate_provenance", "dedup_embedding_sampled",
+    // round 9, third wave: trained-codebook IVF (Lloyd refinement between
+    // two broadcast-k assignment passes), budget-constrained gate pick
+    // (sweep frame + one token-mass aggregate, 5-row selection)
+    "sim_ann_ivf_kmeans", "curate_budget_threshold")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

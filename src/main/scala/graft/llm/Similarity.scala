@@ -286,6 +286,39 @@ object Similarity extends QueryModule {
       .unionAll(ivfAssignTo(cents, emb.filter(isNew))))
   }
 
+  /** The TRAINED-codebook IVF — [[simAnnIvf]] with the codebook the
+    * seed centroids only BOOTSTRAP: one Lloyd refinement (assign → 6dp
+    * per-dimension means, `emb_kmeans`'s training step verbatim) and
+    * the probe runs over the REFINED assignment. This is what an IVF
+    * index actually deploys — seeds are an initialization, the shipped
+    * codebook is trained — and it completes the composition story:
+    * `emb_kmeans` proves the trainer, this query ships its output. Own
+    * oracle (refined clusters differ from seed clusters): DuckDB
+    * re-trains the codebook and re-probes, so one hash pins
+    * training ∘ assignment ∘ search end-to-end. Scale shape: the
+    * refinement is one scalar (cluster, pos, val) shuffle (the
+    * `emb_centroid` topology) between two broadcast-k assignment
+    * passes; more Lloyd rounds = a driver loop of the same plan.
+    */
+  def simAnnIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    ivfProbe(ivfAssignTo(
+      lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb)), emb))
+  }
+
+  /** One Lloyd refinement: assigned vectors → 6dp per-dimension cluster
+    * means as the new codebook (rounding pins cross-engine float-mean
+    * merge order — the `emb_kmeans` contract). Scalar (cluster, pos, val)
+    * shuffle, reduce side = clusters × dims rows at any corpus size.
+    */
+  private def lloydRefine(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
+      .groupBy("cluster", "pos").agg(round(avg("v"), 6).as("c"))
+      .groupBy("cluster")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cente"))
+      .select(col("cluster").as("cent_id"), col("cente"))
+
   /** The ANN index ON THE STREAM — [[simAnnIvfAppend]]'s ingestion shape
     * deployed as the production loop (the `Refinery.refineryIndexedStream`
     * discipline applied to vectors): each arriving micro-batch of
@@ -657,27 +690,9 @@ object Similarity extends QueryModule {
     */
   def embKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
-    val seeds = emb.filter(col("vec_id") < NCentroids)
-      .select(col("vec_id").as("cent_id"), col("e").as("cente"))
-
-    def assign(cents: DataFrame): DataFrame = {
-      val byCent = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cent_id"))
-      emb.crossJoin(broadcast(cents))
-        .withColumn("ccos", cosine(col("e"), col("cente")))
-        .withColumn("crn", row_number().over(byCent))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("e"), col("cent_id").as("cluster"))
-    }
-
-    val a1 = assign(seeds)
-    val newCents = a1
-      .select(col("cluster"), posexplode(col("e")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos").agg(round(avg("v"), 6).as("c"))
-      .groupBy("cluster")
-      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cente"))
-      .select(col("cluster").as("cent_id"), col("cente"))
-    val a2 = assign(newCents)
+    val a1 = ivfAssignTo(ivfCentroidsOf(emb), emb)
+    val newCents = lloydRefine(a1)
+    val a2 = ivfAssignTo(newCents, emb)
 
     val n1 = a1.groupBy("cluster").agg(count(lit(1)).as("n_r1"))
     val n2 = a2.groupBy("cluster").agg(count(lit(1)).as("n_r2"))
@@ -1183,6 +1198,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_ivf_append" -> (simAnnIvfAppend _),
+    "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_probe_sweep" -> (simAnnProbeSweep _),
@@ -1853,6 +1869,46 @@ object Similarity extends QueryModule {
     // given the frozen codebook, so batch-append ≡ full rebuild and the
     // same hash pins it (see simAnnIvfAppend scaladoc)
     "sim_ann_ivf_append" -> simAnnIvfSql,
+    // trained codebook -> refined clusters differ from the seed form's,
+    // so this replays train ∘ assign ∘ probe under its own hash
+    "sim_ann_ivf_kmeans" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), scored AS (
+         |  SELECT q.vec_id AS q_id, q.cluster, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM a2 q JOIN a2 c
+         |    ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), ranked AS (
+         |  SELECT q_id, cluster, cand_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rn
+         |  FROM scored
+         |)
+         |SELECT q_id, cluster, rn, cand_id, cos FROM ranked WHERE rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
   )
 
   private def simAnnIvfSql: String =

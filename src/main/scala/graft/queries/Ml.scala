@@ -510,7 +510,16 @@ object Ml extends QueryModule {
     * re-derives the base rate, re-scores and re-sweeps, so one hash
     * pins the whole tuning table.
     */
-  def curateThresholdSweep(spark: SparkSession, sfDir: String): DataFrame = {
+  def curateThresholdSweep(spark: SparkSession, sfDir: String): DataFrame =
+    thresholdSweepFrame(spark, sfDir)
+      .select("thr_milli", "t_micro", "n_docs", "n_keep", "kept_tokens",
+        "n_pos", "n_keep_pos", "precision_ppm", "recall_ppm")
+      .orderBy("thr_milli")
+
+  /** The sweep's operating-point frame (one row per threshold multiple),
+    * shared by the report form and the budget picker.
+    */
+  private def thresholdSweepFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val (w1, w2, b, thr) = curateModel(spark, sfDir)
     Tables.documents(spark, sfDir)
       .selectExpr(
@@ -535,9 +544,33 @@ object Ml extends QueryModule {
       .withColumn("recall_ppm", expr(
         "CASE WHEN n_pos = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE n_keep_pos * 1000000 div n_pos END"))
-      .select("thr_milli", "t_micro", "n_docs", "n_keep", "kept_tokens",
-        "n_pos", "n_keep_pos", "precision_ppm", "recall_ppm")
-      .orderBy("thr_milli")
+  }
+
+  /** EXT: the BUDGET-CONSTRAINED gate pick — what a training run actually
+    * asks of [[curateThresholdSweep]]'s table: "we need at least B tokens;
+    * give me the TIGHTEST gate that still delivers them." B here is 40%
+    * of the corpus token mass (the deterministic stand-in for a training
+    * budget). Selection rule, fully deterministic: among thresholds whose
+    * kept token mass ≥ B, the highest multiplier wins (most quality per
+    * kept token); if none qualifies, the loosest gate (max kept tokens)
+    * is the honest fallback — you ship the closest you can get to budget.
+    * One row out: the chosen operating point with the budget and a
+    * qualifies flag, so a reader sees WHICH regime fired. Cost: the same
+    * single corpus scan as the sweep plus one 2-column token-mass
+    * aggregate; selection is arithmetic on the 5-row table.
+    */
+  def curateBudgetThreshold(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = Tables.documents(spark, sfDir)
+      .selectExpr("CAST(size(split(text, ' ')) AS BIGINT) AS nw")
+      .selectExpr("CAST(sum(nw) * 2 div 5 AS BIGINT) AS budget_tokens")
+    thresholdSweepFrame(spark, sfDir)
+      .crossJoin(broadcast(budget))
+      .withColumn("qualifies", col("kept_tokens") >= col("budget_tokens"))
+      .orderBy(col("qualifies").desc,
+        when(col("qualifies"), col("thr_milli")).otherwise(-col("thr_milli")).desc)
+      .limit(1)
+      .select("thr_milli", "t_micro", "n_keep", "kept_tokens", "budget_tokens",
+        "qualifies", "precision_ppm", "recall_ppm")
   }
 
   private def thresholdSweepOracle: String = {
@@ -585,6 +618,25 @@ object Ml extends QueryModule {
          |GROUP BY thr_milli, th.t
          |ORDER BY thr_milli""".stripMargin
   }
+
+  /** Oracle for [[curateBudgetThreshold]]: the whole sweep oracle nested
+    * as a CTE (retrain + rethreshold + rescore + resweep), a token-budget
+    * CTE, and the same two-regime selection — one hash pins the pick.
+    */
+  private def budgetThresholdOracle: String =
+    s"""WITH sweep AS (
+       |$thresholdSweepOracle
+       |), bud AS (
+       |  SELECT CAST(CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 2 // 5 AS BIGINT) AS budget_tokens
+       |  FROM documents
+       |)
+       |SELECT thr_milli, t_micro, n_keep, kept_tokens, bud.budget_tokens,
+       |  (kept_tokens >= bud.budget_tokens) AS qualifies,
+       |  precision_ppm, recall_ppm
+       |FROM sweep, bud
+       |ORDER BY (kept_tokens >= bud.budget_tokens) DESC,
+       |  CASE WHEN kept_tokens >= bud.budget_tokens THEN thr_milli ELSE -thr_milli END DESC
+       |LIMIT 1""".stripMargin
 
   // ----------------------------------------------------- scored documents
 
@@ -852,6 +904,7 @@ object Ml extends QueryModule {
     "ml_logreg_gd"   -> (mlLogregGd _),
     "curate_classifier" -> (curateClassifier _),
     "curate_threshold_sweep" -> (curateThresholdSweep _),
+    "curate_budget_threshold" -> (curateBudgetThreshold _),
     "ml_sweep"       -> (mlSweep _),
     "ml_auc"         -> (mlAuc _),
     "ml_pr_curve"    -> (mlPrCurve _),
@@ -865,6 +918,7 @@ object Ml extends QueryModule {
     "ml_logreg_gd"   -> logregOracle,
     "curate_classifier" -> curateOracle,
     "curate_threshold_sweep" -> thresholdSweepOracle,
+    "curate_budget_threshold" -> budgetThresholdOracle,
     "ml_sweep"       -> sweepOracle,
     "ml_auc"         -> aucOracle,
     "ml_pr_curve"    -> prCurveOracle,
