@@ -138,7 +138,10 @@ object PlanDump {
     // round 9, third wave: trained-codebook IVF (Lloyd refinement between
     // two broadcast-k assignment passes), budget-constrained gate pick
     // (sweep frame + one token-mass aggregate, 5-row selection)
-    "sim_ann_ivf_kmeans", "curate_budget_threshold")
+    "sim_ann_ivf_kmeans", "curate_budget_threshold",
+    // round 9, fourth wave: IVF nprobe operating table (probe fan-out
+    // multiplies only query rows), semantic-dedup refinery tier
+    "sim_ann_ivf_sweep", "refinery_semantic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -194,6 +194,24 @@ object Refinery extends QueryModule {
       gatedDocs(spark, sfDir).join(mmLosers, Seq("doc_id"), "left_anti"))
   }
 
+  /** gate ∘ SEMANTIC (embedding) dedup ∘ mask ∘ pack — the third member
+    * of the near-dup-propagates-to-doc family: `refinery_dedup_pack`
+    * drops text near-dups, `refinery_mm_dedup` drops image near-dups,
+    * this drops docs whose EMBEDDING is a SemDeDup loser (some
+    * smaller-id vector in its k-means cell at cosine ≥ τ) — the
+    * cluster-bounded semantic pass SemDeDup (arXiv:2303.09540) runs at
+    * corpus scale. Docs without a vector pass through (left_anti on the
+    * loser ids). The oracle replays classifier retrain + centroid
+    * assignment + within-cell pair verdict + suffix spans + packing
+    * under one hash.
+    */
+  def refinerySemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val semLosers = Similarity.dedupSemantic(spark, sfDir)
+      .filter(!col("keep")).select(col("vec_id").as("doc_id"))
+    maskAndPack(spark, sfDir,
+      gatedDocs(spark, sfDir).join(semLosers, Seq("doc_id"), "left_anti"))
+  }
+
   def refineryFull(spark: SparkSession, sfDir: String): DataFrame = {
     val clean = Curation.decontaminate(Tables.documents(spark, sfDir))
       .select("doc_id")
@@ -508,6 +526,7 @@ object Refinery extends QueryModule {
     "refinery_pack" -> (refineryPack _),
     "refinery_dedup_pack" -> (refineryDedupPack _),
     "refinery_mm_dedup" -> (refineryMmDedup _),
+    "refinery_semantic" -> (refinerySemantic _),
     "refinery_decontaminated" -> (refineryDecontaminated _),
     "refinery_full" -> (refineryFull _),
     "refinery_anneal" -> (refineryAnneal _),
@@ -580,6 +599,15 @@ object Refinery extends QueryModule {
           |  SELECT * FROM keepd
           |  WHERE doc_id NOT IN (SELECT doc_id FROM mm_losers))""".stripMargin))
         .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
+    // semantic variant: SemDeDup loser ids (embedding-cell pair verdict)
+    // anti-joined before the shared pack tail — no recursion needed
+    val semanticSql =
+      (sharedHead ++ Seq(
+        Similarity.duckSemLoserCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM sem_losers))""".stripMargin))
+        .mkString("WITH ", ",\n", ",\n") + packTail("surv")
     val decontSql =
       (sharedHead ++ Seq(
         Curation.duckDecontCtes,
@@ -690,6 +718,7 @@ object Refinery extends QueryModule {
       "refinery_pack" -> packSql,
       "refinery_dedup_pack" -> dedupSql,
       "refinery_mm_dedup" -> mmDedupSql,
+      "refinery_semantic" -> semanticSql,
       "refinery_decontaminated" -> decontSql,
       "refinery_full" -> fullSql,
       "refinery_anneal" -> annealSql,

@@ -319,6 +319,57 @@ object Similarity extends QueryModule {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cente"))
       .select(col("cluster").as("cent_id"), col("cente"))
 
+  /** The IVF nprobe OPERATING TABLE — the recall/cost knob every IVF
+    * deployment tunes (FAISS's `nprobe`): for nprobe ∈ {1, 2, 4},
+    * queries search their nprobe NEAREST clusters' posting lists
+    * instead of only their own, and the row reports candidate volume,
+    * exact-top-3 hits, and recall in ppm against the brute-force truth
+    * — `sim_ann_probe_sweep`'s discipline applied to the IVF family
+    * (there the knob is Hamming radius; here it's probed cells). The
+    * candidate generation stays an equi-join on the cluster id; the
+    * nprobe fan-out multiplies only the NQueries probe rows, never the
+    * corpus. Zero-truth recall guarded on both engines (the
+    * dedup_lsh_sweep divergence class).
+    */
+  def simAnnIvfSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val cents = ivfCentroidsOf(emb)
+    val assigned = ivfAssignTo(cents, emb)
+    val q = assigned.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val byCent = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val rankedCents = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qe"), col("cente")))
+      .withColumn("prn", row_number().over(byCent))
+      .select("q_id", "qe", "cent_id", "prn")
+    val posting = assigned
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("cluster").as("cent_id"))
+    val exact3 = simCosineTopk(spark, sfDir).filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val rows = Seq(1, 2, 4).map { p =>
+      val cands = rankedCents.filter(col("prn") <= p)
+        .join(posting, Seq("cent_id"))
+        .filter(col("q_id") =!= col("cand_id"))
+      val byCos = Window.partitionBy("q_id")
+        .orderBy(col("cos").desc, col("cand_id"))
+      val top3 = cands
+        .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+        .withColumn("rn", row_number().over(byCos))
+        .filter(col("rn") <= 3)
+      val hits = top3.join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits).crossJoin(broadcast(nExact))
+        .select(lit(p).as("nprobe"), col("n_candidates"), col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
   /** The ANN index ON THE STREAM — [[simAnnIvfAppend]]'s ingestion shape
     * deployed as the production loop (the `Refinery.refineryIndexedStream`
     * discipline applied to vectors): each arriving micro-batch of
@@ -621,6 +672,32 @@ object Similarity extends QueryModule {
     * cost across cell boundaries, the standard SemDeDup tradeoff); the
     * verdict join shuffles ids + booleans, never vectors.
     */
+  /** [[dedupSemantic]]'s loser set as PREFIXED CTEs (`sem_*`) so it
+    * composes into the refinery oracle without colliding (the
+    * `Curation.duckDecontCtes` discipline); exposes `sem_losers(doc_id)`
+    * — the vec_ids the min-id SemDeDup verdict drops, id-joined to their
+    * owning documents.
+    */
+  private[llm] def duckSemLoserCtes: String =
+    s"""sem_e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), sem_cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM sem_e WHERE vec_id < $NCentroids
+       |), sem_assigned AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT sem_e.vec_id, sem_e.v, sem_cents.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY sem_e.vec_id
+       |        ORDER BY ${duckCos("sem_e.v", "sem_cents.cv")} DESC, sem_cents.cent_id) AS crn
+       |    FROM sem_e CROSS JOIN sem_cents)
+       |  WHERE crn = 1
+       |), sem_losers AS (
+       |  SELECT DISTINCT b.vec_id AS doc_id
+       |  FROM sem_assigned a JOIN sem_assigned b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |   AND ROUND(${duckCos("a.v", "b.v")}, 6) >= $SemDedupTau
+       |)""".stripMargin
+
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val cents = emb.filter(col("vec_id") < NCentroids)
@@ -1199,6 +1276,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_ivf_append" -> (simAnnIvfAppend _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
+    "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
     "sim_ann_multiprobe" -> (simAnnMultiprobe _),
     "sim_ann_probe_sweep" -> (simAnnProbeSweep _),
@@ -1869,6 +1947,60 @@ object Similarity extends QueryModule {
     // given the frozen codebook, so batch-append ≡ full rebuild and the
     // same hash pins it (see simAnnIvfAppend scaladoc)
     "sim_ann_ivf_append" -> simAnnIvfSql,
+    "sim_ann_ivf_sweep" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), assigned AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), qc AS (
+         |  SELECT q.vec_id AS q_id, q.v AS qv, cents.cent_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${duckCos("q.v", "cents.cv")} DESC, cents.cent_id) AS prn
+         |  FROM e q CROSS JOIN cents WHERE q.vec_id < $NQueries
+         |), cand AS (
+         |  SELECT qc.q_id, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("qc.qv", "c.v")}, 6) AS cos, qc.prn
+         |  FROM qc JOIN assigned c
+         |    ON qc.cent_id = c.cluster AND qc.q_id <> c.vec_id
+         |), exact AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= 3
+         |), nex AS (SELECT COUNT(*) AS n_exact FROM exact),
+         |probes(nprobe) AS (VALUES (1), (2), (4)),
+         |per AS (
+         |  SELECT p.nprobe,
+         |    (SELECT COUNT(*) FROM cand WHERE prn <= p.nprobe) AS n_candidates,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT q_id, cand_id FROM (
+         |         SELECT q_id, cand_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, cand_id) AS rn
+         |         FROM cand WHERE prn <= p.nprobe)
+         |       WHERE rn <= 3) t
+         |     JOIN exact ON t.q_id = exact.q_id AND t.cand_id = exact.cand_id)
+         |      AS n_hits
+         |  FROM probes p
+         |)
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_hits * 1000000 // nex.n_exact AS BIGINT)
+         |  END AS recall_ppm
+         |FROM per CROSS JOIN nex
+         |ORDER BY nprobe""".stripMargin,
     // trained codebook -> refined clusters differ from the seed form's,
     // so this replays train ∘ assign ∘ probe under its own hash
     "sim_ann_ivf_kmeans" ->

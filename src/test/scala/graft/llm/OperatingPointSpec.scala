@@ -1,0 +1,74 @@
+package graft.llm
+
+import graft.SparkSpec
+import graft.queries.Ml
+
+/** Invariants of the round-9 operating-point tables — the cross-engine
+  * hashes pin exact values; these pin the MONOTONICITY that makes the
+  * tables readable as tuning curves (a sweep whose recall wiggles with
+  * its knob is a bug even if both engines agree on it), plus the
+  * budget pick's two-regime selection rule.
+  */
+class OperatingPointSpec extends SparkSpec {
+
+  test("threshold sweep: tightening the gate monotonically shrinks keeps, tokens, recall") {
+    val rows = Ml.queries("curate_threshold_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Long]("thr_milli"))
+    assert(rows.length == 5)
+    val nKeep = rows.map(_.getAs[Long]("n_keep"))
+    val kept = rows.map(_.getAs[Long]("kept_tokens"))
+    val recall = rows.map(_.getAs[Long]("recall_ppm"))
+    assert(nKeep.zip(nKeep.tail).forall { case (a, b) => a >= b },
+      s"n_keep not non-increasing: ${nKeep.toSeq}")
+    assert(kept.zip(kept.tail).forall { case (a, b) => a >= b },
+      s"kept_tokens not non-increasing: ${kept.toSeq}")
+    assert(recall.zip(recall.tail).forall { case (a, b) => a >= b },
+      s"recall not non-increasing: ${recall.toSeq}")
+    // every row accounts against the same corpus and positives
+    assert(rows.map(_.getAs[Long]("n_docs")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n_pos")).distinct.length == 1)
+    // the 1x row IS the registered gate: keeps match curate_classifier's
+    val base = rows.find(_.getAs[Long]("thr_milli") == 1000L).get
+    val gateKeeps = Ml.queries("curate_classifier")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_keep")).collect()(0).getLong(0)
+    assert(base.getAs[Long]("n_keep") == gateKeeps,
+      "sweep's 1x row must equal the shipping gate's keep count")
+  }
+
+  test("budget pick obeys the two-regime rule against its own sweep") {
+    val pick = Ml.queries("curate_budget_threshold")(spark, sf0001).collect()
+    assert(pick.length == 1)
+    val p = pick(0)
+    val budget = p.getAs[Long]("budget_tokens")
+    val sweep = Ml.queries("curate_threshold_sweep")(spark, sf0001).collect()
+      .map(r => (r.getAs[Long]("thr_milli"), r.getAs[Long]("kept_tokens")))
+    val qualifying = sweep.filter(_._2 >= budget)
+    if (p.getAs[Boolean]("qualifies")) {
+      // tightest qualifying gate
+      assert(qualifying.nonEmpty)
+      assert(p.getAs[Long]("thr_milli") == qualifying.map(_._1).max)
+    } else {
+      // fallback: loosest gate (max kept tokens = smallest multiplier)
+      assert(qualifying.isEmpty)
+      assert(p.getAs[Long]("thr_milli") == sweep.map(_._1).min)
+    }
+  }
+
+  test("IVF nprobe sweep: candidates strictly grow, hits never shrink, hits bounded by truth") {
+    val rows = Similarity.queries("sim_ann_ivf_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"candidates must strictly grow with nprobe: ${cands.toSeq}")
+    // a candidate set that only grows can never evict an exact hit from
+    // the top-3: exact hits outrank every non-exact candidate by cosine
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"hits must be non-decreasing in nprobe: ${hits.toSeq}")
+    val nExact = Similarity.queries("sim_cosine_topk")(spark, sf0001)
+      .filter("rn <= 3").count()
+    assert(hits.forall(_ <= nExact))
+    assert(rows.forall(r => r.getAs[Long]("recall_ppm") <= 1000000L))
+  }
+}
