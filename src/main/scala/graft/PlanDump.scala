@@ -141,7 +141,10 @@ object PlanDump {
     "sim_ann_ivf_kmeans", "curate_budget_threshold",
     // round 9, fourth wave: IVF nprobe operating table (probe fan-out
     // multiplies only query rows), semantic-dedup refinery tier
-    "sim_ann_ivf_sweep", "refinery_semantic")
+    "sim_ann_ivf_sweep", "refinery_semantic",
+    // round 9, fifth wave: per-epoch loader serve order (blocked global
+    // rank over ≤4096 hash-key blocks — no unpartitioned window)
+    "pack_epoch_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

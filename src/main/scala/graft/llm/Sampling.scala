@@ -764,6 +764,46 @@ object Sampling extends QueryModule {
     * visible per row. Same hierarchical prefix as every pack_* query —
     * no single-partition language stage.
     */
+  /** Serve epochs emitted by [[packEpochOrder]]. */
+  private[graft] val ServeEpochs = 3
+
+  /** PER-EPOCH SERVE ORDER — the last loader artifact between packing
+    * and the training loop: every epoch reshuffles the packed windows
+    * deterministically (seeded by the window identity AND the epoch, so
+    * epoch e+1's order is uncorrelated with epoch e's but identical on
+    * every rerun/cluster). serve_rank is an EXACT global 1-based rank
+    * per epoch — computed by the blocked prefix, never an unpartitioned
+    * window: the hash key's top bits coarsen into ≤4096 contiguous
+    * blocks (2⁴⁸ divisor over the 60-bit key), so the only cumulative
+    * pass runs over ≤4096 summary rows per epoch while every data-scale
+    * stage partitions on the block. At 100 TB (~25 M windows per epoch
+    * at a 2048 budget) the manifest is windows × epochs rows and the
+    * rank machinery is unchanged — exactly the `agg_rank_select`
+    * discipline applied to the loader manifest.
+    */
+  def packEpochOrder(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.BlockedRank
+    val bins = packAssign(Tables.documents(spark, sfDir), PackBudget)
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+    val keyed = bins
+      .withColumn("epoch", explode(sequence(lit(0), lit(ServeEpochs - 1))))
+      .withColumn("serve_key", Hashing.hash60(
+        concat(col("lang"), lit("#"), col("bin").cast("string"),
+          lit("#"), col("epoch").cast("string"))))
+    BlockedRank.blockedPrefix(
+      keyed,
+      partition = Seq("epoch"),
+      blocks = Seq("__so_b" -> expr("serve_key div 281474976710656")), // 2^48 → ≤4096 blocks
+      blockDesc = Seq(false),
+      localOrder = Seq(col("serve_key"), col("lang"), col("bin")),
+      outRank = "serve_rank",
+      outTotalN = "n_windows")
+      .select("epoch", "serve_rank", "lang", "bin", "n_docs", "bin_tokens",
+        "n_windows")
+      .orderBy("epoch", "serve_rank")
+  }
+
   def packOffsets(spark: SparkSession, sfDir: String): DataFrame =
     packAssign(Tables.documents(spark, sfDir), PackBudget)
       .select(col("lang"), col("bin"), col("doc_id"),
@@ -896,6 +936,7 @@ object Sampling extends QueryModule {
     "sample_balanced" -> (sampleBalanced _),
     "pack_sequences"  -> (packSequences _),
     "pack_offsets"    -> (packOffsets _),
+    "pack_epoch_order" -> (packEpochOrder _),
     "pack_chunks"     -> (packChunks _),
     "pack_length_buckets" -> (packLengthBuckets _),
   )
@@ -1321,6 +1362,34 @@ object Sampling extends QueryModule {
            |SELECT lang, CAST(cum_before // $PackBudget AS BIGINT) AS bin,
            |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
            |FROM c GROUP BY lang, cum_before // $PackBudget ORDER BY lang, bin""".stripMargin,
+      "pack_epoch_order" ->
+        s"""WITH t AS (
+           |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
+           |  FROM documents
+           |), c AS (
+           |  SELECT lang, toks,
+           |    COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+           |  FROM t
+           |), bins AS (
+           |  SELECT lang, CAST(cum_before // $PackBudget AS BIGINT) AS bin,
+           |    COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+           |  FROM c GROUP BY lang, cum_before // $PackBudget
+           |), keyed AS (
+           |  SELECT lang, bin, n_docs, bin_tokens,
+           |    CAST(unnest(range(0, $ServeEpochs)) AS INTEGER) AS epoch
+           |  FROM bins
+           |), r AS (
+           |  SELECT *, ${Hashing.duckHash60(
+                "lang || '#' || CAST(bin AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")} AS serve_key
+           |  FROM keyed
+           |)
+           |SELECT epoch,
+           |  CAST(row_number() OVER (PARTITION BY epoch
+           |    ORDER BY serve_key, lang, bin) AS BIGINT) AS serve_rank,
+           |  lang, bin, n_docs, bin_tokens,
+           |  CAST(COUNT(*) OVER (PARTITION BY epoch) AS BIGINT) AS n_windows
+           |FROM r ORDER BY epoch, serve_rank""".stripMargin,
       "pack_offsets" ->
         s"""WITH t AS (
            |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS toks
