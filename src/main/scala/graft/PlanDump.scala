@@ -144,7 +144,7 @@ object PlanDump {
     "sim_ann_ivf_sweep", "refinery_semantic",
     // round 9, fifth wave: per-epoch loader serve order (blocked global
     // rank over ≤4096 hash-key blocks — no unpartitioned window)
-    "pack_epoch_order")
+    "pack_epoch_order", "refinery_serve_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -223,6 +223,21 @@ object Refinery extends QueryModule {
         .join(losers, Seq("doc_id"), "left_anti"))
   }
 
+  /** THE FULL CHAIN ∘ EPOCH SERVE ORDER — the deepest composition in the
+    * suite: gate ∘ decontaminate ∘ cluster-representative dedup ∘
+    * suffix-span mask ∘ pack ∘ per-epoch deterministic reshuffle
+    * ([[Sampling.epochOrderOf]] over [[refineryFull]]'s windows). This IS
+    * the artifact a training run walks: for each epoch, the exact order
+    * in which the refined corpus's context windows are served. One hash
+    * pins SEVEN tiers — the DuckDB oracle re-trains the classifier,
+    * re-derives the contamination set, re-closes the clusters, re-sorts
+    * the suffixes, re-packs, re-keys, and re-ranks. The rank is the
+    * blocked global prefix (≤4096 hash-key blocks per epoch) — no
+    * unpartitioned window anywhere in the seven tiers.
+    */
+  def refineryServeOrder(spark: SparkSession, sfDir: String): DataFrame =
+    Sampling.epochOrderOf(refineryFull(spark, sfDir))
+
   /** THE FULL CHAIN ∘ ANNEAL SCHEDULE — what ships to the trainer after
     * the refinery is not just packed windows but a two-phase schedule:
     *
@@ -527,6 +542,7 @@ object Refinery extends QueryModule {
     "refinery_dedup_pack" -> (refineryDedupPack _),
     "refinery_mm_dedup" -> (refineryMmDedup _),
     "refinery_semantic" -> (refinerySemantic _),
+    "refinery_serve_order" -> (refineryServeOrder _),
     "refinery_decontaminated" -> (refineryDecontaminated _),
     "refinery_full" -> (refineryFull _),
     "refinery_anneal" -> (refineryAnneal _),
@@ -579,6 +595,39 @@ object Refinery extends QueryModule {
            |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
            |FROM cum GROUP BY lang, cum_before // ${Sampling.PackBudget}
            |ORDER BY lang, bin""".stripMargin
+    // serve-order tail: the pack tail's bins, then epoch keying + the
+    // per-epoch rank (the pack_epoch_order arithmetic over `surv` bins)
+    def serveTail(survivorCte: String): String =
+      Seq(
+        s"""tk AS (
+           |  SELECT k.doc_id, k.lang,
+           |    k.nw - COALESCE(c.cut_words, 0) AS toks
+           |  FROM $survivorCte k LEFT JOIN cutc c ON k.doc_id = c.doc_id)""".stripMargin,
+        s"""cum AS (
+           |  SELECT lang, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM tk)""".stripMargin,
+        s"""pb AS (
+           |  SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
+           |    COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+           |  FROM cum GROUP BY lang, cum_before // ${Sampling.PackBudget})""".stripMargin,
+        s"""sk AS (
+           |  SELECT lang, bin, n_docs, bin_tokens,
+           |    CAST(unnest(range(0, ${Sampling.ServeEpochs})) AS INTEGER) AS epoch
+           |  FROM pb)""".stripMargin,
+        s"""skk AS (
+           |  SELECT *, ${Hashing.duckHash60(
+              "lang || '#' || CAST(bin AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")} AS serve_key
+           |  FROM sk)""".stripMargin)
+        .mkString(",\n") +
+        s"""
+           |SELECT epoch,
+           |  CAST(row_number() OVER (PARTITION BY epoch
+           |    ORDER BY serve_key, lang, bin) AS BIGINT) AS serve_rank,
+           |  lang, bin, n_docs, bin_tokens,
+           |  CAST(COUNT(*) OVER (PARTITION BY epoch) AS BIGINT) AS n_windows
+           |FROM skk ORDER BY epoch, serve_rank""".stripMargin
     val packSql =
       sharedHead.mkString("WITH ", ",\n", ",\n") + packTail("keepd")
     // dedup variant: the cluster-loser closure needs WITH RECURSIVE (the
@@ -626,6 +675,18 @@ object Refinery extends QueryModule {
           |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
           |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
         .mkString("WITH RECURSIVE ", ",\n", ",\n") + packTail("surv")
+    // serve-order variant: the full chain's survivors, packed, then
+    // epoch-keyed and per-epoch ranked — seven tiers under one hash
+    val serveSql =
+      (sharedHead ++ Seq(
+        Dedup.duckClusterLoserCtes,
+        Curation.duckDecontCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
+          |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", ",\n") + serveTail("surv")
     // anneal variant: the full chain's survivor set, post-mask token
     // counts, then the per-lang TTR-histogram cutoff + schedule over
     // SURVIVORS (an_* CTE names avoid the shared head's f/cum/tk).
@@ -719,6 +780,7 @@ object Refinery extends QueryModule {
       "refinery_dedup_pack" -> dedupSql,
       "refinery_mm_dedup" -> mmDedupSql,
       "refinery_semantic" -> semanticSql,
+      "refinery_serve_order" -> serveSql,
       "refinery_decontaminated" -> decontSql,
       "refinery_full" -> fullSql,
       "refinery_anneal" -> annealSql,

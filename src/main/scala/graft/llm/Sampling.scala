@@ -781,11 +781,19 @@ object Sampling extends QueryModule {
     * rank machinery is unchanged — exactly the `agg_rank_select`
     * discipline applied to the loader manifest.
     */
-  def packEpochOrder(spark: SparkSession, sfDir: String): DataFrame = {
+  def packEpochOrder(spark: SparkSession, sfDir: String): DataFrame =
+    epochOrderOf(
+      packAssign(Tables.documents(spark, sfDir), PackBudget)
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens")))
+
+  /** The serve-order half of [[packEpochOrder]] over a caller-supplied
+    * (lang, bin, n_docs, bin_tokens) window manifest — package-visible
+    * so the refinery composes it over ITS windows
+    * (`refinery_serve_order`).
+    */
+  private[llm] def epochOrderOf(bins: DataFrame): DataFrame = {
     import graft.operators.BlockedRank
-    val bins = packAssign(Tables.documents(spark, sfDir), PackBudget)
-      .groupBy("lang", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
     val keyed = bins
       .withColumn("epoch", explode(sequence(lit(0), lit(ServeEpochs - 1))))
       .withColumn("serve_key", Hashing.hash60(
