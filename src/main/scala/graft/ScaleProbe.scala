@@ -462,16 +462,18 @@ object ScaleProbe {
           .select(col("vec_id").as("cent_id"), col("e").as("cente"))
         val byCent = Window.partitionBy("vec_id")
           .orderBy(col("ccos").desc, col("cent_id"))
-        // window-argmax form (the registered ivfAssignTo shape): sorts k
-        // rows per vector inside a per-vec_id window
+        // PROBE-ONLY BASELINE — the window-argmax form: sorts k rows per
+        // vector inside a per-vec_id window; the A/B control the shipped
+        // aggregate-argmax ivfAssignTo was measured against (and replaced)
         def assignWindow(): DataFrame =
           vecs.crossJoin(broadcast(cents))
             .withColumn("ccos", cosine_sim(col("e"), col("cente")))
             .withColumn("crn", row_number().over(byCent))
             .filter(col("crn") === 1)
             .select(col("vec_id"), col("e"), col("cent_id").as("cluster"))
-        // aggregate form: max(struct) argmax — map-side combinable, no
-        // per-vector sort, but the agg buffer carries the 64-dim vector
+        // aggregate form (the registered ivfAssignTo shape): max(struct)
+        // argmax — map-side combinable, no per-vector sort; the agg
+        // buffer carries the 64-dim vector
         def assignAgg(): DataFrame =
           vecs.crossJoin(broadcast(cents))
             .withColumn("ccos", cosine_sim(col("e"), col("cente")))
@@ -480,13 +482,20 @@ object ScaleProbe {
               col("e"))).as("best"))
             .select(col("vec_id"), col("best.e").as("e"),
               (-col("best.negc")).as("cluster"))
-        def timedCut(mk: () => DataFrame): (DataFrame, Double) = {
-          val (df1, s1) = time(PlanBridge.cutLineage(mk())._1)
-          val (df2, s2) = time(PlanBridge.cutLineage(mk())._1)
-          if (s1 <= s2) (df1, s1) else (df2, s2) // min-of-2, keep either
+        // min-of-2 per form; losing cuts (and the winner's, once the
+        // probe is done) are RELEASED — pinned dead blocks would inflate
+        // the later measurements, the exact residue the section-filter
+        // convention exists to avoid
+        def timedCut(mk: () => DataFrame)
+            : (DataFrame, org.apache.spark.rdd.RDD[_], Double) = {
+          val ((df1, rdd1, _), s1) = time(PlanBridge.cutLineage(mk()))
+          val ((df2, rdd2, _), s2) = time(PlanBridge.cutLineage(mk()))
+          if (s1 <= s2) { PlanBridge.releaseCut(rdd2); (df1, rdd1, s1) }
+          else { PlanBridge.releaseCut(rdd1); (df2, rdd2, s2) }
         }
-        val (_, assignWindowSec) = timedCut(assignWindow _)
-        val (assigned, assignSec) = timedCut(assignAgg _)
+        val (_, winRdd, assignWindowSec) = timedCut(assignWindow _)
+        PlanBridge.releaseCut(winRdd) // timing-only; the probe uses the agg cut
+        val (assigned, aggRdd, assignSec) = timedCut(assignAgg _)
         val q = assigned.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cluster"))
         val c = assigned.select(
@@ -503,8 +512,9 @@ object ScaleProbe {
             .filter(col("rn") <= 3).count()
           (nCand, top3)
         }
-        val sec = (1 to 2).map(_ => time(probe())._2).min
-        val (nCand, _) = probe()
+        val runs = (1 to 2).map(_ => time(probe()))
+        val ((nCand, _), sec) = runs.minBy(_._2)
+        PlanBridge.releaseCut(aggRdd)
         println(f"""{"probe":"ivf_cell_size","vectors":$n,"k":$k,""" +
           f""""assign_window_sec":$assignWindowSec%.1f,""" +
           f""""assign_agg_sec":$assignSec%.1f,"candidates":$nCand,""" +

@@ -578,7 +578,8 @@ object Refinery extends QueryModule {
     // The cumsum here is the naive per-lang window form — value-identical
     // to the Spark side's hierarchical prefix, and DuckDB runs on one
     // node anyway.
-    def packTail(survivorCte: String): String =
+    // the shared masked-token cumsum CTEs every pack-shaped tail builds on
+    def packCumCtes(survivorCte: String): String =
       Seq(
         s"""tk AS (
            |  SELECT k.doc_id, k.lang,
@@ -589,7 +590,9 @@ object Refinery extends QueryModule {
            |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
            |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
            |  FROM tk)""".stripMargin)
-        .mkString(",\n") +
+        .mkString(",\n")
+    def packTail(survivorCte: String): String =
+      packCumCtes(survivorCte) +
         s"""
            |SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
            |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
@@ -598,16 +601,7 @@ object Refinery extends QueryModule {
     // serve-order tail: the pack tail's bins, then epoch keying + the
     // per-epoch rank (the pack_epoch_order arithmetic over `surv` bins)
     def serveTail(survivorCte: String): String =
-      Seq(
-        s"""tk AS (
-           |  SELECT k.doc_id, k.lang,
-           |    k.nw - COALESCE(c.cut_words, 0) AS toks
-           |  FROM $survivorCte k LEFT JOIN cutc c ON k.doc_id = c.doc_id)""".stripMargin,
-        s"""cum AS (
-           |  SELECT lang, toks,
-           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-           |  FROM tk)""".stripMargin,
+      packCumCtes(survivorCte) + ",\n" + Seq(
         s"""pb AS (
            |  SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
            |    COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens

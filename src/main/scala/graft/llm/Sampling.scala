@@ -764,6 +764,13 @@ object Sampling extends QueryModule {
     * visible per row. Same hierarchical prefix as every pack_* query —
     * no single-partition language stage.
     */
+  def packOffsets(spark: SparkSession, sfDir: String): DataFrame =
+    packAssign(Tables.documents(spark, sfDir), PackBudget)
+      .select(col("lang"), col("bin"), col("doc_id"),
+        (col("cum_before") - col("bin") * PackBudget).as("offset_in_bin"),
+        col("toks"))
+      .orderBy("lang", "bin", "offset_in_bin")
+
   /** Serve epochs emitted by [[packEpochOrder]]. */
   private[graft] val ServeEpochs = 3
 
@@ -811,13 +818,6 @@ object Sampling extends QueryModule {
         "n_windows")
       .orderBy("epoch", "serve_rank")
   }
-
-  def packOffsets(spark: SparkSession, sfDir: String): DataFrame =
-    packAssign(Tables.documents(spark, sfDir), PackBudget)
-      .select(col("lang"), col("bin"), col("doc_id"),
-        (col("cum_before") - col("bin") * PackBudget).as("offset_in_bin"),
-        col("toks"))
-      .orderBy("lang", "bin", "offset_in_bin")
 
   /** LOADER-GRADE WINDOW FRAGMENTS — the rows an attention-mask-building
     * data loader actually consumes: one row per (document, context

@@ -44,9 +44,13 @@ class FsAtomicSpec extends SparkSpec {
   test("no temp siblings survive a successful build") {
     val base = freshBase()
     Fs.writeParquetAtomic(Seq(1L).toDF("v"), base.resolve("idx"))
-    val leftovers = Files.list(base).iterator()
-    val names = Iterator.continually(leftovers)
-      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toList
+    val listing = Files.list(base)
+    val names =
+      try {
+        val it = listing.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext)
+          .map(_.next().getFileName.toString).toList
+      } finally listing.close()
     assert(names == List("idx"), s"unexpected siblings: $names")
   }
 }

@@ -75,4 +75,25 @@ class PackChunksSpec extends SparkSpec {
       assert((first._2, first._6) === off(doc), s"doc $doc first fragment placement")
     }
   }
+
+  test("epoch serve order: each epoch is a permutation of all windows; epochs reshuffle") {
+    val srows = Sampling.packEpochOrder(spark, sf0001).collect()
+    val byEpoch = srows.groupBy(_.getAs[Int]("epoch"))
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    val windowSets = byEpoch.map { case (_, rs) =>
+      // ranks are exactly 1..n_windows — a permutation, no gap, no dup
+      val ranks = rs.map(_.getAs[Long]("serve_rank")).sorted.toSeq
+      assert(ranks === (1L to rs.length.toLong))
+      assert(rs.forall(_.getAs[Long]("n_windows") == rs.length.toLong))
+      rs.map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin"))).toSet
+    }.toSeq
+    // every epoch serves the SAME window set...
+    assert(windowSets.distinct.length === 1)
+    // ...in a DIFFERENT order (the per-epoch reshuffle is real)
+    def order(e: Int): Seq[(String, Long)] = byEpoch(e)
+      .sortBy(_.getAs[Long]("serve_rank"))
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin"))).toSeq
+    assert(order(0) !== order(1))
+    assert(order(1) !== order(2))
+  }
 }

@@ -207,26 +207,6 @@ class DecontaminateSpec extends SparkSpec {
     assert(kept.forall(_ % 97 != 0))
   }
 
-  test("epoch serve order: each epoch is a permutation of all windows; epochs reshuffle") {
-    val rows = Sampling.packEpochOrder(spark, sf0001).collect()
-    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
-    assert(byEpoch.keySet === Set(0, 1, 2))
-    val windowSets = byEpoch.map { case (_, rs) =>
-      // ranks are exactly 1..n_windows — a permutation, no gap, no dup
-      val ranks = rs.map(_.getAs[Long]("serve_rank")).sorted.toSeq
-      assert(ranks === (1L to rs.length.toLong))
-      assert(rs.forall(_.getAs[Long]("n_windows") == rs.length.toLong))
-      rs.map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin"))).toSet
-    }.toSeq
-    // every epoch serves the SAME window set...
-    assert(windowSets.distinct.length === 1)
-    // ...in a DIFFERENT order (the per-epoch reshuffle is real)
-    def order(e: Int): Seq[(String, Long)] = byEpoch(e)
-      .sortBy(_.getAs[Long]("serve_rank"))
-      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("bin"))).toSeq
-    assert(order(0) !== order(1))
-    assert(order(1) !== order(2))
-  }
 }
 
 class QuantizeSpec extends SparkSpec {
