@@ -213,6 +213,20 @@ class PlanSpec extends SparkSpec {
         offenders.mkString("\n"))
   }
 
+  test("IVF assignment stays an aggregate argmax, not a per-vector window") {
+    // ivfAssignTo ships the map-side-combinable max(struct) form — the
+    // per-vec_id window alternative was measured 1.6-3x slower at 1e6
+    // vectors (ScaleProbe ivf). sim_ann_ivf's plan must therefore carry
+    // EXACTLY ONE window (the probe's per-query top-3); a second window
+    // means someone regressed the assignment back to the sort form.
+    val df = SparkEntry.queries("sim_ann_ivf")(spark, sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    // node lines render as "+- Window [..." (WindowGroupLimit renders
+    // without the space-bracket, so the substring can't over-count it)
+    val nWindows = p.linesIterator.count(_.contains("Window ["))
+    assert(nWindows == 1, s"expected exactly 1 Window (probe top-3), got $nWindows:\n$p")
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // codegen'd operators render with a "*(stageId)" prefix — but only in
     // the FINAL adaptive plan, so execute before inspecting.
