@@ -21,16 +21,21 @@ object Fs {
     * stated precisely: a builder that OBSERVES a complete target
     * (parquet's `_SUCCESS` marker) never touches it — it discards its own
     * temp and returns the winner's path; a marker-less directory is a
-    * crashed build's residue and gets cleared and replaced; concurrent
-    * recoveries of the same residue converge via a bounded
-    * check-move-clear retry loop (each round re-checks the marker
-    * IMMEDIATELY before clearing, so the window in which one recoverer
-    * could clear another's just-completed install is one
-    * check-to-delete syscall gap, and a builder that loses every round
-    * exits through the winner's marker). Callers key the path by a
-    * corpus fingerprint, so all racers build identical content. Shared
-    * by every standing-artifact memo (band index, IVF index). Returns
-    * `target` as a string path.
+    * crashed build's residue and gets moved ASIDE (never deleted in
+    * place): residue is atomically renamed to a process-unique
+    * `.trash.<uuid>` sibling before the install retries, so a racer's
+    * just-completed install can never be destroyed — the aside-move and
+    * a winner's install contend ATOMICALLY on the same path, and even
+    * if the aside-move swings a freshly-completed install out of the
+    * way, the mover immediately re-installs its own temp (identical
+    * content — callers key the path by a corpus fingerprint) via
+    * ATOMIC_MOVE, so readers never observe a partially deleted
+    * directory, only absent-then-complete. A builder that can neither
+    * install nor observe a winner within the bounded retry loop THROWS
+    * rather than returning an unverified path (a silently-returned
+    * dangling path would fail far from the cause, at some later
+    * spark.read). Shared by every standing-artifact memo (band index,
+    * IVF index). Returns `target` as a string path.
     */
   def writeParquetAtomic(
       df: org.apache.spark.sql.DataFrame,
@@ -51,12 +56,31 @@ object Fs {
         } catch {
           case _: FileSystemException =>
             // target exists: a winner (exit via `complete` next round) or
-            // crashed residue — re-check the marker immediately before
-            // clearing so a freshly-completed install is never deleted
-            if (!complete) deleteRecursively(target.toFile)
+            // crashed residue. Move it aside atomically instead of
+            // deleting in place — deleting is non-atomic and could
+            // destroy an install that completed between the marker
+            // re-check and the delete; a rename can't.
+            if (!complete) {
+              val trash = target.resolveSibling(
+                s"${target.getFileName}.trash.${java.util.UUID.randomUUID().toString}")
+              try {
+                Files.move(target, trash, StandardCopyOption.ATOMIC_MOVE)
+                deleteRecursively(trash.toFile) // private path: safe
+              } catch {
+                // another racer moved/installed concurrently — re-loop;
+                // the next round either installs or exits via `complete`
+                case _: java.io.IOException => ()
+              }
+            }
         }
       }
-      if (!installed) deleteRecursively(tmp.toFile)
+      if (!installed) {
+        deleteRecursively(tmp.toFile)
+        if (!complete) throw new IllegalStateException(
+          s"writeParquetAtomic: could not install $target after $rounds " +
+            "rounds and no complete artifact is present — refusing to " +
+            "return an unverified path")
+      }
     }
     target.toString
   }

@@ -845,8 +845,15 @@ object Sampling extends QueryModule {
     packAssign(Tables.documents(spark, sfDir), PackBudget)
       .select(col("lang"), col("doc_id"),
         col("toks").cast("long").as("toks"), col("cum_before"))
-      .withColumn("frag", explode(sequence(lit(0L),
-        expr(s"(cum_before + toks - 1) div $b - cum_before div $b"))))
+      // greatest(..., 0) pins the toks >= 1 invariant EXPLICITLY: a
+      // degenerate toks = 0 at a bin boundary would otherwise drive the
+      // upper bound to -1, where Spark's sequence(0, -1) yields a
+      // DESCENDING [0, -1] but DuckDB's generate_series yields nothing —
+      // a silent cross-engine divergence class. Clamped the same way in
+      // the oracle, both engines emit one zero-length fragment.
+      .withColumn("frag", explode(sequence(lit(0L), greatest(
+        expr(s"(cum_before + toks - 1) div $b - cum_before div $b"),
+        lit(0L)))))
       .withColumn("bin", expr(s"cum_before div $b") + col("frag"))
       .select(
         col("lang"), col("bin"), col("doc_id"),
@@ -1422,8 +1429,8 @@ object Sampling extends QueryModule {
            |  FROM t
            |), f AS (
            |  SELECT lang, doc_id, toks, cum_before,
-           |    cum_before // $PackBudget + unnest(generate_series(0,
-           |      (cum_before + toks - 1) // $PackBudget - cum_before // $PackBudget)) AS bin
+           |    cum_before // $PackBudget + unnest(generate_series(0, GREATEST(
+           |      (cum_before + toks - 1) // $PackBudget - cum_before // $PackBudget, 0))) AS bin
            |  FROM c
            |)
            |SELECT lang, CAST(bin AS BIGINT) AS bin, doc_id,

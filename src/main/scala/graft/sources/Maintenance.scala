@@ -56,7 +56,10 @@ object Maintenance extends QueryModule {
     * the rewrite [[compactionBins]] only plans: per partition
     * directory, list the actual data files (driver-side, metadata
     * scale — the same listing every OPTIMIZE/rewriteDataFiles planner
-    * does), assign them to bins by the identical running-total
+    * does; java.io listing deliberately pins this harness to the local
+    * filesystem, the sandbox's object-store stand-in — a deployment
+    * swaps in the Hadoop FileSystem listing behind the same map),
+    * assign them to bins by the identical running-total
     * division (name order, bin = bytes-before div target), then
     * rewrite so each bin becomes EXACTLY ONE output file.
     *
@@ -94,9 +97,21 @@ object Maintenance extends QueryModule {
       }.toMap
       val nBins = fileToBin.values.max + 1
       val staging = s"$outDir/.staging/${pd.getName}"
+      // input_file_name() returns a URI, so a name needing
+      // percent-encoding (spaces etc.) differs from the raw java.io
+      // listing key — match on the raw basename first, then its
+      // URI-decoded form (try_url_decode: null on malformed, never
+      // throws), and FAIL FAST on an unmapped file instead of letting a
+      // null __bin land rows in __HIVE_DEFAULT_PARTITION__ and blow up
+      // the rename loop's toLong far from the cause.
+      val base = regexp_extract(input_file_name(), "[^/]+$", 0)
       spark.read.parquet(pd.toString)
-        .withColumn("__bin", element_at(typedlit(fileToBin),
-          regexp_extract(input_file_name(), "[^/]+$", 0)))
+        .withColumn("__bin", coalesce(
+          element_at(typedlit(fileToBin), base),
+          element_at(typedlit(fileToBin), try_url_decode(base)),
+          raise_error(concat(
+            lit(s"compactExecute: input file of ${pd.getName} missing "
+              + "from the bin map: "), input_file_name()))))
         .repartition(col("__bin"))
         .write.mode("overwrite").partitionBy("__bin").parquet(staging)
       val outPart = new java.io.File(s"$outDir/${pd.getName}")
