@@ -297,6 +297,31 @@ object Similarity extends QueryModule {
       .unionAll(ivfAssignTo(cents, emb.filter(isNew))))
   }
 
+  /** The TRUE daily-ingest pricing — [[simAnnIvfAppend]] with the
+    * history side read from the STANDING materialized index instead of
+    * re-assigned in-query: one pruned parquet scan of
+    * [[materializedIvfIndex]] (filtered to history ids — the predicate
+    * pushes to the scan) ∪ the frozen-codebook assign of ONLY the
+    * arriving batch (vec_id ≡ 9 mod 10), then the probe. This is what a
+    * deployment actually pays per ingestion wave: O(batch·k) assignment
+    * plus an index scan, never a corpus×k recompute. Because assignment
+    * is per-vector independent given the codebook, index-scan ∪
+    * batch-assign ≡ full rebuild row-for-row, so this SHARES
+    * `sim_ann_ivf`'s oracle verbatim — one hash pins that reading
+    * history from the standing artifact loses nothing vs recomputing
+    * it. Bench: first invocation per JVM pays the memo build; the
+    * min-of-two records the warm standing-index cost (the number to
+    * compare against `sim_ann_ivf_append`'s in-query history assign).
+    */
+  def simAnnIvfIndexedAppend(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val isNew = col("vec_id") % 10 === 9
+    val history = spark.read.parquet(materializedIvfIndex(spark, sfDir))
+      .filter(!isNew)
+    ivfProbe(history.unionByName(
+      ivfAssignTo(ivfCentroidsOf(emb), emb.filter(isNew))))
+  }
+
   /** The TRAINED-codebook IVF — [[simAnnIvf]] with the codebook the
     * seed centroids only BOOTSTRAP: one Lloyd refinement (assign → 6dp
     * per-dimension means, `emb_kmeans`'s training step verbatim) and
@@ -1233,6 +1258,87 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** Cells an IVF-PQ query probes per query vector. */
+  private val IvfPqNprobe = 2
+
+  /** The COMPOSED IVF-PQ pipeline — the index shape a 100 TB ANN
+    * deployment actually stores, assembled from the two halves the
+    * suite already proves separately: the Lloyd-TRAINED coarse codebook
+    * (`sim_ann_ivf_kmeans`'s trainer) partitions the corpus into cells,
+    * each cell's posting list holds PQ CODES ONLY (`emb_pq`'s encoder —
+    * the fp64 vector column dies at the encode: 8 code bytes per vector
+    * survive, not 512 fp64 bytes, which is why the posting lists fit an
+    * executor cache at 100 TB; SCALING.md §8), and a query (1) ranks
+    * the trained centroids and probes its [[IvfPqNprobe]] nearest
+    * cells, (2) broadcasts its 8×16 subspace-distance LUT, (3) scores
+    * candidates by asymmetric distance — 8 LUT lookups summed, never a
+    * 64-dim loop per pair. Per-cell LUT distances round onto the 6dp
+    * decimal grid before the sum (`sim_ann_pq`'s discipline), so ADC
+    * scores are exact decimals and the rank order is engine- and
+    * reduction-order-independent; `in_exact3` reports fidelity against
+    * the fp64 L2 truth. The oracle replays train ∘ assign ∘ encode ∘
+    * probe end-to-end under one hash. Scale shape: candidate generation
+    * is the (cluster) equi-join against a broadcast NQueries×nprobe
+    * probe set, the LUT join is a broadcast hash join on (q, s, code),
+    * and nothing downstream of the encode carries a vector.
+    */
+  def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val subs = pqSubs(spark, sfDir)
+    // posting lists: (cluster, cand_id, s, cid) — codes only past here
+    val postings = ivfAssignTo(coarse, emb)
+      .select(col("vec_id").as("cand_id"), col("cluster"))
+      .join(pqCodes(subs)
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
+        Seq("cand_id"))
+    val byCent = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probed = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine(col("qe"), col("cente")))
+      .withColumn("prn", row_number().over(byCent))
+      .filter(col("prn") <= IvfPqNprobe)
+      .select(col("q_id"), col("cent_id").as("cluster"))
+    // LUT join columns renamed before the join (the simAnnPq rule: no
+    // dataset-id-disambiguated self-join predicates)
+    val luts = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub"))
+      .join(broadcast(pqCents(subs)), Seq("s"))
+      .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
+      .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
+        col("cent_id").as("lut_cid"), col("pd2"))
+    val adc = postings
+      .join(broadcast(probed), Seq("cluster"))
+      .join(broadcast(luts),
+        col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
+          col("cid") === col("lut_cid"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("pd2")).as("adc"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
+    // fp64 ground truth: exact L2 top-3 per query (the fidelity flag)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val exact3 = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("d2", l2)
+      .withColumn("xrn", row_number().over(byL2))
+      .filter(col("xrn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(true).as("hit"))
+    ranked.join(exact3, Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"),
+        col("adc").cast("double").as("adc"),
+        coalesce(col("hit"), lit(false)).as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Out-of-distribution / mislabel screen — vectors anomalously far from
     * their OWN label's centroid (squared L2 above the corpus-wide exact
     * p99): the embedding-quality audit run before trusting labels for
@@ -1286,6 +1392,8 @@ object Similarity extends QueryModule {
     "sim_ann_ivf"     -> (simAnnIvf _),
     "sim_ann_ivf_indexed" -> (simAnnIvfIndexed _),
     "sim_ann_ivf_append" -> (simAnnIvfAppend _),
+    "sim_ann_ivf_indexed_append" -> (simAnnIvfIndexedAppend _),
+    "sim_ann_ivfpq" -> (simAnnIvfPq _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -1958,6 +2066,95 @@ object Similarity extends QueryModule {
     // given the frozen codebook, so batch-append ≡ full rebuild and the
     // same hash pins it (see simAnnIvfAppend scaladoc)
     "sim_ann_ivf_append" -> simAnnIvfSql,
+    // the standing-index append shares it too: the oracle never sees the
+    // parquet round-trip, and per-vector independence makes
+    // index-scan ∪ batch-assign ≡ rebuild (see simAnnIvfIndexedAppend)
+    "sim_ann_ivf_indexed_append" -> simAnnIvfSql,
+    // the composed IVF-PQ: train (Lloyd) ∘ coarse-assign ∘ PQ-encode ∘
+    // LUT-probe replayed end-to-end — the coarse CTEs are
+    // sim_ann_ivf_kmeans's verbatim, the PQ CTEs sim_ann_pq's verbatim
+    "sim_ann_ivfpq" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), subs AS (
+         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+         |), pcents AS (
+         |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
+         |), pcand AS (
+         |  SELECT subs.vec_id, subs.s, pcents.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))) AS d2
+         |  FROM subs JOIN pcents ON subs.s = pcents.s
+         |), codes AS (
+         |  SELECT vec_id AS cand_id, s, cid FROM (
+         |    SELECT vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM pcand) WHERE rn = 1
+         |), probed AS (
+         |  SELECT q_id, cluster FROM (
+         |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
+         |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
+         |  WHERE prn <= $IvfPqNprobe
+         |), luts AS (
+         |  SELECT subs.vec_id AS q_id, subs.s, pcents.cent_id,
+         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))), 6)
+         |      AS DECIMAL(18,6)) AS pd2
+         |  FROM subs JOIN pcents ON subs.s = pcents.s
+         |  WHERE subs.vec_id < $NQueries
+         |), adc AS (
+         |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc
+         |  FROM probed p
+         |  JOIN a2 ON a2.cluster = p.cluster
+         |  JOIN codes c ON c.cand_id = a2.vec_id
+         |  JOIN luts l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
+         |  WHERE p.q_id <> c.cand_id
+         |  GROUP BY p.q_id, c.cand_id
+         |), ranked AS (
+         |  SELECT q_id, cand_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS INTEGER) AS rn
+         |  FROM adc
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, CAST(r.adc AS DOUBLE) AS adc,
+         |  (x.q_id IS NOT NULL) AS in_exact3
+         |FROM ranked r LEFT JOIN exact3 x
+         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin,
     "sim_ann_ivf_sweep" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -227,6 +227,29 @@ class PlanSpec extends SparkSpec {
     assert(nWindows == 1, s"expected exactly 1 Window (probe top-3), got $nWindows:\n$p")
   }
 
+  test("IVF-PQ: nothing past the encode carries a vector; LUT joins broadcast") {
+    // the deployable property of the composed index: posting lists hold
+    // 8 PQ code bytes per vector, so the ADC aggregate's input must be
+    // scalar-only (codes + decimal LUT distances) — an ArrayType column
+    // reaching it means a fp64 vector survived past the encode. The
+    // probe-set and LUT joins must be broadcast hash joins (bounded
+    // NQueries-scale sides), never a shuffle of the posting lists.
+    val df = SparkEntry.queries("sim_ann_ivfpq")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    val adcAggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.name == "adc") => a
+    }
+    assert(adcAggs.nonEmpty, "expected the ADC aggregate in the optimized plan")
+    adcAggs.foreach { a =>
+      val arrayCols = a.child.output
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrayCols.isEmpty,
+        s"vector columns past the encode: ${arrayCols.map(_.name).mkString(", ")}")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // codegen'd operators render with a "*(stageId)" prefix — but only in
     // the FINAL adaptive plan, so execute before inspecting.
