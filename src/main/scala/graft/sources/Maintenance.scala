@@ -138,6 +138,47 @@ object Maintenance extends QueryModule {
         StructField("n_bins", LongType))))
   }
 
+  /** Standing-artifact retention — the missing lifecycle half of the
+    * fingerprint-keyed memo zones (band index `graft_dedup/<sha256>/`,
+    * IVF index `graft_sim/<sha256>/`, components prior
+    * `graft_graph/<sha256>/`): every corpus regeneration mints a new
+    * fingerprint directory and nothing ever removed the superseded
+    * ones, so at a real deployment the zones grow monotonically.
+    * This is `CdcApply`'s keep-N vacuum discipline applied to the
+    * memos. Policy, stated precisely:
+    *
+    *  - a child whose name is in `live` (the fingerprints current memo
+    *    entries point at) is NEVER touched — a concurrent reader of the
+    *    live artifact sees a complete, unmodified directory throughout;
+    *  - of the remaining artifact dirs, the `keepN` most recently
+    *    modified survive (rollback/debug window, like CdcApply's old
+    *    versions), the rest are deleted;
+    *  - `writeParquetAtomic` residue (`.tmp.<uuid>` / `.trash.<uuid>`
+    *    siblings) is deleted only past `residueTtlMs` — a FRESH temp may
+    *    be another process's in-flight build, so age, not name, decides.
+    *
+    * Driver-side java.io listing by design: the zones live on the local
+    * filesystem (the sandbox's object-store stand-in), and a vacuum is a
+    * metadata-scale pass — children are fingerprints, not data files.
+    * Returns the deleted paths (sorted) for the audit log.
+    */
+  def vacuumArtifacts(
+      zoneDir: java.io.File,
+      live: Set[String],
+      keepN: Int = 2,
+      residueTtlMs: Long = 24L * 3600 * 1000,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val children = Option(zoneDir.listFiles()).getOrElse(Array.empty).toSeq
+    val (residue, artifacts) = children.partition(f =>
+      f.getName.contains(".tmp.") || f.getName.contains(".trash."))
+    val staleResidue = residue.filter(f => now - f.lastModified() > residueTtlMs)
+    val superseded = artifacts.filterNot(f => live.contains(f.getName))
+      .sortBy(f => (-f.lastModified(), f.getName)).drop(keepN)
+    val victims = staleResidue ++ superseded
+    victims.foreach(graft.Fs.deleteRecursively)
+    victims.map(_.getPath).sorted
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compaction_bins" -> (compactionBins _),
   )
