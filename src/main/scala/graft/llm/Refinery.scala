@@ -516,6 +516,27 @@ object Refinery extends QueryModule {
       spark.read.parquet(curatedDir).join(losers, Seq("doc_id"), "left_anti"))
   }
 
+  /** Publication over [[Similarity.semDedupIndexStream]]'s zones — the
+    * SEMANTIC sibling of [[manifestFromCuratedDedup]]: the accumulated
+    * within-cell τ-pair set yields the SemDeDup losers (a vector loses
+    * iff SOME smaller-id vector shares its cell at cosine ≥ τ — i.e. it
+    * is the `hi` endpoint of any pair; no transitive closure, the
+    * verdict is per-pair), and the published manifest packs the curated
+    * zone minus those losers. Docs without a vector pass through (the
+    * anti-join misses them), matching the batch `refinery_semantic`
+    * contract. A drained stream's manifest equals the batch
+    * `refinery_semantic` on the same corpus (`StreamingSemanticSpec`).
+    * Scale: loser extraction is one distinct over the pair zone
+    * (O(pairs)); the drop is a key anti-join.
+    */
+  def manifestFromCuratedSemantic(
+      spark: SparkSession, curatedDir: String, semIndexDir: String): DataFrame = {
+    val losers = spark.read.parquet(s"$semIndexDir/pairs")
+      .select(col("hi").as("doc_id")).distinct()
+    packManifest(
+      spark.read.parquet(curatedDir).join(losers, Seq("doc_id"), "left_anti"))
+  }
+
   /** The refinery's SINK pass: materialize the curated corpus — kept docs
     * with their duplicated spans CUT — to `outPath` as parquet, the
     * artifact a training run actually reads. Columns: doc_id, lang,

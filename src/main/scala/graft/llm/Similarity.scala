@@ -454,6 +454,82 @@ object Similarity extends QueryModule {
     ivfProbe(spark.read.parquet(s"$indexDir/assigned")
       .select("vec_id", "e", "cluster"))
 
+  /** SemDeDup ON THE STREAM — [[annIndexStream]]'s standing assignment
+    * zone wired into a per-batch semantic-dedup verdict (the
+    * `Refinery.refineryIndexedStream` discipline applied to embeddings):
+    * each arriving micro-batch of vectors is (a) assigned to its frozen
+    * k-means cell and appended to `assigned/batch=<id>`, and (b) scored
+    * against its cell's HISTORY (index batches strictly before this one)
+    * and against itself — every within-cell pair at cosine ≥ τ (on the
+    * same rounded 6dp grid as [[dedupSemantic]]) lands in
+    * `pairs/batch=<id>` as (lo, hi) by vec_id. Loser DROPPING is
+    * deliberately NOT per-batch: SemDeDup's loser rule ("some smaller-id
+    * vector in my cell at cosine ≥ τ") is arrival-order-independent only
+    * over the ACCUMULATED pair set — a small-id vector arriving late
+    * must still defeat an earlier large-id one — so, like cluster
+    * closure in the text refinery, the verdict runs at publication
+    * ([[Refinery.manifestFromCuratedSemantic]]): losers = distinct hi.
+    * Because the τ-pair predicate is symmetric and every pair's later
+    * endpoint sees the earlier one (in the index, or beside it in its
+    * own batch), the accumulated pairs cover exactly the batch
+    * within-cell τ-pairs, making the published manifest IDENTICAL to the
+    * batch `refinery_semantic` (`StreamingSemanticSpec` pins it).
+    * Exactly-once: both zones overwrite their own `batch=<id>`; the pair
+    * step filters history to `batch < batchId`, so a failure-retry never
+    * joins against its own half-written assignments. Per-batch cost:
+    * O(batch·k) assignment + a cell-bucketed equi-join of the batch
+    * against its probed cells — never an O(corpus²) or O(corpus·k)
+    * recompute.
+    */
+  def semDedupIndexStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val cents = ivfCentroidsOf(embDouble(Tables.embeddings(spark, sfDir)))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val assigned =
+          ivfAssignTo(cents, embDouble(batch.select("vec_id", "embedding")))
+        assigned.write.mode("overwrite")
+          .parquet(s"$indexDir/assigned/batch=$batchId")
+        val nw = assigned.select(
+          col("vec_id").as("vn"), col("e").as("en"), col("cluster"))
+        val hist = spark.read.parquet(s"$indexDir/assigned")
+          .filter(col("batch") < batchId)
+          .select(col("vec_id").as("vh"), col("e").as("eh"),
+            col("cluster").as("cluster_h"))
+        val crossPairs = nw.join(hist,
+            col("cluster") === col("cluster_h") &&
+              round(cosine(col("en"), col("eh")), 6) >= SemDedupTau)
+          .select(least(col("vn"), col("vh")).as("lo"),
+            greatest(col("vn"), col("vh")).as("hi"))
+        val nw2 = assigned.select(col("cluster").as("cluster_b"),
+          col("vec_id").as("vb"), col("e").as("eb"))
+        val newPairs = nw.join(nw2,
+            col("cluster") === col("cluster_b") && col("vn") < col("vb") &&
+              round(cosine(col("en"), col("eb")), 6) >= SemDedupTau)
+          .select(col("vn").as("lo"), col("vb").as("hi"))
+        crossPairs.unionByName(newPairs)
+          .write.mode("overwrite").parquet(s"$indexDir/pairs/batch=$batchId")
+        ()
+      }
+      .start()
+    graft.streaming.JobRegistry.register(q)
+    q
+  }
+
   /** U3c: random-hyperplane LSH search — 8 frozen hyperplanes give an 8-bit
     * sign-pattern bucket per vector (similar vectors land in the same
     * bucket with probability (1 − θ/π)⁸); queries probe only their own
