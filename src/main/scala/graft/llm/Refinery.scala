@@ -546,6 +546,30 @@ object Refinery extends QueryModule {
     * md5(masked text) equals `text_dedup_mask_exact`'s digests row for
     * row — the sink ships exactly what the reports promise.
     */
+  /** Materialize [[refineryServeOrder]]'s per-epoch manifest as
+    * EPOCH-KEYED SHARD FILES — the refinery → disk → loader loop closed
+    * end to end: one directory per epoch, the epoch's windows stored IN
+    * SERVE ORDER, so a training run's sequential read of `epoch=<k>` IS
+    * the oracled serving order (the [[graft.sources.Layout.shardWrite]]
+    * discipline applied to the refined corpus's windows).
+    * `repartition(epoch)` co-locates each epoch so the partitionBy
+    * write emits ONE file per epoch dir; within it, rows sort by
+    * serve_rank. At corpus scale epochs × shard-splits is the
+    * parallelism knob — here epochs alone suffice (the manifest is
+    * window-grain, O(corpus_tokens / budget) rows, not doc-grain).
+    * `ServeOrderShardSpec` pins the round-trip: read-back row sequence
+    * per epoch ≡ the oracled `refinery_serve_order` rows for that
+    * epoch, in rank order, with nothing extra and nothing missing.
+    * Returns the materialized row count.
+    */
+  def serveOrderWrite(spark: SparkSession, sfDir: String, outDir: String): Long = {
+    refineryServeOrder(spark, sfDir)
+      .repartition(col("epoch"))
+      .sortWithinPartitions("epoch", "serve_rank")
+      .write.mode("overwrite").partitionBy("epoch").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   def refineryWrite(spark: SparkSession, sfDir: String, outPath: String): Long = {
     val masked = graft.llm.Dedup.maskedTextWithSpans(
       Tables.documents(spark, sfDir),
