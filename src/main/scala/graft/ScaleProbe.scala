@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -520,6 +520,63 @@ object ScaleProbe {
           f""""assign_agg_sec":$assignSec%.1f,"candidates":$nCand,""" +
           f""""probe_sec":$sec%.1f}""")
       }
+    }
+    // claim 11 (round-10): the standing-index batch append removes the
+    // HISTORY-side assignment from the daily ingestion wave. Per wave,
+    // the in-query append (`sim_ann_ivf_append` shape) pays corpus×k
+    // broadcast-argmax; the indexed append
+    // (`sim_ann_ivf_indexed_append` shape) pays one standing-index scan
+    // + batch×k for the 1% arriving slice. The index build itself is
+    // NOT timed — a deployment amortizes it across every wave (it IS
+    // the artifact), which is the whole point of the A/B.
+    if (on("ivfappend")) {
+      import graft.functions.VectorExpressions.cosine_sim
+      val n = 1000000L / div
+      val k = 64
+      val vecs = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(xxhash64(col("id") * 64 + j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0)).as("e"))
+      val cents = vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+      def assignTo(vs: DataFrame): DataFrame =
+        vs.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosine_sim(col("e"), col("cente")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("ccos"), (-col("cent_id")).as("negc"),
+            col("e"))).as("best"))
+          .select(col("vec_id"), col("best.e").as("e"),
+            (-col("best.negc")).as("cluster"))
+      val isNew = col("vec_id") % 100 === 99
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-ivfappend").toString
+      assignTo(vecs.filter(!isNew))
+        .write.mode("overwrite").parquet(s"$idxDir/assigned")
+      // drain through an aggregate that REFERENCES every assignment
+      // column — a bare count() lets the optimizer prune the argmax
+      // (and the vector) out of the plan entirely, timing nothing
+      def wave(df: DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), sum(col("cluster")),
+          sum(element_at(col("e"), 1))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      def waveInQuery(): (Long, Long) =
+        wave(assignTo(vecs.filter(!isNew))
+          .unionAll(assignTo(vecs.filter(isNew))))
+      def waveIndexed(): (Long, Long) =
+        wave(spark.read.parquet(s"$idxDir/assigned")
+          .unionByName(assignTo(vecs.filter(isNew))))
+      val inQ = (1 to 2).map(_ => time(waveInQuery())).minBy(_._2)
+      val idx = (1 to 2).map(_ => time(waveIndexed())).minBy(_._2)
+      // cross-check, not just cost: the indexed wave's assignment set
+      // must EQUAL the in-query wave's (count and cluster checksum)
+      require(inQ._1 == idx._1, s"wave results diverge: ${inQ._1} vs ${idx._1}")
+      println(f"""{"probe":"ivf_append_wave","vectors":$n,"k":$k,""" +
+        f""""batch_pct":1,"rows":${inQ._1._1},"cluster_sum":${inQ._1._2},""" +
+        f""""in_query_wave_sec":${inQ._2}%.1f,""" +
+        f""""indexed_wave_sec":${idx._2}%.1f}""")
+      graft.Fs.deleteRecursively(new java.io.File(idxDir))
     }
     spark.stop()
   }
