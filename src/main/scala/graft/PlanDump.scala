@@ -144,7 +144,13 @@ object PlanDump {
     "sim_ann_ivf_sweep", "refinery_semantic",
     // round 9, fifth wave: per-epoch loader serve order (blocked global
     // rank over ≤4096 hash-key blocks — no unpartitioned window)
-    "pack_epoch_order", "refinery_serve_order")
+    "pack_epoch_order", "refinery_serve_order",
+    // round 10: the composed IVF-PQ (posting lists carry codes only —
+    // the dump shows the broadcast LUT + probe-set hash joins and a
+    // scalar-only ADC aggregate input) and the standing-index batch
+    // append (index parquet scan replaces the history assignment
+    // subtree, batch-side argmax only)
+    "sim_ann_ivfpq", "sim_ann_ivf_indexed_append")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
