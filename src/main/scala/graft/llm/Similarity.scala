@@ -1415,6 +1415,92 @@ object Similarity extends QueryModule {
       .orderBy("q_id", "rn")
   }
 
+  /** The IVF-PQ nprobe OPERATING TABLE — [[simAnnIvfSweep]]'s
+    * recall/cost knob applied to the COMPOSED index ([[simAnnIvfPq]]):
+    * for nprobe ∈ {1, 2, 4}, the ADC top-3 within the query's nprobe
+    * nearest trained cells, scored against the fp64 L2 exact truth.
+    * A candidate lives in exactly ONE cell, so its (query, candidate)
+    * pair carries a single cell-rank (prn) — the whole sweep is ONE
+    * scoring pass over the prn ≤ 4 cells with three filtered read-offs,
+    * not three probe passes (the plan the oracle replays). This is the
+    * table that says what the compressed index's recall costs at each
+    * probe depth — the two knobs a deployment tunes (nprobe, code
+    * budget) now both have oracled operating tables. Zero-truth recall
+    * guarded on both engines (the dedup_lsh_sweep divergence class).
+    *
+    * MEASURED at sf0.01: hits FALL 6 → 5 → 3 as nprobe grows 1 → 2 → 4.
+    * Unlike the fp64 sweep (hits provably non-decreasing), ADC recall is
+    * NOT monotone in probe depth: with the 16-seed PQ codebooks the
+    * quantization error exceeds neighbor gaps, so each extra cell's
+    * candidates can out-SCORE (not out-rank) true neighbors and evict
+    * them from the ADC top-3. That is the table's operating lesson — at
+    * this code budget, spend on codebook training before probe depth —
+    * and `OperatingPointSpec` pins exactly the invariants that hold by
+    * construction (strict candidate growth, exact recall arithmetic)
+    * without pinning away the real effect.
+    */
+  def simAnnIvfPqSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val subs = pqSubs(spark, sfDir)
+    val postings = ivfAssignTo(coarse, emb)
+      .select(col("vec_id").as("cand_id"), col("cluster"))
+      .join(pqCodes(subs)
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
+        Seq("cand_id"))
+    val byCent = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val rankedCells = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine(col("qe"), col("cente")))
+      .withColumn("prn", row_number().over(byCent))
+      .filter(col("prn") <= 4)
+      .select(col("q_id"), col("cent_id").as("cluster"), col("prn"))
+    val luts = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub"))
+      .join(broadcast(pqCents(subs)), Seq("s"))
+      .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
+      .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
+        col("cent_id").as("lut_cid"), col("pd2"))
+    val adc = postings
+      .join(broadcast(rankedCells), Seq("cluster"))
+      .join(broadcast(luts),
+        col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
+          col("cid") === col("lut_cid"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("pd2")).as("adc"), min(col("prn")).as("prn"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val exact3 = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("d2", l2)
+      .withColumn("xrn", row_number().over(byL2))
+      .filter(col("xrn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val rows = Seq(1, 2, 4).map { p =>
+      val cands = adc.filter(col("prn") <= p)
+      val top3 = cands
+        .withColumn("rn", row_number().over(byAdc))
+        .filter(col("rn") <= 3)
+      val hits = top3.join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits).crossJoin(broadcast(nExact))
+        .select(lit(p).as("nprobe"), col("n_candidates"), col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
   /** Out-of-distribution / mislabel screen — vectors anomalously far from
     * their OWN label's centroid (squared L2 above the corpus-wide exact
     * p99): the embedding-quality audit run before trusting labels for
@@ -1470,6 +1556,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivf_append" -> (simAnnIvfAppend _),
     "sim_ann_ivf_indexed_append" -> (simAnnIvfIndexedAppend _),
     "sim_ann_ivfpq" -> (simAnnIvfPq _),
+    "sim_ann_ivfpq_sweep" -> (simAnnIvfPqSweep _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -2231,6 +2318,106 @@ object Similarity extends QueryModule {
          |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
          |WHERE r.rn <= 3
          |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the sweep replays the same train ∘ assign ∘ encode CTEs, scores
+    // once over the prn ≤ 4 cells with the candidate's cell-rank
+    // attached (a candidate lives in exactly one cell), and reads the
+    // three probe depths off that single ADC frame — the Spark plan's
+    // shape, replayed
+    "sim_ann_ivfpq_sweep" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), subs AS (
+         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+         |), pcents AS (
+         |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
+         |), pcand AS (
+         |  SELECT subs.vec_id, subs.s, pcents.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))) AS d2
+         |  FROM subs JOIN pcents ON subs.s = pcents.s
+         |), codes AS (
+         |  SELECT vec_id AS cand_id, s, cid FROM (
+         |    SELECT vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM pcand) WHERE rn = 1
+         |), probedAll AS (
+         |  SELECT q_id, cluster, prn FROM (
+         |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
+         |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
+         |  WHERE prn <= 4
+         |), luts AS (
+         |  SELECT subs.vec_id AS q_id, subs.s, pcents.cent_id,
+         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))), 6)
+         |      AS DECIMAL(18,6)) AS pd2
+         |  FROM subs JOIN pcents ON subs.s = pcents.s
+         |  WHERE subs.vec_id < $NQueries
+         |), adc AS (
+         |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc, MIN(p.prn) AS prn
+         |  FROM probedAll p
+         |  JOIN a2 ON a2.cluster = p.cluster
+         |  JOIN codes c ON c.cand_id = a2.vec_id
+         |  JOIN luts l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
+         |  WHERE p.q_id <> c.cand_id
+         |  GROUP BY p.q_id, c.cand_id
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+         |), nex AS (SELECT COUNT(*) AS n_exact FROM exact3),
+         |probes(nprobe) AS (VALUES (1), (2), (4)),
+         |per AS (
+         |  SELECT pr.nprobe,
+         |    (SELECT COUNT(*) FROM adc WHERE prn <= pr.nprobe) AS n_candidates,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT q_id, cand_id FROM (
+         |         SELECT q_id, cand_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY adc, cand_id) AS rn
+         |         FROM adc WHERE prn <= pr.nprobe)
+         |       WHERE rn <= 3) t
+         |     JOIN exact3 x ON t.q_id = x.q_id AND t.cand_id = x.cand_id)
+         |      AS n_hits
+         |  FROM probes pr
+         |)
+         |SELECT CAST(nprobe AS INTEGER) AS nprobe,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_hits * 1000000 // nex.n_exact AS BIGINT)
+         |  END AS recall_ppm
+         |FROM per CROSS JOIN nex
+         |ORDER BY nprobe""".stripMargin,
     "sim_ann_ivf_sweep" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -71,4 +71,26 @@ class OperatingPointSpec extends SparkSpec {
     assert(hits.forall(_ <= nExact))
     assert(rows.forall(r => r.getAs[Long]("recall_ppm") <= 1000000L))
   }
+
+  test("IVF-PQ nprobe sweep: candidates strictly grow; recall arithmetic exact") {
+    // NOTE the deliberate asymmetry with the fp64 IVF sweep above: under
+    // ADC, hits are NOT asserted monotone in nprobe — quantized distances
+    // can rank a far-cell noise candidate above a true neighbor, so
+    // widening the probe set CAN evict exact hits from the ADC top-3
+    // (measured at sf0.01: 6 → 5 → 3 hits for nprobe 1 → 2 → 4 with the
+    // 16-seed codebooks). That non-monotonicity is the table's lesson —
+    // code quality binds before probe depth — not a defect to pin away.
+    val rows = Similarity.queries("sim_ann_ivfpq_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val cands = rows.map(_.getAs[Long]("n_candidates"))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
+      s"probed cells are supersets, candidates must strictly grow: ${cands.toSeq}")
+    val nExact = 3L * Similarity.NQueries
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits <= nExact)
+      assert(r.getAs[Long]("recall_ppm") === hits * 1000000L / nExact)
+    }
+  }
 }
