@@ -530,6 +530,75 @@ object Similarity extends QueryModule {
     q
   }
 
+  /** IVF-PQ ingestion ON THE STREAM — the COMPRESSED index maintained
+    * incrementally, the composition [[annIndexStream]] (coarse assign
+    * per batch) × [[simAnnIvfPqTrained]] (codes, not vectors): the
+    * trained coarse and PQ codebooks are REGISTRY artifacts (a
+    * deployment trains them offline and freezes them — here both train
+    * from the reference corpus once, outside the loop), and each
+    * arriving micro-batch is coarse-assigned and PQ-encoded against
+    * them, appending (cluster, cand_id, s, cid) rows — SCALARS ONLY, 8
+    * codes + a cell id per vector, never the fp64 vector — to
+    * `codes/batch=<id>`. On disk this is the deployable property made
+    * literal: the standing zone grows 8 code bytes per vector while the
+    * vectors themselves stay in the landing archive. Per-batch cost:
+    * O(batch·k) assign + O(batch·M·K) encode. Because both passes are
+    * per-vector independent given the frozen codebooks, the drained
+    * zone is row-identical to the batch build's posting lists, so the
+    * probe over it ([[ivfPqProbeFromIndex]], which shares the REAL
+    * probe tail via [[ivfPqProbeOver]]) equals `sim_ann_ivfpq_trained`
+    * row-for-row — `StreamingIvfPqSpec` pins it, plus the 8-rows-per-
+    * vector zone invariant and re-drain idempotence.
+    */
+  def ivfPqIndexStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      indexDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val pqCb = pqCentsTrained(pqSubs(spark, sfDir))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val be = embDouble(batch.select("vec_id", "embedding"))
+        ivfAssignTo(coarse, be)
+          .select(col("vec_id").as("cand_id"), col("cluster"))
+          .join(pqCodesAgainst(pqSubsOf(be), pqCb)
+            .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
+            Seq("cand_id"))
+          .write.mode("overwrite").parquet(s"$indexDir/codes/batch=$batchId")
+        ()
+      }
+      .start()
+    graft.streaming.JobRegistry.register(q)
+    q
+  }
+
+  /** Query side of [[ivfPqIndexStream]]'s standing codes zone: rebuild
+    * the frozen registry artifacts (codebooks, LUTs, probe set) and run
+    * the SHARED probe tail over the accumulated codes — what a search
+    * deployment pays per query wave against a streamed-in compressed
+    * index. */
+  def ivfPqProbeFromIndex(spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val subs = pqSubs(spark, sfDir)
+    ivfPqProbeOver(emb, subs, coarse, pqCentsTrained(subs),
+      spark.read.parquet(s"$indexDir/codes")
+        .select("cluster", "cand_id", "s", "cid"))
+  }
+
   /** U3c: random-hyperplane LSH search — 8 frozen hyperplanes give an 8-bit
     * sign-pattern bucket per vector (similar vectors land in the same
     * bucket with probability (1 − θ/π)⁸); queries probe only their own
@@ -1242,7 +1311,13 @@ object Similarity extends QueryModule {
 
   /** (vec_id, s, sub): every vector split into its PqM subvectors. */
   private def pqSubs(spark: SparkSession, sfDir: String): DataFrame =
-    embDouble(Tables.embeddings(spark, sfDir))
+    pqSubsOf(embDouble(Tables.embeddings(spark, sfDir)))
+
+  /** The subvector split over an arbitrary (vec_id, e) frame — the
+    * static corpus ([[pqSubs]]) and arriving stream batches
+    * ([[ivfPqIndexStream]]) share this one pass. */
+  private def pqSubsOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqM - 1}), s -> slice(e, s*$PqD+1, $PqD))")))
       .select(col("vec_id"), col("pos").as("s"), col("col").as("sub"))
@@ -1415,6 +1490,17 @@ object Similarity extends QueryModule {
       .join(pqCodesAgainst(subs, pqCb)
         .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
         Seq("cand_id"))
+    ivfPqProbeOver(emb, subs, coarse, pqCb, postings)
+  }
+
+  /** The IVF-PQ probe tail over an ARBITRARY posting-list frame
+    * (cluster, cand_id, s, cid) — in-query builds ([[ivfPqProbe]]) and
+    * the streamed standing codes zone ([[ivfPqProbeFromIndex]]) share
+    * it, so the spec's streamed ≡ batch statement compares the real
+    * query path, not a reimplementation. */
+  private def ivfPqProbeOver(
+      emb: DataFrame, subs: DataFrame, coarse: DataFrame,
+      pqCb: DataFrame, postings: DataFrame): DataFrame = {
     val byCent = Window.partitionBy("q_id")
       .orderBy(col("ccos").desc, col("cent_id"))
     val probed = emb.filter(col("vec_id") < NQueries)
