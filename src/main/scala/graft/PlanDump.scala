@@ -150,7 +150,12 @@ object PlanDump {
     // scalar-only ADC aggregate input) and the standing-index batch
     // append (index parquet scan replaces the history assignment
     // subtree, batch-side argmax only)
-    "sim_ann_ivfpq", "sim_ann_ivf_indexed_append")
+    "sim_ann_ivfpq", "sim_ann_ivf_indexed_append",
+    // round 10, second wave: the trained-codebook IVF-PQ (per-subspace
+    // Lloyd between encode passes) and its nprobe operating table (one
+    // scoring pass, three filtered read-offs — the dump shows the
+    // shared ADC frame feeding three aggregate branches)
+    "sim_ann_ivfpq_trained", "sim_ann_ivfpq_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
