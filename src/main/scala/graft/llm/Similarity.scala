@@ -1437,6 +1437,93 @@ object Similarity extends QueryModule {
   /** Cells an IVF-PQ query probes per query vector. */
   private val IvfPqNprobe = 2
 
+  /** RESIDUAL IVF-PQ — the textbook composition ([[simAnnIvfPqTrained]]
+    * taken to its deployable form): what PQ encodes is not the vector
+    * but its RESIDUAL against the owning coarse centroid, r = v − c(v).
+    * The theory: residuals within a TIGHT cell have far smaller spread
+    * than raw vectors, so the same 16-code budget quantizes them more
+    * faithfully. The MEASURED truth at sf0.01: 5/30 fp64-exact vs 7/30
+    * for trained raw-vector codes — residual encoding does NOT pay on
+    * this corpus, because its synthetic cells are nearly as wide as the
+    * global spread (coarse centroids sit near the global mean, so
+    * r ≈ v − const and the residual codebooks buy nothing). That honest
+    * negative is the point of carrying the `in_exact3` instrument on
+    * every compressed form: whether residual encoding pays is a
+    * per-corpus geometry question, and THIS query is how a deployment
+    * answers it before committing an index format. Mechanics worth the
+    * price when it does pay: the LUT becomes PER PROBED CELL (the
+    * query's residual differs per cell), NQueries × nprobe × M × K
+    * rows — still a bounded broadcast (2 560 rows here) — the ADC join
+    * keys on (query, CELL, subspace, code) so a candidate is priced
+    * against the LUT of its own cell, and posting lists still hold 8
+    * scalar codes per vector. Own oracle: train(coarse) ∘ residual ∘
+    * train(residual PQ) ∘ encode ∘ per-cell LUT ∘ probe under one hash.
+    */
+  def simAnnIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    // residuals against the owning trained centroid
+    val resid = ivfAssignTo(coarse, emb)
+      .join(broadcast(coarse.select(col("cent_id").as("cluster"), col("cente"))),
+        Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        expr("zip_with(e, cente, (x, y) -> x - y)").as("e"))
+    val rsubs = pqSubsOf(resid.select("vec_id", "e"))
+    val rcb = pqCentsTrained(rsubs)
+    val postings = resid.select(col("vec_id").as("cand_id"), col("cluster"))
+      .join(pqCodesAgainst(rsubs, rcb)
+        .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
+        Seq("cand_id"))
+    // probed cells WITH the query's per-cell residual
+    val byCent = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probed = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine(col("qe"), col("cente")))
+      .withColumn("prn", row_number().over(byCent))
+      .filter(col("prn") <= IvfPqNprobe)
+      .select(col("q_id"), col("cent_id").as("cluster"),
+        expr("zip_with(qe, cente, (x, y) -> x - y)").as("rq"))
+    // per-(query, cell) LUT over the residual codebooks — join columns
+    // renamed before the join (the simAnnPq rule)
+    val luts = probed
+      .select(col("q_id"), col("cluster"), posexplode(expr(
+        s"transform(sequence(0, ${PqM - 1}), s -> slice(rq, s*$PqD+1, $PqD))")))
+      .select(col("q_id"), col("cluster"), col("pos").as("s"), col("col").as("sub"))
+      .join(broadcast(rcb), Seq("s"))
+      .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
+      .select(col("q_id").as("lut_q"), col("cluster").as("lut_cl"),
+        col("s").as("lut_s"), col("cent_id").as("lut_cid"), col("pd2"))
+    val adc = postings
+      .join(broadcast(probed.select(col("q_id"), col("cluster"))), Seq("cluster"))
+      .join(broadcast(luts),
+        col("q_id") === col("lut_q") && col("cluster") === col("lut_cl") &&
+          col("s") === col("lut_s") && col("cid") === col("lut_cid"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("pd2")).as("adc"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val exact3 = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("d2", l2)
+      .withColumn("xrn", row_number().over(byL2))
+      .filter(col("xrn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(true).as("hit"))
+    ranked.join(exact3, Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"),
+        col("adc").cast("double").as("adc"),
+        coalesce(col("hit"), lit(false)).as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
   /** The COMPOSED IVF-PQ pipeline — the index shape a 100 TB ANN
     * deployment actually stores, assembled from the two halves the
     * suite already proves separately: the Lloyd-TRAINED coarse codebook
@@ -1692,6 +1779,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq" -> (simAnnIvfPq _),
     "sim_ann_ivfpq_sweep" -> (simAnnIvfPqSweep _),
     "sim_ann_ivfpq_trained" -> (simAnnIvfPqTrained _),
+    "sim_ann_ivfpq_residual" -> (simAnnIvfPqResidual _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -2432,6 +2520,118 @@ object Similarity extends QueryModule {
          |  JOIN a2 ON a2.cluster = p.cluster
          |  JOIN codes c ON c.cand_id = a2.vec_id
          |  JOIN luts l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
+         |  WHERE p.q_id <> c.cand_id
+         |  GROUP BY p.q_id, c.cand_id
+         |), ranked AS (
+         |  SELECT q_id, cand_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS INTEGER) AS rn
+         |  FROM adc
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, CAST(r.adc AS DOUBLE) AS adc,
+         |  (x.q_id IS NOT NULL) AS in_exact3
+         |FROM ranked r LEFT JOIN exact3 x
+         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the residual form encodes r = v − c(v) and prices queries against
+    // a PER-CELL residual LUT — train(coarse) ∘ residual ∘ train(PQ on
+    // residuals) ∘ encode ∘ per-cell LUT ∘ probe under one hash
+    "sim_ann_ivfpq_residual" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, v, cluster, cv FROM (
+         |    SELECT e.vec_id, e.v, newc.cent_id AS cluster, newc.cv,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), resid AS (
+         |  SELECT vec_id, cluster,
+         |    list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+         |  FROM a2
+         |), rsubs AS (
+         |  SELECT vec_id, s, r[(s*8+1):(s*8+8)] AS sub
+         |  FROM resid, (SELECT unnest(range(0, 8)) AS s)
+         |), rpc AS (
+         |  SELECT s, vec_id AS cent_id, sub AS csub FROM rsubs WHERE vec_id < 16
+         |), rpcand AS (
+         |  SELECT rsubs.vec_id, rsubs.s, rpc.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (rsubs.sub[i] - rpc.csub[i]) * (rsubs.sub[i] - rpc.csub[i]))) AS d2
+         |  FROM rsubs JOIN rpc ON rsubs.s = rpc.s
+         |), rcodes1 AS (
+         |  SELECT vec_id, s, cid FROM (
+         |    SELECT vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM rpcand) WHERE rn = 1
+         |), rpm AS (
+         |  SELECT rsubs.s, c.cid, gs.pos, rsubs.sub[gs.pos] AS v
+         |  FROM rsubs JOIN rcodes1 c ON rsubs.vec_id = c.vec_id AND rsubs.s = c.s
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) gs
+         |), rpmeans AS (
+         |  SELECT s, cid, pos, ROUND(AVG(v), 6) AS c FROM rpm GROUP BY s, cid, pos
+         |), rpnewc AS (
+         |  SELECT s, cid AS cent_id, list(c ORDER BY pos) AS csub
+         |  FROM rpmeans GROUP BY s, cid
+         |), rcand2 AS (
+         |  SELECT rsubs.vec_id, rsubs.s, rpnewc.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (rsubs.sub[i] - rpnewc.csub[i]) * (rsubs.sub[i] - rpnewc.csub[i]))) AS d2
+         |  FROM rsubs JOIN rpnewc ON rsubs.s = rpnewc.s
+         |), codes2 AS (
+         |  SELECT vec_id AS cand_id, s, cid FROM (
+         |    SELECT vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM rcand2) WHERE rn = 1
+         |), probedr AS (
+         |  SELECT q_id, cluster, rq FROM (
+         |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
+         |      list_transform(range(1, 65), i -> q.v[i] - newc.cv[i]) AS rq,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
+         |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
+         |  WHERE prn <= $IvfPqNprobe
+         |), rqsubs AS (
+         |  SELECT q_id, cluster, s, rq[(s*8+1):(s*8+8)] AS sub
+         |  FROM probedr, (SELECT unnest(range(0, 8)) AS s)
+         |), luts AS (
+         |  SELECT rqsubs.q_id, rqsubs.cluster, rqsubs.s, rpnewc.cent_id,
+         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+         |      i -> (rqsubs.sub[i] - rpnewc.csub[i]) * (rqsubs.sub[i] - rpnewc.csub[i]))), 6)
+         |      AS DECIMAL(18,6)) AS pd2
+         |  FROM rqsubs JOIN rpnewc ON rqsubs.s = rpnewc.s
+         |), adc AS (
+         |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc
+         |  FROM probedr p
+         |  JOIN resid rv ON rv.cluster = p.cluster
+         |  JOIN codes2 c ON c.cand_id = rv.vec_id
+         |  JOIN luts l ON l.q_id = p.q_id AND l.cluster = p.cluster
+         |    AND l.s = c.s AND l.cent_id = c.cid
          |  WHERE p.q_id <> c.cand_id
          |  GROUP BY p.q_id, c.cand_id
          |), ranked AS (
