@@ -155,7 +155,10 @@ object PlanDump {
     // Lloyd between encode passes) and its nprobe operating table (one
     // scoring pass, three filtered read-offs — the dump shows the
     // shared ADC frame feeding three aggregate branches)
-    "sim_ann_ivfpq_trained", "sim_ann_ivfpq_sweep")
+    "sim_ann_ivfpq_trained", "sim_ann_ivfpq_sweep",
+    // round 10, third wave: residual IVF-PQ (per-cell residual LUT —
+    // the dump shows the (query, cell, subspace, code) broadcast join)
+    "sim_ann_ivfpq_residual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
