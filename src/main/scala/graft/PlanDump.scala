@@ -158,7 +158,9 @@ object PlanDump {
     "sim_ann_ivfpq_trained", "sim_ann_ivfpq_sweep",
     // round 10, third wave: residual IVF-PQ (per-cell residual LUT —
     // the dump shows the (query, cell, subspace, code) broadcast join)
-    "sim_ann_ivfpq_residual")
+    // and the codebook-size sweep (three independent trained-codebook
+    // branches unioned)
+    "sim_ann_ivfpq_residual", "sim_ann_ivfpq_ksweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
