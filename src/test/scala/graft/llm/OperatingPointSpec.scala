@@ -93,4 +93,21 @@ class OperatingPointSpec extends SparkSpec {
       assert(r.getAs[Long]("recall_ppm") === hits * 1000000L / nExact)
     }
   }
+
+  test("IVF-PQ codebook-size sweep: distortion positive, recall arithmetic exact") {
+    // distortion monotonicity in K is NOT asserted: the seeds are nested
+    // (first 4 ⊂ first 8 ⊂ first 16) so SEED-assignment distortion would
+    // be provably non-increasing, but one Lloyd step from nested seeds
+    // carries no such theorem — only the by-construction invariants pin.
+    val rows = Similarity.queries("sim_ann_ivfpq_ksweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("pq_k"))
+    assert(rows.map(_.getAs[Int]("pq_k")).toSeq == Seq(4, 8, 16))
+    val nExact = 3L * Similarity.NQueries
+    rows.foreach { r =>
+      assert(r.getAs[Double]("distortion") > 0.0)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits <= nExact)
+      assert(r.getAs[Long]("recall_ppm") === hits * 1000000L / nExact)
+    }
+  }
 }
