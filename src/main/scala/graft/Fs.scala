@@ -25,12 +25,13 @@ object Fs {
     * place): residue is atomically renamed to a process-unique
     * `.trash.<uuid>` sibling before the install retries, so a racer's
     * just-completed install can never be destroyed — the aside-move and
-    * a winner's install contend ATOMICALLY on the same path, and even
-    * if the aside-move swings a freshly-completed install out of the
-    * way, the mover immediately re-installs its own temp (identical
-    * content — callers key the path by a corpus fingerprint) via
-    * ATOMIC_MOVE, so readers never observe a partially deleted
-    * directory, only absent-then-complete. A builder that can neither
+    * a winner's install contend ATOMICALLY on the same path, and if the
+    * aside-move swings a freshly-completed install out of the way (the
+    * marker check runs on the MOVED directory), the mover RESTORES it
+    * with a second atomic rename before deleting anything — crucial on
+    * the last retry round, where no later re-install would follow — so
+    * readers never observe a partially deleted directory, only
+    * absent-then-complete. A builder that can neither
     * install nor observe a winner within the bounded retry loop THROWS
     * rather than returning an unverified path (a silently-returned
     * dangling path would fail far from the cause, at some later
@@ -65,7 +66,22 @@ object Fs {
                 s"${target.getFileName}.trash.${java.util.UUID.randomUUID().toString}")
               try {
                 Files.move(target, trash, StandardCopyOption.ATOMIC_MOVE)
-                deleteRecursively(trash.toFile) // private path: safe
+                if (Files.exists(trash.resolve("_SUCCESS"))) {
+                  // the aside-move swung a racer's COMPLETE install out
+                  // (it landed in the check-to-move gap). Restore it —
+                  // on the LAST retry round there would be no re-install
+                  // after us, so deleting it here could leave no
+                  // artifact at all while the racer has already returned
+                  // (and memoized) the path. If the restore loses to yet
+                  // another complete install, the copy is redundant.
+                  try Files.move(trash, target, StandardCopyOption.ATOMIC_MOVE)
+                  catch {
+                    case _: java.io.IOException =>
+                      if (complete) deleteRecursively(trash.toFile)
+                    // else: leave the trash copy for the TTL vacuum —
+                    // never destroy the only complete artifact
+                  }
+                } else deleteRecursively(trash.toFile) // crashed residue
               } catch {
                 // another racer moved/installed concurrently — re-loop;
                 // the next round either installs or exits via `complete`

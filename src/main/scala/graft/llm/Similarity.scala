@@ -559,8 +559,18 @@ object Similarity extends QueryModule {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
     val emb = embDouble(Tables.embeddings(spark, sfDir))
-    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
-    val pqCb = pqCentsTrained(pqSubs(spark, sfDir))
+    // TRAIN ONCE, literally: persist + count materializes both codebooks
+    // before the first batch — an unpersisted lazy frame here would
+    // re-run the corpus-scale Lloyd and PQ training inside EVERY
+    // micro-batch's action, turning the claimed O(batch·k + batch·M·K)
+    // per-batch cost into O(corpus·k + corpus·M·K) per batch
+    // (review-caught). The tiny materialized frames (k centroids,
+    // M×K codes) then broadcast into each batch like any registry
+    // artifact.
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb)).persist()
+    coarse.count()
+    val pqCb = pqCentsTrained(pqSubs(spark, sfDir)).persist()
+    pqCb.count()
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType)),
@@ -1445,6 +1455,42 @@ object Similarity extends QueryModule {
   /** Cells an IVF-PQ query probes per query vector. */
   private val IvfPqNprobe = 2
 
+  /** The fp64 L2 exact top-3 per query — the ONE fidelity truth every
+    * compressed form's `in_exact3` flag and hit count compare against.
+    * Shared so the instrument can never silently diverge between the
+    * IVF-PQ variants. Columns: (q_id, cand_id, hit = true). */
+  private def exact3Of(emb: DataFrame): DataFrame = {
+    val q = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("d2", l2)
+      .withColumn("xrn", row_number().over(byL2))
+      .filter(col("xrn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(true).as("hit"))
+  }
+
+  /** Every query's coarse cells ranked by cosine — the ONE probe-set
+    * builder the IVF-PQ variants share. Columns: (q_id, cluster, prn,
+    * rq = the query's residual against that cell's centroid); callers
+    * filter prn to their nprobe and prune the columns they don't use
+    * (Catalyst drops the residual arithmetic when rq is unreferenced). */
+  private def probedCellsOf(emb: DataFrame, coarse: DataFrame): DataFrame = {
+    val byCent = Window.partitionBy("q_id")
+      .orderBy(col("ccos").desc, col("cent_id"))
+    emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(coarse))
+      .withColumn("ccos", cosine(col("qe"), col("cente")))
+      .withColumn("prn", row_number().over(byCent))
+      .select(col("q_id"), col("cent_id").as("cluster"), col("prn"),
+        expr("zip_with(qe, cente, (x, y) -> x - y)").as("rq"))
+  }
+
   /** RESIDUAL IVF-PQ — the textbook composition ([[simAnnIvfPqTrained]]
     * taken to its deployable form): what PQ encodes is not the vector
     * but its RESIDUAL against the owning coarse centroid, r = v − c(v).
@@ -1483,16 +1529,9 @@ object Similarity extends QueryModule {
         .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
         Seq("cand_id"))
     // probed cells WITH the query's per-cell residual
-    val byCent = Window.partitionBy("q_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val probed = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("ccos", cosine(col("qe"), col("cente")))
-      .withColumn("prn", row_number().over(byCent))
+    val probed = probedCellsOf(emb, coarse)
       .filter(col("prn") <= IvfPqNprobe)
-      .select(col("q_id"), col("cent_id").as("cluster"),
-        expr("zip_with(qe, cente, (x, y) -> x - y)").as("rq"))
+      .select(col("q_id"), col("cluster"), col("rq"))
     // per-(query, cell) LUT over the residual codebooks — join columns
     // renamed before the join (the simAnnPq rule)
     val luts = probed
@@ -1513,19 +1552,7 @@ object Similarity extends QueryModule {
       .agg(sum(col("pd2")).as("adc"))
     val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
     val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
-    val q = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
-    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
-    val exact3 = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("d2", l2)
-      .withColumn("xrn", row_number().over(byL2))
-      .filter(col("xrn") <= 3)
-      .select(col("q_id"), col("cand_id"), lit(true).as("hit"))
-    ranked.join(exact3, Seq("q_id", "cand_id"), "left")
+    ranked.join(exact3Of(emb), Seq("q_id", "cand_id"), "left")
       .select(col("q_id"), col("rn"), col("cand_id"),
         col("adc").cast("double").as("adc"),
         coalesce(col("hit"), lit(false)).as("in_exact3"))
@@ -1596,15 +1623,9 @@ object Similarity extends QueryModule {
   private def ivfPqProbeOver(
       emb: DataFrame, subs: DataFrame, coarse: DataFrame,
       pqCb: DataFrame, postings: DataFrame): DataFrame = {
-    val byCent = Window.partitionBy("q_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val probed = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("ccos", cosine(col("qe"), col("cente")))
-      .withColumn("prn", row_number().over(byCent))
+    val probed = probedCellsOf(emb, coarse)
       .filter(col("prn") <= IvfPqNprobe)
-      .select(col("q_id"), col("cent_id").as("cluster"))
+      .select(col("q_id"), col("cluster"))
     // LUT join columns renamed before the join (the simAnnPq rule: no
     // dataset-id-disambiguated self-join predicates); the LUT prices
     // against the SAME codebook the posting lists encode with
@@ -1625,19 +1646,7 @@ object Similarity extends QueryModule {
     val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
     val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
     // fp64 ground truth: exact L2 top-3 per query (the fidelity flag)
-    val q = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
-    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
-    val exact3 = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("d2", l2)
-      .withColumn("xrn", row_number().over(byL2))
-      .filter(col("xrn") <= 3)
-      .select(col("q_id"), col("cand_id"), lit(true).as("hit"))
-    ranked.join(exact3, Seq("q_id", "cand_id"), "left")
+    ranked.join(exact3Of(emb), Seq("q_id", "cand_id"), "left")
       .select(col("q_id"), col("rn"), col("cand_id"),
         col("adc").cast("double").as("adc"),
         coalesce(col("hit"), lit(false)).as("in_exact3"))
@@ -1665,8 +1674,9 @@ object Similarity extends QueryModule {
     * them from the ADC top-3. That is the table's operating lesson — at
     * this code budget, spend on codebook training before probe depth —
     * and `OperatingPointSpec` pins exactly the invariants that hold by
-    * construction (strict candidate growth, exact recall arithmetic)
-    * without pinning away the real effect.
+    * construction (non-decreasing candidate growth — supersets prove no
+    * more — and exact recall arithmetic) without pinning away the real
+    * effect.
     */
   def simAnnIvfPqSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
@@ -1677,15 +1687,9 @@ object Similarity extends QueryModule {
       .join(pqCodes(subs)
         .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
         Seq("cand_id"))
-    val byCent = Window.partitionBy("q_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val rankedCells = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("ccos", cosine(col("qe"), col("cente")))
-      .withColumn("prn", row_number().over(byCent))
+    val rankedCells = probedCellsOf(emb, coarse)
       .filter(col("prn") <= 4)
-      .select(col("q_id"), col("cent_id").as("cluster"), col("prn"))
+      .select(col("q_id"), col("cluster"), col("prn"))
     val luts = subs.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("s"), col("sub"))
       .join(broadcast(pqCents(subs)), Seq("s"))
@@ -1700,18 +1704,7 @@ object Similarity extends QueryModule {
       .filter(col("q_id") =!= col("cand_id"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(sum(col("pd2")).as("adc"), min(col("prn")).as("prn"))
-    val q = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
-    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
-    val exact3 = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("d2", l2)
-      .withColumn("xrn", row_number().over(byL2))
-      .filter(col("xrn") <= 3)
-      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val exact3 = exact3Of(emb)
     val nExact = exact3.agg(count(lit(1)).as("n_exact"))
     val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
     val rows = Seq(1, 2, 4).map { p =>
@@ -1755,27 +1748,10 @@ object Similarity extends QueryModule {
     val subs = pqSubs(spark, sfDir)
     val assigned = ivfAssignTo(coarse, emb)
       .select(col("vec_id").as("cand_id"), col("cluster"))
-    val byCent = Window.partitionBy("q_id")
-      .orderBy(col("ccos").desc, col("cent_id"))
-    val probed = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      .crossJoin(broadcast(coarse))
-      .withColumn("ccos", cosine(col("qe"), col("cente")))
-      .withColumn("prn", row_number().over(byCent))
+    val probed = probedCellsOf(emb, coarse)
       .filter(col("prn") <= IvfPqNprobe)
-      .select(col("q_id"), col("cent_id").as("cluster"))
-    val q = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
-    val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
-    val exact3 = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("cand_id"))
-      .withColumn("d2", l2)
-      .withColumn("xrn", row_number().over(byL2))
-      .filter(col("xrn") <= 3)
-      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+      .select(col("q_id"), col("cluster"))
+    val exact3 = exact3Of(emb)
     val nExact = exact3.agg(count(lit(1)).as("n_exact"))
     val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
     val rows = Seq(4, 8, 16).map { k =>

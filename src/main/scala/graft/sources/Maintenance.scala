@@ -156,6 +156,10 @@ object Maintenance extends QueryModule {
     *  - `writeParquetAtomic` residue (`.tmp.<uuid>` / `.trash.<uuid>`
     *    siblings) is deleted only past `residueTtlMs` — a FRESH temp may
     *    be another process's in-flight build, so age, not name, decides.
+    *    Residue is swept at BOTH levels: zone children and inside each
+    *    surviving fingerprint dir — the atomic writer leaves its temps
+    *    as siblings of the artifact (`<zone>/<sha256>/ivf_index.tmp.*`),
+    *    one level below the fingerprint dirs the retention pass ranks.
     *
     * Driver-side java.io listing by design: the zones live on the local
     * filesystem (the sandbox's object-store stand-in), and a vacuum is a
@@ -168,12 +172,21 @@ object Maintenance extends QueryModule {
       keepN: Int = 2,
       residueTtlMs: Long = 24L * 3600 * 1000,
       now: Long = System.currentTimeMillis()): Seq[String] = {
+    def isResidue(f: java.io.File): Boolean =
+      f.getName.contains(".tmp.") || f.getName.contains(".trash.")
     val children = Option(zoneDir.listFiles()).getOrElse(Array.empty).toSeq
-    val (residue, artifacts) = children.partition(f =>
-      f.getName.contains(".tmp.") || f.getName.contains(".trash."))
-    val staleResidue = residue.filter(f => now - f.lastModified() > residueTtlMs)
+    val (zoneResidue, artifacts) = children.partition(isResidue)
     val superseded = artifacts.filterNot(f => live.contains(f.getName))
       .sortBy(f => (-f.lastModified(), f.getName)).drop(keepN)
+    // writeParquetAtomic residue lives as a SIBLING of the artifact —
+    // one level BELOW the fingerprint dirs this zone scan sees
+    // (<zone>/<sha256>/ivf_index.tmp.<uuid>), so sweep the surviving
+    // fingerprint dirs' children too; residue directly at zone level is
+    // covered for layouts that key artifacts flat.
+    val survivors = artifacts.filterNot(superseded.contains)
+    val residue = zoneResidue ++ survivors.flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty).filter(isResidue))
+    val staleResidue = residue.filter(f => now - f.lastModified() > residueTtlMs)
     val victims = staleResidue ++ superseded
     victims.foreach(graft.Fs.deleteRecursively)
     victims.map(_.getPath).sorted

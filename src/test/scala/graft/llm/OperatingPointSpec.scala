@@ -83,9 +83,12 @@ class OperatingPointSpec extends SparkSpec {
     val rows = Similarity.queries("sim_ann_ivfpq_sweep")(spark, sf0001)
       .collect().sortBy(_.getAs[Int]("nprobe"))
     assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    // supersets only prove NON-DECREASING growth (a query's marginal
+    // cell can be empty on another fixture/geometry); strictness is a
+    // measured fact here, not a theorem — don't assert it
     val cands = rows.map(_.getAs[Long]("n_candidates"))
-    assert(cands.zip(cands.tail).forall { case (a, b) => a < b },
-      s"probed cells are supersets, candidates must strictly grow: ${cands.toSeq}")
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"probed cells are supersets, candidates must not shrink: ${cands.toSeq}")
     val nExact = 3L * Similarity.NQueries
     rows.foreach { r =>
       val hits = r.getAs[Long]("n_hits")

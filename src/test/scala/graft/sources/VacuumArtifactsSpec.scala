@@ -43,6 +43,17 @@ class VacuumArtifactsSpec extends SparkSpec {
     staleTrash.mkdirs()
     assert(staleTrash.setLastModified(now - 100000))
 
+    // residue where writeParquetAtomic ACTUALLY leaves it: as a sibling
+    // of the artifact, INSIDE a fingerprint dir (here the live one)
+    val nestedStale = new java.io.File(live, "index.tmp.feedface")
+    nestedStale.mkdirs()
+    assert(nestedStale.setLastModified(now - 100000))
+    assert(live.setLastModified(now - 500000)) // mkdirs bumped the parent
+    val nestedFresh = new java.io.File(live, "index.tmp.baddcafe")
+    nestedFresh.mkdirs()
+    assert(nestedFresh.setLastModified(now - 10))
+    assert(live.setLastModified(now - 500000))
+
     val deleted = Maintenance.vacuumArtifacts(
       zone, live = Set("aaaa_live"), keepN = 1, residueTtlMs = 50000, now = now)
 
@@ -58,11 +69,15 @@ class VacuumArtifactsSpec extends SparkSpec {
     assert(!oldest.exists())
 
     // residue: stale tmp/trash removed, fresh tmp (in-flight build) kept
+    // — at zone level AND nested inside the (live) fingerprint dir
     assert(!staleTmp.exists())
     assert(!staleTrash.exists())
     assert(freshTmp.exists())
+    assert(!nestedStale.exists())
+    assert(nestedFresh.exists())
 
-    assert(deleted.toSet === Set(mid, oldest, staleTmp, staleTrash).map(_.getPath))
+    assert(deleted.toSet ===
+      Set(mid, oldest, staleTmp, staleTrash, nestedStale).map(_.getPath))
   }
 
   test("vacuum never deletes a live fingerprint even at keepN = 0") {
