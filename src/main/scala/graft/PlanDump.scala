@@ -160,7 +160,13 @@ object PlanDump {
     // the dump shows the (query, cell, subspace, code) broadcast join)
     // and the codebook-size sweep (three independent trained-codebook
     // branches unioned)
-    "sim_ann_ivfpq_residual", "sim_ann_ivfpq_ksweep")
+    "sim_ann_ivfpq_residual", "sim_ann_ivfpq_ksweep",
+    // round 10, fourth wave: the forget cascade (re-adjudication solves
+    // run behind component cuts — the dumps show the affected-cluster
+    // semi-joins and the final verdict/pack read-off; blast-radius
+    // bounds are spec-pinned in ForgetSpec) and checkpoint resume (one
+    // pushed-down filter over the partitioned serve rank)
+    "forget_requalify", "forget_pack", "refinery_serve_resume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -24,6 +24,7 @@ object SparkEntry {
     _root_.graft.queries.Ml,
     llm.TextAnalysis,
     llm.Dedup,
+    llm.Forget,
     llm.SuffixDedup,
     llm.Refinery,
     llm.Similarity,

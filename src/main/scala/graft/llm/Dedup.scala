@@ -46,9 +46,17 @@ object Dedup extends QueryModule {
     * drops (the Spark side's `dedupClusters.filter(!canonical)`). The
     * enclosing query must open `WITH RECURSIVE`.
     */
-  private[llm] val duckClusterLoserCtes: String =
+  private[llm] val duckClusterLoserCtes: String = duckClusterLoserCtesOver("")
+
+  /** [[duckClusterLoserCtes]] parameterized by a WHERE clause on the source
+    * corpus ("" reproduces the original byte-for-byte) — the Jaccard-pair
+    * predicate is PAIRWISE, so a closure over `documents WHERE survivor`
+    * equals the full closure minus edges touching removed docs, which is
+    * exactly the rebuild [[Forget]]'s cascade oracles must replay.
+    */
+  private[llm] def duckClusterLoserCtesOver(where: String): String =
     s"""cl_d AS (
-       |  SELECT doc_id, lang, $duckShingles AS s FROM documents
+       |  SELECT doc_id, lang, $duckShingles AS s FROM documents$where
        |), cl_pairs AS (
        |  SELECT a.doc_id AS pa, b.doc_id AS pb
        |  FROM cl_d a JOIN cl_d b ON a.lang = b.lang AND a.doc_id < b.doc_id

@@ -1,0 +1,451 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import graft.functions.Hashing
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten delete propagation — the takedown cascade a
+  * training-data deployment legally owes its sources, done INCREMENTALLY.
+  *
+  * At 100 TB a deletion request cannot trigger a corpus rebuild: the
+  * curated zone, the dedup verdicts, and the packed loader artifacts are
+  * all DERIVED from the raw corpus, and a takedown of 0.1% of documents
+  * must invalidate only the derived state those documents actually touch.
+  * The catch is that dedup verdicts are NOT per-doc: removing a document
+  * can change OTHER documents' verdicts —
+  *
+  *   - canonical deleted → the cluster's next-smallest surviving member is
+  *     promoted, and a doc the pipeline previously DROPPED as a duplicate
+  *     re-enters the corpus ("readmission");
+  *   - bridge deleted → a cluster held together through the deleted doc
+  *     splits into several components, each with its own new canonical.
+  *
+  * A cascade that only tombstones the deleted rows silently ships a corpus
+  * that no longer equals what a from-scratch rebuild would produce — the
+  * readmitted docs stay lost. These queries do the re-adjudication
+  * incrementally (only clusters containing a deleted member are re-solved)
+  * and their DuckDB oracles replay the FULL REBUILD on the filtered
+  * corpus, so the hash match is the statement that matters:
+  * cascade ≡ rebuild.
+  *
+  * Soundness condition (why "re-solve affected clusters only" is exact):
+  * both pair rules here — 16-word-block containment and 3-gram-shingle
+  * Jaccard — are PAIRWISE predicates: whether (a,b) is an edge depends on
+  * a and b alone. Deleting docs therefore only ever REMOVES edges, every
+  * post-delete component is a subset of exactly one pre-delete component,
+  * and unaffected clusters keep their standing labels verbatim. A pair
+  * rule whose edges depend on corpus state (e.g. a df-capped posting join,
+  * where deleting a spammer can bring a hot block back UNDER the cap and
+  * CREATE edges) breaks this monotonicity and must take the full-fold path
+  * instead — the cap/monotonicity trade is a design decision this module
+  * pins in code review, not at 3am during an incident.
+  *
+  * Frozen-gate decision: the quality classifier is trained on the
+  * pre-deletion corpus and NOT retrained by the cascade (both engines
+  * replay the full-corpus trainer). A 2-feature logistic gate carries
+  * aggregate statistics, not verbatim content, so takedowns don't oblige a
+  * retrain — and a deployment that wants retrain-on-forget composes
+  * `curate_classifier`'s trainer over the filtered corpus instead; the
+  * frozen form is pinned here because it is what the standing artifact
+  * registry actually holds between requests.
+  *
+  * The delete set is a deterministic salted-hash sample (≈15% of doc ids)
+  * so both engines derive it independently — the salt decorrelates it from
+  * the classifier's own train-split hash. In production the set arrives as
+  * a table of ids; everything downstream is identical.
+  *
+  * Reference anchor: the reference pipeline keeps derived copies of every
+  * object it ingests (transformed/{key} — lambda/ingest-handler.ts:36-56);
+  * deleting a source object there leaves the derived copy live, which is
+  * exactly the gap this module closes at corpus scale.
+  *
+  * Scale shape: the standing cluster labeling is a parquet artifact (here
+  * recomputed in-query so the oracle can see the same state — the same
+  * in-query-vs-standing equivalence `sim_ann_ivf_append` proves for the
+  * IVF index); the affected-cluster filter is a broadcast semi-join on the
+  * (tiny) delete set; the re-solve runs connected components over ONLY the
+  * retained edges of affected clusters — work proportional to the blast
+  * radius, not the corpus.
+  */
+object Forget extends QueryModule {
+
+  /** Takedown fraction (percent of doc ids) for the registered queries. */
+  val ForgetPct = 15
+
+  private def words(c: Column): Column = split(c, " ")
+
+  /** The deterministic delete set: salted 60-bit hash of the doc id. */
+  private[llm] def deletedOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .filter(pmod(
+        Hashing.hash60(concat(lit("forget#"), col("doc_id").cast("string"))),
+        lit(100)) < ForgetPct)
+
+  private def duckDeleted: String =
+    s"""fdel AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE ${Hashing.duckHash60("'forget#' || CAST(doc_id AS VARCHAR)")} % 100 < $ForgetPct)""".stripMargin
+
+  // ------------------------------------------------- block near-dup graph
+
+  /** Doc pairs sharing at least one 16-word block — the chunk-granular
+    * near-dup graph (`dedup_blocks`' normal form turned into edges). One
+    * explode to (doc, block-hash) rows, then a hash-keyed self-join: the
+    * posting-list equi-join every banded dedup here uses, never
+    * corpus×corpus. Uncapped by design — see the monotonicity note in the
+    * object scaladoc; a production run bounds hot blocks the way the LSH
+    * band index does, and in doing so moves this graph OFF the incremental
+    * path.
+    */
+  private[llm] def blockPairsOf(docs: DataFrame): DataFrame = {
+    val blk = docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("nb", ceil(size(col("w")) / lit(16.0)).cast("int"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, nb - 1), b -> md5(concat_ws(' ', slice(w, b*16+1, 16))))")).as("bh"))
+      .distinct()
+    blk.as("x").join(blk.as("y"),
+        col("x.bh") === col("y.bh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  // ------------------------------------------------------ forget_requalify
+
+  /** Per-doc verdict delta for every member of an AFFECTED cluster (a
+    * block-graph near-dup cluster containing ≥1 deleted doc): old vs new
+    * cluster label, old vs new state, and the `readmitted` flag (loser →
+    * canonical — the docs a tombstone-only cascade would silently lose).
+    * Injectable delete set so specs can drive constructed cases (bridge
+    * deletion → split); the registered query binds the salted-hash set.
+    */
+  private[llm] def requalifyOver(docs: DataFrame, del: DataFrame): DataFrame = {
+    val pairs = blockPairsOf(docs)
+    val before = ConnectedComponents.components(
+        pairs.select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("component").as("old_cluster"))
+    val affected = before.join(del, Seq("doc_id"), "left_semi")
+      .select("old_cluster").distinct()
+    val affDocs = before.join(broadcast(affected), Seq("old_cluster"))
+    // retained edges of affected clusters: both endpoints survive; the
+    // cluster restriction rides endpoint a (edges never cross clusters)
+    val affEdges = pairs
+      .join(affDocs.select(col("doc_id").as("a")), Seq("a"), "left_semi")
+      .join(del.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+      .join(del.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+    val after = ConnectedComponents.components(affEdges.select(col("a"), col("b")))
+      .select(col("node").as("doc_id"), col("component").as("kept_cluster"))
+    val isDel = del.select(col("doc_id"), lit(true).as("is_del"))
+    affDocs
+      .join(isDel, Seq("doc_id"), "left")
+      .join(after, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("old_cluster"),
+        when(col("doc_id") === col("old_cluster"), lit("canonical"))
+          .otherwise(lit("loser")).as("old_state"),
+        when(col("is_del"), lit(null).cast("long"))
+          .otherwise(coalesce(col("kept_cluster"), col("doc_id"))).as("new_cluster"),
+        when(col("is_del"), lit("deleted"))
+          .when(coalesce(col("kept_cluster"), col("doc_id")) === col("doc_id"),
+            lit("canonical"))
+          .otherwise(lit("loser")).as("new_state"))
+      .withColumn("readmitted",
+        col("old_state") === "loser" && col("new_state") === "canonical")
+      .orderBy("doc_id")
+  }
+
+  def forgetRequalify(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    requalifyOver(docs, deletedOf(docs))
+  }
+
+  // ----------------------------------------------------------- forget_pack
+
+  /** The post-takedown curated manifest — gate ∘ re-adjudicated cluster
+    * dedup ∘ pack, computed the incremental way: standing losers of
+    * UNAFFECTED Jaccard clusters are kept verbatim; affected clusters are
+    * re-solved over retained edges; survivors = gated ∧ ¬deleted ∧ ¬loser.
+    * Token counts are the PRE-MASK stage-3 figures (the
+    * `refinery_waterfall` dedup-stage convention) — the span mask is a
+    * pair-local recount whose incremental form needs gram-support
+    * provenance and ships separately. The oracle rebuilds from scratch:
+    * full-corpus trainer (frozen gate), cluster closure over the FILTERED
+    * corpus, pack — so the hash equality IS cascade ≡ rebuild,
+    * end to end.
+    */
+  def forgetPack(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val del = deletedOf(docs)
+    val cl = Dedup.dedupClusters(spark, sfDir)
+    val affected = cl.join(del, Seq("doc_id"), "left_semi")
+      .select("cluster").distinct()
+    val standingLosers = cl.filter(!col("canonical"))
+      .join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select("doc_id")
+    val affEdges = Dedup.jaccardPairs(spark, sfDir, t = 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .join(cl.select(col("doc_id").as("a"), col("cluster")), Seq("a"))
+      .join(broadcast(affected), Seq("cluster"), "left_semi")
+      .join(del.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+      .join(del.select(col("doc_id").as("b")), Seq("b"), "left_anti")
+      .select(col("a"), col("b"))
+    val newLosers = ConnectedComponents.components(affEdges)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val survivors = Refinery.gatedDocs(spark, sfDir)
+      .join(del, Seq("doc_id"), "left_anti")
+      .join(standingLosers.union(newLosers), Seq("doc_id"), "left_anti")
+    Sampling.cumBeforeByLang(
+        survivors.select(col("doc_id"), col("lang"), col("n_words").as("toks")))
+      .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  // ---------------------------------------------------------- forget_spans
+
+  /** Span-level readmission: deleting the OTHER copy un-masks your spans.
+    *
+    * The gram-grade span family (`text_dedup_spans`) marks a position
+    * duplicated when its 8-gram occurs ≥ 2 times in the corpus; the
+    * refinery cuts those words. A takedown lowers gram support, so a
+    * surviving doc's masked spans can SHRINK — words the pipeline was
+    * withholding become shippable again, and a cascade that doesn't
+    * re-derive them silently under-serves the corpus forever. This is the
+    * mask tier's version of [[forgetRequalify]]'s readmission, and it is
+    * incrementalizable for exactly the same reason clusters are: gram
+    * support is MONOTONE under deletion (occurrences only leave), so only
+    * grams whose support crosses the dup threshold (occ ≥ 2 →
+    * survivor-occ < 2) can change any position's verdict, and only
+    * surviving docs CONTAINING such a gram need their islands re-merged.
+    * (The suffix-grade family (`SuffixDedup.dupSpansExact`) is corpus-
+    * global by construction — adjacent-suffix LCP — and re-derives whole;
+    * a deployment picks the gram family precisely when it needs
+    * incremental maintenance, which is why the registry keeps both.)
+    *
+    * Output: one row per AFFECTED surviving doc — masked span words
+    * before, after, and restored (before − after ≥ 0 by monotonicity).
+    * The oracle recomputes BOTH sides from scratch (full corpus, then
+    * filtered corpus) and restricts to the affected set, so the hash
+    * match again says cascade ≡ rebuild. Scale: gram/occ frames are the
+    * text_dedup_spans posting pipeline (hash-keyed, map-side combined);
+    * the changed-gram set is takedown-sized; the re-merge windows run
+    * per-affected-doc — blast radius, not corpus.
+    */
+  def forgetSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    requalifySpansOver(docs, deletedOf(docs))
+  }
+
+  /** Injectable core of [[forgetSpans]] (constructed cases in ForgetSpec). */
+  private[llm] def requalifySpansOver(docs: DataFrame, del: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorExpressions
+          .word_ngram_hashes(col("text"), 8, distinct = false)))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
+    val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
+    val delOcc = grams.join(del, Seq("doc_id"), "left_semi")
+      .groupBy("g").agg(count(lit(1)).as("del_occ"))
+    // grams whose dup verdict flips: was duplicated, no longer is
+    val changed = occ.join(delOcc, Seq("g"))
+      .filter(col("occ") >= 2 && col("occ") - col("del_occ") < 2)
+      .select("g")
+    val affDocs = grams.join(broadcast(changed), Seq("g"), "left_semi")
+      .join(del, Seq("doc_id"), "left_anti")
+      .select("doc_id").distinct()
+    val lens = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("nw"))
+    // islands-merge → per-doc masked word total, over a given dup-verdict
+    def spanSum(dupPos: DataFrame, out: String): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val byStart = Window.partitionBy("doc_id").orderBy("s")
+      val prevMax = max(col("e")).over(
+        byStart.rowsBetween(Window.unboundedPreceding, -1))
+      dupPos
+        .withColumn("brk",
+          when(col("s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("doc_id", "island")
+        .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+        .groupBy("doc_id")
+        .agg(sum(col("se") - col("ss") + 1).as(out))
+    }
+    val affGrams = grams.join(broadcast(affDocs), Seq("doc_id"), "left_semi")
+      .join(lens, Seq("doc_id"))
+    val beforePos = affGrams.join(occ.filter(col("occ") >= 2), Seq("g"))
+      .select(col("doc_id"), col("s"), least(col("s") + 7, col("nw")).as("e"))
+    val afterPos = affGrams
+      .join(occ, Seq("g"))
+      .join(delOcc, Seq("g"), "left")
+      .filter(col("occ") - coalesce(col("del_occ"), lit(0L)) >= 2)
+      .select(col("doc_id"), col("s"), least(col("s") + 7, col("nw")).as("e"))
+    affDocs
+      .join(spanSum(beforePos, "span_words_before"), Seq("doc_id"), "left")
+      .join(spanSum(afterPos, "span_words_after"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("span_words_before"), lit(0L)).as("span_words_before"),
+        coalesce(col("span_words_after"), lit(0L)).as("span_words_after"))
+      .withColumn("words_restored",
+        col("span_words_before") - col("span_words_after"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------------------------- registry
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forget_requalify" -> (forgetRequalify _),
+    "forget_pack" -> (forgetPack _),
+    "forget_spans" -> (forgetSpans _),
+  )
+
+  override def oracles: Map[String, String] = {
+    val (trainCtes, thCte, keepdCte) = Refinery.duckGateCtes
+    val requalifySql =
+      s"""WITH RECURSIVE $duckDeleted,
+         |d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), blk AS (
+         |  SELECT DISTINCT doc_id,
+         |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
+         |        FROM d)
+         |), fp AS (
+         |  SELECT x.doc_id AS pa, y.doc_id AS pb
+         |  FROM blk x JOIN blk y ON x.bh = y.bh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2
+         |), be AS (
+         |  SELECT pa AS a, pb AS b FROM fp UNION SELECT pb, pa FROM fp
+         |), br(n, m) AS (
+         |  SELECT a, b FROM be
+         |  UNION
+         |  SELECT r.n, e.b FROM br r JOIN be e ON r.m = e.a WHERE e.b <> r.n
+         |), bc AS (
+         |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS old_cluster FROM br GROUP BY n
+         |), aff AS (
+         |  SELECT DISTINCT old_cluster FROM bc JOIN fdel USING (doc_id)
+         |), rp AS (
+         |  SELECT pa, pb FROM fp
+         |  WHERE pa NOT IN (SELECT doc_id FROM fdel)
+         |    AND pb NOT IN (SELECT doc_id FROM fdel)
+         |), ae AS (
+         |  SELECT pa AS a, pb AS b FROM rp UNION SELECT pb, pa FROM rp
+         |), ar(n, m) AS (
+         |  SELECT a, b FROM ae
+         |  UNION
+         |  SELECT r.n, e.b FROM ar r JOIN ae e ON r.m = e.a WHERE e.b <> r.n
+         |), ac AS (
+         |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS kept_cluster FROM ar GROUP BY n
+         |), st AS (
+         |  SELECT bc.doc_id, bc.old_cluster,
+         |    CASE WHEN bc.doc_id = bc.old_cluster
+         |         THEN 'canonical' ELSE 'loser' END AS old_state,
+         |    CASE WHEN fdel.doc_id IS NOT NULL THEN NULL
+         |         ELSE COALESCE(ac.kept_cluster, bc.doc_id) END AS new_cluster,
+         |    CASE WHEN fdel.doc_id IS NOT NULL THEN 'deleted'
+         |         WHEN COALESCE(ac.kept_cluster, bc.doc_id) = bc.doc_id
+         |         THEN 'canonical' ELSE 'loser' END AS new_state
+         |  FROM bc
+         |  JOIN aff ON bc.old_cluster = aff.old_cluster
+         |  LEFT JOIN fdel ON bc.doc_id = fdel.doc_id
+         |  LEFT JOIN ac ON bc.doc_id = ac.doc_id
+         |)
+         |SELECT doc_id, old_cluster, old_state, new_cluster, new_state,
+         |  (old_state = 'loser' AND new_state = 'canonical') AS readmitted
+         |FROM st ORDER BY doc_id""".stripMargin
+    val packSql =
+      (trainCtes ++ Seq(
+        thCte,
+        keepdCte,
+        duckDeleted,
+        Dedup.duckClusterLoserCtesOver(
+          "\n  WHERE doc_id NOT IN (SELECT doc_id FROM fdel)"),
+        """surv AS (
+          |  SELECT k.doc_id, k.lang, k.nw AS toks FROM keepd k
+          |  WHERE k.doc_id NOT IN (SELECT doc_id FROM fdel)
+          |    AND k.doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin,
+        s"""cum AS (
+           |  SELECT lang, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+           |  FROM surv)""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", "\n") +
+        s"""SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
+           |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+           |FROM cum GROUP BY lang, cum_before // ${Sampling.PackBudget}
+           |ORDER BY lang, bin""".stripMargin
+    // full recompute of the span verdicts on the FULL corpus (before) and
+    // the FILTERED corpus (after — occ recounted over survivors, not
+    // decremented, so this side is a genuine rebuild), restricted to the
+    // affected docs; gram/island CTEs follow the text_dedup_spans oracle
+    def spanIslands(dupCte: String, p: String): String =
+      s"""${p}brk AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      -1) + 1 THEN 1 ELSE 0 END AS brk
+         |  FROM $dupCte
+         |), ${p}isl AS (
+         |  SELECT doc_id, s, e,
+         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM ${p}brk
+         |), ${p}sum AS (
+         |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS sw
+         |  FROM (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
+         |        FROM ${p}isl GROUP BY doc_id, island)
+         |  GROUP BY doc_id)""".stripMargin
+    val spansSql =
+      s"""WITH $duckDeleted,
+         |d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |), g AS (
+         |  SELECT doc_id, len(w) AS nw, i AS s,
+         |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
+         |  FROM (SELECT doc_id, w,
+         |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
+         |        FROM d)
+         |), occ AS (
+         |  SELECT g, COUNT(*) AS occ FROM g GROUP BY g
+         |), occ2 AS (
+         |  SELECT g, COUNT(*) AS occ2 FROM g
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel) GROUP BY g
+         |), changed AS (
+         |  SELECT occ.g FROM occ LEFT JOIN occ2 USING (g)
+         |  WHERE occ.occ >= 2 AND COALESCE(occ2.occ2, 0) < 2
+         |), aff AS (
+         |  SELECT DISTINCT doc_id FROM g JOIN changed USING (g)
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel)
+         |), bdup AS (
+         |  SELECT g.doc_id, g.s, LEAST(g.s + 7, g.nw) AS e
+         |  FROM g JOIN occ USING (g) JOIN aff USING (doc_id)
+         |  WHERE occ.occ >= 2
+         |), adup AS (
+         |  SELECT g.doc_id, g.s, LEAST(g.s + 7, g.nw) AS e
+         |  FROM g JOIN occ2 USING (g) JOIN aff USING (doc_id)
+         |  WHERE occ2.occ2 >= 2
+         |),
+         |${spanIslands("bdup", "b")},
+         |${spanIslands("adup", "a")}
+         |SELECT aff.doc_id,
+         |  COALESCE(bsum.sw, 0) AS span_words_before,
+         |  COALESCE(asum.sw, 0) AS span_words_after,
+         |  COALESCE(bsum.sw, 0) - COALESCE(asum.sw, 0) AS words_restored
+         |FROM aff
+         |LEFT JOIN bsum ON aff.doc_id = bsum.doc_id
+         |LEFT JOIN asum ON aff.doc_id = asum.doc_id
+         |ORDER BY aff.doc_id""".stripMargin
+    Map(
+      "forget_requalify" -> requalifySql,
+      "forget_pack" -> packSql,
+      "forget_spans" -> spansSql,
+    )
+  }
+}

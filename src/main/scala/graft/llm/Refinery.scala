@@ -59,7 +59,7 @@ object Refinery extends QueryModule {
     * the registered quality model keeps — stage 1 of every refinery
     * variant.
     */
-  private def gatedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+  private[llm] def gatedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val (w1, w2, b, thr) = Ml.curateModel(spark, sfDir)
     Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "lang",
@@ -237,6 +237,28 @@ object Refinery extends QueryModule {
     */
   def refineryServeOrder(spark: SparkSession, sfDir: String): DataFrame =
     Sampling.epochOrderOf(refineryFull(spark, sfDir))
+
+  /** Registered checkpoint for [[refineryServeResume]] — mid-epoch-1. */
+  val ResumeEpoch = 1
+  val ResumeRank = 5L
+
+  /** Loader RESTART from a mid-training checkpoint: the serving manifest
+    * strictly after (epoch, step) in schedule order — what a trainer that
+    * died at step `ResumeRank` of epoch `ResumeEpoch` asks the data
+    * layer for on the way back up. The rank is computed over the FULL
+    * epoch and then sliced (never renumbered): windows the trainer
+    * already consumed keep their ranks, so a resumed run walks the
+    * IDENTICAL remaining sequence — resume ∘ checkpoint ≡ uninterrupted
+    * run, which is exactly what the shared-oracle discipline pins (the
+    * oracle replays the whole seven-tier serve chain, then slices).
+    * Scale: one pushed-down filter over [[refineryServeOrder]]'s
+    * partitioned-rank output; no new shuffle.
+    */
+  def refineryServeResume(spark: SparkSession, sfDir: String): DataFrame =
+    refineryServeOrder(spark, sfDir)
+      .filter(col("epoch") > ResumeEpoch ||
+        (col("epoch") === ResumeEpoch && col("serve_rank") > ResumeRank))
+      .orderBy("epoch", "serve_rank")
 
   /** THE FULL CHAIN ∘ ANNEAL SCHEDULE — what ships to the trainer after
     * the refinery is not just packed windows but a two-phase schedule:
@@ -588,13 +610,20 @@ object Refinery extends QueryModule {
     "refinery_mm_dedup" -> (refineryMmDedup _),
     "refinery_semantic" -> (refinerySemantic _),
     "refinery_serve_order" -> (refineryServeOrder _),
+    "refinery_serve_resume" -> (refineryServeResume _),
     "refinery_decontaminated" -> (refineryDecontaminated _),
     "refinery_full" -> (refineryFull _),
     "refinery_anneal" -> (refineryAnneal _),
     "refinery_waterfall" -> (refineryWaterfall _),
   )
 
-  override def oracles: Map[String, String] = {
+  /** Oracle CTE stack for the classifier gate alone — trainer iterations,
+    * acceptance threshold, and the gated corpus `keepd(doc_id, lang, nw)`.
+    * Factored out so [[Forget]]'s rebuild oracles replay the IDENTICAL
+    * frozen-gate tier (same strings, one source of truth); the refinery
+    * oracles splice the span-mask CTEs between `th` and `keepd`.
+    */
+  private[llm] def duckGateCtes: (Seq[String], String, String) = {
     val trainCtes = Ml.logregTrainCtes(
       s"""f AS (
          |  SELECT x1, x2, y FROM (
@@ -603,14 +632,11 @@ object Refinery extends QueryModule {
          |           ${Ml.LogregLabel} AS y,
          |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |    FROM documents) WHERE h < ${Ml.CurateTrainPct})""".stripMargin)
-    val sharedHead = trainCtes ++ Seq(
+    val th =
       s"""th AS (
          |  SELECT CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS t
-         |  FROM f)""".stripMargin,
-      SuffixDedup.suffixSpanCtes,
-      s"""cutc AS (
-         |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS cut_words
-         |  FROM mg GROUP BY doc_id)""".stripMargin,
+         |  FROM f)""".stripMargin
+    val keepd =
       s"""keepd AS (
          |  SELECT s.doc_id, s.lang, s.nw
          |  FROM (SELECT doc_id, lang,
@@ -618,7 +644,19 @@ object Refinery extends QueryModule {
          |          ${Ml.LogregFeats1} AS x1,
          |          (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2
          |        FROM documents) s, w${Ml.LogregIters} w, th
-         |  WHERE ${Ml.logregSigDuck("w.w1", "w.w2", "w.b")} >= th.t)""".stripMargin)
+         |  WHERE ${Ml.logregSigDuck("w.w1", "w.w2", "w.b")} >= th.t)""".stripMargin
+    (trainCtes, th, keepd)
+  }
+
+  override def oracles: Map[String, String] = {
+    val (trainCtes, thCte, keepdCte) = duckGateCtes
+    val sharedHead = trainCtes ++ Seq(
+      thCte,
+      SuffixDedup.suffixSpanCtes,
+      s"""cutc AS (
+         |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS cut_words
+         |  FROM mg GROUP BY doc_id)""".stripMargin,
+      keepdCte)
     // tk over a caller-chosen survivor CTE + the shared cumsum + report.
     // The cumsum here is the naive per-lang window form — value-identical
     // to the Spark side's hierarchical prefix, and DuckDB runs on one
@@ -645,7 +683,7 @@ object Refinery extends QueryModule {
            |ORDER BY lang, bin""".stripMargin
     // serve-order tail: the pack tail's bins, then epoch keying + the
     // per-epoch rank (the pack_epoch_order arithmetic over `surv` bins)
-    def serveTail(survivorCte: String): String =
+    def serveCtes(survivorCte: String): String =
       packCumCtes(survivorCte) + ",\n" + Seq(
         s"""pb AS (
            |  SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
@@ -659,14 +697,28 @@ object Refinery extends QueryModule {
            |  SELECT *, ${Hashing.duckHash60(
               "lang || '#' || CAST(bin AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)")} AS serve_key
            |  FROM sk)""".stripMargin)
-        .mkString(",\n") +
+        .mkString(",\n")
+    val serveSelect =
+      s"""
+         |SELECT epoch,
+         |  CAST(row_number() OVER (PARTITION BY epoch
+         |    ORDER BY serve_key, lang, bin) AS BIGINT) AS serve_rank,
+         |  lang, bin, n_docs, bin_tokens,
+         |  CAST(COUNT(*) OVER (PARTITION BY epoch) AS BIGINT) AS n_windows
+         |FROM skk""".stripMargin
+    def serveTail(survivorCte: String): String =
+      serveCtes(survivorCte) + serveSelect + " ORDER BY epoch, serve_rank"
+    // resume tail: the identical schedule, sliced strictly after the
+    // checkpoint (the rank is computed over the FULL epoch before the
+    // slice — a checkpoint never renumbers what the trainer already saw)
+    def serveResumeTail(survivorCte: String): String =
+      serveCtes(survivorCte) +
+        ",\nsv AS (" + serveSelect + ")" +
         s"""
-           |SELECT epoch,
-           |  CAST(row_number() OVER (PARTITION BY epoch
-           |    ORDER BY serve_key, lang, bin) AS BIGINT) AS serve_rank,
-           |  lang, bin, n_docs, bin_tokens,
-           |  CAST(COUNT(*) OVER (PARTITION BY epoch) AS BIGINT) AS n_windows
-           |FROM skk ORDER BY epoch, serve_rank""".stripMargin
+           |SELECT * FROM sv
+           |WHERE epoch > $ResumeEpoch
+           |   OR (epoch = $ResumeEpoch AND serve_rank > $ResumeRank)
+           |ORDER BY epoch, serve_rank""".stripMargin
     val packSql =
       sharedHead.mkString("WITH ", ",\n", ",\n") + packTail("keepd")
     // dedup variant: the cluster-loser closure needs WITH RECURSIVE (the
@@ -726,6 +778,18 @@ object Refinery extends QueryModule {
           |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
           |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
         .mkString("WITH RECURSIVE ", ",\n", ",\n") + serveTail("surv")
+    // resume variant: the identical serve chain, sliced after the
+    // registered checkpoint
+    val serveResumeSql =
+      (sharedHead ++ Seq(
+        Dedup.duckClusterLoserCtes,
+        Curation.duckDecontCtes,
+        """surv AS (
+          |  SELECT * FROM keepd
+          |  WHERE doc_id % 97 <> 0
+          |    AND doc_id NOT IN (SELECT doc_id FROM dc_cont)
+          |    AND doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", ",\n") + serveResumeTail("surv")
     // anneal variant: the full chain's survivor set, post-mask token
     // counts, then the per-lang TTR-histogram cutoff + schedule over
     // SURVIVORS (an_* CTE names avoid the shared head's f/cum/tk).
@@ -820,6 +884,7 @@ object Refinery extends QueryModule {
       "refinery_mm_dedup" -> mmDedupSql,
       "refinery_semantic" -> semanticSql,
       "refinery_serve_order" -> serveSql,
+      "refinery_serve_resume" -> serveResumeSql,
       "refinery_decontaminated" -> decontSql,
       "refinery_full" -> fullSql,
       "refinery_anneal" -> annealSql,

@@ -192,6 +192,89 @@ object Maintenance extends QueryModule {
     victims.map(_.getPath).sorted
   }
 
+  /** Physically propagate a takedown into a standing parquet artifact —
+    * the filesystem half of the [[graft.llm.Forget]] cascade: rewrite
+    * ONLY the part files that contain deleted keys and carry every other
+    * file over BYTE-IDENTICAL into a new atomically-installed generation.
+    *
+    * Why file-incremental instead of `read → anti-join → overwrite`: at
+    * 100 TB the standing zones (band index, IVF postings, cluster
+    * registry) are the corpus-scale artifacts themselves, and a takedown
+    * of 0.01% of keys must not rewrite the other 99.99% — object-store
+    * PUTs are the cost, not the anti-join. The probe that finds touched
+    * files is a key-column-only scan (ReadSchema prunes to `keyCol` +
+    * filename), which parquet serves from the key's column chunks alone;
+    * a min/max-clustered layout (layout_zorder's discipline) turns it
+    * into footer-stats pruning. The local `Files.copy` of untouched
+    * files is the sandbox stand-in for an object-store metadata retain
+    * (manifest re-point / server-side copy) — the spec pins
+    * byte-identity so the claim "untouched files are NOT reprocessed" is
+    * checkable, not aspirational.
+    *
+    * Install discipline: assemble into a process-unique `.tmp.<uuid>`
+    * sibling of `target`, stamp `_SUCCESS`, then one atomic rename —
+    * readers of the new generation see absent-then-complete, never
+    * partial (the [[graft.Fs.writeParquetAtomic]] contract; generations
+    * are retired by [[vacuumArtifacts]]). `input_file_name()` basenames
+    * are URI-encoded, so matching against the raw java.io listing goes
+    * raw-first-then-decoded and FAILS FAST on an unmapped file (the
+    * compactExecute lesson).
+    *
+    * Returns (installed path, rewritten basenames sorted).
+    */
+  def forgetArtifacts(
+      spark: SparkSession,
+      artifactDir: String,
+      keyCol: String,
+      deleted: DataFrame,
+      target: java.nio.file.Path): (String, Seq[String]) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val del = deleted.select(col(keyCol)).distinct()
+    val touchedRaw = spark.read.parquet(artifactDir)
+      .select(col(keyCol),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("__base"))
+      .join(broadcast(del), Seq(keyCol), "left_semi")
+      .select("__base").distinct()
+      .collect().map(_.getString(0)).toSet
+    val srcFiles = Option(new java.io.File(artifactDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    val rawNames = srcFiles.map(_.getName).toSet
+    val touched = touchedRaw.map { b =>
+      if (rawNames.contains(b)) b
+      else {
+        val dec = scala.util.Try(
+          java.net.URLDecoder.decode(b, "UTF-8")).toOption
+        dec.filter(rawNames.contains).getOrElse(sys.error(
+          s"forgetArtifacts: scanned file '$b' missing from $artifactDir listing"))
+      }
+    }
+    val (rewrite, carry) = srcFiles.partition(f => touched.contains(f.getName))
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.tmp.${java.util.UUID.randomUUID().toString}")
+    Files.createDirectories(tmp)
+    carry.foreach(f => Files.copy(f.toPath, tmp.resolve(f.getName)))
+    if (rewrite.nonEmpty) {
+      val staging = target.resolveSibling(
+        s"${target.getFileName}.staging.${java.util.UUID.randomUUID().toString}")
+      spark.read.parquet(rewrite.map(_.getPath).toIndexedSeq: _*)
+        .join(broadcast(del), Seq(keyCol), "left_anti")
+        .write.mode("overwrite").parquet(staging.toString)
+      Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).foreach { p =>
+          require(!Files.exists(tmp.resolve(p.getName)),
+            s"forgetArtifacts: rewrite part ${p.getName} collides with a carried file")
+          Files.move(p.toPath, tmp.resolve(p.getName))
+        }
+      graft.Fs.deleteRecursively(staging.toFile)
+    }
+    Files.createFile(tmp.resolve("_SUCCESS"))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    (target.toString, rewrite.map(_.getName).toSeq)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compaction_bins" -> (compactionBins _),
   )

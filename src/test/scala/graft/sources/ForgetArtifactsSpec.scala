@@ -1,0 +1,80 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The physical takedown cascade's contract, asserted at the filesystem:
+  * only files containing deleted keys are rewritten; everything else is
+  * carried BYTE-IDENTICAL (the "a takedown must not reprocess the other
+  * 99.99%" claim made checkable); the result equals a filtered rebuild;
+  * the install is marker-complete.
+  */
+class ForgetArtifactsSpec extends SparkSpec {
+
+  private def sha(p: java.nio.file.Path): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(java.nio.file.Files.readAllBytes(p)).map("%02x".format(_)).mkString
+  }
+
+  private def mkArtifact(dir: java.io.File): Unit = {
+    import spark.implicits._
+    (0L until 1000L).toDF("k")
+      .withColumn("payload", md5(col("k").cast("string")))
+      .repartition(8, col("k"))
+      .write.mode("overwrite").parquet(dir.toString)
+  }
+
+  test("rewrites only touched files; carries the rest byte-identical") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("forget_art").toFile
+    val src = new java.io.File(root, "gen0"); mkArtifact(src)
+    val delKeys = Seq(3L, 17L, 400L)
+    val del = delKeys.toDF("k")
+    // ground truth: which files hold those keys
+    val expectedTouched = spark.read.parquet(src.toString)
+      .select(col("k"), regexp_extract(input_file_name(), "[^/]+$", 0).as("f"))
+      .filter(col("k").isin(delKeys: _*))
+      .select("f").distinct().as[String].collect().toSet
+    assert(expectedTouched.nonEmpty)
+    val target = new java.io.File(root, "gen1").toPath
+    val (installed, rewritten) =
+      Maintenance.forgetArtifacts(spark, src.toString, "k", del, target)
+    assert(installed == target.toString)
+    assert(rewritten.toSet === expectedTouched)
+    assert(java.nio.file.Files.exists(target.resolve("_SUCCESS")))
+    // result ≡ filtered rebuild
+    val got = spark.read.parquet(target.toString)
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    val want = spark.read.parquet(src.toString)
+      .filter(!col("k").isin(delKeys: _*))
+      .select("k", "payload").as[(Long, String)].collect().toSet
+    assert(got === want)
+    // untouched originals present under the SAME name with the SAME bytes
+    val untouched = Option(src.listFiles()).get
+      .filter(f => f.getName.endsWith(".parquet") && !expectedTouched(f.getName))
+    assert(untouched.nonEmpty)
+    untouched.foreach { f =>
+      val copied = target.resolve(f.getName)
+      assert(java.nio.file.Files.exists(copied), s"missing carry: ${f.getName}")
+      assert(sha(f.toPath) === sha(copied), s"carried file rewritten: ${f.getName}")
+    }
+    graft.Fs.deleteRecursively(root)
+  }
+
+  test("a delete set absent from the artifact rewrites nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("forget_art").toFile
+    val src = new java.io.File(root, "gen0"); mkArtifact(src)
+    val target = new java.io.File(root, "gen1").toPath
+    val (_, rewritten) = Maintenance.forgetArtifacts(
+      spark, src.toString, "k", Seq(100000L).toDF("k"), target)
+    assert(rewritten.isEmpty)
+    val srcParts = Option(src.listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    srcParts.foreach { f =>
+      assert(sha(f.toPath) === sha(target.resolve(f.getName)))
+    }
+    assert(spark.read.parquet(target.toString).count() === 1000L)
+    graft.Fs.deleteRecursively(root)
+  }
+}
