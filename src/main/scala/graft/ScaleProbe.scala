@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -577,6 +577,68 @@ object ScaleProbe {
         f""""in_query_wave_sec":${inQ._2}%.1f,""" +
         f""""indexed_wave_sec":${idx._2}%.1f}""")
       graft.Fs.deleteRecursively(new java.io.File(idxDir))
+    }
+
+    // the forget cascade's blast-radius claim, measured: re-adjudicating
+    // ONLY the clusters a takedown touches vs rebuilding the labeling
+    // from scratch, on 10⁶ nodes in 2·10⁵ five-node CHAIN clusters (the
+    // shape where deletion both promotes and SPLITS). ~0.1% of nodes
+    // deleted (ids ≡ 17 mod 997 — prime, so the in-chain position
+    // varies: mid-chain splits, end deletions, canonical deletions all
+    // occur). Both paths produce a FULL labeling of the survivors
+    // (edgeless survivors label themselves) and must agree on count and
+    // label checksum — result equality, not just speed.
+    if (on("forget")) {
+      // `big` scales the corpus ×10: the claim is a SLOPE (rebuild grows
+      // with the corpus, the cascade with the blast radius), so it needs
+      // two sizes on the same box to be honest
+      val n = (if (args.contains("big")) 10000000L else 1000000L) / div
+      val nodes = spark.range(n).select(col("id").as("node"))
+      val edges = spark.range(n).filter(col("id") % 5 =!= 4)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val del = nodes.filter(col("node") % 997 === 17)
+      // the standing labeling a deployment keeps (min id per chain)
+      val standing = nodes.select(col("node"),
+        (col("node") - pmod(col("node"), lit(5))).as("component"))
+      val survivors = nodes.join(del, Seq("node"), "left_anti")
+      val retained = edges
+        .join(del.select(col("node").as("a")), Seq("a"), "left_anti")
+        .join(del.select(col("node").as("b")), Seq("b"), "left_anti")
+      def checksum(lbl: DataFrame): (Long, Long) = {
+        val r = lbl.agg(count(lit(1)), sum(col("component"))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      def rebuild(): (Long, Long) = {
+        val (cc, h) = ConnectedComponents.componentsManaged(retained)
+        val cs = checksum(survivors.join(cc, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("node")).as("component")))
+        h.release(); cs
+      }
+      def incremental(): (Long, Long) = {
+        val aff = standing.join(del, Seq("node"), "left_semi")
+          .select("component").distinct()
+        val affNodes = standing.join(broadcast(aff), Seq("component"))
+          .select("node")
+        val affEdges = retained
+          .join(affNodes.select(col("node").as("a")), Seq("a"), "left_semi")
+        val (sub, h) = ConnectedComponents.componentsManaged(affEdges)
+        val affSurv = affNodes.join(del, Seq("node"), "left_anti")
+        val merged = standing
+          .join(broadcast(aff), Seq("component"), "left_anti")
+          .unionByName(affSurv.join(sub, Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("component"), col("node")).as("component")))
+        val cs = checksum(merged); h.release(); cs
+      }
+      val rb = (1 to 2).map(_ => time(rebuild())).minBy(_._2)
+      val inc = (1 to 2).map(_ => time(incremental())).minBy(_._2)
+      require(rb._1 == inc._1,
+        s"cascade diverges from rebuild: ${rb._1} vs ${inc._1}")
+      val nDel = del.count()
+      println(f"""{"probe":"forget_cascade","nodes":$n,"deleted":$nDel,""" +
+        f""""survivors":${rb._1._1},"label_checksum":${rb._1._2},""" +
+        f""""rebuild_sec":${rb._2}%.1f,"incremental_sec":${inc._2}%.1f}""")
     }
     spark.stop()
   }

@@ -77,7 +77,7 @@ object Forget extends QueryModule {
   private def words(c: Column): Column = split(c, " ")
 
   /** The deterministic delete set: salted 60-bit hash of the doc id. */
-  private[llm] def deletedOf(docs: DataFrame): DataFrame =
+  private[graft] def deletedOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .filter(pmod(
         Hashing.hash60(concat(lit("forget#"), col("doc_id").cast("string"))),
@@ -176,9 +176,16 @@ object Forget extends QueryModule {
     * corpus, pack — so the hash equality IS cascade ≡ rebuild,
     * end to end.
     */
-  def forgetPack(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val del = deletedOf(docs)
+  def forgetPack(spark: SparkSession, sfDir: String): DataFrame =
+    forgetPackOver(spark, sfDir, deletedOf(Tables.documents(spark, sfDir)))
+
+  /** [[forgetPack]] with an injectable delete set — the publication entry
+    * point of the STREAMED takedown queue ([[forgetStream]]) and of
+    * constructed spec cases.
+    */
+  private[llm] def forgetPackOver(
+      spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame = {
+    val del = del0.select("doc_id")
     val cl = Dedup.dedupClusters(spark, sfDir)
     val affected = cl.join(del, Seq("doc_id"), "left_semi")
       .select("cluster").distinct()
@@ -296,6 +303,55 @@ object Forget extends QueryModule {
         col("span_words_before") - col("span_words_after"))
       .orderBy("doc_id")
   }
+
+  // --------------------------------------------------------- forget stream
+
+  /** The takedown QUEUE deployed on a stream: deletion requests arrive as
+    * NDJSON objects of doc ids; each micro-batch appends its distinct ids
+    * to a standing tombstone zone (`batch=<id>` subdirectory, overwrite —
+    * a failure-retry REPLACES its own partial output, the exactly-once
+    * discipline every zone here uses). The CASCADE runs at publication
+    * ([[manifestFromTombstones]]), not per batch — same reason cluster
+    * closure and packing publish late: the re-adjudicated verdict is a
+    * function of the CUMULATIVE delete set, and while deletion cascades
+    * do compose (removal is monotone, so forget(D₁∪D₂) =
+    * forget(D₂) ∘ forget(D₁) on the cluster state), the pack manifest is
+    * corpus-global either way — publication is where it must be derived.
+    * Accumulate-then-cascade also makes the queue ORDER-INDEPENDENT: any
+    * interleaving of arrivals publishes the identical manifest.
+    */
+  def forgetStream(
+      spark: SparkSession,
+      sfDir: String,
+      landingDir: String,
+      tombstoneDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(landingDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("doc_id")).distinct()
+          .write.mode("overwrite").parquet(s"$tombstoneDir/batch=$id")
+        ()
+      }
+      .start()
+  }
+
+  /** Publication over the accumulated tombstones: the post-takedown
+    * curated manifest for everything deleted so far — ≡ the batch
+    * [[forgetPack]] under the same cumulative set (StreamingForgetSpec).
+    */
+  def manifestFromTombstones(
+      spark: SparkSession, sfDir: String, tombstoneDir: String): DataFrame =
+    forgetPackOver(spark, sfDir,
+      spark.read.parquet(tombstoneDir).select("doc_id").distinct())
 
   // -------------------------------------------------------------- registry
 
