@@ -166,7 +166,8 @@ object PlanDump {
     // semi-joins and the final verdict/pack read-off; blast-radius
     // bounds are spec-pinned in ForgetSpec) and checkpoint resume (one
     // pushed-down filter over the partitioned serve rank)
-    "forget_requalify", "forget_pack", "refinery_serve_resume")
+    "forget_requalify", "forget_pack", "forget_spans",
+    "refinery_serve_resume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -251,8 +251,9 @@ object Refinery extends QueryModule {
     * IDENTICAL remaining sequence — resume ∘ checkpoint ≡ uninterrupted
     * run, which is exactly what the shared-oracle discipline pins (the
     * oracle replays the whole seven-tier serve chain, then slices).
-    * Scale: one pushed-down filter over [[refineryServeOrder]]'s
-    * partitioned-rank output; no new shuffle.
+    * Scale: one filter over [[refineryServeOrder]]'s partitioned-rank
+    * output, folded beneath the final projection (the rank half cannot
+    * sink below the window that defines it); no new shuffle.
     */
   def refineryServeResume(spark: SparkSession, sfDir: String): DataFrame =
     refineryServeOrder(spark, sfDir)

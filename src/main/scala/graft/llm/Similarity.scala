@@ -1106,6 +1106,53 @@ object Similarity extends QueryModule {
       .orderBy("q_id")
   }
 
+  /** Rank-QUALITY evaluation of the ANN index — recall (sim_ann_recall)
+    * says how many true neighbors come back; this says WHERE they land.
+    * Per query: MRR (reciprocal rank of the first true-top-3 hit) and a
+    * graded DCG/nDCG over the IVF ranking, with relevance 3/2/1 for the
+    * exact top-1/2/3 and 0 otherwise. Discounts are HARMONIC
+    * (1/(position+1)) rather than log2: every term is then an exact
+    * integer in micro-units (ppm) that both engines compute identically —
+    * the house integer-grid discipline — while preserving what a
+    * discount needs (strictly decreasing in position); textbook log2
+    * nDCG is one transcendental away and would put a libm ulp under the
+    * hash. Scale: rides the already-priced rankings (broadcast-query
+    * brute force for truth, cluster-join IVF probe) plus a
+    * queries×top-k-sized join and two tiny aggregates — evaluation cost
+    * is fixed regardless of corpus size, like every eval op here.
+    */
+  def simEvalRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = simCosineTopk(spark, sfDir)
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"),
+        (lit(4L) - col("rn")).cast("long").as("rel"))
+    val ivf = simAnnIvf(spark, sfDir)
+      .select(col("q_id"), col("rn").as("pos"), col("cand_id"))
+    val perQ = ivf.join(truth, Seq("q_id", "cand_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .groupBy("q_id")
+      .agg(
+        min(when(col("rel") > 0, col("pos"))).as("frp"),
+        sum(expr("rel * 1000000 div (pos + 1)")).as("dcg_ppm"),
+        count(when(col("rel") > 0, lit(1))).as("hits"))
+    val ideal = truth
+      .withColumn("ipos", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rel").desc, col("cand_id"))))
+      .groupBy("q_id")
+      .agg(sum(expr("rel * 1000000 div (ipos + 1)")).as("idcg_ppm"))
+    perQ.join(ideal, Seq("q_id"))
+      .select(
+        col("q_id"),
+        coalesce(col("frp"), lit(0)).cast("long").as("first_rel_pos"),
+        when(col("frp").isNull, lit(0L))
+          .otherwise(expr("CAST(1000000 div frp AS BIGINT)")).as("mrr_ppm"),
+        col("hits"),
+        col("dcg_ppm"),
+        col("idcg_ppm"),
+        expr("dcg_ppm * 1000000 div idcg_ppm").as("ndcg_ppm"))
+      .orderBy("q_id")
+  }
+
   /** Threshold-tuning sweep for embedding dedup: pair counts at five
     * cosine cutoffs from ONE all-pairs pass (conditional counts, not five
     * queries) — the report that picks dedup_embedding's threshold before a
@@ -1829,6 +1876,7 @@ object Similarity extends QueryModule {
     "emb_var_dims"    -> (embVarDims _),
     "emb_threshold_sweep" -> (embThresholdSweep _),
     "sim_ann_recall"  -> (simAnnRecall _),
+    "sim_eval_rank"   -> (simEvalRank _),
     "emb_stats"       -> (embStats _),
     "emb_centroid"    -> (embCentroid _),
     "emb_kmeans"      -> (embKmeans _),
@@ -2487,6 +2535,60 @@ object Similarity extends QueryModule {
          |  ON exact3.q_id = ivf3.q_id AND exact3.cand_id = ivf3.cand_id
          |GROUP BY exact3.q_id
          |ORDER BY exact3.q_id""".stripMargin,
+    "sim_eval_rank" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), truth AS (
+         |  SELECT q_id, cand_id, CAST(4 - rn AS BIGINT) AS rel FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM e q JOIN e c ON q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE rn <= 3
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), assigned AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), ivf AS (
+         |  SELECT q_id, cand_id, pos FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS pos
+         |    FROM assigned q JOIN assigned c
+         |      ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id)
+         |  WHERE pos <= 3
+         |), j AS (
+         |  SELECT ivf.q_id, ivf.pos, COALESCE(truth.rel, 0) AS rel
+         |  FROM ivf LEFT JOIN truth
+         |    ON ivf.q_id = truth.q_id AND ivf.cand_id = truth.cand_id
+         |), perq AS (
+         |  SELECT q_id,
+         |    MIN(CASE WHEN rel > 0 THEN pos END) AS frp,
+         |    CAST(SUM(rel * 1000000 // (pos + 1)) AS BIGINT) AS dcg_ppm,
+         |    CAST(COUNT(CASE WHEN rel > 0 THEN 1 END) AS BIGINT) AS hits
+         |  FROM j GROUP BY q_id
+         |), ideal AS (
+         |  SELECT q_id, CAST(SUM(rel * 1000000 // (ipos + 1)) AS BIGINT) AS idcg_ppm
+         |  FROM (SELECT q_id, rel,
+         |          row_number() OVER (PARTITION BY q_id
+         |            ORDER BY rel DESC, cand_id) AS ipos
+         |        FROM truth)
+         |  GROUP BY q_id
+         |)
+         |SELECT p.q_id,
+         |  CAST(COALESCE(p.frp, 0) AS BIGINT) AS first_rel_pos,
+         |  CAST(CASE WHEN p.frp IS NULL THEN 0
+         |            ELSE 1000000 // p.frp END AS BIGINT) AS mrr_ppm,
+         |  p.hits, p.dcg_ppm, i.idcg_ppm,
+         |  CAST(p.dcg_ppm * 1000000 // i.idcg_ppm AS BIGINT) AS ndcg_ppm
+         |FROM perq p JOIN ideal i ON p.q_id = i.q_id
+         |ORDER BY p.q_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -61,6 +61,23 @@ class ForgetArtifactsSpec extends SparkSpec {
     graft.Fs.deleteRecursively(root)
   }
 
+  test("the cascaded generation composes with the vacuum: old retired, new untouched") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("forget_art").toFile
+    val gen0 = new java.io.File(zone, "gen0"); mkArtifact(gen0)
+    val gen1 = new java.io.File(zone, "gen1").toPath
+    Maintenance.forgetArtifacts(spark, gen0.toString, "k", Seq(3L).toDF("k"), gen1)
+    assert(gen0.setLastModified(gen1.toFile.lastModified() - 60000))
+    val deleted = Maintenance.vacuumArtifacts(
+      zone, live = Set("gen1"), keepN = 0)
+    assert(deleted === Seq(gen0.getPath))
+    assert(!gen0.exists())
+    // the live cascaded generation stays complete and readable
+    assert(java.nio.file.Files.exists(gen1.resolve("_SUCCESS")))
+    assert(spark.read.parquet(gen1.toString).count() === 999L)
+    graft.Fs.deleteRecursively(zone)
+  }
+
   test("a delete set absent from the artifact rewrites nothing") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("forget_art").toFile
