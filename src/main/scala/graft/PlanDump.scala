@@ -166,7 +166,7 @@ object PlanDump {
     // semi-joins and the final verdict/pack read-off; blast-radius
     // bounds are spec-pinned in ForgetSpec) and checkpoint resume (one
     // pushed-down filter over the partitioned serve rank)
-    "forget_requalify", "forget_pack", "forget_spans",
+    "forget_requalify", "forget_pack", "forget_spans", "forget_audit",
     "refinery_serve_resume")
 
   def main(args: Array[String]): Unit = {

@@ -55,22 +55,29 @@ object Dedup extends QueryModule {
     * exactly the rebuild [[Forget]]'s cascade oracles must replay.
     */
   private[llm] def duckClusterLoserCtesOver(where: String): String =
-    s"""cl_d AS (
+    duckClusterLoserCtesNamed("cl_", where)
+
+  /** [[duckClusterLoserCtesOver]] with a caller-chosen CTE-name prefix, so
+    * one statement can hold TWO closures (full corpus + takedown
+    * survivors — the forget audit's before/after).
+    */
+  private[llm] def duckClusterLoserCtesNamed(p: String, where: String): String =
+    s"""${p}d AS (
        |  SELECT doc_id, lang, $duckShingles AS s FROM documents$where
-       |), cl_pairs AS (
+       |), ${p}pairs AS (
        |  SELECT a.doc_id AS pa, b.doc_id AS pb
-       |  FROM cl_d a JOIN cl_d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  FROM ${p}d a JOIN ${p}d b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |  WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE /
        |              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
-       |), cl_edges AS (
-       |  SELECT pa AS a, pb AS b FROM cl_pairs
-       |  UNION SELECT pb, pa FROM cl_pairs
-       |), cl_reach(n, m) AS (
-       |  SELECT a, b FROM cl_edges
+       |), ${p}edges AS (
+       |  SELECT pa AS a, pb AS b FROM ${p}pairs
+       |  UNION SELECT pb, pa FROM ${p}pairs
+       |), ${p}reach(n, m) AS (
+       |  SELECT a, b FROM ${p}edges
        |  UNION
-       |  SELECT r.n, e.b FROM cl_reach r JOIN cl_edges e ON r.m = e.a WHERE e.b <> r.n
-       |), cl_losers AS (
-       |  SELECT n AS doc_id FROM cl_reach GROUP BY n
+       |  SELECT r.n, e.b FROM ${p}reach r JOIN ${p}edges e ON r.m = e.a WHERE e.b <> r.n
+       |), ${p}losers AS (
+       |  SELECT n AS doc_id FROM ${p}reach GROUP BY n
        |  HAVING LEAST(n, MIN(m)) <> n
        |)""".stripMargin
 

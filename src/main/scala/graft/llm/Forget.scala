@@ -185,6 +185,21 @@ object Forget extends QueryModule {
     */
   private[llm] def forgetPackOver(
       spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame = {
+    val survivors = forgetSurvivorsOver(spark, sfDir, del0)
+    Sampling.cumBeforeByLang(
+        survivors.select(col("doc_id"), col("lang"), col("n_words").as("toks")))
+      .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
+  /** The post-takedown curated survivor set (gate ∧ ¬deleted ∧
+    * ¬re-adjudicated-loser) — the incremental cascade's output frame,
+    * shared by [[forgetPack]]'s manifest and [[forgetAudit]]'s totals.
+    */
+  private[llm] def forgetSurvivorsOver(
+      spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame = {
     val del = del0.select("doc_id")
     val cl = Dedup.dedupClusters(spark, sfDir)
     val affected = cl.join(del, Seq("doc_id"), "left_semi")
@@ -202,15 +217,9 @@ object Forget extends QueryModule {
     val newLosers = ConnectedComponents.components(affEdges)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    val survivors = Refinery.gatedDocs(spark, sfDir)
+    Refinery.gatedDocs(spark, sfDir)
       .join(del, Seq("doc_id"), "left_anti")
       .join(standingLosers.union(newLosers), Seq("doc_id"), "left_anti")
-    Sampling.cumBeforeByLang(
-        survivors.select(col("doc_id"), col("lang"), col("n_words").as("toks")))
-      .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
-      .groupBy("lang", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
-      .orderBy("lang", "bin")
   }
 
   // ---------------------------------------------------------- forget_spans
@@ -304,6 +313,46 @@ object Forget extends QueryModule {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------- forget_audit
+
+  /** THE COMPLIANCE TABLE — the one-page summary a takedown review signs
+    * off, stitched from every cascade tier under ONE replayed-rebuild
+    * hash: how many docs left (`deleted_docs`), how many previously-
+    * dropped near-dups came BACK (`readmitted_docs` — the number a
+    * tombstone-only cascade silently gets wrong), how many survivors had
+    * masked spans re-opened and how many words that returned
+    * (`span_affected_docs` / `span_words_restored`), and the curated
+    * corpus totals before vs after (`kept_docs_*` / `kept_tokens_*` —
+    * pre-mask stage-3 figures). The DuckDB oracle is the deepest single
+    * statement in the suite: classifier retrain, TWO Jaccard-cluster
+    * closures (full corpus and survivors), the block-graph double
+    * closure, and the span support recount, all feeding eight aggregate
+    * rows. Scale: eight bounded aggregates over frames the standalone
+    * queries already price; nothing new shuffles.
+    */
+  def forgetAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val del = deletedOf(docs)
+    val requal = requalifyOver(docs, del)
+    val spans = requalifySpansOver(docs, del)
+    val before = Refinery.gatedDocs(spark, sfDir)
+      .join(Dedup.dedupClusters(spark, sfDir)
+        .filter(!col("canonical")).select("doc_id"), Seq("doc_id"), "left_anti")
+    val after = forgetSurvivorsOver(spark, sfDir, del)
+    def one(metric: String, df: DataFrame, v: Column): DataFrame =
+      df.agg(v.cast("long").as("value")).select(lit(metric).as("metric"), col("value"))
+    one("deleted_docs", del, count(lit(1)))
+      .unionByName(one("readmitted_docs", requal,
+        sum(when(col("readmitted"), 1L).otherwise(0L))))
+      .unionByName(one("span_affected_docs", spans, count(lit(1))))
+      .unionByName(one("span_words_restored", spans, sum(col("words_restored"))))
+      .unionByName(one("kept_docs_before", before, count(lit(1))))
+      .unionByName(one("kept_tokens_before", before, sum(col("n_words"))))
+      .unionByName(one("kept_docs_after", after, count(lit(1))))
+      .unionByName(one("kept_tokens_after", after, sum(col("n_words"))))
+      .orderBy("metric")
+  }
+
   // --------------------------------------------------------- forget stream
 
   /** The takedown QUEUE deployed on a stream: deletion requests arrive as
@@ -359,6 +408,7 @@ object Forget extends QueryModule {
     "forget_requalify" -> (forgetRequalify _),
     "forget_pack" -> (forgetPack _),
     "forget_spans" -> (forgetSpans _),
+    "forget_audit" -> (forgetAudit _),
   )
 
   override def oracles: Map[String, String] = {
@@ -498,10 +548,119 @@ object Forget extends QueryModule {
          |LEFT JOIN bsum ON aff.doc_id = bsum.doc_id
          |LEFT JOIN asum ON aff.doc_id = asum.doc_id
          |ORDER BY aff.doc_id""".stripMargin
+    // the audit: every tier's rebuild replayed in ONE statement — gate
+    // trainer, TWO Jaccard closures (cl_ = full corpus, cx_ = survivors),
+    // the block-graph double closure (q-prefixed), the span support
+    // recount (s-prefixed) — feeding eight labeled aggregate rows
+    val auditSql =
+      (trainCtes ++ Seq(
+        thCte,
+        keepdCte,
+        duckDeleted,
+        Dedup.duckClusterLoserCtesNamed("cl_", ""),
+        Dedup.duckClusterLoserCtesNamed("cx_",
+          "\n  WHERE doc_id NOT IN (SELECT doc_id FROM fdel)"),
+        """bsurv AS (
+          |  SELECT k.doc_id, k.nw FROM keepd k
+          |  WHERE k.doc_id NOT IN (SELECT doc_id FROM cl_losers))""".stripMargin,
+        """asurv AS (
+          |  SELECT k.doc_id, k.nw FROM keepd k
+          |  WHERE k.doc_id NOT IN (SELECT doc_id FROM fdel)
+          |    AND k.doc_id NOT IN (SELECT doc_id FROM cx_losers))""".stripMargin,
+        """qd AS (
+          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
+        """qblk AS (
+          |  SELECT DISTINCT doc_id,
+          |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh
+          |  FROM (SELECT doc_id, w,
+          |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
+          |        FROM qd))""".stripMargin,
+        """qfp AS (
+          |  SELECT x.doc_id AS pa, y.doc_id AS pb
+          |  FROM qblk x JOIN qblk y ON x.bh = y.bh AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2)""".stripMargin,
+        "qbe AS (\n  SELECT pa AS a, pb AS b FROM qfp UNION SELECT pb, pa FROM qfp)",
+        """qbr(n, m) AS (
+          |  SELECT a, b FROM qbe
+          |  UNION
+          |  SELECT r.n, e.b FROM qbr r JOIN qbe e ON r.m = e.a WHERE e.b <> r.n)""".stripMargin,
+        """qbc AS (
+          |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS old_cluster FROM qbr GROUP BY n)""".stripMargin,
+        "qaff AS (\n  SELECT DISTINCT old_cluster FROM qbc JOIN fdel USING (doc_id))",
+        """qrp AS (
+          |  SELECT pa, pb FROM qfp
+          |  WHERE pa NOT IN (SELECT doc_id FROM fdel)
+          |    AND pb NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
+        "qae AS (\n  SELECT pa AS a, pb AS b FROM qrp UNION SELECT pb, pa FROM qrp)",
+        """qar(n, m) AS (
+          |  SELECT a, b FROM qae
+          |  UNION
+          |  SELECT r.n, e.b FROM qar r JOIN qae e ON r.m = e.a WHERE e.b <> r.n)""".stripMargin,
+        """qac AS (
+          |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS kept_cluster FROM qar GROUP BY n)""".stripMargin,
+        """qre AS (
+          |  SELECT qbc.doc_id FROM qbc
+          |  JOIN qaff ON qbc.old_cluster = qaff.old_cluster
+          |  LEFT JOIN fdel ON qbc.doc_id = fdel.doc_id
+          |  LEFT JOIN qac ON qbc.doc_id = qac.doc_id
+          |  WHERE qbc.doc_id <> qbc.old_cluster
+          |    AND fdel.doc_id IS NULL
+          |    AND COALESCE(qac.kept_cluster, qbc.doc_id) = qbc.doc_id)""".stripMargin,
+        s"""sg AS (
+           |  SELECT doc_id, len(w) AS nw, i AS s,
+           |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
+           |  FROM (SELECT doc_id, w,
+           |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
+           |        FROM qd))""".stripMargin,
+        "socc AS (\n  SELECT g, COUNT(*) AS occ FROM sg GROUP BY g)",
+        """socc2 AS (
+          |  SELECT g, COUNT(*) AS occ2 FROM sg
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel) GROUP BY g)""".stripMargin,
+        """schanged AS (
+          |  SELECT socc.g FROM socc LEFT JOIN socc2 USING (g)
+          |  WHERE socc.occ >= 2 AND COALESCE(socc2.occ2, 0) < 2)""".stripMargin,
+        """saff AS (
+          |  SELECT DISTINCT doc_id FROM sg JOIN schanged USING (g)
+          |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
+        """sbdup AS (
+          |  SELECT sg.doc_id, sg.s, LEAST(sg.s + 7, sg.nw) AS e
+          |  FROM sg JOIN socc USING (g) JOIN saff USING (doc_id)
+          |  WHERE socc.occ >= 2)""".stripMargin,
+        """sadup AS (
+          |  SELECT sg.doc_id, sg.s, LEAST(sg.s + 7, sg.nw) AS e
+          |  FROM sg JOIN socc2 USING (g) JOIN saff USING (doc_id)
+          |  WHERE socc2.occ2 >= 2)""".stripMargin,
+        spanIslands("sbdup", "sb"),
+        spanIslands("sadup", "sa"),
+        """srest AS (
+          |  SELECT saff.doc_id,
+          |    COALESCE(sbsum.sw, 0) - COALESCE(sasum.sw, 0) AS restored
+          |  FROM saff
+          |  LEFT JOIN sbsum ON saff.doc_id = sbsum.doc_id
+          |  LEFT JOIN sasum ON saff.doc_id = sasum.doc_id)""".stripMargin))
+        .mkString("WITH RECURSIVE ", ",\n", "\n") +
+        """SELECT 'deleted_docs' AS metric,
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM fdel) AS value
+          |UNION ALL SELECT 'kept_docs_after',
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM asurv)
+          |UNION ALL SELECT 'kept_docs_before',
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bsurv)
+          |UNION ALL SELECT 'kept_tokens_after',
+          |  (SELECT CAST(SUM(nw) AS BIGINT) FROM asurv)
+          |UNION ALL SELECT 'kept_tokens_before',
+          |  (SELECT CAST(SUM(nw) AS BIGINT) FROM bsurv)
+          |UNION ALL SELECT 'readmitted_docs',
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM qre)
+          |UNION ALL SELECT 'span_affected_docs',
+          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM srest)
+          |UNION ALL SELECT 'span_words_restored',
+          |  (SELECT CAST(SUM(restored) AS BIGINT) FROM srest)
+          |ORDER BY metric""".stripMargin
     Map(
       "forget_requalify" -> requalifySql,
       "forget_pack" -> packSql,
       "forget_spans" -> spansSql,
+      "forget_audit" -> auditSql,
     )
   }
 }
