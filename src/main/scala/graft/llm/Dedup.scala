@@ -705,12 +705,41 @@ object Dedup extends QueryModule {
   /** Frame-level form — package-visible so crafted-corpus specs pin the
     * interval algebra against hand-derived spans.
     */
-  private[graft] def dedupSpansOf(docs: DataFrame): DataFrame = {
-    val grams = docs
+  /** (doc_id, s, g): 1-based position + 60-bit hash of every sliding
+    * 8-gram — the gram normal form shared by [[dedupSpansOf]] and the
+    * forget cascade's span recount ([[Forget.requalifySpansOver]]).
+    */
+  private[graft] def gramPositionsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         posexplode(graft.functions.VectorExpressions
           .word_ngram_hashes(col("text"), 8, distinct = false)))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
+
+  /** (doc_id, nw): word count, the span-end clamp's bound. */
+  private[graft] def docLensOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nw"))
+
+  /** Gaps-and-islands merge of per-position intervals (doc_id, s, e) into
+    * maximal (doc_id, span_start, span_end) runs — per-doc windows only,
+    * shared by [[dedupSpansOf]] and the forget span recount.
+    */
+  private[graft] def mergedIslandsOf(dup: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("doc_id").orderBy("s")
+    val prevMax = max(col("e")).over(
+      byStart.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+  }
+
+  private[graft] def dedupSpansOf(docs: DataFrame): DataFrame = {
+    val grams = gramPositionsOf(docs)
     val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
     // span_end clamps to the document's word count: a doc shorter than the
     // gram width emits one PARTIAL gram (house n-gram contract), and its
@@ -723,21 +752,11 @@ object Dedup extends QueryModule {
     // PAST the explode (requiredChildOutput kept the full text), which
     // re-split the text once per GRAM row: measured 1.8x on the whole
     // query at sf0.1 (SCRATCH_r8 isolation).
-    val lens = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("nw"))
+    val lens = docLensOf(docs)
     val dup = grams.join(occ.filter(col("occ") >= 2), "g")
       .join(lens, "doc_id")
       .select(col("doc_id"), col("s"), least(col("s") + 7, col("nw")).as("e"))
-    val byStart = Window.partitionBy("doc_id").orderBy("s")
-    val prevMax = max(col("e")).over(
-      byStart.rowsBetween(Window.unboundedPreceding, -1))
-    dup
-      .withColumn("brk",
-        when(col("s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
-      .withColumn("island",
-        sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "island")
-      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+    mergedIslandsOf(dup)
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_words"))
       .orderBy("doc_id", "span_start")

@@ -201,14 +201,25 @@ object Forget extends QueryModule {
   private[llm] def forgetSurvivorsOver(
       spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame = {
     val del = del0.select("doc_id")
-    val cl = Dedup.dedupClusters(spark, sfDir)
+    // ONE PPJoin pass: materialize the verified pair set behind a lineage
+    // cut and derive BOTH the standing cluster labeling and the
+    // affected-cluster retained edges from it (calling dedupClusters AND
+    // jaccardPairs re-ran the candidate+verify self-join twice —
+    // review-caught; ReuseExchange shares the shingled scan, not the join
+    // work). One-shot cut: the ContextCleaner reclaims the blocks once
+    // the query's frames are unreferenced.
+    val (pairs, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(
+      Dedup.jaccardPairs(spark, sfDir, t = 0.8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    val cl = ConnectedComponents.components(pairs)
+      .select(col("component").as("cluster"), col("node").as("doc_id"),
+        (col("node") === col("component")).as("canonical"))
     val affected = cl.join(del, Seq("doc_id"), "left_semi")
       .select("cluster").distinct()
     val standingLosers = cl.filter(!col("canonical"))
       .join(broadcast(affected), Seq("cluster"), "left_anti")
       .select("doc_id")
-    val affEdges = Dedup.jaccardPairs(spark, sfDir, t = 0.8)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val affEdges = pairs
       .join(cl.select(col("doc_id").as("a"), col("cluster")), Seq("a"))
       .join(broadcast(affected), Seq("cluster"), "left_semi")
       .join(del.select(col("doc_id").as("a")), Seq("a"), "left_anti")
@@ -257,13 +268,14 @@ object Forget extends QueryModule {
     requalifySpansOver(docs, deletedOf(docs))
   }
 
-  /** Injectable core of [[forgetSpans]] (constructed cases in ForgetSpec). */
+  /** Injectable core of [[forgetSpans]] (constructed cases in ForgetSpec).
+    * Gram/length/island machinery is SHARED with [[Dedup.dedupSpansOf]]
+    * ([[Dedup.gramPositionsOf]]/[[Dedup.docLensOf]]/
+    * [[Dedup.mergedIslandsOf]]) — one site owns the house n-gram contract
+    * and the hard-won deferred-length-join convention.
+    */
   private[llm] def requalifySpansOver(docs: DataFrame, del: DataFrame): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"),
-        posexplode(graft.functions.VectorExpressions
-          .word_ngram_hashes(col("text"), 8, distinct = false)))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"), col("col").as("g"))
+    val grams = Dedup.gramPositionsOf(docs)
     val occ = grams.groupBy("g").agg(count(lit(1)).as("occ"))
     val delOcc = grams.join(del, Seq("doc_id"), "left_semi")
       .groupBy("g").agg(count(lit(1)).as("del_occ"))
@@ -274,24 +286,12 @@ object Forget extends QueryModule {
     val affDocs = grams.join(broadcast(changed), Seq("g"), "left_semi")
       .join(del, Seq("doc_id"), "left_anti")
       .select("doc_id").distinct()
-    val lens = docs.select(col("doc_id"),
-      size(words(col("text"))).cast("long").as("nw"))
+    val lens = Dedup.docLensOf(docs)
     // islands-merge → per-doc masked word total, over a given dup-verdict
-    def spanSum(dupPos: DataFrame, out: String): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val byStart = Window.partitionBy("doc_id").orderBy("s")
-      val prevMax = max(col("e")).over(
-        byStart.rowsBetween(Window.unboundedPreceding, -1))
-      dupPos
-        .withColumn("brk",
-          when(col("s") > coalesce(prevMax, lit(-1L)) + 1, 1L).otherwise(0L))
-        .withColumn("island",
-          sum(col("brk")).over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("doc_id", "island")
-        .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    def spanSum(dupPos: DataFrame, out: String): DataFrame =
+      Dedup.mergedIslandsOf(dupPos)
         .groupBy("doc_id")
-        .agg(sum(col("se") - col("ss") + 1).as(out))
-    }
+        .agg(sum(col("span_end") - col("span_start") + 1).as(out))
     val affGrams = grams.join(broadcast(affDocs), Seq("doc_id"), "left_semi")
       .join(lens, Seq("doc_id"))
     val beforePos = affGrams.join(occ.filter(col("occ") >= 2), Seq("g"))
@@ -341,11 +341,16 @@ object Forget extends QueryModule {
     val after = forgetSurvivorsOver(spark, sfDir, del)
     def one(metric: String, df: DataFrame, v: Column): DataFrame =
       df.agg(v.cast("long").as("value")).select(lit(metric).as("metric"), col("value"))
+    // counts, not sums-of-flags: an EMPTY blast radius must read 0 in
+    // both engines (Spark's sum over zero rows is NULL, COUNT(*) is 0 —
+    // the review-caught divergence); the words total coalesces for the
+    // same reason, mirrored in the oracle
     one("deleted_docs", del, count(lit(1)))
       .unionByName(one("readmitted_docs", requal,
-        sum(when(col("readmitted"), 1L).otherwise(0L))))
+        count(when(col("readmitted"), lit(1)))))
       .unionByName(one("span_affected_docs", spans, count(lit(1))))
-      .unionByName(one("span_words_restored", spans, sum(col("words_restored"))))
+      .unionByName(one("span_words_restored", spans,
+        coalesce(sum(col("words_restored")), lit(0L))))
       .unionByName(one("kept_docs_before", before, count(lit(1))))
       .unionByName(one("kept_tokens_before", before, sum(col("n_words"))))
       .unionByName(one("kept_docs_after", after, count(lit(1))))
@@ -411,61 +416,118 @@ object Forget extends QueryModule {
     "forget_audit" -> (forgetAudit _),
   )
 
+  // ------------------------------------------------- oracle CTE builders
+  // Prefix-parameterized so the standalone oracles and the audit share
+  // ONE source of truth per stack (the duckClusterLoserCtesNamed shape);
+  // "" reproduces the standalone statements' names.
+
+  private def duckDocsCte(name: String): String =
+    s"""$name AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+
+  /** Block near-dup graph + double closure: ${p}blk .. ${p}ac over `docs`. */
+  private def duckBlockCtes(p: String, docs: String): String = Seq(
+    s"""${p}blk AS (
+       |  SELECT DISTINCT doc_id,
+       |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
+       |        FROM $docs))""".stripMargin,
+    s"""${p}fp AS (
+       |  SELECT x.doc_id AS pa, y.doc_id AS pb
+       |  FROM ${p}blk x JOIN ${p}blk y ON x.bh = y.bh AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)""".stripMargin,
+    s"${p}be AS (\n  SELECT pa AS a, pb AS b FROM ${p}fp UNION SELECT pb, pa FROM ${p}fp)",
+    s"""${p}br(n, m) AS (
+       |  SELECT a, b FROM ${p}be
+       |  UNION
+       |  SELECT r.n, e.b FROM ${p}br r JOIN ${p}be e ON r.m = e.a WHERE e.b <> r.n)""".stripMargin,
+    s"""${p}bc AS (
+       |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS old_cluster FROM ${p}br GROUP BY n)""".stripMargin,
+    s"${p}aff AS (\n  SELECT DISTINCT old_cluster FROM ${p}bc JOIN fdel USING (doc_id))",
+    s"""${p}rp AS (
+       |  SELECT pa, pb FROM ${p}fp
+       |  WHERE pa NOT IN (SELECT doc_id FROM fdel)
+       |    AND pb NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
+    s"${p}ae AS (\n  SELECT pa AS a, pb AS b FROM ${p}rp UNION SELECT pb, pa FROM ${p}rp)",
+    s"""${p}ar(n, m) AS (
+       |  SELECT a, b FROM ${p}ae
+       |  UNION
+       |  SELECT r.n, e.b FROM ${p}ar r JOIN ${p}ae e ON r.m = e.a WHERE e.b <> r.n)""".stripMargin,
+    s"""${p}ac AS (
+       |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS kept_cluster FROM ${p}ar GROUP BY n)""".stripMargin)
+    .mkString(",\n")
+
+  /** Gram support recount: ${p}g .. ${p}adup over `docs` (before = full
+    * occ, after = occ RECOUNTED over survivors — a genuine rebuild). */
+  private def duckSpanCtes(p: String, docs: String): String = Seq(
+    s"""${p}g AS (
+       |  SELECT doc_id, len(w) AS nw, i AS s,
+       |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
+       |  FROM (SELECT doc_id, w,
+       |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
+       |        FROM $docs))""".stripMargin,
+    s"${p}occ AS (\n  SELECT g, COUNT(*) AS occ FROM ${p}g GROUP BY g)",
+    s"""${p}occ2 AS (
+       |  SELECT g, COUNT(*) AS occ2 FROM ${p}g
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel) GROUP BY g)""".stripMargin,
+    s"""${p}changed AS (
+       |  SELECT ${p}occ.g FROM ${p}occ LEFT JOIN ${p}occ2 USING (g)
+       |  WHERE ${p}occ.occ >= 2 AND COALESCE(${p}occ2.occ2, 0) < 2)""".stripMargin,
+    s"""${p}aff AS (
+       |  SELECT DISTINCT doc_id FROM ${p}g JOIN ${p}changed USING (g)
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
+    s"""${p}bdup AS (
+       |  SELECT ${p}g.doc_id, ${p}g.s, LEAST(${p}g.s + 7, ${p}g.nw) AS e
+       |  FROM ${p}g JOIN ${p}occ USING (g) JOIN ${p}aff USING (doc_id)
+       |  WHERE ${p}occ.occ >= 2)""".stripMargin,
+    s"""${p}adup AS (
+       |  SELECT ${p}g.doc_id, ${p}g.s, LEAST(${p}g.s + 7, ${p}g.nw) AS e
+       |  FROM ${p}g JOIN ${p}occ2 USING (g) JOIN ${p}aff USING (doc_id)
+       |  WHERE ${p}occ2.occ2 >= 2)""".stripMargin)
+    .mkString(",\n")
+
+  /** Gaps-and-islands merge + per-doc span sum over a dup-position CTE. */
+  private def duckSpanIslands(dupCte: String, p: String): String =
+    s"""${p}brk AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) + 1 THEN 1 ELSE 0 END AS brk
+       |  FROM $dupCte
+       |), ${p}isl AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM ${p}brk
+       |), ${p}sum AS (
+       |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS sw
+       |  FROM (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
+       |        FROM ${p}isl GROUP BY doc_id, island)
+       |  GROUP BY doc_id)""".stripMargin
+
   override def oracles: Map[String, String] = {
     val (trainCtes, thCte, keepdCte) = Refinery.duckGateCtes
     val requalifySql =
-      s"""WITH RECURSIVE $duckDeleted,
-         |d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |), blk AS (
-         |  SELECT DISTINCT doc_id,
-         |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh
-         |  FROM (SELECT doc_id, w,
-         |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
-         |        FROM d)
-         |), fp AS (
-         |  SELECT x.doc_id AS pa, y.doc_id AS pb
-         |  FROM blk x JOIN blk y ON x.bh = y.bh AND x.doc_id < y.doc_id
-         |  GROUP BY 1, 2
-         |), be AS (
-         |  SELECT pa AS a, pb AS b FROM fp UNION SELECT pb, pa FROM fp
-         |), br(n, m) AS (
-         |  SELECT a, b FROM be
-         |  UNION
-         |  SELECT r.n, e.b FROM br r JOIN be e ON r.m = e.a WHERE e.b <> r.n
-         |), bc AS (
-         |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS old_cluster FROM br GROUP BY n
-         |), aff AS (
-         |  SELECT DISTINCT old_cluster FROM bc JOIN fdel USING (doc_id)
-         |), rp AS (
-         |  SELECT pa, pb FROM fp
-         |  WHERE pa NOT IN (SELECT doc_id FROM fdel)
-         |    AND pb NOT IN (SELECT doc_id FROM fdel)
-         |), ae AS (
-         |  SELECT pa AS a, pb AS b FROM rp UNION SELECT pb, pa FROM rp
-         |), ar(n, m) AS (
-         |  SELECT a, b FROM ae
-         |  UNION
-         |  SELECT r.n, e.b FROM ar r JOIN ae e ON r.m = e.a WHERE e.b <> r.n
-         |), ac AS (
-         |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS kept_cluster FROM ar GROUP BY n
-         |), st AS (
-         |  SELECT bc.doc_id, bc.old_cluster,
-         |    CASE WHEN bc.doc_id = bc.old_cluster
-         |         THEN 'canonical' ELSE 'loser' END AS old_state,
-         |    CASE WHEN fdel.doc_id IS NOT NULL THEN NULL
-         |         ELSE COALESCE(ac.kept_cluster, bc.doc_id) END AS new_cluster,
-         |    CASE WHEN fdel.doc_id IS NOT NULL THEN 'deleted'
-         |         WHEN COALESCE(ac.kept_cluster, bc.doc_id) = bc.doc_id
-         |         THEN 'canonical' ELSE 'loser' END AS new_state
-         |  FROM bc
-         |  JOIN aff ON bc.old_cluster = aff.old_cluster
-         |  LEFT JOIN fdel ON bc.doc_id = fdel.doc_id
-         |  LEFT JOIN ac ON bc.doc_id = ac.doc_id
-         |)
-         |SELECT doc_id, old_cluster, old_state, new_cluster, new_state,
-         |  (old_state = 'loser' AND new_state = 'canonical') AS readmitted
-         |FROM st ORDER BY doc_id""".stripMargin
+      Seq(duckDeleted, duckDocsCte("d"), duckBlockCtes("", "d"),
+        """st AS (
+          |  SELECT bc.doc_id, bc.old_cluster,
+          |    CASE WHEN bc.doc_id = bc.old_cluster
+          |         THEN 'canonical' ELSE 'loser' END AS old_state,
+          |    CASE WHEN fdel.doc_id IS NOT NULL THEN NULL
+          |         ELSE COALESCE(ac.kept_cluster, bc.doc_id) END AS new_cluster,
+          |    CASE WHEN fdel.doc_id IS NOT NULL THEN 'deleted'
+          |         WHEN COALESCE(ac.kept_cluster, bc.doc_id) = bc.doc_id
+          |         THEN 'canonical' ELSE 'loser' END AS new_state
+          |  FROM bc
+          |  JOIN aff ON bc.old_cluster = aff.old_cluster
+          |  LEFT JOIN fdel ON bc.doc_id = fdel.doc_id
+          |  LEFT JOIN ac ON bc.doc_id = ac.doc_id
+          |)""".stripMargin)
+        .mkString("WITH RECURSIVE ", ",\n", "\n") +
+        """SELECT doc_id, old_cluster, old_state, new_cluster, new_state,
+          |  (old_state = 'loser' AND new_state = 'canonical') AS readmitted
+          |FROM st ORDER BY doc_id""".stripMargin
     val packSql =
       (trainCtes ++ Seq(
         thCte,
@@ -487,71 +549,23 @@ object Forget extends QueryModule {
            |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
            |FROM cum GROUP BY lang, cum_before // ${Sampling.PackBudget}
            |ORDER BY lang, bin""".stripMargin
-    // full recompute of the span verdicts on the FULL corpus (before) and
-    // the FILTERED corpus (after — occ recounted over survivors, not
-    // decremented, so this side is a genuine rebuild), restricted to the
-    // affected docs; gram/island CTEs follow the text_dedup_spans oracle
-    def spanIslands(dupCte: String, p: String): String =
-      s"""${p}brk AS (
-         |  SELECT doc_id, s, e,
-         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-         |        ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      -1) + 1 THEN 1 ELSE 0 END AS brk
-         |  FROM $dupCte
-         |), ${p}isl AS (
-         |  SELECT doc_id, s, e,
-         |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM ${p}brk
-         |), ${p}sum AS (
-         |  SELECT doc_id, CAST(SUM(se - ss + 1) AS BIGINT) AS sw
-         |  FROM (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se
-         |        FROM ${p}isl GROUP BY doc_id, island)
-         |  GROUP BY doc_id)""".stripMargin
     val spansSql =
-      s"""WITH $duckDeleted,
-         |d AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-         |), g AS (
-         |  SELECT doc_id, len(w) AS nw, i AS s,
-         |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
-         |  FROM (SELECT doc_id, w,
-         |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
-         |        FROM d)
-         |), occ AS (
-         |  SELECT g, COUNT(*) AS occ FROM g GROUP BY g
-         |), occ2 AS (
-         |  SELECT g, COUNT(*) AS occ2 FROM g
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel) GROUP BY g
-         |), changed AS (
-         |  SELECT occ.g FROM occ LEFT JOIN occ2 USING (g)
-         |  WHERE occ.occ >= 2 AND COALESCE(occ2.occ2, 0) < 2
-         |), aff AS (
-         |  SELECT DISTINCT doc_id FROM g JOIN changed USING (g)
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel)
-         |), bdup AS (
-         |  SELECT g.doc_id, g.s, LEAST(g.s + 7, g.nw) AS e
-         |  FROM g JOIN occ USING (g) JOIN aff USING (doc_id)
-         |  WHERE occ.occ >= 2
-         |), adup AS (
-         |  SELECT g.doc_id, g.s, LEAST(g.s + 7, g.nw) AS e
-         |  FROM g JOIN occ2 USING (g) JOIN aff USING (doc_id)
-         |  WHERE occ2.occ2 >= 2
-         |),
-         |${spanIslands("bdup", "b")},
-         |${spanIslands("adup", "a")}
-         |SELECT aff.doc_id,
-         |  COALESCE(bsum.sw, 0) AS span_words_before,
-         |  COALESCE(asum.sw, 0) AS span_words_after,
-         |  COALESCE(bsum.sw, 0) - COALESCE(asum.sw, 0) AS words_restored
-         |FROM aff
-         |LEFT JOIN bsum ON aff.doc_id = bsum.doc_id
-         |LEFT JOIN asum ON aff.doc_id = asum.doc_id
-         |ORDER BY aff.doc_id""".stripMargin
+      Seq(duckDeleted, duckDocsCte("d"), duckSpanCtes("", "d"),
+        duckSpanIslands("bdup", "b"), duckSpanIslands("adup", "a"))
+        .mkString("WITH ", ",\n", "\n") +
+        """SELECT aff.doc_id,
+          |  COALESCE(bsum.sw, 0) AS span_words_before,
+          |  COALESCE(asum.sw, 0) AS span_words_after,
+          |  COALESCE(bsum.sw, 0) - COALESCE(asum.sw, 0) AS words_restored
+          |FROM aff
+          |LEFT JOIN bsum ON aff.doc_id = bsum.doc_id
+          |LEFT JOIN asum ON aff.doc_id = asum.doc_id
+          |ORDER BY aff.doc_id""".stripMargin
     // the audit: every tier's rebuild replayed in ONE statement — gate
     // trainer, TWO Jaccard closures (cl_ = full corpus, cx_ = survivors),
     // the block-graph double closure (q-prefixed), the span support
-    // recount (s-prefixed) — feeding eight labeled aggregate rows
+    // recount (s-prefixed) — feeding eight labeled aggregate rows; the
+    // counts/COALESCEs mirror the Spark side's empty-blast-radius zeros
     val auditSql =
       (trainCtes ++ Seq(
         thCte,
@@ -567,37 +581,8 @@ object Forget extends QueryModule {
           |  SELECT k.doc_id, k.nw FROM keepd k
           |  WHERE k.doc_id NOT IN (SELECT doc_id FROM fdel)
           |    AND k.doc_id NOT IN (SELECT doc_id FROM cx_losers))""".stripMargin,
-        """qd AS (
-          |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin,
-        """qblk AS (
-          |  SELECT DISTINCT doc_id,
-          |    md5(array_to_string(w[(i*16+1):(i*16+16)], ' ')) AS bh
-          |  FROM (SELECT doc_id, w,
-          |          unnest(range(0, CAST(ceil(len(w) / 16.0) AS BIGINT))) AS i
-          |        FROM qd))""".stripMargin,
-        """qfp AS (
-          |  SELECT x.doc_id AS pa, y.doc_id AS pb
-          |  FROM qblk x JOIN qblk y ON x.bh = y.bh AND x.doc_id < y.doc_id
-          |  GROUP BY 1, 2)""".stripMargin,
-        "qbe AS (\n  SELECT pa AS a, pb AS b FROM qfp UNION SELECT pb, pa FROM qfp)",
-        """qbr(n, m) AS (
-          |  SELECT a, b FROM qbe
-          |  UNION
-          |  SELECT r.n, e.b FROM qbr r JOIN qbe e ON r.m = e.a WHERE e.b <> r.n)""".stripMargin,
-        """qbc AS (
-          |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS old_cluster FROM qbr GROUP BY n)""".stripMargin,
-        "qaff AS (\n  SELECT DISTINCT old_cluster FROM qbc JOIN fdel USING (doc_id))",
-        """qrp AS (
-          |  SELECT pa, pb FROM qfp
-          |  WHERE pa NOT IN (SELECT doc_id FROM fdel)
-          |    AND pb NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
-        "qae AS (\n  SELECT pa AS a, pb AS b FROM qrp UNION SELECT pb, pa FROM qrp)",
-        """qar(n, m) AS (
-          |  SELECT a, b FROM qae
-          |  UNION
-          |  SELECT r.n, e.b FROM qar r JOIN qae e ON r.m = e.a WHERE e.b <> r.n)""".stripMargin,
-        """qac AS (
-          |  SELECT n AS doc_id, LEAST(n, MIN(m)) AS kept_cluster FROM qar GROUP BY n)""".stripMargin,
+        duckDocsCte("qd"),
+        duckBlockCtes("q", "qd"),
         """qre AS (
           |  SELECT qbc.doc_id FROM qbc
           |  JOIN qaff ON qbc.old_cluster = qaff.old_cluster
@@ -606,32 +591,9 @@ object Forget extends QueryModule {
           |  WHERE qbc.doc_id <> qbc.old_cluster
           |    AND fdel.doc_id IS NULL
           |    AND COALESCE(qac.kept_cluster, qbc.doc_id) = qbc.doc_id)""".stripMargin,
-        s"""sg AS (
-           |  SELECT doc_id, len(w) AS nw, i AS s,
-           |    ${Hashing.duckHash60("array_to_string(w[i:i+7], ' ')")} AS g
-           |  FROM (SELECT doc_id, w,
-           |          unnest(range(1, greatest(len(w) - 6, 2))) AS i
-           |        FROM qd))""".stripMargin,
-        "socc AS (\n  SELECT g, COUNT(*) AS occ FROM sg GROUP BY g)",
-        """socc2 AS (
-          |  SELECT g, COUNT(*) AS occ2 FROM sg
-          |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel) GROUP BY g)""".stripMargin,
-        """schanged AS (
-          |  SELECT socc.g FROM socc LEFT JOIN socc2 USING (g)
-          |  WHERE socc.occ >= 2 AND COALESCE(socc2.occ2, 0) < 2)""".stripMargin,
-        """saff AS (
-          |  SELECT DISTINCT doc_id FROM sg JOIN schanged USING (g)
-          |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
-        """sbdup AS (
-          |  SELECT sg.doc_id, sg.s, LEAST(sg.s + 7, sg.nw) AS e
-          |  FROM sg JOIN socc USING (g) JOIN saff USING (doc_id)
-          |  WHERE socc.occ >= 2)""".stripMargin,
-        """sadup AS (
-          |  SELECT sg.doc_id, sg.s, LEAST(sg.s + 7, sg.nw) AS e
-          |  FROM sg JOIN socc2 USING (g) JOIN saff USING (doc_id)
-          |  WHERE socc2.occ2 >= 2)""".stripMargin,
-        spanIslands("sbdup", "sb"),
-        spanIslands("sadup", "sa"),
+        duckSpanCtes("s", "qd"),
+        duckSpanIslands("sbdup", "sb"),
+        duckSpanIslands("sadup", "sa"),
         """srest AS (
           |  SELECT saff.doc_id,
           |    COALESCE(sbsum.sw, 0) - COALESCE(sasum.sw, 0) AS restored
@@ -654,7 +616,7 @@ object Forget extends QueryModule {
           |UNION ALL SELECT 'span_affected_docs',
           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM srest)
           |UNION ALL SELECT 'span_words_restored',
-          |  (SELECT CAST(SUM(restored) AS BIGINT) FROM srest)
+          |  (SELECT CAST(COALESCE(SUM(restored), 0) AS BIGINT) FROM srest)
           |ORDER BY metric""".stripMargin
     Map(
       "forget_requalify" -> requalifySql,

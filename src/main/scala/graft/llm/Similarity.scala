@@ -1140,16 +1140,21 @@ object Similarity extends QueryModule {
         Window.partitionBy("q_id").orderBy(col("rel").desc, col("cand_id"))))
       .groupBy("q_id")
       .agg(sum(expr("rel * 1000000 div (ipos + 1)")).as("idcg_ppm"))
-    perQ.join(ideal, Seq("q_id"))
+    // anchor on the TRUTH side (every query has exactly 3 exact-top-3
+    // rows), not on the probe side: a query alone in its IVF cell returns
+    // zero candidates and must read 0s here — dropping it would overstate
+    // index quality exactly when the index fails worst (the
+    // sim_ann_recall convention; review-caught)
+    ideal.join(perQ, Seq("q_id"), "left")
       .select(
         col("q_id"),
         coalesce(col("frp"), lit(0)).cast("long").as("first_rel_pos"),
         when(col("frp").isNull, lit(0L))
           .otherwise(expr("CAST(1000000 div frp AS BIGINT)")).as("mrr_ppm"),
-        col("hits"),
-        col("dcg_ppm"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("dcg_ppm"), lit(0L)).as("dcg_ppm"),
         col("idcg_ppm"),
-        expr("dcg_ppm * 1000000 div idcg_ppm").as("ndcg_ppm"))
+        expr("coalesce(dcg_ppm, 0) * 1000000 div idcg_ppm").as("ndcg_ppm"))
       .orderBy("q_id")
   }
 
@@ -2581,14 +2586,16 @@ object Similarity extends QueryModule {
          |        FROM truth)
          |  GROUP BY q_id
          |)
-         |SELECT p.q_id,
+         |SELECT i.q_id,
          |  CAST(COALESCE(p.frp, 0) AS BIGINT) AS first_rel_pos,
          |  CAST(CASE WHEN p.frp IS NULL THEN 0
          |            ELSE 1000000 // p.frp END AS BIGINT) AS mrr_ppm,
-         |  p.hits, p.dcg_ppm, i.idcg_ppm,
-         |  CAST(p.dcg_ppm * 1000000 // i.idcg_ppm AS BIGINT) AS ndcg_ppm
-         |FROM perq p JOIN ideal i ON p.q_id = i.q_id
-         |ORDER BY p.q_id""".stripMargin,
+         |  CAST(COALESCE(p.hits, 0) AS BIGINT) AS hits,
+         |  CAST(COALESCE(p.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+         |  i.idcg_ppm,
+         |  CAST(COALESCE(p.dcg_ppm, 0) * 1000000 // i.idcg_ppm AS BIGINT) AS ndcg_ppm
+         |FROM ideal i LEFT JOIN perq p ON i.q_id = p.q_id
+         |ORDER BY i.q_id""".stripMargin,
     "dedup_semantic" ->
       s"""WITH e AS (
          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -230,17 +230,32 @@ object Maintenance extends QueryModule {
       target: java.nio.file.Path): (String, Seq[String]) = {
     import java.nio.file.{Files, StandardCopyOption}
     val del = deleted.select(col(keyCol)).distinct()
+    // FLAT artifacts only: the memo zones this targets (band index, IVF
+    // index) are single-level parquet dirs. A partitioned layout would
+    // nest data files the listing below never sees — they'd be neither
+    // carried nor rewritten, and the marker-complete install would
+    // silently ship a data-losing generation (review-caught). Fail fast
+    // instead; a partitioned zone cascades per partition directory.
+    val children = Option(new java.io.File(artifactDir).listFiles())
+      .getOrElse(Array.empty)
+    val nestedData = children.filter(f => f.isDirectory &&
+      !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+    require(nestedData.isEmpty,
+      s"forgetArtifacts: $artifactDir is not a flat artifact (found " +
+        s"subdirectories ${nestedData.map(_.getName).mkString(", ")}); " +
+        "cascade each partition directory separately")
+    val srcFiles = children
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    require(srcFiles.nonEmpty,
+      s"forgetArtifacts: no parquet part files in $artifactDir")
     val touchedRaw = spark.read.parquet(artifactDir)
       .select(col(keyCol),
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__base"))
       .join(broadcast(del), Seq(keyCol), "left_semi")
       .select("__base").distinct()
       .collect().map(_.getString(0)).toSet
-    val srcFiles = Option(new java.io.File(artifactDir).listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-      .sortBy(_.getName)
     val rawNames = srcFiles.map(_.getName).toSet
     val touched = touchedRaw.map { b =>
       if (rawNames.contains(b)) b
@@ -254,24 +269,36 @@ object Maintenance extends QueryModule {
     val (rewrite, carry) = srcFiles.partition(f => touched.contains(f.getName))
     val tmp = target.resolveSibling(
       s"${target.getFileName}.tmp.${java.util.UUID.randomUUID().toString}")
-    Files.createDirectories(tmp)
-    carry.foreach(f => Files.copy(f.toPath, tmp.resolve(f.getName)))
-    if (rewrite.nonEmpty) {
-      val staging = target.resolveSibling(
-        s"${target.getFileName}.staging.${java.util.UUID.randomUUID().toString}")
-      spark.read.parquet(rewrite.map(_.getPath).toIndexedSeq: _*)
-        .join(broadcast(del), Seq(keyCol), "left_anti")
-        .write.mode("overwrite").parquet(staging.toString)
-      Option(staging.toFile.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).foreach { p =>
-          require(!Files.exists(tmp.resolve(p.getName)),
-            s"forgetArtifacts: rewrite part ${p.getName} collides with a carried file")
-          Files.move(p.toPath, tmp.resolve(p.getName))
-        }
+    val staging = target.resolveSibling(
+      s"${target.getFileName}.tmp.staging.${java.util.UUID.randomUUID().toString}")
+    // failure cleanup: a throw mid-assembly must not leak half-built
+    // directories beside the target (a leaked dir that doesn't match the
+    // vacuum's residue patterns would squat a keep-N retention slot —
+    // review-caught; both names carry ".tmp." so the TTL sweep covers
+    // whatever a hard kill still leaves)
+    try {
+      Files.createDirectories(tmp)
+      carry.foreach(f => Files.copy(f.toPath, tmp.resolve(f.getName)))
+      if (rewrite.nonEmpty) {
+        spark.read.parquet(rewrite.map(_.getPath).toIndexedSeq: _*)
+          .join(broadcast(del), Seq(keyCol), "left_anti")
+          .write.mode("overwrite").parquet(staging.toString)
+        Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).foreach { p =>
+            require(!Files.exists(tmp.resolve(p.getName)),
+              s"forgetArtifacts: rewrite part ${p.getName} collides with a carried file")
+            Files.move(p.toPath, tmp.resolve(p.getName))
+          }
+      }
+      Files.createFile(tmp.resolve("_SUCCESS"))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable =>
+        graft.Fs.deleteRecursively(tmp.toFile)
+        throw e
+    } finally {
       graft.Fs.deleteRecursively(staging.toFile)
     }
-    Files.createFile(tmp.resolve("_SUCCESS"))
-    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
     (target.toString, rewrite.map(_.getName).toSeq)
   }
 

@@ -159,6 +159,17 @@ class ForgetSpec extends SparkSpec {
     assert(got === rows(expected))
     assert(got.nonEmpty && got.forall(_._4 >= 0L), "monotonicity: spans only shrink")
     assert(got.exists(_._4 > 0L), "no restored words — vacuous case")
+    // completeness, derived WITHOUT the code under test (the expected
+    // frame above joins onto out's doc list, so an under-inclusive
+    // affected set couldn't fail it — review-caught): every surviving doc
+    // whose rebuild span sum DIFFERS from its full-corpus span sum must
+    // appear in the output
+    val changedSums = beforeSum.join(afterSum, Seq("doc_id"), "full")
+      .join(del, Seq("doc_id"), "left_anti")
+      .filter(coalesce(col("b"), lit(0L)) =!= coalesce(col("a"), lit(0L)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(changedSums.subsetOf(got.map(_._1)),
+      s"affected set missed docs with changed span sums: ${changedSums -- got.map(_._1)}")
   }
 
   test("pack: incremental equals rebuild on the sf0.001 corpus") {

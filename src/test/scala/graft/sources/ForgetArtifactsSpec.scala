@@ -61,6 +61,21 @@ class ForgetArtifactsSpec extends SparkSpec {
     graft.Fs.deleteRecursively(root)
   }
 
+  test("a partitioned (non-flat) artifact is refused, not silently truncated") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("forget_art").toFile
+    val src = new java.io.File(root, "gen0")
+    (0L until 100L).toDF("k").withColumn("p", col("k") % 4)
+      .write.partitionBy("p").parquet(src.toString)
+    val target = new java.io.File(root, "gen1").toPath
+    val e = intercept[IllegalArgumentException] {
+      Maintenance.forgetArtifacts(spark, src.toString, "k", Seq(3L).toDF("k"), target)
+    }
+    assert(e.getMessage.contains("not a flat artifact"))
+    assert(!java.nio.file.Files.exists(target), "no partial generation installed")
+    graft.Fs.deleteRecursively(root)
+  }
+
   test("the cascaded generation composes with the vacuum: old retired, new untouched") {
     import spark.implicits._
     val zone = java.nio.file.Files.createTempDirectory("forget_art").toFile
