@@ -167,7 +167,7 @@ object PlanDump {
     // bounds are spec-pinned in ForgetSpec) and checkpoint resume (one
     // pushed-down filter over the partitioned serve rank)
     "forget_requalify", "forget_pack", "forget_spans", "forget_audit",
-    "refinery_serve_resume")
+    "forget_gate_drift", "refinery_serve_resume")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3,6 +3,7 @@ package graft.llm
 import graft.{QueryModule, Tables}
 import graft.functions.Hashing
 import graft.operators.ConnectedComponents
+import graft.queries.Ml
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -358,6 +359,42 @@ object Forget extends QueryModule {
       .orderBy("metric")
   }
 
+  // ----------------------------------------------------- forget_gate_drift
+
+  /** FROZEN vs RETRAIN-ON-FORGET — the gate-policy question quantified.
+    * The module's frozen-gate decision (object scaladoc) says a takedown
+    * doesn't oblige retraining a 2-feature aggregate model; this query is
+    * the evidence a policy review reads before agreeing: the 2×2
+    * confusion of the frozen full-corpus gate vs a gate retrained on the
+    * post-takedown corpus (same trainer, survivor train split, survivor
+    * base-rate threshold), over all surviving docs, with doc and token
+    * mass per cell. Off-diagonal mass ≈ 0 ⇒ freezing is safe;
+    * material off-diagonal mass ⇒ this corpus's gate is
+    * deletion-sensitive and the cascade should retrain. Both engines
+    * train BOTH models from scratch (the oracle holds two GD trainers in
+    * one statement via the prefix-named CTE builder), so the hash pins
+    * the whole comparison, not just the counts. Scale: two bounded GD
+    * loops (d+2 scalars per round) + one gated scan — the gates are
+    * literal-weight projections folded into the scan.
+    */
+  def forgetGateDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val del = deletedOf(docs)
+    val survivors = docs.join(del, Seq("doc_id"), "left_anti")
+    val (fw1, fw2, fb, fthr) = Ml.curateModel(spark, sfDir)
+    val (rw1, rw2, rb, rthr) = Ml.logregTrain(Ml.curateFeatsOf(survivors))
+    survivors
+      .selectExpr("doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS nw",
+        s"${Ml.LogregFeats1} AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+      .withColumn("frozen_keep", expr(s"${Ml.logregSig(fw1, fw2, fb)} >= $fthr"))
+      .withColumn("retrained_keep", expr(s"${Ml.logregSig(rw1, rw2, rb)} >= $rthr"))
+      .groupBy("frozen_keep", "retrained_keep")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("tokens"))
+      .orderBy("frozen_keep", "retrained_keep")
+  }
+
   // --------------------------------------------------------- forget stream
 
   /** The takedown QUEUE deployed on a stream: deletion requests arrive as
@@ -414,6 +451,7 @@ object Forget extends QueryModule {
     "forget_pack" -> (forgetPack _),
     "forget_spans" -> (forgetSpans _),
     "forget_audit" -> (forgetAudit _),
+    "forget_gate_drift" -> (forgetGateDrift _),
   )
 
   // ------------------------------------------------- oracle CTE builders
@@ -618,11 +656,47 @@ object Forget extends QueryModule {
           |UNION ALL SELECT 'span_words_restored',
           |  (SELECT CAST(COALESCE(SUM(restored), 0) AS BIGINT) FROM srest)
           |ORDER BY metric""".stripMargin
+    // frozen vs retrained gate: TWO GD trainers in one statement (the
+    // retrained one r-prefixed, its feature split filtered to survivors),
+    // each with its own base-rate threshold, cross-tabbed over survivors
+    val gateDriftSql = {
+      val retrainCtes = Ml.logregTrainCtesNamed("r",
+        s"""rf AS (
+           |  SELECT x1, x2, y FROM (
+           |    SELECT ${Ml.LogregFeats1} AS x1,
+           |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+           |           ${Ml.LogregLabel} AS y,
+           |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
+           |    FROM documents
+           |    WHERE doc_id NOT IN (SELECT doc_id FROM fdel)) WHERE h < ${Ml.CurateTrainPct})""".stripMargin)
+      (Seq(duckDeleted) ++ trainCtes ++ Seq(thCte) ++ retrainCtes ++ Seq(
+        s"""rth AS (
+           |  SELECT CAST(CAST(sum(y) AS BIGINT) * 1000000 // count(*) AS BIGINT) AS t
+           |  FROM rf)""".stripMargin,
+        s"""svdocs AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+           |    ${Ml.LogregFeats1} AS x1,
+           |    (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2
+           |  FROM documents
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
+        s"""lab AS (
+           |  SELECT s.nw,
+           |    (${Ml.logregSigDuck("fw.w1", "fw.w2", "fw.b")} >= th.t) AS frozen_keep,
+           |    (${Ml.logregSigDuck("rw.w1", "rw.w2", "rw.b")} >= rth.t) AS retrained_keep
+           |  FROM svdocs s, w${Ml.LogregIters} fw, rw${Ml.LogregIters} rw, th, rth)""".stripMargin))
+        .mkString("WITH ", ",\n", "\n") +
+        """SELECT frozen_keep, retrained_keep,
+          |  COUNT(*) AS n_docs, CAST(SUM(nw) AS BIGINT) AS tokens
+          |FROM lab GROUP BY frozen_keep, retrained_keep
+          |ORDER BY frozen_keep, retrained_keep""".stripMargin
+    }
     Map(
       "forget_requalify" -> requalifySql,
       "forget_pack" -> packSql,
       "forget_spans" -> spansSql,
       "forget_audit" -> auditSql,
+      "forget_gate_drift" -> gateDriftSql,
     )
   }
 }

@@ -322,25 +322,33 @@ object Ml extends QueryModule {
     * supplied training-frame CTE — shared by the plain trainer oracle and
     * the curation-gate oracle (whose f is the hash-split training slice).
     */
-  private[graft] def logregTrainCtes(fCte: String): Seq[String] = {
+  private[graft] def logregTrainCtes(fCte: String): Seq[String] =
+    logregTrainCtesNamed("", fCte)
+
+  /** [[logregTrainCtes]] with a caller-chosen CTE-name prefix ("" is the
+    * original names), so one statement can hold TWO trainers — the forget
+    * cascade's frozen-vs-retrained gate drift. The feature CTE must be
+    * named `${prefix}f` by the caller.
+    */
+  private[graft] def logregTrainCtesNamed(px: String, fCte: String): Seq[String] = {
     val ctes = Seq.newBuilder[String]
     ctes += fCte
-    ctes += "w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
+    ctes += s"${px}w0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS b)"
     for (i <- 1 to LogregIters) {
-      val p = s"w${i - 1}"
-      ctes += s"""a$i AS (
+      val p = s"${px}w${i - 1}"
+      ctes += s"""${px}a$i AS (
          |  SELECT count(*) AS n, CAST(sum(e * x1) AS BIGINT) AS g1,
          |         CAST(sum(e * x2) AS BIGINT) AS g2, CAST(sum(e) AS BIGINT) AS g0
          |  FROM (SELECT ${logregErrDuck(s"w.w1", s"w.w2", s"w.b")} AS e, x1, x2
-         |        FROM f, $p w) t)""".stripMargin
+         |        FROM ${px}f, $p w) t)""".stripMargin
       def upd(w: String, g: String) =
-        s"$w - (CASE WHEN $g < 0 THEN -((-($g) * $LogregLr) // (1000 * a$i.n)) " +
-          s"ELSE (($g) * $LogregLr) // (1000 * a$i.n) END)"
-      ctes += s"""w$i AS (
-         |  SELECT CAST(${upd(s"$p.w1", s"a$i.g1")} AS BIGINT) AS w1,
-         |         CAST(${upd(s"$p.w2", s"a$i.g2")} AS BIGINT) AS w2,
-         |         CAST(${upd(s"$p.b", s"a$i.g0")} AS BIGINT) AS b
-         |  FROM $p, a$i)""".stripMargin
+        s"$w - (CASE WHEN $g < 0 THEN -((-($g) * $LogregLr) // (1000 * ${px}a$i.n)) " +
+          s"ELSE (($g) * $LogregLr) // (1000 * ${px}a$i.n) END)"
+      ctes += s"""${px}w$i AS (
+         |  SELECT CAST(${upd(s"$p.w1", s"${px}a$i.g1")} AS BIGINT) AS w1,
+         |         CAST(${upd(s"$p.w2", s"${px}a$i.g2")} AS BIGINT) AS w2,
+         |         CAST(${upd(s"$p.b", s"${px}a$i.g0")} AS BIGINT) AS b
+         |  FROM $p, ${px}a$i)""".stripMargin
     }
     ctes.result()
   }
@@ -408,32 +416,42 @@ object Ml extends QueryModule {
     * Package-visible so downstream compositions (the refinery pass) score
     * with the SAME model the gate query reports on.
     */
+  /** The GD loop over a prepared (x1, x2, y) feature frame — extracted so
+    * callers can train on a FILTERED corpus (the forget cascade's
+    * retrain-on-forget variant) with the identical arithmetic.
+    */
+  private[graft] def logregTrain(feats0: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
+    val feats = feats0.persist()
+    var tw1 = 0L; var tw2 = 0L; var tb = 0L
+    var thr = 0L
+    for (iter <- 1 to LogregIters) {
+      val r = feats
+        .selectExpr(s"${logregErr(tw1, tw2, tb)} AS e", "x1", "x2", "y")
+        .selectExpr("count(1) AS n", "sum(e * x1) AS g1", "sum(e * x2) AS g2",
+          "sum(e) AS g0", "sum(y) AS p")
+        .collect()(0) // d+2 scalars — bounded driver action
+      val n = r.getLong(0)
+      def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n)
+      tw1 = upd(tw1, r.getLong(1)); tw2 = upd(tw2, r.getLong(2)); tb = upd(tb, r.getLong(3))
+      if (iter == 1) thr = r.getLong(4) * 1000000L / n // base rate, micro
+    }
+    feats.unpersist(blocking = false)
+    (tw1, tw2, tb, thr)
+  }
+
+  /** The standard train-split feature frame over `docs`. */
+  private[graft] def curateFeatsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
+      .selectExpr(s"$LogregFeats1 AS x1",
+        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"$LogregLabel AS y")
+
   private[graft] def curateModel(
       spark: SparkSession, sfDir: String): (Long, Long, Long, Long) = {
     val key = s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir)}"
-    curateModelMemo.getOrElseUpdate(key, {
-      val feats = Tables.documents(spark, sfDir)
-        .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
-        .selectExpr(s"$LogregFeats1 AS x1",
-          "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
-          s"$LogregLabel AS y")
-        .persist()
-      var tw1 = 0L; var tw2 = 0L; var tb = 0L
-      var thr = 0L
-      for (iter <- 1 to LogregIters) {
-        val r = feats
-          .selectExpr(s"${logregErr(tw1, tw2, tb)} AS e", "x1", "x2", "y")
-          .selectExpr("count(1) AS n", "sum(e * x1) AS g1", "sum(e * x2) AS g2",
-            "sum(e) AS g0", "sum(y) AS p")
-          .collect()(0) // d+2 scalars — bounded driver action
-        val n = r.getLong(0)
-        def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n)
-        tw1 = upd(tw1, r.getLong(1)); tw2 = upd(tw2, r.getLong(2)); tb = upd(tb, r.getLong(3))
-        if (iter == 1) thr = r.getLong(4) * 1000000L / n // base rate, micro
-      }
-      feats.unpersist(blocking = false)
-      (tw1, tw2, tb, thr)
-    })
+    curateModelMemo.getOrElseUpdate(key,
+      logregTrain(curateFeatsOf(Tables.documents(spark, sfDir))))
   }
 
   def curateClassifier(spark: SparkSession, sfDir: String): DataFrame = {
