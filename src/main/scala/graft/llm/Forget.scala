@@ -259,10 +259,14 @@ object Forget extends QueryModule {
     * before, after, and restored (before − after ≥ 0 by monotonicity).
     * The oracle recomputes BOTH sides from scratch (full corpus, then
     * filtered corpus) and restricts to the affected set, so the hash
-    * match again says cascade ≡ rebuild. Scale: gram/occ frames are the
-    * text_dedup_spans posting pipeline (hash-keyed, map-side combined);
-    * the changed-gram set is takedown-sized; the re-merge windows run
-    * per-affected-doc — blast radius, not corpus.
+    * match again says cascade ≡ rebuild. Scale, stated precisely: the
+    * full-corpus gram/occ frames here are the IN-QUERY stand-in for the
+    * standing posting index (`text_postings` — the sim_ann_ivf_append
+    * convention: recompute the artifact so the oracle can see it); a
+    * deployment reads the index, so its cascade pays only the DELETED
+    * docs' gram lookups + the occ decrements + the per-affected-doc
+    * re-merge windows — blast radius, not corpus. Only that last
+    * (re-merge) stage is restricted in-query too.
     */
   def forgetSpans(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
