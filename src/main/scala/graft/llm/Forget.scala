@@ -414,6 +414,14 @@ object Forget extends QueryModule {
     * corpus-global either way — publication is where it must be derived.
     * Accumulate-then-cascade also makes the queue ORDER-INDEPENDENT: any
     * interleaving of arrivals publishes the identical manifest.
+    *
+    * Zone lifecycle: tombstones are doc_ids only (metadata-scale —
+    * bytes per takedown, not documents), so the zone grows negligibly;
+    * once a hard-delete epoch has applied the cascade to every standing
+    * artifact ([[graft.sources.Maintenance.forgetArtifacts]] per zone),
+    * the consumed batch dirs consolidate to one parquet via the atomic
+    * writer and retire through `vacuumArtifacts` like any superseded
+    * generation.
     */
   def forgetStream(
       spark: SparkSession,

@@ -61,6 +61,35 @@ class ForgetArtifactsSpec extends SparkSpec {
     graft.Fs.deleteRecursively(root)
   }
 
+  test("cascades the REAL band-signature index; equals one rebuilt from the filtered corpus") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("forget_band").toFile
+    val docs = graft.Tables.documents(spark, sf0001)
+    val del = graft.llm.Forget.deletedOf(docs)
+    val gen0 = new java.io.File(root, "band_gen0")
+    // the production artifact's rows (minhash band keys), range-split so
+    // the delete set leaves some files untouched
+    graft.llm.Dedup.bandRowsOf(graft.llm.Dedup.shingled(docs))
+      .repartitionByRange(50, col("doc_id"))
+      .write.parquet(gen0.toString)
+    val target = new java.io.File(root, "band_gen1").toPath
+    val (_, rewritten) =
+      Maintenance.forgetArtifacts(spark, gen0.toString, "doc_id", del, target)
+    assert(rewritten.nonEmpty && rewritten.size < 50,
+      s"expected a partial rewrite, got ${rewritten.size} of 50 files")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "band", "band_key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // minhash signatures are per-doc, so cascading rows out of the
+    // standing index must equal rebuilding the index from the filtered
+    // corpus — the artifact-level cascade ≡ rebuild statement
+    val got = rows(spark.read.parquet(target.toString))
+    val want = rows(graft.llm.Dedup.bandRowsOf(
+      graft.llm.Dedup.shingled(docs.join(del, Seq("doc_id"), "left_anti"))))
+    assert(got === want)
+    graft.Fs.deleteRecursively(root)
+  }
+
   test("a partitioned (non-flat) artifact is refused, not silently truncated") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("forget_art").toFile
