@@ -302,6 +302,43 @@ object Maintenance extends QueryModule {
     (target.toString, rewrite.map(_.getName).toSeq)
   }
 
+  /** One HARD-DELETE EPOCH — the composed lifecycle step the forget
+    * scaladocs describe, as executable code: read the accumulated
+    * tombstone queue, cascade it through EVERY standing artifact zone
+    * ([[forgetArtifacts]] per zone — file-incremental, atomic
+    * generations), consolidate the consumed batch dirs into one compact
+    * tombstone generation, and return the epoch report (one row per
+    * artifact + one for the queue). After this, the superseded artifact
+    * generations and the old batch-dir zone retire through
+    * [[vacuumArtifacts]] like anything else — the spec composes all
+    * three. Counts are parquet-metadata reads (row-group stats), not
+    * data scans, so the report stays cheap at any zone size.
+    */
+  def hardDeleteEpoch(
+      spark: SparkSession,
+      tombstoneDir: String,
+      artifacts: Seq[(String, String, java.nio.file.Path)],
+      consolidatedTarget: java.nio.file.Path): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val del = spark.read.parquet(tombstoneDir).select("doc_id").distinct()
+    val rows = artifacts.map { case (dir, keyCol, target) =>
+      val before = spark.read.parquet(dir).count()
+      val (installed, rewritten) = forgetArtifacts(
+        spark, dir, keyCol, del.withColumnRenamed("doc_id", keyCol), target)
+      val after = spark.read.parquet(installed).count()
+      Row(dir, keyCol, rewritten.length.toLong, before - after)
+    }
+    graft.Fs.writeParquetAtomic(del, consolidatedTarget)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("zone", StringType),
+        StructField("key_col", StringType),
+        StructField("files_rewritten", LongType),
+        StructField("rows_removed", LongType))))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compaction_bins" -> (compactionBins _),
   )
