@@ -391,7 +391,7 @@ object Forget extends QueryModule {
       .selectExpr("doc_id",
         "CAST(size(split(text, ' ')) AS BIGINT) AS nw",
         s"${Ml.LogregFeats1} AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+        s"${Ml.LogregFeats2} AS x2")
       .withColumn("frozen_keep", expr(s"${Ml.logregSig(fw1, fw2, fb)} >= $fthr"))
       .withColumn("retrained_keep", expr(s"${Ml.logregSig(rw1, rw2, rb)} >= $rthr"))
       .groupBy("frozen_keep", "retrained_keep")
@@ -676,7 +676,7 @@ object Forget extends QueryModule {
         s"""rf AS (
            |  SELECT x1, x2, y FROM (
            |    SELECT ${Ml.LogregFeats1} AS x1,
-           |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+           |           ${Ml.LogregFeats2Duck} AS x2,
            |           ${Ml.LogregLabel} AS y,
            |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
            |    FROM documents
@@ -689,7 +689,7 @@ object Forget extends QueryModule {
            |  SELECT doc_id,
            |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
            |    ${Ml.LogregFeats1} AS x1,
-           |    (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2
+           |    ${Ml.LogregFeats2Duck} AS x2
            |  FROM documents
            |  WHERE doc_id NOT IN (SELECT doc_id FROM fdel))""".stripMargin,
         s"""lab AS (

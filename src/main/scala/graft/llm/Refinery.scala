@@ -65,7 +65,7 @@ object Refinery extends QueryModule {
       .selectExpr("doc_id", "lang",
         "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
         s"${Ml.LogregFeats1} AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+        s"${Ml.LogregFeats2} AS x2")
       .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
   }
 
@@ -347,7 +347,7 @@ object Refinery extends QueryModule {
           .selectExpr("doc_id", "lang", "source", "text",
             "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
             s"${Ml.LogregFeats1} AS x1",
-            "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+            s"${Ml.LogregFeats2} AS x2")
           .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
         gated
           .join(Dedup.maskedTextWithSpans(
@@ -490,7 +490,7 @@ object Refinery extends QueryModule {
           .selectExpr("doc_id", "lang", "source", "text",
             "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
             s"${Ml.LogregFeats1} AS x1",
-            "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2")
+            s"${Ml.LogregFeats2} AS x2")
           .filter(expr(s"${Ml.logregSig(w1, w2, b)} >= $thr"))
         val gated = benchGrams match {
           case None => gatedAll
@@ -629,7 +629,7 @@ object Refinery extends QueryModule {
       s"""f AS (
          |  SELECT x1, x2, y FROM (
          |    SELECT ${Ml.LogregFeats1} AS x1,
-         |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |           ${Ml.LogregFeats2Duck} AS x2,
          |           ${Ml.LogregLabel} AS y,
          |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |    FROM documents) WHERE h < ${Ml.CurateTrainPct})""".stripMargin)
@@ -643,7 +643,7 @@ object Refinery extends QueryModule {
          |  FROM (SELECT doc_id, lang,
          |          CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
          |          ${Ml.LogregFeats1} AS x1,
-         |          (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2
+         |          ${Ml.LogregFeats2Duck} AS x2
          |        FROM documents) s, w${Ml.LogregIters} w, th
          |  WHERE ${Ml.logregSigDuck("w.w1", "w.w2", "w.b")} >= th.t)""".stripMargin
     (trainCtes, th, keepd)

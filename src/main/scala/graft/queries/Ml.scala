@@ -164,7 +164,7 @@ object Ml extends QueryModule {
   def mlLogregGd(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = Tables.documents(spark, sfDir)
       .selectExpr(s"$LogregFeats1 AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"${LogregFeats2} AS x2",
         s"$LogregLabel AS y")
       .persist()
     var w1 = 0L; var w2 = 0L; var b = 0L
@@ -192,6 +192,14 @@ object Ml extends QueryModule {
   // feature is words-per-char in milli (word count includes empty splits,
   // identical split semantics in both engines)
   private[graft] val LogregFeats1 = "least(n_chars, 1000)"
+  // x2 single-sourced in BOTH renderings (Spark `div`, DuckDB `//`): a
+  // feature-definition change edits exactly these two strings, so the
+  // frozen and retrained gates can never silently train on different
+  // features (review-caught duplication)
+  private[graft] val LogregFeats2 =
+    "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1)"
+  private[graft] val LogregFeats2Duck =
+    "(CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1)"
   private[graft] val LogregLabel = "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)"
 
   /** sig_micro = fast-sigmoid(z)·1e6, with z in micro from the
@@ -242,7 +250,7 @@ object Ml extends QueryModule {
   def mlSweep(spark: SparkSession, sfDir: String): DataFrame = {
     val feats = Tables.documents(spark, sfDir)
       .selectExpr(s"$LogregFeats1 AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"${LogregFeats2} AS x2",
         s"$LogregLabel AS y")
       .persist()
     val idx = SweepLrs.indices
@@ -281,7 +289,7 @@ object Ml extends QueryModule {
     val ctes = Seq.newBuilder[String]
     ctes += s"""f AS (
        |  SELECT $LogregFeats1 AS x1,
-       |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+       |         ${LogregFeats2Duck} AS x2,
        |         $LogregLabel AS y
        |  FROM documents)""".stripMargin
     for (i <- SweepLrs.indices) {
@@ -357,7 +365,7 @@ object Ml extends QueryModule {
     val ctes = logregTrainCtes(
       s"""f AS (
          |  SELECT $LogregFeats1 AS x1,
-         |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |         ${LogregFeats2Duck} AS x2,
          |         $LogregLabel AS y
          |  FROM documents)""".stripMargin)
     val rows = (1 to LogregIters).map { i =>
@@ -411,14 +419,12 @@ object Ml extends QueryModule {
   private val curateModelMemo =
     scala.collection.concurrent.TrieMap.empty[String, (Long, Long, Long, Long)]
 
-  /** The registered model for a corpus: (w1, w2, b, threshold) in micro —
-    * trained on first request per corpus snapshot, then a registry hit.
-    * Package-visible so downstream compositions (the refinery pass) score
-    * with the SAME model the gate query reports on.
-    */
   /** The GD loop over a prepared (x1, x2, y) feature frame — extracted so
     * callers can train on a FILTERED corpus (the forget cascade's
-    * retrain-on-forget variant) with the identical arithmetic.
+    * retrain-on-forget variant) with the identical arithmetic. The split
+    * must be NON-EMPTY — fails fast with a diagnostic instead of a bare
+    * divide-by-zero (an all-deleted train split is a caller-level
+    * condition the cascade should surface, not mask).
     */
   private[graft] def logregTrain(feats0: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
     val feats = feats0.persist()
@@ -431,6 +437,7 @@ object Ml extends QueryModule {
           "sum(e) AS g0", "sum(y) AS p")
         .collect()(0) // d+2 scalars — bounded driver action
       val n = r.getLong(0)
+      require(n > 0, "logregTrain: empty training split (all rows filtered away?)")
       def upd(w: Long, g: Long): Long = w - LogregLr * g / (1000L * n)
       tw1 = upd(tw1, r.getLong(1)); tw2 = upd(tw2, r.getLong(2)); tb = upd(tb, r.getLong(3))
       if (iter == 1) thr = r.getLong(4) * 1000000L / n // base rate, micro
@@ -444,9 +451,14 @@ object Ml extends QueryModule {
     docs
       .filter(pmod(Hashing.hash60(col("doc_id").cast("string")), lit(100L)) < CurateTrainPct)
       .selectExpr(s"$LogregFeats1 AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"${LogregFeats2} AS x2",
         s"$LogregLabel AS y")
 
+  /** The registered model for a corpus: (w1, w2, b, threshold) in micro —
+    * trained on first request per corpus snapshot, then a registry hit.
+    * Package-visible so downstream compositions (the refinery pass) score
+    * with the SAME model the gate query reports on.
+    */
   private[graft] def curateModel(
       spark: SparkSession, sfDir: String): (Long, Long, Long, Long) = {
     val key = s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir)}"
@@ -468,7 +480,7 @@ object Ml extends QueryModule {
       docs: DataFrame, w1: Long, w2: Long, b: Long, thresholdMicro: Long): DataFrame =
     docs
       .selectExpr("source", s"$LogregFeats1 AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"${LogregFeats2} AS x2",
         s"$LogregLabel AS y")
       .withColumn("keep", expr(s"${logregSig(w1, w2, b)} >= $thresholdMicro"))
       .groupBy("source")
@@ -484,7 +496,7 @@ object Ml extends QueryModule {
       s"""f AS (
          |  SELECT x1, x2, y FROM (
          |    SELECT $LogregFeats1 AS x1,
-         |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |           ${LogregFeats2Duck} AS x2,
          |           $LogregLabel AS y,
          |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |    FROM documents) WHERE h < $CurateTrainPct)""".stripMargin) ++ Seq(
@@ -493,7 +505,7 @@ object Ml extends QueryModule {
          |  FROM f)""".stripMargin,
       s"""sc AS (
          |  SELECT source, $LogregFeats1 AS x1,
-         |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |         ${LogregFeats2Duck} AS x2,
          |         $LogregLabel AS y
          |  FROM documents)""".stripMargin,
       s"""kp AS (
@@ -543,7 +555,7 @@ object Ml extends QueryModule {
       .selectExpr(
         "CAST(size(split(text, ' ')) AS BIGINT) AS nw",
         s"$LogregFeats1 AS x1",
-        "(CAST(size(split(text, ' ')) AS BIGINT) * 1000) div greatest(n_chars, 1) AS x2",
+        s"${LogregFeats2} AS x2",
         s"$LogregLabel AS y")
       .selectExpr("nw", "y", s"${logregSig(w1, w2, b)} AS sig")
       .withColumn("thr_milli", explode(typedlit(ThresholdSweepMillis)))
@@ -596,7 +608,7 @@ object Ml extends QueryModule {
       s"""f AS (
          |  SELECT x1, x2, y FROM (
          |    SELECT $LogregFeats1 AS x1,
-         |           (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |           ${LogregFeats2Duck} AS x2,
          |           $LogregLabel AS y,
          |           ${Hashing.duckHash60("CAST(doc_id AS VARCHAR)")} % 100 AS h
          |    FROM documents) WHERE h < $CurateTrainPct)""".stripMargin) ++ Seq(
@@ -606,7 +618,7 @@ object Ml extends QueryModule {
       s"""sw_sc AS (
          |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
          |         $LogregFeats1 AS x1,
-         |         (CAST(len(string_split(text, ' ')) AS BIGINT) * 1000) // greatest(n_chars, 1) AS x2,
+         |         ${LogregFeats2Duck} AS x2,
          |         $LogregLabel AS y
          |  FROM documents)""".stripMargin,
       s"""sw_sig AS (

@@ -321,7 +321,12 @@ object Maintenance extends QueryModule {
       consolidatedTarget: java.nio.file.Path): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    val del = spark.read.parquet(tombstoneDir).select("doc_id").distinct()
+    // persist: the queue frame is re-referenced ~2x per zone (touched-file
+    // probe + rewrite anti-join) and once at consolidation — unpersisted,
+    // each reference re-reads every batch dir and re-runs distinct
+    // (review-caught)
+    val del = spark.read.parquet(tombstoneDir).select("doc_id")
+      .distinct().persist()
     val rows = artifacts.map { case (dir, keyCol, target) =>
       val before = spark.read.parquet(dir).count()
       val (installed, rewritten) = forgetArtifacts(
@@ -330,6 +335,7 @@ object Maintenance extends QueryModule {
       Row(dir, keyCol, rewritten.length.toLong, before - after)
     }
     graft.Fs.writeParquetAtomic(del, consolidatedTarget)
+    del.unpersist(blocking = false)
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(

@@ -28,12 +28,6 @@ class ForgetAnnSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-forget-ann").toString
 
     val emb = graft.Tables.embeddings(spark, sfDir)
-    // delete non-query, non-codebook-seed vectors so the frozen
-    // registry artifacts (trained on the CORPUS, a standing input both
-    // paths share) and the probe set are identical across paths
-    val delIds = emb.select("vec_id").as[Long].collect()
-      .filter(id => id >= 100 && id % 7 == 3).toSet
-    val del = delIds.toSeq.toDF("vec_id")
 
     def drain(landing: String, index: String, ckpt: String): Unit =
       Similarity.ivfPqIndexStream(spark, sfDir, landing, index, ckpt)
@@ -45,18 +39,35 @@ class ForgetAnnSpec extends SparkSpec {
     val indexAll = s"$root/index_all"
     drain(landingAll, indexAll, s"$root/ckpt_all")
 
+    // delete NON-query, NON-codebook-seed vectors (the frozen registry
+    // artifacts train on the CORPUS — a standing input both paths
+    // share — and the probe set must be identical across paths), all
+    // drawn from ONE batch generation so the cascade must carry the
+    // other generations' files untouched
+    val delIds = spark.read.parquet(s"$indexAll/codes/batch=0")
+      .select("cand_id").distinct().as[Long].collect()
+      .filter(id => id >= 100 && id % 3 == 1).toSet
+    assert(delIds.nonEmpty)
+    val del = delIds.toSeq.toDF("vec_id")
+
     // cascade: per batch-generation dir, file-incremental rewrite
     val codesDir = new java.io.File(s"$indexAll/codes")
     val cascaded = s"$root/index_cascaded"
     var rewrote = 0
+    var totalParts = 0
     Option(codesDir.listFiles()).get
       .filter(d => d.isDirectory && d.getName.startsWith("batch=")).foreach { bd =>
+        totalParts += Option(bd.listFiles()).get
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
         val (_, rw) = Maintenance.forgetArtifacts(
           spark, bd.toString, "cand_id", del.withColumnRenamed("vec_id", "cand_id"),
           java.nio.file.Paths.get(s"$cascaded/codes/${bd.getName}"))
         rewrote += rw.length
       }
     assert(rewrote > 0, "the delete set must touch the zone")
+    // 3. file-incrementality, the "only" half: some part files carried
+    assert(rewrote < totalParts,
+      s"every part file was rewritten ($rewrote of $totalParts) — the cascade lost its incrementality")
 
     // rebuild: stream only the survivors
     val landingSurv = s"$root/landing_surv"
