@@ -250,6 +250,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("forget cascade: the PPJoin runs behind ONE cut, never inside the plan") {
+    // forgetSurvivorsOver materializes the verified pair set behind a
+    // single lineage cut and derives BOTH the cluster labeling and the
+    // affected edges from it (a measured 7.0 s -> 3.0 s win at sf0.1 on
+    // forget_audit). A regression back to dedupClusters + jaccardPairs
+    // re-inlines the shingle kernel into the query plan — this guard
+    // fires on the kernel's presence, pinning the decision like the IVF
+    // argmax guard.
+    // the PPJoin's signature is the 3-gram DISTINCT shingle call; the
+    // audit's span tier legitimately keeps the 8-gram kernel in-plan
+    val shingleCall = """graft_word_ngrams60\([^)]*, 3, true\)""".r
+    for (q <- Seq("forget_pack", "forget_audit")) {
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.optimizedPlan.toString
+      assert(shingleCall.findFirstIn(p).isEmpty,
+        s"$q: the 3-gram shingle kernel re-entered the query plan — the " +
+          "PPJoin is no longer behind the shared cut")
+    }
+  }
+
   test("whole-stage codegen covers the hot aggregation path") {
     // codegen'd operators render with a "*(stageId)" prefix — but only in
     // the FINAL adaptive plan, so execute before inspecting.
