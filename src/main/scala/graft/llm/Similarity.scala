@@ -1654,17 +1654,28 @@ object Similarity extends QueryModule {
 
   private def ivfPqProbe(
       spark: SparkSession, sfDir: String, trainedPq: Boolean): DataFrame = {
+    val (emb, subs, coarse, pqCb, postings) = ivfPqIndexOf(spark, sfDir, trainedPq)
+    ivfPqProbeOver(emb, subs, coarse, pqCb, postings)
+  }
+
+  /** The assembled IVF-PQ index pieces — (emb, subs, coarse codebook, PQ
+    * codebook, posting lists) — shared by the probe queries and the
+    * re-rank family so every variant prices the SAME index build.
+    * Posting lists are (cluster, cand_id, s, cid): codes only past the
+    * encode, the fp64 vector column dies here. */
+  private def ivfPqIndexOf(
+      spark: SparkSession, sfDir: String, trainedPq: Boolean)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
     val subs = pqSubs(spark, sfDir)
     val pqCb = if (trainedPq) pqCentsTrained(subs) else pqCents(subs)
-    // posting lists: (cluster, cand_id, s, cid) — codes only past here
     val postings = ivfAssignTo(coarse, emb)
       .select(col("vec_id").as("cand_id"), col("cluster"))
       .join(pqCodesAgainst(subs, pqCb)
         .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
         Seq("cand_id"))
-    ivfPqProbeOver(emb, subs, coarse, pqCb, postings)
+    (emb, subs, coarse, pqCb, postings)
   }
 
   /** The IVF-PQ probe tail over an ARBITRARY posting-list frame
@@ -1673,6 +1684,25 @@ object Similarity extends QueryModule {
     * it, so the spec's streamed ≡ batch statement compares the real
     * query path, not a reimplementation. */
   private def ivfPqProbeOver(
+      emb: DataFrame, subs: DataFrame, coarse: DataFrame,
+      pqCb: DataFrame, postings: DataFrame): DataFrame = {
+    val adc = ivfPqAdcOver(emb, subs, coarse, pqCb, postings)
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
+    // fp64 ground truth: exact L2 top-3 per query (the fidelity flag)
+    ranked.join(exact3Of(emb), Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"),
+        col("adc").cast("double").as("adc"),
+        coalesce(col("hit"), lit(false)).as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The raw ADC candidate frame (q_id, cand_id, adc) over an arbitrary
+    * posting-list frame — the scoring core [[ivfPqProbeOver]]'s top-3
+    * read-off and the re-rank shortlist ([[simAnnIvfPqRerank]]) share,
+    * so "the shortlist is the ADC ranking the probe emits" holds by
+    * construction, not by reimplementation. */
+  private def ivfPqAdcOver(
       emb: DataFrame, subs: DataFrame, coarse: DataFrame,
       pqCb: DataFrame, postings: DataFrame): DataFrame = {
     val probed = probedCellsOf(emb, coarse)
@@ -1687,7 +1717,7 @@ object Similarity extends QueryModule {
       .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
       .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
         col("cent_id").as("lut_cid"), col("pd2"))
-    val adc = postings
+    postings
       .join(broadcast(probed), Seq("cluster"))
       .join(broadcast(luts),
         col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
@@ -1695,14 +1725,6 @@ object Similarity extends QueryModule {
       .filter(col("q_id") =!= col("cand_id"))
       .groupBy(col("q_id"), col("cand_id"))
       .agg(sum(col("pd2")).as("adc"))
-    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
-    val ranked = adc.withColumn("rn", row_number().over(byAdc)).filter(col("rn") <= 3)
-    // fp64 ground truth: exact L2 top-3 per query (the fidelity flag)
-    ranked.join(exact3Of(emb), Seq("q_id", "cand_id"), "left")
-      .select(col("q_id"), col("rn"), col("cand_id"),
-        col("adc").cast("double").as("adc"),
-        coalesce(col("hit"), lit(false)).as("in_exact3"))
-      .orderBy("q_id", "rn")
   }
 
   /** The IVF-PQ nprobe OPERATING TABLE — [[simAnnIvfSweep]]'s
@@ -1840,6 +1862,119 @@ object Similarity extends QueryModule {
     rows.reduce(_.unionAll(_)).orderBy("pq_k")
   }
 
+  /** Shortlist size R for the exact re-rank stage — ~3× the emitted
+    * top-3, the standard IVFADC operating point. */
+  private val RerankR = 10
+
+  /** Shortlist depths the re-rank operating table prices. */
+  private val RerankSweepR = Seq(3, 10, 30)
+
+  /** The exact-scored ADC shortlist — the re-rank family's shared core.
+    * Takes the raw ADC frame, keeps each query's top-maxR candidates by
+    * ADC rank (arn), and fetches their fp64 vectors BY ID: the corpus
+    * vector table streams past a BROADCAST of the NQueries×maxR-row
+    * shortlist in an id-equi BroadcastHashJoin — never a rescan, never
+    * a second distance pass over unranked candidates — then L2-scores
+    * exactly those rows (sequential fold ≡ DuckDB list_sum order, so
+    * both engines rank identical doubles). Columns: (q_id, cand_id,
+    * arn, d2). At 100 TB the fetch wave reads R×queries vectors through
+    * the id-keyed vector zone; `ScaleProbe rerank` prices it at 10⁶. */
+  private def rerankScored(emb: DataFrame, adc: DataFrame, maxR: Int): DataFrame = {
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val shortlist = adc.withColumn("arn", row_number().over(byAdc))
+      .filter(col("arn") <= maxR)
+      .select(col("q_id"), col("cand_id"), col("arn"))
+    val qv = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("d2", l2)
+      .select(col("q_id"), col("cand_id"), col("arn"), col("d2"))
+  }
+
+  /** IVF-PQ with the exact RE-RANK stage — the production shape every
+    * IVFADC deployment ships, and the direct answer to the suite's own
+    * measurement (`sim_ann_ivfpq_trained`: 7/30 fp64-exact at nprobe=2
+    * because QUANTIZATION error, not probe depth, binds recall — the
+    * nprobe sweep proved widening the probe set hurt). The fix: trust
+    * the compressed index only to SHORTLIST — take the ADC top-R
+    * (R = [[RerankR]] ≈ 3× k) within the probed cells, fetch those R
+    * vectors' fp64 form BY ID (broadcast id-equi join against the
+    * vector zone — the only stage that touches uncompressed vectors,
+    * and it reads exactly R×queries of them), exact-score only those,
+    * and emit the re-ranked top-3. MEASURED at sf0.01: 12/30 fp64-exact
+    * vs 7/30 without re-rank — +71% relative fidelity at 10 exact
+    * scores per query. The probed-cell ceiling is 26/30 (SCRATCH_r11
+    * `rerank_ceiling`): R keeps buying recall toward it (19/30 at
+    * R = 30, the sweep's table), while the 4 truths in unprobed cells
+    * are unreachable at ANY R — that is nprobe's knob, not R's; the
+    * two shortfalls now have separated prices. Output carries both
+    * ranks: rn (exact, emitted order) and arn (the ADC rank the
+    * shortlist came from) — the distance the compressed index was
+    * wrong BY. Own oracle: train(coarse) ∘ train(PQ) ∘ encode ∘ ADC
+    * shortlist ∘ by-id fetch ∘ exact re-rank under one hash. */
+  def simAnnIvfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, subs, coarse, pqCb, postings) =
+      ivfPqIndexOf(spark, sfDir, trainedPq = true)
+    val scored =
+      rerankScored(emb, ivfPqAdcOver(emb, subs, coarse, pqCb, postings), RerankR)
+    val byD2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(byD2))
+      .filter(col("rn") <= 3)
+      .join(exact3Of(emb), Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"),
+        round(col("d2"), 6).as("d2"), col("arn"),
+        coalesce(col("hit"), lit(false)).as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
+  /** The re-rank R OPERATING TABLE — what each shortlist depth buys and
+    * costs, beside the nprobe ([[simAnnIvfPqSweep]]) and code-budget
+    * ([[simAnnIvfPqKsweep]]) tables: for R ∈ [[RerankSweepR]], the
+    * exact scores paid (n_scored — R×queries, the fetch+score budget)
+    * vs fp64-exact hits of the re-ranked top-3. R = 3 re-orders the ADC
+    * top-3 without changing the set (hits ≡ the un-re-ranked 7/30 —
+    * the no-re-rank baseline priced IN the table); hits then climb
+    * toward the probed-cell ceiling as R grows. ONE scoring pass: the
+    * shortlist is scored once at max R behind a pinned exchange and
+    * each tier is a filtered read-off (ReuseExchange), exactly the
+    * nprobe sweep's discipline. MEASURED at sf0.01: 7 → 12 → 19 of 30
+    * as R grows 3 → 10 → 30 — recall rises monotonically in R (supersets
+    * of scored candidates), the complement of the non-monotone ADC
+    * nprobe sweep — toward the probed-cell ceiling of 26/30 at ~125
+    * candidates/query (SCRATCH_r11 `rerank_ceiling`): R = 30 recovers
+    * 19 of the 26 reachable truths at a quarter of the full-cell scan,
+    * and the 4 unreachable are nprobe-bounded, not R-bounded. */
+  def simAnnIvfPqRerankSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, subs, coarse, pqCb, postings) =
+      ivfPqIndexOf(spark, sfDir, trainedPq = true)
+    val scored =
+      rerankScored(emb, ivfPqAdcOver(emb, subs, coarse, pqCb, postings),
+        RerankSweepR.max)
+        // pinned exchange: ONE encode ∘ ADC ∘ fetch ∘ score pass feeds
+        // every tier's read-off (ReuseExchange), and the same exchange
+        // serves each tier's q_id window
+        .repartition(col("q_id"))
+    val exact3 = exact3Of(emb)
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val byD2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val rows = RerankSweepR.map { r =>
+      scored.filter(col("arn") <= r)
+        .withColumn("rn", row_number().over(byD2))
+        .join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_scored"),
+          count(when(col("rn") <= 3, col("hit"))).as("n_hits"))
+        .crossJoin(broadcast(nExact))
+        .select(lit(r).as("rerank_r"), col("n_scored"), col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("rerank_r")
+  }
+
   /** Out-of-distribution / mislabel screen — vectors anomalously far from
     * their OWN label's centroid (squared L2 above the corpus-wide exact
     * p99): the embedding-quality audit run before trusting labels for
@@ -1900,6 +2035,8 @@ object Similarity extends QueryModule {
     "sim_ann_ivfpq_trained" -> (simAnnIvfPqTrained _),
     "sim_ann_ivfpq_residual" -> (simAnnIvfPqResidual _),
     "sim_ann_ivfpq_ksweep" -> (simAnnIvfPqKsweep _),
+    "sim_ann_ivfpq_rerank" -> (simAnnIvfPqRerank _),
+    "sim_ann_ivfpq_rerank_sweep" -> (simAnnIvfPqRerankSweep _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
     "sim_ann_rplsh"   -> (simAnnRpLsh _),
@@ -1928,6 +2065,104 @@ object Similarity extends QueryModule {
     graft.functions.Hashing.RpPlanes.zipWithIndex.map { case (p, j) =>
       s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * (${duckPlaneLit(p)}::DOUBLE[])[i])) > 0.0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** The trained IVF-PQ chain through the ADC candidate frame plus the
+    * fp64 exact-top-3 truth, as DuckDB CTE text (`WITH e AS … adc AS
+    * (…), exact3 AS (…)`) — shared VERBATIM by the `sim_ann_ivfpq_trained`
+    * and re-rank oracles, so every member of the family replays the same
+    * train(coarse) ∘ train(PQ) ∘ assign ∘ encode ∘ ADC chain; callers
+    * append their own read-off CTEs and final SELECT. */
+  private def duckIvfPqTrainedCtes: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+       |), a1 AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+       |    FROM e CROSS JOIN cents)
+       |  WHERE crn = 1
+       |), m AS (
+       |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
+       |), means AS (
+       |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
+       |), newc AS (
+       |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
+       |), a2 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT e.vec_id, newc.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
+       |    FROM e CROSS JOIN newc)
+       |  WHERE crn = 1
+       |), subs AS (
+       |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
+       |  FROM e, (SELECT unnest(range(0, 8)) AS s)
+       |), pcents AS (
+       |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
+       |), pcand AS (
+       |  SELECT subs.vec_id, subs.s, pcents.cent_id,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))) AS d2
+       |  FROM subs JOIN pcents ON subs.s = pcents.s
+       |), codes AS (
+       |  SELECT vec_id AS cand_id, s, cid FROM (
+       |    SELECT vec_id, s, cent_id AS cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+       |    FROM pcand) WHERE rn = 1
+       |), pm AS (
+       |  SELECT subs.s, c.cid, gs.pos, subs.sub[gs.pos] AS v
+       |  FROM subs JOIN codes c ON subs.vec_id = c.cand_id AND subs.s = c.s
+       |  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) gs
+       |), pmeans AS (
+       |  SELECT s, cid, pos, ROUND(AVG(v), 6) AS c FROM pm GROUP BY s, cid, pos
+       |), pnewc AS (
+       |  SELECT s, cid AS cent_id, list(c ORDER BY pos) AS csub
+       |  FROM pmeans GROUP BY s, cid
+       |), tcand AS (
+       |  SELECT subs.vec_id, subs.s, pnewc.cent_id,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))) AS d2
+       |  FROM subs JOIN pnewc ON subs.s = pnewc.s
+       |), codes2 AS (
+       |  SELECT vec_id AS cand_id, s, cid FROM (
+       |    SELECT vec_id, s, cent_id AS cid,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
+       |    FROM tcand) WHERE rn = 1
+       |), probed AS (
+       |  SELECT q_id, cluster FROM (
+       |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
+       |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
+       |  WHERE prn <= $IvfPqNprobe
+       |), luts2 AS (
+       |  SELECT subs.vec_id AS q_id, subs.s, pnewc.cent_id,
+       |    CAST(ROUND(list_sum(list_transform(range(1, 9),
+       |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))), 6)
+       |      AS DECIMAL(18,6)) AS pd2
+       |  FROM subs JOIN pnewc ON subs.s = pnewc.s
+       |  WHERE subs.vec_id < $NQueries
+       |), adc AS (
+       |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc
+       |  FROM probed p
+       |  JOIN a2 ON a2.cluster = p.cluster
+       |  JOIN codes2 c ON c.cand_id = a2.vec_id
+       |  JOIN luts2 l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
+       |  WHERE p.q_id <> c.cand_id
+       |  GROUP BY p.q_id, c.cand_id
+       |), exact3 AS (
+       |  SELECT q_id, cand_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65),
+       |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
+       |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
+       |)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "emb_pq" -> {
@@ -2955,99 +3190,11 @@ object Similarity extends QueryModule {
     // codebooks — train(coarse) ∘ train(PQ) ∘ assign ∘ encode ∘ probe
     // under one hash
     "sim_ann_ivfpq_trained" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
-         |), a1 AS (
-         |  SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
-         |    FROM e CROSS JOIN cents)
-         |  WHERE crn = 1
-         |), m AS (
-         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1
-         |), means AS (
-         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM m GROUP BY cluster, pos
-         |), newc AS (
-         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM means GROUP BY cluster
-         |), a2 AS (
-         |  SELECT vec_id, cluster FROM (
-         |    SELECT e.vec_id, newc.cent_id AS cluster,
-         |      row_number() OVER (PARTITION BY e.vec_id
-         |        ORDER BY ${duckCos("e.v", "newc.cv")} DESC, newc.cent_id) AS crn
-         |    FROM e CROSS JOIN newc)
-         |  WHERE crn = 1
-         |), subs AS (
-         |  SELECT vec_id, s, v[(s*8+1):(s*8+8)] AS sub
-         |  FROM e, (SELECT unnest(range(0, 8)) AS s)
-         |), pcents AS (
-         |  SELECT s, vec_id AS cent_id, sub AS csub FROM subs WHERE vec_id < 16
-         |), pcand AS (
-         |  SELECT subs.vec_id, subs.s, pcents.cent_id,
-         |    list_sum(list_transform(range(1, 9),
-         |      i -> (subs.sub[i] - pcents.csub[i]) * (subs.sub[i] - pcents.csub[i]))) AS d2
-         |  FROM subs JOIN pcents ON subs.s = pcents.s
-         |), codes AS (
-         |  SELECT vec_id AS cand_id, s, cid FROM (
-         |    SELECT vec_id, s, cent_id AS cid,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
-         |    FROM pcand) WHERE rn = 1
-         |), pm AS (
-         |  SELECT subs.s, c.cid, gs.pos, subs.sub[gs.pos] AS v
-         |  FROM subs JOIN codes c ON subs.vec_id = c.cand_id AND subs.s = c.s
-         |  CROSS JOIN (SELECT unnest(range(1, 9)) AS pos) gs
-         |), pmeans AS (
-         |  SELECT s, cid, pos, ROUND(AVG(v), 6) AS c FROM pm GROUP BY s, cid, pos
-         |), pnewc AS (
-         |  SELECT s, cid AS cent_id, list(c ORDER BY pos) AS csub
-         |  FROM pmeans GROUP BY s, cid
-         |), tcand AS (
-         |  SELECT subs.vec_id, subs.s, pnewc.cent_id,
-         |    list_sum(list_transform(range(1, 9),
-         |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))) AS d2
-         |  FROM subs JOIN pnewc ON subs.s = pnewc.s
-         |), codes2 AS (
-         |  SELECT vec_id AS cand_id, s, cid FROM (
-         |    SELECT vec_id, s, cent_id AS cid,
-         |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
-         |    FROM tcand) WHERE rn = 1
-         |), probed AS (
-         |  SELECT q_id, cluster FROM (
-         |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
-         |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
-         |  WHERE prn <= $IvfPqNprobe
-         |), luts2 AS (
-         |  SELECT subs.vec_id AS q_id, subs.s, pnewc.cent_id,
-         |    CAST(ROUND(list_sum(list_transform(range(1, 9),
-         |      i -> (subs.sub[i] - pnewc.csub[i]) * (subs.sub[i] - pnewc.csub[i]))), 6)
-         |      AS DECIMAL(18,6)) AS pd2
-         |  FROM subs JOIN pnewc ON subs.s = pnewc.s
-         |  WHERE subs.vec_id < $NQueries
-         |), adc AS (
-         |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc
-         |  FROM probed p
-         |  JOIN a2 ON a2.cluster = p.cluster
-         |  JOIN codes2 c ON c.cand_id = a2.vec_id
-         |  JOIN luts2 l ON l.q_id = p.q_id AND l.s = c.s AND l.cent_id = c.cid
-         |  WHERE p.q_id <> c.cand_id
-         |  GROUP BY p.q_id, c.cand_id
-         |), ranked AS (
+      s"""$duckIvfPqTrainedCtes
+         |, ranked AS (
          |  SELECT q_id, cand_id, adc,
          |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc, cand_id) AS INTEGER) AS rn
          |  FROM adc
-         |), exact3 AS (
-         |  SELECT q_id, cand_id FROM (
-         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
-         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
-         |        list_sum(list_transform(range(1, 65),
-         |          i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))), c.vec_id) AS xrn
-         |    FROM e q JOIN e c ON q.vec_id <> c.vec_id
-         |    WHERE q.vec_id < $NQueries) WHERE xrn <= 3
          |)
          |SELECT r.q_id, r.rn, r.cand_id, CAST(r.adc AS DOUBLE) AS adc,
          |  (x.q_id IS NOT NULL) AS in_exact3
@@ -3055,6 +3202,80 @@ object Similarity extends QueryModule {
          |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
          |WHERE r.rn <= 3
          |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the re-rank replays the SAME trained chain (shared CTE text),
+    // shortlists the ADC top-R, fetches those R vectors BY ID (the
+    // joins back to e), exact-scores only them, and re-ranks
+    "sim_ann_ivfpq_rerank" ->
+      s"""$duckIvfPqTrainedCtes
+         |, short AS (
+         |  SELECT q_id, cand_id, arn FROM (
+         |    SELECT q_id, cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adc, cand_id) AS INTEGER) AS arn
+         |    FROM adc)
+         |  WHERE arn <= $RerankR
+         |), rr AS (
+         |  SELECT s.q_id, s.cand_id, s.arn,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.q_id
+         |  JOIN e c ON c.vec_id = s.cand_id
+         |), reranked AS (
+         |  SELECT q_id, cand_id, arn, d2,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY d2, cand_id) AS INTEGER) AS rn
+         |  FROM rr
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, ROUND(r.d2, 6) AS d2, r.arn,
+         |  (x.q_id IS NOT NULL) AS in_exact3
+         |FROM reranked r LEFT JOIN exact3 x
+         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the R sweep scores the shortlist ONCE at max R and reads each
+    // tier off the single scored frame — the Spark plan's pinned-
+    // exchange shape, replayed
+    "sim_ann_ivfpq_rerank_sweep" ->
+      s"""$duckIvfPqTrainedCtes
+         |, short AS (
+         |  SELECT q_id, cand_id, arn FROM (
+         |    SELECT q_id, cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adc, cand_id) AS INTEGER) AS arn
+         |    FROM adc)
+         |  WHERE arn <= ${RerankSweepR.max}
+         |), rr AS (
+         |  SELECT s.q_id, s.cand_id, s.arn,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.q_id
+         |  JOIN e c ON c.vec_id = s.cand_id
+         |), nex AS (SELECT COUNT(*) AS n_exact FROM exact3),
+         |rs(rerank_r) AS (VALUES ${RerankSweepR.map(r => s"($r)").mkString(", ")}),
+         |per AS (
+         |  SELECT t.rerank_r,
+         |    (SELECT COUNT(*) FROM rr WHERE arn <= t.rerank_r) AS n_scored,
+         |    (SELECT COUNT(*) FROM (
+         |       SELECT q_id, cand_id FROM (
+         |         SELECT q_id, cand_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY d2, cand_id) AS rn
+         |         FROM rr WHERE arn <= t.rerank_r)
+         |       WHERE rn <= 3) z
+         |     JOIN exact3 x ON z.q_id = x.q_id AND z.cand_id = x.cand_id)
+         |      AS n_hits
+         |  FROM rs t
+         |)
+         |SELECT CAST(rerank_r AS INTEGER) AS rerank_r,
+         |  CAST(n_scored AS BIGINT) AS n_scored,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(n_hits * 1000000 // nex.n_exact AS BIGINT)
+         |  END AS recall_ppm
+         |FROM per CROSS JOIN nex
+         |ORDER BY rerank_r""".stripMargin,
     // the sweep replays the same train ∘ assign ∘ encode CTEs, scores
     // once over the prn ≤ 4 cells with the candidate's cell-rank
     // attached (a candidate lives in exactly one cell), and reads the

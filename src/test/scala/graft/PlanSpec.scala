@@ -250,6 +250,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ re-rank: the fetch is a shortlist-bounded id-equi broadcast join") {
+    // the deployable property of the re-rank stage: the fp64 vectors are
+    // fetched BY ID — the corpus vector table streams past a BROADCAST of
+    // the R-row-per-query shortlist (BuildRight), never a shuffle of the
+    // corpus onto the shortlist and never a second distance scan. The
+    // arn <= R rank filter must sit in the plan, bounding the broadcast
+    // side to R rows per query BEFORE the join.
+    val df = SparkEntry.queries("sim_ann_ivfpq_rerank")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val fetch = """BroadcastHashJoin \[cand_id#\d+L?\], \[cand_id#\d+L?\], Inner, BuildRight""".r
+    assert(fetch.findFirstIn(p).isDefined,
+      s"expected the by-id fetch as BroadcastHashJoin on cand_id with the shortlist built/broadcast:\n$p")
+    val bound = """arn#\d+ <= 10""".r
+    assert(bound.findFirstIn(p).isDefined,
+      s"expected the arn <= R shortlist bound in the plan:\n$p")
+  }
+
   test("forget cascade: the PPJoin runs behind ONE cut, never inside the plan") {
     // forgetSurvivorsOver materializes the verified pair set behind a
     // single lineage cut and derives BOTH the cluster labeling and the

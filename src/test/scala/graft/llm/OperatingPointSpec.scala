@@ -113,4 +113,36 @@ class OperatingPointSpec extends SparkSpec {
       assert(r.getAs[Long]("recall_ppm") === hits * 1000000L / nExact)
     }
   }
+
+  test("IVF-PQ re-rank sweep: hits monotone in R; R=3 tier equals the no-re-rank baseline") {
+    // unlike ADC-vs-nprobe (non-monotone, see above), re-rank hits ARE
+    // provably monotone in R: a global-top-3 truth in the shortlist can
+    // be displaced from the exact-scored top-3 only by candidates with
+    // smaller TRUE distance, of which at most two exist globally — so
+    // growing the shortlist (a superset) can never evict a hit.
+    val rows = Similarity.queries("sim_ann_ivfpq_rerank_sweep")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("rerank_r"))
+    assert(rows.map(_.getAs[Int]("rerank_r")).toSeq == Seq(3, 10, 30))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"re-rank hits must be non-decreasing in R: ${hits.toSeq}")
+    val nExact = 3L * Similarity.NQueries
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= nExact)
+      assert(r.getAs[Long]("recall_ppm") ===
+        r.getAs[Long]("n_hits") * 1000000L / nExact)
+    }
+    // scored counts: exactly min(R, shortlist population) per query —
+    // with R <= candidates per probed pair of cells here, R * NQueries
+    val scored = rows.map(_.getAs[Long]("n_scored"))
+    assert(scored.zip(Seq(3L, 10L, 30L)).forall { case (n, r) =>
+      n <= r * Similarity.NQueries },
+      s"n_scored exceeds the R budget: ${scored.toSeq}")
+    // R = 3 re-orders the ADC top-3 without changing the SET: its hit
+    // count must equal the un-re-ranked trained probe's in_exact3 count
+    val baseline = Similarity.queries("sim_ann_ivfpq_trained")(spark, sf0001)
+      .filter("in_exact3").count()
+    assert(hits.head === baseline,
+      s"R=3 tier (${hits.head}) must equal the no-re-rank baseline ($baseline)")
+  }
 }
