@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -577,6 +577,154 @@ object ScaleProbe {
         f""""in_query_wave_sec":${inQ._2}%.1f,""" +
         f""""indexed_wave_sec":${idx._2}%.1f}""")
       graft.Fs.deleteRecursively(new java.io.File(idxDir))
+    }
+
+    // claim 12 (round-11): the re-rank stage's marginal cost is the
+    // BY-ID fp64 fetch wave — the one part of `sim_ann_ivfpq_rerank`
+    // whose price the sf0.01 oracle can't show (300 rows there; a
+    // deployment fetches R×queries vectors out of a standing zone that
+    // at 100 TB is the dominant IO). The index build, ADC pass, and
+    // fp64 truth are each materialized behind cuts so every per-R wave
+    // times ONLY shortlist → fetch → exact score, A/B'd across the two
+    // zone layouts: a FLAT parquet zone (the fetch degenerates to a
+    // full scan — the naive layout's honest price) vs an id-SHARDED
+    // zone fetched through the shard key (dynamic partition pruning
+    // reads only the buckets the shortlist touches — the layout a
+    // deployment keys by id precisely for this wave). Recall vs the
+    // brute-force fp64 truth completes the recall/IO operating table.
+    if (on("rerank")) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorExpressions.cosine_sim
+      val n = 1000000L / div
+      val k = 64
+      val nprobe = 2
+      val nQ = 10
+      val nShards = 64
+      val vecs = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(xxhash64(col("id") * 64 + j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0)).as("e"))
+      val zoneDir = java.nio.file.Files
+        .createTempDirectory("graft-probe-rerank").toString
+      vecs.write.mode("overwrite").parquet(s"$zoneDir/flat")
+      vecs.withColumn("shard", pmod(col("vec_id"), lit(nShards)))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(s"$zoneDir/sharded")
+      val cents = vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+      // coarse assignment — the shipped aggregate-argmax shape
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine_sim(col("e"), col("cente")))
+        .groupBy("vec_id")
+        .agg(max(struct(col("ccos"), (-col("cent_id")).as("negc"),
+          col("e"))).as("best"))
+        .select(col("vec_id"), col("best.e").as("e"),
+          (-col("best.negc")).as("cluster"))
+      // PQ codes against first-16 seed codebooks (8 subspaces × 8 dims)
+      val subs = assigned
+        .select(col("vec_id"), col("cluster"), posexplode(expr(
+          "transform(sequence(0, 7), s -> slice(e, s*8+1, 8))")))
+        .select(col("vec_id"), col("cluster"),
+          col("pos").as("s"), col("col").as("sub"))
+      val pcb = subs.filter(col("vec_id") < 16)
+        .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+      val subD2 = expr(
+        "aggregate(zip_with(sub, csub, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+      val postingsPlan = subs.join(broadcast(pcb), Seq("s"))
+        .withColumn("d2", subD2)
+        .groupBy("vec_id", "cluster", "s")
+        .agg(min(struct(col("d2"), col("cent_id"))).as("b"))
+        .select(col("vec_id").as("cand_id"), col("cluster"),
+          col("s"), col("b.cent_id").as("cid"))
+      val ((postings, postRdd, _), encodeSec) =
+        time(PlanBridge.cutLineage(postingsPlan))
+      val q = vecs.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val byCent = Window.partitionBy("q_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val probed = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine_sim(col("qe"), col("cente")))
+        .withColumn("prn", row_number().over(byCent))
+        .filter(col("prn") <= nprobe)
+        .select(col("q_id"), col("cent_id").as("cluster"))
+      val luts = q.select(col("q_id"), posexplode(expr(
+          "transform(sequence(0, 7), s -> slice(qe, s*8+1, 8))")))
+        .select(col("q_id"), col("pos").as("s"), col("col").as("sub"))
+        .join(broadcast(pcb), Seq("s"))
+        .withColumn("pd2", round(subD2, 6).cast("decimal(18,6)"))
+        .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
+          col("cent_id").as("lut_cid"), col("pd2"))
+      val adcPlan = postings
+        .join(broadcast(probed), Seq("cluster"))
+        .join(broadcast(luts),
+          col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
+            col("cid") === col("lut_cid"))
+        .filter(col("q_id") =!= col("cand_id"))
+        .groupBy(col("q_id"), col("cand_id"))
+        .agg(sum(col("pd2")).as("adc"))
+      val ((adc, adcRdd, nAdc), adcSec) = time(PlanBridge.cutLineage(adcPlan))
+      PlanBridge.releaseCut(postRdd)
+      // fp64 truth: brute-force exact top-3 per query over the zone
+      val l2 = expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+      val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+      val truthPlan = spark.read.parquet(s"$zoneDir/flat")
+        .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+        .crossJoin(broadcast(q))
+        .filter(col("q_id") =!= col("cand_id"))
+        .withColumn("d2", l2)
+        .withColumn("rn", row_number().over(byL2))
+        .filter(col("rn") <= 3)
+        .select(col("q_id"), col("cand_id"))
+      val ((truth, truthRdd, nTruth), truthSec) =
+        time(PlanBridge.cutLineage(truthPlan))
+      val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+      def shortlistOf(r: Int) = adc
+        .withColumn("arn", row_number().over(byAdc))
+        .filter(col("arn") <= r)
+        .select(col("q_id"), col("cand_id"))
+      // drain through the rank + hit flag — the rank depends on the L2
+      // fold, so Catalyst cannot prune the exact scoring out of the
+      // timing (the r10 argmax lesson)
+      def rerank(fetched: DataFrame): (Long, Long) = {
+        val row = fetched
+          .withColumn("d2", l2)
+          .withColumn("rn", row_number().over(byL2))
+          .join(truth.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
+          .agg(count(lit(1)),
+            sum(when(col("rn") <= 3 && col("hit").isNotNull, 1L)
+              .otherwise(0L))).head
+        (row.getLong(0), row.getLong(1))
+      }
+      for (r <- Seq(10, 100, 1000)) {
+        def waveFlat(): (Long, Long) = rerank(
+          spark.read.parquet(s"$zoneDir/flat")
+            .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+            .join(broadcast(shortlistOf(r)), Seq("cand_id"))
+            .join(broadcast(q), Seq("q_id")))
+        def waveSharded(): (Long, Long) = rerank(
+          spark.read.parquet(s"$zoneDir/sharded")
+            .select(col("shard"), col("vec_id").as("cand_id"), col("e").as("ce"))
+            .join(broadcast(shortlistOf(r)
+              .withColumn("shard", pmod(col("cand_id"), lit(nShards)))),
+              Seq("shard", "cand_id"))
+            .join(broadcast(q), Seq("q_id")))
+        val flat = (1 to 2).map(_ => time(waveFlat())).minBy(_._2)
+        val shard = (1 to 2).map(_ => time(waveSharded())).minBy(_._2)
+        require(flat._1 == shard._1,
+          s"zone layouts disagree: ${flat._1} vs ${shard._1}")
+        val (nScored, hits) = flat._1
+        println(f"""{"probe":"rerank_fetch_wave","vectors":$n,"r":$r,""" +
+          f""""adc_candidates":$nAdc,"scored":$nScored,"hits":$hits,""" +
+          f""""truth":$nTruth,"encode_sec":$encodeSec%.1f,""" +
+          f""""adc_sec":$adcSec%.1f,"truth_sec":$truthSec%.1f,""" +
+          f""""flat_fetch_sec":${flat._2}%.1f,""" +
+          f""""sharded_fetch_sec":${shard._2}%.1f}""")
+      }
+      PlanBridge.releaseCut(adcRdd)
+      PlanBridge.releaseCut(truthRdd)
+      graft.Fs.deleteRecursively(new java.io.File(zoneDir))
     }
 
     // the forget cascade's blast-radius claim, measured: re-adjudicating
