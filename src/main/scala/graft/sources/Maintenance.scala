@@ -229,6 +229,15 @@ object Maintenance extends QueryModule {
       deleted: DataFrame,
       target: java.nio.file.Path): (String, Seq[String]) = {
     import java.nio.file.{Files, StandardCopyOption}
+    // fail fast on a pre-existing target: generations are immutable once
+    // installed, and without this check a retried epoch pays the whole
+    // copy/rewrite assembly before ATOMIC_MOVE throws an unexplained
+    // DirectoryNotEmptyException at the very end (review-caught). A
+    // retry must install into a FRESH generation path; superseded
+    // generations retire via [[vacuumArtifacts]].
+    require(!Files.exists(target),
+      s"forgetArtifacts: target generation $target already exists — " +
+        "install each (retried) epoch into a fresh generation path")
     val del = deleted.select(col(keyCol)).distinct()
     // FLAT artifacts only: the memo zones this targets (band index, IVF
     // index) are single-level parquet dirs. A partitioned layout would
@@ -343,6 +352,79 @@ object Maintenance extends QueryModule {
         StructField("key_col", StringType),
         StructField("files_rewritten", LongType),
         StructField("rows_removed", LongType))))
+  }
+
+  /** CROSS-ZONE epoch atomicity — the gap [[hardDeleteEpoch]] leaves:
+    * each zone's generation installs atomically, but a crash BETWEEN
+    * zone installs leaves a mixed-generation view if readers resolve
+    * zones by their standing paths. The fix every table format uses
+    * (Iceberg/Delta's commit pointer, applied across zones): a single
+    * EPOCH MANIFEST — one row per zone mapping it to the generation
+    * path this epoch installed — written via [[graft.Fs
+    * .writeParquetAtomic]]'s rename discipline and written LAST, so the
+    * manifest IS the commit point. Readers resolve every standing zone
+    * through [[currentEpoch]]/[[readZoneThroughManifest]]; generation
+    * dirs a crashed epoch left behind are unreachable garbage (retired
+    * by [[vacuumArtifacts]] — they are plain unreferenced generations),
+    * never a torn view. `EpochManifestSpec` injects the crash between
+    * zone N and N+1 and pins that readers still see epoch E−1
+    * coherently, then that a RETRIED epoch (fresh generation paths — the
+    * [[forgetArtifacts]] fail-fast enforces freshness) flips both zones
+    * at once.
+    */
+  def hardDeleteEpochManifested(
+      spark: SparkSession,
+      tombstoneDir: String,
+      artifacts: Seq[(String, String, String, java.nio.file.Path)],
+      consolidatedTarget: java.nio.file.Path,
+      manifestDir: java.nio.file.Path,
+      epoch: Long): DataFrame = {
+    val report = hardDeleteEpoch(spark, tombstoneDir,
+      artifacts.map { case (_, dir, keyCol, target) => (dir, keyCol, target) },
+      consolidatedTarget)
+    val manifest = spark.createDataFrame(
+      artifacts.map { case (zone, _, keyCol, target) =>
+        (epoch, zone, target.toString, keyCol)
+      }).toDF("epoch", "zone", "generation", "key_col")
+    // the LAST write is the commit: until this rename lands, every new
+    // generation above is unreachable through the manifest
+    graft.Fs.writeParquetAtomic(manifest, manifestDir.resolve(f"epoch-$epoch%09d"))
+    report
+  }
+
+  /** The newest COMPLETE epoch in `manifestDir`: (epoch, zone →
+    * generation path). Manifest dirs install via the atomic-rename
+    * discipline, so presence of `_SUCCESS` ⇒ complete; in-flight
+    * `.tmp.*` / `.trash.*` residue is skipped by name, exactly as
+    * [[vacuumArtifacts]] classifies it. */
+  def currentEpoch(
+      spark: SparkSession,
+      manifestDir: java.io.File): Option[(Long, Map[String, String])] = {
+    val epochs = Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("epoch-") &&
+        !d.getName.contains(".tmp.") && !d.getName.contains(".trash.") &&
+        new java.io.File(d, "_SUCCESS").exists())
+      .flatMap(d => scala.util.Try(
+        d.getName.stripPrefix("epoch-").toLong).toOption.map(_ -> d))
+      .sortBy { case (e, _) => -e }
+    epochs.headOption.map { case (e, d) =>
+      (e, spark.read.parquet(d.toString).collect()
+        .map(r => r.getAs[String]("zone") -> r.getAs[String]("generation"))
+        .toMap)
+    }
+  }
+
+  /** Reader-side resolution: a standing zone's CURRENT generation, via
+    * the newest complete epoch manifest — the one seam every reader of
+    * the standing zones goes through once epochs are manifested. */
+  def readZoneThroughManifest(
+      spark: SparkSession, manifestDir: java.io.File, zone: String): DataFrame = {
+    val (epoch, zones) = currentEpoch(spark, manifestDir).getOrElse(
+      sys.error(s"readZoneThroughManifest: no complete epoch in $manifestDir"))
+    val gen = zones.getOrElse(zone, sys.error(
+      s"readZoneThroughManifest: zone '$zone' absent from epoch $epoch " +
+        s"(zones: ${zones.keys.toSeq.sorted.mkString(", ")})"))
+    spark.read.parquet(gen)
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
