@@ -344,6 +344,51 @@ object ScaleProbe {
       release()
     }
 
+    // claim 13 (round-11): the anchored k-core fold costs the batch's
+    // cascade region, not a corpus re-peel. Standing graph = 99% of
+    // edges (its core solved UNTIMED — the standing artifact, exactly
+    // ivfappend's amortization argument), batch = the held-out 1%.
+    // A/B per wave: full re-peel of the union vs kcoreFoldOf against
+    // the standing core; identical core (count + id checksum) required.
+    if (on("kcoreinc")) {
+      val n = 1000000L / div
+      val e = hashGraph(spark, n, 10 * n).filter(col("a") =!= col("b"))
+      val und = e.union(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct()
+        .select(col("a").as("src"), col("b").as("dst"))
+      // deterministic 1% batch, symmetric-consistent (keyed on the
+      // canonical undirected pair so both directions land together)
+      val isNew = pmod(xxhash64(
+        least(col("src"), col("dst")), greatest(col("src"), col("dst"))),
+        lit(100L)) === 99L
+      val ((standing, _, relS), standingSec) = time {
+        val r = queries.Graph.kcoreOf(und.filter(!isNew), k = 10)
+        r._1.count()
+        r
+      }
+      def checksum(core: DataFrame): (Long, Long) = {
+        val r = core.agg(count(lit(1)), sum(col("node"))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      def repeel(): (Long, Long) = {
+        val (core, _, rel) = queries.Graph.kcoreOf(und, k = 10)
+        val cs = checksum(core); rel(); cs
+      }
+      def fold(): (Long, Long) = {
+        val (core, _, rel) = queries.Graph.kcoreFoldOf(und, standing, k = 10)
+        val cs = checksum(core); rel(); cs
+      }
+      val rp = (1 to 2).map(_ => time(repeel())).minBy(_._2)
+      val fd = (1 to 2).map(_ => time(fold())).minBy(_._2)
+      require(rp._1 == fd._1,
+        s"fold diverges from re-peel: ${rp._1} vs ${fd._1}")
+      relS()
+      println(f"""{"probe":"kcore_incremental","nodes":$n,"edges":${10 * n},""" +
+        f""""k":10,"batch_pct":1,"core_nodes":${rp._1._1},""" +
+        f""""core_checksum":${rp._1._2},"standing_solve_sec":$standingSec%.1f,""" +
+        f""""repeel_sec":${rp._2}%.1f,"fold_sec":${fd._2}%.1f}""")
+    }
+
     // claim 8 (round-8): the hierarchical packing prefix
     // (Sampling.cumBeforeByLang) holds where the naive per-lang window
     // stalls — a MONO-LINGUAL-DOMINANT corpus (90% of docs one language:

@@ -392,6 +392,93 @@ object Graph extends QueryModule {
     (cur, rounds, () => PlanBridge.releaseCut(rddToRelease))
   }
 
+  /** INCREMENTAL k-core fold — absorb a batch of NEW edges into a
+    * standing core without re-peeling the corpus. The theorem that
+    * makes it sound: the k-core is MONOTONE under edge addition (every
+    * standing-core node had ≥ k within-core neighbors over the old
+    * edges, all still present), so `core0 ⊆ core'` and the standing
+    * core can be ANCHORED — never peeled, only contributed to
+    * candidates' degrees. The fold peels ONLY the candidate side
+    * (nodes not yet certified): each round keeps candidates with ≥ k
+    * neighbors in (core0 ∪ candidates), the exact induced-degree rule
+    * with the anchor folded in. Inductive invariant: core' always lies
+    * between core0 and core0 ∪ candidates, so the fixpoint IS core'.
+    * Blast radius: round one already drops every candidate that was
+    * sub-k before the batch and gained nothing, so the surviving
+    * candidate set collapses to the batch's cascade region — per-round
+    * cost is the edge scan semi-joined against a SHRINKING candidate
+    * set, not a corpus-wide degree pass (`ScaleProbe kcoreinc` measures
+    * the gap; deletion-side maintenance has no such anchor — a removed
+    * edge can unravel the core globally — which is why this folds
+    * insertions only, the [[graphCopurchaseIncremental]] discipline).
+    *
+    * `core0` must be a materialized frame (loop references it every
+    * round). Returns (full new core = core0 ∪ survivors,
+    * changed-rounds, release) — [[kcoreOf]]'s contract.
+    */
+  private[graft] def kcoreFoldOf(
+      sym: DataFrame, core0: DataFrame, k: Int, maxRounds: Int = 50)
+      : (DataFrame, Int, () => Unit) = {
+    import org.apache.spark.sql.graft.PlanBridge
+    var (cur, curRdd, curN) = PlanBridge.cutLineage(
+      sym.select(col("src").as("node")).distinct()
+        .join(core0, Seq("node"), "left_anti"))
+    var rounds = 0
+    var fixed = false
+    while (!fixed) {
+      if (rounds >= maxRounds)
+        throw new IllegalStateException(
+          s"k-core fold did not reach a fixpoint within $maxRounds rounds")
+      val (nxt, nxtRdd, nxtN) = PlanBridge.cutLineage(
+        sym
+          .join(cur.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(core0.unionAll(cur).select(col("node").as("dst")),
+            Seq("dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("__kc_d"))
+          .filter(col("__kc_d") >= k)
+          .select(col("src").as("node")))
+      if (nxtN == curN) {
+        PlanBridge.releaseCut(nxtRdd)
+        fixed = true
+      } else {
+        PlanBridge.releaseCut(curRdd)
+        cur = nxt; curRdd = nxtRdd; curN = nxtN
+        rounds += 1
+      }
+    }
+    val survivors = cur
+    val rddToRelease = curRdd
+    (core0.unionAll(survivors), rounds, () => PlanBridge.releaseCut(rddToRelease))
+  }
+
+  /** The 5-core maintained INCREMENTALLY: solve the standing core over
+    * the wave-0 edges, then fold the wave-1 batch via the anchored peel
+    * ([[kcoreFoldOf]]) — never re-peeling the standing members. Shares
+    * `graph_kcore`'s oracle VERBATIM (the batch-closure discipline of
+    * `sim_ann_ivf_append`): the fold over any split must equal the
+    * from-scratch peel of the union graph, proved by one hash against
+    * an engine that never saw the split.
+    */
+  def graphKcoreIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val edges = copurchaseEdges(spark, sfDir, keyMod = None)
+    val wave = pmod(hash(col("a"), col("b")), lit(2))
+    def symOf(e: DataFrame) = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+    val (core0, _, rel0) = kcoreOf(symOf(edges.filter(wave === 0)), KcoreK)
+    val symAll = symOf(edges)
+    val (core, _, relF) = kcoreFoldOf(symAll, core0, KcoreK)
+    val out = symAll
+      .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("c_custkey"), col("core_degree"))
+      .orderBy("c_custkey")
+    val (res, _, _) = PlanBridge.cutLineage(out)
+    relF(); rel0()
+    res
+  }
+
   /** The 5-core of the co-purchase graph: surviving customers with their
     * within-core degree. Result is consumed through one final cut so the
     * loop's last survivor cut can release ([[kcoreOf]] contract).
@@ -818,6 +905,7 @@ object Graph extends QueryModule {
     "graph_pagerank" -> (graphPagerank _),
     "graph_triangles" -> (graphTriangles _),
     "graph_kcore" -> (graphKcore _),
+    "graph_kcore_incremental" -> (graphKcoreIncremental _),
     "graph_degree_histogram" -> (graphDegreeHistogram _),
     "graph_assortativity" -> (graphAssortativity _),
     "graph_bfs" -> (graphBfs _),
@@ -857,40 +945,11 @@ object Graph extends QueryModule {
       |FROM reach GROUP BY node
       |ORDER BY c_custkey""".stripMargin
 
-  override def oracles: Map[String, String] = Map(
-    "graph_copurchase_incremental" -> copurchaseRestrictedClosure,
-    "graph_copurchase_fold" -> copurchaseRestrictedClosure,
-    "graph_copurchase_components" ->
-      """WITH RECURSIVE base AS (
-        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |), rare AS (
-        |  SELECT part, supp FROM base GROUP BY part, supp
-        |  HAVING COUNT(*) BETWEEN 2 AND 3
-        |), members AS (
-        |  SELECT b.cust, b.part, b.supp FROM base b
-        |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
-        |), edges AS (
-        |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
-        |  FROM members m1
-        |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
-        |    AND m1.cust < m2.cust
-        |), sym AS (
-        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
-        |), reach(node, r) AS (
-        |  SELECT a, a FROM sym
-        |  UNION
-        |  SELECT w.node, e.b FROM reach w JOIN sym e ON e.a = w.r
-        |)
-        |SELECT node AS c_custkey, MIN(r) AS component
-        |FROM reach GROUP BY node
-        |ORDER BY c_custkey""".stripMargin,
-    // graph_kcore: KcoreOracleRounds unrolled peel rounds (each = the
-    // induced-subgraph degree filter); peeling is idempotent at the
-    // fixpoint, so the unroll is exact as long as the cascade settles
-    // inside the depth — GraphSpec pins the margin on the real graph.
-    "graph_kcore" -> {
+  /** The k-core unrolled-peel oracle — shared VERBATIM by the
+    * from-scratch `graph_kcore` and the anchored-fold
+    * `graph_kcore_incremental` (batch closure: the fold must equal the
+    * peel of the union graph under one hash). */
+  private def kcoreSql: String = {
       // MATERIALIZED is load-bearing: every round references the previous
       // one twice (both endpoint joins), so an inlined chain re-evaluates
       // the base 2^rounds times — measured >6 min vs 0.11 s at sf0.01
@@ -929,7 +988,43 @@ object Graph extends QueryModule {
          |JOIN k$KcoreOracleRounds y ON s.b = y.node
          |GROUP BY s.a
          |ORDER BY c_custkey""".stripMargin
-    },
+  }
+
+  override def oracles: Map[String, String] = Map(
+    "graph_copurchase_incremental" -> copurchaseRestrictedClosure,
+    "graph_copurchase_fold" -> copurchaseRestrictedClosure,
+    "graph_copurchase_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), rare AS (
+        |  SELECT part, supp FROM base GROUP BY part, supp
+        |  HAVING COUNT(*) BETWEEN 2 AND 3
+        |), members AS (
+        |  SELECT b.cust, b.part, b.supp FROM base b
+        |  JOIN rare r ON b.part = r.part AND b.supp = r.supp
+        |), edges AS (
+        |  SELECT DISTINCT m1.cust AS a, m2.cust AS b
+        |  FROM members m1
+        |  JOIN members m2 ON m1.part = m2.part AND m1.supp = m2.supp
+        |    AND m1.cust < m2.cust
+        |), sym AS (
+        |  SELECT a, b FROM edges UNION SELECT b, a FROM edges
+        |), reach(node, r) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT w.node, e.b FROM reach w JOIN sym e ON e.a = w.r
+        |)
+        |SELECT node AS c_custkey, MIN(r) AS component
+        |FROM reach GROUP BY node
+        |ORDER BY c_custkey""".stripMargin,
+    // graph_kcore: KcoreOracleRounds unrolled peel rounds (each = the
+    // induced-subgraph degree filter); peeling is idempotent at the
+    // fixpoint, so the unroll is exact as long as the cascade settles
+    // inside the depth — GraphSpec pins the margin on the real graph.
+    "graph_kcore" -> kcoreSql,
+    "graph_kcore_incremental" -> kcoreSql,
     "graph_degree_histogram" ->
       """WITH base AS (
         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part, l.l_suppkey AS supp

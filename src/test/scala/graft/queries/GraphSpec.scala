@@ -101,6 +101,46 @@ class GraphSpec extends SparkSpec {
     } finally release()
   }
 
+  test("anchored k-core fold equals the from-scratch peel, entering AND cascading") {
+    import spark.implicits._
+    // standing graph: cycle 1-2-3-4 (its 2-core) + isolated chain 5-6-7
+    // (peeled away). Batch: edges 5-7 and 4-5 — the new triangle 5-6-7
+    // enters the 2-core, and 4-5 now ties it to the standing cycle.
+    // The fold must certify the standing core WITHOUT peeling it and
+    // admit the entering cascade region.
+    val half0 = Seq((1, 2), (2, 3), (3, 4), (4, 1), (5, 6), (6, 7))
+    val batch = Seq((5, 7), (4, 5))
+    def symOf(es: Seq[(Int, Int)]) =
+      (es ++ es.map(_.swap)).toDF("src", "dst")
+    val (core0, _, rel0) = Graph.kcoreOf(symOf(half0), k = 2)
+    assert(core0.collect().map(_.getInt(0)).toSet === Set(1, 2, 3, 4))
+    val symAll = symOf(half0 ++ batch)
+    val (folded, _, relF) = Graph.kcoreFoldOf(symAll, core0, k = 2)
+    val (scratch, _, relS) = Graph.kcoreOf(symAll, k = 2)
+    try {
+      val got = folded.collect().map(_.getInt(0)).toSet
+      assert(got === scratch.collect().map(_.getInt(0)).toSet)
+      assert(got === Set(1, 2, 3, 4, 5, 6, 7))
+    } finally { relF(); relS(); rel0() }
+  }
+
+  test("anchored fold never peels a standing-core member (monotonicity anchor)") {
+    import spark.implicits._
+    // adversarial batch: a long pendant tail hung off the standing
+    // cycle — every tail node peels away, but the standing 4 must
+    // survive untouched even though the tail transiently inflated
+    // their degrees
+    val half0 = Seq((1, 2), (2, 3), (3, 4), (4, 1))
+    val batch = Seq((4, 10), (10, 11), (11, 12))
+    def symOf(es: Seq[(Int, Int)]) =
+      (es ++ es.map(_.swap)).toDF("src", "dst")
+    val (core0, _, rel0) = Graph.kcoreOf(symOf(half0), k = 2)
+    val (folded, _, relF) = Graph.kcoreFoldOf(symOf(half0 ++ batch), core0, k = 2)
+    try {
+      assert(folded.collect().map(_.getInt(0)).toSet === Set(1, 2, 3, 4))
+    } finally { relF(); rel0() }
+  }
+
   test("5-core matches a driver brute-force peel on the real graph") {
     val edges = Graph.copurchaseEdges(spark, sf0001, keyMod = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
