@@ -186,13 +186,18 @@ object Forget extends QueryModule {
     */
   private[llm] def forgetPackOver(
       spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame = {
-    val survivors = forgetSurvivorsOver(spark, sfDir, del0)
-    Sampling.cumBeforeByLang(
+    val (survivors, _, release) = forgetCascadeOver(spark, sfDir, del0)
+    val out = Sampling.cumBeforeByLang(
         survivors.select(col("doc_id"), col("lang"), col("n_words").as("toks")))
       .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
       .groupBy("lang", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
       .orderBy("lang", "bin")
+    // consume through one final cut (bins are lang×bin-sized), then
+    // drop the pinned pair blocks — the releaseCut discipline
+    val (res, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(out)
+    release()
+    res
   }
 
   /** The post-takedown curated survivor set (gate ∧ ¬deleted ∧
@@ -200,16 +205,36 @@ object Forget extends QueryModule {
     * shared by [[forgetPack]]'s manifest and [[forgetAudit]]'s totals.
     */
   private[llm] def forgetSurvivorsOver(
-      spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame = {
+      spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame =
+    forgetCascadeOver(spark, sfDir, del0)._1
+    // one-shot use: the pairs cut is reclaimed by the ContextCleaner
+    // once the returned frame is unreferenced; query entry points that
+    // consume through a final cut use [[forgetCascadeOver]] and release
+    // explicitly
+
+  /** The cascade's shared core: (survivors, full-corpus cluster
+    * labeling, release). Exposing the labeling lets [[forgetAudit]]
+    * derive its 'before' frame from the SAME PPJoin + components pass
+    * the survivor cut already pays (advisor-caught: the audit used to
+    * re-run both via `Dedup.dedupClusters` — the exact duplication the
+    * "ONE PPJoin pass" note below forbids, hidden from the PlanSpec
+    * shingle-kernel guard behind the lineage cuts). `release()` drops
+    * the pinned pair blocks; callers consume their outputs through a
+    * final cut (or collect) first — repeated invocations in one session
+    * (bench loops, pack + audit in one run) otherwise accumulate
+    * persisted blocks until a GC happens.
+    */
+  private[llm] def forgetCascadeOver(
+      spark: SparkSession, sfDir: String, del0: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
     val del = del0.select("doc_id")
     // ONE PPJoin pass: materialize the verified pair set behind a lineage
-    // cut and derive BOTH the standing cluster labeling and the
-    // affected-cluster retained edges from it (calling dedupClusters AND
-    // jaccardPairs re-ran the candidate+verify self-join twice —
-    // review-caught; ReuseExchange shares the shingled scan, not the join
-    // work). One-shot cut: the ContextCleaner reclaims the blocks once
-    // the query's frames are unreferenced.
-    val (pairs, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(
+    // cut and derive the standing cluster labeling, the affected-cluster
+    // retained edges, AND the audit's before-frame from it (calling
+    // dedupClusters AND jaccardPairs re-ran the candidate+verify
+    // self-join twice — review-caught; ReuseExchange shares the shingled
+    // scan, not the join work).
+    val (pairs, pairsRdd, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(
       Dedup.jaccardPairs(spark, sfDir, t = 0.8)
         .select(col("doc_a").as("a"), col("doc_b").as("b")))
     val cl = ConnectedComponents.components(pairs)
@@ -229,9 +254,11 @@ object Forget extends QueryModule {
     val newLosers = ConnectedComponents.components(affEdges)
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    Refinery.gatedDocs(spark, sfDir)
+    val survivors = Refinery.gatedDocs(spark, sfDir)
       .join(del, Seq("doc_id"), "left_anti")
       .join(standingLosers.union(newLosers), Seq("doc_id"), "left_anti")
+    (survivors, cl,
+      () => org.apache.spark.sql.graft.PlanBridge.releaseCut(pairsRdd))
   }
 
   // ---------------------------------------------------------- forget_spans
@@ -340,17 +367,21 @@ object Forget extends QueryModule {
     val del = deletedOf(docs)
     val requal = requalifyOver(docs, del)
     val spans = requalifySpansOver(docs, del)
+    // the before-frame's loser set comes from the SAME labeling the
+    // cascade core computed — one PPJoin + one full-corpus components
+    // pass serve both sides of the audit (advisor-caught: this used to
+    // re-run both via Dedup.dedupClusters behind the lineage cut)
+    val (after, cl, release) = forgetCascadeOver(spark, sfDir, del)
     val before = Refinery.gatedDocs(spark, sfDir)
-      .join(Dedup.dedupClusters(spark, sfDir)
-        .filter(!col("canonical")).select("doc_id"), Seq("doc_id"), "left_anti")
-    val after = forgetSurvivorsOver(spark, sfDir, del)
+      .join(cl.filter(!col("canonical")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
     def one(metric: String, df: DataFrame, v: Column): DataFrame =
       df.agg(v.cast("long").as("value")).select(lit(metric).as("metric"), col("value"))
     // counts, not sums-of-flags: an EMPTY blast radius must read 0 in
     // both engines (Spark's sum over zero rows is NULL, COUNT(*) is 0 —
     // the review-caught divergence); the words total coalesces for the
     // same reason, mirrored in the oracle
-    one("deleted_docs", del, count(lit(1)))
+    val metrics = one("deleted_docs", del, count(lit(1)))
       .unionByName(one("readmitted_docs", requal,
         count(when(col("readmitted"), lit(1)))))
       .unionByName(one("span_affected_docs", spans, count(lit(1))))
@@ -361,6 +392,10 @@ object Forget extends QueryModule {
       .unionByName(one("kept_docs_after", after, count(lit(1))))
       .unionByName(one("kept_tokens_after", after, sum(col("n_words"))))
       .orderBy("metric")
+    // eight scalar rows: cut, then drop the pinned pair blocks
+    val (res, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(metrics)
+    release()
+    res
   }
 
   // ----------------------------------------------------- forget_gate_drift
