@@ -167,7 +167,13 @@ object PlanDump {
     // bounds are spec-pinned in ForgetSpec) and checkpoint resume (one
     // pushed-down filter over the partitioned serve rank)
     "forget_requalify", "forget_pack", "forget_spans", "forget_audit",
-    "forget_gate_drift", "refinery_serve_resume")
+    "forget_gate_drift", "refinery_serve_resume",
+    // round 11: the re-rank family (the dump shows the shortlist-bounded
+    // id-equi broadcast fetch — PlanSpec pins the same shape), the
+    // footprint report, and the anchored k-core fold (standing-core
+    // certification without a corpus re-peel)
+    "sim_ann_ivfpq_rerank", "sim_ann_ivfpq_rerank_sweep",
+    "sim_index_footprint", "graph_kcore_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
