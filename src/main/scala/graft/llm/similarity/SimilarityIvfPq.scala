@@ -657,13 +657,105 @@ trait SimilarityIvfPq extends SimilarityIvf {
     rows.reduce(_.unionAll(_)).orderBy("rerank_r")
   }
 
+  /** Probe depths the re-rank × nprobe cross table prices. */
+  protected val RerankNprobes = Seq(1, 2, 4)
+
+  /** The ADC candidate frame over the prn ≤ maxNprobe cells WITH each
+    * candidate's cell-rank attached (a candidate lives in exactly one
+    * cell, so MIN(prn) is its rank) — the one-scoring-pass builder the
+    * cross table reads its nprobe tiers off. Kept SEPARATE from
+    * [[ivfPqAdcOver]] on purpose: the shipped probe/re-rank plans must
+    * not change shape (plan identity), and pruning an unused min(prn)
+    * out of a shared aggregate is exactly the Catalyst edge this
+    * avoids. */
+  protected def ivfPqAdcRanked(
+      emb: DataFrame, subs: DataFrame, coarse: DataFrame,
+      pqCb: DataFrame, postings: DataFrame, maxNprobe: Int): DataFrame = {
+    val probed = probedCellsOf(emb, coarse)
+      .filter(col("prn") <= maxNprobe)
+      .select(col("q_id"), col("cluster"), col("prn"))
+    val luts = subs.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("s"), col("sub"))
+      .join(broadcast(pqCb), Seq("s"))
+      .withColumn("pd2", round(pqSubD2, 6).cast("decimal(18,6)"))
+      .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
+        col("cent_id").as("lut_cid"), col("pd2"))
+    postings
+      .join(broadcast(probed), Seq("cluster"))
+      .join(broadcast(luts),
+        col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
+          col("cid") === col("lut_cid"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("pd2")).as("adc"), min(col("prn")).as("prn"))
+  }
+
+  /** The re-rank × nprobe CROSS TABLE — the question the two existing
+    * sweeps leave open, answered: the ADC nprobe sweep measured that
+    * widening the probe set HURT (6 → 5 → 3 hits: quantized scores let
+    * far-cell noise evict true neighbors), and the R sweep measured
+    * that exact re-rank repairs the shortlist's ORDER. This table asks
+    * whether re-rank also repairs the WIDENING: for nprobe ∈
+    * [[RerankNprobes]] at fixed R = 30, ADC-shortlist within the probed
+    * cells, by-id fetch, exact re-rank, hits vs the fp64 truth. NOT
+    * provably monotone in nprobe — a wider candidate pool can evict a
+    * true neighbor from the ADC top-R before the exact stage ever sees
+    * it (shortlist MEMBERSHIP is still quantized even when order is
+    * exact) — so the table is an honest measurement either way: hits
+    * rising says re-rank inverts the nprobe lesson (spend nprobe freely
+    * once R is paid); hits falling says R must scale with nprobe.
+    * MEASURED at sf0.01: 18 → 19 → 19 of 30 as nprobe grows 1 → 2 → 4.
+    * Two lessons in one row set: (1) re-rank REPAIRS the ADC collapse —
+    * the ADC-only sweep FELL 6 → 5 → 3 over these same cells, the
+    * re-ranked curve never falls; (2) at fixed R the curve is nearly
+    * FLAT — widening 2 → 4 cells buys nothing because R = 30 covers a
+    * shrinking fraction of the candidate pool (~50% of one cell, ~12%
+    * of four) and shortlist MEMBERSHIP, not order, becomes the binding
+    * constraint. Spend R before nprobe on this corpus: R took 7 → 19
+    * at fixed nprobe (the R sweep) while nprobe takes 18 → 19 at fixed
+    * R. One scoring pass over the prn ≤ 4 cells
+    * ([[ivfPqAdcRanked]], pinned exchange); each tier filters to its
+    * cells, shortlists at R, and pays its own bounded fetch. */
+  def simAnnIvfPqRerankNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, subs, coarse, pqCb, postings) =
+      ivfPqIndexOf(spark, sfDir, trainedPq = true)
+    val adc = ivfPqAdcRanked(emb, subs, coarse, pqCb, postings,
+        RerankNprobes.max)
+      // pinned: ONE train ∘ encode ∘ ADC pass feeds every tier
+      .repartition(col("q_id"))
+    val exact3 = exact3Of(emb)
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val byD2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    val rows = RerankNprobes.map { p =>
+      rerankScored(emb, adc.filter(col("prn") <= p).select("q_id", "cand_id", "adc"),
+          RerankSweepR.max)
+        .withColumn("rn", row_number().over(byD2))
+        .join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(lit(1)).as("n_scored"),
+          count(when(col("rn") <= 3, col("hit"))).as("n_hits"))
+        .crossJoin(broadcast(nExact))
+        .select(lit(p).as("nprobe"), lit(RerankSweepR.max).as("rerank_r"),
+          col("n_scored"), col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    rows.reduce(_.unionAll(_)).orderBy("nprobe")
+  }
+
   /** The trained IVF-PQ chain through the ADC candidate frame plus the
     * fp64 exact-top-3 truth, as DuckDB CTE text (`WITH e AS … adc AS
     * (…), exact3 AS (…)`) — shared VERBATIM by the `sim_ann_ivfpq_trained`
     * and re-rank oracles, so every member of the family replays the same
     * train(coarse) ∘ train(PQ) ∘ assign ∘ encode ∘ ADC chain; callers
-    * append their own read-off CTEs and final SELECT. */
+    * append their own read-off CTEs and final SELECT. At the default
+    * arguments the emitted text is byte-identical to the shared form;
+    * the cross table widens the probe set and carries each candidate's
+    * cell-rank (`prn`, via MIN over its single cell) through the ADC
+    * frame. */
   protected def duckIvfPqTrainedCtes: String =
+    duckIvfPqTrainedCtesAt(IvfPqNprobe, carryPrn = false)
+
+  protected def duckIvfPqTrainedCtesAt(maxNprobe: Int, carryPrn: Boolean): String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
@@ -724,12 +816,12 @@ trait SimilarityIvfPq extends SimilarityIvf {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cent_id) AS rn
        |    FROM tcand) WHERE rn = 1
        |), probed AS (
-       |  SELECT q_id, cluster FROM (
+       |  SELECT q_id, cluster${if (carryPrn) ", prn" else ""} FROM (
        |    SELECT q.vec_id AS q_id, newc.cent_id AS cluster,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${duckCos("q.v", "newc.cv")} DESC, newc.cent_id) AS prn
        |    FROM e q CROSS JOIN newc WHERE q.vec_id < $NQueries)
-       |  WHERE prn <= $IvfPqNprobe
+       |  WHERE prn <= $maxNprobe
        |), luts2 AS (
        |  SELECT subs.vec_id AS q_id, subs.s, pnewc.cent_id,
        |    CAST(ROUND(list_sum(list_transform(range(1, 9),
@@ -738,7 +830,8 @@ trait SimilarityIvfPq extends SimilarityIvf {
        |  FROM subs JOIN pnewc ON subs.s = pnewc.s
        |  WHERE subs.vec_id < $NQueries
        |), adc AS (
-       |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc
+       |  SELECT p.q_id, c.cand_id, SUM(l.pd2) AS adc${
+            if (carryPrn) ", MIN(p.prn) AS prn" else ""}
        |  FROM probed p
        |  JOIN a2 ON a2.cluster = p.cluster
        |  JOIN codes2 c ON c.cand_id = a2.vec_id
@@ -766,6 +859,7 @@ trait SimilarityIvfPq extends SimilarityIvf {
     "sim_ann_ivfpq_ksweep" -> (simAnnIvfPqKsweep _),
     "sim_ann_ivfpq_rerank" -> (simAnnIvfPqRerank _),
     "sim_ann_ivfpq_rerank_sweep" -> (simAnnIvfPqRerankSweep _),
+    "sim_ann_ivfpq_rerank_nprobe" -> (simAnnIvfPqRerankNprobe _),
     "sim_index_footprint" -> (simIndexFootprint _),
 
   )
@@ -1256,6 +1350,51 @@ trait SimilarityIvfPq extends SimilarityIvf {
          |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
          |WHERE r.rn <= 3
          |ORDER BY r.q_id, r.rn""".stripMargin,
+    // the cross table replays the trained chain ONCE over the prn ≤ 4
+    // cells with each candidate's cell-rank carried through the ADC
+    // frame, then reads each nprobe tier off it — shortlist at R within
+    // the tier's cells, exact re-rank, hits vs the fp64 truth
+    "sim_ann_ivfpq_rerank_nprobe" ->
+      s"""${duckIvfPqTrainedCtesAt(RerankNprobes.max, carryPrn = true)}
+         |, nex AS (SELECT COUNT(*) AS n_exact FROM exact3),
+         |ps(nprobe) AS (VALUES ${RerankNprobes.map(p => s"($p)").mkString(", ")}),
+         |short AS (
+         |  SELECT nprobe, q_id, cand_id FROM (
+         |    SELECT t.nprobe, a.q_id, a.cand_id,
+         |      row_number() OVER (PARTITION BY t.nprobe, a.q_id
+         |        ORDER BY a.adc, a.cand_id) AS arn
+         |    FROM ps t JOIN adc a ON a.prn <= t.nprobe)
+         |  WHERE arn <= ${RerankSweepR.max}
+         |), rr AS (
+         |  SELECT s.nprobe, s.q_id, s.cand_id,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.q_id
+         |  JOIN e c ON c.vec_id = s.cand_id
+         |), rk AS (
+         |  SELECT nprobe, q_id, cand_id,
+         |    row_number() OVER (PARTITION BY nprobe, q_id
+         |      ORDER BY d2, cand_id) AS rn
+         |  FROM rr
+         |), per AS (
+         |  SELECT nprobe, COUNT(*) AS n_scored FROM short GROUP BY nprobe
+         |), hits AS (
+         |  SELECT rk.nprobe, COUNT(*) AS n_hits
+         |  FROM rk JOIN exact3 x
+         |    ON rk.q_id = x.q_id AND rk.cand_id = x.cand_id
+         |  WHERE rk.rn <= 3 GROUP BY rk.nprobe
+         |)
+         |SELECT CAST(per.nprobe AS INTEGER) AS nprobe,
+         |  CAST(${RerankSweepR.max} AS INTEGER) AS rerank_r,
+         |  CAST(per.n_scored AS BIGINT) AS n_scored,
+         |  CAST(COALESCE(hits.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(COALESCE(hits.n_hits, 0) * 1000000 // nex.n_exact AS BIGINT)
+         |  END AS recall_ppm
+         |FROM per LEFT JOIN hits ON per.nprobe = hits.nprobe
+         |CROSS JOIN nex
+         |ORDER BY nprobe""".stripMargin,
     // the R sweep scores the shortlist ONCE at max R and reads each
     // tier off the single scored frame — the Spark plan's pinned-
     // exchange shape, replayed

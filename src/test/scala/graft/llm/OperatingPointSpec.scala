@@ -145,4 +145,33 @@ class OperatingPointSpec extends SparkSpec {
     assert(hits.head === baseline,
       s"R=3 tier (${hits.head}) must equal the no-re-rank baseline ($baseline)")
   }
+
+  test("re-rank x nprobe cross table: consistent with the R sweep at the shared point") {
+    // hits are deliberately NOT asserted monotone in nprobe: shortlist
+    // membership stays quantized (a wider pool can evict a truth from
+    // the ADC top-R before the exact stage sees it) — only the
+    // by-construction invariants pin, plus the cross-query consistency:
+    // the (nprobe = 2, R = 30) cell is the SAME operating point the R
+    // sweep's R = 30 row prices, so their hit counts must agree.
+    val rows = Similarity.queries("sim_ann_ivfpq_rerank_nprobe")(spark, sf0001)
+      .collect().sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 2, 4))
+    val nExact = 3L * Similarity.NQueries
+    rows.foreach { r =>
+      assert(r.getAs[Int]("rerank_r") === 30)
+      assert(r.getAs[Long]("n_scored") <= 30L * Similarity.NQueries)
+      val h = r.getAs[Long]("n_hits")
+      assert(h <= nExact)
+      assert(r.getAs[Long]("recall_ppm") === h * 1000000L / nExact)
+    }
+    // scored counts non-decreasing: each tier's cells are a superset
+    val scored = rows.map(_.getAs[Long]("n_scored"))
+    assert(scored.zip(scored.tail).forall { case (a, b) => a <= b },
+      s"n_scored must be non-decreasing in nprobe: ${scored.toSeq}")
+    val sweepR30 = Similarity.queries("sim_ann_ivfpq_rerank_sweep")(spark, sf0001)
+      .filter("rerank_r = 30").collect()(0).getAs[Long]("n_hits")
+    val cross = rows.find(_.getAs[Int]("nprobe") == 2).get.getAs[Long]("n_hits")
+    assert(cross === sweepR30,
+      s"(nprobe=2, R=30) must agree across the two tables: $cross vs $sweepR30")
+  }
 }
