@@ -656,6 +656,20 @@ object ScaleProbe {
       vecs.withColumn("shard", pmod(col("vec_id"), lit(nShards)))
         .write.mode("overwrite").partitionBy("shard")
         .parquet(s"$zoneDir/sharded")
+      // the layout the fetch actually wants: id-SORTED files (range
+      // partition + in-file sort), so a pushed-down IN-filter on the
+      // shortlist ids skips whole row groups via min/max stats — the
+      // zone-map fetch, vs the flat layout's full scan
+      vecs.repartitionByRange(32, col("vec_id"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.mode("overwrite").parquet(s"$zoneDir/sorted")
+      // id order CANNOT localize a random shortlist (its ids are
+      // uniform over the id space — the scatter is the data, not the
+      // layout). The fetch's true locality unit is the IVF CELL: every
+      // shortlist is cell-local by construction (candidates come from
+      // the query's nprobe probed cells), so a zone sorted by cluster
+      // turns the fetch into a probed-cells range read — nprobe/k of
+      // the zone. Written AFTER assignment below.
       val cents = vecs.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("e").as("cente"))
       // coarse assignment — the shipped aggregate-argmax shape
@@ -684,6 +698,9 @@ object ScaleProbe {
           col("s"), col("b.cent_id").as("cid"))
       val ((postings, postRdd, _), encodeSec) =
         time(PlanBridge.cutLineage(postingsPlan))
+      assigned.repartitionByRange(32, col("cluster"), col("vec_id"))
+        .sortWithinPartitions(col("cluster"), col("vec_id"))
+        .write.mode("overwrite").parquet(s"$zoneDir/bycell")
       val q = vecs.filter(col("vec_id") < nQ)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
       val byCent = Window.partitionBy("q_id")
@@ -731,41 +748,98 @@ object ScaleProbe {
         .select(col("q_id"), col("cand_id"))
       // drain through the rank + hit flag — the rank depends on the L2
       // fold, so Catalyst cannot prune the exact scoring out of the
-      // timing (the r10 argmax lesson)
-      def rerank(fetched: DataFrame): (Long, Long) = {
-        val row = fetched
+      // timing (the r10 argmax lesson). Besides (scored, hits), report
+      // the rows the ZONE SCAN actually emitted — wall time can't
+      // separate layouts on a page-cache-resident 500 MB zone, but the
+      // scan row count IS the 100 TB IO story (post row-group-skip,
+      // pre-join), read off the executed plan's FileSourceScan metrics.
+      def scanRowsOf(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scanRowsOf(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scanRowsOf(qs.plan)
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+          case other => other.children.map(scanRowsOf).sum
+        }
+      def rerank(fetched: DataFrame): ((Long, Long), Long) = {
+        val aggDf = fetched
           .withColumn("d2", l2)
           .withColumn("rn", row_number().over(byL2))
           .join(truth.withColumn("hit", lit(1)), Seq("q_id", "cand_id"), "left")
           .agg(count(lit(1)),
             sum(when(col("rn") <= 3 && col("hit").isNotNull, 1L)
-              .otherwise(0L))).head
-        (row.getLong(0), row.getLong(1))
+              .otherwise(0L)))
+        // collect(), NOT head: head() executes a DERIVED limit(1)
+        // QueryExecution, leaving this one's plan unexecuted and every
+        // metric zero (measured — the debug session that found it)
+        val row = aggDf.collect()(0)
+        ((row.getLong(0), row.getLong(1)),
+          scanRowsOf(aggDf.queryExecution.executedPlan))
       }
       for (r <- Seq(10, 100, 1000)) {
-        def waveFlat(): (Long, Long) = rerank(
+        def waveFlat(): ((Long, Long), Long) = rerank(
           spark.read.parquet(s"$zoneDir/flat")
             .select(col("vec_id").as("cand_id"), col("e").as("ce"))
             .join(broadcast(shortlistOf(r)), Seq("cand_id"))
             .join(broadcast(q), Seq("q_id")))
-        def waveSharded(): (Long, Long) = rerank(
+        def waveSharded(): ((Long, Long), Long) = rerank(
           spark.read.parquet(s"$zoneDir/sharded")
             .select(col("shard"), col("vec_id").as("cand_id"), col("e").as("ce"))
             .join(broadcast(shortlistOf(r)
               .withColumn("shard", pmod(col("cand_id"), lit(nShards)))),
               Seq("shard", "cand_id"))
             .join(broadcast(q), Seq("q_id")))
+        // the production fetch: the shortlist ids (R×queries rows —
+        // driver-scale BY CONSTRUCTION) become a pushed-down IN filter
+        // over the id-sorted zone, so parquet min/max row-group stats
+        // skip everything the shortlist doesn't touch
+        def waveSortedPushdown(): ((Long, Long), Long) = {
+          val ids = shortlistOf(r).select("cand_id")
+            .collect().map(_.getLong(0))
+          rerank(
+            spark.read.parquet(s"$zoneDir/sorted")
+              .filter(col("vec_id").isin(ids: _*))
+              .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+              .join(broadcast(shortlistOf(r)), Seq("cand_id"))
+              .join(broadcast(q), Seq("q_id")))
+        }
+        // the cell-sorted fetch: filter to the probed CELLS (a bounded
+        // driver list — nprobe×queries pairs), which the cluster-sorted
+        // layout serves as a row-group range read of nprobe/k of the
+        // zone; the id join then narrows within the cells
+        def waveCellSorted(): ((Long, Long), Long) = {
+          val cells = probed.select("cluster").distinct()
+            .collect().map(_.getLong(0))
+          rerank(
+            spark.read.parquet(s"$zoneDir/bycell")
+              .filter(col("cluster").isin(cells: _*))
+              .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+              .join(broadcast(shortlistOf(r)), Seq("cand_id"))
+              .join(broadcast(q), Seq("q_id")))
+        }
         val flat = (1 to 2).map(_ => time(waveFlat())).minBy(_._2)
         val shard = (1 to 2).map(_ => time(waveSharded())).minBy(_._2)
-        require(flat._1 == shard._1,
-          s"zone layouts disagree: ${flat._1} vs ${shard._1}")
-        val (nScored, hits) = flat._1
+        val sorted = (1 to 2).map(_ => time(waveSortedPushdown())).minBy(_._2)
+        val bycell = (1 to 2).map(_ => time(waveCellSorted())).minBy(_._2)
+        require(flat._1._1 == shard._1._1 && flat._1._1 == sorted._1._1 &&
+            flat._1._1 == bycell._1._1,
+          s"zone layouts disagree: ${flat._1._1} / ${shard._1._1} / " +
+            s"${sorted._1._1} / ${bycell._1._1}")
+        val (nScored, hits) = flat._1._1
         println(f"""{"probe":"rerank_fetch_wave","vectors":$n,"r":$r,""" +
           f""""adc_candidates":$nAdc,"scored":$nScored,"hits":$hits,""" +
           f""""truth":$nTruth,"encode_sec":$encodeSec%.1f,""" +
           f""""adc_sec":$adcSec%.1f,"truth_sec":$truthSec%.1f,""" +
           f""""flat_fetch_sec":${flat._2}%.1f,""" +
-          f""""sharded_fetch_sec":${shard._2}%.1f}""")
+          f""""sharded_fetch_sec":${shard._2}%.1f,""" +
+          f""""sorted_pushdown_fetch_sec":${sorted._2}%.1f,""" +
+          f""""cell_sorted_fetch_sec":${bycell._2}%.1f,""" +
+          f""""flat_scan_rows":${flat._1._2},""" +
+          f""""sharded_scan_rows":${shard._1._2},""" +
+          f""""sorted_pushdown_scan_rows":${sorted._1._2},""" +
+          f""""cell_sorted_scan_rows":${bycell._1._2}}""")
       }
       PlanBridge.releaseCut(adcRdd)
       PlanBridge.releaseCut(truthRdd)

@@ -141,6 +141,25 @@ class GraphSpec extends SparkSpec {
     } finally { relF(); rel0() }
   }
 
+  test("k-core deletion is NOT blast-radius-boundable: one edge unravels the core (why deletions rebuild)") {
+    import spark.implicits._
+    // an 8-cycle is its own 2-core; removing ONE edge turns it into a
+    // path whose ends peel at degree 1, cascading until NOTHING is left —
+    // the blast radius of a single deleted edge is the entire core, so
+    // no anchored fold exists for deletions (the exact counterexample the
+    // kcoreFoldOf scaladoc documents; insertions fold, deletions rebuild)
+    val cycle = (1 to 8).map(i => (i, i % 8 + 1))
+    def symOf(es: Seq[(Int, Int)]) =
+      (es ++ es.map(_.swap)).toDF("src", "dst")
+    val (full, _, relF) = Graph.kcoreOf(symOf(cycle), k = 2)
+    val (broken, _, relB) = Graph.kcoreOf(symOf(cycle.tail), k = 2)
+    try {
+      assert(full.count() === 8L, "the intact cycle is its own 2-core")
+      assert(broken.count() === 0L,
+        "one deleted edge must unravel the entire 2-core")
+    } finally { relF(); relB() }
+  }
+
   test("5-core matches a driver brute-force peel on the real graph") {
     val edges = Graph.copurchaseEdges(spark, sf0001, keyMod = None)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
