@@ -173,6 +173,7 @@ object PlanDump {
     // footprint report, and the anchored k-core fold (standing-core
     // certification without a corpus re-peel)
     "sim_ann_ivfpq_rerank", "sim_ann_ivfpq_rerank_sweep",
+    "sim_ann_ivfpq_rerank_nprobe", "sim_ann_ivfpq_rerank_zone",
     "sim_index_footprint", "graph_kcore_incremental")
 
   def main(args: Array[String]): Unit = {

@@ -657,6 +657,79 @@ trait SimilarityIvfPq extends SimilarityIvf {
     rows.reduce(_.unionAll(_)).orderBy("rerank_r")
   }
 
+  /** (JVM, corpus-fingerprint) → the CELL-KEYED standing fp64 vector
+    * zone — the fetch-side artifact of an IVF-PQ deployment, beside the
+    * codes zone `ivfPqIndexStream` maintains. Layout is the probe's
+    * measured lesson (`ScaleProbe rerank`, SCRATCH_r11): hash shards
+    * and id order both read the WHOLE zone for a random shortlist
+    * (uniform ids land in every row group), while cluster order serves
+    * the probed-cells filter as a row-group range read — ~nprobe/k of
+    * the zone — because shortlists are cell-local BY CONSTRUCTION. So
+    * the zone is range-partitioned and sorted by (cluster, vec_id),
+    * built once per corpus fingerprint via the atomic-rename
+    * discipline (the `materializedIvfIndex` memo pattern). */
+  protected val vectorZoneMemo = scala.collection.mutable.Map[String, String]()
+
+  protected def materializedVectorZone(spark: SparkSession, sfDir: String): String =
+    vectorZoneMemo.synchronized {
+      val key = s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir, "embeddings.parquet")}"
+      vectorZoneMemo.getOrElseUpdate(key, {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val emb = embDouble(Tables.embeddings(spark, sfDir))
+        val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+        graft.Fs.writeParquetAtomic(
+          ivfAssignTo(coarse, emb)
+            .repartitionByRange(col("cluster"), col("vec_id"))
+            .sortWithinPartitions("cluster", "vec_id"),
+          java.nio.file.Paths.get(
+            sys.props("java.io.tmpdir"), "graft_sim", digest, "vector_zone"))
+      })
+    }
+
+  /** [[simAnnIvfPqRerank]] with the fp64 fetch served by the STANDING
+    * cell-keyed vector zone ([[materializedVectorZone]]) instead of an
+    * in-query frame — the TRUE production wave: the query's probed
+    * cells (nprobe × queries values, bounded BY CONSTRUCTION) become a
+    * literal pushed-down filter on the zone's cluster key, so the scan
+    * reads only the probed cells' row groups, and the broadcast
+    * shortlist join narrows to exactly R rows per query inside them.
+    * Shares `sim_ann_ivfpq_rerank`'s oracle VERBATIM (the oracle never
+    * sees the zone round-trip) — one hash pins zone-fetched ≡ in-query;
+    * `PlanSpec` pins the pushed `In(cluster, …)` on the zone scan.
+    * First invocation per JVM pays the zone build into the memo;
+    * Bench's min-of-two records the warm zone-fetch cost. */
+  def simAnnIvfPqRerankZone(spark: SparkSession, sfDir: String): DataFrame = {
+    val (emb, subs, coarse, pqCb, postings) =
+      ivfPqIndexOf(spark, sfDir, trainedPq = true)
+    val adc = ivfPqAdcOver(emb, subs, coarse, pqCb, postings)
+    val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+    val shortlist = adc.withColumn("arn", row_number().over(byAdc))
+      .filter(col("arn") <= RerankR)
+      .select(col("q_id"), col("cand_id"), col("arn"))
+    val cells = probedCellsOf(emb, coarse)
+      .filter(col("prn") <= IvfPqNprobe)
+      .select("cluster").distinct().collect().map(_.getLong(0))
+    val zone = spark.read.parquet(materializedVectorZone(spark, sfDir))
+      .filter(col("cluster").isin(cells: _*))
+      .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+    val qv = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val l2 = expr(
+      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val byD2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+    zone.join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("d2", l2)
+      .withColumn("rn", row_number().over(byD2))
+      .filter(col("rn") <= 3)
+      .join(exact3Of(emb), Seq("q_id", "cand_id"), "left")
+      .select(col("q_id"), col("rn"), col("cand_id"),
+        round(col("d2"), 6).as("d2"), col("arn"),
+        coalesce(col("hit"), lit(false)).as("in_exact3"))
+      .orderBy("q_id", "rn")
+  }
+
   /** Probe depths the re-rank × nprobe cross table prices. */
   protected val RerankNprobes = Seq(1, 2, 4)
 
@@ -860,9 +933,43 @@ trait SimilarityIvfPq extends SimilarityIvf {
     "sim_ann_ivfpq_rerank" -> (simAnnIvfPqRerank _),
     "sim_ann_ivfpq_rerank_sweep" -> (simAnnIvfPqRerankSweep _),
     "sim_ann_ivfpq_rerank_nprobe" -> (simAnnIvfPqRerankNprobe _),
+    "sim_ann_ivfpq_rerank_zone" -> (simAnnIvfPqRerankZone _),
     "sim_index_footprint" -> (simIndexFootprint _),
 
   )
+
+  /** The re-rank oracle — shared VERBATIM by the in-query
+    * `sim_ann_ivfpq_rerank` and the zone-fetched
+    * `sim_ann_ivfpq_rerank_zone` (the oracle never sees the standing
+    * zone round-trip, so one hash pins zone ≡ in-query). */
+  protected def duckIvfPqRerankSql: String =
+      s"""$duckIvfPqTrainedCtes
+         |, short AS (
+         |  SELECT q_id, cand_id, arn FROM (
+         |    SELECT q_id, cand_id,
+         |      CAST(row_number() OVER (PARTITION BY q_id
+         |        ORDER BY adc, cand_id) AS INTEGER) AS arn
+         |    FROM adc)
+         |  WHERE arn <= $RerankR
+         |), rr AS (
+         |  SELECT s.q_id, s.cand_id, s.arn,
+         |    list_sum(list_transform(range(1, 65),
+         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+         |  FROM short s
+         |  JOIN e q ON q.vec_id = s.q_id
+         |  JOIN e c ON c.vec_id = s.cand_id
+         |), reranked AS (
+         |  SELECT q_id, cand_id, arn, d2,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY d2, cand_id) AS INTEGER) AS rn
+         |  FROM rr
+         |)
+         |SELECT r.q_id, r.rn, r.cand_id, ROUND(r.d2, 6) AS d2, r.arn,
+         |  (x.q_id IS NOT NULL) AS in_exact3
+         |FROM reranked r LEFT JOIN exact3 x
+         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
+         |WHERE r.rn <= 3
+         |ORDER BY r.q_id, r.rn""".stripMargin
 
   protected def ivfPqOracles: Map[String, String] = Map(
 
@@ -1322,34 +1429,8 @@ trait SimilarityIvfPq extends SimilarityIvf {
     // the re-rank replays the SAME trained chain (shared CTE text),
     // shortlists the ADC top-R, fetches those R vectors BY ID (the
     // joins back to e), exact-scores only them, and re-ranks
-    "sim_ann_ivfpq_rerank" ->
-      s"""$duckIvfPqTrainedCtes
-         |, short AS (
-         |  SELECT q_id, cand_id, arn FROM (
-         |    SELECT q_id, cand_id,
-         |      CAST(row_number() OVER (PARTITION BY q_id
-         |        ORDER BY adc, cand_id) AS INTEGER) AS arn
-         |    FROM adc)
-         |  WHERE arn <= $RerankR
-         |), rr AS (
-         |  SELECT s.q_id, s.cand_id, s.arn,
-         |    list_sum(list_transform(range(1, 65),
-         |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
-         |  FROM short s
-         |  JOIN e q ON q.vec_id = s.q_id
-         |  JOIN e c ON c.vec_id = s.cand_id
-         |), reranked AS (
-         |  SELECT q_id, cand_id, arn, d2,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY d2, cand_id) AS INTEGER) AS rn
-         |  FROM rr
-         |)
-         |SELECT r.q_id, r.rn, r.cand_id, ROUND(r.d2, 6) AS d2, r.arn,
-         |  (x.q_id IS NOT NULL) AS in_exact3
-         |FROM reranked r LEFT JOIN exact3 x
-         |  ON r.q_id = x.q_id AND r.cand_id = x.cand_id
-         |WHERE r.rn <= 3
-         |ORDER BY r.q_id, r.rn""".stripMargin,
+    "sim_ann_ivfpq_rerank" -> duckIvfPqRerankSql,
+    "sim_ann_ivfpq_rerank_zone" -> duckIvfPqRerankSql,
     // the cross table replays the trained chain ONCE over the prn ≤ 4
     // cells with each candidate's cell-rank carried through the ADC
     // frame, then reads each nprobe tier off it — shortlist at R within

@@ -267,6 +267,24 @@ class PlanSpec extends SparkSpec {
       s"expected the arn <= R shortlist bound in the plan:\n$p")
   }
 
+  test("zone-fetched re-rank: the probed-cells filter is PUSHED into the zone scan") {
+    // the production fetch's whole point: the standing vector zone is
+    // cluster-keyed, and the query's probed cells (a bounded literal
+    // list by construction) must reach the parquet reader as a pushed
+    // In(cluster, …) so row-group stats skip everything outside the
+    // probed cells (~nprobe/k of the zone) — a plan where the filter
+    // evaluates only post-scan reads the whole zone at 100 TB
+    // the zone is the only cluster-columned parquet in the plan, so a
+    // FileScan line carrying In(cluster, …) in its PushedFilters IS the
+    // pushed probed-cells fetch (the path itself is elided by toString)
+    val df = SparkEntry.queries("sim_ann_ivfpq_rerank_zone")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val zoneScan = p.linesIterator.find(l =>
+      l.contains("FileScan parquet") && l.contains("In(cluster"))
+    assert(zoneScan.isDefined,
+      s"expected the probed-cells In(cluster, …) pushed into the zone scan:\n$p")
+  }
+
   test("forget cascade: the PPJoin runs behind ONE cut, never inside the plan") {
     // forgetSurvivorsOver materializes the verified pair set behind a
     // single lineage cut and derives BOTH the cluster labeling and the

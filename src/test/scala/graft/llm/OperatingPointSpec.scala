@@ -174,4 +174,15 @@ class OperatingPointSpec extends SparkSpec {
     assert(cross === sweepR30,
       s"(nprobe=2, R=30) must agree across the two tables: $cross vs $sweepR30")
   }
+
+  test("zone-fetched re-rank equals the in-query re-rank row-for-row") {
+    // the shared oracle pins this at sf0.01; this pins it per-run at
+    // sf0.001 too — the standing cell-keyed zone (parquet round-trip,
+    // pushed probed-cells filter) must change NOTHING about the result
+    val inQuery = Similarity.queries("sim_ann_ivfpq_rerank")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq)
+    val zone = Similarity.queries("sim_ann_ivfpq_rerank_zone")(spark, sf0001)
+      .collect().toSeq.map(_.toSeq)
+    assert(zone.nonEmpty && zone === inQuery)
+  }
 }
