@@ -702,7 +702,17 @@ trait SimilarityIvfPq extends SimilarityIvf {
   def simAnnIvfPqRerankZone(spark: SparkSession, sfDir: String): DataFrame = {
     val (emb, subs, coarse, pqCb, postings) =
       ivfPqIndexOf(spark, sfDir, trainedPq = true)
-    val adc = ivfPqAdcOver(emb, subs, coarse, pqCb, postings)
+    rerankFromZoneOver(spark, sfDir, emb, coarse,
+      ivfPqAdcOver(emb, subs, coarse, pqCb, postings))
+  }
+
+  /** The zone-fetch re-rank tail over an ARBITRARY ADC frame — the
+    * in-query index build ([[simAnnIvfPqRerankZone]]) and the
+    * all-standing-artifacts path ([[rerankFromIndexes]]) share it, so
+    * "the production wave is the same query" holds by construction. */
+  private def rerankFromZoneOver(
+      spark: SparkSession, sfDir: String,
+      emb: DataFrame, coarse: DataFrame, adc: DataFrame): DataFrame = {
     val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
     val shortlist = adc.withColumn("arn", row_number().over(byAdc))
       .filter(col("arn") <= RerankR)
@@ -728,6 +738,27 @@ trait SimilarityIvfPq extends SimilarityIvf {
         round(col("d2"), 6).as("d2"), col("arn"),
         coalesce(col("hit"), lit(false)).as("in_exact3"))
       .orderBy("q_id", "rn")
+  }
+
+  /** The re-rank wave over ONLY standing artifacts — ADC candidates from
+    * the STREAMED codes zone ([[ivfPqIndexStream]]'s output, exactly as
+    * [[ivfPqProbeFromIndex]] reads it) and the fp64 fetch from the
+    * CELL-KEYED vector zone: nothing in the hot path recomputes the
+    * index (the codebooks are the frozen registry artifacts both zones
+    * were built against, rebuilt here only as the bounded broadcast
+    * side). `StreamingIvfPqSpec` pins this ≡ the in-query
+    * `sim_ann_ivfpq_rerank_zone` ≡ the batch re-rank — the full
+    * deployment loop (streamed codes + standing vectors + re-rank)
+    * closed under one equality chain. */
+  def rerankFromIndexes(
+      spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val subs = pqSubs(spark, sfDir)
+    val adc = ivfPqAdcOver(emb, subs, coarse, pqCentsTrained(subs),
+      spark.read.parquet(s"$indexDir/codes")
+        .select("cluster", "cand_id", "s", "cid"))
+    rerankFromZoneOver(spark, sfDir, emb, coarse, adc)
   }
 
   /** Probe depths the re-rank × nprobe cross table prices. */

@@ -58,5 +58,18 @@ class StreamingIvfPqSpec extends SparkSpec {
       .awaitTermination()
     assert(codes().count() === 8L * nVecs, "re-drain must not grow the zone")
     assert(probe() === streamed, "re-drain must not change the probe")
+
+    // 4. the full deployment loop closes: re-rank over ONLY standing
+    // artifacts (streamed codes zone + cell-keyed vector zone) ≡ the
+    // in-query zone re-rank ≡ the batch re-rank
+    val fromIndexes = Similarity.rerankFromIndexes(spark, sfDir, index)
+      .collect().toSeq.map(_.toSeq)
+    val zoneQuery = Similarity.queries("sim_ann_ivfpq_rerank_zone")(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    val batchRerank = Similarity.queries("sim_ann_ivfpq_rerank")(spark, sfDir)
+      .collect().toSeq.map(_.toSeq)
+    assert(fromIndexes.nonEmpty)
+    assert(fromIndexes === zoneQuery, "standing-artifact re-rank must equal the zone query")
+    assert(fromIndexes === batchRerank, "standing-artifact re-rank must equal the batch re-rank")
   }
 }
