@@ -129,7 +129,12 @@ trait SimilarityIvfPq extends SimilarityIvf {
     * constant), so the oracle re-derives the footprint from the same
     * deterministic chain, and `IndexFootprintSpec` proves the ordering
     * holds PHYSICALLY (on-disk parquet bytes of the three zones, per
-    * streamed generation, off the artifact listing). */
+    * streamed generation, off the artifact listing). Deployment
+    * honesty: when the exact RE-RANK stage is enabled
+    * (`sim_ann_ivfpq_rerank_zone`) the fp64 zone is still STORED —
+    * the codes zone accelerates search (it is what the scan touches
+    * per query), it does not replace the vector zone, whose reads
+    * drop to R×queries rows per wave through the cell-keyed layout. */
   def simIndexFootprint(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val counts = emb.agg(count(lit(1)).as("n_vectors"))

@@ -52,4 +52,31 @@ class KcorePropSpec extends SparkSpec {
       } finally release()
     }
   }
+
+  test("anchored fold ≡ from-scratch peel on random graphs and random splits") {
+    // the incremental claim's property form: for ANY standing/batch
+    // split of ANY graph, folding the batch against the standing core
+    // must equal peeling the union from scratch — the monotonicity
+    // anchor is only sound if this holds on every seed, not just the
+    // crafted entering/pendant cases in GraphSpec
+    for (seed <- 1L to 5L; k <- Seq(2, 3)) {
+      val half = sample(seed)
+      // deterministic per-seed split: ~1/3 of edges arrive as the batch
+      val (batch, standing) = half.zipWithIndex.partition {
+        case (_, i) => (i + seed) % 3 == 0
+      } match { case (b, s) => (b.map(_._1), s.map(_._1)) }
+      if (standing.nonEmpty) {
+        def symOf(es: Seq[(Int, Int)]) =
+          (es ++ es.map(_.swap)).distinct.toDF("src", "dst")
+        val symAll = (half ++ half.map(_.swap)).distinct
+        val (core0, _, rel0) = Graph.kcoreOf(symOf(standing), k)
+        val (folded, _, relF) = Graph.kcoreFoldOf(symOf(half), core0, k)
+        try {
+          val got = folded.collect().map(_.getInt(0)).toSet
+          assert(got === brutePeel(symAll, k),
+            s"seed $seed k $k standing=${standing.size} batch=${batch.size}")
+        } finally { relF(); rel0() }
+      }
+    }
+  }
 }
