@@ -38,6 +38,9 @@ object SparkEntry {
     _root_.graft.sources.Maintenance,
   )
 
+  /** The module list, for RegistrySpec's uniqueness guards. */
+  private[graft] def modulesForSpec: Seq[QueryModule] = modules
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's whole pipeline is scan → enrich → sink
     * (glue/job.py:22-44); this is that shape on the parquet corpus.

@@ -27,9 +27,22 @@ object Similarity
     with SimilarityBrute
     with SimilarityEmb {
 
+  /** Concat with a collision guard: `++` silently overwrites on a
+    * duplicated key, which would deregister a query without any test
+    * failing — RegistrySpec can only see the merged result, so the
+    * guard lives at the merge. */
+  private def disjoint[V](parts: Map[String, V]*): Map[String, V] = {
+    val merged = parts.reduce(_ ++ _)
+    require(merged.size == parts.map(_.size).sum,
+      "duplicated name across similarity traits: " +
+        parts.flatMap(_.keys).groupBy(identity)
+          .collect { case (k, vs) if vs.size > 1 => k }.mkString(", "))
+    merged
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
-    bruteQueries ++ embDedupQueries ++ embQueries ++ ivfQueries ++ ivfPqQueries
+    disjoint(bruteQueries, embDedupQueries, embQueries, ivfQueries, ivfPqQueries)
 
   override def oracles: Map[String, String] =
-    bruteOracles ++ embDedupOracles ++ embOracles ++ ivfOracles ++ ivfPqOracles
+    disjoint(bruteOracles, embDedupOracles, embOracles, ivfOracles, ivfPqOracles)
 }
