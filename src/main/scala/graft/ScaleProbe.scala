@@ -688,8 +688,8 @@ object ScaleProbe {
           col("pos").as("s"), col("col").as("sub"))
       val pcb = subs.filter(col("vec_id") < 16)
         .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("csub"))
-      val subD2 = expr(
-        "aggregate(zip_with(sub, csub, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+      val subD2 =
+        graft.functions.VectorExpressions.l2_sq(col("sub"), col("csub"))
       val postingsPlan = subs.join(broadcast(pcb), Seq("s"))
         .withColumn("d2", subD2)
         .groupBy("vec_id", "cluster", "s")
@@ -728,8 +728,7 @@ object ScaleProbe {
       val ((adc, adcRdd, nAdc), adcSec) = time(PlanBridge.cutLineage(adcPlan))
       PlanBridge.releaseCut(postRdd)
       // fp64 truth: brute-force exact top-3 per query over the zone
-      val l2 = expr(
-        "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+      val l2 = graft.functions.VectorExpressions.l2_sq(col("qe"), col("ce"))
       val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
       val truthPlan = spark.read.parquet(s"$zoneDir/flat")
         .select(col("vec_id").as("cand_id"), col("e").as("ce"))

@@ -22,6 +22,11 @@ object VectorExpressions {
   /** cosine similarity in one fused traversal. */
   def cosine_sim(a: Column, b: Column): Column = VectorBridge.cosineSim(a, b)
 
+  /** squared L2 distance Σ(aᵢ−bᵢ)² in one fused traversal — the IVF-PQ
+    * encode/ADC/re-rank kernel (bit-identical to the HOF fold: same
+    * sequential accumulation). */
+  def l2_sq(a: Column, b: Column): Column = VectorBridge.l2Sq(a, b)
+
   /** All MinHash permutation minima over an array<long> shingle set in one
     * fused traversal (vs one interpreted `aggregate` fold per permutation).
     */

@@ -63,8 +63,9 @@ trait SimilarityCore {
     val q = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    // native fused L2² (graft_l2sq): bit-identical to the HOF fold —
+    // same sequential accumulation — but whole-stage-codegen'd
+    val l2 = graft.functions.VectorExpressions.l2_sq(col("qe"), col("ce"))
     val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
     c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))

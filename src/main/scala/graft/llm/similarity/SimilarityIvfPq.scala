@@ -59,8 +59,8 @@ trait SimilarityIvfPq extends SimilarityIvf {
 
   /** Subvector L2² as a sequential fold — same accumulation order as the
     * oracle's list_sum, so the doubles are bit-identical. */
-  protected val pqSubD2 = expr(
-    "aggregate(zip_with(sub, csub, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+  protected val pqSubD2 =
+    graft.functions.VectorExpressions.l2_sq(col("sub"), col("csub"))
 
   /** PQ assignment in long form: (vec_id, s, cid, d2r) — nearest centroid
     * per (vector, subspace) via struct-min (d2 first, centroid id as the
@@ -194,8 +194,7 @@ trait SimilarityIvfPq extends SimilarityIvf {
     val q = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val c = emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val l2 = graft.functions.VectorExpressions.l2_sq(col("qe"), col("ce"))
     val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
     val exact3 = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("cand_id"))
@@ -573,8 +572,7 @@ trait SimilarityIvfPq extends SimilarityIvf {
       .select(col("q_id"), col("cand_id"), col("arn"))
     val qv = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val l2 = graft.functions.VectorExpressions.l2_sq(col("qe"), col("ce"))
     emb.select(col("vec_id").as("cand_id"), col("e").as("ce"))
       .join(broadcast(shortlist), Seq("cand_id"))
       .join(broadcast(qv), Seq("q_id"))
@@ -730,8 +728,7 @@ trait SimilarityIvfPq extends SimilarityIvf {
       .select(col("vec_id").as("cand_id"), col("e").as("ce"))
     val qv = emb.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val l2 = expr(
-      "aggregate(zip_with(qe, ce, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val l2 = graft.functions.VectorExpressions.l2_sq(col("qe"), col("ce"))
     val byD2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
     zone.join(broadcast(shortlist), Seq("cand_id"))
       .join(broadcast(qv), Seq("q_id"))

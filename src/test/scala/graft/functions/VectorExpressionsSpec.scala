@@ -24,6 +24,23 @@ class VectorExpressionsSpec extends SparkSpec {
       hof.collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq)
   }
 
+  test("native l2_sq agrees bit-for-bit with the HOF fold, including on the corpus") {
+    val hofL2 = org.apache.spark.sql.functions.expr(
+      "aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, (acc, x) -> acc + x)")
+    val small = vecs.select(
+      VectorExpressions.l2_sq(col("a"), col("b")).as("n"), hofL2.as("h"))
+    assert(small.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+      .forall { case (n, h) => n == h })
+    val emb = Tables2.embeddingsDouble
+    val hofL2e = org.apache.spark.sql.functions.expr(
+      "aggregate(zip_with(ex, ey, (p, q) -> (p-q)*(p-q)), 0D, (acc, x) -> acc + x)")
+    val pairs = emb.as("x").crossJoin(emb.as("y")).limit(2000)
+      .select(col("x.e").as("ex"), col("y.e").as("ey"))
+      .select(VectorExpressions.l2_sq(col("ex"), col("ey")).as("native"),
+        hofL2e.as("hof"))
+    assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
   test("native expression matches on the full embeddings corpus") {
     val emb = Tables2.embeddingsDouble
     val pairs = emb.as("x").crossJoin(emb.as("y")).limit(2000)
