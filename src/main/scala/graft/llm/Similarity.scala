@@ -40,6 +40,12 @@ object Similarity
     merged
   }
 
+  /** Test seam: the memoized cell-keyed vector zone's path (the member
+    * itself is protected inside the trait stack). */
+  private[llm] def materializedVectorZoneForSpec(
+      spark: SparkSession, sfDir: String): String =
+    materializedVectorZone(spark, sfDir)
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] =
     disjoint(bruteQueries, embDedupQueries, embQueries, ivfQueries, ivfPqQueries)
 
