@@ -251,6 +251,75 @@ trait SimilarityIvf extends SimilarityBrute {
     rows.reduce(_.unionAll(_)).orderBy("nprobe")
   }
 
+  /** FROZEN vs RETRAIN-ON-FORGET for the ANN coarse codebook —
+    * `forget_gate_drift`'s policy question asked of the INDEX: after a
+    * takedown (vec_id ≥ 100 ∧ ≡ 7 mod 23 — clear of the query ids and
+    * the codebook seeds, so both artifacts stay well-defined), does the
+    * deployment have to retrain its Lloyd-trained coarse codebook, or
+    * can it keep serving the frozen one over the survivors? Two
+    * complete chains, both probing ONLY survivors and both graded
+    * against the SURVIVOR-corpus exact truth: `frozen` assigns
+    * survivors to the full-corpus-trained codebook (the standing
+    * artifact after a file-level cascade — `AnnForgetSpec`'s zones);
+    * `retrained` re-runs the Lloyd round on the survivors. `moved_ppm`
+    * is the assignment drift (survivors whose cell changed) — the blast
+    * radius a retrain would impose on the posting lists, priced next to
+    * what it buys in recall. Both chains replay end-to-end in the
+    * oracle under one hash. MEASURED at sf0.01: recall IDENTICAL
+    * (24/30 both) while a retrain would move 3.5% of survivors' cells
+    * (moved_ppm = 35 196) — freezing is free on this corpus and
+    * retraining would rewrite 3.5% of the posting lists for nothing;
+    * the same honest-instrument pattern as `forget_gate_drift` (where
+    * the measured drift was non-trivial and cut the other way).
+    */
+  def simAnnForgetDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = embDouble(Tables.embeddings(spark, sfDir))
+    val surv = emb.filter(!(col("vec_id") >= 100 && col("vec_id") % 23 === 7))
+    val frozen = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
+    val retrained = lloydRefine(ivfAssignTo(ivfCentroidsOf(surv), surv))
+    val q0 = surv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val byCos = Window.partitionBy("q_id").orderBy(col("cos").desc, col("cand_id"))
+    val exact3 = surv.select(col("vec_id").as("cand_id"), col("e").as("ce"))
+      .crossJoin(broadcast(q0))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+      .withColumn("rn", row_number().over(byCos))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("cand_id"), lit(1).as("hit"))
+    val nExact = exact3.agg(count(lit(1)).as("n_exact"))
+    val asgF = ivfAssignTo(frozen, surv)
+    val asgR = ivfAssignTo(retrained, surv)
+    val movedPpm = asgF.select(col("vec_id"), col("cluster").as("cf"))
+      .join(asgR.select(col("vec_id"), col("cluster").as("cr")), Seq("vec_id"))
+      .agg(count(lit(1)).as("n_surv"),
+        count(when(col("cf") =!= col("cr"), lit(1))).as("n_moved"))
+      .select(expr("CASE WHEN n_surv = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE n_moved * 1000000 div n_surv END").as("moved_ppm"))
+    def variantRow(name: String, asg: DataFrame): DataFrame = {
+      val qv = asg.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"), col("cluster"))
+      val cv = asg.select(col("vec_id").as("cand_id"), col("e").as("ce"),
+        col("cluster"))
+      val cands = cv.join(broadcast(qv), Seq("cluster"))
+        .filter(col("q_id") =!= col("cand_id"))
+      val top3 = cands
+        .withColumn("cos", round(cosine(col("qe"), col("ce")), 6))
+        .withColumn("rn", row_number().over(byCos))
+        .filter(col("rn") <= 3)
+      val hits = top3.join(exact3, Seq("q_id", "cand_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits).crossJoin(broadcast(nExact))
+        .select(lit(name).as("variant"), col("n_candidates"), col("n_hits"),
+          expr("CASE WHEN n_exact = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_hits * 1000000 div n_exact END").as("recall_ppm"))
+    }
+    variantRow("frozen", asgF).withColumn("moved_ppm", lit(0L))
+      .unionAll(variantRow("retrained", asgR).crossJoin(broadcast(movedPpm)))
+      .orderBy("variant")
+  }
+
   protected def simAnnIvfSql: String =
     s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -285,11 +354,127 @@ trait SimilarityIvf extends SimilarityBrute {
     "sim_ann_ivf_indexed_append" -> (simAnnIvfIndexedAppend _),
     "sim_ann_ivf_kmeans" -> (simAnnIvfKmeans _),
     "sim_ann_ivf_sweep" -> (simAnnIvfSweep _),
+    "sim_ann_forget_drift" -> (simAnnForgetDrift _),
 
   )
 
   protected def ivfOracles: Map[String, String] = Map(
 
+
+    // both chains replayed end-to-end: full-corpus Lloyd (frozen) and
+    // survivor Lloyd (retrained) assign the SURVIVORS, probe own-cell,
+    // and grade against the survivor-corpus exact truth; moved_ppm
+    // compares the two assignments
+    "sim_ann_forget_drift" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |), surv AS (
+         |  SELECT * FROM e WHERE NOT (vec_id >= 100 AND vec_id % 23 = 7)
+         |), cents AS (
+         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $NCentroids
+         |), a1f AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${duckCos("e.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), mF AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1f
+         |), meansF AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM mF GROUP BY cluster, pos
+         |), newcF AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM meansF GROUP BY cluster
+         |), a1r AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT s.vec_id, s.v, cents.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckCos("s.v", "cents.cv")} DESC, cents.cent_id) AS crn
+         |    FROM surv s CROSS JOIN cents)
+         |  WHERE crn = 1
+         |), mR AS (
+         |  SELECT cluster, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM a1r
+         |), meansR AS (
+         |  SELECT cluster, pos, ROUND(AVG(val), 6) AS c FROM mR GROUP BY cluster, pos
+         |), newcR AS (
+         |  SELECT cluster AS cent_id, list(c ORDER BY pos) AS cv FROM meansR GROUP BY cluster
+         |), asgF AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT s.vec_id, s.v, n.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckCos("s.v", "n.cv")} DESC, n.cent_id) AS crn
+         |    FROM surv s CROSS JOIN newcF n)
+         |  WHERE crn = 1
+         |), asgR AS (
+         |  SELECT vec_id, v, cluster FROM (
+         |    SELECT s.vec_id, s.v, n.cent_id AS cluster,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${duckCos("s.v", "n.cv")} DESC, n.cent_id) AS crn
+         |    FROM surv s CROSS JOIN newcR n)
+         |  WHERE crn = 1
+         |), x3 AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ROUND(${duckCos("q.v", "c.v")}, 6) DESC, c.vec_id) AS rn
+         |    FROM surv q JOIN surv c ON q.vec_id <> c.vec_id
+         |    WHERE q.vec_id < $NQueries) WHERE rn <= 3
+         |), nex AS (SELECT COUNT(*) AS n_exact FROM x3),
+         |nsurv AS (SELECT COUNT(*) AS n_surv FROM surv),
+         |moved AS (
+         |  SELECT COUNT(*) AS n_moved FROM asgF f JOIN asgR r
+         |    ON f.vec_id = r.vec_id AND f.cluster <> r.cluster
+         |), candsF AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM asgF q JOIN asgF c
+         |    ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), topF AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+         |    FROM candsF) WHERE rn <= 3
+         |), candsR AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         |    ROUND(${duckCos("q.v", "c.v")}, 6) AS cos
+         |  FROM asgR q JOIN asgR c
+         |    ON q.cluster = c.cluster AND q.vec_id < $NQueries AND q.vec_id <> c.vec_id
+         |), topR AS (
+         |  SELECT q_id, cand_id FROM (
+         |    SELECT q_id, cand_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, cand_id) AS rn
+         |    FROM candsR) WHERE rn <= 3
+         |), perF AS (
+         |  SELECT (SELECT COUNT(*) FROM candsF) AS n_candidates,
+         |    (SELECT COUNT(*) FROM topF t JOIN x3
+         |       ON t.q_id = x3.q_id AND t.cand_id = x3.cand_id) AS n_hits
+         |), perR AS (
+         |  SELECT (SELECT COUNT(*) FROM candsR) AS n_candidates,
+         |    (SELECT COUNT(*) FROM topR t JOIN x3
+         |       ON t.q_id = x3.q_id AND t.cand_id = x3.cand_id) AS n_hits
+         |)
+         |SELECT variant, n_candidates, n_hits, recall_ppm, moved_ppm FROM (
+         |  SELECT 'frozen' AS variant,
+         |    CAST(n_candidates AS BIGINT) AS n_candidates,
+         |    CAST(n_hits AS BIGINT) AS n_hits,
+         |    CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(n_hits * 1000000 // nex.n_exact AS BIGINT)
+         |    END AS recall_ppm,
+         |    CAST(0 AS BIGINT) AS moved_ppm
+         |  FROM perF CROSS JOIN nex
+         |  UNION ALL
+         |  SELECT 'retrained',
+         |    CAST(n_candidates AS BIGINT), CAST(n_hits AS BIGINT),
+         |    CASE WHEN nex.n_exact = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(n_hits * 1000000 // nex.n_exact AS BIGINT)
+         |    END,
+         |    CASE WHEN nsurv.n_surv = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(moved.n_moved * 1000000 // nsurv.n_surv AS BIGINT)
+         |    END
+         |  FROM perR CROSS JOIN nex CROSS JOIN nsurv CROSS JOIN moved
+         |)
+         |ORDER BY variant""".stripMargin,
     "sim_ann_ivf" -> simAnnIvfSql,
     // the indexed form SHARES the oracle verbatim: the oracle never sees
     // the parquet round-trip, so one hash pins indexed ≡ recomputed
