@@ -174,7 +174,8 @@ object PlanDump {
     // certification without a corpus re-peel)
     "sim_ann_ivfpq_rerank", "sim_ann_ivfpq_rerank_sweep",
     "sim_ann_ivfpq_rerank_nprobe", "sim_ann_ivfpq_rerank_zone",
-    "sim_index_footprint", "graph_kcore_incremental")
+    "sim_index_footprint", "graph_kcore_incremental",
+    "sim_ann_forget_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
