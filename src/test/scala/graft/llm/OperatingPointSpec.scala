@@ -175,6 +175,26 @@ class OperatingPointSpec extends SparkSpec {
       s"(nprobe=2, R=30) must agree across the two tables: $cross vs $sweepR30")
   }
 
+  test("ANN forget-drift table: invariants hold; the frozen row is drift-free by definition") {
+    // recall equality between the variants is a MEASURED outcome, not an
+    // invariant — only the by-construction facts pin: both variants
+    // present, hits bounded by the survivor truth, exact ppm arithmetic,
+    // and moved_ppm ∈ [0, 1e6] with the frozen row at exactly 0 (drift
+    // is defined relative to it)
+    val rows = Similarity.queries("sim_ann_forget_drift")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("variant") -> r).toMap
+    assert(rows.keySet === Set("frozen", "retrained"))
+    val nExact = 3L * Similarity.NQueries
+    rows.values.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h <= nExact)
+      assert(r.getAs[Long]("recall_ppm") === h * 1000000L / nExact)
+      val m = r.getAs[Long]("moved_ppm")
+      assert(m >= 0L && m <= 1000000L)
+    }
+    assert(rows("frozen").getAs[Long]("moved_ppm") === 0L)
+  }
+
   test("zone-fetched re-rank equals the in-query re-rank row-for-row") {
     // the shared oracle pins this at sf0.01; this pins it per-run at
     // sf0.001 too — the standing cell-keyed zone (parquet round-trip,
