@@ -200,18 +200,6 @@ object Forget extends QueryModule {
     res
   }
 
-  /** The post-takedown curated survivor set (gate ∧ ¬deleted ∧
-    * ¬re-adjudicated-loser) — the incremental cascade's output frame,
-    * shared by [[forgetPack]]'s manifest and [[forgetAudit]]'s totals.
-    */
-  private[llm] def forgetSurvivorsOver(
-      spark: SparkSession, sfDir: String, del0: DataFrame): DataFrame =
-    forgetCascadeOver(spark, sfDir, del0)._1
-    // one-shot use: the pairs cut is reclaimed by the ContextCleaner
-    // once the returned frame is unreferenced; query entry points that
-    // consume through a final cut use [[forgetCascadeOver]] and release
-    // explicitly
-
   /** The cascade's shared core: (survivors, full-corpus cluster
     * labeling, release). Exposing the labeling lets [[forgetAudit]]
     * derive its 'before' frame from the SAME PPJoin + components pass

@@ -706,16 +706,23 @@ trait SimilarityIvfPq extends SimilarityIvf {
     val (emb, subs, coarse, pqCb, postings) =
       ivfPqIndexOf(spark, sfDir, trainedPq = true)
     rerankFromZoneOver(spark, sfDir, emb, coarse,
-      ivfPqAdcOver(emb, subs, coarse, pqCb, postings))
+      ivfPqAdcOver(emb, subs, coarse, pqCb, postings),
+      spark.read.parquet(materializedVectorZone(spark, sfDir)))
   }
 
   /** The zone-fetch re-rank tail over an ARBITRARY ADC frame — the
     * in-query index build ([[simAnnIvfPqRerankZone]]) and the
     * all-standing-artifacts path ([[rerankFromIndexes]]) share it, so
-    * "the production wave is the same query" holds by construction. */
+    * "the production wave is the same query" holds by construction.
+    * The fp64 zone frame is INJECTED (`zone`): production callers pass
+    * the manifest-resolved generation so hard-delete epochs redirect
+    * the fetch; only the in-query benchmark entry defaults to the
+    * JVM-lifetime memo (advisor-caught — the memo key is the corpus
+    * fingerprint, which a zone-level cascade does not change). */
   private def rerankFromZoneOver(
       spark: SparkSession, sfDir: String,
-      emb: DataFrame, coarse: DataFrame, adc: DataFrame): DataFrame = {
+      emb: DataFrame, coarse: DataFrame, adc: DataFrame,
+      zone0: DataFrame): DataFrame = {
     val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
     val shortlist = adc.withColumn("arn", row_number().over(byAdc))
       .filter(col("arn") <= RerankR)
@@ -723,7 +730,7 @@ trait SimilarityIvfPq extends SimilarityIvf {
     val cells = probedCellsOf(emb, coarse)
       .filter(col("prn") <= IvfPqNprobe)
       .select("cluster").distinct().collect().map(_.getLong(0))
-    val zone = spark.read.parquet(materializedVectorZone(spark, sfDir))
+    val zone = zone0
       .filter(col("cluster").isin(cells: _*))
       .select(col("vec_id").as("cand_id"), col("e").as("ce"))
     val qv = emb.filter(col("vec_id") < NQueries)
@@ -751,16 +758,32 @@ trait SimilarityIvfPq extends SimilarityIvf {
     * side). `StreamingIvfPqSpec` pins this ≡ the in-query
     * `sim_ann_ivfpq_rerank_zone` ≡ the batch re-rank — the full
     * deployment loop (streamed codes + standing vectors + re-rank)
-    * closed under one equality chain. */
+    * closed under one equality chain.
+    *
+    * BOTH standing zones are injectable: the codes via `indexDir`, the
+    * fp64 vector zone via `vectorZoneManifest` — resolved through
+    * [[graft.sources.Maintenance.readZoneThroughManifest]] under the
+    * zone name `"vectors"` (the `AnnForgetSpec` epoch convention), so a
+    * manifested hard-delete epoch redirects the re-rank fetch the same
+    * commit it redirects the probe. Absent a manifest, the fetch falls
+    * back to the JVM-lifetime corpus-fingerprint memo — the benchmark
+    * default only, never the post-takedown read path. */
   def rerankFromIndexes(
-      spark: SparkSession, sfDir: String, indexDir: String): DataFrame = {
+      spark: SparkSession, sfDir: String, indexDir: String,
+      vectorZoneManifest: Option[java.io.File] = None): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
     val subs = pqSubs(spark, sfDir)
     val adc = ivfPqAdcOver(emb, subs, coarse, pqCentsTrained(subs),
       spark.read.parquet(s"$indexDir/codes")
         .select("cluster", "cand_id", "s", "cid"))
-    rerankFromZoneOver(spark, sfDir, emb, coarse, adc)
+    val zone = vectorZoneManifest match {
+      case Some(m) =>
+        graft.sources.Maintenance.readZoneThroughManifest(spark, m, "vectors")
+      case None =>
+        spark.read.parquet(materializedVectorZone(spark, sfDir))
+    }
+    rerankFromZoneOver(spark, sfDir, emb, coarse, adc, zone)
   }
 
   /** Probe depths the re-rank × nprobe cross table prices. */

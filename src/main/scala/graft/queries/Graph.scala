@@ -426,9 +426,14 @@ object Graph extends QueryModule {
     var rounds = 0
     var fixed = false
     while (!fixed) {
-      if (rounds >= maxRounds)
+      if (rounds >= maxRounds) {
+        // the failure path must drop the pinned blocks too (the release
+        // discipline the convergent path follows) — an abandoned cut
+        // otherwise waits on ContextCleaner GC
+        PlanBridge.releaseCut(curRdd)
         throw new IllegalStateException(
           s"k-core fold did not reach a fixpoint within $maxRounds rounds")
+      }
       val (nxt, nxtRdd, nxtN) = PlanBridge.cutLineage(
         sym
           .join(cur.select(col("node").as("src")), Seq("src"), "left_semi")

@@ -379,6 +379,15 @@ object Maintenance extends QueryModule {
       consolidatedTarget: java.nio.file.Path,
       manifestDir: java.nio.file.Path,
       epoch: Long): DataFrame = {
+    // duplicate zone names would put two rows in the manifest and
+    // currentEpoch's .toMap silently keeps the last — the exact silent-
+    // shadowing class the query registries guard with disjoint()
+    // (advisor-caught); fail before any generation installs
+    val dup = artifacts.map(_._1).groupBy(identity).collect {
+      case (z, hits) if hits.size > 1 => z }
+    require(dup.isEmpty,
+      s"hardDeleteEpochManifested: duplicate zone name(s) in artifacts: " +
+        s"${dup.toSeq.sorted.mkString(", ")}")
     val report = hardDeleteEpoch(spark, tombstoneDir,
       artifacts.map { case (_, dir, keyCol, target) => (dir, keyCol, target) },
       consolidatedTarget)

@@ -32,10 +32,22 @@ class AnnForgetSpec extends SparkSpec {
       .awaitTermination()
     val vzonePath = Similarity.materializedVectorZoneForSpec(spark, sfDir)
 
+    // the pre-takedown production re-rank (memo-resolved zone): its
+    // served cand_ids seed the delete set below, so the manifest-read
+    // assertion at the bottom is guaranteed to bite
+    val baseRerank = Similarity.rerankFromIndexes(spark, sfDir, index).collect()
+    val servedIds = baseRerank.map(_.getAs[Long]("cand_id"))
+      .filter(_ >= 100).toSet
+    assert(servedIds.nonEmpty,
+      "need at least one served candidate id >= 100 to seed the delete set")
+
     // delete set: clear of the query ids (< NQueries) and the codebook
-    // seeds (< 16), so frozen artifacts and probes stay well-defined
+    // seeds (< 16), so frozen artifacts and probes stay well-defined;
+    // seeded with ids the re-rank SERVES so a fetch that ignores the
+    // epoch is observable in the output
     val del = emb.select(col("vec_id"))
-      .filter(col("vec_id") >= 100 && col("vec_id") % 23 === 7)
+      .filter(col("vec_id") >= 100 &&
+        (col("vec_id") % 23 === 7 || col("vec_id").isin(servedIds.toSeq: _*)))
     val delIds = del.as[Long].collect().toSet
     assert(delIds.nonEmpty)
     val queue = s"$root/tombstones"
@@ -102,6 +114,21 @@ class AnnForgetSpec extends SparkSpec {
     assert(probed.nonEmpty)
     assert(probed.forall(r => !delIds(r.getAs[Long]("cand_id"))),
       "the probe must never return a deleted vector")
+
+    // the RE-RANK fetch through the manifest (advisor-caught gap: the
+    // memo-resolved fetch ignores epochs, so deleted vectors stayed
+    // fetchable). Worst case on purpose: STALE codes (the pre-delete
+    // index) still shortlist the deleted ids — every one was seeded
+    // from baseRerank's served rows — so only the manifest-resolved
+    // fp64 zone stands between a takedown and serving deleted content.
+    val rerankManifested = Similarity.rerankFromIndexes(
+      spark, sfDir, index, Some(manifest)).collect()
+    assert(rerankManifested.nonEmpty)
+    assert(rerankManifested.forall(r => !delIds(r.getAs[Long]("cand_id"))),
+      "the manifest-resolved re-rank fetch must never serve a deleted vector")
+    // ...and the memo path WOULD have served them (the seeded rows), so
+    // the assertion above is load-bearing, not vacuous
+    assert(baseRerank.exists(r => delIds(r.getAs[Long]("cand_id"))))
 
     graft.Fs.deleteRecursively(root)
   }
