@@ -5,6 +5,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Named failure for as-of-epoch reads that point past the manifest
+  * retention window — the contract [[Maintenance.vacuumEpochs]] and
+  * [[Maintenance.epochAsOf]] share: a read inside keep-N is stable, a
+  * read past it fails HERE (at resolution), never as a dangling-path
+  * parquet error far from the cause. */
+final class EpochRetiredException(msg: String) extends RuntimeException(msg)
+
 /** Lakehouse table-maintenance planning: the small-file compaction planner
   * behind OPTIMIZE/rewriteDataFiles in every table format — given a file
   * listing (path, size), assign files to target-sized output groups so one
@@ -383,52 +390,103 @@ object Maintenance extends QueryModule {
     // currentEpoch's .toMap silently keeps the last — the exact silent-
     // shadowing class the query registries guard with disjoint()
     // (advisor-caught); fail before any generation installs
-    val dup = artifacts.map(_._1).groupBy(identity).collect {
-      case (z, hits) if hits.size > 1 => z }
-    require(dup.isEmpty,
-      s"hardDeleteEpochManifested: duplicate zone name(s) in artifacts: " +
-        s"${dup.toSeq.sorted.mkString(", ")}")
+    requireDistinctZones(artifacts.map(_._1), "hardDeleteEpochManifested")
     val report = hardDeleteEpoch(spark, tombstoneDir,
       artifacts.map { case (_, dir, keyCol, target) => (dir, keyCol, target) },
       consolidatedTarget)
-    val manifest = spark.createDataFrame(
+    commitEpochManifest(spark,
       artifacts.map { case (zone, _, keyCol, target) =>
-        (epoch, zone, target.toString, keyCol)
-      }).toDF("epoch", "zone", "generation", "key_col")
-    // the LAST write is the commit: until this rename lands, every new
-    // generation above is unreachable through the manifest
-    graft.Fs.writeParquetAtomic(manifest, manifestDir.resolve(f"epoch-$epoch%09d"))
+        (zone, target.toString, keyCol) },
+      manifestDir, epoch)
     report
   }
 
-  /** The newest COMPLETE epoch in `manifestDir`: (epoch, zone →
-    * generation path). Manifest dirs install via the atomic-rename
-    * discipline, so presence of `_SUCCESS` ⇒ complete; in-flight
-    * `.tmp.*` / `.trash.*` residue is skipped by name, exactly as
-    * [[vacuumArtifacts]] classifies it. */
-  def currentEpoch(
+  private def requireDistinctZones(zones: Seq[String], who: String): Unit = {
+    val dup = zones.groupBy(identity).collect {
+      case (z, hits) if hits.size > 1 => z }
+    require(dup.isEmpty,
+      s"$who: duplicate zone name(s) in artifacts: ${dup.toSeq.sorted.mkString(", ")}")
+  }
+
+  /** Write the epoch manifest — the COMMIT POINT of any multi-zone
+    * install, extracted so initial installs ([[epochTravel]]'s epoch 1)
+    * and hard-delete epochs share one discipline: zones = (zone name,
+    * installed generation path, key column), written LAST via the
+    * atomic-rename contract; until the rename lands every generation the
+    * epoch installed is unreachable through the manifest. */
+  def commitEpochManifest(
       spark: SparkSession,
-      manifestDir: java.io.File): Option[(Long, Map[String, String])] = {
-    val epochs = Option(manifestDir.listFiles()).getOrElse(Array.empty)
+      zones: Seq[(String, String, String)],
+      manifestDir: java.nio.file.Path,
+      epoch: Long): Unit = {
+    requireDistinctZones(zones.map(_._1), "commitEpochManifest")
+    val manifest = spark.createDataFrame(
+      zones.map { case (zone, gen, keyCol) => (epoch, zone, gen, keyCol) })
+      .toDF("epoch", "zone", "generation", "key_col")
+    graft.Fs.writeParquetAtomic(manifest, manifestDir.resolve(f"epoch-$epoch%09d"))
+  }
+
+  /** All COMPLETE epoch manifest dirs in `manifestDir`, newest first.
+    * Manifest dirs install via the atomic-rename discipline, so presence
+    * of `_SUCCESS` ⇒ complete; in-flight `.tmp.*` / `.trash.*` residue is
+    * skipped by name, exactly as [[vacuumArtifacts]] classifies it. */
+  private def completeEpochDirs(
+      manifestDir: java.io.File): Seq[(Long, java.io.File)] =
+    Option(manifestDir.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith("epoch-") &&
         !d.getName.contains(".tmp.") && !d.getName.contains(".trash.") &&
         new java.io.File(d, "_SUCCESS").exists())
       .flatMap(d => scala.util.Try(
         d.getName.stripPrefix("epoch-").toLong).toOption.map(_ -> d))
-      .sortBy { case (e, _) => -e }
-    epochs.headOption.map { case (e, d) =>
-      (e, spark.read.parquet(d.toString).collect()
-        .map(r => r.getAs[String]("zone") -> r.getAs[String]("generation"))
-        .toMap)
+      .sortBy { case (e, _) => -e }.toSeq
+
+  private def readManifest(
+      spark: SparkSession, d: java.io.File): Map[String, String] =
+    spark.read.parquet(d.toString).collect()
+      .map(r => r.getAs[String]("zone") -> r.getAs[String]("generation"))
+      .toMap
+
+  /** The newest COMPLETE epoch in `manifestDir`: (epoch, zone →
+    * generation path). */
+  def currentEpoch(
+      spark: SparkSession,
+      manifestDir: java.io.File): Option[(Long, Map[String, String])] =
+    epochAsOf(spark, manifestDir, Long.MaxValue)
+
+  /** TIME TRAVEL resolution: the newest complete epoch ≤ `asOf` — the
+    * as-of-timestamp read of every table format, on the discrete epoch
+    * axis. Distinguishes the three outcomes precisely:
+    *  - no manifest at all → None (the zone was never manifested);
+    *  - a complete epoch ≤ asOf exists → Some(it) — stable under newer
+    *    epochs landing, because manifests are immutable once installed;
+    *  - manifests exist but ALL are newer than asOf → the requested
+    *    epoch predates the retention window ([[vacuumEpochs]] retired
+    *    its manifest) → [[EpochRetiredException]], named and thrown at
+    *    resolution, not as a dangling-path read later. */
+  def epochAsOf(
+      spark: SparkSession, manifestDir: java.io.File,
+      asOf: Long): Option[(Long, Map[String, String])] = {
+    val all = completeEpochDirs(manifestDir)
+    if (all.isEmpty) None
+    else all.find { case (e, _) => e <= asOf } match {
+      case Some((e, d)) => Some((e, readManifest(spark, d)))
+      case None => throw new EpochRetiredException(
+        s"epoch as-of $asOf predates the retention window of $manifestDir " +
+          s"(oldest retained epoch: ${all.last._1}) — vacuumEpochs retired " +
+          "the older manifests; raise keepN to widen the rollback window")
     }
   }
 
-  /** Reader-side resolution: a standing zone's CURRENT generation, via
-    * the newest complete epoch manifest — the one seam every reader of
-    * the standing zones goes through once epochs are manifested. */
+  /** Reader-side resolution: a standing zone's generation AS OF
+    * `asOfEpoch` (default: current), via the epoch manifests — the one
+    * seam every reader of the standing zones goes through once epochs
+    * are manifested. An as-of read is stable while newer epochs land
+    * (manifests and generations are immutable once installed) for as
+    * long as [[vacuumEpochs]]/[[vacuumArtifacts]] retain them. */
   def readZoneThroughManifest(
-      spark: SparkSession, manifestDir: java.io.File, zone: String): DataFrame = {
-    val (epoch, zones) = currentEpoch(spark, manifestDir).getOrElse(
+      spark: SparkSession, manifestDir: java.io.File, zone: String,
+      asOfEpoch: Long = Long.MaxValue): DataFrame = {
+    val (epoch, zones) = epochAsOf(spark, manifestDir, asOfEpoch).getOrElse(
       sys.error(s"readZoneThroughManifest: no complete epoch in $manifestDir"))
     val gen = zones.getOrElse(zone, sys.error(
       s"readZoneThroughManifest: zone '$zone' absent from epoch $epoch " +
@@ -436,8 +494,113 @@ object Maintenance extends QueryModule {
     spark.read.parquet(gen)
   }
 
+  /** Retire epoch manifests past the newest `keepN` — the retention half
+    * of epoch time travel, [[vacuumArtifacts]]'s keep-N discipline on the
+    * manifest axis. After this, [[epochAsOf]] reads inside the window
+    * keep resolving (manifests are immutable), and reads past it fail
+    * with the named [[EpochRetiredException]]. The GENERATIONS a retired
+    * manifest referenced become plain unreferenced artifacts — pass
+    * [[manifestLiveGenerations]] as the zone vacuum's `live` set so
+    * retained epochs' generations are never swept out from under an
+    * as-of reader. Returns the deleted manifest paths (sorted). */
+  def vacuumEpochs(manifestDir: java.io.File, keepN: Int = 2): Seq[String] = {
+    require(keepN >= 1, s"vacuumEpochs: keepN must be >= 1, got $keepN " +
+      "(retiring every manifest would leave the zones unreadable)")
+    val victims = completeEpochDirs(manifestDir).drop(keepN).map(_._2)
+    victims.foreach(graft.Fs.deleteRecursively)
+    victims.map(_.getPath).sorted
+  }
+
+  /** The generation-dir BASENAMES referenced by any retained manifest —
+    * the `live` set for [[vacuumArtifacts]] over a generation zone:
+    * every generation inside the epoch retention window must survive
+    * artifact vacuums, or an as-of read resolves to a deleted path. */
+  def manifestLiveGenerations(
+      spark: SparkSession, manifestDir: java.io.File): Set[String] =
+    completeEpochDirs(manifestDir).flatMap { case (_, d) =>
+      readManifest(spark, d).values.map(p => new java.io.File(p).getName)
+    }.toSet
+
+  /** The epoch-travel demo's delete predicate (doc_id % Mod == Rem) —
+    * shared verbatim by the builder and the DuckDB oracle. */
+  private[graft] val EpochDelMod = 17L
+  private[graft] val EpochDelRem = 3L
+
+  /** (JVM, corpus fingerprint) → a standing two-epoch compliance zone:
+    * epoch 1 = the full documents projection installed and manifested,
+    * epoch 2 = a REAL hard-delete epoch over it ([[forgetArtifacts]]'s
+    * file-incremental cascade through [[hardDeleteEpochManifested]],
+    * tombstones = doc_id % [[EpochDelMod]] == [[EpochDelRem]]). Built
+    * once per corpus fingerprint; every build step is the idempotent
+    * atomic-rename writer, the epoch-2 generation gets a fresh
+    * process-unique path per attempt (the [[forgetArtifacts]] retry
+    * contract — a loser's generation dangles unreferenced, the epoch-2
+    * manifest write resolves the race), and the epoch-2 manifest is the
+    * completion marker. */
+  private val epochDemoMemo = scala.collection.mutable.Map[String, java.io.File]()
+
+  private[graft] def epochDemoRoot(
+      spark: SparkSession, sfDir: String): java.io.File =
+    epochDemoMemo.synchronized {
+      val key = s"$sfDir@${graft.llm.Bpe.corpusFingerprint(spark, sfDir)}"
+      epochDemoMemo.getOrElseUpdate(key, {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val root = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_epoch"), digest)
+        val manifestDir = new java.io.File(root, "manifest")
+        if (!currentEpoch(spark, manifestDir).exists(_._1 >= 2L)) {
+          root.mkdirs()
+          val zone = Tables.documents(spark, sfDir)
+            .select("doc_id", "lang", "n_chars")
+          val gen1 = new java.io.File(root, "compliance_gen1").toPath
+          graft.Fs.writeParquetAtomic(zone, gen1)
+          commitEpochManifest(spark,
+            Seq(("compliance", gen1.toString, "doc_id")),
+            manifestDir.toPath, epoch = 1L)
+          val tombs = new java.io.File(root, "tombstones")
+          graft.Fs.writeParquetAtomic(
+            zone.filter(col("doc_id") % EpochDelMod === EpochDelRem)
+              .select("doc_id"),
+            new java.io.File(tombs, "batch=0").toPath)
+          hardDeleteEpochManifested(spark, tombs.toString,
+            Seq(("compliance", gen1.toString, "doc_id",
+              new java.io.File(root,
+                s"compliance_gen2-${java.util.UUID.randomUUID()}").toPath)),
+            new java.io.File(root,
+              s"tomb_epoch2-${java.util.UUID.randomUUID()}").toPath,
+            manifestDir.toPath, epoch = 2L)
+        }
+        root
+      })
+    }
+
+  /** EPOCH TIME TRAVEL as an oracled query — the compliance read every
+    * real deployment runs the week after a bad hard-delete: the SAME
+    * standing zone read at two epochs in one result, epoch 1 (before the
+    * takedown) through the retained manifest, epoch 2 (after) through
+    * the current one. Both reads resolve via [[epochAsOf]] — immutable
+    * manifests make the as-of read stable while newer epochs land
+    * (`EpochTravelSpec` pins stability, the vacuum retention contract,
+    * and the named failure past retention). The oracle never sees the
+    * zone machinery: epoch 1 ≡ the documents projection, epoch 2 ≡ it
+    * minus the tombstone predicate — so one hash pins the entire
+    * install → cascade → manifest → as-of-read loop. */
+  def epochTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifestDir = new java.io.File(epochDemoRoot(spark, sfDir), "manifest")
+    def countsAt(e: Long): DataFrame =
+      readZoneThroughManifest(spark, manifestDir, "compliance", asOfEpoch = e)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        .select(lit(e).as("epoch"), col("lang"),
+          col("n_docs"), col("total_chars"))
+    countsAt(1L).unionAll(countsAt(2L)).orderBy("epoch", "lang")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compaction_bins" -> (compactionBins _),
+    "maint_epoch_travel" -> (epochTravel _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -454,5 +617,15 @@ object Maintenance extends QueryModule {
          |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
          |FROM f GROUP BY source, cum_before // $TargetBytes
          |ORDER BY source, bin""".stripMargin,
+    "maint_epoch_travel" ->
+      s"""SELECT CAST(1 AS BIGINT) AS epoch, lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), lang, COUNT(*),
+         |  CAST(SUM(n_chars) AS BIGINT)
+         |FROM documents WHERE doc_id % $EpochDelMod <> $EpochDelRem
+         |GROUP BY lang
+         |ORDER BY epoch, lang""".stripMargin,
   )
 }
