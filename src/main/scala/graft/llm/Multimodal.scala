@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
   *    every decoded pixel/sample equals the generating arithmetic, so the
   *    DuckDB oracle verifies the REAL decode output exactly (it mirrors
   *    the generator, not the codec).
+  *  - REAL LOSSY CODEC (`mm_jpeg_meta` / `mm_jpeg_dedup`): genuine
+  *    baseline JPEG bytes at a fixed quality. A lossy codec can't be
+  *    pixel-oracled, so the split is explicit: the queries oracle the
+  *    container-derived facts (SOF dims/components/precision, parsed by
+  *    hand AND by ImageIO) and the fixed-quality determinism that makes
+  *    re-uploaded-byte-identical dedup exact; `JpegSpec` pins the
+  *    decoded-pixel error envelope, aHash stability across the lossy
+  *    hop, cross-quality pairing, and cross-id separation with measured
+  *    margins.
   *  - REAL CONTAINER (`mm_avi_decode`): video payloads as genuine
   *    RIFF/AVI bytes with uncompressed DIB frames (AviContainer — a
   *    hand-written pure-JVM writer/parser; a stock JRE has no video
@@ -259,6 +268,128 @@ object Multimodal extends QueryModule {
     }
   }
 
+  // ------------------------------------------- real JPEG (lossy) tier
+
+  case class JpegPayload(id: Long, src_id: Long, payload: Array[Byte])
+  case class JpegMeta(
+      id: Long, width: Int, height: Int, n_components: Int,
+      bit_depth: Int, progressive: Boolean, dec_width: Int, dec_height: Int)
+  case class JpegDecoded(
+      id: Long, width: Int, height: Int, n_px: Int, sum_gray: Long, ahash: Long)
+
+  /** Fixed encode quality — a real corpus pins its re-encode quality the
+    * same way; determinism at one quality is what makes the byte-identical
+    * re-upload dedup class ([[mmJpegDedup]]) exactly checkable. */
+  private[llm] val JpegQuality = 0.85f
+
+  /** Variant ids live 10⁹ above the doc-id space — the "same image
+    * uploaded twice under a new object key" rows of the dedup tier. */
+  private[llm] val JpegVariantOffset = 1000000000L
+
+  /** ENCODE pass at an EXPLICIT quality: genuine baseline JPEG bytes via
+    * javax.imageio, writer + param resolved once per partition (the
+    * [[encodePngPartition]] batching discipline). `rows` carry
+    * (row id, source-raster id) so a duplicate upload is simply a row
+    * whose raster id is another row's — the bytes come out identical
+    * because the encoder is deterministic at a fixed quality. */
+  private[llm] def encodeJpegPartition(
+      rows: Iterator[(Long, Long)], quality: Float): Iterator[JpegPayload] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "JRE ships no JPEG writer")
+    val writer = writers.next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    rows.map { case (id, srcId) =>
+      val (w, h) = rasterDims(srcId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, rasterPixel(srcId, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally ios.close()
+      JpegPayload(id, srcId, bos.toByteArray)
+    }
+  }
+
+  /** Hand-parse the JPEG container for its SOF frame header — the
+    * CONTAINER-DERIVED facts (dimensions, component count, sample
+    * precision, baseline-vs-progressive) that survive a lossy codec
+    * exactly, so they oracle in SQL while pixel content cannot. Walks
+    * the marker stream: standalone markers (SOI/RSTn/TEM) carry no
+    * length; every other segment is 0xFF marker + 2-byte big-endian
+    * length. SOFn is any 0xC0-0xCF except DHT(C4)/JPG(C8)/DAC(CC).
+    * Returns (width, height, nComponents, precision, progressive). */
+  private[llm] def parseJpegSof(b: Array[Byte]): (Int, Int, Int, Int, Boolean) = {
+    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
+      "not a JPEG: missing SOI marker")
+    var i = 2
+    while (i + 4 <= b.length) {
+      require((b(i) & 0xff) == 0xff, s"expected a marker at offset $i")
+      val m = b(i + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          val precision = b(i + 4) & 0xff
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return (w, h, b(i + 9) & 0xff, precision, m == 0xc2)
+        }
+        i += 2 + len
+      }
+    }
+    sys.error("no SOF marker before end of stream")
+  }
+
+  /** Dimensions + gray sum + the house 60-bit average-hash off a decoded
+    * gray raster — the feature block [[decodePngPartition]] computes,
+    * factored so the lossy tier extracts the IDENTICAL features from its
+    * decoded pixels (hash comparability across codecs is the whole point
+    * of a perceptual hash). */
+  private def grayFeaturesOf(
+      img: java.awt.image.BufferedImage): (Int, Int, Int, Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val n = w * h
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += raster.getSample(i % w, i / w, 0); i += 1 }
+    val samples = Array.tabulate(60)(k => raster.getSample(
+      (k * n / 60) % w, (k * n / 60) / w, 0))
+    val tot = samples.map(_.toLong).sum
+    var hash = 0L
+    var k = 0
+    while (k < 60) {
+      if (samples(k) * 60L > tot) hash |= (1L << k)
+      k += 1
+    }
+    (w, h, n, sum, hash)
+  }
+
+  /** REAL LOSSY DECODE pass: ImageIO JPEG decode, features straight off
+    * the decoded raster. The pixel values are NOT the source raster's
+    * (that is what lossy means) — `JpegSpec` pins the error envelope and
+    * the aHash stability; the oracled queries consume only what survives
+    * the codec exactly (container facts, and determinism at one quality).
+    */
+  private[llm] def decodeJpegPartition(rows: Iterator[JpegPayload]): Iterator[JpegDecoded] =
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"payload of id=${r.id} is not a decodable image")
+      val (w, h, n, sum, hash) = grayFeaturesOf(img)
+      JpegDecoded(r.id, w, h, n, sum, hash)
+    }
+
   /** Genuine-PNG decode: encode each image row's deterministic raster to
     * real PNG bytes, decode them back with javax.imageio, and extract
     * dimensions + gray sum + the 60-bit perceptual hash FROM THE DECODED
@@ -305,6 +436,89 @@ object Multimodal extends QueryModule {
       .mapPartitions(decodeWavPartition _)
       .toDF()
       .orderBy("id")
+  }
+
+  /** Genuine-JPEG container scan: encode each image row's raster to REAL
+    * baseline JPEG bytes at the fixed quality, then extract the
+    * container-derived facts two independent ways — a hand-written SOF
+    * marker parse ([[parseJpegSof]]) and the full ImageIO decode — and
+    * oracle both against the raster arithmetic. This is the metadata
+    * pass a 100 TB multimodal ingest runs BEFORE any pixel work (dims /
+    * component / precision gates read a few hundred header bytes per
+    * object, never the payload); the pixel-level error envelope of the
+    * lossy decode is `JpegSpec`'s business, not SQL's. */
+  def mmJpegMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, id))
+      .mapPartitions(rows => encodeJpegPartition(rows, JpegQuality))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, nc, prec, prog) = parseJpegSof(r.payload)
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          require(img != null, s"payload of id=${r.id} is not a decodable image")
+          JpegMeta(r.id, w, h, nc, prec, prog, img.getWidth, img.getHeight)
+        }
+      }
+      .toDF()
+      .orderBy("id")
+  }
+
+  /** The lossy format flowing through the near-dup family: re-uploaded
+    * JPEG dedup. Every ninth image also ships as a VARIANT row (new id =
+    * base + [[JpegVariantOffset]], same raster — the "same image, new
+    * object key" dup class that dominates web corpora); all payloads are
+    * REAL JPEG bytes, all features come from the DECODED pixels, and the
+    * pair search is the production banded shape ([[mmAhashPairs]]'s
+    * 11-chunk pigeonhole over the decoded aHash — never all-pairs) with
+    * the Hamming ≤ 10 + equal-dims + equal-gray-sum verify INSIDE the
+    * join condition, then connected components canonicalize, exactly the
+    * `mm_ahash_clusters` chain. Oracled exactly because the encoder is
+    * deterministic at one quality (byte-identical payloads → identical
+    * decoded features); the TOLERANT tier — cross-quality re-encodes
+    * pairing at small nonzero Hamming — is pinned with measured margins
+    * in `JpegSpec`, where lossy bounds belong. */
+  def mmJpegDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, id))
+    val variants = base.filter(r => r._1 % 9 == 0)
+      .map { case (id, src) => (id + JpegVariantOffset, src) }
+    val decoded = base.union(variants)
+      .mapPartitions(rows => encodeJpegPartition(rows, JpegQuality))
+      .mapPartitions(decodeJpegPartition _)
+      .toDF()
+    val widths = Seq(6, 6, 6, 6, 6, 5, 5, 5, 5, 5, 5)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val chunkStructs = widths.zip(offsets).zipWithIndex.map { case ((w, off), cid) =>
+      struct(lit(cid).as("cid"),
+        shiftright(col("ahash"), off).bitwiseAND(lit((1L << w) - 1)).as("cval"))
+    }
+    val probes = decoded
+      .select(col("id"), col("ahash"), col("n_px"), col("sum_gray"),
+        explode(array(chunkStructs: _*)).as("c"))
+      .select(col("id"), col("ahash"), col("n_px"), col("sum_gray"),
+        col("c.cid").as("cid"), col("c.cval").as("cval"))
+      .repartition(col("id"))
+    val ham = bit_count(col("x.ahash").bitwiseXOR(col("y.ahash")))
+    val pairs = probes.as("x").join(probes.as("y"),
+        col("x.cid") === col("y.cid") && col("x.cval") === col("y.cval") &&
+        col("x.id") < col("y.id") && ham <= 10 &&
+        col("x.n_px") === col("y.n_px") &&
+        col("x.sum_gray") === col("y.sum_gray"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    graft.operators.ConnectedComponents.components(pairs)
+      .select(
+        col("component").as("cluster"),
+        col("node").as("id"),
+        (col("node") === col("component")).as("canonical"))
+      .orderBy("cluster", "id")
   }
 
   // ------------------------------------------------ real AVI video tier
@@ -659,6 +873,8 @@ object Multimodal extends QueryModule {
     "mm_png_resize" -> (mmPngResize _),
     "mm_wav_decode" -> (mmWavDecode _),
     "mm_avi_decode" -> (mmAviDecode _),
+    "mm_jpeg_meta"  -> (mmJpegMeta _),
+    "mm_jpeg_dedup" -> (mmJpegDedup _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -828,6 +1044,30 @@ object Multimodal extends QueryModule {
         |  CAST(floor(height * raw_scale) AS INTEGER) AS out_height,
         |  ROUND(raw_scale, 6) AS scale
         |FROM r ORDER BY id""".stripMargin,
+    // The LOSSY tier oracles only what survives the codec exactly: the
+    // container facts (SOF dims/components/precision mirror the raster
+    // arithmetic; 1-component 8-bit baseline is the encoder's contract
+    // for a TYPE_BYTE_GRAY source) and the determinism of one fixed
+    // quality (byte-identical re-uploads -> identical decoded features,
+    // so the dedup clusters are by-construction). Pixel error envelopes
+    // live in JpegSpec.
+    "mm_jpeg_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS n_components,
+        |  CAST(8 AS INTEGER) AS bit_depth,
+        |  FALSE AS progressive,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS dec_width,
+        |  CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS dec_height
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY id""".stripMargin,
+    "mm_jpeg_dedup" ->
+      s"""SELECT doc_id AS cluster, doc_id AS id, TRUE AS canonical
+         |FROM documents WHERE doc_id % 9 = 0
+         |UNION ALL
+         |SELECT doc_id, doc_id + $JpegVariantOffset, FALSE
+         |FROM documents WHERE doc_id % 9 = 0
+         |ORDER BY cluster, id""".stripMargin,
     "mm_wav_decode" ->
       """WITH a AS (
         |  SELECT doc_id AS id, CAST(200 + doc_id % 100 AS INTEGER) AS n
