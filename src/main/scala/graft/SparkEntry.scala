@@ -30,6 +30,7 @@ object SparkEntry {
     llm.Similarity,
     llm.Multimodal,
     llm.Bpe,
+    llm.Unigram,
     llm.Curation,
     llm.Sampling,
     llm.Relevance,

@@ -417,7 +417,11 @@ object Bpe extends QueryModule {
        |  FROM documents
        |  WHERE length(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))) >= 2)""".stripMargin
 
-  private def oracleCtes(k: Int, s0: String = charS0): String = {
+  /** The re-learned merge-chain CTE list WITHOUT the leading `WITH`, so
+    * sibling modules can compose it with their own CTEs (the unigram
+    * trainer's BPE-vs-unigram fertility comparison joins both learned
+    * tokenizers' encodes in one oracle). */
+  private[llm] def oracleCteList(k: Int, s0: String = charS0): Seq[String] = {
     def pairs(src: String): String =
       s"""  SELECT z[1] AS a, z[2] AS b, count(*) AS cnt
          |  FROM (SELECT unnest(list_zip(toks, toks[2:])) AS z
@@ -442,8 +446,11 @@ object Bpe extends QueryModule {
          |    replace(state, '|' || b$r.a || '||' || b$r.b || '|', '|' || b$r.a || b$r.b || '|') AS state
          |  FROM s${r - 1}, b$r)""".stripMargin
     }
-    ctes.result().mkString("WITH ", ",\n", "")
+    ctes.result()
   }
+
+  private def oracleCtes(k: Int, s0: String = charS0): String =
+    oracleCteList(k, s0).mkString("WITH ", ",\n", "")
 
   override def oracles: Map[String, String] = {
     val k = Rounds

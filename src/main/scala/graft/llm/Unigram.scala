@@ -1,0 +1,358 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer training (Kudo 2018 — the
+  * SentencePiece vocabulary family most modern LLM vocabs use), beside
+  * the merge-based trainer ([[Bpe]]): seed a candidate piece inventory
+  * from corpus substrings, then alternate Viterbi segmentation (E) with
+  * piece re-counting (M), pruning the weakest pieces between rounds.
+  *
+  * The distributed shape is the production one: ALL corpus-scale work is
+  * two groupBys (word counts once; nothing else ever touches corpus
+  * rows), and the E-step runs over the DISTINCT-WORD frequency table —
+  * exactly how SentencePiece trains (its suffix-array seeding and EM
+  * both work word-type-weighted, never token-by-token), so E-step cost
+  * is ∝ |vocabulary of words|, independent of corpus row count. At
+  * 100 TB the word table is millions of rows against billions of docs;
+  * every downstream join is against bounded piece tables (≤ 66 rows
+  * here) that broadcast.
+  *
+  * Candidate segmentations are enumerated EXHAUSTIVELY as cut-point
+  * bitmasks: a word of n ≤ [[MaxWordLen]] chars has 2^(n−1) cut masks,
+  * filtered to piece length ≤ [[MaxPieceLen]] — ≤ 1490 valid
+  * segmentations per word at n = 12 (the tetranacci bound), a constant
+  * factor over the Viterbi lattice that buys something the lattice
+  * can't give a cross-engine gate: the ARGMAX is a plain windowed
+  * row_number with an integer tiebreak (score DESC on the 6dp decimal
+  * grid, piece count ASC, mask ASC), bit-identical in Spark and DuckDB
+  * with no DP recursion to keep in lock-step. The oracle re-LEARNS the
+  * whole schedule from the raw corpus (seed → E → M → prune → E → M),
+  * never reading the Spark model, so a counting or scoring bug cannot
+  * self-confirm.
+  *
+  * Honest deviations from Kudo 2018, chosen for exact replayability:
+  * hard (Viterbi) EM instead of soft forward-backward expectations, and
+  * count-based pruning instead of loss-increase ranking — both standard
+  * approximations (Viterbi IS SentencePiece's inference mode; the
+  * trainer's loss ranking reduces to count ranking when each word has
+  * one dominant segmentation). Probabilities are add-one smoothed so
+  * every piece keeps a finite log-prob across prunes, and every ln is
+  * rounded onto the 6dp decimal grid BEFORE the decimal-exact
+  * segmentation sum — the [[TextAnalysis.bigramLm]] cross-engine
+  * discipline (the only float op both engines must agree on is ln on
+  * identical doubles).
+  */
+object Unigram extends QueryModule {
+
+  /** Words truncate to 12 chars → ≤ 2^11 masks each; pieces to 4 chars.
+    * Seed keeps the top 40 multi-char substrings; the prune keeps 30.
+    * Single chars are never pruned (segmentation totality). */
+  val MaxWordLen = 12
+  val MaxPieceLen = 4
+  val SeedMulti = 40
+  val KeepMulti = 30
+
+  /** (w, cw): distinct lowercase a-z words with corpus counts — the ONE
+    * corpus-scale aggregate; everything after runs on word types.
+    * Package-visible so crafted-corpus specs exercise the SAME cleaning
+    * and truncation the registered queries use. */
+  private[llm] def wordCountsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(substring(col("w0"), 1, MaxWordLen).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+
+  private def wordCounts(spark: SparkSession, sfDir: String): DataFrame =
+    wordCountsOf(Tables.documents(spark, sfDir))
+
+  /** Substring seed counts: every length-1..MaxPieceLen substring of
+    * every word type, occurrence-weighted by the word's corpus count. */
+  private def substringCounts(words: DataFrame): DataFrame =
+    words
+      .select(col("cw"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), s ->
+           |  transform(sequence(1, $MaxPieceLen), l ->
+           |    CASE WHEN s + l - 1 <= length(w) THEN substring(w, s, l) END)))""".stripMargin)).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy("piece").agg(sum(col("cw")).as("cnt"))
+
+  /** Add-one log-probabilities on the 6dp grid over a bounded vocab. */
+  private def logpOf(vocab: DataFrame): DataFrame = {
+    val norm = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(norm))
+      .select(col("piece"),
+        round(log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))), 6)
+          .cast("decimal(12,6)").as("logp"))
+  }
+
+  /** One row per (word, cut-mask, piece occurrence): the exhaustive
+    * candidate-segmentation table, filtered to piece length ≤
+    * MaxPieceLen. Bounds come from the set bits of the mask — the same
+    * integer construction the oracle replays, so the (w, mask) identity
+    * of each segmentation is engine-independent (mask is the tiebreak).
+    */
+  private def explodedSegs(words: DataFrame): DataFrame =
+    words
+      .select(col("w"), col("cw"), explode(expr(
+        "sequence(CAST(0 AS BIGINT), shiftleft(CAST(1 AS BIGINT), length(w) - 1) - 1)")).as("mask"))
+      // i >= 0 guards the 1-char word (sequence(0,-1) descends in Spark)
+      .withColumn("bounds", expr(
+        """concat(array(0),
+          |  transform(filter(sequence(0, length(w) - 2),
+          |    i -> i >= 0 AND (shiftright(mask, i) & 1) = 1), c -> c + 1),
+          |  array(length(w)))""".stripMargin))
+      .withColumn("pieces", expr(
+        """transform(sequence(1, size(bounds) - 1),
+          |  k -> substring(w, element_at(bounds, k) + 1,
+          |                 element_at(bounds, k + 1) - element_at(bounds, k)))""".stripMargin))
+      .filter(expr(s"aggregate(pieces, 0, (m, p) -> greatest(m, length(p))) <= $MaxPieceLen"))
+      .select(col("w"), col("cw"), col("mask"),
+        size(col("pieces")).cast("long").as("np"), explode(col("pieces")).as("piece"))
+
+  /** E-step: the Viterbi-best (w, mask, np) per word under `logp` —
+    * decimal-exact score sum, (score DESC, np ASC, mask ASC) tiebreak;
+    * segmentations using any out-of-vocab piece die on the join-count
+    * check. The window partitions by word type — bounded groups. */
+  private def bestSegs(exploded: DataFrame, logp: DataFrame): DataFrame = {
+    val byScore = Window.partitionBy("w")
+      .orderBy(col("score").desc, col("np").asc, col("mask").asc)
+    exploded.join(broadcast(logp), "piece")
+      .groupBy("w", "cw", "mask", "np")
+      .agg(sum(col("logp")).as("score"), count(lit(1)).as("joined"))
+      .filter(col("joined") === col("np"))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") === 1)
+      .select("w", "cw", "mask", "np")
+  }
+
+  /** M-step: piece occurrence counts under the best segmentations. */
+  private def mStep(exploded: DataFrame, best: DataFrame): DataFrame =
+    exploded.join(best.select("w", "mask"), Seq("w", "mask"), "left_semi")
+      .groupBy("piece").agg(sum(col("cw")).as("cnt"))
+
+  /** chars ∪ top-`keep` multi-char pieces of `candidates` by the counts
+    * in `counts` (absent → 0), tiebreak (cnt DESC, piece ASC). */
+  private def pruned(candidates: DataFrame, counts: DataFrame, keep: Int): DataFrame = {
+    val scored = candidates.select("piece")
+      .join(counts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    scored.filter(length(col("piece")) === 1)
+      .unionAll(scored.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(keep))
+  }
+
+  /** The trained model, memoized per corpus like [[Bpe]]'s merge table:
+    * (final piece table rows, the round-2 best (w → np) rows for the
+    * encode pass). Both are bounded — ≤ 66 pieces, one row per word
+    * TYPE — exactly what a .model tokenizer file holds. */
+  private val modelMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long)], Seq[(String, Long, Long)])]
+
+  /** The full seed → E → M → prune → E → M schedule over an arbitrary
+    * word-count frame; returns the bounded model tables collected to the
+    * driver. Package-visible for crafted-corpus specs. */
+  private[llm] def trainOver(words0: DataFrame)
+      : (Seq[(String, Long)], Seq[(String, Long, Long)]) = {
+    val words = words0.persist()
+    val exploded = explodedSegs(words).persist()
+    val subs = substringCounts(words)
+    val vocab0 = subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
+    val m1 = mStep(exploded, bestSegs(exploded, logpOf(vocab0)))
+    val vocab1 = pruned(vocab0, m1, KeepMulti)
+    val best2 = bestSegs(exploded, logpOf(vocab1))
+    val m2 = mStep(exploded, best2)
+    val finalVocab = vocab1.select("piece")
+      .join(m2, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val wordNp = best2.select("w", "cw", "np")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    words.unpersist(blocking = false)
+    exploded.unpersist(blocking = false)
+    (finalVocab, wordNp)
+  }
+
+  private def trainedModel(spark: SparkSession, sfDir: String)
+      : (Seq[(String, Long)], Seq[(String, Long, Long)]) =
+    modelMemo.getOrElseUpdate(
+      s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}",
+      trainOver(wordCounts(spark, sfDir)))
+
+  /** EXT: the learned unigram-LM piece table — final Viterbi counts and
+    * add-one log-probs of every surviving piece after seed → EM round →
+    * prune → EM round. This IS the .model file a SentencePiece-style
+    * train run ships. */
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (vocab, _) = trainedModel(spark, sfDir)
+    val tot = vocab.map(_._2).sum
+    val v = vocab.size
+    vocab.toDF("piece", "cnt")
+      .select(col("piece"),
+        length(col("piece")).cast("int").as("piece_len"),
+        col("cnt"),
+        round(log((col("cnt") + lit(1.0)) / lit((tot + v).toDouble)), 6).as("logp"))
+      .orderBy(col("cnt").desc, col("piece"))
+  }
+
+  /** EXT: per-language fertility of the trained UNIGRAM encoder beside
+    * the trained BPE encoder — the tokenizer-selection table (which
+    * vocab family compresses which language better, the call every
+    * multilingual train run makes between exactly these two families).
+    * The unigram encode is the word-type np map applied back to word
+    * occurrences (one corpus-words scan + a broadcast word-type join);
+    * the BPE side is [[Bpe.bpeFertility]]'s registry-memoized encode.
+    * Chars differ by each tokenizer's own preprocessing (BPE: cleaned
+    * doc prefix; unigram: per-word truncation), so each reports its own
+    * chars — the per-language RATIO columns are the comparison. */
+  def unigramFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, wordNp) = trainedModel(spark, sfDir)
+    val npMap = wordNp.map { case (w, _, np) => (w, np) }.toDF("w", "np")
+    val docWords = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), col("lang"), substring(col("w0"), 1, MaxWordLen).as("w"))
+    val uni = docWords.join(broadcast(npMap), "w")
+      .groupBy("lang")
+      .agg(sum(length(col("w"))).cast("long").as("uni_chars"),
+        sum(col("np")).as("uni_tokens"))
+    val bpe = Bpe.bpeFertility(spark, sfDir)
+      .select(col("lang"), col("n_docs"),
+        col("chars").as("bpe_chars"), col("tokens").as("bpe_tokens"))
+    bpe.join(uni, "lang")
+      .withColumn("bpe_cpt_micro", expr("bpe_chars * 1000000 div bpe_tokens"))
+      .withColumn("uni_cpt_micro", expr("uni_chars * 1000000 div uni_tokens"))
+      .orderBy("lang")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_train" -> (unigramTrain _),
+    "text_unigram_fertility" -> (unigramFertility _),
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** The full re-learned unigram schedule as CTEs (u_-prefixed so they
+    * compose beside the BPE chain in the fertility comparison). */
+  private def unigramCtes: Seq[String] = Seq(
+    s"""u_words AS (
+       |  SELECT substr(w0, 1, $MaxWordLen) AS w, count(*) AS cw FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
+       |    FROM documents) t
+       |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin,
+    s"""u_subs AS (
+       |  SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
+       |    SELECT cw, unnest(flatten(list_transform(range(1, length(w)+1),
+       |      s -> list_transform(range(1, ${MaxPieceLen + 1}),
+       |        l -> CASE WHEN s + l - 1 <= length(w) THEN substr(w, CAST(s AS INTEGER), CAST(l AS INTEGER)) END)))) AS piece
+       |    FROM u_words) x
+       |  WHERE piece IS NOT NULL GROUP BY 1)""".stripMargin,
+    s"""u_vocab0 AS (
+       |  SELECT piece, cnt FROM u_subs WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM u_subs WHERE length(piece) >= 2
+       |                          ORDER BY cnt DESC, piece LIMIT $SeedMulti))""".stripMargin,
+    """u_logp0 AS (
+      |  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + v)), 6) AS DECIMAL(12,6)) AS logp
+      |  FROM u_vocab0, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_vocab0))""".stripMargin,
+    s"""u_exploded AS (
+       |  SELECT w, cw, mask, CAST(len(pieces) AS BIGINT) AS np, unnest(pieces) AS piece FROM (
+       |    SELECT w, cw, mask,
+       |      list_transform(range(0, CAST(len(bounds) AS BIGINT) - 1),
+       |        k -> substr(w, CAST(bounds[CAST(k AS INTEGER)+1] + 1 AS INTEGER),
+       |                       CAST(bounds[CAST(k AS INTEGER)+2] - bounds[CAST(k AS INTEGER)+1] AS INTEGER))) AS pieces
+       |    FROM (
+       |      SELECT w, cw, mask,
+       |        [0] || list_transform(list_filter(range(0, length(w)-1), i -> ((mask >> i) & 1) = 1), c -> c + 1)
+       |            || [CAST(length(w) AS BIGINT)] AS bounds
+       |      FROM (SELECT w, cw, CAST(unnest(range(0, 1 << (length(w) - 1))) AS BIGINT) AS mask FROM u_words) m) b) s
+       |  WHERE list_max(list_transform(pieces, p -> length(p))) <= $MaxPieceLen)""".stripMargin,
+    """u_best1 AS (
+      |  SELECT w, mask FROM (
+      |    SELECT e.w, e.mask, row_number() OVER (PARTITION BY e.w
+      |        ORDER BY SUM(l.logp) DESC, e.np ASC, e.mask ASC) AS rn
+      |    FROM u_exploded e JOIN u_logp0 l ON e.piece = l.piece
+      |    GROUP BY e.w, e.mask, e.np HAVING COUNT(*) = e.np) q WHERE rn = 1)""".stripMargin,
+    """u_m1 AS (
+      |  SELECT e.piece, CAST(SUM(e.cw) AS BIGINT) AS cnt
+      |  FROM u_exploded e JOIN u_best1 b ON e.w = b.w AND e.mask = b.mask
+      |  GROUP BY 1)""".stripMargin,
+    s"""u_vocab1 AS (
+       |  SELECT v.piece, COALESCE(m.cnt, 0) AS cnt
+       |  FROM u_vocab0 v LEFT JOIN u_m1 m ON v.piece = m.piece WHERE length(v.piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT v.piece, COALESCE(m.cnt, 0) AS cnt
+       |    FROM u_vocab0 v LEFT JOIN u_m1 m ON v.piece = m.piece WHERE length(v.piece) >= 2
+       |    ORDER BY COALESCE(m.cnt, 0) DESC, v.piece LIMIT $KeepMulti))""".stripMargin,
+    """u_logp1 AS (
+      |  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + v)), 6) AS DECIMAL(12,6)) AS logp
+      |  FROM u_vocab1, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_vocab1))""".stripMargin,
+    """u_best2 AS (
+      |  SELECT w, mask, np FROM (
+      |    SELECT e.w, e.mask, e.np, row_number() OVER (PARTITION BY e.w
+      |        ORDER BY SUM(l.logp) DESC, e.np ASC, e.mask ASC) AS rn
+      |    FROM u_exploded e JOIN u_logp1 l ON e.piece = l.piece
+      |    GROUP BY e.w, e.mask, e.np HAVING COUNT(*) = e.np) q WHERE rn = 1)""".stripMargin,
+    """u_m2 AS (
+      |  SELECT e.piece, CAST(SUM(e.cw) AS BIGINT) AS cnt
+      |  FROM u_exploded e JOIN u_best2 b ON e.w = b.w AND e.mask = b.mask
+      |  GROUP BY 1)""".stripMargin,
+    """u_final AS (
+      |  SELECT v.piece, COALESCE(m.cnt, 0) AS cnt
+      |  FROM u_vocab1 v LEFT JOIN u_m2 m ON v.piece = m.piece)""".stripMargin,
+  )
+
+  // NOTE: the CTE blocks are concatenated OUTSIDE any stripMargin — an
+  // outer stripMargin would re-strip the embedded (already-stripped)
+  // lines and eat one `|` from a line-leading `||` list concat.
+  override def oracles: Map[String, String] = Map(
+    "text_unigram_train" ->
+      (unigramCtes.mkString("WITH ", ",\n", "") + "\n" +
+      s"""SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, CAST(cnt AS BIGINT) AS cnt,
+         |  round(ln((cnt + 1.0) / (tot + v)), 6) AS logp
+         |FROM u_final, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_final)
+         |ORDER BY cnt DESC, piece""".stripMargin),
+    "text_unigram_fertility" ->
+      ((Bpe.oracleCteList(Bpe.Rounds) ++ unigramCtes).mkString("WITH ", ",\n", "") + ",\n" +
+      s"""bpe_enc AS (
+         |  SELECT doc_id,
+         |    CAST(length(state) AS BIGINT)
+         |      - 2 * CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_chars_clean,
+         |    CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_tokens
+         |  FROM s${Bpe.Rounds}
+         |), bpe_lang AS (
+         |  SELECT d.lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(e.n_chars_clean) AS BIGINT) AS bpe_chars,
+         |    CAST(SUM(e.n_tokens) AS BIGINT) AS bpe_tokens
+         |  FROM bpe_enc e JOIN documents d ON e.doc_id = d.doc_id
+         |  GROUP BY d.lang
+         |), u_docw AS (
+         |  SELECT doc_id, lang, substr(w0, 1, $MaxWordLen) AS w FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
+         |    FROM documents) t
+         |  WHERE length(w0) >= 1
+         |), uni_lang AS (
+         |  SELECT d.lang,
+         |    CAST(SUM(length(d.w)) AS BIGINT) AS uni_chars,
+         |    CAST(SUM(b.np) AS BIGINT) AS uni_tokens
+         |  FROM u_docw d JOIN u_best2 b ON d.w = b.w
+         |  GROUP BY d.lang
+         |)
+         |SELECT b.lang, b.n_docs, b.bpe_chars, b.bpe_tokens, u.uni_chars, u.uni_tokens,
+         |  b.bpe_chars * 1000000 // b.bpe_tokens AS bpe_cpt_micro,
+         |  u.uni_chars * 1000000 // u.uni_tokens AS uni_cpt_micro
+         |FROM bpe_lang b JOIN uni_lang u ON b.lang = u.lang
+         |ORDER BY b.lang""".stripMargin),
+  )
+}
