@@ -385,7 +385,8 @@ object Maintenance extends QueryModule {
       artifacts: Seq[(String, String, String, java.nio.file.Path)],
       consolidatedTarget: java.nio.file.Path,
       manifestDir: java.nio.file.Path,
-      epoch: Long): DataFrame = {
+      epoch: Long,
+      schemaVersions: Map[String, Long] = Map.empty): DataFrame = {
     // duplicate zone names would put two rows in the manifest and
     // currentEpoch's .toMap silently keeps the last — the exact silent-
     // shadowing class the query registries guard with disjoint()
@@ -397,7 +398,7 @@ object Maintenance extends QueryModule {
     commitEpochManifest(spark,
       artifacts.map { case (zone, _, keyCol, target) =>
         (zone, target.toString, keyCol) },
-      manifestDir, epoch)
+      manifestDir, epoch, schemaVersions)
     report
   }
 
@@ -418,12 +419,55 @@ object Maintenance extends QueryModule {
       spark: SparkSession,
       zones: Seq[(String, String, String)],
       manifestDir: java.nio.file.Path,
-      epoch: Long): Unit = {
+      epoch: Long,
+      schemaVersions: Map[String, Long] = Map.empty): Unit = {
     requireDistinctZones(zones.map(_._1), "commitEpochManifest")
     val manifest = spark.createDataFrame(
-      zones.map { case (zone, gen, keyCol) => (epoch, zone, gen, keyCol) })
-      .toDF("epoch", "zone", "generation", "key_col")
+      zones.map { case (zone, gen, keyCol) =>
+        (epoch, zone, gen, keyCol, schemaVersions.getOrElse(zone, 1L)) })
+      .toDF("epoch", "zone", "generation", "key_col", "zone_schema_version")
     graft.Fs.writeParquetAtomic(manifest, manifestDir.resolve(f"epoch-$epoch%09d"))
+  }
+
+  /** The manifested schema version of `zone` as of `asOfEpoch` — 1 for
+    * manifests written before the column existed (the manifest's own
+    * schema evolution, handled by exactly the discipline it records). */
+  def zoneSchemaVersion(
+      spark: SparkSession, manifestDir: java.io.File, zone: String,
+      asOfEpoch: Long = Long.MaxValue): Long = {
+    val (epoch, zones) = epochAsOf(spark, manifestDir, asOfEpoch).getOrElse(
+      sys.error(s"zoneSchemaVersion: no complete epoch in $manifestDir"))
+    require(zones.contains(zone),
+      s"zoneSchemaVersion: zone '$zone' absent from epoch $epoch")
+    val d = completeEpochDirs(manifestDir).find(_._1 == epoch).get._2
+    val m = spark.read.parquet(d.toString)
+    if (!m.columns.contains("zone_schema_version")) 1L
+    else m.filter(col("zone") === zone)
+      .select("zone_schema_version").collect().head.getLong(0)
+  }
+
+  /** SCHEMA-EVOLVED zone read: resolve the generation through the epoch
+    * manifest ([[readZoneThroughManifest]]) and align it to the CURRENT
+    * code's schema — every column in `defaults` that the stored
+    * generation lacks is filled with its default literal. This is the
+    * versioned read path that keeps old generations readable after a
+    * code upgrade adds columns to a standing zone: a v1 generation read
+    * through v2 code yields the v2 shape (defaults filled), a v2
+    * generation yields its real values, and frames from generations of
+    * DIFFERENT versions union by name without error — so epoch time
+    * travel keeps working across upgrades instead of orphaning every
+    * pre-upgrade generation. Columns the generation has but `defaults`
+    * doesn't are passed through untouched (upgrades only ADD here;
+    * a column REMOVAL is a breaking change that mints a new zone name).
+    */
+  def readZoneEvolved(
+      spark: SparkSession, manifestDir: java.io.File, zone: String,
+      defaults: Seq[(String, org.apache.spark.sql.Column)],
+      asOfEpoch: Long = Long.MaxValue): DataFrame = {
+    val raw = readZoneThroughManifest(spark, manifestDir, zone, asOfEpoch)
+    defaults.foldLeft(raw) { case (df, (name, dflt)) =>
+      if (df.columns.contains(name)) df else df.withColumn(name, dflt)
+    }
   }
 
   /** All COMPLETE epoch manifest dirs in `manifestDir`, newest first.
@@ -598,9 +642,75 @@ object Maintenance extends QueryModule {
     countsAt(1L).unionAll(countsAt(2L)).orderBy("epoch", "lang")
   }
 
+  /** The v2 upgrade's added column: a coarse size tier, derivable from
+    * the stored columns — shared verbatim by the builder and oracle. */
+  private[graft] val TierDivisor = 100L
+  private[graft] val TierDefault = -1L
+
+  /** (JVM, corpus fingerprint) → a standing zone that lived through a
+    * SCHEMA UPGRADE: epoch 1 installs the v1 generation (doc_id, lang,
+    * n_chars), epoch 2 — after "the code shipped v2" — installs a
+    * generation carrying the new `tier` column, each manifested with its
+    * `zone_schema_version`. Nothing rewrites the v1 generation: the
+    * whole point is that it stays readable as-is. */
+  private val schemaDemoMemo = scala.collection.mutable.Map[String, java.io.File]()
+
+  private[graft] def schemaDemoRoot(
+      spark: SparkSession, sfDir: String): java.io.File =
+    schemaDemoMemo.synchronized {
+      val key = s"$sfDir#schema@${graft.llm.Bpe.corpusFingerprint(spark, sfDir)}"
+      schemaDemoMemo.getOrElseUpdate(key, {
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val root = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_epoch_schema"), digest)
+        val manifestDir = new java.io.File(root, "manifest")
+        if (!currentEpoch(spark, manifestDir).exists(_._1 >= 2L)) {
+          root.mkdirs()
+          val v1 = Tables.documents(spark, sfDir)
+            .select("doc_id", "lang", "n_chars")
+          val gen1 = new java.io.File(root, "quality_gen1").toPath
+          graft.Fs.writeParquetAtomic(v1, gen1)
+          commitEpochManifest(spark,
+            Seq(("quality", gen1.toString, "doc_id")),
+            manifestDir.toPath, epoch = 1L, Map("quality" -> 1L))
+          val v2 = v1.withColumn("tier", expr(s"n_chars div $TierDivisor"))
+          val gen2 = new java.io.File(root, "quality_gen2").toPath
+          graft.Fs.writeParquetAtomic(v2, gen2)
+          commitEpochManifest(spark,
+            Seq(("quality", gen2.toString, "doc_id")),
+            manifestDir.toPath, epoch = 2L, Map("quality" -> 2L))
+        }
+        root
+      })
+    }
+
+  /** SCHEMA EVOLUTION as an oracled query: the same standing zone read
+    * at its v1 epoch and its v2 epoch through ONE (v2) code path —
+    * [[readZoneEvolved]] fills the upgrade's `tier` column with the
+    * default on the pre-upgrade generation and serves real values on
+    * the post-upgrade one, and the two epochs' frames union by name
+    * into one result. The oracle derives both shapes from the documents
+    * table (default literal vs the tier expression), so one hash pins
+    * install(v1) → manifest(v1) → upgrade → install(v2) → manifest(v2)
+    * → evolved reads at both epochs. */
+  def epochSchemaEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    val manifestDir = new java.io.File(schemaDemoRoot(spark, sfDir), "manifest")
+    def tiersAt(e: Long): DataFrame =
+      readZoneEvolved(spark, manifestDir, "quality",
+          defaults = Seq("tier" -> lit(TierDefault)), asOfEpoch = e)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .select(lit(e).as("epoch"),
+          lit(zoneSchemaVersion(spark, manifestDir, "quality", e)).as("schema_version"),
+          col("tier"), col("n_docs"), col("total_chars"))
+    tiersAt(1L).unionAll(tiersAt(2L)).orderBy("epoch", "tier")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "maint_compaction_bins" -> (compactionBins _),
     "maint_epoch_travel" -> (epochTravel _),
+    "maint_epoch_schema_evolve" -> (epochSchemaEvolve _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -627,5 +737,16 @@ object Maintenance extends QueryModule {
          |FROM documents WHERE doc_id % $EpochDelMod <> $EpochDelRem
          |GROUP BY lang
          |ORDER BY epoch, lang""".stripMargin,
+    "maint_epoch_schema_evolve" ->
+      s"""SELECT CAST(1 AS BIGINT) AS epoch, CAST(1 AS BIGINT) AS schema_version,
+         |  CAST($TierDefault AS BIGINT) AS tier,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+         |  CAST(n_chars // $TierDivisor AS BIGINT),
+         |  COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+         |FROM documents GROUP BY n_chars // $TierDivisor
+         |ORDER BY epoch, tier""".stripMargin,
   )
 }
