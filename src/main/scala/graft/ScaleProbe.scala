@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -905,6 +905,175 @@ object ScaleProbe {
       println(f"""{"probe":"forget_cascade","nodes":$n,"deleted":$nDel,""" +
         f""""survivors":${rb._1._1},"label_checksum":${rb._1._2},""" +
         f""""rebuild_sec":${rb._2}%.1f,"incremental_sec":${inc._2}%.1f}""")
+    }
+
+    // claim 13 (round-12): the WHOLE IVF-PQ deployment chain at 10⁷ —
+    // the flagship family's measured slope, composing everything the
+    // sf-scale queries pin piecewise. Standing artifacts are built in 3
+    // incremental waves (the `ivfPqIndexStream` cost model: each wave
+    // pays O(batch·k) assignment + O(batch·16·8) encode against FROZEN
+    // codebooks and APPENDS to the codes zone — never touching prior
+    // generations), the cell-sorted fp64 vector zone is one amortized
+    // layout rewrite, and then the PROBE-ONLY wave runs over ONLY the
+    // standing artifacts: codes-zone ADC over the probed cells →
+    // shortlist → cell-pruned fp64 fetch → exact re-rank. Build and
+    // probe are priced separately (a deployment amortizes the build
+    // across every query); the probe wave is A/B'd against the IN-QUERY
+    // chain (sim_ann_ivfpq_rerank's shape: re-assign + re-encode inside
+    // the query) with a REQUIRED result checksum — the standing path
+    // must return bit-identical top-3 rows, not just comparable cost.
+    if (on("annwave")) {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorExpressions.cosine_sim
+      val n = (if (args.contains("small")) 1000000L else 10000000L)
+      val k = 64; val nprobe = 2; val nQ = 30; val rShort = 10
+      val vecs = spark.range(n).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          j => ((pmod(xxhash64(col("id") * 64 + j), lit(2000L)) - 1000L)
+            .cast("double") / 1000.0)).as("e"))
+      val cents = vecs.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("e").as("cente"))
+      def assignTo(vs: DataFrame): DataFrame =
+        vs.crossJoin(broadcast(cents))
+          .withColumn("ccos", cosine_sim(col("e"), col("cente")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("ccos"), (-col("cent_id")).as("negc"),
+            col("e"))).as("best"))
+          .select(col("vec_id"), col("best.e").as("e"),
+            (-col("best.negc")).as("cluster"))
+      def subsOf(assigned: DataFrame): DataFrame = assigned
+        .select(col("vec_id"), col("cluster"), posexplode(expr(
+          "transform(sequence(0, 7), s -> slice(e, s*8+1, 8))")))
+        .select(col("vec_id"), col("cluster"),
+          col("pos").as("s"), col("col").as("sub"))
+      // frozen PQ codebooks: the first-16 seed vectors' subspaces —
+      // bounded, computed once, identical for every wave and both paths
+      val pcb = subsOf(assignTo(vecs.filter(col("vec_id") < 16)))
+        .select(col("s"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+        .persist()
+      pcb.count()
+      val subD2 =
+        graft.functions.VectorExpressions.l2_sq(col("sub"), col("csub"))
+      def codesOf(assigned: DataFrame): DataFrame =
+        subsOf(assigned).join(broadcast(pcb), Seq("s"))
+          .withColumn("d2", subD2)
+          .groupBy("vec_id", "cluster", "s")
+          .agg(min(struct(col("d2"), col("cent_id"))).as("b"))
+          .select(col("vec_id").as("cand_id"), col("cluster"),
+            col("s"), col("b.cent_id").as("cid"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-probe-annwave").toString
+      // BUILD: 3 incremental waves — per wave, assign + encode ONLY the
+      // arriving third and append; prior generations untouched (the
+      // stream's per-batch cost, measured per batch at this n)
+      val buildSecs = (0 until 3).map { b =>
+        val batch = vecs.filter(pmod(col("vec_id"), lit(3)) === b)
+        val (_, sec) = time {
+          val assigned = assignTo(batch)
+          assigned.select("vec_id", "cluster", "e")
+            .write.mode("append").parquet(s"$dir/vstage")
+          // cluster-clustered within the generation, as the stream
+          // writes it — the layout the probe's pushed cells filter
+          // skips row groups against
+          codesOf(assigned)
+            .repartitionByRange(col("cluster"), col("cand_id"))
+            .sortWithinPartitions("cluster", "cand_id")
+            .write.mode("append").parquet(s"$dir/codes")
+        }
+        sec
+      }
+      // the amortized layout rewrite: the cell-keyed, (cluster, vec_id)-
+      // sorted fp64 vector zone (the rerank probe's winning layout)
+      val (_, zoneSec) = time {
+        spark.read.parquet(s"$dir/vstage")
+          .repartitionByRange(32, col("cluster"), col("vec_id"))
+          .sortWithinPartitions("cluster", "vec_id")
+          .write.mode("overwrite").parquet(s"$dir/bycell")
+      }
+      // the probe side (queries + their LUTs + probed cells) is shared
+      // verbatim by both paths — the A/B isolates the corpus-side work
+      val q = vecs.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val byCent = Window.partitionBy("q_id")
+        .orderBy(col("ccos").desc, col("cent_id"))
+      val probed = q.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine_sim(col("qe"), col("cente")))
+        .withColumn("prn", row_number().over(byCent))
+        .filter(col("prn") <= nprobe)
+        .select(col("q_id"), col("cent_id").as("cluster"))
+      val luts = q.select(col("q_id"), posexplode(expr(
+          "transform(sequence(0, 7), s -> slice(qe, s*8+1, 8))")))
+        .select(col("q_id"), col("pos").as("s"), col("col").as("sub"))
+        .join(broadcast(pcb), Seq("s"))
+        .withColumn("pd2", round(subD2, 6).cast("decimal(18,6)"))
+        .select(col("q_id").as("lut_q"), col("s").as("lut_s"),
+          col("cent_id").as("lut_cid"), col("pd2"))
+      val l2 = graft.functions.VectorExpressions.l2_sq(col("qe"), col("ce"))
+      val byL2 = Window.partitionBy("q_id").orderBy(col("d2").asc, col("cand_id"))
+      val byAdc = Window.partitionBy("q_id").orderBy(col("adc").asc, col("cand_id"))
+      def waveOver(postings: DataFrame, zone: DataFrame): (Long, Long) = {
+        val adc = postings
+          .join(broadcast(probed), Seq("cluster"))
+          .join(broadcast(luts),
+            col("q_id") === col("lut_q") && col("s") === col("lut_s") &&
+              col("cid") === col("lut_cid"))
+          .filter(col("q_id") =!= col("cand_id"))
+          .groupBy(col("q_id"), col("cand_id"))
+          .agg(sum(col("pd2")).as("adc"))
+        val shortlist = adc.withColumn("arn", row_number().over(byAdc))
+          .filter(col("arn") <= rShort)
+          .select(col("q_id"), col("cand_id"))
+        val top3 = zone
+          .select(col("vec_id").as("cand_id"), col("e").as("ce"))
+          .join(broadcast(shortlist), Seq("cand_id"))
+          .join(broadcast(q), Seq("q_id"))
+          .withColumn("d2", l2)
+          .withColumn("rn", row_number().over(byL2))
+          .filter(col("rn") <= 3)
+        // drain through a checksum that references q_id, cand_id AND the
+        // exact rank, so neither the fetch nor the scoring prunes away
+        val row = top3.agg(count(lit(1)),
+          sum(col("q_id") * 1000000 + col("cand_id") * col("rn"))).head
+        (row.getLong(0), row.getLong(1))
+      }
+      // PROBE-ONLY wave: every corpus-side input is a standing artifact —
+      // the codes zone scan + the cell-pruned vector zone fetch
+      def waveStanding(): (Long, Long) = {
+        val cells = probed.select("cluster").distinct()
+          .collect().map(_.getLong(0))
+        // BOTH standing scans prune to the probed cells via a pushed
+        // In(cluster, …) — the fix this probe's first run motivated:
+        // unpruned, the codes scan alone made the probe-only wave
+        // SLOWER than the in-query chain at 10⁶
+        waveOver(
+          spark.read.parquet(s"$dir/codes")
+            .filter(col("cluster").isin(cells: _*))
+            .select("cluster", "cand_id", "s", "cid"),
+          spark.read.parquet(s"$dir/bycell")
+            .filter(col("cluster").isin(cells: _*)))
+      }
+      // IN-QUERY wave: the same chain but re-assigning and re-encoding
+      // the corpus inside the query — what a deployment WITHOUT standing
+      // artifacts pays per probe batch
+      def waveInQuery(): (Long, Long) = {
+        val assigned = assignTo(vecs)
+        waveOver(codesOf(assigned), assigned)
+      }
+      val standing = (1 to 2).map(_ => time(waveStanding())).minBy(_._2)
+      val inQuery = (1 to 2).map(_ => time(waveInQuery())).minBy(_._2)
+      require(standing._1 == inQuery._1,
+        s"standing-artifact wave diverges from the in-query chain: " +
+          s"${standing._1} vs ${inQuery._1}")
+      pcb.unpersist(blocking = false)
+      println(f"""{"probe":"ann_wave","vectors":$n,"k":$k,"nprobe":$nprobe,""" +
+        f""""queries":$nQ,"rerank_r":$rShort,""" +
+        f""""build_batch_secs":[${buildSecs.map(s => f"$s%.1f").mkString(",")}],""" +
+        f""""zone_layout_sec":$zoneSec%.1f,""" +
+        f""""probe_only_wave_sec":${standing._2}%.1f,""" +
+        f""""in_query_wave_sec":${inQuery._2}%.1f,""" +
+        f""""top3_rows":${standing._1._1},"checksum":${standing._1._2}}""")
+      graft.Fs.deleteRecursively(new java.io.File(dir))
     }
     spark.stop()
   }

@@ -774,9 +774,10 @@ trait SimilarityIvfPq extends SimilarityIvf {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
     val subs = pqSubs(spark, sfDir)
+    // codes scan pruned to the probed cells (pushed In(cluster, …)) —
+    // the same discipline as the vector-zone fetch below
     val adc = ivfPqAdcOver(emb, subs, coarse, pqCentsTrained(subs),
-      spark.read.parquet(s"$indexDir/codes")
-        .select("cluster", "cand_id", "s", "cid"))
+      prunedCodes(spark, indexDir, emb, coarse))
     val zone = vectorZoneManifest match {
       case Some(m) =>
         graft.sources.Maintenance.readZoneThroughManifest(spark, m, "vectors")
@@ -784,6 +785,26 @@ trait SimilarityIvfPq extends SimilarityIvf {
         spark.read.parquet(materializedVectorZone(spark, sfDir))
     }
     rerankFromZoneOver(spark, sfDir, emb, coarse, adc, zone)
+  }
+
+  /** The standing codes zone pruned to the query wave's probed cells —
+    * a literal pushed-down `In(cluster, …)` (the cells list is bounded
+    * BY CONSTRUCTION: nprobe × queries values), so the parquet reader
+    * skips every non-probed cell's row groups in the cluster-clustered
+    * generations `ivfPqIndexStream` writes. Before this, pruning
+    * happened only in the ADC's broadcast join — correct, but AFTER a
+    * full codes scan; `ScaleProbe annwave` at 10⁷ vectors measured
+    * that scan dominating the probe-only wave. The ADC's join still
+    * attaches q_id per cell; the filter is a strict superset of it. */
+  private[llm] def prunedCodes(
+      spark: SparkSession, indexDir: String,
+      emb: DataFrame, coarse: DataFrame): DataFrame = {
+    val cells = probedCellsOf(emb, coarse)
+      .filter(col("prn") <= IvfPqNprobe)
+      .select("cluster").distinct().collect().map(_.getLong(0))
+    spark.read.parquet(s"$indexDir/codes")
+      .filter(col("cluster").isin(cells: _*))
+      .select("cluster", "cand_id", "s", "cid")
   }
 
   /** Probe depths the re-rank × nprobe cross table prices. */

@@ -199,6 +199,13 @@ trait SimilarityStreams extends SimilarityIvfPq with SimilarityEmbDedup {
           .join(pqCodesAgainst(pqSubsOf(be), pqCb)
             .select(col("vec_id").as("cand_id"), col("s"), col("cid")),
             Seq("cand_id"))
+          // cluster-clustered layout WITHIN each generation: probes prune
+          // the codes scan to the probed cells (`In(cluster, …)` pushed
+          // by the readers), and row-group min/max stats only skip when
+          // like clusters sit together — `ScaleProbe annwave` measured
+          // the unsorted zone forcing a full codes scan per probe wave
+          .repartitionByRange(col("cluster"), col("cand_id"))
+          .sortWithinPartitions("cluster", "cand_id")
           .write.mode("overwrite").parquet(s"$indexDir/codes/batch=$batchId")
         ()
       }
@@ -217,8 +224,8 @@ trait SimilarityStreams extends SimilarityIvfPq with SimilarityEmbDedup {
     val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
     val subs = pqSubs(spark, sfDir)
     ivfPqProbeOver(emb, subs, coarse, pqCentsTrained(subs),
-      spark.read.parquet(s"$indexDir/codes")
-        .select("cluster", "cand_id", "s", "cid"))
+      prunedCodes(spark, indexDir, emb, coarse))
   }
+
 
 }
