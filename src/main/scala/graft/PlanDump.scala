@@ -175,7 +175,15 @@ object PlanDump {
     "sim_ann_ivfpq_rerank", "sim_ann_ivfpq_rerank_sweep",
     "sim_ann_ivfpq_rerank_nprobe", "sim_ann_ivfpq_rerank_zone",
     "sim_index_footprint", "graph_kcore_incremental",
-    "sim_ann_forget_drift")
+    "sim_ann_forget_drift",
+    // round 12: epoch time travel + schema evolution (manifest-resolved
+    // reads — the dumps show the generation scans the manifests point
+    // at), the lossy JPEG tier (banded decoded-aHash dedup), and the
+    // unigram trainer's fertility comparison (the encode side; training
+    // runs eagerly into the model memo like the BPE family)
+    "maint_epoch_travel", "maint_epoch_schema_evolve",
+    "mm_jpeg_meta", "mm_jpeg_dedup",
+    "text_unigram_train", "text_unigram_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
