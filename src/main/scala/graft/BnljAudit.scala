@@ -85,11 +85,36 @@ object BnljAudit {
     }
   }
 
+  /** The subtree with CACHE and AQE wrappers expanded: when a branch was
+    * persisted by an earlier query (suite run order is arbitrary), the
+    * broadcast side renders as an InMemoryTableScan whose provenance —
+    * the aggregate/limit that bounded it — lives in the relation's
+    * cachedPlan, which is not a `children` member; same for an
+    * AdaptiveSparkPlanExec's input. Without this, the audit's verdict
+    * would depend on which specs ran first (observed: emb_kmeans
+    * centroids cached by an earlier suite). */
+  private def expanded(p: SparkPlan): Seq[SparkPlan] = {
+    val inner: Seq[SparkPlan] = p match {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        expanded(s.relation.cachedPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        expanded(a.inputPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        expanded(qs.plan)
+      case _ => Seq.empty
+    }
+    p +: (p.children.flatMap(expanded) ++ inner)
+  }
+
   /** The boundedness verdict for one broadcast-side subtree: Some(reason)
     * when sanctioned, None when unclassifiable. */
   def boundedReason(side: SparkPlan): Option[String] = {
-    val nodes = side.collect { case p => p }
-    val leaves = side.collectLeaves()
+    val nodes = expanded(side)
+    // a wrapper counts as a leaf only through its expansion, not itself
+    val leaves = nodes.filter(p => p.children.isEmpty &&
+      !p.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec] &&
+      !p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] &&
+      !p.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec])
     if (nodes.exists(p => simple(p).contains("Aggregate")))
       Some("aggregate")
     else if (nodes.exists(p =>
