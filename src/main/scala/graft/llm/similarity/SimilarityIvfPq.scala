@@ -767,10 +767,18 @@ trait SimilarityIvfPq extends SimilarityIvf {
     * manifested hard-delete epoch redirects the re-rank fetch the same
     * commit it redirects the probe. Absent a manifest, the fetch falls
     * back to the JVM-lifetime corpus-fingerprint memo — the benchmark
-    * default only, never the post-takedown read path. */
+    * default only, never the post-takedown read path.
+    *
+    * `asOfEpoch` composes epoch TIME TRAVEL with the fetch: the week
+    * after a bad hard-delete, the rollback read is this same wave
+    * pointed at the pre-delete epoch — the manifest machinery keeps the
+    * superseded vectors generation inside the keep-N window precisely
+    * so this call can serve it ([[graft.sources.Maintenance.epochAsOf]]
+    * semantics, named failure past retention). */
   def rerankFromIndexes(
       spark: SparkSession, sfDir: String, indexDir: String,
-      vectorZoneManifest: Option[java.io.File] = None): DataFrame = {
+      vectorZoneManifest: Option[java.io.File] = None,
+      asOfEpoch: Long = Long.MaxValue): DataFrame = {
     val emb = embDouble(Tables.embeddings(spark, sfDir))
     val coarse = lloydRefine(ivfAssignTo(ivfCentroidsOf(emb), emb))
     val subs = pqSubs(spark, sfDir)
@@ -780,7 +788,8 @@ trait SimilarityIvfPq extends SimilarityIvf {
       prunedCodes(spark, indexDir, emb, coarse))
     val zone = vectorZoneManifest match {
       case Some(m) =>
-        graft.sources.Maintenance.readZoneThroughManifest(spark, m, "vectors")
+        graft.sources.Maintenance.readZoneThroughManifest(
+          spark, m, "vectors", asOfEpoch)
       case None =>
         spark.read.parquet(materializedVectorZone(spark, sfDir))
     }

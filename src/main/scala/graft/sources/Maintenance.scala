@@ -555,6 +555,33 @@ object Maintenance extends QueryModule {
     victims.map(_.getPath).sorted
   }
 
+  /** ONE operational retention pass over an epoch-manifested deployment —
+    * the composition a real operator runs on a schedule, sequenced so
+    * nothing an as-of reader can still resolve is ever swept: (1) retire
+    * epoch manifests past the newest `keepEpochs` ([[vacuumEpochs]]);
+    * (2) recompute the live set from the manifests that SURVIVED
+    * ([[manifestLiveGenerations]] — live shrinks exactly when the
+    * rollback window does); (3) vacuum each generation zone with that
+    * live set, keeping `keepUnreferenced` newest unreferenced
+    * generations as debris slack ([[vacuumArtifacts]] — also sweeps
+    * aged atomic-writer residue). The rollback window and the disk
+    * footprint shrink together under one knob. Returns every deleted
+    * path (manifests + generations + residue), sorted. */
+  def retentionSweep(
+      spark: SparkSession,
+      manifestDir: java.io.File,
+      zoneDirs: Seq[java.io.File],
+      keepEpochs: Int = 2,
+      keepUnreferenced: Int = 0,
+      residueTtlMs: Long = 24L * 3600 * 1000,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val goneManifests = vacuumEpochs(manifestDir, keepEpochs)
+    val live = manifestLiveGenerations(spark, manifestDir)
+    val goneGens = zoneDirs.flatMap(z =>
+      vacuumArtifacts(z, live, keepUnreferenced, residueTtlMs, now))
+    (goneManifests ++ goneGens).sorted
+  }
+
   /** The generation-dir BASENAMES referenced by any retained manifest —
     * the `live` set for [[vacuumArtifacts]] over a generation zone:
     * every generation inside the epoch retention window must survive

@@ -130,6 +130,34 @@ class AnnForgetSpec extends SparkSpec {
     // the assertion above is load-bearing, not vacuous
     assert(baseRerank.exists(r => delIds(r.getAs[Long]("cand_id"))))
 
+    // EPOCH TIME TRAVEL on the ANN zones: a SECOND takedown epoch deletes
+    // ids the epoch-1 re-rank still serves; the current read must drop
+    // them, and the as-of-epoch-1 read must reproduce the epoch-1 wave
+    // EXACTLY — the rollback the keep-N retention window exists for
+    val del2 = rerankManifested.map(_.getAs[Long]("cand_id"))
+      .filter(_ >= 100).toSet
+    assert(del2.nonEmpty, "epoch-1 re-rank must serve some id >= 100")
+    val queue2 = s"$root/tombstones2"
+    del2.toSeq.toDF("doc_id").write.parquet(s"$queue2/batch=0")
+    val artifacts2 = zones.toSeq.sortBy(_._1).map { case (name, gen) =>
+      val key = if (name == "vectors") "vec_id" else "cand_id"
+      (name, gen, key,
+        new java.io.File(root, s"${name.replace('/', '_')}_gen2").toPath)
+    }
+    Maintenance.hardDeleteEpochManifested(spark, queue2, artifacts2,
+      new java.io.File(root, "tomb_epoch2").toPath, manifest.toPath, epoch = 2L)
+    val cur = Similarity.rerankFromIndexes(
+      spark, sfDir, index, Some(manifest)).collect()
+    assert(cur.forall { r =>
+      val id = r.getAs[Long]("cand_id"); !del2(id) && !delIds(id) })
+    val rollback = Similarity.rerankFromIndexes(
+      spark, sfDir, index, Some(manifest), asOfEpoch = 1L).collect()
+    assert(rollback.map(_.toSeq).toSet ===
+        rerankManifested.map(_.toSeq).toSet,
+      "the as-of-epoch-1 re-rank must reproduce the epoch-1 wave exactly")
+    assert(rollback.exists(r => del2(r.getAs[Long]("cand_id"))),
+      "the rollback read must still serve the epoch-2-deleted ids")
+
     graft.Fs.deleteRecursively(root)
   }
 }

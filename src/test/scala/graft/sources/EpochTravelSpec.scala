@@ -108,4 +108,41 @@ class EpochTravelSpec extends SparkSpec {
 
     graft.Fs.deleteRecursively(root)
   }
+
+  test("retentionSweep shrinks the rollback window and the zones together") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("retention_sweep").toFile
+    val zoneDir = new java.io.File(root, "zone")
+    val manifest = new java.io.File(root, "manifest")
+    // three manifested generations + one stray never referenced
+    for (e <- 1L to 3L) {
+      val gen = new java.io.File(zoneDir, s"gen$e").toPath
+      graft.Fs.writeParquetAtomic(Seq((e, s"v$e")).toDF("id", "v"), gen)
+      Maintenance.commitEpochManifest(spark,
+        Seq(("lens", gen.toString, "id")), manifest.toPath, e)
+    }
+    graft.Fs.writeParquetAtomic(
+      Seq((0L, "stray")).toDF("id", "v"),
+      new java.io.File(zoneDir, "gen0_stray").toPath)
+
+    // keep the 2 newest epochs, zero unreferenced slack: the epoch-1
+    // manifest AND its now-unreferenced generation retire in one pass,
+    // along with the stray; everything a reader can still resolve stays
+    val gone = Maintenance.retentionSweep(spark, manifest, Seq(zoneDir),
+      keepEpochs = 2, keepUnreferenced = 0)
+    assert(gone.exists(_.endsWith(f"epoch-${1L}%09d")))
+    assert(gone.exists(_.endsWith("gen1")) && gone.exists(_.endsWith("gen0_stray")))
+    assert(Maintenance.readZoneThroughManifest(
+      spark, manifest, "lens", asOfEpoch = 2L).collect().head.getString(1) === "v2")
+    assert(Maintenance.readZoneThroughManifest(
+      spark, manifest, "lens").collect().head.getString(1) === "v3")
+    intercept[EpochRetiredException] {
+      Maintenance.readZoneThroughManifest(spark, manifest, "lens", asOfEpoch = 1L)
+    }
+    // idempotent: a second pass finds nothing to do
+    assert(Maintenance.retentionSweep(spark, manifest, Seq(zoneDir),
+      keepEpochs = 2, keepUnreferenced = 0).isEmpty)
+
+    graft.Fs.deleteRecursively(root)
+  }
 }
