@@ -234,9 +234,37 @@ object Unigram extends QueryModule {
       .orderBy("lang")
   }
 
+  /** EXT: context-window packing on the TRAINED unigram encoder —
+    * [[Bpe.packBpeSequences]]'s composition for the second tokenizer
+    * family: per-doc token counts come from the word-type np map (one
+    * corpus-words scan + a broadcast word-type join — the encode a
+    * SentencePiece deployment runs), then the same hierarchical
+    * cumsum-÷-budget assigns context windows. Oracle replays the full
+    * unigram schedule, the per-doc encode, and the cumsum — the second
+    * train→encode→pack chain pinned cross-engine end to end. */
+  def packUnigramSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, wordNp) = trainedModel(spark, sfDir)
+    val npMap = wordNp.map { case (w, _, np) => (w, np) }.toDF("w", "np")
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), col("lang"), substring(col("w0"), 1, MaxWordLen).as("w"))
+      .join(broadcast(npMap), "w")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("np")).as("toks"))
+    Sampling.cumBeforeByLang(perDoc.select("doc_id", "lang", "toks"))
+      .withColumn("bin", expr(s"cum_before div ${Sampling.PackBudget}"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_train" -> (unigramTrain _),
     "text_unigram_fertility" -> (unigramFertility _),
+    "pack_unigram_sequences" -> (packUnigramSequences _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -354,5 +382,27 @@ object Unigram extends QueryModule {
          |  u.uni_chars * 1000000 // u.uni_tokens AS uni_cpt_micro
          |FROM bpe_lang b JOIN uni_lang u ON b.lang = u.lang
          |ORDER BY b.lang""".stripMargin),
+    "pack_unigram_sequences" ->
+      (unigramCtes.mkString("WITH ", ",\n", "") + ",\n" +
+      s"""u_docw AS (
+         |  SELECT doc_id, lang, substr(w0, 1, $MaxWordLen) AS w FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
+         |    FROM documents) t
+         |  WHERE length(w0) >= 1
+         |), enc AS (
+         |  SELECT d.doc_id, d.lang, CAST(SUM(b.np) AS BIGINT) AS toks
+         |  FROM u_docw d JOIN u_best2 b ON d.w = b.w
+         |  GROUP BY d.doc_id, d.lang
+         |), c AS (
+         |  SELECT lang, toks,
+         |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM enc
+         |)
+         |SELECT lang, CAST(cum_before // ${Sampling.PackBudget} AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY lang, cum_before // ${Sampling.PackBudget}
+         |ORDER BY lang, bin""".stripMargin),
   )
 }
