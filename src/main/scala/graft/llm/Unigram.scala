@@ -261,9 +261,35 @@ object Unigram extends QueryModule {
       .orderBy("lang", "bin")
   }
 
+  /** EXT: the per-document encode report — token count, char count, and
+    * chars-per-token compression under the TRAINED unigram model (the
+    * loader-facing numbers a packing/budgeting stage consumes), the
+    * [[Bpe.bpeEncode]] surface for the second tokenizer family. One
+    * corpus-words scan + the broadcast word-type np map; integer
+    * micro-grid ratio. Docs with no a-z words carry no tokens and are
+    * absent, exactly as BPE's encode drops its sub-2-char docs. */
+  def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val (_, wordNp) = trainedModel(spark, sfDir)
+    val npMap = wordNp.map { case (w, _, np) => (w, np) }.toDF("w", "np")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("doc_id"), substring(col("w0"), 1, MaxWordLen).as("w"))
+      .join(broadcast(npMap), "w")
+      .groupBy("doc_id")
+      .agg(sum(length(col("w"))).cast("long").as("n_chars_seen"),
+        sum(col("np")).as("n_tokens"))
+      .withColumn("chars_per_token_micro",
+        expr("n_chars_seen * 1000000 div n_tokens"))
+      .orderBy("doc_id")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_train" -> (unigramTrain _),
     "text_unigram_fertility" -> (unigramFertility _),
+    "text_unigram_encode" -> (unigramEncode _),
     "pack_unigram_sequences" -> (packUnigramSequences _),
   )
 
@@ -382,6 +408,22 @@ object Unigram extends QueryModule {
          |  u.uni_chars * 1000000 // u.uni_tokens AS uni_cpt_micro
          |FROM bpe_lang b JOIN uni_lang u ON b.lang = u.lang
          |ORDER BY b.lang""".stripMargin),
+    "text_unigram_encode" ->
+      (unigramCtes.mkString("WITH ", ",\n", "") + ",\n" +
+      s"""u_docw AS (
+         |  SELECT doc_id, substr(w0, 1, $MaxWordLen) AS w FROM (
+         |    SELECT doc_id,
+         |      unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
+         |    FROM documents) t
+         |  WHERE length(w0) >= 1
+         |)
+         |SELECT d.doc_id,
+         |  CAST(SUM(length(d.w)) AS BIGINT) AS n_chars_seen,
+         |  CAST(SUM(b.np) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(d.w)) AS BIGINT) * 1000000
+         |    // CAST(SUM(b.np) AS BIGINT) AS chars_per_token_micro
+         |FROM u_docw d JOIN u_best2 b ON d.w = b.w
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
     "pack_unigram_sequences" ->
       (unigramCtes.mkString("WITH ", ",\n", "") + ",\n" +
       s"""u_docw AS (
