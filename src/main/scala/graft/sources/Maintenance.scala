@@ -538,6 +538,111 @@ object Maintenance extends QueryModule {
     spark.read.parquet(gen)
   }
 
+  /** Full manifest rows (zone, generation, key_col, schema_version) of
+    * the newest complete epoch ≤ `asOf` — what epoch-rewriting
+    * operations ([[optimizeZoneEpoch]]) need beyond [[epochAsOf]]'s
+    * zone→generation map: the untouched zones' key columns and schema
+    * versions must carry forward verbatim into the new manifest. */
+  def manifestRowsAsOf(
+      spark: SparkSession, manifestDir: java.io.File,
+      asOf: Long = Long.MaxValue): (Long, Seq[(String, String, String, Long)]) = {
+    val (epoch, _) = epochAsOf(spark, manifestDir, asOf).getOrElse(
+      sys.error(s"manifestRowsAsOf: no complete epoch in $manifestDir"))
+    val d = completeEpochDirs(manifestDir).find(_._1 == epoch).get._2
+    val m = spark.read.parquet(d.toString)
+    val hasV = m.columns.contains("zone_schema_version")
+    (epoch, m.collect().toSeq.map { r =>
+      (r.getAs[String]("zone"), r.getAs[String]("generation"),
+        r.getAs[String]("key_col"),
+        if (hasV) r.getAs[Long]("zone_schema_version") else 1L)
+    })
+  }
+
+  /** OPTIMIZE as an EPOCH COMMIT — the missing lifecycle verb between
+    * hard-delete epochs and retention: small-file compaction of ONE
+    * standing zone's current generation, installed as a NEW generation
+    * and committed through the manifest, so readers flip atomically,
+    * the superseded (fragmented) generation stays time-travel-readable
+    * until retention retires it, and every OTHER zone's generation +
+    * key column + schema version carries forward verbatim. This is
+    * exactly what a table format's OPTIMIZE/rewriteDataFiles commit
+    * does; here it reuses [[compactionBins]]'s running-total division
+    * (bin = bytes-before div target, name order), the
+    * `input_file_name`→bin literal-map tagging of [[compactExecute]]
+    * (raw-then-decoded basename match, fail fast on an unmapped file),
+    * and the assemble → `_SUCCESS` → one-atomic-rename install of
+    * [[forgetArtifacts]]. One file per bin by construction (hash
+    * repartition on the bin key lands each bin wholly in one task).
+    * Returns (installed path, files in, bins out). */
+  def optimizeZoneEpoch(
+      spark: SparkSession,
+      manifestDir: java.io.File,
+      zone: String,
+      target: java.nio.file.Path,
+      epoch: Long,
+      targetBytes: Long = TargetBytes): (String, Long, Long) = {
+    import java.nio.file.{Files, StandardCopyOption}
+    require(!Files.exists(target),
+      s"optimizeZoneEpoch: target generation $target already exists — " +
+        "install each (retried) epoch into a fresh generation path")
+    val (_, rows) = manifestRowsAsOf(spark, manifestDir)
+    val cur = rows.find(_._1 == zone).getOrElse(sys.error(
+      s"optimizeZoneEpoch: zone '$zone' absent from the current epoch " +
+        s"(zones: ${rows.map(_._1).sorted.mkString(", ")})"))
+    val srcFiles = Option(new java.io.File(cur._2).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    require(srcFiles.nonEmpty,
+      s"optimizeZoneEpoch: no parquet part files in ${cur._2}")
+    var cum = 0L
+    val fileToBin: Map[String, Long] = srcFiles.map { f =>
+      val b = cum / targetBytes; cum += f.length(); f.getName -> b
+    }.toMap
+    val nBins = fileToBin.values.max + 1
+    val base = regexp_extract(input_file_name(), "[^/]+$", 0)
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.tmp.${java.util.UUID.randomUUID().toString}")
+    val staging = target.resolveSibling(
+      s"${target.getFileName}.tmp.staging.${java.util.UUID.randomUUID().toString}")
+    try {
+      spark.read.parquet(cur._2)
+        .withColumn("__bin", coalesce(
+          element_at(typedlit(fileToBin), base),
+          element_at(typedlit(fileToBin), try_url_decode(base)),
+          raise_error(concat(
+            lit(s"optimizeZoneEpoch: input file of $zone missing from the "
+              + "bin map: "), input_file_name()))))
+        .repartition(col("__bin"))
+        .write.mode("overwrite").partitionBy("__bin").parquet(staging.toString)
+      Files.createDirectories(tmp)
+      Option(staging.toFile.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("__bin=")).foreach { bd =>
+          val bin = bd.getName.stripPrefix("__bin=").toLong
+          val parts = bd.listFiles().filter(_.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"bin $bin must compact to exactly one file, got ${parts.length}")
+          Files.move(parts.head.toPath,
+            tmp.resolve(f"compact-$bin%05d.parquet"))
+        }
+      Files.createFile(tmp.resolve("_SUCCESS"))
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable =>
+        graft.Fs.deleteRecursively(tmp.toFile)
+        throw e
+    } finally {
+      graft.Fs.deleteRecursively(staging.toFile)
+    }
+    commitEpochManifest(spark,
+      rows.map { case (z, gen, keyCol, _) =>
+        (z, if (z == zone) target.toString else gen, keyCol) },
+      manifestDir.toPath, epoch,
+      rows.map { case (z, _, _, v) => z -> v }.toMap)
+    (target.toString, srcFiles.length.toLong, nBins)
+  }
+
   /** Retire epoch manifests past the newest `keepN` — the retention half
     * of epoch time travel, [[vacuumArtifacts]]'s keep-N discipline on the
     * manifest axis. After this, [[epochAsOf]] reads inside the window
@@ -575,6 +680,16 @@ object Maintenance extends QueryModule {
       keepUnreferenced: Int = 0,
       residueTtlMs: Long = 24L * 3600 * 1000,
       now: Long = System.currentTimeMillis()): Seq[String] = {
+    // the commit log must not live inside a swept zone: vacuumArtifacts
+    // retires any unreferenced child, and the manifest dir is never in
+    // the live set — it would retire the log itself (spec-caught)
+    zoneDirs.foreach { z =>
+      require(!manifestDir.getCanonicalPath.startsWith(
+          z.getCanonicalPath + java.io.File.separator),
+        s"retentionSweep: manifest dir $manifestDir lives inside zone " +
+          s"dir $z — the sweep would retire the commit log itself; keep " +
+          "manifests outside the generation zones")
+    }
     val goneManifests = vacuumEpochs(manifestDir, keepEpochs)
     val live = manifestLiveGenerations(spark, manifestDir)
     val goneGens = zoneDirs.flatMap(z =>
