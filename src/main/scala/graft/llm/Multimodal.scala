@@ -293,7 +293,8 @@ object Multimodal extends QueryModule {
     * whose raster id is another row's — the bytes come out identical
     * because the encoder is deterministic at a fixed quality. */
   private[llm] def encodeJpegPartition(
-      rows: Iterator[(Long, Long)], quality: Float): Iterator[JpegPayload] = {
+      rows: Iterator[(Long, Long)], quality: Float,
+      progressive: Long => Boolean = _ => false): Iterator[JpegPayload] = {
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
     require(writers.hasNext, "JRE ships no JPEG writer")
     val writer = writers.next()
@@ -301,6 +302,11 @@ object Multimodal extends QueryModule {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     rows.map { case (id, srcId) =>
+      // per-row scan mode: a real corpus mixes baseline and progressive
+      // streams; the deterministic split keeps the SOF0/SOF2 fact oracled
+      param.setProgressiveMode(
+        if (progressive(srcId)) javax.imageio.ImageWriteParam.MODE_DEFAULT
+        else javax.imageio.ImageWriteParam.MODE_DISABLED)
       val (w, h) = rasterDims(srcId)
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
@@ -453,7 +459,11 @@ object Multimodal extends QueryModule {
       .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
       .select(col("doc_id")).as[Long]
       .map(id => (id, id))
-      .mapPartitions(rows => encodeJpegPartition(rows, JpegQuality))
+      // every fifth image ships PROGRESSIVE (SOF2), the rest baseline
+      // (SOF0) — both marker paths of the hand parse exercised and
+      // oracled, as in a real mixed web corpus
+      .mapPartitions(rows =>
+        encodeJpegPartition(rows, JpegQuality, progressive = _ % 5 == 0))
       .mapPartitions { rows =>
         rows.map { r =>
           val (w, h, nc, prec, prog) = parseJpegSof(r.payload)
@@ -1057,7 +1067,7 @@ object Multimodal extends QueryModule {
         |  CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS height,
         |  CAST(1 AS INTEGER) AS n_components,
         |  CAST(8 AS INTEGER) AS bit_depth,
-        |  FALSE AS progressive,
+        |  (doc_id % 5 = 0) AS progressive,
         |  CAST(8 + doc_id % 9 AS INTEGER) AS dec_width,
         |  CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS dec_height
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY id""".stripMargin,
