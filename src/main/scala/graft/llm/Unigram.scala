@@ -286,14 +286,82 @@ object Unigram extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Prune budgets the sizing sweep prices. */
+  val SweepKeeps = Seq(10, 20, KeepMulti)
+
+  /** EXT: the unigram VOCAB-SIZING curve — corpus compression at three
+    * prune budgets (10/20/30 retained multi-char pieces), the
+    * [[Bpe.bpeSweep]] table for the second family: every vocab-size
+    * decision trades piece-table size against chars-per-token along
+    * exactly this curve. ONE seed → E1 → M1 chain feeds every budget
+    * (pruning is a take-k of the round-1 counts, so only the cheap
+    * round-2 segmentation re-runs per point — the oracle replays the
+    * same sharing); tokens are corpus-weighted (np · word count). */
+  def unigramSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val words = wordCounts(spark, sfDir).persist()
+    val exploded = explodedSegs(words).persist()
+    val subs = substringCounts(words)
+    val vocab0 = subs.filter(length(col("piece")) === 1)
+      .unionAll(subs.filter(length(col("piece")) >= 2)
+        .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
+    val m1 = mStep(exploded, bestSegs(exploded, logpOf(vocab0)))
+      .persist()
+    val rows = SweepKeeps.map { keep =>
+      bestSegs(exploded, logpOf(pruned(vocab0, m1, keep)))
+        .agg(count(lit(1)).as("n_word_types"),
+          sum(col("cw") * length(col("w"))).cast("long").as("chars"),
+          sum(col("cw") * col("np")).as("tokens"))
+        .select(lit(keep).as("keep_multi"),
+          col("n_word_types"), col("chars"), col("tokens"),
+          expr("chars * 1000000 div tokens").as("chars_per_token_micro"))
+    }
+    val out = rows.reduce(_.unionAll(_)).orderBy("keep_multi")
+    // consume through a final cut so the sweep result doesn't re-run
+    // three E2 passes per downstream action, then drop the pinned inputs
+    val (res, _, _) = org.apache.spark.sql.graft.PlanBridge.cutLineage(out)
+    words.unpersist(blocking = false)
+    exploded.unpersist(blocking = false)
+    m1.unpersist(blocking = false)
+    res
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_train" -> (unigramTrain _),
     "text_unigram_fertility" -> (unigramFertility _),
     "text_unigram_encode" -> (unigramEncode _),
+    "text_unigram_sweep" -> (unigramSweep _),
     "pack_unigram_sequences" -> (packUnigramSequences _),
   )
 
   // ------------------------------------------------------------- oracles
+
+  /** The shared first half of the re-learned schedule (seed → E1 → M1) —
+    * the prune-budget sweep replays ONLY its second half per budget, so
+    * the expensive enumeration + round-1 counts are one chain. */
+  private def baseCtes: Seq[String] =
+    unigramCtes.takeWhile(!_.startsWith("u_vocab1 "))
+
+  /** Round-2 CTEs (prune → logp → E2) for an arbitrary prune budget,
+    * name-suffixed so several budgets coexist in one oracle. */
+  private def round2Ctes(keep: Int, sfx: String): Seq[String] = Seq(
+    s"""u_vocab1$sfx AS (
+       |  SELECT v.piece, COALESCE(m.cnt, 0) AS cnt
+       |  FROM u_vocab0 v LEFT JOIN u_m1 m ON v.piece = m.piece WHERE length(v.piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT v.piece, COALESCE(m.cnt, 0) AS cnt
+       |    FROM u_vocab0 v LEFT JOIN u_m1 m ON v.piece = m.piece WHERE length(v.piece) >= 2
+       |    ORDER BY COALESCE(m.cnt, 0) DESC, v.piece LIMIT $keep))""".stripMargin,
+    s"""u_logp1$sfx AS (
+       |  SELECT piece, CAST(round(ln((cnt + 1.0) / (tot + v)), 6) AS DECIMAL(12,6)) AS logp
+       |  FROM u_vocab1$sfx, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_vocab1$sfx))""".stripMargin,
+    s"""u_best2$sfx AS (
+       |  SELECT w, cw, mask, np FROM (
+       |    SELECT e.w, e.cw, e.mask, e.np, row_number() OVER (PARTITION BY e.w
+       |        ORDER BY SUM(l.logp) DESC, e.np ASC, e.mask ASC) AS rn
+       |    FROM u_exploded e JOIN u_logp1$sfx l ON e.piece = l.piece
+       |    GROUP BY e.w, e.cw, e.mask, e.np HAVING COUNT(*) = e.np) q WHERE rn = 1)""".stripMargin,
+  )
 
   /** The full re-learned unigram schedule as CTEs (u_-prefixed so they
     * compose beside the BPE chain in the fertility comparison). */
@@ -424,6 +492,20 @@ object Unigram extends QueryModule {
          |    // CAST(SUM(b.np) AS BIGINT) AS chars_per_token_micro
          |FROM u_docw d JOIN u_best2 b ON d.w = b.w
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin),
+    "text_unigram_sweep" ->
+      ((baseCtes ++ SweepKeeps.flatMap(k => round2Ctes(k, s"_k$k")))
+        .mkString("WITH ", ",\n", "") + "\n" +
+      "SELECT * FROM (\n" +
+      SweepKeeps.map { k =>
+        s"""  SELECT CAST($k AS INTEGER) AS keep_multi,
+           |    COUNT(*) AS n_word_types,
+           |    CAST(SUM(cw * length(w)) AS BIGINT) AS chars,
+           |    CAST(SUM(cw * np) AS BIGINT) AS tokens,
+           |    CAST(SUM(cw * length(w)) AS BIGINT) * 1000000
+           |      // CAST(SUM(cw * np) AS BIGINT) AS chars_per_token_micro
+           |  FROM u_best2_k$k""".stripMargin
+      }.mkString("\n  UNION ALL\n") +
+      "\n) ORDER BY keep_multi"),
     "pack_unigram_sequences" ->
       (unigramCtes.mkString("WITH ", ",\n", "") + ",\n" +
       s"""u_docw AS (
