@@ -184,7 +184,7 @@ object PlanDump {
     "maint_epoch_travel", "maint_epoch_schema_evolve",
     "mm_jpeg_meta", "mm_jpeg_dedup",
     "text_unigram_train", "text_unigram_fertility",
-    "text_unigram_encode", "pack_unigram_sequences")
+    "text_unigram_encode", "pack_unigram_sequences", "text_unigram_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
