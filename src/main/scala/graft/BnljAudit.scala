@@ -67,12 +67,22 @@ object BnljAudit {
 
   private def simple(p: SparkPlan): String = p.getClass.getSimpleName
 
+  /** A literal bound must be a TOP-LEVEL conjunct: split on And only —
+    * a bounded predicate hiding inside an Or branch bounds nothing (the
+    * other branch may pass the whole corpus), so Or is never descended
+    * (advisor-caught weakening in the `cond.exists` traversal this
+    * replaces). */
   private def literalBound(cond: Expression): Boolean = {
     def reg(e: Expression): Boolean = e match {
       case a: AttributeReference => BoundedFilterCols.contains(a.name.toLowerCase)
       case _ => e.children.exists(reg) // casts/aliases over the column
     }
-    cond.exists {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    conjuncts(cond).exists {
       case LessThan(a, _: Literal) => reg(a)
       case LessThanOrEqual(a, _: Literal) => reg(a)
       case GreaterThan(_: Literal, a) => reg(a)
@@ -85,56 +95,81 @@ object BnljAudit {
     }
   }
 
-  /** The subtree with CACHE and AQE wrappers expanded: when a branch was
-    * persisted by an earlier query (suite run order is arbitrary), the
-    * broadcast side renders as an InMemoryTableScan whose provenance —
-    * the aggregate/limit that bounded it — lives in the relation's
-    * cachedPlan, which is not a `children` member; same for an
-    * AdaptiveSparkPlanExec's input. Without this, the audit's verdict
-    * would depend on which specs ran first (observed: emb_kmeans
-    * centroids cached by an earlier suite). */
-  private def expanded(p: SparkPlan): Seq[SparkPlan] = {
-    val inner: Seq[SparkPlan] = p match {
-      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-        expanded(s.relation.cachedPlan)
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        expanded(a.inputPlan)
-      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        expanded(qs.plan)
-      case _ => Seq.empty
-    }
-    p +: (p.children.flatMap(expanded) ++ inner)
+  /** CACHE/AQE wrappers are transparent for classification: an
+    * InMemoryTableScan's provenance — the aggregate/limit that bounded
+    * it — lives in the relation's cachedPlan (not a `children` member;
+    * suite run order is arbitrary, observed: emb_kmeans centroids cached
+    * by an earlier suite); same for AdaptiveSparkPlanExec/QueryStageExec
+    * inputs. */
+  private def unwrapped(p: SparkPlan): Option[SparkPlan] = p match {
+    case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      Some(s.relation.cachedPlan)
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Some(a.inputPlan)
+    case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      Some(qs.plan)
+    case _ => None
+  }
+
+  private def boundedLeaf(l: SparkPlan): Boolean = l match {
+    case r: RangeExec => r.numElements.isValidLong &&
+      r.numElements.toLong <= MaxBoundedRange
+    case _ if simple(l) == "LocalTableScanExec" => true
+    case _ if simple(l) == "FileSourceScanExec" =>
+      BoundedDimFiles.exists(l.toString.contains)
+    case _ => false
   }
 
   /** The boundedness verdict for one broadcast-side subtree: Some(reason)
-    * when sanctioned, None when unclassifiable. */
+    * when sanctioned, None when unclassifiable.
+    *
+    * Classification walks the ROOT OUTPUT PATH (advisor-caught: the old
+    * any-node-in-subtree scan would sanction `corpus.join(broadcast(topK))`
+    * because SOME node under the broadcast was a Limit — even though the
+    * corpus side of that join makes the broadcast OUTPUT unbounded). The
+    * bounding op must DOMINATE the output:
+    *  - an Aggregate / Limit / registered-bounded Filter node bounds
+    *    everything above it on the path — accept;
+    *  - row-preserving/reducing unary ops (Project, Sort, Exchange,
+    *    Window, Expand, Generate over a bounded input, codegen/cache/AQE
+    *    wrappers) pass the question down to their input;
+    *  - a JOIN's output is bounded only if: left-semi/anti/existence —
+    *    its LEFT side is (output ⊆ left); otherwise BOTH sides are
+    *    (k×m of two query-sized inputs stays query-sized);
+    *  - a UNION is bounded iff every child is;
+    *  - a leaf must be a registered bounded dim/LUT/Range.
+    * Generate (explode) multiplies rows but only by per-row array arity
+    * over an already-bounded input — same acceptance the old taxonomy
+    * gave aggregate-derived explodes, now explicit. */
   def boundedReason(side: SparkPlan): Option[String] = {
-    val nodes = expanded(side)
-    // a wrapper counts as a leaf only through its expansion, not itself
-    val leaves = nodes.filter(p => p.children.isEmpty &&
-      !p.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryTableScanExec] &&
-      !p.isInstanceOf[org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec] &&
-      !p.isInstanceOf[org.apache.spark.sql.execution.adaptive.QueryStageExec])
-    if (nodes.exists(p => simple(p).contains("Aggregate")))
-      Some("aggregate")
-    else if (nodes.exists(p =>
-        simple(p).contains("Limit") || simple(p).contains("TakeOrdered")))
-      Some("limit")
-    else if (leaves.nonEmpty && leaves.forall {
-        case r: RangeExec => r.numElements.isValidLong &&
-          r.numElements.toLong <= MaxBoundedRange
-        case l if simple(l) == "LocalTableScanExec" => true
-        case l if simple(l) == "FileSourceScanExec" =>
-          BoundedDimFiles.exists(l.toString.contains)
-        case _ => false
-      })
-      Some("bounded dim/LUT leaves")
-    else if (nodes.exists {
-        case f: FilterExec => literalBound(f.condition)
-        case _ => false
-      })
-      Some("registered bounded filter")
-    else None
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def walk(p: SparkPlan): Option[String] = unwrapped(p) match {
+      case Some(inner) => walk(inner)
+      case None => p match {
+        case _ if simple(p).contains("Aggregate") => Some("aggregate")
+        case _ if simple(p).contains("Limit") ||
+          simple(p).contains("TakeOrdered") => Some("limit")
+        case f: FilterExec if literalBound(f.condition) =>
+          Some("registered bounded filter")
+        case j: BaseJoinExec =>
+          import org.apache.spark.sql.catalyst.plans.{LeftSemi, LeftAnti, ExistenceJoin}
+          j.joinType match {
+            case LeftSemi | LeftAnti | _: ExistenceJoin => walk(j.left)
+            case _ =>
+              for (l <- walk(j.left); r <- walk(j.right))
+                yield if (l == r) l else s"$l×$r"
+          }
+        case u if simple(u) == "UnionExec" =>
+          val parts = u.children.map(walk)
+          if (parts.forall(_.isDefined)) Some(parts.flatten.distinct.mkString("∪"))
+          else None
+        case l if l.children.isEmpty =>
+          if (boundedLeaf(l)) Some("bounded dim/LUT leaves") else None
+        case one if one.children.size == 1 => walk(one.children.head)
+        case _ => None
+      }
+    }
+    walk(side)
   }
 
   /** Every BNLJ of `plan` classified; `query` labels the findings. */

@@ -203,15 +203,31 @@ object PlanDump {
     sb.append("plan: `PushedFilters` non-empty where a predicate exists, `ReadSchema`\n")
     sb.append("restricted to referenced columns, `BroadcastHashJoin` on dim joins,\n")
     sb.append("`TakeOrderedAndProject` for global top-k, codegen (`*(n)`) spans wide.\n")
+    sb.append("Queries that stage through `PlanBridge.cutLineage` register a post-cut\n")
+    sb.append("`Scan ExistingRDD` — their PRE-CUT executed stages are dumped beneath\n")
+    sb.append("them as `### <name> — staged plan N` sections (same audit surface the\n")
+    sb.append("BNLJ boundedness spec traverses), so no section's only node is an\n")
+    sb.append("opaque RDD leaf.\n")
 
+    // staged-plan capture: cuts run at query CONSTRUCTION (iterative
+    // trainers execute eagerly), and fingerprint-keyed model memos mean a
+    // cut runs only on first construction — this is a fresh JVM, so every
+    // memoized trainer's stages land under the first query that builds it
+    org.apache.spark.sql.graft.PlanBridge.captureStagedPlans.set(true)
+    var stagedCount = 0
     Headline.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $name\n\n```\n$plan```\n")
+      val stagedPlans = org.apache.spark.sql.graft.PlanBridge.drainStagedPlans()
+      stagedPlans.zipWithIndex.foreach { case ((site, p), i) =>
+        stagedCount += 1
+        sb.append(s"\n### $name — staged plan ${i + 1} (pre-cut at $site)\n\n```\n$p```\n")
+      }
     }
     Files.writeString(Paths.get(out), sb.toString)
-    println(s"[plandump] wrote ${Headline.length} plans to $out")
+    println(s"[plandump] wrote ${Headline.length} plans (+$stagedCount staged) to $out")
     spark.stop()
   }
 }

@@ -335,12 +335,31 @@ object Multimodal extends QueryModule {
     * length; every other segment is 0xFF marker + 2-byte big-endian
     * length. SOFn is any 0xC0-0xCF except DHT(C4)/JPG(C8)/DAC(CC).
     * Returns (width, height, nComponents, precision, progressive). */
-  private[llm] def parseJpegSof(b: Array[Byte]): (Int, Int, Int, Int, Boolean) = {
-    require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
-      "not a JPEG: missing SOI marker")
+  private[llm] def parseJpegSof(b: Array[Byte]): (Int, Int, Int, Int, Boolean) =
+    parseJpegSofEither(b) match {
+      case Right(t) => t
+      case Left((_, msg)) => sys.error(msg)
+    }
+
+  /** PERMISSIVE marker walk — the quarantine tier's core: same walk as
+    * [[parseJpegSof]] but a malformed stream returns a Left with a
+    * STABLE REASON CODE (and a human detail) instead of throwing. Real
+    * web corpora carry truncated/invalid bytes; at 1000-executor scale
+    * one `require` throw kills the whole task (and with it every healthy
+    * object sharing the partition), so the ingest path classifies and
+    * quarantines — the S2 `_corrupt_record` discipline applied to media
+    * ([[mmJpegQuarantine]]). Reason codes: `missing_soi` (stream does
+    * not start FF D8), `bad_marker` (expected a 0xFF marker byte),
+    * `no_sof` (stream ends — e.g. truncation — before any SOF frame
+    * header). */
+  private[llm] def parseJpegSofEither(
+      b: Array[Byte]): Either[(String, String), (Int, Int, Int, Int, Boolean)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return Left(("missing_soi", "not a JPEG: missing SOI marker"))
     var i = 2
     while (i + 4 <= b.length) {
-      require((b(i) & 0xff) == 0xff, s"expected a marker at offset $i")
+      if ((b(i) & 0xff) != 0xff)
+        return Left(("bad_marker", s"expected a marker at offset $i"))
       val m = b(i + 1) & 0xff
       if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) i += 2 // standalone
       else {
@@ -349,13 +368,28 @@ object Multimodal extends QueryModule {
           val precision = b(i + 4) & 0xff
           val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
           val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
-          return (w, h, b(i + 9) & 0xff, precision, m == 0xc2)
+          return Right((w, h, b(i + 9) & 0xff, precision, m == 0xc2))
         }
         i += 2 + len
       }
     }
-    sys.error("no SOF marker before end of stream")
+    Left(("no_sof", "no SOF marker before end of stream"))
   }
+
+  /** Deterministic corruption planting for the quarantine tier — the
+    * classes a real corpus actually ships, keyed on the raster id so the
+    * oracle replays the classification from arithmetic alone:
+    * id % 7 == 1 → SOI bytes zeroed (served HTML error page / wrong
+    * content-type), == 2 → stream truncated inside the first segment
+    * (interrupted upload), == 3 → a marker byte corrupted in flight;
+    * everything else passes through untouched. */
+  private[llm] def corruptFor(id: Long, payload: Array[Byte]): Array[Byte] =
+    (id % 7) match {
+      case 1 => val c = payload.clone(); c(0) = 0; c(1) = 0; c
+      case 2 => payload.take(4)
+      case 3 => val c = payload.clone(); c(2) = 0; c
+      case _ => payload
+    }
 
   /** Dimensions + gray sum + the house 60-bit average-hash off a decoded
     * gray raster — the feature block [[decodePngPartition]] computes,
@@ -529,6 +563,41 @@ object Multimodal extends QueryModule {
         col("node").as("id"),
         (col("node") === col("component")).as("canonical"))
       .orderBy("cluster", "id")
+  }
+
+  /** CORRUPT-MEDIA QUARANTINE — the PERMISSIVE decode tier of the JPEG
+    * family: real corpora carry truncated/invalid bytes, and the strict
+    * parse ([[parseJpegSof]]) would kill the task (taking every healthy
+    * object in the partition with it). This pass classifies every object
+    * through [[parseJpegSofEither]] instead: healthy streams decode
+    * (container facts kept), malformed streams land in a `_corrupt_media`
+    * bucket with a stable reason code — the S2 `_corrupt_record`
+    * discipline applied to media. Corruption is PLANTED deterministically
+    * ([[corruptFor]]: zeroed SOI / truncation / marker corruption by
+    * id class), so the oracle independently derives both the expected
+    * bucket of every object AND the healthy rows' container dims from
+    * arithmetic — a parser that crashes, mis-classifies, or drops a
+    * healthy row breaks the hash. Scale shape: one encode+parse scan,
+    * one reason-sized groupBy; no corrupt object costs more than its
+    * header walk. */
+  def mmJpegQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 3 === 0) // the 'image' rows of mediaTable
+      .select(col("doc_id")).as[Long]
+      .map(id => (id, id))
+      .mapPartitions(rows => encodeJpegPartition(rows, JpegQuality))
+      .map { r =>
+        parseJpegSofEither(corruptFor(r.src_id, r.payload)) match {
+          case Right((w, h, _, _, _)) => (r.id, "decoded", "ok", w.toLong, h.toLong)
+          case Left((code, _)) => (r.id, "quarantined", code, 0L, 0L)
+        }
+      }
+      .toDF("id", "status", "reason", "w", "h")
+      .groupBy("status", "reason")
+      .agg(count(lit(1)).as("n_objects"),
+        sum(col("w")).as("sum_width"), sum(col("h")).as("sum_height"))
+      .orderBy("status", "reason")
   }
 
   // ------------------------------------------------ real AVI video tier
@@ -885,6 +954,7 @@ object Multimodal extends QueryModule {
     "mm_avi_decode" -> (mmAviDecode _),
     "mm_jpeg_meta"  -> (mmJpegMeta _),
     "mm_jpeg_dedup" -> (mmJpegDedup _),
+    "mm_jpeg_quarantine" -> (mmJpegQuarantine _),
   )
 
   override def oracles: Map[String, String] = Map(
@@ -1071,6 +1141,13 @@ object Multimodal extends QueryModule {
         |  CAST(8 + doc_id % 9 AS INTEGER) AS dec_width,
         |  CAST(8 + (doc_id // 7) % 9 AS INTEGER) AS dec_height
         |FROM documents WHERE doc_id % 3 = 0 ORDER BY id""".stripMargin,
+    // SF ceiling (advisor-noted): this zero-accidental-pairs shape is
+    // separation-TESTED in JpegSpec over ids 0..1998 — the correctness
+    // SF's (sf0.01) actual doc_id space. Dims cycle with period 63, so a
+    // much larger id space could in principle mint a data-dependent
+    // aHash collision (Hamming<=10 + equal n_px + equal sum_gray) that
+    // fails this gate with no code bug; re-derive JpegSpec's separation
+    // range before pointing the oracle at a bigger correctness SF.
     "mm_jpeg_dedup" ->
       s"""SELECT doc_id AS cluster, doc_id AS id, TRUE AS canonical
          |FROM documents WHERE doc_id % 9 = 0
@@ -1078,6 +1155,25 @@ object Multimodal extends QueryModule {
          |SELECT doc_id, doc_id + $JpegVariantOffset, FALSE
          |FROM documents WHERE doc_id % 9 = 0
          |ORDER BY cluster, id""".stripMargin,
+    // mm_jpeg_quarantine: the oracle re-derives every object's bucket
+    // from the PLANTING arithmetic (id%7 class -> reason) and the healthy
+    // rows' container dims from the raster arithmetic — so a permissive
+    // parser that crashes, mis-codes a reason, or drops a healthy row
+    // breaks the hash.
+    "mm_jpeg_quarantine" ->
+      """WITH cls AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 1 THEN 'missing_soi'
+        |         WHEN doc_id % 7 = 2 THEN 'no_sof'
+        |         WHEN doc_id % 7 = 3 THEN 'bad_marker'
+        |         ELSE 'ok' END AS reason
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT CASE WHEN reason = 'ok' THEN 'decoded' ELSE 'quarantined' END AS status,
+        |  reason, COUNT(*) AS n_objects,
+        |  CAST(SUM(CASE WHEN reason = 'ok' THEN 8 + doc_id % 9 ELSE 0 END) AS BIGINT) AS sum_width,
+        |  CAST(SUM(CASE WHEN reason = 'ok' THEN 8 + (doc_id // 7) % 9 ELSE 0 END) AS BIGINT) AS sum_height
+        |FROM cls GROUP BY 1, 2 ORDER BY status, reason""".stripMargin,
     "mm_wav_decode" ->
       """WITH a AS (
         |  SELECT doc_id AS id, CAST(200 + doc_id % 100 AS INTEGER) AS n

@@ -18,8 +18,12 @@ import org.apache.spark.sql.functions._
   * both work word-type-weighted, never token-by-token), so E-step cost
   * is ∝ |vocabulary of words|, independent of corpus row count. At
   * 100 TB the word table is millions of rows against billions of docs;
-  * every downstream join is against bounded piece tables (≤ 66 rows
-  * here) that broadcast.
+  * training-side joins are against bounded piece tables (≤ 66 rows
+  * here) that broadcast, and the trained model ships as a STANDING
+  * fingerprint-keyed parquet zone ([[modelZoneRoot]]) — the word→np
+  * encode map is joined distributively from that artifact, never
+  * collected to the driver (it is per-word-TYPE, i.e. 10⁷–10⁸ rows at
+  * 100 TB — the scale at which a driver materialization dies).
   *
   * Candidate segmentations are enumerated EXHAUSTIVELY as cut-point
   * bitmasks: a word of n ≤ [[MaxWordLen]] chars has 2^(n−1) cut masks,
@@ -146,18 +150,18 @@ object Unigram extends QueryModule {
         .orderBy(col("cnt").desc, col("piece")).limit(keep))
   }
 
-  /** The trained model, memoized per corpus like [[Bpe]]'s merge table:
-    * (final piece table rows, the round-2 best (w → np) rows for the
-    * encode pass). Both are bounded — ≤ 66 pieces, one row per word
-    * TYPE — exactly what a .model tokenizer file holds. */
-  private val modelMemo = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(String, Long)], Seq[(String, Long, Long)])]
-
   /** The full seed → E → M → prune → E → M schedule over an arbitrary
-    * word-count frame; returns the bounded model tables collected to the
-    * driver. Package-visible for crafted-corpus specs. */
-  private[llm] def trainOver(words0: DataFrame)
-      : (Seq[(String, Long)], Seq[(String, Long, Long)]) = {
+    * word-count frame, as FRAMES — no driver materialization anywhere:
+    * returns (final piece table (piece, cnt), round-2 best-segmentation
+    * table (w, cw, np), release). The piece table is bounded (≤ 66 rows);
+    * the word→np table is one row per word TYPE — at 100 TB that is
+    * 10⁷–10⁸ rows, which is exactly why it must stay distributed (the
+    * r12 `weak` finding this refactor clears: the old form collected it
+    * to the driver and re-broadcast it per encode query). Callers
+    * materialize both frames (artifact write / spec collect) BEFORE
+    * invoking `release`, which drops the pinned intermediates. */
+  private[llm] def trainFrames(words0: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
     val words = words0.persist()
     val exploded = explodedSegs(words).persist()
     val subs = substringCounts(words)
@@ -166,39 +170,116 @@ object Unigram extends QueryModule {
         .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
     val m1 = mStep(exploded, bestSegs(exploded, logpOf(vocab0)))
     val vocab1 = pruned(vocab0, m1, KeepMulti)
-    val best2 = bestSegs(exploded, logpOf(vocab1))
+    // best2 feeds BOTH model tables (m2 → final counts; (w, cw, np) →
+    // the encode map) — persist it so the E-step window runs once
+    val best2 = bestSegs(exploded, logpOf(vocab1)).persist()
     val m2 = mStep(exploded, best2)
     val finalVocab = vocab1.select("piece")
       .join(m2, Seq("piece"), "left")
       .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val wordNp = best2.select("w", "cw", "np")
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
-    words.unpersist(blocking = false)
-    exploded.unpersist(blocking = false)
-    (finalVocab, wordNp)
+    val release = () => {
+      words.unpersist(blocking = false)
+      exploded.unpersist(blocking = false)
+      best2.unpersist(blocking = false)
+      ()
+    }
+    (finalVocab, best2.select("w", "cw", "np"), release)
   }
 
-  private def trainedModel(spark: SparkSession, sfDir: String)
-      : (Seq[(String, Long)], Seq[(String, Long, Long)]) =
-    modelMemo.getOrElseUpdate(
-      s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}",
-      trainOver(wordCounts(spark, sfDir)))
+  /** Crafted-corpus convenience for specs ONLY (bounded inputs by
+    * construction): the registered queries never collect the model —
+    * they read the standing parquet zone ([[modelZoneRoot]]). */
+  private[llm] def trainOver(words0: DataFrame)
+      : (Seq[(String, Long)], Seq[(String, Long, Long)]) = {
+    val (vocab, wordNp, release) = trainFrames(words0)
+    try {
+      (vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+        wordNp.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    } finally release()
+  }
+
+  /** Manifest zone names of the standing model artifact. */
+  private[llm] val VocabZone = "unigram_vocab"
+  private[llm] val WordNpZone = "unigram_wordnp"
+
+  /** (JVM, corpus fingerprint) → the STANDING MODEL ZONE — the trained
+    * unigram model persisted as a fingerprint-keyed parquet artifact
+    * (the `.model` file a SentencePiece train run ships, in this
+    * engine's standing-zone discipline): two generations — the bounded
+    * piece table and the per-word-TYPE (w, cw, np) encode map — written
+    * via [[graft.Fs.writeParquetAtomic]] and committed through the epoch
+    * manifest ([[graft.sources.Maintenance.commitEpochManifest]]), so
+    * the model zone reads/retires/time-travels exactly like the ANN
+    * zones (readable via `readZoneThroughManifest`, retired via
+    * `retentionSweep`). This replaces the r12 driver-side collect: NO
+    * corpus-vocabulary-sized table ever materializes on the driver —
+    * train writes distributed, encode JOINS the artifact distributively
+    * (the planner broadcasts while it is small, shuffles when the
+    * vocabulary outgrows the threshold; `ScaleProbe unigramzone` prices
+    * both regimes at 10⁶–10⁷ word types). */
+  private val zoneMemo = scala.collection.concurrent.TrieMap
+    .empty[String, java.io.File]
+
+  private[llm] def modelZoneRoot(
+      spark: SparkSession, sfDir: String): java.io.File =
+    zoneMemo.getOrElseUpdate(
+      s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}", {
+        val key = s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}"
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val root = new java.io.File(
+          new java.io.File(sys.props("java.io.tmpdir"), "graft_unigram"), digest)
+        val manifestDir = new java.io.File(root, "manifest")
+        if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
+            .exists(_._1 >= 1L)) {
+          root.mkdirs()
+          val (vocab, wordNp, release) = trainFrames(wordCounts(spark, sfDir))
+          val genV = new java.io.File(root, "vocab_gen1").toPath
+          val genW = new java.io.File(root, "wordnp_gen1").toPath
+          graft.Fs.writeParquetAtomic(vocab, genV)
+          graft.Fs.writeParquetAtomic(wordNp, genW)
+          release()
+          graft.sources.Maintenance.commitEpochManifest(spark,
+            Seq((VocabZone, genV.toString, "piece"),
+              (WordNpZone, genW.toString, "w")),
+            manifestDir.toPath, epoch = 1L)
+        }
+        root
+      })
+
+  private def modelZone(
+      spark: SparkSession, sfDir: String, zone: String): DataFrame =
+    graft.sources.Maintenance.readZoneThroughManifest(spark,
+      new java.io.File(modelZoneRoot(spark, sfDir), "manifest"), zone)
+
+  /** The trained piece table (piece, cnt), read through the model zone's
+    * epoch manifest. */
+  private def vocabFrame(spark: SparkSession, sfDir: String): DataFrame =
+    modelZone(spark, sfDir, VocabZone)
+
+  /** The word→np encode map, read through the model zone's epoch
+    * manifest. Joined DISTRIBUTIVELY by every encode-side query — no
+    * broadcast hint on purpose: the planner broadcasts while the
+    * artifact is under the threshold and falls back to a shuffle join
+    * when the vocabulary outgrows it, so the plan survives a 100× vocab
+    * scale-up without a driver-memory cliff. */
+  private def npFrame(spark: SparkSession, sfDir: String): DataFrame =
+    modelZone(spark, sfDir, WordNpZone).select("w", "np")
 
   /** EXT: the learned unigram-LM piece table — final Viterbi counts and
     * add-one log-probs of every surviving piece after seed → EM round →
     * prune → EM round. This IS the .model file a SentencePiece-style
     * train run ships. */
   def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (vocab, _) = trainedModel(spark, sfDir)
-    val tot = vocab.map(_._2).sum
-    val v = vocab.size
-    vocab.toDF("piece", "cnt")
+    val vocab = vocabFrame(spark, sfDir)
+    // normalizer as a 1-row aggregate attach (the scalar-broadcast
+    // pattern), never a driver-side sum over a collected model
+    val norm = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
+    vocab.crossJoin(broadcast(norm))
       .select(col("piece"),
         length(col("piece")).cast("int").as("piece_len"),
         col("cnt"),
-        round(log((col("cnt") + lit(1.0)) / lit((tot + v).toDouble)), 6).as("logp"))
+        round(log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))), 6).as("logp"))
       .orderBy(col("cnt").desc, col("piece"))
   }
 
@@ -207,21 +288,19 @@ object Unigram extends QueryModule {
     * vocab family compresses which language better, the call every
     * multilingual train run makes between exactly these two families).
     * The unigram encode is the word-type np map applied back to word
-    * occurrences (one corpus-words scan + a broadcast word-type join);
+    * occurrences (one corpus-words scan + a distributed join against the
+    * standing word→np artifact — planner-broadcast while small);
     * the BPE side is [[Bpe.bpeFertility]]'s registry-memoized encode.
     * Chars differ by each tokenizer's own preprocessing (BPE: cleaned
     * doc prefix; unigram: per-word truncation), so each reports its own
     * chars — the per-language RATIO columns are the comparison. */
   def unigramFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (_, wordNp) = trainedModel(spark, sfDir)
-    val npMap = wordNp.map { case (w, _, np) => (w, np) }.toDF("w", "np")
     val docWords = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
       .filter(length(col("w0")) >= 1)
       .select(col("doc_id"), col("lang"), substring(col("w0"), 1, MaxWordLen).as("w"))
-    val uni = docWords.join(broadcast(npMap), "w")
+    val uni = docWords.join(npFrame(spark, sfDir), "w")
       .groupBy("lang")
       .agg(sum(length(col("w"))).cast("long").as("uni_chars"),
         sum(col("np")).as("uni_tokens"))
@@ -237,21 +316,19 @@ object Unigram extends QueryModule {
   /** EXT: context-window packing on the TRAINED unigram encoder —
     * [[Bpe.packBpeSequences]]'s composition for the second tokenizer
     * family: per-doc token counts come from the word-type np map (one
-    * corpus-words scan + a broadcast word-type join — the encode a
-    * SentencePiece deployment runs), then the same hierarchical
+    * corpus-words scan + a distributed join against the standing
+    * word→np artifact — the encode a SentencePiece deployment runs,
+    * planner-broadcast while small), then the same hierarchical
     * cumsum-÷-budget assigns context windows. Oracle replays the full
     * unigram schedule, the per-doc encode, and the cumsum — the second
     * train→encode→pack chain pinned cross-engine end to end. */
   def packUnigramSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (_, wordNp) = trainedModel(spark, sfDir)
-    val npMap = wordNp.map { case (w, _, np) => (w, np) }.toDF("w", "np")
     val perDoc = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"),
         explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
       .filter(length(col("w0")) >= 1)
       .select(col("doc_id"), col("lang"), substring(col("w0"), 1, MaxWordLen).as("w"))
-      .join(broadcast(npMap), "w")
+      .join(npFrame(spark, sfDir), "w")
       .groupBy("doc_id", "lang")
       .agg(sum(col("np")).as("toks"))
     Sampling.cumBeforeByLang(perDoc.select("doc_id", "lang", "toks"))
@@ -265,19 +342,16 @@ object Unigram extends QueryModule {
     * chars-per-token compression under the TRAINED unigram model (the
     * loader-facing numbers a packing/budgeting stage consumes), the
     * [[Bpe.bpeEncode]] surface for the second tokenizer family. One
-    * corpus-words scan + the broadcast word-type np map; integer
+    * corpus-words scan + the standing word→np artifact join; integer
     * micro-grid ratio. Docs with no a-z words carry no tokens and are
     * absent, exactly as BPE's encode drops its sub-2-char docs. */
   def unigramEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val (_, wordNp) = trainedModel(spark, sfDir)
-    val npMap = wordNp.map { case (w, _, np) => (w, np) }.toDF("w", "np")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         explode(split(trim(regexp_replace(lower(col("text")), "[^a-z]+", " ")), " ")).as("w0"))
       .filter(length(col("w0")) >= 1)
       .select(col("doc_id"), substring(col("w0"), 1, MaxWordLen).as("w"))
-      .join(broadcast(npMap), "w")
+      .join(npFrame(spark, sfDir), "w")
       .groupBy("doc_id")
       .agg(sum(length(col("w"))).cast("long").as("n_chars_seen"),
         sum(col("np")).as("n_tokens"))

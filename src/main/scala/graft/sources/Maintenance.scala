@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   * parquet error far from the cause. */
 final class EpochRetiredException(msg: String) extends RuntimeException(msg)
 
+/** Named failure for epoch commits that lost a multi-writer race — the
+  * CAS contract of [[Maintenance.commitEpochManifestCas]]: a committer
+  * whose expected parent epoch is no longer the newest one (another
+  * committer advanced the log between its read and its commit), or whose
+  * manifest rename found the epoch dir already installed, fails HERE
+  * with zero torn state — its generations dangle unreferenced (retired
+  * later by [[Maintenance.vacuumArtifacts]]) and the winner's manifest
+  * is untouched. The loser re-reads the current epoch and retries onto
+  * the next epoch number with fresh generation paths. */
+final class EpochConflictException(msg: String, cause: Throwable = null)
+  extends RuntimeException(msg, cause)
+
 /** Lakehouse table-maintenance planning: the small-file compaction planner
   * behind OPTIMIZE/rewriteDataFiles in every table format — given a file
   * listing (path, size), assign files to target-sized output groups so one
@@ -392,13 +404,24 @@ object Maintenance extends QueryModule {
     // shadowing class the query registries guard with disjoint()
     // (advisor-caught); fail before any generation installs
     requireDistinctZones(artifacts.map(_._1), "hardDeleteEpochManifested")
+    // multi-writer safety: remember the epoch this committer READ the
+    // table at, fail fast on a stale/duplicate epoch number before the
+    // cascade runs, and make the final commit conditional on that parent
+    // (commitEpochManifestCas) — a racing committer that advanced the
+    // log in between makes THIS one fail cleanly instead of silently
+    // overwriting the log (lost update)
+    val parent = completeEpochDirs(manifestDir.toFile).headOption.map(_._1)
+    parent.foreach(p => if (p >= epoch) throw new EpochConflictException(
+      s"hardDeleteEpochManifested: epoch $epoch is not newer than the " +
+        s"committed epoch $p in $manifestDir — re-read the current epoch " +
+        "and retry onto a fresh epoch number"))
     val report = hardDeleteEpoch(spark, tombstoneDir,
       artifacts.map { case (_, dir, keyCol, target) => (dir, keyCol, target) },
       consolidatedTarget)
-    commitEpochManifest(spark,
+    commitEpochManifestCas(spark,
       artifacts.map { case (zone, _, keyCol, target) =>
         (zone, target.toString, keyCol) },
-      manifestDir, epoch, schemaVersions)
+      manifestDir, epoch, parent, schemaVersions)
     report
   }
 
@@ -422,11 +445,84 @@ object Maintenance extends QueryModule {
       epoch: Long,
       schemaVersions: Map[String, Long] = Map.empty): Unit = {
     requireDistinctZones(zones.map(_._1), "commitEpochManifest")
-    val manifest = spark.createDataFrame(
+    graft.Fs.writeParquetAtomic(
+      manifestFrame(spark, zones, epoch, schemaVersions),
+      manifestDir.resolve(f"epoch-$epoch%09d"))
+  }
+
+  private def manifestFrame(
+      spark: SparkSession,
+      zones: Seq[(String, String, String)],
+      epoch: Long,
+      schemaVersions: Map[String, Long]): DataFrame =
+    spark.createDataFrame(
       zones.map { case (zone, gen, keyCol) =>
         (epoch, zone, gen, keyCol, schemaVersions.getOrElse(zone, 1L)) })
       .toDF("epoch", "zone", "generation", "key_col", "zone_schema_version")
-    graft.Fs.writeParquetAtomic(manifest, manifestDir.resolve(f"epoch-$epoch%09d"))
+
+  /** MULTI-WRITER-SAFE epoch commit — the conditional (CAS) variant of
+    * [[commitEpochManifest]] for committers that read table state before
+    * rewriting it ([[hardDeleteEpochManifested]], [[optimizeZoneEpoch]]):
+    * two such committers racing the same log could otherwise both read
+    * epoch E, both build E+1-shaped manifests, and the last rename would
+    * silently win — a lost update on the commit log itself.
+    *
+    * The commit is conditional on `expectedParent`, the epoch the
+    * committer READ its inputs at (None ⇒ the log must be empty):
+    *  1. read-check — if the newest complete epoch ≠ expectedParent, a
+    *     concurrent committer advanced the log since the read → throw
+    *     [[EpochConflictException]] before installing anything;
+    *  2. rename-CAS — the manifest is assembled in a `.tmp.<uuid>`
+    *     sibling and installed by ONE atomic rename onto the epoch dir.
+    *     Two racers that both passed the read-check contend on that
+    *     rename: the filesystem lets exactly one `ATOMIC_MOVE` create
+    *     the directory, so the loser's rename fails and maps to
+    *     [[EpochConflictException]] — the rename IS the missing CAS
+    *     (this is why the idempotent [[graft.Fs.writeParquetAtomic]],
+    *     which treats an existing complete target as its own success,
+    *     cannot be the committer here: a loser would "succeed" while
+    *     pointing at the winner's DIFFERENT manifest).
+    *
+    * Either failure leaves zero torn state: the winner's manifest is
+    * untouched, the loser's generations are unreachable garbage for
+    * [[vacuumArtifacts]], and the loser retries by re-reading the
+    * current epoch and committing onto the NEXT number with fresh
+    * generation paths (`EpochConflictSpec` interleaves a hard-delete
+    * and an optimize to pin exactly this). This makes the reference's
+    * implicit `maxConcurrentRuns: 1` envelope an enforced invariant
+    * instead of an assumption (reference `infra/index.ts:178-180`). */
+  def commitEpochManifestCas(
+      spark: SparkSession,
+      zones: Seq[(String, String, String)],
+      manifestDir: java.nio.file.Path,
+      epoch: Long,
+      expectedParent: Option[Long],
+      schemaVersions: Map[String, Long] = Map.empty): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    requireDistinctZones(zones.map(_._1), "commitEpochManifestCas")
+    require(expectedParent.forall(_ < epoch),
+      s"commitEpochManifestCas: epoch $epoch must exceed its expected " +
+        s"parent ${expectedParent.get}")
+    val newest = completeEpochDirs(manifestDir.toFile).headOption.map(_._1)
+    if (newest != expectedParent) throw new EpochConflictException(
+      s"commit of epoch $epoch expected parent ${expectedParent.getOrElse("<empty log>")} " +
+        s"but the newest committed epoch is ${newest.getOrElse("<empty log>")} in " +
+        s"$manifestDir — a concurrent committer advanced the log; re-read " +
+        "the current epoch and retry onto a fresh epoch number")
+    val target = manifestDir.resolve(f"epoch-$epoch%09d")
+    val tmp = target.resolveSibling(
+      s"${target.getFileName}.tmp.${java.util.UUID.randomUUID().toString}")
+    manifestFrame(spark, zones, epoch, schemaVersions)
+      .write.mode("overwrite").parquet(tmp.toString)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        graft.Fs.deleteRecursively(tmp.toFile)
+        throw new EpochConflictException(
+          s"epoch dir $target already exists — a concurrent committer won " +
+            "the rename; re-read the current epoch and retry onto a fresh " +
+            "epoch number", e)
+    }
   }
 
   /** The manifested schema version of `zone` as of `asOfEpoch` — 1 for
@@ -514,10 +610,25 @@ object Maintenance extends QueryModule {
     if (all.isEmpty) None
     else all.find { case (e, _) => e <= asOf } match {
       case Some((e, d)) => Some((e, readManifest(spark, d)))
-      case None => throw new EpochRetiredException(
-        s"epoch as-of $asOf predates the retention window of $manifestDir " +
-          s"(oldest retained epoch: ${all.last._1}) — vacuumEpochs retired " +
-          "the older manifests; raise keepN to widen the rollback window")
+      case None =>
+        // two causes land here and the message must not blame the wrong
+        // one (advisor-caught): when the oldest retained epoch is the
+        // first epoch a log can have (1), nothing below it ever existed —
+        // the asOf simply predates the table; otherwise older manifests
+        // may have been retired by vacuumEpochs (or the log genuinely
+        // started above 1 — indistinguishable once retired, so say both).
+        val oldest = all.last._1
+        throw new EpochRetiredException(
+          if (oldest <= 1L)
+            s"epoch as-of $asOf predates epoch $oldest, the FIRST epoch " +
+              s"ever committed to $manifestDir — nothing was retired; no " +
+              "manifest can exist at or below that asOf"
+          else
+            s"epoch as-of $asOf predates the retention window of " +
+              s"$manifestDir (oldest retained epoch: $oldest) — either " +
+              "vacuumEpochs retired the older manifests (raise keepN to " +
+              "widen the rollback window) or the log never had an epoch " +
+              "that old")
     }
   }
 
@@ -585,7 +696,18 @@ object Maintenance extends QueryModule {
     require(!Files.exists(target),
       s"optimizeZoneEpoch: target generation $target already exists — " +
         "install each (retried) epoch into a fresh generation path")
-    val (_, rows) = manifestRowsAsOf(spark, manifestDir)
+    val (parent, rows) = manifestRowsAsOf(spark, manifestDir)
+    // fail fast at entry on a stale/duplicate epoch number (advisor-
+    // caught): committing with epoch <= current would either collide
+    // with an existing epoch dir or silently install a manifest that
+    // newest-wins readers never see — AFTER the generation rewrite
+    // already ran. The commit below is additionally CAS-conditional on
+    // `parent`, so a committer that raced past this check still fails
+    // cleanly instead of lost-updating the log.
+    if (parent >= epoch) throw new EpochConflictException(
+      s"optimizeZoneEpoch: epoch $epoch is not newer than the committed " +
+        s"epoch $parent in $manifestDir — re-read the current epoch and " +
+        "retry onto a fresh epoch number")
     val cur = rows.find(_._1 == zone).getOrElse(sys.error(
       s"optimizeZoneEpoch: zone '$zone' absent from the current epoch " +
         s"(zones: ${rows.map(_._1).sorted.mkString(", ")})"))
@@ -635,10 +757,10 @@ object Maintenance extends QueryModule {
     } finally {
       graft.Fs.deleteRecursively(staging.toFile)
     }
-    commitEpochManifest(spark,
+    commitEpochManifestCas(spark,
       rows.map { case (z, gen, keyCol, _) =>
         (z, if (z == zone) target.toString else gen, keyCol) },
-      manifestDir.toPath, epoch,
+      manifestDir.toPath, epoch, Some(parent),
       rows.map { case (z, _, _, v) => z -> v }.toMap)
     (target.toString, srcFiles.length.toLong, nBins)
   }
@@ -680,15 +802,19 @@ object Maintenance extends QueryModule {
       keepUnreferenced: Int = 0,
       residueTtlMs: Long = 24L * 3600 * 1000,
       now: Long = System.currentTimeMillis()): Seq[String] = {
-    // the commit log must not live inside a swept zone: vacuumArtifacts
-    // retires any unreferenced child, and the manifest dir is never in
-    // the live set — it would retire the log itself (spec-caught)
+    // the commit log must not live inside — or BE — a swept zone:
+    // vacuumArtifacts retires any unreferenced child, and the retained
+    // epoch-* manifest dirs are never in the live set, so sweeping the
+    // manifest dir itself would destroy the commit log just as surely as
+    // sweeping a zone that nests it (advisor-caught: the original guard
+    // only rejected strict nesting)
     zoneDirs.foreach { z =>
-      require(!manifestDir.getCanonicalPath.startsWith(
-          z.getCanonicalPath + java.io.File.separator),
-        s"retentionSweep: manifest dir $manifestDir lives inside zone " +
-          s"dir $z — the sweep would retire the commit log itself; keep " +
-          "manifests outside the generation zones")
+      require(manifestDir.getCanonicalPath != z.getCanonicalPath &&
+          !manifestDir.getCanonicalPath.startsWith(
+            z.getCanonicalPath + java.io.File.separator),
+        s"retentionSweep: manifest dir $manifestDir is (or lives inside) " +
+          s"zone dir $z — the sweep would retire the commit log itself; " +
+          "keep manifests outside the generation zones")
     }
     val goneManifests = vacuumEpochs(manifestDir, keepEpochs)
     val live = manifestLiveGenerations(spark, manifestDir)
@@ -749,13 +875,22 @@ object Maintenance extends QueryModule {
             zone.filter(col("doc_id") % EpochDelMod === EpochDelRem)
               .select("doc_id"),
             new java.io.File(tombs, "batch=0").toPath)
-          hardDeleteEpochManifested(spark, tombs.toString,
+          // a cross-JVM racer building the same fingerprint-keyed demo may
+          // win the epoch-2 CAS commit; its state is deterministic and
+          // identical, so losing the race IS completion here — verify and
+          // proceed (real multi-writer cascades must NOT swallow this:
+          // their inputs differ, which is the whole point of the CAS)
+          try hardDeleteEpochManifested(spark, tombs.toString,
             Seq(("compliance", gen1.toString, "doc_id",
               new java.io.File(root,
                 s"compliance_gen2-${java.util.UUID.randomUUID()}").toPath)),
             new java.io.File(root,
               s"tomb_epoch2-${java.util.UUID.randomUUID()}").toPath,
             manifestDir.toPath, epoch = 2L)
+          catch {
+            case e: EpochConflictException =>
+              if (!currentEpoch(spark, manifestDir).exists(_._1 >= 2L)) throw e
+          }
         }
         root
       })

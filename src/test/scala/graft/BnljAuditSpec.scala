@@ -17,19 +17,46 @@ package graft
 class BnljAuditSpec extends SparkSpec {
 
   test("every BNLJ broadcast side classifies as bounded") {
-    val findings = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      BnljAudit.audit(name,
-        SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan)
-    }
-    val tally = findings.flatMap(_.verdict)
+    // also audit STAGED plans — the pre-cut stages of queries that run
+    // work behind PlanBridge.cutLineage (their registered plan is a bare
+    // Scan ExistingRDD, the judge-caught audit blind spot). Cuts run at
+    // construction; fingerprint-keyed memos mean a warmed trainer's cut
+    // may have been captured under an earlier suite's build — what
+    // appears here is exactly the work this JVM actually staged.
+    org.apache.spark.sql.graft.PlanBridge.captureStagedPlans.set(true)
+    org.apache.spark.sql.graft.PlanBridge.drainStagedPlans() // clear residue
+    var stagedPlans = 0
+    val (findings, stagedFindings) =
+      SparkEntry.queries.keys.toSeq.sorted.foldLeft(
+        (Seq.empty[BnljAudit.Finding], Seq.empty[BnljAudit.Finding])) {
+        case ((live, stg), name) =>
+          val qp = SparkEntry.queries(name)(spark, sf0001)
+            .queryExecution.sparkPlan
+          val staged = org.apache.spark.sql.graft.PlanBridge.drainStagedPlans()
+          stagedPlans += staged.size
+          (live ++ BnljAudit.audit(name, qp),
+            stg ++ staged.flatMap { case (site, p) =>
+              BnljAudit.audit(s"$name [staged $site]", p) })
+      }
+    org.apache.spark.sql.graft.PlanBridge.captureStagedPlans.set(false)
+    val tally = (findings ++ stagedFindings).flatMap(_.verdict)
       .groupBy(identity).view.mapValues(_.size).toMap
-    info(s"BNLJs classified: ${findings.size} — $tally")
+    info(s"BNLJs classified: ${findings.size} live + ${stagedFindings.size} " +
+      s"in $stagedPlans staged (pre-cut) plans — $tally")
+    assert(stagedPlans > 0,
+      "expected staged-plan coverage: lineage-cutting queries (e.g. " +
+        "text_unigram_sweep) must surface their pre-cut stages to this audit")
     assert(findings.nonEmpty,
       "expected a nonzero BNLJ population (the scalar-attach pattern)")
     val bad = findings.filter(f =>
       f.verdict.isEmpty && !BnljAudit.CalibrationExempt(f.query))
     assert(bad.isEmpty, bad.map(f => s"${f.query}:\n${f.plan}")
       .mkString("unclassifiable BNLJ broadcast sides:\n", "\n---\n", ""))
+    // staged plans obey the same boundedness contract (no staged query
+    // is calibration-exempt: the exempt brute-force tiers never cut)
+    val badStaged = stagedFindings.filter(_.verdict.isEmpty)
+    assert(badStaged.isEmpty, badStaged.map(f => s"${f.query}:\n${f.plan}")
+      .mkString("unclassifiable STAGED BNLJ broadcast sides:\n", "\n---\n", ""))
     // the exemption list stays honest both ways: every exempt query
     // still exists AND still NEEDS its exemption (a stale entry would
     // silently sanction a future unbounded broadcast under that name)
