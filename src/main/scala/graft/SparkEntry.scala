@@ -31,6 +31,7 @@ object SparkEntry {
     llm.Multimodal,
     llm.Bpe,
     llm.Unigram,
+    llm.Script,
     llm.Curation,
     llm.Sampling,
     llm.Relevance,

@@ -1,0 +1,171 @@
+package graft.llm
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Non-Latin / script-aware text tier (north-star EXT; judge-directed):
+  * every trained-tokenizer and curation path in this engine normalizes
+  * through `[^a-z]+` ([[Unigram]]/[[Bpe]]'s token-boundary contract),
+  * which silently COLLAPSES a CJK/Cyrillic/Arabic document to an empty
+  * token stream — it vanishes from fertility, packing, and curation
+  * gates without an error. Real 100 TB web corpora are majority
+  * non-English, so the loss must at minimum be MEASURED, and a
+  * codepoint-class-aware path must exist for text the Latin pipeline
+  * cannot see.
+  *
+  * Corpus planting: the synthetic documents table is ASCII, so
+  * deterministic non-Latin derivatives are planted by per-character
+  * transliteration (`translate` — identical Postgres semantics in Spark
+  * and DuckDB): doc_id % 11 == 3 → Cyrillic, == 5 → CJK (spaces deleted
+  * too — CJK text carries no word separators, the property that breaks
+  * space-based tokenizers), == 7 → Arabic; every other doc keeps its
+  * Latin text. Both engines replay the planting from the raw table, so
+  * the whole tier oracles end-to-end.
+  *
+  * Script classification is data-derived (never the planting rule):
+  * per-class letter counts via delete-`translate` (exact, no regex
+  * dialect risk), argmax with a fixed priority (latin, cyrillic, cjk,
+  * arabic — first wins ties).
+  *
+  * The AWARE tokenization: word runs over the union alphabet of the
+  * spaced scripts (Latin ∪ Cyrillic ∪ Arabic) + ONE TOKEN PER CJK CHAR
+  * (the standard CJK heuristic — no spaces to split on). Everything is
+  * per-row expression work: a map stage over the corpus, no shuffle
+  * until the script-sized groupBy — safe at any scale.
+  */
+object Script extends QueryModule {
+
+  /** The planted alphabets — 26 letters each, all BMP codepoints (so
+    * char-counting agrees across engines). Cyrillic: а..щ (26 of 33);
+    * CJK: 26 common Han chars; Arabic: 26 of the 28 base letters. */
+  val Latin = "abcdefghijklmnopqrstuvwxyz"
+  val Cyr = "абвгдежзийклмнопрстуфхцчшщ"
+  val Cjk = "的一是不了人我在有他这中大来上国个到说们为子和你地出"
+  val Arab = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+  require(Seq(Cyr, Cjk, Arab).forall(_.length == 26),
+    "planted alphabets must map 1:1 from the 26 Latin letters")
+
+  /** The planted corpus: (doc_id, t) with deterministic script classes.
+    * CJK planting maps `from` = Latin + space onto 26 chars — translate
+    * deletes chars with no counterpart, so CJK docs lose their spaces. */
+  private[llm] def plantedCol: Column = {
+    val s = lower(col("text"))
+    when(col("doc_id") % 11 === 3, translate(s, Latin, Cyr))
+      .when(col("doc_id") % 11 === 5, translate(s, Latin + " ", Cjk))
+      .when(col("doc_id") % 11 === 7, translate(s, Latin, Arab))
+      .otherwise(s)
+  }
+
+  /** Letters of `alpha` in `t`, by delete-translate — exact and
+    * regex-dialect-free in both engines. */
+  private def nOf(t: Column, alpha: String): Column =
+    length(t) - length(translate(t, alpha, ""))
+
+  /** The CURRENT Latin pipeline's token count (the `[^a-z]+`
+    * normalization every trained tokenizer uses) — nonempty word runs
+    * only, so an all-non-Latin doc counts ZERO. */
+  private[llm] def latinPipeTokens(t: Column): Column =
+    size(filter(split(trim(regexp_replace(t, "[^a-z]+", " ")), " "),
+      w => length(w) >= 1))
+
+  /** Script-aware token count: spaced-script word runs + one token per
+    * CJK char. */
+  private[llm] def awareTokens(t: Column): Column =
+    regexp_count(t, lit(s"[$Latin$Cyr$Arab]+")) + nOf(t, Cjk)
+
+  /** Data-derived script class — fixed priority (latin, cyrillic, cjk,
+    * arabic; earlier wins ties), mirrored verbatim in the oracle. */
+  private[llm] def scriptOf(t: Column): Column = {
+    val (nl, ncy, ncj, na) = (nOf(t, Latin), nOf(t, Cyr), nOf(t, Cjk), nOf(t, Arab))
+    when(ncy > nl && ncy >= ncj && ncy >= na, lit("cyrillic"))
+      .when(ncj > nl && ncj > ncy && ncj >= na, lit("cjk"))
+      .when(na > nl && na > ncy && na > ncj, lit("arabic"))
+      .otherwise(lit("latin"))
+  }
+
+  /** EXT: the per-script RETENTION report — what the `[a-z]` pipeline
+    * keeps vs what a script-aware tokenization sees, per classified
+    * script: `lost_docs` counts documents the current pipeline drops
+    * ENTIRELY (zero Latin tokens, nonzero aware tokens — they vanish
+    * from every downstream gate), `retained_permille` is the token-mass
+    * fraction the Latin path retains. On the planted corpus the three
+    * non-Latin classes must show retention ≈ 0 — the measured loss this
+    * tier exists to surface — while Latin retains ≈ 1000. */
+  def scriptCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("t")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), plantedCol.as("t"))
+      .select(col("doc_id"),
+        scriptOf(t).as("script"),
+        latinPipeTokens(t).cast("long").as("latin_toks"),
+        awareTokens(t).cast("long").as("aware_toks"))
+      .groupBy("script")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("latin_toks")).as("latin_tokens"),
+        sum(col("aware_toks")).as("aware_tokens"),
+        sum(when(col("latin_toks") === 0 && col("aware_toks") > 0, 1L)
+          .otherwise(0L)).as("lost_docs"))
+      .withColumn("retained_permille",
+        expr("latin_tokens * 1000 div aware_tokens"))
+      .orderBy("script")
+  }
+
+  /** Script-aware word counts — the [[Unigram.wordCountsOf]] shape over
+    * the union alphabet (plus per-char CJK tokens): the normalization a
+    * multilingual tokenizer train run feeds its trainer instead of the
+    * `[a-z]` path. Package-visible so the survival spec pins that a
+    * non-Latin doc yields word types here while yielding NONE through
+    * the Latin path. */
+  private[llm] def wordCountsAware(docs: DataFrame): DataFrame = {
+    val t = lower(col("text"))
+    val spacedCjk = regexp_replace(t, s"([$Cjk])", " $1 ")
+    docs
+      .select(explode(split(trim(regexp_replace(
+        spacedCjk, s"[^$Latin$Cyr$Arab$Cjk]+", " ")), " ")).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(substring(col("w0"), 1, Unigram.MaxWordLen).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_script_coverage" -> (scriptCoverage _),
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "text_script_coverage" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 3 THEN translate(lower(text), '$Latin', '$Cyr')
+         |         WHEN doc_id % 11 = 5 THEN translate(lower(text), '$Latin ', '$Cjk')
+         |         WHEN doc_id % 11 = 7 THEN translate(lower(text), '$Latin', '$Arab')
+         |         ELSE lower(text) END AS t
+         |  FROM documents
+         |), f AS (
+         |  SELECT doc_id, t,
+         |    length(t) - length(translate(t, '$Latin', '')) AS nl,
+         |    length(t) - length(translate(t, '$Cyr', '')) AS ncy,
+         |    length(t) - length(translate(t, '$Cjk', '')) AS ncj,
+         |    length(t) - length(translate(t, '$Arab', '')) AS na,
+         |    len(list_filter(string_split(trim(regexp_replace(t, '[^a-z]+', ' ', 'g')), ' '),
+         |        w -> length(w) >= 1)) AS latin_toks,
+         |    len(regexp_extract_all(t, '[$Latin$Cyr$Arab]+'))
+         |      + (length(t) - length(translate(t, '$Cjk', ''))) AS aware_toks
+         |  FROM planted
+         |), c AS (
+         |  SELECT doc_id, latin_toks, aware_toks,
+         |    CASE WHEN ncy > nl AND ncy >= ncj AND ncy >= na THEN 'cyrillic'
+         |         WHEN ncj > nl AND ncj > ncy AND ncj >= na THEN 'cjk'
+         |         WHEN na > nl AND na > ncy AND na > ncj THEN 'arabic'
+         |         ELSE 'latin' END AS script
+         |  FROM f
+         |)
+         |SELECT script, COUNT(*) AS n_docs,
+         |  CAST(SUM(latin_toks) AS BIGINT) AS latin_tokens,
+         |  CAST(SUM(aware_toks) AS BIGINT) AS aware_tokens,
+         |  CAST(SUM(CASE WHEN latin_toks = 0 AND aware_toks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lost_docs,
+         |  CAST(SUM(latin_toks) AS BIGINT) * 1000 // CAST(SUM(aware_toks) AS BIGINT) AS retained_permille
+         |FROM c GROUP BY script ORDER BY script""".stripMargin,
+  )
+}
