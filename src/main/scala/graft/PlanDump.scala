@@ -184,7 +184,11 @@ object PlanDump {
     "maint_epoch_travel", "maint_epoch_schema_evolve",
     "mm_jpeg_meta", "mm_jpeg_dedup",
     "text_unigram_train", "text_unigram_fertility",
-    "text_unigram_encode", "pack_unigram_sequences", "text_unigram_sweep")
+    "text_unigram_encode", "pack_unigram_sequences", "text_unigram_sweep",
+    // round 13: the permissive JPEG quarantine tier, the script-aware
+    // retention report, and (via the staged-plan capture) the pre-cut
+    // stages of every lineage-cutting query
+    "mm_jpeg_quarantine", "text_script_coverage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave", "unigramzone").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1074,6 +1074,71 @@ object ScaleProbe {
         f""""in_query_wave_sec":${inQuery._2}%.1f,""" +
         f""""top3_rows":${standing._1._1},"checksum":${standing._1._2}}""")
       graft.Fs.deleteRecursively(new java.io.File(dir))
+    }
+    // claim (r13): the unigram model's word→np encode map must stay
+    // DISTRIBUTED. The r12 form collected it per-word-TYPE to the driver
+    // (Unigram.trainOver's collect) and re-broadcast it as a local
+    // relation in every encode query; the refactor persists it as a
+    // standing parquet generation and joins it distributively. This
+    // probe prices BOTH shapes on the same synthetic model at 10⁶/10⁷
+    // word types (the real 100 TB vocabulary scale) against a corpus-
+    // words frame, checksum-equal — the result-invariance proof the
+    // refactor ships with, at the scale sf0.1 cannot reach.
+    if (on("unigramzone")) {
+    for (nTypes <- Seq(1000000L / div, 10000000L / div)) {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_probe_unigram_$nTypes")
+      graft.Fs.deleteRecursively(dir)
+      def wOf(id: org.apache.spark.sql.Column) = translate(
+        substring(md5(id.cast("string")), 1, 12), "0123456789", "ghijklmnop")
+      // deterministic trained-model stand-in: 12-char letter word types,
+      // np in 1..4 (the segmentation arity range at MaxPieceLen = 4)
+      val model = spark.range(nTypes).select(
+        wOf(col("id")).as("w"),
+        (pmod(xxhash64(col("id") * 13 + 5), lit(4)) + 1).as("np"))
+      // corpus-words side: 4 occurrences per type across 10⁶ docs — the
+      // shape every encode query joins the model against
+      val rep = 4L
+      val docWords = spark.range(nTypes * rep).select(
+        pmod(xxhash64(col("id") * 7 + 3), lit(1000000L)).as("doc_id"),
+        wOf(col("id") % nTypes).as("w"))
+      def encodeOver(np: DataFrame): (Long, Long) = {
+        val enc = docWords.join(np, "w")
+          .groupBy("doc_id").agg(sum(col("np")).as("toks"))
+        // drain through a checksum referencing BOTH computed columns so
+        // neither the join nor the agg prunes out of the timing
+        val row = enc.agg(count(lit(1)),
+          sum(col("doc_id") * 7 + col("toks"))).collect()(0)
+        (row.getLong(0), row.getLong(1))
+      }
+      // NEW shape: standing parquet generation, distributed join (the
+      // planner picks broadcast vs shuffle by the artifact's real size)
+      val (genPath, installSec) = time(graft.Fs.writeParquetAtomic(
+        model, new java.io.File(dir, "wordnp_gen1").toPath))
+      val artifact = (1 to 2)
+        .map(_ => time(encodeOver(spark.read.parquet(genPath)))).minBy(_._2)
+      // OLD (r12) shape: collect the word-type table to the driver, then
+      // broadcast it back as a local relation per encode
+      val (local, collectSec) = time(
+        model.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      val bcast = (1 to 2).map { _ =>
+        time {
+          import spark.implicits._
+          encodeOver(broadcast(local.toDF("w", "np")))
+        }
+      }.minBy(_._2)
+      require(artifact._1 == bcast._1,
+        s"artifact-join encode diverges from the collect+broadcast " +
+          s"shape: ${artifact._1} vs ${bcast._1}")
+      println(f"""{"probe":"unigram_zone","word_types":$nTypes,""" +
+        f""""corpus_words":${nTypes * rep},""" +
+        f""""artifact_install_sec":$installSec%.1f,""" +
+        f""""artifact_encode_sec":${artifact._2}%.1f,""" +
+        f""""driver_collect_sec":$collectSec%.1f,""" +
+        f""""broadcast_encode_sec":${bcast._2}%.1f,""" +
+        f""""enc_docs":${artifact._1._1},"checksum":${artifact._1._2}}""")
+      graft.Fs.deleteRecursively(dir)
+    }
     }
     spark.stop()
   }
