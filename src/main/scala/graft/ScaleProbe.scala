@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave", "unigramzone").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave", "unigramzone", "script").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1138,6 +1138,38 @@ object ScaleProbe {
         f""""broadcast_encode_sec":${bcast._2}%.1f,""" +
         f""""enc_docs":${artifact._1._1},"checksum":${artifact._1._2}}""")
       graft.Fs.deleteRecursively(dir)
+    }
+    }
+    // claim (r13): the script tier is a pure map stage — per-row
+    // translate/regex expression work + one script-sized groupBy — so
+    // its cost is a scan-rate, not a shuffle. Price the coverage report
+    // at 10⁶ docs (4 planted script classes, ~100-char docs) and report
+    // docs/sec; no driver state, no corpus-sized shuffle to regress.
+    if (on("script")) {
+    locally {
+      val n = 1000000L / div
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (1 to 12).map(j =>
+          substring(md5(concat(col("id").cast("string"), lit(s"-$j"))), 1, 8)): _*).as("text"))
+      def coverageOver(d: DataFrame): Seq[String] = {
+        import graft.llm.Script
+        val planted = d.select(col("doc_id"), Script.plantedCol.as("t"))
+        planted.select(
+            Script.scriptOf(col("t")).as("script"),
+            Script.latinPipeTokens(col("t")).cast("long").as("lt"),
+            Script.awareTokens(col("t")).cast("long").as("at"))
+          .groupBy("script")
+          .agg(count(lit(1)).as("n"), sum("lt").as("lt"), sum("at").as("at"))
+          .orderBy("script")
+          .collect().map(_.mkString(":")).toSeq
+      }
+      val runs = (1 to 2).map(_ => time(coverageOver(docs)))
+      val best = runs.minBy(_._2)
+      println(f"""{"probe":"script_coverage","docs":$n,""" +
+        f""""coverage_sec":${best._2}%.1f,""" +
+        f""""docs_per_sec":${(n / best._2).toLong},""" +
+        f""""classes":${best._1.size}}""")
     }
     }
     spark.stop()

@@ -49,7 +49,7 @@ object Script extends QueryModule {
   /** The planted corpus: (doc_id, t) with deterministic script classes.
     * CJK planting maps `from` = Latin + space onto 26 chars — translate
     * deletes chars with no counterpart, so CJK docs lose their spaces. */
-  private[llm] def plantedCol: Column = {
+  private[graft] def plantedCol: Column = {
     val s = lower(col("text"))
     when(col("doc_id") % 11 === 3, translate(s, Latin, Cyr))
       .when(col("doc_id") % 11 === 5, translate(s, Latin + " ", Cjk))
@@ -65,18 +65,18 @@ object Script extends QueryModule {
   /** The CURRENT Latin pipeline's token count (the `[^a-z]+`
     * normalization every trained tokenizer uses) — nonempty word runs
     * only, so an all-non-Latin doc counts ZERO. */
-  private[llm] def latinPipeTokens(t: Column): Column =
+  private[graft] def latinPipeTokens(t: Column): Column =
     size(filter(split(trim(regexp_replace(t, "[^a-z]+", " ")), " "),
       w => length(w) >= 1))
 
   /** Script-aware token count: spaced-script word runs + one token per
     * CJK char. */
-  private[llm] def awareTokens(t: Column): Column =
+  private[graft] def awareTokens(t: Column): Column =
     regexp_count(t, lit(s"[$Latin$Cyr$Arab]+")) + nOf(t, Cjk)
 
   /** Data-derived script class — fixed priority (latin, cyrillic, cjk,
     * arabic; earlier wins ties), mirrored verbatim in the oracle. */
-  private[llm] def scriptOf(t: Column): Column = {
+  private[graft] def scriptOf(t: Column): Column = {
     val (nl, ncy, ncj, na) = (nOf(t, Latin), nOf(t, Cyr), nOf(t, Cjk), nOf(t, Arab))
     when(ncy > nl && ncy >= ncj && ncy >= na, lit("cyrillic"))
       .when(ncj > nl && ncj > ncy && ncj >= na, lit("cjk"))

@@ -234,8 +234,12 @@ object Unigram extends QueryModule {
             .exists(_._1 >= 1L)) {
           root.mkdirs()
           val (vocab, wordNp, release) = trainFrames(wordCounts(spark, sfDir))
-          val genV = new java.io.File(root, "vocab_gen1").toPath
-          val genW = new java.io.File(root, "wordnp_gen1").toPath
+          // generations under zones/, the commit log beside it — the
+          // retentionSweep layout contract (the sweep's guard rejects a
+          // manifest dir living inside a swept zone dir)
+          val zones = new java.io.File(root, "zones")
+          val genV = new java.io.File(zones, "vocab_gen1").toPath
+          val genW = new java.io.File(zones, "wordnp_gen1").toPath
           graft.Fs.writeParquetAtomic(vocab, genV)
           graft.Fs.writeParquetAtomic(wordNp, genW)
           release()
