@@ -188,7 +188,8 @@ object PlanDump {
     // round 13: the permissive JPEG quarantine tier, the script-aware
     // retention report, and (via the staged-plan capture) the pre-cut
     // stages of every lineage-cutting query
-    "mm_jpeg_quarantine", "text_script_coverage")
+    "mm_jpeg_quarantine", "text_script_coverage",
+    "text_unigram_multi", "text_unigram_multi_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -118,20 +118,100 @@ object Script extends QueryModule {
     * `[a-z]` path. Package-visible so the survival spec pins that a
     * non-Latin doc yields word types here while yielding NONE through
     * the Latin path. */
-  private[llm] def wordCountsAware(docs: DataFrame): DataFrame = {
-    val t = lower(col("text"))
+  /** The aware word array of a text column: pad each CJK char with
+    * spaces (its own token), then split on the union-alphabet
+    * complement. */
+  private def awareWordsCol(text: Column): Column = {
+    val t = lower(text)
     val spacedCjk = regexp_replace(t, s"([$Cjk])", " $1 ")
+    split(trim(regexp_replace(spacedCjk, s"[^$Latin$Cyr$Arab$Cjk]+", " ")), " ")
+  }
+
+  private[llm] def wordCountsAware(docs: DataFrame): DataFrame =
     docs
-      .select(explode(split(trim(regexp_replace(
-        spacedCjk, s"[^$Latin$Cyr$Arab$Cjk]+", " ")), " ")).as("w0"))
+      .select(explode(awareWordsCol(col("text"))).as("w0"))
       .filter(length(col("w0")) >= 1)
       .select(substring(col("w0"), 1, Unigram.MaxWordLen).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cw"))
+
+  /** EXT: per-SCRIPT fertility of the trained multi-script unigram
+    * model — the tokenizer-equity table ([[Bpe.bpeFertility]]'s shape)
+    * on the script axis: chars-per-token of the ONE shared multilingual
+    * vocab per script class. This is the number multilingual vocab
+    * sizing gets decided on (a vocab trained on a skewed script mix
+    * compresses the dominant script best; per-char CJK shows fertility
+    * ≈ 1 by construction of the aware tokenizer). One corpus-words scan
+    * + the standing word→np artifact join + a script-sized groupBy;
+    * the oracle re-learns the model AND re-derives each doc's script
+    * class independently. */
+  def unigramMultiFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Unigram.modelZoneFor(spark, sfDir, "multi",
+      wordCountsAware(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), plantedCol.as("text"))))
+    val np = graft.sources.Maintenance.readZoneThroughManifest(
+      spark, new java.io.File(root, "manifest"), Unigram.WordNpZone)
+      .select("w", "np")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), plantedCol.as("t"))
+      .select(col("doc_id"), scriptOf(col("t")).as("script"),
+        explode(awareWordsCol(col("t"))).as("w0"))
+      .filter(length(col("w0")) >= 1)
+      .select(col("script"), substring(col("w0"), 1, Unigram.MaxWordLen).as("w"))
+      .join(np, "w")
+      .groupBy("script")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("chars"),
+        sum(col("np")).as("tokens"))
+      .withColumn("chars_per_token_micro", expr("chars * 1000000 div tokens"))
+      .orderBy("script")
+  }
+
+  /** EXT: the MULTI-SCRIPT unigram tokenizer train — the same Kudo-2018
+    * schedule ([[Unigram]]: seed → E → M → prune → E → M), fed the
+    * script-AWARE word counts of the planted multi-script corpus instead
+    * of the `[a-z]` normalization. Everything downstream of the word
+    * table is alphabet-agnostic (length/substr/cut-bitmask work on any
+    * codepoints; string order is binary = codepoint order in both
+    * engines), so the learned piece inventory mixes Latin, Cyrillic,
+    * Arabic pieces and per-char CJK — a real multilingual vocab's shape.
+    * The model persists as its own fingerprint-keyed standing zone
+    * (variant "multi"); the oracle RE-LEARNS the full schedule over the
+    * identically-planted, identically-normalized word table, so the
+    * aware normalization AND the trainer's alphabet-independence are
+    * pinned cross-engine end to end. */
+  def unigramTrainMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Unigram.modelZoneFor(spark, sfDir, "multi",
+      wordCountsAware(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), plantedCol.as("text"))))
+    Unigram.trainReportOf(graft.sources.Maintenance.readZoneThroughManifest(
+      spark, new java.io.File(root, "manifest"), Unigram.VocabZone))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_script_coverage" -> (scriptCoverage _),
+    "text_unigram_multi" -> (unigramTrainMulti _),
+    "text_unigram_multi_fertility" -> (unigramMultiFertility _),
   )
+
+  /** The planted + aware-normalized u_words CTE pair (DuckDB) — the
+    * [[Unigram.latinWordsCte]] swap-in for the multi-script chain. The
+    * CJK pad uses RE2's `\\1` backreference (Spark side uses `$1`);
+    * both engines then split on the union-alphabet complement. */
+  private def awareWordsCte: String =
+    s"""planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 3 THEN translate(lower(text), '$Latin', '$Cyr')
+       |         WHEN doc_id % 11 = 5 THEN translate(lower(text), '$Latin ', '$Cjk')
+       |         WHEN doc_id % 11 = 7 THEN translate(lower(text), '$Latin', '$Arab')
+       |         ELSE lower(text) END AS t
+       |  FROM documents),
+       |u_words AS (
+       |  SELECT substr(w0, 1, ${Unigram.MaxWordLen}) AS w, count(*) AS cw FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(
+       |      regexp_replace(t, '([$Cjk])', ' \\1 ', 'g'),
+       |      '[^$Latin$Cyr$Arab$Cjk]+', ' ', 'g')), ' ')) AS w0
+       |    FROM planted) t2
+       |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
     "text_script_coverage" ->
@@ -167,5 +247,43 @@ object Script extends QueryModule {
          |  CAST(SUM(CASE WHEN latin_toks = 0 AND aware_toks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS lost_docs,
          |  CAST(SUM(latin_toks) AS BIGINT) * 1000 // CAST(SUM(aware_toks) AS BIGINT) AS retained_permille
          |FROM c GROUP BY script ORDER BY script""".stripMargin,
+    // NOTE: CTE blocks concatenate OUTSIDE any stripMargin (the
+    // double-stripMargin trap eats a `|` from line-leading `||`).
+    "text_unigram_multi" ->
+      (Unigram.unigramCtesWith(awareWordsCte).mkString("WITH ", ",\n", "") + "\n" +
+      s"""SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, CAST(cnt AS BIGINT) AS cnt,
+         |  round(ln((cnt + 1.0) / (tot + v)), 6) AS logp
+         |FROM u_final, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_final)
+         |ORDER BY cnt DESC, piece""".stripMargin),
+    "text_unigram_multi_fertility" ->
+      (Unigram.unigramCtesWith(awareWordsCte).mkString("WITH ", ",\n", "") + ",\n" +
+      s"""u_docw AS (
+         |  SELECT doc_id, substr(w0, 1, ${Unigram.MaxWordLen}) AS w FROM (
+         |    SELECT doc_id, unnest(string_split(trim(regexp_replace(
+         |      regexp_replace(t, '([$Cjk])', ' \\1 ', 'g'),
+         |      '[^$Latin$Cyr$Arab$Cjk]+', ' ', 'g')), ' ')) AS w0
+         |    FROM planted) q
+         |  WHERE length(w0) >= 1
+         |), cls AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ncy > nl AND ncy >= ncj AND ncy >= na THEN 'cyrillic'
+         |         WHEN ncj > nl AND ncj > ncy AND ncj >= na THEN 'cjk'
+         |         WHEN na > nl AND na > ncy AND na > ncj THEN 'arabic'
+         |         ELSE 'latin' END AS script
+         |  FROM (
+         |    SELECT doc_id,
+         |      length(t) - length(translate(t, '$Latin', '')) AS nl,
+         |      length(t) - length(translate(t, '$Cyr', '')) AS ncy,
+         |      length(t) - length(translate(t, '$Cjk', '')) AS ncj,
+         |      length(t) - length(translate(t, '$Arab', '')) AS na
+         |    FROM planted) x
+         |)
+         |SELECT c.script, COUNT(*) AS n_words,
+         |  CAST(SUM(length(d.w)) AS BIGINT) AS chars,
+         |  CAST(SUM(b.np) AS BIGINT) AS tokens,
+         |  CAST(SUM(length(d.w)) AS BIGINT) * 1000000
+         |    // CAST(SUM(b.np) AS BIGINT) AS chars_per_token_micro
+         |FROM u_docw d JOIN u_best2 b ON d.w = b.w JOIN cls c ON d.doc_id = c.doc_id
+         |GROUP BY c.script ORDER BY c.script""".stripMargin),
   )
 }

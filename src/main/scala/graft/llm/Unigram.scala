@@ -220,11 +220,16 @@ object Unigram extends QueryModule {
   private val zoneMemo = scala.collection.concurrent.TrieMap
     .empty[String, java.io.File]
 
-  private[llm] def modelZoneRoot(
-      spark: SparkSession, sfDir: String): java.io.File =
+  /** Build-or-reuse one model zone VARIANT (base Latin model, the
+    * multi-script model trained on the planted corpus, …): each variant
+    * is its own fingerprint-keyed root trained from its own word-count
+    * frame — the `words` thunk only runs on a cold zone. */
+  private[llm] def modelZoneFor(
+      spark: SparkSession, sfDir: String, variant: String,
+      words: => DataFrame): java.io.File =
     zoneMemo.getOrElseUpdate(
-      s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}", {
-        val key = s"$sfDir@${Bpe.corpusFingerprint(spark, sfDir)}"
+      s"$sfDir#$variant@${Bpe.corpusFingerprint(spark, sfDir)}", {
+        val key = s"$sfDir#$variant@${Bpe.corpusFingerprint(spark, sfDir)}"
         val digest = java.security.MessageDigest.getInstance("SHA-256")
           .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
         val root = new java.io.File(
@@ -233,7 +238,7 @@ object Unigram extends QueryModule {
         if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
             .exists(_._1 >= 1L)) {
           root.mkdirs()
-          val (vocab, wordNp, release) = trainFrames(wordCounts(spark, sfDir))
+          val (vocab, wordNp, release) = trainFrames(words)
           // generations under zones/, the commit log beside it — the
           // retentionSweep layout contract (the sweep's guard rejects a
           // manifest dir living inside a swept zone dir)
@@ -250,6 +255,10 @@ object Unigram extends QueryModule {
         }
         root
       })
+
+  private[llm] def modelZoneRoot(
+      spark: SparkSession, sfDir: String): java.io.File =
+    modelZoneFor(spark, sfDir, "base", wordCounts(spark, sfDir))
 
   private def modelZone(
       spark: SparkSession, sfDir: String, zone: String): DataFrame =
@@ -274,10 +283,11 @@ object Unigram extends QueryModule {
     * add-one log-probs of every surviving piece after seed → EM round →
     * prune → EM round. This IS the .model file a SentencePiece-style
     * train run ships. */
-  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val vocab = vocabFrame(spark, sfDir)
-    // normalizer as a 1-row aggregate attach (the scalar-broadcast
-    // pattern), never a driver-side sum over a collected model
+  /** The .model report (piece, piece_len, cnt, logp) off a piece-table
+    * frame — shared by the base and multi-script train queries. The
+    * normalizer is a 1-row aggregate attach (the scalar-broadcast
+    * pattern), never a driver-side sum over a collected model. */
+  private[llm] def trainReportOf(vocab: DataFrame): DataFrame = {
     val norm = vocab.agg(sum(col("cnt")).as("tot"), count(lit(1)).as("v"))
     vocab.crossJoin(broadcast(norm))
       .select(col("piece"),
@@ -286,6 +296,9 @@ object Unigram extends QueryModule {
         round(log((col("cnt") + lit(1.0)) / (col("tot") + col("v"))), 6).as("logp"))
       .orderBy(col("cnt").desc, col("piece"))
   }
+
+  def unigramTrain(spark: SparkSession, sfDir: String): DataFrame =
+    trainReportOf(vocabFrame(spark, sfDir))
 
   /** EXT: per-language fertility of the trained UNIGRAM encoder beside
     * the trained BPE encoder — the tokenizer-selection table (which
@@ -416,6 +429,8 @@ object Unigram extends QueryModule {
   /** The shared first half of the re-learned schedule (seed → E1 → M1) —
     * the prune-budget sweep replays ONLY its second half per budget, so
     * the expensive enumeration + round-1 counts are one chain. */
+  private def unigramCtes: Seq[String] = unigramCtesWith(latinWordsCte)
+
   private def baseCtes: Seq[String] =
     unigramCtes.takeWhile(!_.startsWith("u_vocab1 "))
 
@@ -441,14 +456,23 @@ object Unigram extends QueryModule {
        |    GROUP BY e.w, e.cw, e.mask, e.np HAVING COUNT(*) = e.np) q WHERE rn = 1)""".stripMargin,
   )
 
-  /** The full re-learned unigram schedule as CTEs (u_-prefixed so they
-    * compose beside the BPE chain in the fertility comparison). */
-  private def unigramCtes: Seq[String] = Seq(
+  /** The default (Latin-normalized) u_words CTE. */
+  private[llm] def latinWordsCte: String =
     s"""u_words AS (
        |  SELECT substr(w0, 1, $MaxWordLen) AS w, count(*) AS cw FROM (
        |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
        |    FROM documents) t
-       |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin,
+       |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin
+
+  /** The full re-learned unigram schedule as CTEs (u_-prefixed so they
+    * compose beside the BPE chain in the fertility comparison).
+    * Parameterized over the u_words CTE: everything downstream of the
+    * word-count table is ALPHABET-AGNOSTIC (length/substr/bitmask work on
+    * any codepoints; string order is binary = codepoint order in both
+    * engines), so the multi-script trainer ([[Script]]) re-learns the
+    * identical schedule by swapping in an aware-normalized u_words. */
+  private[llm] def unigramCtesWith(wordsCte: String): Seq[String] = Seq(
+    wordsCte,
     s"""u_subs AS (
        |  SELECT piece, CAST(SUM(cw) AS BIGINT) AS cnt FROM (
        |    SELECT cw, unnest(flatten(list_transform(range(1, length(w)+1),
