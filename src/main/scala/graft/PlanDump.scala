@@ -189,7 +189,8 @@ object PlanDump {
     // retention report, and (via the staged-plan capture) the pre-cut
     // stages of every lineage-cutting query
     "mm_jpeg_quarantine", "text_script_coverage",
-    "text_unigram_multi", "text_unigram_multi_fertility")
+    "text_unigram_multi", "text_unigram_multi_fertility",
+    "text_unigram_balanced_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -144,10 +144,15 @@ object Script extends QueryModule {
     * + the standing word→np artifact join + a script-sized groupBy;
     * the oracle re-learns the model AND re-derives each doc's script
     * class independently. */
-  def unigramMultiFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = Unigram.modelZoneFor(spark, sfDir, "multi",
-      wordCountsAware(Tables.documents(spark, sfDir)
-        .select(col("doc_id"), plantedCol.as("text"))))
+  def unigramMultiFertility(spark: SparkSession, sfDir: String): DataFrame =
+    fertilityOverZone(spark, sfDir,
+      Unigram.modelZoneFor(spark, sfDir, "multi",
+        wordCountsAware(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), plantedCol.as("text")))))
+
+  /** Per-script fertility off one model zone's word→np artifact. */
+  private def fertilityOverZone(
+      spark: SparkSession, sfDir: String, root: java.io.File): DataFrame = {
     val np = graft.sources.Maintenance.readZoneThroughManifest(
       spark, new java.io.File(root, "manifest"), Unigram.WordNpZone)
       .select("w", "np")
@@ -165,6 +170,52 @@ object Script extends QueryModule {
       .withColumn("chars_per_token_micro", expr("chars * 1000000 div tokens"))
       .orderBy("script")
   }
+
+  /** Per-SCRIPT seed/prune budgets — the equity FIX: the shared-pool
+    * trainer gives the dominant script every multi-char slot (measured:
+    * `text_unigram_multi_fertility` shows Latin at 1.43 chars/token and
+    * Cyrillic/Arabic at exactly 1.0), so the balanced variant budgets
+    * the multi-char inventory PER SCRIPT CLASS — the UniMax-style
+    * budget-per-group idea applied to vocab slots. */
+  val BalancedSeedPerScript = 10
+  val BalancedKeepPerScript = 7
+
+  /** Script class of a PIECE (pieces are single-script because planted
+    * words are): membership by delete-translate, fixed priority. */
+  private def pieceClass(p: Column): Column =
+    when(length(p) > length(translate(p, Cyr, "")), lit("cyrillic"))
+      .when(length(p) > length(translate(p, Cjk, "")), lit("cjk"))
+      .when(length(p) > length(translate(p, Arab, "")), lit("arabic"))
+      .otherwise(lit("latin"))
+
+  /** Per-class top-`per` multi-char pieces (cnt DESC, piece ASC) — the
+    * balanced seed/prune strategy plugged into
+    * [[Unigram.trainFramesWith]]. Bounded window: the piece table is
+    * model-sized. */
+  private def perScriptTop(per: Int)(multi: DataFrame): DataFrame = {
+    val byCls = org.apache.spark.sql.expressions.Window
+      .partitionBy("cls").orderBy(col("cnt").desc, col("piece"))
+    multi.withColumn("cls", pieceClass(col("piece")))
+      .withColumn("rn", row_number().over(byCls))
+      .filter(col("rn") <= per)
+      .select("piece", "cnt")
+  }
+
+  /** EXT: per-script fertility under the BALANCED multi-script model —
+    * the measure → fix → re-measure loop closed: same schedule, same
+    * corpus, same aware tokenization as `text_unigram_multi_fertility`,
+    * but the multi-char vocab slots are budgeted per script, so the
+    * tail scripts learn real pieces (fertility rises above 1.0) at a
+    * small dominant-script cost. The oracle re-learns the balanced
+    * schedule — the per-class windowed seed/prune replayed in SQL. */
+  def unigramBalancedFertility(spark: SparkSession, sfDir: String): DataFrame =
+    fertilityOverZone(spark, sfDir,
+      Unigram.modelZoneFor(spark, sfDir, "multibal",
+        wordCountsAware(Tables.documents(spark, sfDir)
+          .select(col("doc_id"), plantedCol.as("text"))),
+        w => Unigram.trainFramesWith(w,
+          perScriptTop(BalancedSeedPerScript),
+          perScriptTop(BalancedKeepPerScript))))
 
   /** EXT: the MULTI-SCRIPT unigram tokenizer train — the same Kudo-2018
     * schedule ([[Unigram]]: seed → E → M → prune → E → M), fed the
@@ -191,7 +242,46 @@ object Script extends QueryModule {
     "text_script_coverage" -> (scriptCoverage _),
     "text_unigram_multi" -> (unigramTrainMulti _),
     "text_unigram_multi_fertility" -> (unigramMultiFertility _),
+    "text_unigram_balanced_fertility" -> (unigramBalancedFertility _),
   )
+
+  /** SQL piece-class CASE over `src` (same membership-by-translate and
+    * priority as [[pieceClass]]). */
+  private def clsCase(src: String): String =
+    s"""CASE WHEN length($src) > length(translate($src, '$Cyr', '')) THEN 'cyrillic'
+       |     WHEN length($src) > length(translate($src, '$Cjk', '')) THEN 'cjk'
+       |     WHEN length($src) > length(translate($src, '$Arab', '')) THEN 'arabic'
+       |     ELSE 'latin' END""".stripMargin
+
+  /** The multi-script chain with the BALANCED per-class seed/prune CTEs
+    * swapped in for the global top-k vocab0/vocab1. */
+  private def balancedCtes: Seq[String] = {
+    val v0 =
+      s"""u_vocab0 AS (
+         |  SELECT piece, cnt FROM u_subs WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (PARTITION BY cls ORDER BY cnt DESC, piece) AS rn
+         |    FROM (SELECT piece, cnt, ${clsCase("piece")} AS cls
+         |          FROM u_subs WHERE length(piece) >= 2) z) y
+         |  WHERE rn <= $BalancedSeedPerScript)""".stripMargin
+    val v1 =
+      s"""u_vocab1 AS (
+         |  SELECT v.piece, COALESCE(m.cnt, 0) AS cnt
+         |  FROM u_vocab0 v LEFT JOIN u_m1 m ON v.piece = m.piece WHERE length(v.piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (PARTITION BY cls ORDER BY cnt DESC, piece) AS rn
+         |    FROM (SELECT v.piece AS piece, COALESCE(m.cnt, 0) AS cnt, ${clsCase("v.piece")} AS cls
+         |          FROM u_vocab0 v LEFT JOIN u_m1 m ON v.piece = m.piece
+         |          WHERE length(v.piece) >= 2) z) y
+         |  WHERE rn <= $BalancedKeepPerScript)""".stripMargin
+    Unigram.unigramCtesWith(awareWordsCte).map {
+      case c if c.startsWith("u_vocab0 AS") => v0
+      case c if c.startsWith("u_vocab1 AS") => v1
+      case c => c
+    }
+  }
 
   /** The planted + aware-normalized u_words CTE pair (DuckDB) — the
     * [[Unigram.latinWordsCte]] swap-in for the multi-script chain. The
@@ -256,7 +346,16 @@ object Script extends QueryModule {
          |FROM u_final, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_final)
          |ORDER BY cnt DESC, piece""".stripMargin),
     "text_unigram_multi_fertility" ->
-      (Unigram.unigramCtesWith(awareWordsCte).mkString("WITH ", ",\n", "") + ",\n" +
+      (Unigram.unigramCtesWith(awareWordsCte).mkString("WITH ", ",\n", "") +
+        fertilityOracleTail),
+    "text_unigram_balanced_fertility" ->
+      (balancedCtes.mkString("WITH ", ",\n", "") + fertilityOracleTail),
+  )
+
+  /** The fertility report CTE tail shared by the pooled and balanced
+    * chains (concatenated OUTSIDE any stripMargin). */
+  private def fertilityOracleTail: String =
+    ",\n" +
       s"""u_docw AS (
          |  SELECT doc_id, substr(w0, 1, ${Unigram.MaxWordLen}) AS w FROM (
          |    SELECT doc_id, unnest(string_split(trim(regexp_replace(
@@ -284,6 +383,5 @@ object Script extends QueryModule {
          |  CAST(SUM(length(d.w)) AS BIGINT) * 1000000
          |    // CAST(SUM(b.np) AS BIGINT) AS chars_per_token_micro
          |FROM u_docw d JOIN u_best2 b ON d.w = b.w JOIN cls c ON d.doc_id = c.doc_id
-         |GROUP BY c.script ORDER BY c.script""".stripMargin),
-  )
+         |GROUP BY c.script ORDER BY c.script""".stripMargin
 }

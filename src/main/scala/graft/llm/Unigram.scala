@@ -161,15 +161,35 @@ object Unigram extends QueryModule {
     * materialize both frames (artifact write / spec collect) BEFORE
     * invoking `release`, which drops the pinned intermediates. */
   private[llm] def trainFrames(words0: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) =
+    trainFramesWith(words0,
+      m => m.orderBy(col("cnt").desc, col("piece")).limit(SeedMulti),
+      m => m.orderBy(col("cnt").desc, col("piece")).limit(KeepMulti))
+
+  /** [[trainFrames]] with pluggable MULTI-CHAR selection strategies:
+    * `seedMulti` picks the seed's multi-char inventory from the
+    * substring counts, `pruneMulti` picks the round-1 survivors from
+    * the (piece, M1-count) table — both over (piece, cnt) frames,
+    * single chars always kept (segmentation totality). The default is
+    * the global top-k; [[Script]]'s balanced trainer budgets the slots
+    * PER SCRIPT CLASS (the tokenizer-equity fix), reusing this exact
+    * schedule. */
+  private[llm] def trainFramesWith(
+      words0: DataFrame,
+      seedMulti: DataFrame => DataFrame,
+      pruneMulti: DataFrame => DataFrame)
       : (DataFrame, DataFrame, () => Unit) = {
     val words = words0.persist()
     val exploded = explodedSegs(words).persist()
     val subs = substringCounts(words)
     val vocab0 = subs.filter(length(col("piece")) === 1)
-      .unionAll(subs.filter(length(col("piece")) >= 2)
-        .orderBy(col("cnt").desc, col("piece")).limit(SeedMulti))
+      .unionAll(seedMulti(subs.filter(length(col("piece")) >= 2)))
     val m1 = mStep(exploded, bestSegs(exploded, logpOf(vocab0)))
-    val vocab1 = pruned(vocab0, m1, KeepMulti)
+    val scored1 = vocab0.select("piece")
+      .join(m1, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val vocab1 = scored1.filter(length(col("piece")) === 1)
+      .unionAll(pruneMulti(scored1.filter(length(col("piece")) >= 2)))
     // best2 feeds BOTH model tables (m2 → final counts; (w, cw, np) →
     // the encode map) — persist it so the E-step window runs once
     val best2 = bestSegs(exploded, logpOf(vocab1)).persist()
@@ -226,7 +246,9 @@ object Unigram extends QueryModule {
     * frame — the `words` thunk only runs on a cold zone. */
   private[llm] def modelZoneFor(
       spark: SparkSession, sfDir: String, variant: String,
-      words: => DataFrame): java.io.File =
+      words: => DataFrame,
+      train: DataFrame => (DataFrame, DataFrame, () => Unit) = trainFrames)
+      : java.io.File =
     zoneMemo.getOrElseUpdate(
       s"$sfDir#$variant@${Bpe.corpusFingerprint(spark, sfDir)}", {
         val key = s"$sfDir#$variant@${Bpe.corpusFingerprint(spark, sfDir)}"
@@ -238,7 +260,7 @@ object Unigram extends QueryModule {
         if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
             .exists(_._1 >= 1L)) {
           root.mkdirs()
-          val (vocab, wordNp, release) = trainFrames(words)
+          val (vocab, wordNp, release) = train(words)
           // generations under zones/, the commit log beside it — the
           // retentionSweep layout contract (the sweep's guard rejects a
           // manifest dir living inside a swept zone dir)
