@@ -238,11 +238,81 @@ object Script extends QueryModule {
       spark, new java.io.File(root, "manifest"), Unigram.VocabZone))
   }
 
+  /** Byte-level BPE over the planted multi-script corpus — the GPT-2
+    * byte-fallback tokenizer: the state is UTF-8 BYTES rendered as hex
+    * pairs in the [[Bpe]] pipe-wrap representation (`|D0||B0|` for
+    * Cyrillic а), so the UNCHANGED merge trainer runs verbatim — byte
+    * tokens can never contain `|`, and a merged token is just a longer
+    * hex string. This is the normalization-free guarantee the Latin
+    * pipeline lacks: EVERY script yields tokens (worst case one per
+    * byte), no codepoint class list to maintain. Truncation happens on
+    * CHARS before the encode (identical in both engines — a byte-level
+    * cap could split a multi-byte codepoint differently than DuckDB's
+    * char semantics). */
+  val ByteBpeRounds = 6
+  val ByteBpeMaxChars = 60
+
+  private def byteState(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), plantedCol.as("t"))
+      .select(col("doc_id"),
+        regexp_replace(
+          hex(encode(substring(col("t"), 1, ByteBpeMaxChars), "UTF-8")),
+          "(..)", "|$1|").as("state"))
+      .filter(length(col("state")) >= 8) // ≥ 2 byte tokens
+
+  private val byteMergeMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(Int, String, String, Long)]]
+
+  private def byteMerges(
+      spark: SparkSession, sfDir: String): Seq[(Int, String, String, Long)] =
+    byteMergeMemo.getOrElseUpdate(
+      s"$sfDir#bytebpe@${Bpe.corpusFingerprint(spark, sfDir)}",
+      Bpe.train(byteState(spark, sfDir), ByteBpeRounds)._1)
+
+  /** EXT: the byte-level BPE merge table learned on the multi-script
+    * corpus. The learned pairs themselves demonstrate the fallback:
+    * beside ASCII digraphs, the trainer merges the multi-byte UTF-8
+    * lead/continuation pairs of the planted non-Latin scripts (e.g.
+    * `D0|B0` → `D0B0` = Cyrillic а) — text the `[a-z]` pipeline drops
+    * entirely becomes learnable structure. The oracle re-learns all
+    * rounds over the identically-planted byte state. */
+  def bpeBytesTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    byteMerges(spark, sfDir).toDF("round", "a", "b", "cnt").orderBy("round")
+  }
+
+  /** EXT: per-script fertility of the byte-level tokenizer — BYTES per
+    * token per script class under the learned merges. The byte
+    * fallback's contract, as a number: every script is ≥ 1.0 (nothing
+    * vanishes), and scripts whose byte pairs won merge slots compress
+    * beyond it. One codegen'd chained-replace scan + the script-class
+    * attach + a script-sized groupBy. */
+  def bpeBytesFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    val enc = Bpe.applyMerges(byteState(spark, sfDir), byteMerges(spark, sfDir))
+      .selectExpr("doc_id",
+        "CAST(size(split(substring(state, 2, length(state) - 2), '\\\\|\\\\|')) AS BIGINT) AS n_tokens",
+        "CAST(length(state) AS BIGINT) AS len_state")
+      .selectExpr("doc_id", "(len_state - 2 * n_tokens) div 2 AS n_bytes", "n_tokens")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), plantedCol.as("t"))
+      .select(col("doc_id"), scriptOf(col("t")).as("script"))
+      .join(enc, "doc_id")
+      .groupBy("script")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).cast("long").as("bytes"),
+        sum(col("n_tokens")).as("tokens"))
+      .withColumn("bytes_per_token_micro", expr("bytes * 1000000 div tokens"))
+      .orderBy("script")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_script_coverage" -> (scriptCoverage _),
     "text_unigram_multi" -> (unigramTrainMulti _),
     "text_unigram_multi_fertility" -> (unigramMultiFertility _),
     "text_unigram_balanced_fertility" -> (unigramBalancedFertility _),
+    "text_bpe_bytes" -> (bpeBytesTrain _),
+    "text_bpe_bytes_fertility" -> (bpeBytesFertility _),
   )
 
   /** SQL piece-class CASE over `src` (same membership-by-translate and
@@ -287,15 +357,19 @@ object Script extends QueryModule {
     * [[Unigram.latinWordsCte]] swap-in for the multi-script chain. The
     * CJK pad uses RE2's `\\1` backreference (Spark side uses `$1`);
     * both engines then split on the union-alphabet complement. */
-  private def awareWordsCte: String =
+  /** The planted multi-script corpus as a standalone CTE (DuckDB). */
+  private def plantedCte: String =
     s"""planted AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 11 = 3 THEN translate(lower(text), '$Latin', '$Cyr')
        |         WHEN doc_id % 11 = 5 THEN translate(lower(text), '$Latin ', '$Cjk')
        |         WHEN doc_id % 11 = 7 THEN translate(lower(text), '$Latin', '$Arab')
        |         ELSE lower(text) END AS t
-       |  FROM documents),
-       |u_words AS (
+       |  FROM documents)""".stripMargin
+
+  private def awareWordsCte: String =
+    plantedCte + ",\n" +
+    s"""u_words AS (
        |  SELECT substr(w0, 1, ${Unigram.MaxWordLen}) AS w, count(*) AS cw FROM (
        |    SELECT unnest(string_split(trim(regexp_replace(
        |      regexp_replace(t, '([$Cjk])', ' \\1 ', 'g'),
@@ -350,7 +424,58 @@ object Script extends QueryModule {
         fertilityOracleTail),
     "text_unigram_balanced_fertility" ->
       (balancedCtes.mkString("WITH ", ",\n", "") + fertilityOracleTail),
+    "text_bpe_bytes" ->
+      (Bpe.oracleCteList(ByteBpeRounds, byteS0Cte).mkString("WITH ", ",\n", "") +
+        "\nSELECT * FROM (" +
+        (1 to ByteBpeRounds)
+          .map(r => s"SELECT $r AS round, a, b, cnt FROM b$r WHERE cnt > 0")
+          .mkString(" UNION ALL ") +
+        ") ORDER BY round"),
+    "text_bpe_bytes_fertility" ->
+      (Bpe.oracleCteList(ByteBpeRounds, byteS0Cte).mkString("WITH ", ",\n", "") + ",\n" +
+        s"""enc AS (
+           |  SELECT doc_id,
+           |    CAST(len(string_split(substr(state, 2, length(state)-2), '||')) AS BIGINT) AS n_tokens,
+           |    CAST(length(state) AS BIGINT) AS len_state
+           |  FROM s$ByteBpeRounds
+           |), bts AS (
+           |  SELECT doc_id, (len_state - 2 * n_tokens) // 2 AS n_bytes, n_tokens FROM enc
+           |), """.stripMargin + clsCte + "\n" +
+        s"""SELECT c.script, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           |  CAST(SUM(n_bytes) AS BIGINT) * 1000000
+           |    // CAST(SUM(n_tokens) AS BIGINT) AS bytes_per_token_micro
+           |FROM bts JOIN cls c USING (doc_id)
+           |GROUP BY c.script ORDER BY c.script""".stripMargin),
   )
+
+  /** Byte-state s0 (planted corpus → UTF-8 hex pairs, pipe-wrapped). */
+  private def byteS0Cte: String =
+    plantedCte + ",\n" +
+    s"""s0 AS (
+       |  SELECT doc_id,
+       |    regexp_replace(hex(encode(substr(t, 1, $ByteBpeMaxChars))), '(..)', '|\\1|', 'g') AS state
+       |  FROM planted
+       |  WHERE length(regexp_replace(hex(encode(substr(t, 1, $ByteBpeMaxChars))), '(..)', '|\\1|', 'g')) >= 8)""".stripMargin
+
+  /** The per-doc script-class CTE (DuckDB) shared by the fertility
+    * oracles — same membership counts and priority as [[scriptOf]]. */
+  private def clsCte: String =
+    s"""cls AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ncy > nl AND ncy >= ncj AND ncy >= na THEN 'cyrillic'
+       |         WHEN ncj > nl AND ncj > ncy AND ncj >= na THEN 'cjk'
+       |         WHEN na > nl AND na > ncy AND na > ncj THEN 'arabic'
+       |         ELSE 'latin' END AS script
+       |  FROM (
+       |    SELECT doc_id,
+       |      length(t) - length(translate(t, '$Latin', '')) AS nl,
+       |      length(t) - length(translate(t, '$Cyr', '')) AS ncy,
+       |      length(t) - length(translate(t, '$Cjk', '')) AS ncj,
+       |      length(t) - length(translate(t, '$Arab', '')) AS na
+       |    FROM planted) x
+       |)""".stripMargin
 
   /** The fertility report CTE tail shared by the pooled and balanced
     * chains (concatenated OUTSIDE any stripMargin). */
