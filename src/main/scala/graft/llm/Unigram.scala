@@ -218,9 +218,13 @@ object Unigram extends QueryModule {
     } finally release()
   }
 
-  /** Manifest zone names of the standing model artifact. */
+  /** Manifest zone names of the standing model artifact. The word-count
+    * zone is the trainer's SUFFICIENT STATISTIC: folding a new corpus
+    * batch never rescans the base corpus — it merges the batch's word
+    * counts into this generation and retrains from there. */
   private[llm] val VocabZone = "unigram_vocab"
   private[llm] val WordNpZone = "unigram_wordnp"
+  private[llm] val WordCountZone = "unigram_wordcounts"
 
   /** (JVM, corpus fingerprint) → the STANDING MODEL ZONE — the trained
     * unigram model persisted as a fingerprint-keyed parquet artifact
@@ -260,11 +264,16 @@ object Unigram extends QueryModule {
         if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
             .exists(_._1 >= 1L)) {
           root.mkdirs()
-          val (vocab, wordNp, release) = train(words)
           // generations under zones/, the commit log beside it — the
           // retentionSweep layout contract (the sweep's guard rejects a
-          // manifest dir living inside a swept zone dir)
+          // manifest dir living inside a swept zone dir). The word
+          // counts persist FIRST and training reads them back, so the
+          // committed statistic is exactly what the model was trained
+          // on (and what a later refresh folds into).
           val zones = new java.io.File(root, "zones")
+          val genC = new java.io.File(zones, "wordcounts_gen1").toPath
+          graft.Fs.writeParquetAtomic(words, genC)
+          val (vocab, wordNp, release) = train(spark.read.parquet(genC.toString))
           val genV = new java.io.File(zones, "vocab_gen1").toPath
           val genW = new java.io.File(zones, "wordnp_gen1").toPath
           graft.Fs.writeParquetAtomic(vocab, genV)
@@ -272,15 +281,108 @@ object Unigram extends QueryModule {
           release()
           graft.sources.Maintenance.commitEpochManifest(spark,
             Seq((VocabZone, genV.toString, "piece"),
-              (WordNpZone, genW.toString, "w")),
+              (WordNpZone, genW.toString, "w"),
+              (WordCountZone, genC.toString, "w")),
             manifestDir.toPath, epoch = 1L)
         }
         root
       })
 
+  /** INCREMENTAL MODEL REFRESH — fold a document batch into a standing
+    * model zone and retrain, never rescanning the base corpus: the
+    * standing word-count generation is the trainer's sufficient
+    * statistic, so the fold is the batch's own word count (O(batch)) +
+    * one zone-sized merge groupBy, and the bounded-vocab EM retrains
+    * from the merged table. All three generations (word counts, piece
+    * table, word→np map) install as fresh UUID paths and commit as ONE
+    * epoch through the CAS ([[graft.sources.Maintenance
+    * .commitEpochManifestCas]]) — a racing refresh or takedown loses
+    * with the named conflict and zero torn state, and as-of reads keep
+    * serving the pre-refresh model until retention retires it. Returns
+    * the committed epoch. `UnigramRefreshSpec` pins refresh ≡ rebuild
+    * exactly; `text_unigram_refresh` oracles the whole fold cross-engine
+    * (the oracle re-learns from scratch over the unioned corpus). */
+  private[llm] def refreshModelZone(
+      spark: SparkSession, root: java.io.File, batchDocs: DataFrame,
+      train: DataFrame => (DataFrame, DataFrame, () => Unit) = trainFrames,
+      batchWordCounts: DataFrame => DataFrame = wordCountsOf): Long = {
+    val manifestDir = new java.io.File(root, "manifest")
+    val (parent, _) = graft.sources.Maintenance
+      .currentEpoch(spark, manifestDir)
+      .getOrElse(sys.error(s"refreshModelZone: no committed epoch in $manifestDir"))
+    val merged = graft.sources.Maintenance
+      .readZoneThroughManifest(spark, manifestDir, WordCountZone)
+      .unionAll(batchWordCounts(batchDocs))
+      .groupBy("w").agg(sum(col("cw")).as("cw"))
+    val epoch = parent + 1
+    val zones = new java.io.File(root, "zones")
+    def gen(name: String) = new java.io.File(zones,
+      s"${name}_gen$epoch-${java.util.UUID.randomUUID()}").toPath
+    val genC = gen("wordcounts")
+    graft.Fs.writeParquetAtomic(merged, genC)
+    val (vocab, wordNp, release) = train(spark.read.parquet(genC.toString))
+    val genV = gen("vocab")
+    val genW = gen("wordnp")
+    graft.Fs.writeParquetAtomic(vocab, genV)
+    graft.Fs.writeParquetAtomic(wordNp, genW)
+    release()
+    graft.sources.Maintenance.commitEpochManifestCas(spark,
+      Seq((VocabZone, genV.toString, "piece"),
+        (WordNpZone, genW.toString, "w"),
+        (WordCountZone, genC.toString, "w")),
+      manifestDir.toPath, epoch, Some(parent))
+    epoch
+  }
+
   private[llm] def modelZoneRoot(
       spark: SparkSession, sfDir: String): java.io.File =
     modelZoneFor(spark, sfDir, "base", wordCounts(spark, sfDir))
+
+  /** The refresh demo's deterministic batch predicate/transform — shared
+    * verbatim by the builder and the DuckDB oracle: every 13th doc
+    * arrives again REVERSED (genuinely new word statistics, replayable
+    * by both engines). */
+  private[llm] val RefreshBatchMod = 13L
+  private[llm] val RefreshBatchRem = 1L
+
+  /** (JVM, corpus fingerprint) → a model zone that LIVED THROUGH a
+    * refresh: epoch 1 trains on the base corpus, epoch 2 is a real
+    * [[refreshModelZone]] fold of the deterministic batch (never
+    * rescanning the base corpus — the fold reads the standing word-count
+    * generation). A cross-JVM racer may win the epoch-2 CAS; its state
+    * is deterministic and identical, so losing IS completion here. */
+  private def refreshDemoRoot(
+      spark: SparkSession, sfDir: String): java.io.File = {
+    val root = modelZoneFor(spark, sfDir, "refreshdemo", wordCounts(spark, sfDir))
+    val manifestDir = new java.io.File(root, "manifest")
+    if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
+        .exists(_._1 >= 2L)) {
+      val batch = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % RefreshBatchMod === RefreshBatchRem)
+        .select(col("doc_id"), reverse(col("text")).as("text"))
+      try refreshModelZone(spark, root, batch)
+      catch {
+        case e: graft.sources.EpochConflictException =>
+          if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
+              .exists(_._1 >= 2L)) throw e
+      }
+    }
+    root
+  }
+
+  /** EXT: the INCREMENTALLY REFRESHED model — the .model report served
+    * by the zone's NEWEST epoch after a real batch fold
+    * ([[refreshModelZone]]: O(batch) word counting + zone-sized merge +
+    * bounded-vocab retrain + one CAS epoch commit; the base corpus is
+    * never rescanned). The oracle knows nothing of the fold: it
+    * re-learns the full schedule FROM SCRATCH over the unioned corpus —
+    * so one hash pins fold ≡ rebuild cross-engine, the append≡rebuild
+    * discipline the IVF/band-index families use, applied to the
+    * tokenizer model zone. */
+  def unigramRefresh(spark: SparkSession, sfDir: String): DataFrame =
+    trainReportOf(graft.sources.Maintenance.readZoneThroughManifest(
+      spark, new java.io.File(refreshDemoRoot(spark, sfDir), "manifest"),
+      VocabZone))
 
   private def modelZone(
       spark: SparkSession, sfDir: String, zone: String): DataFrame =
@@ -444,6 +546,7 @@ object Unigram extends QueryModule {
     "text_unigram_encode" -> (unigramEncode _),
     "text_unigram_sweep" -> (unigramSweep _),
     "pack_unigram_sequences" -> (packUnigramSequences _),
+    "text_unigram_refresh" -> (unigramRefresh _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -561,7 +664,26 @@ object Unigram extends QueryModule {
   // NOTE: the CTE blocks are concatenated OUTSIDE any stripMargin — an
   // outer stripMargin would re-strip the embedded (already-stripped)
   // lines and eat one `|` from a line-leading `||` list concat.
+  /** u_words over the base ∪ refreshed-batch corpus — the refresh
+    * oracle's from-scratch statistic (counting is additive, so the
+    * zone fold must equal this exactly). */
+  private def refreshWordsCte: String =
+    s"""u_words AS (
+       |  SELECT substr(w0, 1, $MaxWordLen) AS w, count(*) AS cw FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
+       |    FROM (SELECT text FROM documents
+       |          UNION ALL
+       |          SELECT reverse(text) FROM documents
+       |          WHERE doc_id % $RefreshBatchMod = $RefreshBatchRem) u) t
+       |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "text_unigram_refresh" ->
+      (unigramCtesWith(refreshWordsCte).mkString("WITH ", ",\n", "") + "\n" +
+      s"""SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, CAST(cnt AS BIGINT) AS cnt,
+         |  round(ln((cnt + 1.0) / (tot + v)), 6) AS logp
+         |FROM u_final, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_final)
+         |ORDER BY cnt DESC, piece""".stripMargin),
     "text_unigram_train" ->
       (unigramCtes.mkString("WITH ", ",\n", "") + "\n" +
       s"""SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, CAST(cnt AS BIGINT) AS cnt,
