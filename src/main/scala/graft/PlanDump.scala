@@ -191,7 +191,8 @@ object PlanDump {
     "mm_jpeg_quarantine", "text_script_coverage",
     "text_unigram_multi", "text_unigram_multi_fertility",
     "text_unigram_balanced_fertility",
-    "text_bpe_bytes", "text_bpe_bytes_fertility", "text_unigram_refresh")
+    "text_bpe_bytes", "text_bpe_bytes_fertility", "text_unigram_refresh",
+    "text_unigram_forget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -345,6 +345,87 @@ object Unigram extends QueryModule {
   private[llm] val RefreshBatchMod = 13L
   private[llm] val RefreshBatchRem = 1L
 
+  /** TAKEDOWN CASCADE into the trained model — the right-to-be-forgotten
+    * question every trained artifact eventually faces: a model trained
+    * on removed documents still CARRIES their statistics. Because the
+    * standing word-count generation is additive, the cascade is exact
+    * subtraction: count the removed docs' words (O(takedown)), subtract
+    * from the standing statistic (one zone-sized merge; words hitting 0
+    * drop out entirely), retrain the bounded-vocab EM, and CAS-commit
+    * all three generations as one epoch — the base corpus is never
+    * rescanned, and the pre-takedown model stays as-of-readable until
+    * retention retires it (the audit window). `text_unigram_forget`'s
+    * oracle re-trains FROM SCRATCH on the surviving corpus, so one hash
+    * pins cascade ≡ rebuild — the [[graft.llm.Forget]] discipline
+    * applied to the tokenizer model zone. Returns the committed epoch. */
+  private[llm] def forgetModelZone(
+      spark: SparkSession, root: java.io.File, removedDocs: DataFrame,
+      train: DataFrame => (DataFrame, DataFrame, () => Unit) = trainFrames,
+      batchWordCounts: DataFrame => DataFrame = wordCountsOf): Long = {
+    val manifestDir = new java.io.File(root, "manifest")
+    val (parent, _) = graft.sources.Maintenance
+      .currentEpoch(spark, manifestDir)
+      .getOrElse(sys.error(s"forgetModelZone: no committed epoch in $manifestDir"))
+    val subtracted = graft.sources.Maintenance
+      .readZoneThroughManifest(spark, manifestDir, WordCountZone)
+      .unionAll(batchWordCounts(removedDocs)
+        .select(col("w"), (-col("cw")).as("cw")))
+      .groupBy("w").agg(sum(col("cw")).as("cw"))
+      .filter(col("cw") > 0)
+    val epoch = parent + 1
+    val zones = new java.io.File(root, "zones")
+    def gen(name: String) = new java.io.File(zones,
+      s"${name}_gen$epoch-${java.util.UUID.randomUUID()}").toPath
+    val genC = gen("wordcounts")
+    graft.Fs.writeParquetAtomic(subtracted, genC)
+    val (vocab, wordNp, release) = train(spark.read.parquet(genC.toString))
+    val genV = gen("vocab")
+    val genW = gen("wordnp")
+    graft.Fs.writeParquetAtomic(vocab, genV)
+    graft.Fs.writeParquetAtomic(wordNp, genW)
+    release()
+    graft.sources.Maintenance.commitEpochManifestCas(spark,
+      Seq((VocabZone, genV.toString, "piece"),
+        (WordNpZone, genW.toString, "w"),
+        (WordCountZone, genC.toString, "w")),
+      manifestDir.toPath, epoch, Some(parent))
+    epoch
+  }
+
+  /** The forget demo's deterministic takedown predicate — shared with
+    * the oracle. */
+  private[llm] val ForgetMod = 17L
+  private[llm] val ForgetRem = 5L
+
+  private def forgetDemoRoot(
+      spark: SparkSession, sfDir: String): java.io.File = {
+    val root = modelZoneFor(spark, sfDir, "forgetdemo", wordCounts(spark, sfDir))
+    val manifestDir = new java.io.File(root, "manifest")
+    if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
+        .exists(_._1 >= 2L)) {
+      val removed = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % ForgetMod === ForgetRem)
+      try forgetModelZone(spark, root, removed)
+      catch {
+        case e: graft.sources.EpochConflictException =>
+          if (!graft.sources.Maintenance.currentEpoch(spark, manifestDir)
+              .exists(_._1 >= 2L)) throw e
+      }
+    }
+    root
+  }
+
+  /** EXT: the model AFTER a takedown cascade — the .model report served
+    * by the zone's newest epoch once every 17th document's statistics
+    * were subtracted and the model retrained ([[forgetModelZone]]). The
+    * oracle re-learns from scratch on the SURVIVING corpus only, so one
+    * hash pins cascade ≡ rebuild: no removed document's counts leak into
+    * the served model. */
+  def unigramForget(spark: SparkSession, sfDir: String): DataFrame =
+    trainReportOf(graft.sources.Maintenance.readZoneThroughManifest(
+      spark, new java.io.File(forgetDemoRoot(spark, sfDir), "manifest"),
+      VocabZone))
+
   /** (JVM, corpus fingerprint) → a model zone that LIVED THROUGH a
     * refresh: epoch 1 trains on the base corpus, epoch 2 is a real
     * [[refreshModelZone]] fold of the deterministic batch (never
@@ -547,6 +628,7 @@ object Unigram extends QueryModule {
     "text_unigram_sweep" -> (unigramSweep _),
     "pack_unigram_sequences" -> (packUnigramSequences _),
     "text_unigram_refresh" -> (unigramRefresh _),
+    "text_unigram_forget" -> (unigramForget _),
   )
 
   // ------------------------------------------------------------- oracles
@@ -677,7 +759,22 @@ object Unigram extends QueryModule {
        |          WHERE doc_id % $RefreshBatchMod = $RefreshBatchRem) u) t
        |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin
 
+  /** u_words over the SURVIVING corpus — the forget oracle's
+    * from-scratch statistic. */
+  private def forgetWordsCte: String =
+    s"""u_words AS (
+       |  SELECT substr(w0, 1, $MaxWordLen) AS w, count(*) AS cw FROM (
+       |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')) AS w0
+       |    FROM documents WHERE doc_id % $ForgetMod <> $ForgetRem) t
+       |  WHERE length(w0) >= 1 GROUP BY 1)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
+    "text_unigram_forget" ->
+      (unigramCtesWith(forgetWordsCte).mkString("WITH ", ",\n", "") + "\n" +
+      s"""SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, CAST(cnt AS BIGINT) AS cnt,
+         |  round(ln((cnt + 1.0) / (tot + v)), 6) AS logp
+         |FROM u_final, (SELECT CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS v FROM u_final)
+         |ORDER BY cnt DESC, piece""".stripMargin),
     "text_unigram_refresh" ->
       (unigramCtesWith(refreshWordsCte).mkString("WITH ", ",\n", "") + "\n" +
       s"""SELECT piece, CAST(length(piece) AS INTEGER) AS piece_len, CAST(cnt AS BIGINT) AS cnt,

@@ -98,4 +98,36 @@ class UnigramRefreshSpec extends SparkSpec {
 
     graft.Fs.deleteRecursively(root)
   }
+
+  test("takedown cascade: subtract == rebuild on survivors; zeroed words vanish") {
+    // doc 1 is the only carrier of 'unique' and one of two carriers of
+    // 'shared' — removing it must drop 'unique' from the statistic
+    // entirely and decrement 'shared', exactly as a from-scratch train
+    // on the survivors would see
+    val base = docsOf("common words common here", "unique shared text",
+      "shared common tail")
+    val removed = docsOf("unique shared text").withColumn("doc_id", lit(1L))
+    val root = freshRoot()
+    install(root, base)
+
+    val epoch = Unigram.forgetModelZone(spark, root, removed)
+    assert(epoch === 2L)
+
+    val survivors = docsOf("common words common here", "shared common tail")
+    val (vRebuild, npRebuild) = Unigram.trainOver(Unigram.wordCountsOf(survivors))
+    val after = zoneModel(root)
+    assert(after._1 === vRebuild.sortBy(_._1))
+    assert(after._2 === npRebuild.map { case (w, _, np) => (w, np) }.sortBy(_._1))
+
+    // the statistic carries no trace of the removed doc
+    val zoneCounts = graft.sources.Maintenance.readZoneThroughManifest(
+        spark, new java.io.File(root, "manifest"), Unigram.WordCountZone)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(!zoneCounts.contains("unique") && !zoneCounts.contains("text"))
+    assert(zoneCounts("shared") === 1L)
+    // ...while the pre-takedown model stays as-of-readable (audit window)
+    assert(zoneModel(root, asOf = 1L)._2.exists(_._1 == "unique"))
+
+    graft.Fs.deleteRecursively(root)
+  }
 }
