@@ -97,7 +97,7 @@ object ScaleProbe {
     // section filters: pass any of cc / inc / bpe / gd / pairs / cdc to
     // run a subset (isolating a claim keeps its timings clear of the
     // other probes' block-manager and GC residue)
-    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave", "unigramzone", "script").filter(args.contains)
+    val sections = Set("cc", "ccab", "inc", "bpe", "gd", "pairs", "cdc", "lpa", "sfx", "prefix", "rrf", "kcore", "ivf", "ivfappend", "forget", "rerank", "kcoreinc", "annwave", "unigramzone", "script", "unigramfold").filter(args.contains)
     def on(s: String): Boolean = sections.isEmpty || sections(s)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -1140,6 +1140,58 @@ object ScaleProbe {
       graft.Fs.deleteRecursively(dir)
     }
     }
+    // claim (r13): refreshing the unigram model folds the batch into the
+    // STANDING word-count generation (the trainer's sufficient
+    // statistic) instead of re-counting the corpus. Price both at 10⁷
+    // word types: fold = O(zone + batch) merge; rebuild = the
+    // corpus-scale re-count it replaces (4×10⁷ occurrence rows here; at
+    // 100 TB that side is the whole corpus, the fold side is unchanged).
+    // Checksum equality REQUIRED — the fold must be exact, not close.
+    if (on("unigramfold")) {
+    locally {
+      val nTypes = 10000000L / div
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_probe_unifold_$nTypes")
+      graft.Fs.deleteRecursively(dir)
+      def wOf(id: org.apache.spark.sql.Column) = translate(
+        substring(md5(id.cast("string")), 1, 12), "0123456789", "ghijklmnop")
+      val rep = 4L
+      // the corpus the statistic summarizes (only the REBUILD path scans it)
+      val corpusWords = spark.range(nTypes * rep)
+        .select(wOf(col("id") % nTypes).as("w"))
+      // standing statistic zone (what the FOLD path reads instead)
+      val zonePath = graft.Fs.writeParquetAtomic(
+        corpusWords.groupBy("w").agg(count(lit(1)).as("cw")),
+        new java.io.File(dir, "wordcounts_gen1").toPath)
+      // batch: 10⁶ occurrences — half existing types, half new words
+      val batchWords = spark.range(1000000L / div).select(
+        when(col("id") % 2 === 0, wOf(col("id") % nTypes))
+          .otherwise(concat(lit("zz"), wOf(col("id")))).as("w"))
+      def checksumOf(counts: DataFrame): (Long, Long) = {
+        // bounded per-row product: raw xxhash64 * cw overflows ANSI longs
+        val row = counts.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("w")), lit(1000003L)) * col("cw"))).collect()(0)
+        (row.getLong(0), row.getLong(1))
+      }
+      def fold(): (Long, Long) = checksumOf(
+        spark.read.parquet(zonePath)
+          .unionAll(batchWords.groupBy("w").agg(count(lit(1)).as("cw")))
+          .groupBy("w").agg(sum(col("cw")).as("cw")))
+      def rebuild(): (Long, Long) = checksumOf(
+        corpusWords.select("w").unionAll(batchWords)
+          .groupBy("w").agg(count(lit(1)).as("cw")))
+      val f = (1 to 2).map(_ => time(fold())).minBy(_._2)
+      val r = (1 to 2).map(_ => time(rebuild())).minBy(_._2)
+      require(f._1 == r._1,
+        s"statistic fold diverges from the corpus re-count: ${f._1} vs ${r._1}")
+      println(f"""{"probe":"unigram_fold","word_types":$nTypes,""" +
+        f""""corpus_words":${nTypes * rep},"batch_words":${1000000L / div},""" +
+        f""""fold_sec":${f._2}%.1f,"rebuild_sec":${r._2}%.1f,""" +
+        f""""types_after":${f._1._1},"checksum":${f._1._2}}""")
+      graft.Fs.deleteRecursively(dir)
+    }
+    }
+
     // claim (r13): the script tier is a pure map stage — per-row
     // translate/regex expression work + one script-sized groupBy — so
     // its cost is a scan-rate, not a shuffle. Price the coverage report
