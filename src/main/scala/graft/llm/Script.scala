@@ -158,8 +158,12 @@ object Script extends QueryModule {
       .select("w", "np")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), plantedCol.as("t"))
-      .select(col("doc_id"), scriptOf(col("t")).as("script"),
-        explode(awareWordsCol(col("t"))).as("w0"))
+      // script class attaches BEFORE the explode: scriptOf is 8
+      // whole-document translates, so computing it per exploded WORD
+      // row multiplies that by the doc's token count (~70× here,
+      // unbounded at scale) — measured 25 s → sub-second at sf0.1
+      .select(col("doc_id"), scriptOf(col("t")).as("script"), col("t"))
+      .select(col("script"), explode(awareWordsCol(col("t"))).as("w0"))
       .filter(length(col("w0")) >= 1)
       .select(col("script"), substring(col("w0"), 1, Unigram.MaxWordLen).as("w"))
       .join(np, "w")
